@@ -1,0 +1,211 @@
+"""Temporal operators: time spines, hourly rollups, time-shifted joins,
+as-of joins and bucketized range/interval joins.
+
+Reference parity (SURVEY.md §2.3/§2.5):
+- spine densification: zetadex-transactions-helius-pipeline.py:837-842
+- time-shifted equi join (J5): zetadex-transactions-helius-pipeline.py:1023-1044
+- as-of join (J6): zetadex-rewards-v2-pipeline.py:275-288
+- interval/range join (J7/J8): zetadex-amplitude-events-pipeline.py:187-197 and
+  zetadex-mm-uptime-pipeline-v2 [DEPRECATED].sql:36-73 (Databricks RANGE_JOIN
+  hint → re-expressed here as an explicit bucketized equi-join, the open-source
+  scale-safe equivalent).
+
+Scale design: every operator here avoids nested-loop joins.  Range joins
+bucketize the time axis so Spark plans a shuffled hash/sort-merge equi-join on
+the bucket key plus a residual predicate; as-of joins use the union-merge
+pattern (single shuffle + one window, no point-in-interval explosion).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def time_spine(
+    spark: SparkSession,
+    start: Column | str,
+    end: Column | str,
+    step: str = "interval 1 hour",
+) -> DataFrame:
+    """One row per step between start and end (inclusive), column ``spine_ts``.
+
+    Mirrors ``explode(sequence(date_trunc(...), ..., INTERVAL 1 HOUR))``
+    (zetadex-transactions-helius-pipeline.py:229-233).  Generated driver-side
+    as a single-row sequence then exploded on executors — O(spine) rows, no
+    driver collect of data tables.
+    """
+    return spark.range(1).select(
+        F.explode(F.expr(f"sequence({start}, {end}, {step})")).alias("spine_ts")
+    )
+
+
+def densify(
+    facts: DataFrame,
+    spine: DataFrame,
+    dims: Sequence[DataFrame],
+    on: Sequence[str],
+    fill: dict[str, float],
+) -> DataFrame:
+    """Cross-join spine × dimension values, left-join facts, fill gaps.
+
+    Reference pattern J11+P11 (zetadex-transactions-helius-pipeline.py:837-842).
+    The spine and dim sides are tiny (hours × assets), so Spark broadcasts them;
+    the fact side never re-shuffles beyond the join itself.
+    """
+    grid = spine
+    for d in dims:
+        grid = grid.crossJoin(d)
+    return grid.join(facts, on=list(on), how="left").fillna(fill)
+
+
+def shift_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    shift: str,
+    how: str = "left",
+    suffix: str = "_prev",
+) -> DataFrame:
+    """Join ``right`` shifted forward by ``shift`` onto ``left`` — the J5
+    "prior hour" pattern, normalized to a pure equi join so Catalyst can pick
+    hash/sort-merge instead of a theta join
+    (zetadex-transactions-helius-pipeline.py:1023-1044 does the arithmetic
+    inside the join condition; doing it in a projection first is plan-identical
+    but keeps the join strictly equi for AQE).
+    """
+    shifted = right.withColumn(ts_col, F.col(ts_col) + F.expr(shift))
+    renamed = shifted.select(
+        *[F.col(k) for k in keys],
+        F.col(ts_col),
+        *[
+            F.col(c).alias(c + suffix)
+            for c in shifted.columns
+            if c not in (*keys, ts_col)
+        ],
+    )
+    return left.join(renamed, on=[*keys, ts_col], how=how)
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: Sequence[str],
+    strict: bool = False,
+) -> DataFrame:
+    """Backward as-of join: for each left row, attach the most recent right row
+    with the same keys and ``right_ts <= left_ts`` (``<`` when ``strict``).
+
+    Implementation is the union-merge pattern: tag both sides, union, sort
+    within key partitions by event time, and carry the last-seen right values
+    forward with ``last(..., ignorenulls=True)`` over an unbounded-preceding
+    window.  One shuffle on ``keys``, no range explosion — this is the 100 TB
+    path for J6 (zetadex-rewards-v2-pipeline.py:275-288 expresses it as an
+    inequality join, which degenerates to sort-merge-with-scan; union-merge is
+    strictly cheaper and skew-stable).
+
+    Tie handling: right rows at exactly ``left_ts`` are visible unless
+    ``strict``; among right rows with identical ``right_ts`` the one with the
+    greatest ``right_cols`` ordering position wins via the final sort key
+    ``_src`` (left sorts after right at equal time, so non-strict sees them).
+    """
+    lt = left.withColumn("_src", F.lit(1)).withColumn("_ts", F.col(left_ts))
+    rt_cols = [F.col(c) for c in (*keys, right_ts, *right_cols)]
+    rt = (
+        right.select(*rt_cols)
+        .withColumn("_src", F.lit(0))
+        .withColumn("_ts", F.col(right_ts))
+    )
+    for c in left.columns:
+        if c not in rt.columns:
+            rt = rt.withColumn(c, F.lit(None))
+    for c in rt.columns:
+        if c not in lt.columns:
+            lt = lt.withColumn(c, F.lit(None))
+    lt = lt.select(*rt.columns)
+    unioned = lt.unionByName(rt)
+    # right rows sort before (non-strict) or after (strict) left rows at the
+    # same timestamp, which is exactly the <=/< visibility rule
+    order = [F.col("_ts"), F.col("_src") if not strict else (-F.col("_src"))]
+    w = (
+        Window.partitionBy(*[F.col(k) for k in keys])
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1 if strict else Window.currentRow)
+    )
+    out = unioned
+    for c in right_cols:
+        out = out.withColumn(
+            c,
+            F.last(F.when(F.col("_src") == 0, F.col(c)), ignorenulls=True).over(w),
+        )
+    out = out.withColumn(
+        "_asof_ts",
+        F.last(F.when(F.col("_src") == 0, F.col(right_ts)), ignorenulls=True).over(w),
+    )
+    return (
+        out.filter(F.col("_src") == 1)
+        .drop("_src", "_ts", right_ts)
+        .withColumnRenamed("_asof_ts", right_ts)
+    )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    start_col: str,
+    end_col: str,
+    bucket_seconds: int = 3600,
+    keys: Sequence[str] = (),
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-interval join: left rows where ``start <= left_ts < end``.
+
+    Open-source replacement for the Databricks ``RANGE_JOIN`` binning hint
+    (zetadex-mm-uptime-pipeline-v2 [DEPRECATED].sql:38,111): explode each right
+    interval into the time buckets it overlaps, bucketize the left timestamp,
+    and equi-join on (keys..., bucket) with the exact interval predicate as a
+    residual filter.  Cost is O(|right| × avg interval/bucket) extra rows on
+    the small (interval) side instead of an O(n·m) nested loop.
+
+    ``bucket_seconds`` should be near the median interval length (the
+    reference's hint uses 60 s).
+    """
+    bs = int(bucket_seconds)
+    right_b = right.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                (F.unix_timestamp(F.col(start_col).cast("timestamp")) / bs).cast(
+                    "long"
+                ),
+                (F.unix_timestamp(F.col(end_col).cast("timestamp")) / bs).cast("long"),
+            )
+        ),
+    )
+    left_b = left.withColumn(
+        "_bucket",
+        (F.unix_timestamp(F.col(left_ts).cast("timestamp")) / bs).cast("long"),
+    )
+    la, ra = left_b.alias("_l"), right_b.alias("_r")
+    cond = F.col("_l._bucket") == F.col("_r._bucket")
+    for k in keys:
+        cond = cond & (F.col(f"_l.{k}") == F.col(f"_r.{k}"))
+    cond = (
+        cond
+        & (F.col(f"_l.{left_ts}") >= F.col(f"_r.{start_col}"))
+        & (F.col(f"_l.{left_ts}") < F.col(f"_r.{end_col}"))
+    )
+    right_keep = [c for c in right.columns if c not in keys]
+    joined = la.join(ra, cond, how).select(
+        *[F.col(f"_l.{c}") for c in left.columns],
+        *[F.col(f"_r.{c}") for c in right_keep],
+    )
+    return joined

@@ -1,0 +1,135 @@
+"""Window-function operators: cumulative sums, time-range rolling windows,
+rank leaderboards, share-of-total, top-k per group, rank change.
+
+Reference parity (SURVEY.md §2.5):
+- W1 cumsum: zetadex-transactions-helius-pipeline.py:1048-1055
+- W2 time-range rolling: zetadex-transactions-helius-pipeline.py:845-853
+- W5 rank leaderboards: zetadex-transactions-helius-pipeline.py:1525-1545
+- W6 rank change: zetadex-transactions-helius-pipeline.py:1664-1694
+- W7 row_number top-1: zetadex-transactions-helius-pipeline.py:1942-1945
+- W10 share-of-total: zetadex-rewards-v2-pipeline.py:105-107
+
+Scale design: all helpers take explicit partition keys; callers sharing a
+partitioning should build their windows from one spec so Spark plans a single
+shuffle+sort per partitioning (SURVEY §3.2 boundary note).  Sums run through
+DECIMAL for cross-engine determinism (see functions.deterministic).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window, WindowSpec
+
+_DEC = "DECIMAL(32,6)"
+
+
+def ordered_window(
+    partition: Sequence[str | Column], order: Sequence[str | Column]
+) -> WindowSpec:
+    return Window.partitionBy(*partition).orderBy(*order)
+
+
+def cumsum(
+    df: DataFrame,
+    value: str,
+    partition: Sequence[str],
+    order: Sequence[str | Column],
+    alias: str,
+) -> DataFrame:
+    """Running total with a rows frame (order must be a total order for
+    determinism — include a unique tie-break column)."""
+    w = ordered_window(partition, order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return df.withColumn(
+        alias, F.sum(F.col(value).cast(_DEC)).over(w).cast("double")
+    )
+
+
+def rolling_time_sum(
+    df: DataFrame,
+    value: str,
+    ts: str,
+    partition: Sequence[str],
+    duration_seconds: int,
+    alias: str,
+    epoch_col: str | None = None,
+) -> DataFrame:
+    """Trailing time-range sum (``rangeBetween(-duration, 0)`` over epoch
+    seconds) — the 24h/7d/30d rolling pattern (W2).  Inclusive frame start,
+    matching the reference's ``days(-1), 0`` bounds."""
+    epoch = (
+        F.col(epoch_col)
+        if epoch_col
+        else F.col(ts).cast("timestamp").cast("long")
+    )
+    w = (
+        Window.partitionBy(*partition)
+        .orderBy(epoch)
+        .rangeBetween(-duration_seconds, 0)
+    )
+    return df.withColumn(
+        alias, F.sum(F.col(value).cast(_DEC)).over(w).cast("double")
+    )
+
+
+def rank_leaderboard(
+    df: DataFrame,
+    partition: Sequence[str],
+    order: Sequence[Column],
+    alias: str = "rank",
+    method: str = "rank",
+) -> DataFrame:
+    """Rank rows within partitions; ``order`` must end with a unique tie-break
+    (the reference orders by desc(pnl), desc(roi), then pubkey asc —
+    zetadex-transactions-helius-pipeline.py:1525-1545)."""
+    fn = {"rank": F.rank, "dense_rank": F.dense_rank, "row_number": F.row_number}[
+        method
+    ]
+    return df.withColumn(alias, fn().over(ordered_window(partition, order)))
+
+
+def top_k_per_group(
+    df: DataFrame,
+    partition: Sequence[str],
+    order: Sequence[Column],
+    k: int = 1,
+    keep_rank: bool = False,
+) -> DataFrame:
+    """W7: ``row_number() <= k`` then drop the helper column.  Catalyst pushes
+    a per-partition limit into the sort at scale (rank-limit optimization)."""
+    out = rank_leaderboard(df, partition, order, "_rn", "row_number").filter(
+        F.col("_rn") <= k
+    )
+    return out if keep_rank else out.drop("_rn")
+
+
+def share_of_total(
+    df: DataFrame,
+    value: str,
+    partition: Sequence[str],
+    alias: str,
+) -> DataFrame:
+    """W10: value / total-over-partition, computed from one exact decimal sum
+    so numerator-order never changes the ratio."""
+    w = Window.partitionBy(*partition)
+    total = F.sum(F.col(value).cast(_DEC)).over(w).cast("double")
+    return df.withColumn(alias, F.col(value) / F.nullif(total, F.lit(0.0)))
+
+
+def rank_change(
+    df: DataFrame,
+    rank_col: str,
+    partition: Sequence[str],
+    order: Sequence[str | Column],
+    lookback_rows: int,
+    alias: str,
+) -> DataFrame:
+    """W6: -(rank - first(rank) over a trailing window) — positive = improved."""
+    w = ordered_window(partition, order).rowsBetween(
+        -lookback_rows, Window.currentRow
+    )
+    return df.withColumn(alias, -(F.col(rank_col) - F.first(rank_col).over(w)))

@@ -1,0 +1,23 @@
+"""Query registry: every implemented operator from SURVEY.md §2 is declared
+here as a named query over the driver's synthetic tables, together with the
+ANSI-SQL oracle the DuckDB side runs for the correctness gate.
+
+Import this package to populate ``REGISTRY``.
+"""
+
+from __future__ import annotations
+
+from zeta_etl_spark.queries.registry import REGISTRY, QuerySpec, query
+
+# imported for registration side effects
+from zeta_etl_spark.queries import (  # noqa: E402,F401
+    dedup_q,
+    relational,
+    serving_q,
+    temporal_q,
+    text_q,
+    vectors_q,
+    windows_q,
+)
+
+__all__ = ["REGISTRY", "QuerySpec", "query"]

@@ -1,0 +1,277 @@
+"""Temporal queries: hourly rollups, spine densification, rolling windows,
+time-shifted joins, as-of joins, interval (range) joins, CDC latest-wins.
+
+These exercise the operator library in zeta_etl_spark.operators.temporal /
+.cdc against the `events` stream table (SURVEY.md §2.3 J5-J8/J11, §2.4 A1/A14,
+§2.5 W2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from zeta_etl_spark.functions import dec_sum
+from zeta_etl_spark.operators.cdc import latest_by_keys
+from zeta_etl_spark.operators.temporal import as_of_join, range_join, shift_join
+from zeta_etl_spark.queries.registry import T, query
+
+# --- hourly_events: the canonical streaming-gold agg (A1/T2) ----------------
+# Batch form of groupBy(date_trunc('hour', ts), key).agg(count, sum) —
+# zetadex-transactions-helius-pipeline.py:777-793.
+
+_HOURLY_ORACLE = """
+SELECT
+  date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_ts,
+  event_type,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(32,6))) AS DOUBLE) AS sum_value,
+  COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@query("hourly_events", oracle=_HOURLY_ORACLE, tags=("agg", "A1", "T2"))
+def hourly_events(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour_ts"), F.col("event_type")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dec_sum("value", "sum_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+def _hourly(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour_ts"), F.col("event_type")
+    ).agg(F.count(F.lit(1)).alias("n_events"), dec_sum("value", "sum_value"))
+
+
+# --- hourly_spine_rolling: spine densification (J11/P2) + fillna (P11) +
+# 24h trailing range window (W2).  The flagship query — mirrors
+# agg_ix_trade_asset_24h_rolling (zetadex-transactions-helius-pipeline.py:829-855).
+
+_SPINE_ORACLE = """
+WITH hourly AS (
+  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_ts, event_type,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(32,6))) AS DOUBLE) AS sum_value
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT min(hour_ts) AS lo, max(hour_ts) AS hi FROM hourly
+), spine AS (
+  SELECT unnest(generate_series((SELECT lo FROM bounds), (SELECT hi FROM bounds),
+                                INTERVAL 1 HOUR)) AS hour_ts
+), types AS (
+  SELECT DISTINCT event_type FROM events
+), dense AS (
+  SELECT s.hour_ts, t.event_type,
+         COALESCE(h.n_events, 0) AS n_events,
+         COALESCE(h.sum_value, 0.0) AS sum_value
+  FROM spine s
+  CROSS JOIN types t
+  LEFT JOIN hourly h ON s.hour_ts = h.hour_ts AND t.event_type = h.event_type
+)
+SELECT hour_ts, event_type, n_events, sum_value,
+  CAST(SUM(n_events) OVER w AS BIGINT) AS n_events_24h,
+  CAST(SUM(CAST(sum_value AS DECIMAL(32,6))) OVER w AS DOUBLE) AS sum_value_24h
+FROM dense
+WINDOW w AS (PARTITION BY event_type ORDER BY hour_ts
+             RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW)
+"""
+
+
+@query(
+    "hourly_spine_rolling",
+    oracle=_SPINE_ORACLE,
+    tags=("window", "W2", "J11", "P2", "P11", "flagship"),
+)
+def hourly_spine_rolling(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    hourly = _hourly(spark, sf_dir)
+    bounds = hourly.agg(
+        F.min("hour_ts").alias("lo"), F.max("hour_ts").alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("interval 1 hour"))
+        ).alias("hour_ts")
+    )
+    types = T(spark, sf_dir, "events").select("event_type").distinct()
+    dense = (
+        spine.crossJoin(F.broadcast(types))
+        .join(hourly, ["hour_ts", "event_type"], "left")
+        .fillna({"n_events": 0, "sum_value": 0.0})
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_timestamp(F.col("hour_ts").cast("timestamp")))
+        .rangeBetween(-24 * 3600, 0)
+    )
+    return dense.select(
+        "hour_ts",
+        "event_type",
+        "n_events",
+        "sum_value",
+        F.sum("n_events").over(w).cast("bigint").alias("n_events_24h"),
+        F.sum(F.col("sum_value").cast("DECIMAL(32,6)"))
+        .over(w)
+        .cast("double")
+        .alias("sum_value_24h"),
+    )
+
+
+# --- hourly_delta_prior: time-shifted equi join (J5) ------------------------
+# "prior hour" joins in cleaned_pnl
+# (zetadex-transactions-helius-pipeline.py:1023-1044), normalized to a pure
+# equi join (shift projected before the join).
+
+_DELTA_ORACLE = """
+WITH hourly AS (
+  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_ts, event_type,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(32,6))) AS DOUBLE) AS sum_value
+  FROM events GROUP BY 1, 2
+)
+SELECT c.hour_ts, c.event_type, c.n_events, c.sum_value,
+       p.n_events AS n_events_prev,
+       p.sum_value AS sum_value_prev,
+       c.sum_value - COALESCE(p.sum_value, 0.0) AS value_delta
+FROM hourly c
+LEFT JOIN hourly p
+  ON p.event_type = c.event_type
+ AND c.hour_ts = p.hour_ts + INTERVAL 1 HOUR
+"""
+
+
+@query("hourly_delta_prior", oracle=_DELTA_ORACLE, tags=("join", "J5"))
+def hourly_delta_prior(spark, sf_dir):
+    hourly = _hourly(spark, sf_dir)
+    out = shift_join(
+        hourly,
+        hourly,
+        keys=["event_type"],
+        ts_col="hour_ts",
+        shift="interval 1 hour",
+        suffix="_prev",
+    )
+    return out.withColumn(
+        "value_delta",
+        F.col("sum_value") - F.coalesce(F.col("sum_value_prev"), F.lit(0.0)),
+    )
+
+
+# --- asof_prior_click: backward strict as-of join (J6) ----------------------
+# trades-after-referral shape (zetadex-rewards-v2-pipeline.py:275-288), done
+# with the union-merge pattern (one shuffle, no inequality-join blowup).
+
+_ASOF_ORACLE = """
+WITH p AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+  FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT event_id AS click_event_id, user_id,
+         CAST(ts AS TIMESTAMP) AS click_ts, value AS click_value
+  FROM events WHERE event_type = 'click'
+)
+SELECT p.event_id, p.user_id, p.ts, p.value,
+       c.click_ts, c.click_value, c.click_event_id
+FROM p ASOF LEFT JOIN c
+  ON p.user_id = c.user_id AND p.ts > c.click_ts
+"""
+
+
+@query("asof_prior_click", oracle=_ASOF_ORACLE, tags=("join", "J6", "asof"))
+def asof_prior_click(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("value").alias("click_value"),
+        F.col("event_id").alias("click_event_id"),
+    )
+    return as_of_join(
+        purchases,
+        clicks,
+        keys=["user_id"],
+        left_ts="ts",
+        right_ts="click_ts",
+        right_cols=["click_value", "click_event_id"],
+        strict=True,
+    )
+
+
+# --- session_range_join: point-in-interval join (J7/J8) ---------------------
+# Amplitude sessionization (zetadex-amplitude-events-pipeline.py:187-197) and
+# the RANGE_JOIN-hinted quote pairing, re-expressed as the bucketized range
+# join (no Databricks hint needed; no nested loop).
+
+_SESSION_ORACLE = """
+WITH s AS (
+  SELECT event_id AS session_id, user_id,
+         CAST(ts AS TIMESTAMP) AS session_start,
+         CAST(ts AS TIMESTAMP) + INTERVAL 6 HOUR AS session_end
+  FROM events WHERE event_type = 'signup'
+), e AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+)
+SELECT s.session_id, s.user_id, s.session_start,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(32,6))) AS DOUBLE) AS session_value
+FROM e
+JOIN s ON e.user_id = s.user_id
+      AND e.ts >= s.session_start AND e.ts < s.session_end
+GROUP BY s.session_id, s.user_id, s.session_start
+"""
+
+
+@query("session_range_join", oracle=_SESSION_ORACLE, tags=("join", "J7", "J8"))
+def session_range_join(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    sessions = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("session_id"),
+        F.col("user_id"),
+        F.col("ts").alias("session_start"),
+        (F.col("ts") + F.expr("interval 6 hours")).alias("session_end"),
+    )
+    left = ev.select("event_id", "user_id", "ts", "value")
+    joined = range_join(
+        left,
+        sessions,
+        left_ts="ts",
+        start_col="session_start",
+        end_col="session_end",
+        bucket_seconds=3600,
+        keys=["user_id"],
+    )
+    return joined.groupBy("session_id", "user_id", "session_start").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dec_sum("value", "session_value"),
+    )
+
+
+# --- latest_event_per_user: CDC latest-wins (S8/A14) ------------------------
+# apply_changes(keys=[user], sequence_by=ts) batch semantics
+# (zetaflex-pipeline.py:146-151; zetadex-referrals-pipeline.py:147-152).
+
+_LATEST_ORACLE = """
+SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+FROM events
+QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) = 1
+"""
+
+
+@query("latest_event_per_user", oracle=_LATEST_ORACLE, tags=("cdc", "S8", "A14"))
+def latest_event_per_user(spark, sf_dir):
+    ev = T(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+    return latest_by_keys(ev, keys=["user_id"], sequence_by=["ts", "event_id"])

@@ -1,0 +1,56 @@
+"""SparkSession factory for the engine.
+
+The reference runs on Databricks with Photon + AQE enabled by default; the
+open-source equivalent is a session with AQE, broadcast-join auto-detection and
+UTC timestamps (determinism: SURVEY.md §5).  Every knob set here exists in OSS
+Spark — no proprietary configs.
+
+Scale notes (100 TB design):
+- AQE handles runtime coalescing of shuffle partitions and skew-join splitting,
+  so `spark.sql.shuffle.partitions` is an upper bound, not a tuning cliff.
+- `spark.sql.execution.arrow.pyspark.enabled` keeps the pandas-UDF path (used
+  only by the multimodal stubs) on the Arrow fast path.
+- Session timezone is pinned to UTC so event-time semantics are stable across
+  driver/executor locales (reference pins hourly buckets via ``date_trunc``,
+  zetadex-transactions-helius-pipeline.py:784).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(
+    app_name: str = "zeta-etl-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Create (or reuse) a SparkSession tuned for this engine.
+
+    ``shuffle_partitions`` defaults to the core count — at cluster scale this
+    would be ~2-3× total cores; AQE coalesces small shuffles back down, so
+    over-provisioning is safe while under-provisioning causes spill.
+    """
+    master = master or f"local[{DEFAULT_CPUS}]"
+    shuffle = shuffle_partitions or int(DEFAULT_CPUS)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.legacy.createHiveTableByDefault", "false")
+    )
+    return builder.getOrCreate()
