@@ -1,0 +1,83 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is fully materialized (count + collect of a bounded head) so the
+measured time covers scan → shuffle → result, not just plan construction.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from zeta_etl_spark.queries import REGISTRY  # noqa: E402
+from zeta_etl_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "pricing_summary",
+    "regional_revenue",
+    "order_priority_check",
+    "hourly_events",
+    "hourly_spine_rolling",
+    "hourly_delta_prior",
+    "asof_prior_click",
+    "session_range_join",
+    "latest_event_per_user",
+    "user_cumulative_value",
+    "user_leaderboard",
+    "rank_change_24h",
+    "serving_export",
+]
+# scale-path operators registered later in the round are benchmarked when present
+OPTIONAL = [
+    "exact_dedup_docs",
+    "minhash_lsh_pairs",
+    "doc_quality",
+    "knn_cosine_top5",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+    spark = get_spark(app_name="zeta-etl-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    names = [n for n in HEADLINE if n in REGISTRY] + [
+        n for n in OPTIONAL if n in REGISTRY
+    ]
+    timings: dict[str, float] = {}
+    # warm the JVM + parquet footers once so per-query numbers measure the
+    # query, not session startup
+    REGISTRY["pricing_summary"].fn(spark, sf_dir).count()
+    for name in names:
+        t0 = time.perf_counter()
+        df = REGISTRY[name].fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        assert n >= 0
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,174 @@
+"""Document deduplication operators: exact (content-hash), MinHash+LSH,
+SimHash, and n-gram Jaccard near-dup detection.
+
+Beyond-reference scale operators (BASELINE.json north star).  All hashing is
+md5-based so results are engine-portable and seed-stable; all logic is
+built-in higher-order functions — no Python UDFs.
+
+Scale design (100 TB):
+- exact dedup: single hash-shuffle on the 16-byte digest, map-side combine.
+- MinHash+LSH: per-doc signature is a narrow projection (no shuffle); the only
+  shuffle is the band-bucket self-join, whose fan-out is bounded by bucket
+  sizes (near-duplicate clusters), not by |docs|².
+- exact-Jaccard verification joins only the LSH candidates (semi-join pushdown
+  before the shingle explode), so verification cost scales with candidate
+  count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from zeta_etl_spark.functions.text import spark_hex2long, spark_shingles
+
+MAX_LONG = 9223372036854775807
+
+
+def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Keep one row per distinct content (lowest id wins); adds ``n_copies``."""
+    h = F.md5(F.col(content_col))
+    groups = df.groupBy(h.alias("content_hash")).agg(
+        F.min(id_col).alias(id_col),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+    return groups
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Per-doc MinHash signature array (md5-keyed permutations, 60-bit)."""
+    shingles = spark_shingles(text_col, shingle_k)
+    sig_exprs = []
+    for i in range(num_perm):
+        h = spark_hex2long(f"concat('{i}:', s)")
+        sig_exprs.append(
+            F.expr(
+                f"aggregate({shingles}, {MAX_LONG}L, (acc, s) -> least(acc, {h}))"
+            ).alias(f"sig_{i}")
+        )
+    return df.select(
+        F.col(id_col),
+        F.size(F.expr(shingles)).cast("bigint").alias("n_shingles"),
+        F.array(*sig_exprs).alias("signature"),
+    )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Distinct candidate pairs (a < b) sharing any LSH band bucket."""
+    band_hashes = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col("signature")[b * rows_per_band + r]
+                        for r in range(rows_per_band)
+                    ],
+                )
+            )
+            for b in range(bands)
+        ]
+    )
+    exploded = sigs.select(
+        F.col(id_col), F.posexplode(band_hashes).alias("band_id", "band_hash")
+    )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def jaccard_verify(
+    pairs: DataFrame,
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs only (semi-join first)."""
+    cand_ids = (
+        pairs.select(F.col("doc_a").alias(id_col))
+        .unionByName(pairs.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    shingled = (
+        docs.join(cand_ids, id_col, "left_semi")
+        .select(
+            F.col(id_col),
+            F.explode(F.expr(spark_shingles(text_col, shingle_k))).alias("shingle"),
+        )
+    )
+    sizes = shingled.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    sa = shingled.select(F.col(id_col).alias("doc_a"), "shingle")
+    sb = shingled.select(F.col(id_col).alias("doc_b"), "shingle")
+    common = (
+        pairs.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    out = (
+        pairs.join(common, ["doc_a", "doc_b"], "left")
+        .fillna({"n_common": 0})
+        .join(sizes.withColumnRenamed(id_col, "doc_a").withColumnRenamed("n_shingles", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed(id_col, "doc_b").withColumnRenamed("n_shingles", "n_b"), "doc_b")
+    )
+    return out.select(
+        "doc_a",
+        "doc_b",
+        F.col("n_common").cast("bigint").alias("n_common"),
+        (
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+        ).alias("jaccard"),
+    )
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+) -> DataFrame:
+    """Per-doc SimHash over distinct tokens (32-bit md5-derived token hashes).
+
+    Bit j of the fingerprint is 1 iff the signed sum of token-hash bit j over
+    all distinct tokens is positive (ties → 0, deterministic).
+    """
+    toks = f"array_distinct(split({text_col}, ' '))"
+    hashes = f"transform({toks}, t -> {spark_hex2long('t', digits=8)})"
+    bit_terms = " + ".join(
+        f"(case when aggregate(_th, 0L, (acc, h) -> "
+        f"acc + (((h >> {j}) & 1) * 2 - 1)) > 0 "
+        f"then cast({1 << j} as bigint) else 0L end)"
+        for j in range(bits)
+    )
+    return (
+        df.withColumn("_th", F.expr(hashes))
+        .select(
+            F.col(id_col),
+            F.expr(bit_terms).alias("simhash"),
+        )
+    )

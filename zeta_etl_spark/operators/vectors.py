@@ -1,0 +1,134 @@
+"""Vector similarity operators over `array<float>` embedding columns:
+brute-force cosine top-k, per-label centroids, nearest-centroid (IVF-style)
+assignment.
+
+Beyond-reference scale operators (BASELINE.json north star).
+
+Determinism design: floats are scaled to exact BIGINTs via
+``floor(x*1e6 + 0.5)`` (floor has no rounding-mode ambiguity, unlike
+round/decimal casts, so Spark and DuckDB produce bit-identical integers);
+dot products and norms are then exact integer arithmetic, and the final
+double division/sqrt are IEEE-deterministic.
+
+Scale design (100 TB): brute-force top-k is a broadcast of the (small) query
+set against a partitioned scan of the corpus — no shuffle until the final
+per-query top-k (AQE-coalesced).  The IVF path prunes with a broadcast
+centroid table; signatures/norms are computed once per row inside whole-stage
+codegen (no Python).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+SCALE = 1_000_000
+
+_SCALED = (
+    f"transform(embedding, x -> cast(floor(cast(x as double) * {SCALE}.0 + 0.5) "
+    "as bigint))"
+)
+
+
+def scaled_vectors(df: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """Project embeddings to exact integer vectors + squared norms."""
+    return df.select(
+        F.col(id_col),
+        *[c for c in df.columns if c not in (id_col, "embedding")],
+        F.expr(_SCALED).alias("sv"),
+    ).withColumn(
+        "norm2", F.expr("aggregate(zip_with(sv, sv, (x, y) -> x * y), 0L, (a, v) -> a + v)")
+    )
+
+
+def cosine_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact brute-force cosine top-k: broadcast queries × corpus scan.
+
+    ``vectors``/``queries`` must be outputs of :func:`scaled_vectors` (queries
+    with columns renamed to ``query_id``/``qv``/``qn``).
+    """
+    dot = F.expr("aggregate(zip_with(qv, sv, (x, y) -> x * y), 0L, (a, v) -> a + v)")
+    cos = dot.cast("double") / F.nullif(
+        F.sqrt(F.col("qn").cast("double")) * F.sqrt(F.col("norm2").cast("double")),
+        F.lit(0.0),
+    )
+    pairs = (
+        F.broadcast(queries)
+        .crossJoin(vectors)
+        .filter(F.col(query_id_col) != F.col(id_col))
+        .select(
+            F.col(query_id_col),
+            F.col(id_col).alias("neighbor_id"),
+            cos.alias("cosine"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.withColumn("knn_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("knn_rank") <= k)
+    )
+
+
+def label_centroids(scaled: DataFrame, label_col: str = "label") -> DataFrame:
+    """Per-(label, dim) centroid via exact integer sums."""
+    exploded = scaled.select(
+        F.col(label_col), F.posexplode("sv").alias("pos", "v")
+    )
+    return exploded.groupBy(
+        F.col(label_col), (F.col("pos") + 1).cast("bigint").alias("dim")
+    ).agg(
+        (F.sum("v").cast("double") / (F.lit(float(SCALE)) * F.count(F.lit(1)))).alias(
+            "centroid"
+        ),
+        F.count(F.lit(1)).alias("n_vectors"),
+    )
+
+
+def nearest_centroid(
+    scaled: DataFrame, centroids: DataFrame, label_col: str = "label"
+) -> DataFrame:
+    """Assign each vector to its nearest centroid by exact integer L2²
+    (centroids re-scaled to ints with the same floor trick)."""
+    cint = centroids.select(
+        F.col(label_col).alias("cand_label"),
+        "dim",
+        F.floor(F.col("centroid") * SCALE + F.lit(0.5)).cast("bigint").alias("cv"),
+    )
+    exploded = scaled.select(
+        "vec_id",
+        F.col(label_col).alias("true_label"),
+        F.posexplode("sv").alias("pos", "v"),
+    ).withColumn("dim", (F.col("pos") + 1).cast("bigint"))
+    dists = (
+        exploded.join(F.broadcast(cint), "dim")
+        .groupBy("vec_id", "true_label", "cand_label")
+        .agg(
+            F.sum((F.col("v") - F.col("cv")) * (F.col("v") - F.col("cv"))).alias(
+                "dist2"
+            )
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("dist2"), F.col("cand_label"))
+    return (
+        dists.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "true_label",
+            F.col("cand_label").alias("assigned_label"),
+            F.col("dist2").cast("bigint").alias("dist2"),
+            F.when(F.col("true_label") == F.col("cand_label"), 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("is_correct"),
+        )
+    )

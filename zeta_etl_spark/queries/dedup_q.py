@@ -1,1 +1,255 @@
-"""Placeholder — populated later this round."""
+"""Deduplication queries over `documents`: exact content-hash dedup, direct
+n-gram (shingle) Jaccard near-dup pairs, MinHash+LSH with exact verification,
+SimHash fingerprints and near-pairs.
+
+Beyond-reference scale operators (BASELINE.json north star).  All hashing is
+md5-based so the DuckDB oracle reproduces values bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from zeta_etl_spark.functions.text import (
+    duck_hex2long,
+    duck_shingles,
+    spark_hex2long,
+)
+from zeta_etl_spark.operators.dedup import (
+    MAX_LONG,
+    exact_dedup,
+    jaccard_verify,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash,
+)
+from zeta_etl_spark.queries.registry import T, query
+
+# --- exact_dedup_docs -------------------------------------------------------
+
+_EXACT_ORACLE = """
+SELECT md5(text) AS content_hash, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+@query("exact_dedup_docs", oracle=_EXACT_ORACLE, tags=("dedup", "exact"))
+def exact_dedup_docs(spark, sf_dir):
+    return exact_dedup(T(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+# --- ngram_jaccard_pairs: inverted-index shingle join -----------------------
+# Pairs sharing ≥1 5-shingle with exact Jaccard ≥ 0.2.  The inverted index
+# bounds the join to shingle collisions (no |docs|² blowup); at 100 TB the
+# LSH variant below replaces this when shingle collisions are too dense.
+
+_NGRAM_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, {duck_shingles()} AS shingles FROM documents
+), ex AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh
+), sizes AS (
+  SELECT doc_id, len(shingles) AS n_shingles FROM sh
+), common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT c.doc_a, c.doc_b,
+  CAST(c.n_common AS BIGINT) AS n_common,
+  CAST(c.n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - c.n_common)
+    AS jaccard
+FROM common c
+JOIN sizes sa ON sa.doc_id = c.doc_a
+JOIN sizes sb ON sb.doc_id = c.doc_b
+WHERE CAST(c.n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - c.n_common)
+      >= 0.2
+"""
+
+
+@query("ngram_jaccard_pairs", oracle=_NGRAM_ORACLE, tags=("dedup", "jaccard"))
+def ngram_jaccard_pairs(spark, sf_dir):
+    from zeta_etl_spark.functions.text import spark_shingles
+
+    d = T(spark, sf_dir, "documents")
+    sh = d.select("doc_id", F.expr(spark_shingles()).alias("shingles"))
+    ex = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    sizes = sh.select("doc_id", F.size("shingles").alias("n_shingles"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    out = (
+        common.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b")),
+            "doc_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= 0.2)
+    )
+    return out.select(
+        "doc_a", "doc_b", F.col("n_common").cast("bigint").alias("n_common"), "jaccard"
+    )
+
+
+# --- minhash_lsh_pairs: MinHash signatures → banded LSH → exact verify ------
+
+_NUM_PERM = 16
+_BANDS = 4
+_ROWS = 4
+
+
+def _minhash_oracle() -> str:
+    sig_items = ", ".join(
+        "list_min(list_transform(shingles, s -> "
+        + duck_hex2long(f"'{i}:' || s")
+        + f")) "
+        for i in range(_NUM_PERM)
+    )
+    band_selects = []
+    for b in range(_BANDS):
+        cols = " || ',' || ".join(
+            f"CAST(signature[{b * _ROWS + r + 1}] AS VARCHAR)" for r in range(_ROWS)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band_id, md5({cols}) AS band_hash FROM sig"
+        )
+    bands_sql = " UNION ALL ".join(band_selects)
+    est = (
+        "CAST(list_sum(list_transform(range(1, "
+        + str(_NUM_PERM + 1)
+        + "), i -> CASE WHEN sa.signature[i] = sb.signature[i] THEN 1 ELSE 0 END)) "
+        + f"AS DOUBLE) / {_NUM_PERM}"
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id, {duck_shingles()} AS shingles FROM documents
+), sig AS (
+  SELECT doc_id, len(shingles) AS n_shingles, [{sig_items}] AS signature FROM sh
+), bands AS (
+  {bands_sql}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+             AND a.doc_id < b.doc_id
+), ex AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh
+  WHERE doc_id IN (SELECT doc_a FROM cand UNION SELECT doc_b FROM cand)
+), common AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+  FROM cand c
+  JOIN ex ea ON ea.doc_id = c.doc_a
+  JOIN ex eb ON eb.doc_id = c.doc_b AND eb.shingle = ea.shingle
+  GROUP BY 1, 2
+)
+SELECT c.doc_a, c.doc_b,
+  CAST(COALESCE(cm.n_common, 0) AS BIGINT) AS n_common,
+  CAST(COALESCE(cm.n_common, 0) AS DOUBLE)
+    / (sa.n_shingles + sb.n_shingles - COALESCE(cm.n_common, 0)) AS jaccard,
+  {est} AS est_sim
+FROM cand c
+LEFT JOIN common cm ON cm.doc_a = c.doc_a AND cm.doc_b = c.doc_b
+JOIN sig sa ON sa.doc_id = c.doc_a
+JOIN sig sb ON sb.doc_id = c.doc_b
+"""
+
+
+@query("minhash_lsh_pairs", oracle=_minhash_oracle(), tags=("dedup", "minhash", "lsh"))
+def minhash_lsh_pairs(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d, num_perm=_NUM_PERM)
+    pairs = lsh_candidate_pairs(sigs, bands=_BANDS, rows_per_band=_ROWS)
+    verified = jaccard_verify(pairs, d)
+    sig_a = sigs.select(
+        F.col("doc_id").alias("doc_a"), F.col("signature").alias("sig_a")
+    )
+    sig_b = sigs.select(
+        F.col("doc_id").alias("doc_b"), F.col("signature").alias("sig_b")
+    )
+    est = (
+        F.expr(
+            "aggregate(zip_with(sig_a, sig_b, (x, y) -> if(x = y, 1, 0)), 0, "
+            "(acc, v) -> acc + v)"
+        ).cast("double")
+        / _NUM_PERM
+    )
+    return (
+        verified.join(sig_a, "doc_a")
+        .join(sig_b, "doc_b")
+        .select("doc_a", "doc_b", "n_common", "jaccard", est.alias("est_sim"))
+    )
+
+
+# --- simhash_docs + near-pairs ----------------------------------------------
+
+
+def _simhash_duck_expr() -> str:
+    th = (
+        "list_transform(list_distinct(string_split(text, ' ')), t -> "
+        + duck_hex2long("t", digits=8)
+        + ")"
+    )
+    terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(th, h -> ((h >> {j}) & 1) * 2 - 1)) > 0 "
+        f"THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for j in range(32)
+    )
+    return f"WITH t AS (SELECT doc_id, {th} AS th FROM documents)\nSELECT doc_id, {terms} AS simhash FROM t"
+
+
+_SIMHASH_ORACLE = _simhash_duck_expr()
+
+
+@query("simhash_docs", oracle=_SIMHASH_ORACLE, tags=("dedup", "simhash"))
+def simhash_docs(spark, sf_dir):
+    return simhash(T(spark, sf_dir, "documents"))
+
+
+_SIMHASH_PAIRS_ORACLE = f"""
+WITH base AS ({_SIMHASH_ORACLE}),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+  FROM base a
+  JOIN base b ON (a.simhash >> 16) = (b.simhash >> 16) AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 6
+"""
+
+
+@query("simhash_near_pairs", oracle=_SIMHASH_PAIRS_ORACLE, tags=("dedup", "simhash"))
+def simhash_near_pairs(spark, sf_dir):
+    base = simhash(T(spark, sf_dir, "documents"))
+    a = base.alias("a")
+    b = base.alias("b")
+    # bucket on the high 16 bits (LSH-style prefix blocking), verify hamming
+    pairs = a.join(
+        b,
+        (F.shiftright(F.col("a.simhash"), 16) == F.shiftright(F.col("b.simhash"), 16))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.bit_count(
+            F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+        ).cast("bigint").alias("hamming"),
+    )
+    return pairs.filter(F.col("hamming") <= 6)

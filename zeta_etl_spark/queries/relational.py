@@ -81,8 +81,10 @@ GROUP BY p.p_brand
 def part_brand_revenue(spark, sf_dir):
     li = T(spark, sf_dir, "lineitem")
     part = T(spark, sf_dir, "part")
+    # `part` scales with SF: no static broadcast hint — AQE runtime-broadcasts
+    # it while it is small and falls back to a shuffle join at scale
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey, "inner")
+        li.join(part, li.l_partkey == part.p_partkey, "inner")
         .groupBy("p_brand")
         .agg(
             dec_sum(
@@ -128,9 +130,11 @@ def regional_revenue(spark, sf_dir):
     s = T(spark, sf_dir, "supplier")
     n = T(spark, sf_dir, "nation")
     r = T(spark, sf_dir, "region")
+    # customer/orders/lineitem scale with SF → shuffle (AQE may runtime-
+    # broadcast at small SF); nation/region/supplier are bounded dims → hint.
     joined = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(li, li.l_orderkey == o.o_orderkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)

@@ -1,1 +1,118 @@
-"""Placeholder — populated later this round."""
+"""Similarity-search queries over the `embeddings` table: brute-force cosine
+top-k ANN baseline, per-label centroids, IVF-style nearest-centroid
+assignment (BASELINE.json north star operators).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from zeta_etl_spark.operators.vectors import (
+    SCALE,
+    cosine_topk,
+    label_centroids,
+    nearest_centroid,
+    scaled_vectors,
+)
+from zeta_etl_spark.queries.registry import T, query
+
+_DUCK_SCALED = (
+    f"list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {SCALE} + 0.5) "
+    "AS BIGINT))"
+)
+
+# --- knn_cosine_top5 --------------------------------------------------------
+
+_KNN_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, {_DUCK_SCALED} AS sv FROM embeddings
+), n AS (
+  SELECT vec_id, sv,
+         list_sum(list_transform(sv, x -> x * x)) AS norm2 FROM e
+), q AS (
+  SELECT vec_id AS query_id, sv AS qv, norm2 AS qn FROM n WHERE vec_id < 10
+), p AS (
+  SELECT q.query_id, n.vec_id AS neighbor_id,
+    CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
+                                 i -> q.qv[i] * n.sv[i])) AS DOUBLE)
+      / NULLIF(sqrt(CAST(q.qn AS DOUBLE)) * sqrt(CAST(n.norm2 AS DOUBLE)), 0.0)
+      AS cosine
+  FROM q JOIN n ON n.vec_id != q.query_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rn AS BIGINT) AS knn_rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rn
+  FROM p
+) t WHERE rn <= 5
+"""
+
+
+@query("knn_cosine_top5", oracle=_KNN_ORACLE, tags=("vectors", "ann", "knn"))
+def knn_cosine_top5(spark, sf_dir):
+    emb = scaled_vectors(T(spark, sf_dir, "embeddings").drop("label"))
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("sv").alias("qv"),
+        F.col("norm2").alias("qn"),
+    )
+    return cosine_topk(emb, queries, k=5)
+
+
+# --- embedding_centroids ----------------------------------------------------
+
+_CENTROID_ORACLE = f"""
+WITH e AS (
+  SELECT label, {_DUCK_SCALED} AS sv FROM embeddings
+)
+SELECT label, CAST(i AS BIGINT) AS dim,
+  CAST(SUM(sv[CAST(i AS INT)]) AS DOUBLE) / ({SCALE}.0 * COUNT(*)) AS centroid,
+  COUNT(*) AS n_vectors
+FROM e CROSS JOIN range(1, 65) t(i)
+GROUP BY label, i
+"""
+
+
+@query("embedding_centroids", oracle=_CENTROID_ORACLE, tags=("vectors", "centroid"))
+def embedding_centroids(spark, sf_dir):
+    emb = scaled_vectors(T(spark, sf_dir, "embeddings"))
+    return label_centroids(emb)
+
+
+# --- nearest_centroid_assign: IVF coarse-quantizer assignment ---------------
+
+_ASSIGN_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, label, {_DUCK_SCALED} AS sv FROM embeddings
+), cent AS (
+  SELECT label AS cand_label, CAST(i AS BIGINT) AS dim,
+    CAST(floor(CAST(SUM(sv[CAST(i AS INT)]) AS DOUBLE)
+               / ({SCALE}.0 * COUNT(*)) * {SCALE} + 0.5) AS BIGINT) AS cv
+  FROM e CROSS JOIN range(1, 65) t(i)
+  GROUP BY label, i
+), ex AS (
+  SELECT vec_id, label AS true_label, CAST(i AS BIGINT) AS dim,
+         sv[CAST(i AS INT)] AS v
+  FROM e CROSS JOIN range(1, 65) t(i)
+), dists AS (
+  SELECT ex.vec_id, ex.true_label, cent.cand_label,
+         CAST(SUM((ex.v - cent.cv) * (ex.v - cent.cv)) AS BIGINT) AS dist2
+  FROM ex JOIN cent ON ex.dim = cent.dim
+  GROUP BY 1, 2, 3
+)
+SELECT vec_id, true_label, cand_label AS assigned_label, dist2,
+  CAST(CASE WHEN true_label = cand_label THEN 1 ELSE 0 END AS BIGINT)
+    AS is_correct
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                               ORDER BY dist2, cand_label) AS rn
+  FROM dists
+) t WHERE rn = 1
+"""
+
+
+@query("nearest_centroid_assign", oracle=_ASSIGN_ORACLE, tags=("vectors", "ivf"))
+def nearest_centroid_assign(spark, sf_dir):
+    emb = scaled_vectors(T(spark, sf_dir, "embeddings"))
+    cents = label_centroids(emb)
+    return nearest_centroid(emb, cents)

@@ -45,7 +45,10 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # keep the default 10 MB broadcast threshold: raising it makes Spark
+        # broadcast fact tables at small SF, which inverts the plan at scale.
+        # True dimensions are hinted with F.broadcast() at the call sites;
+        # AQE runtime-broadcasts anything that turns out small.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
