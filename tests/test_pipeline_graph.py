@@ -1,0 +1,89 @@
+"""Pipeline-shape tests (SURVEY.md §5.3): a medallion DAG on the runner —
+bronze scan → silver clean → gold agg → CDC latest-wins — with row-count,
+key-uniqueness and dependency-order assertions."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from zeta_etl_spark.datasets import load_table
+from zeta_etl_spark.functions import dec_sum
+from zeta_etl_spark.plans.graph import Pipeline
+
+
+@pytest.fixture()
+def pipeline(tmp_path, spark, sf_dir):
+    p = Pipeline("demo", str(tmp_path / "demo"))
+
+    @p.table(quality="bronze")
+    def bronze_events(pl):
+        return load_table(spark, sf_dir, "events")
+
+    @p.view()
+    def cleaned(pl):
+        return (
+            pl.read("bronze_events")
+            .filter(F.col("value") > 0)
+            .withColumn("date_", F.to_date("ts"))
+        )
+
+    @p.table(quality="silver", partition_by=["date_"])
+    def silver_events(pl):
+        return pl.read("cleaned")
+
+    @p.table(quality="gold")
+    def gold_hourly(pl):
+        return (
+            pl.read("silver_events")
+            .groupBy(F.date_trunc("hour", "ts").alias("hour_ts"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"), dec_sum("value", "sum_value"))
+        )
+
+    p.apply_changes(
+        target="latest_by_user",
+        source="silver_events",
+        keys=["user_id"],
+        sequence_by=["ts", "event_id"],
+        quality="gold",
+    )
+    return p
+
+
+def test_dag_runs_in_dependency_order(spark, pipeline, sf_dir):
+    out = pipeline.run(spark, targets=["gold_hourly", "latest_by_user"])
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    assert out["gold_hourly"].agg(F.sum("n")).first()[0] == ev.count()
+    latest = out["latest_by_user"]
+    assert latest.count() == ev.select("user_id").distinct().count()
+    # key uniqueness after CDC
+    assert latest.groupBy("user_id").count().filter("count > 1").count() == 0
+
+
+def test_partitioned_materialization(spark, pipeline, tmp_path):
+    import os
+
+    pipeline.run(spark, targets=["silver_events"])
+    subdirs = os.listdir(pipeline.path("silver_events"))
+    assert any(d.startswith("date_=") for d in subdirs)
+
+
+def test_cycle_detection(spark, tmp_path):
+    p = Pipeline("cyclic", str(tmp_path / "cyclic"))
+
+    @p.table()
+    def a(pl):
+        return pl.read("b")
+
+    @p.table()
+    def b(pl):
+        return pl.read("a")
+
+    with pytest.raises(ValueError, match="cycle"):
+        p.run(spark, targets=["a"])
+
+
+def test_unknown_node(spark, tmp_path):
+    p = Pipeline("empty", str(tmp_path / "empty"))
+    with pytest.raises(KeyError):
+        p.run(spark, targets=["missing"])

@@ -1,0 +1,158 @@
+"""Structured Streaming semantics tests (SURVEY.md §2.9): watermarked hourly
+aggregation with late-data drop, schema-enforced JSON incremental ingest,
+stateful dedup, and foreachBatch CDC upsert."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from zeta_etl_spark.sources.json_source import read_json
+from zeta_etl_spark.streaming.runner import (
+    dedup_stream,
+    foreach_batch_upsert,
+    hourly_agg_stream,
+    run_available_now,
+)
+
+SCHEMA = "user string, ts timestamp, amount double"
+
+
+def _write_json(path, rows, name):
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, name), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def test_watermark_hourly_agg_drops_late_rows(spark, tmp_path):
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _write_json(
+        src,
+        [
+            {"user": "a", "ts": "2024-01-01 00:10:00", "amount": 1.0},
+            {"user": "a", "ts": "2024-01-01 01:20:00", "amount": 2.0},
+            {"user": "b", "ts": "2024-01-01 02:30:00", "amount": 3.0},
+        ],
+        "batch1.json",
+    )
+
+    def agg():
+        stream = read_json(spark, src, SCHEMA, streaming=True)
+        return hourly_agg_stream(
+            stream,
+            "ts",
+            keys=[F.col("user")],
+            aggs=[F.count(F.lit(1)).alias("n"), F.sum("amount").alias("total")],
+            watermark="5 minutes",
+        )
+
+    run_available_now(agg(), out, ckpt)
+    first = spark.read.parquet(out)
+    # watermark at 02:25 → hours 00 and 01 finalized, hour 02 still open
+    assert sorted(
+        r["hour_ts"].strftime("%H") for r in first.select("hour_ts").collect()
+    ) == ["00", "01"]
+
+    # second increment: one late row (hour 00, far below watermark — dropped)
+    # and one new row advancing the watermark past hour 02
+    _write_json(
+        src,
+        [
+            {"user": "a", "ts": "2024-01-01 00:15:00", "amount": 100.0},
+            {"user": "b", "ts": "2024-01-01 03:30:00", "amount": 4.0},
+        ],
+        "batch2.json",
+    )
+    run_available_now(agg(), out, ckpt)
+    final = spark.read.parquet(out)
+    rows = {
+        (r["hour_ts"].strftime("%H"), r["user"]): (r["n"], r["total"])
+        for r in final.collect()
+    }
+    # hour 02 emitted with the on-time row only; the late hour-00 row was
+    # dropped (no second hour-00 output, total unchanged)
+    assert rows[("02", "b")] == (1, 3.0)
+    assert rows[("00", "a")] == (1, 1.0)
+    assert ("03", "b") not in rows  # still open, not finalized
+
+
+def test_json_schema_enforcement(spark, tmp_path):
+    src = str(tmp_path / "src2")
+    _write_json(
+        src,
+        [
+            {"user": "a", "ts": "2024-01-01 00:10:00", "amount": 1.5},
+            {"user": "bad", "ts": "not-a-timestamp", "amount": "x"},
+        ],
+        "data.json",
+    )
+    df = read_json(spark, src, SCHEMA, corrupt_record_col="_rescued")
+    rows = df.collect()
+    good = [r for r in rows if r["_rescued"] is None]
+    bad = [r for r in rows if r["_rescued"] is not None]
+    assert len(good) == 1 and good[0]["amount"] == 1.5
+    assert len(bad) == 1 and bad[0]["ts"] is None
+
+
+def test_stateful_dedup_stream(spark, tmp_path):
+    src = str(tmp_path / "src3")
+    out = str(tmp_path / "out3")
+    ckpt = str(tmp_path / "ckpt3")
+    _write_json(
+        src,
+        [
+            {"user": "a", "ts": "2024-01-01 00:10:00", "amount": 1.0},
+            {"user": "a", "ts": "2024-01-01 00:10:00", "amount": 1.0},
+            {"user": "b", "ts": "2024-01-01 00:12:00", "amount": 2.0},
+        ],
+        "d1.json",
+    )
+    stream = read_json(spark, src, SCHEMA, streaming=True)
+    deduped = dedup_stream(stream, keys=["user", "ts"], ts_col="ts")
+    run_available_now(deduped, out, ckpt)
+    assert spark.read.parquet(out).count() == 2
+
+
+def test_foreach_batch_cdc_upsert(spark, tmp_path):
+    src = str(tmp_path / "src4")
+    target = str(tmp_path / "target4")
+    ckpt = str(tmp_path / "ckpt4")
+    snap = "entity string, val double, indexed_timestamp timestamp"
+    _write_json(
+        src,
+        [
+            {"entity": "x", "val": 1.0, "indexed_timestamp": "2024-01-01 00:00:00"},
+            {"entity": "x", "val": 2.0, "indexed_timestamp": "2024-01-01 01:00:00"},
+            {"entity": "y", "val": 9.0, "indexed_timestamp": "2024-01-01 00:30:00"},
+        ],
+        "s1.json",
+    )
+    stream = read_json(spark, src, snap, streaming=True)
+    foreach_batch_upsert(
+        stream, target, ckpt, keys=["entity"], sequence_by=["indexed_timestamp"],
+        spark=spark,
+    )
+    t1 = {r["entity"]: r["val"] for r in spark.read.parquet(target).collect()}
+    assert t1 == {"x": 2.0, "y": 9.0}
+
+    # second snapshot batch: x updated, z inserted
+    _write_json(
+        src,
+        [
+            {"entity": "x", "val": 5.0, "indexed_timestamp": "2024-01-01 02:00:00"},
+            {"entity": "z", "val": 7.0, "indexed_timestamp": "2024-01-01 02:00:00"},
+        ],
+        "s2.json",
+    )
+    stream = read_json(spark, src, snap, streaming=True)
+    foreach_batch_upsert(
+        stream, target, ckpt, keys=["entity"], sequence_by=["indexed_timestamp"],
+        spark=spark,
+    )
+    t2 = {r["entity"]: r["val"] for r in spark.read.parquet(target).collect()}
+    assert t2 == {"x": 5.0, "y": 9.0, "z": 7.0}

@@ -1,0 +1,190 @@
+"""Declarative pipeline-graph runner — the open-source replacement for the
+reference's Databricks DLT surface (`@dlt.table` / `@dlt.view` /
+`dlt.read` / `dlt.read_stream` / `apply_changes`).
+
+Reference parity:
+- @dlt.table with path/partition/table_properties:
+  zetadex-transactions-helius-pipeline.py:281-302,340-348
+- @dlt.view: zetadex-transactions-helius-pipeline.py:332-337
+- dlt.read / dlt.read_stream DAG edges: :179-181,351,1009
+- apply_changes CDC: zetaflex-pipeline.py:146-151;
+  zetadex-referrals-pipeline.py:147-152
+
+Design: a node registry + memoized recursive executor.  ``read()`` inside a
+node function pulls the dependency, executing it first if needed (depth-first
+topological order with cycle detection).  Each table node materializes to
+parquet at ``{base_path}/{name}`` (hive-partitioned when ``partition_by`` is
+set — the engine's stand-in for the reference's Delta tables + zOrder hints,
+which are a storage-layout concern, not a semantics one).  Views stay logical.
+
+Scale notes: materialization boundaries between nodes are durable storage
+(exactly like DLT), so each gold table recomputes from columnar pruned scans;
+``partition_by`` date columns gives partition pruning downstream; incremental
+nodes run via Structured Streaming with availableNow triggers
+(zeta_etl_spark.streaming).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable, Sequence
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from zeta_etl_spark.operators.cdc import latest_by_keys
+
+
+@dataclass
+class Node:
+    name: str
+    fn: Callable[..., DataFrame] | None
+    kind: str  # "table" | "view" | "cdc"
+    partition_by: tuple[str, ...] = ()
+    quality: str | None = None  # bronze | silver | gold (metadata only)
+    comment: str | None = None
+    sort_within_partitions: tuple[str, ...] = ()  # OSS stand-in for zOrderCols
+    # cdc-only
+    source: str | None = None
+    keys: tuple[str, ...] = ()
+    sequence_by: tuple[str, ...] = ()
+    extra: dict = field(default_factory=dict)
+
+
+class Pipeline:
+    """A named DAG of DataFrame-producing nodes with parquet materialization."""
+
+    def __init__(self, name: str, base_path: str):
+        self.name = name
+        self.base_path = base_path
+        self.nodes: dict[str, Node] = {}
+        self._spark: SparkSession | None = None
+        self._done: dict[str, DataFrame] = {}
+        self._running: set[str] = set()
+
+    # --- declaration API ---------------------------------------------------
+
+    def table(
+        self,
+        name: str | None = None,
+        partition_by: Sequence[str] = (),
+        quality: str | None = None,
+        comment: str | None = None,
+        sort_within_partitions: Sequence[str] = (),
+    ):
+        def deco(fn):
+            n = name or fn.__name__
+            self._register(
+                Node(
+                    name=n,
+                    fn=fn,
+                    kind="table",
+                    partition_by=tuple(partition_by),
+                    quality=quality,
+                    comment=comment,
+                    sort_within_partitions=tuple(sort_within_partitions),
+                )
+            )
+            return fn
+
+        return deco
+
+    def view(self, name: str | None = None, comment: str | None = None):
+        def deco(fn):
+            n = name or fn.__name__
+            self._register(Node(name=n, fn=fn, kind="view", comment=comment))
+            return fn
+
+        return deco
+
+    def apply_changes(
+        self,
+        target: str,
+        source: str,
+        keys: Sequence[str],
+        sequence_by: str | Sequence[str],
+        partition_by: Sequence[str] = (),
+        quality: str | None = None,
+    ) -> None:
+        """Latest-record-wins CDC node (batch semantics; the streaming form is
+        streaming.cdc_stream.apply_changes_stream)."""
+        seq = (sequence_by,) if isinstance(sequence_by, str) else tuple(sequence_by)
+        self._register(
+            Node(
+                name=target,
+                fn=None,
+                kind="cdc",
+                source=source,
+                keys=tuple(keys),
+                sequence_by=seq,
+                partition_by=tuple(partition_by),
+                quality=quality,
+            )
+        )
+
+    def _register(self, node: Node) -> None:
+        if node.name in self.nodes:
+            raise ValueError(f"duplicate node {node.name!r} in pipeline {self.name}")
+        self.nodes[node.name] = node
+
+    # --- execution API -----------------------------------------------------
+
+    def path(self, name: str) -> str:
+        return os.path.join(self.base_path, name)
+
+    def read(self, name: str) -> DataFrame:
+        """Dependency edge: returns the named node's DataFrame, executing it
+        first if necessary (mirrors dlt.read)."""
+        return self._materialize(name)
+
+    # batch runner treats read_stream edges as full re-reads (the reference
+    # does the same when it flips nodes to batch — SURVEY §2.9 T9)
+    read_stream = read
+
+    def run(
+        self, spark: SparkSession, targets: Sequence[str] | None = None
+    ) -> dict[str, DataFrame]:
+        """Execute the DAG (all nodes or the closure of ``targets``)."""
+        self._spark = spark
+        self._done = {}
+        self._running = set()
+        out: dict[str, DataFrame] = {}
+        for name in targets or list(self.nodes):
+            out[name] = self._materialize(name)
+        return out
+
+    def _materialize(self, name: str) -> DataFrame:
+        if name in self._done:
+            return self._done[name]
+        if name not in self.nodes:
+            raise KeyError(f"unknown node {name!r} in pipeline {self.name}")
+        if name in self._running:
+            raise ValueError(f"dependency cycle through node {name!r}")
+        self._running.add(name)
+        node = self.nodes[name]
+        spark = self._spark
+        assert spark is not None, "call run() first"
+        try:
+            if node.kind == "cdc":
+                src = self._materialize(node.source)
+                df = latest_by_keys(src, node.keys, node.sequence_by)
+            else:
+                df = node.fn(self)
+            if node.kind in ("table", "cdc"):
+                writer = df.write.mode("overwrite")
+                if node.partition_by:
+                    writer = writer.partitionBy(*node.partition_by)
+                if node.sort_within_partitions:
+                    df_sorted = df.sortWithinPartitions(
+                        *node.sort_within_partitions
+                    )
+                    writer = df_sorted.write.mode("overwrite")
+                    if node.partition_by:
+                        writer = writer.partitionBy(*node.partition_by)
+                writer.parquet(self.path(name))
+                df = spark.read.parquet(self.path(name))
+            df.createOrReplaceTempView(f"{self.name}__{name}")
+            self._done[name] = df
+            return df
+        finally:
+            self._running.discard(name)

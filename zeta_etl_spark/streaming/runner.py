@@ -1,0 +1,125 @@
+"""Structured Streaming execution helpers: incremental node materialization
+with availableNow triggers, watermarked hourly aggregation, stream-static
+joins (SURVEY.md §2.9).
+
+Reference parity:
+- watermark + date_trunc-hour groupBy as the canonical tumbling window
+  (T1/T2, zetadex-transactions-helius-pipeline.py:777-793; the F.window
+  variant is deliberately commented out in the reference)
+- stream-static join (T5, :372-387)
+- stateful dedup (T6, zetadex-prices-pipeline.py:71-78)
+
+Scale notes: availableNow processes the backlog in bounded microbatches with
+checkpointed exactly-once sinks — the batch/streaming unification the
+reference gets from DLT.  State stores are bounded by the watermark; hourly
+``date_trunc`` groupBy keeps state per (hour, key) rather than per sliding
+window pane.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def run_available_now(
+    df: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    output_mode: str = "append",
+    partition_by: Sequence[str] = (),
+) -> None:
+    """Drain all available input through the streaming plan into parquet and
+    block until done (one incremental 'pipeline update')."""
+    writer = (
+        df.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+    )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.start().awaitTermination()
+
+
+def hourly_agg_stream(
+    df: DataFrame,
+    ts_col: str,
+    keys: Sequence[str],
+    aggs: Sequence,
+    watermark: str = "5 minutes",
+) -> DataFrame:
+    """Watermarked hourly tumbling aggregation (T1+T2+A1).
+
+    The reference groups by ``date_trunc('hour', ts)`` (DLT tracks event time
+    through it); OSS append-mode emission requires the native event-time
+    window, so the streaming form uses ``F.window(ts, '1 hour')`` and exposes
+    ``window.start`` as ``hour_ts`` — value-identical to the batch
+    ``date_trunc`` form (same bucket boundaries in UTC).
+    """
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), "1 hour").alias("_w"), *keys)
+        .agg(*aggs)
+        .withColumn("hour_ts", F.col("_w.start"))
+        .drop("_w")
+    )
+
+
+def dedup_stream(
+    df: DataFrame, keys: Sequence[str], ts_col: str, watermark: str = "1 hour"
+) -> DataFrame:
+    """Stateful streaming dedup bounded by watermark (T6/A8)."""
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
+def stream_static_join(
+    stream: DataFrame, dim: DataFrame, on, how: str = "left"
+) -> DataFrame:
+    """T5: static side re-read per microbatch; broadcast-hinted."""
+    return stream.join(F.broadcast(dim), on, how)
+
+
+def foreach_batch_upsert(
+    stream: DataFrame,
+    target_path: str,
+    checkpoint: str,
+    keys: Sequence[str],
+    sequence_by: Sequence[str],
+    spark: SparkSession,
+) -> None:
+    """Streaming latest-wins CDC sink: merge each microbatch into the target
+    parquet (open-source stand-in for apply_changes / Delta MERGE — S8/T7).
+
+    Each microbatch unions the current target with the batch and keeps the
+    latest row per key.  On Delta-capable deployments this becomes a real
+    MERGE INTO; parquet-overwrite keeps identical semantics locally.
+    """
+    from zeta_etl_spark.operators.cdc import latest_by_keys
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        if os.path.exists(target_path):
+            current = spark.read.parquet(target_path)
+            merged = current.unionByName(batch_df.select(*current.columns))
+        else:
+            merged = batch_df
+        out = latest_by_keys(merged, keys, sequence_by)
+        # write to temp then swap to keep the read path consistent
+        tmp = target_path + "__staging"
+        out.write.mode("overwrite").parquet(tmp)
+        refreshed = spark.read.parquet(tmp)
+        refreshed.write.mode("overwrite").parquet(target_path)
+
+    (
+        stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
