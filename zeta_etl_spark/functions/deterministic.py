@@ -11,6 +11,17 @@ the driver's value-hash correctness gate meaningful at any scale factor.
 Scale note: decimal aggregation stays inside Spark's whole-stage codegen (no
 UDFs) and supports partial (map-side) aggregation, so the only cost vs a double
 sum is a slightly wider accumulator.
+
+SAFETY RULE — decimal casts are cross-engine-stable only for "decimal-faithful"
+doubles: values whose true decimal form terminates well above the cast scale
+(raw money columns, products of short-decimal factors).  A double that lands
+within double-rounding error of a halfway point at the cast scale rounds
+differently (Spark HALF_UPs the shortest string repr; DuckDB scales the binary
+value), so NEVER decimal-cast arbitrary products such as ``x * (k/86400)`` —
+factor the constant denominator out of the sum and multiply DECIMAL×BIGINT
+exactly instead (see queries/windows2_q.py weighted_window_sum).  For float
+columns use the ``floor(x*1e6+0.5)`` integer scaling in operators/vectors.py —
+floor has no rounding-mode ambiguity.
 """
 
 from __future__ import annotations

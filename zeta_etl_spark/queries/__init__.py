@@ -13,10 +13,12 @@ from zeta_etl_spark.queries.registry import REGISTRY, QuerySpec, query
 from zeta_etl_spark.queries import (  # noqa: E402,F401
     dedup_q,
     relational,
+    scalar_q,
     serving_q,
     temporal_q,
     text_q,
     vectors_q,
+    windows2_q,
     windows_q,
 )
 
