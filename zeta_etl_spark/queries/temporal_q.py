@@ -275,3 +275,61 @@ def latest_event_per_user(spark, sf_dir):
         "user_id", "event_id", "ts", "event_type", "value"
     )
     return latest_by_keys(ev, keys=["user_id"], sequence_by=["ts", "event_id"])
+
+
+# --- user_sessions: lead/lag sessionization (T10/W8) -------------------------
+# Session-like windows built with lag + gap flag + running sum — the
+# wallet-session pattern (zetadex-amplitude-events-pipeline.py:149-167),
+# generalized: a >30 min silence starts a new session.
+
+_SESSIONS_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+), f AS (
+  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                  OR date_diff('second', lag(ts) OVER w, ts) > 1800
+             THEN 1 ELSE 0 END AS is_start
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT *, SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  FROM f
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+  COUNT(*) AS n_events,
+  min(ts) AS session_start,
+  max(ts) AS session_end,
+  date_diff('second', min(ts), max(ts)) AS duration_s,
+  CAST(SUM(CAST(value AS DECIMAL(32,6))) AS DOUBLE) AS session_value
+FROM s GROUP BY user_id, session_idx
+"""
+
+
+@query("user_sessions", oracle=_SESSIONS_ORACLE, tags=("window", "T10", "W8"))
+def user_sessions(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    ev = T(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    prev_epoch = F.unix_timestamp(F.lag("ts").over(w).cast("timestamp"))
+    flagged = ev.withColumn(
+        "is_start",
+        F.when(
+            F.lag("ts").over(w).isNull() | ((epoch - prev_epoch) > 1800), 1
+        ).otherwise(0),
+    )
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sessions = flagged.withColumn(
+        "session_idx", F.sum("is_start").over(wcum).cast("bigint")
+    )
+    return sessions.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        (
+            F.unix_timestamp(F.max("ts").cast("timestamp"))
+            - F.unix_timestamp(F.min("ts").cast("timestamp"))
+        ).alias("duration_s"),
+        dec_sum("value", "session_value"),
+    )
