@@ -1,0 +1,254 @@
+"""Transaction-analytics pipeline: the engine's re-expression of the
+reference's workhorse DLT pipeline
+(dlt-pipelines/zetadex-transactions-helius-pipeline.py) on the open-source
+runner — bronze ingest → cleaned → per-instruction silver tables → hourly
+gold → 24h rolling gold-batch.
+
+Reference parity map (file:line of the original):
+- bronze schema (nested instructions/events, map payloads): :255-278
+- cleaned_transactions (filter is_successful, date_/hour_): :340-358
+- posexplode(instructions) + name predicates: :377-379,465-471
+- explode(instruction.events) + event-name filter: :473-474,532-533
+- stream-static dim joins (markets, zetagroup_mapping): :380-387,475-479
+- deposit/withdraw scaling by PRICE_FACTOR: :388-399
+- maker/taker trade split + union: :646-719
+- place_order_event + trade_event merge — the reference's ONLY Python UDF
+  (:310-329, used at :671) — replaced here with pure higher-order-function
+  column expressions (filter + element_at + map_concat), keeping the whole
+  plan inside whole-stage codegen (SURVEY §2.10).
+- hourly gold agg under event-time buckets: :777-818
+- 24h rolling over densified spine: :829-855
+
+Scale notes: instruction/event explodes happen before the dim joins so the
+join keys are scalar; dims are broadcast; hourly gold is a single shuffle on
+(hour, asset); the rolling node re-reads the (small) gold table rather than
+re-scanning bronze.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from zeta_etl_spark.functions import dec_sum
+from zeta_etl_spark.plans.graph import Pipeline
+
+PRICE_FACTOR = 1_000_000  # zetadex-transactions-helius-pipeline.py:20
+SIZE_FACTOR = 1_000  # :21
+
+TRANSACTIONS_SCHEMA = (
+    "signature string, "
+    "instructions array<struct<"
+    "  name string, args map<string,string>, "
+    "  accounts struct<named map<string,string>, remaining array<string>>, "
+    "  program_id string, "
+    "  events array<struct<name string, event map<string,string>>>>>, "
+    "is_successful boolean, slot bigint, block_time timestamp_ntz, fee int"
+)
+
+MARKETS_SCHEMA = (
+    "underlying string, market_pub_key string, strike double, kind string, "
+    "active_timestamp timestamp_ntz, expiry_timestamp timestamp_ntz"
+)
+
+ZETAGROUP_SCHEMA = "zetagroup_pub_key string, underlying string"
+
+
+def build_transactions_pipeline(
+    spark: SparkSession,
+    base_path: str,
+    raw: DataFrame,
+    markets: DataFrame,
+    zetagroup_mapping: DataFrame,
+) -> Pipeline:
+    p = Pipeline("zetadex_transactions", base_path)
+
+    @p.table(quality="bronze")
+    def raw_transactions(pl) -> DataFrame:
+        return raw
+
+    @p.table(quality="silver", partition_by=["date_"])
+    def cleaned_transactions(pl) -> DataFrame:
+        # :340-358 — successful txs with derived date/hour partitions
+        return (
+            pl.read("raw_transactions")
+            .filter("is_successful")
+            .withColumn("date_", F.to_date("block_time"))
+            .withColumn(
+                "hour_", F.date_format("block_time", "HH").cast("int")
+            )
+        )
+
+    @p.view()
+    def exploded_instructions(pl) -> DataFrame:
+        # :377 posexplode keeps the instruction ordinal for event pairing
+        return pl.read("cleaned_transactions").select(
+            "signature",
+            "block_time",
+            "date_",
+            F.posexplode("instructions").alias("instruction_index", "instruction"),
+        )
+
+    @p.table(quality="silver", partition_by=["date_"])
+    def cleaned_ix_deposit(pl) -> DataFrame:
+        # :379-399 — name prefix predicate + nested projection + scaling
+        ix = pl.read("exploded_instructions").filter(
+            F.col("instruction.name").startswith("deposit")
+        )
+        return ix.select(
+            "signature",
+            "block_time",
+            "date_",
+            F.col("instruction.accounts.named.authority").alias("authority"),
+            F.col("instruction.accounts.named.margin_account").alias(
+                "margin_account"
+            ),
+            (F.col("instruction.args.amount").cast("double") / PRICE_FACTOR).alias(
+                "deposit_amount"
+            ),
+        )
+
+    @p.table(quality="silver", partition_by=["date_"])
+    def cleaned_ix_trade(pl) -> DataFrame:
+        # :646-719 — maker (crank_event_queue + trade_event) ∪ taker
+        # (place_order* + merged place/trade event payloads)
+        ix = pl.read("exploded_instructions")
+
+        maker_events = ix.filter(
+            F.col("instruction.name") == "crank_event_queue"
+        ).select(
+            "signature",
+            "block_time",
+            "date_",
+            F.explode("instruction.events").alias("event"),
+        ).filter(F.col("event.name").startswith("trade_event")).select(
+            "signature",
+            "block_time",
+            "date_",
+            F.lit("maker").alias("maker_taker"),
+            F.col("event.event").alias("payload"),
+        )
+
+        # taker: the reference merges place_order_event + trade_event with a
+        # Python UDF (:310-329).  Pure-column replacement: pick each struct
+        # with filter()[0] and merge the payload maps JVM-side.
+        taker_ix = ix.filter(
+            F.col("instruction.name").rlike("^place_(perp_)?order(_v[0-9]+)?$")
+        ).filter(
+            F.array_contains("instruction.events.name", "place_order_event")
+            & F.exists(
+                "instruction.events",
+                lambda e: e["name"].startswith("trade_event"),
+            )
+        )
+        place_payload = F.element_at(
+            F.expr("filter(instruction.events, e -> e.name = 'place_order_event')"),
+            1,
+        )["event"]
+        trade_payload = F.element_at(
+            F.expr(
+                "filter(instruction.events, e -> e.name like 'trade_event%')"
+            ),
+            1,
+        )["event"]
+        taker_events = taker_ix.select(
+            "signature",
+            "block_time",
+            "date_",
+            F.lit("taker").alias("maker_taker"),
+            F.map_concat(
+                F.map_filter(
+                    place_payload, lambda k, v: ~F.map_contains_key(trade_payload, k)
+                ),
+                trade_payload,
+            ).alias("payload"),
+        )
+
+        events = maker_events.unionByName(taker_events)
+        zg = pl.read("zetagroup_dim")
+        # stream-static dim join (:380-387): payload zeta_group → asset
+        return (
+            events.join(
+                F.broadcast(zg),
+                events["payload"]["zeta_group"] == zg["zetagroup_pub_key"],
+                "left",
+            )
+            .select(
+                "signature",
+                "block_time",
+                "date_",
+                "maker_taker",
+                F.col("underlying").alias("asset"),
+                F.col("payload")["user"].alias("authority"),
+                F.col("payload")["margin_account"].alias("margin_account"),
+                # §1.2 implicit string→numeric casts from map payloads
+                (F.col("payload")["price"].cast("double") / PRICE_FACTOR).alias(
+                    "price"
+                ),
+                (F.col("payload")["size"].cast("double") / SIZE_FACTOR).alias(
+                    "size"
+                ),
+                (F.col("payload")["is_bid"] == "true").alias("is_bid"),
+            )
+            .withColumn("volume", F.col("price") * F.col("size"))
+        )
+
+    @p.table(quality="silver")
+    def zetagroup_dim(pl) -> DataFrame:
+        # :332-337 — dim with rename underlying→asset downstream
+        return zetagroup_mapping
+
+    @p.table(quality="silver")
+    def markets_dim(pl) -> DataFrame:
+        return markets
+
+    @p.table(quality="gold")
+    def agg_ix_trade_asset_1h(pl) -> DataFrame:
+        # :777-793 — hourly trade aggregates per asset
+        t = pl.read("cleaned_ix_trade")
+        return t.groupBy(
+            F.date_trunc("hour", "block_time").alias("timestamp"), "asset"
+        ).agg(
+            F.count(F.lit(1)).alias("trade_count"),
+            dec_sum("volume", "volume"),
+            F.countDistinct("authority").alias("traders"),
+        )
+
+    @p.table(quality="gold")
+    def agg_ix_trade_asset_24h_rolling(pl) -> DataFrame:
+        # :829-855 — min/max spine, crossJoin assets, left join + fillna,
+        # 24h rangeBetween rolling sums
+        hourly = pl.read("agg_ix_trade_asset_1h")
+        bounds = hourly.agg(
+            F.min("timestamp").alias("lo"), F.max("timestamp").alias("hi")
+        )
+        spine = bounds.select(
+            F.explode(
+                F.sequence(F.col("lo"), F.col("hi"), F.expr("interval 1 hour"))
+            ).alias("timestamp")
+        )
+        assets = hourly.select("asset").distinct()
+        dense = (
+            spine.crossJoin(F.broadcast(assets))
+            .join(hourly, ["timestamp", "asset"], "left")
+            .fillna({"trade_count": 0, "volume": 0.0})
+        )
+        w = (
+            Window.partitionBy("asset")
+            .orderBy(F.unix_timestamp(F.col("timestamp").cast("timestamp")))
+            .rangeBetween(-24 * 3600, 0)
+        )
+        return dense.select(
+            "timestamp",
+            "asset",
+            "trade_count",
+            "volume",
+            F.sum("trade_count").over(w).cast("bigint").alias("trade_count_24h"),
+            F.sum(F.col("volume").cast("DECIMAL(32,6)"))
+            .over(w)
+            .cast("double")
+            .alias("volume_24h"),
+        )
+
+    return p
