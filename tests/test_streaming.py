@@ -156,3 +156,43 @@ def test_foreach_batch_cdc_upsert(spark, tmp_path):
     )
     t2 = {r["entity"]: r["val"] for r in spark.read.parquet(target).collect()}
     assert t2 == {"x": 5.0, "y": 9.0, "z": 7.0}
+
+
+def test_gzipped_json_glob(spark, tmp_path):
+    """S2: *.json.gz globs decompress natively (amplitude pipeline shape)."""
+    import gzip
+
+    src = str(tmp_path / "gz")
+    os.makedirs(src, exist_ok=True)
+    rows = [
+        {"user": "a", "ts": "2024-01-01 00:10:00", "amount": 1.0},
+        {"user": "b", "ts": "2024-01-01 00:20:00", "amount": 2.0},
+    ]
+    with gzip.open(os.path.join(src, "part1.json.gz"), "wt") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    df = read_json(spark, os.path.join(src, "*.json.gz"), SCHEMA)
+    assert df.count() == 2
+    assert {r["user"] for r in df.collect()} == {"a", "b"}
+
+
+def test_append_mode_table(spark, tmp_path):
+    """S7: append-save sink accumulates across pipeline runs."""
+    from zeta_etl_spark.plans.graph import Pipeline
+
+    base = str(tmp_path / "append_pipe")
+
+    def build(run_id):
+        p = Pipeline(f"appender{run_id}", base)
+
+        @p.table(name="log", mode="append")
+        def log(pl):
+            return spark.range(3).withColumn("run_id", F.lit(run_id))
+
+        return p
+
+    build(1).run(spark, targets=["log"])
+    build(2).run(spark, targets=["log"])
+    df = spark.read.parquet(os.path.join(base, "log"))
+    assert df.count() == 6
+    assert df.select("run_id").distinct().count() == 2

@@ -71,7 +71,12 @@ class Pipeline:
         quality: str | None = None,
         comment: str | None = None,
         sort_within_partitions: Sequence[str] = (),
+        mode: str = "overwrite",
     ):
+        """``mode='append'`` gives the S7 append-save sink semantics
+        (zetadex-mm-uptime-pipeline-v3.sql:157 saves each epoch run with
+        mode('append'))."""
+
         def deco(fn):
             n = name or fn.__name__
             self._register(
@@ -83,6 +88,7 @@ class Pipeline:
                     quality=quality,
                     comment=comment,
                     sort_within_partitions=tuple(sort_within_partitions),
+                    extra={"mode": mode},
                 )
             )
             return fn
@@ -171,16 +177,12 @@ class Pipeline:
             else:
                 df = node.fn(self)
             if node.kind in ("table", "cdc"):
-                writer = df.write.mode("overwrite")
+                mode = node.extra.get("mode", "overwrite")
+                if node.sort_within_partitions:
+                    df = df.sortWithinPartitions(*node.sort_within_partitions)
+                writer = df.write.mode(mode)
                 if node.partition_by:
                     writer = writer.partitionBy(*node.partition_by)
-                if node.sort_within_partitions:
-                    df_sorted = df.sortWithinPartitions(
-                        *node.sort_within_partitions
-                    )
-                    writer = df_sorted.write.mode("overwrite")
-                    if node.partition_by:
-                        writer = writer.partitionBy(*node.partition_by)
                 writer.parquet(self.path(name))
                 df = spark.read.parquet(self.path(name))
             df.createOrReplaceTempView(f"{self.name}__{name}")

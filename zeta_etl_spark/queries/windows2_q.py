@@ -188,3 +188,59 @@ def global_stats(spark, sf_dir):
             / F.col("n")
         ).alias("var_value"),
     )
+
+
+# --- exclusive_window_sums: W3 offset/exclusive frames ----------------------
+# Modified-Dietz exclusive-start range (rangeBetween(-days(1)+hours(1), 0),
+# zetadex-transactions-helius-pipeline.py:1509-1523) and the rows-exclusive
+# variant (madwars-pipeline.py:130-136).
+
+_EXCLUSIVE_ORACLE = """
+WITH hourly AS (
+  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_ts, user_id,
+         CAST(SUM(CAST(value AS DECIMAL(32,6))) AS DOUBLE) AS volume,
+         date_diff('second', TIMESTAMP '1970-01-01 00:00:00',
+                   date_trunc('hour', CAST(ts AS TIMESTAMP))) AS epoch_s
+  FROM events GROUP BY 1, 2
+)
+SELECT hour_ts, user_id, volume,
+  CAST(SUM(CAST(volume AS DECIMAL(32,6))) OVER (
+    PARTITION BY user_id ORDER BY epoch_s
+    RANGE BETWEEN 82800 PRECEDING AND CURRENT ROW) AS DOUBLE)
+    AS volume_23h_exclusive_start,
+  CAST(COALESCE(SUM(CAST(volume AS DECIMAL(32,6))) OVER (
+    PARTITION BY user_id ORDER BY epoch_s
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
+    AS volume_before_now
+FROM hourly
+"""
+
+
+@query("exclusive_window_sums", oracle=_EXCLUSIVE_ORACLE, tags=("window", "W3"))
+def exclusive_window_sums(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour_ts"), F.col("user_id")
+    ).agg(dec_sum("value", "volume"))
+    epoch = F.unix_timestamp(F.col("hour_ts").cast("timestamp"))
+    w_range = (
+        Window.partitionBy("user_id").orderBy(epoch).rangeBetween(-82800, 0)
+    )
+    w_excl = (
+        Window.partitionBy("user_id")
+        .orderBy(epoch)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return hourly.select(
+        "hour_ts",
+        "user_id",
+        "volume",
+        F.sum(F.col("volume").cast("DECIMAL(32,6)"))
+        .over(w_range)
+        .cast("double")
+        .alias("volume_23h_exclusive_start"),
+        F.coalesce(
+            F.sum(F.col("volume").cast("DECIMAL(32,6)")).over(w_excl).cast("double"),
+            F.lit(0.0),
+        ).alias("volume_before_now"),
+    )

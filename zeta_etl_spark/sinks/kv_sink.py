@@ -1,0 +1,108 @@
+"""Pluggable key-value serving sink — the engine's replacement for the
+reference's DynamoDB export layer (dfs-serving/zetadex-serving.py:25-235,
+zetadex-serving-v2.py:25-235).
+
+The reference creates DynamoDB tables with composite keys (`timestamp#asset`,
+`metric#timePeriod`), LSIs/GSIs, converts timestamps to unix seconds, adds a
+TTL column, and batch-writes.  Here the key design is explicit metadata; the
+default backend materializes the exact serving frame to parquet plus a JSON
+sidecar describing the table/keys/indexes, and the write seam
+(`KeyValueSink.write`) is where a boto3/DynamoDB (or Redis/Cassandra) backend
+plugs in.
+
+Scale notes: the export frame is repartitioned by partition key so a real KV
+writer gets key-local batches (no hot-partition fan-in); `write_batch_size`
+and `throughput` mirror the reference's knobs (:199-200) and are forwarded to
+backends as hints.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Sequence
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from zeta_etl_spark.operators.reshape import camel_case_columns, timestamps_to_unix
+
+
+@dataclass
+class KVTableSpec:
+    table_name: str
+    partition_key: Sequence[str]  # columns concatenated with '#'
+    sort_key: Sequence[str] = ()
+    local_secondary_indexes: dict[str, Sequence[str]] = field(default_factory=dict)
+    global_secondary_indexes: dict[str, Sequence[str]] = field(default_factory=dict)
+    ttl: str | None = None  # interval expr, e.g. "interval 2 weeks" (S10)
+    write_batch_size: int = 25
+    throughput: int = 100
+
+
+def build_export_frame(df: DataFrame, spec: KVTableSpec) -> DataFrame:
+    """Reshape a gold frame into the KV export layout: composite pk/sk,
+    camelCase attributes, unix timestamps, TTL column."""
+    out = df
+    if spec.ttl:
+        ts_cols = [
+            f.name
+            for f in df.schema.fields
+            if f.dataType.typeName() in ("timestamp", "timestamp_ntz")
+        ]
+        if ts_cols:
+            out = out.withColumn(
+                "expiry", F.col(ts_cols[0]) + F.expr(spec.ttl)
+            )
+    # unix-convert first so composite keys serialize epoch seconds, matching
+    # the reference's `timestamp#asset` key encoding (zetadex-serving.py:353)
+    out = timestamps_to_unix(out)
+    pk = F.concat_ws("#", *[F.col(c).cast("string") for c in spec.partition_key])
+    out = out.withColumn("pk", pk)
+    if spec.sort_key:
+        sk = F.concat_ws("#", *[F.col(c).cast("string") for c in spec.sort_key])
+        out = out.withColumn("sk", sk)
+    return camel_case_columns(out)
+
+
+class KeyValueSink:
+    """Backend seam: subclass and override ``write`` for a real KV store."""
+
+    def write(self, export_df: DataFrame, spec: KVTableSpec, target: str) -> None:
+        raise NotImplementedError
+
+
+class ParquetKVSink(KeyValueSink):
+    """Default backend: parquet + key-design sidecar, repartitioned by pk."""
+
+    def write(self, export_df: DataFrame, spec: KVTableSpec, target: str) -> None:
+        path = os.path.join(target, spec.table_name)
+        (
+            export_df.repartition(F.col("pk"))
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        meta = {
+            "table_name": spec.table_name,
+            "partition_key": list(spec.partition_key),
+            "sort_key": list(spec.sort_key),
+            "lsi": {k: list(v) for k, v in spec.local_secondary_indexes.items()},
+            "gsi": {k: list(v) for k, v in spec.global_secondary_indexes.items()},
+            "ttl": spec.ttl,
+            "write_batch_size": spec.write_batch_size,
+            "throughput": spec.throughput,
+        }
+        with open(os.path.join(path, "_kv_table_spec.json"), "w") as f:
+            json.dump(meta, f, indent=2)
+
+
+def export_to_kv(
+    df: DataFrame,
+    spec: KVTableSpec,
+    target: str,
+    sink: KeyValueSink | None = None,
+) -> DataFrame:
+    export_df = build_export_frame(df, spec)
+    (sink or ParquetKVSink()).write(export_df, spec, target)
+    return export_df
