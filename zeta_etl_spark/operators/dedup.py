@@ -35,6 +35,21 @@ def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
     return groups
 
 
+MINHASH_PRIME = 4294967291  # largest prime < 2^32
+
+
+def minhash_params(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Seeded (a, b) pairs for the universal-hash permutations
+    h_i(x) = (a_i·x + b_i) mod p — identical constants in the DuckDB oracle."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, 1 << 31) | 1, rng.randrange(0, MINHASH_PRIME))
+        for _ in range(num_perm)
+    ]
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -42,19 +57,33 @@ def minhash_signatures(
     num_perm: int = 16,
     shingle_k: int = 5,
 ) -> DataFrame:
-    """Per-doc MinHash signature array (md5-keyed permutations, 60-bit)."""
-    shingles = spark_shingles(text_col, shingle_k)
-    sig_exprs = []
-    for i in range(num_perm):
-        h = spark_hex2long(f"concat('{i}:', s)")
-        sig_exprs.append(
-            F.expr(
-                f"aggregate({shingles}, {MAX_LONG}L, (acc, s) -> least(acc, {h}))"
-            ).alias(f"sig_{i}")
-        )
-    return df.select(
+    """Per-doc MinHash signature array.
+
+    Classic construction: each shingle is hashed ONCE (32-bit md5 prefix) and
+    the ``num_perm`` permutations are derived arithmetically with
+    ``(a_i·h + b_i) mod p`` — one md5 per shingle instead of ``num_perm``,
+    and the per-permutation aggregate lambdas stay tiny (the md5-per-perm
+    variant measured 30× slower purely on Catalyst codegen size).
+    ``a_i·h < 2^31·2^32 = 2^63`` so the arithmetic never overflows BIGINT in
+    either engine.
+    """
+    h = spark_hex2long("s", digits=8)  # 32-bit shingle hash
+    shingled = df.select(
         F.col(id_col),
-        F.size(F.expr(shingles)).cast("bigint").alias("n_shingles"),
+        F.expr(
+            f"transform({spark_shingles(text_col, shingle_k)}, s -> {h})"
+        ).alias("_hs"),
+    )
+    sig_exprs = [
+        F.expr(
+            f"aggregate(_hs, {MAX_LONG}L, (acc, h) -> "
+            f"least(acc, ({a} * h + {b}) % {MINHASH_PRIME}))"
+        ).alias(f"sig_{i}")
+        for i, (a, b) in enumerate(minhash_params(num_perm))
+    ]
+    return shingled.select(
+        F.col(id_col),
+        F.size(F.col("_hs")).cast("bigint").alias("n_shingles"),
         F.array(*sig_exprs).alias("signature"),
     )
 

@@ -71,8 +71,10 @@ WHERE CAST(c.n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - c.n_common)
 def ngram_jaccard_pairs(spark, sf_dir):
     from zeta_etl_spark.functions.text import spark_shingles
 
-    d = T(spark, sf_dir, "documents")
-    sh = d.select("doc_id", F.expr(spark_shingles()).alias("shingles"))
+    d = T(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    sh = d.select("doc_id", F.expr(spark_shingles()).alias("shingles")).cache()
     ex = sh.select("doc_id", F.explode("shingles").alias("shingle"))
     sizes = sh.select("doc_id", F.size("shingles").alias("n_shingles"))
     a = ex.alias("a")
@@ -117,11 +119,11 @@ _ROWS = 4
 
 
 def _minhash_oracle() -> str:
+    from zeta_etl_spark.operators.dedup import MINHASH_PRIME, minhash_params
+
     sig_items = ", ".join(
-        "list_min(list_transform(shingles, s -> "
-        + duck_hex2long(f"'{i}:' || s")
-        + f")) "
-        for i in range(_NUM_PERM)
+        f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {MINHASH_PRIME}))"
+        for a, b in minhash_params(_NUM_PERM)
     )
     band_selects = []
     for b in range(_BANDS):
@@ -138,11 +140,16 @@ def _minhash_oracle() -> str:
         + "), i -> CASE WHEN sa.signature[i] = sb.signature[i] THEN 1 ELSE 0 END)) "
         + f"AS DOUBLE) / {_NUM_PERM}"
     )
+    shingle_hash = duck_hex2long("s", digits=8)
     return f"""
 WITH sh AS (
   SELECT doc_id, {duck_shingles()} AS shingles FROM documents
+), sigsrc AS (
+  SELECT doc_id, shingles,
+         list_transform(shingles, s -> {shingle_hash}) AS hs FROM sh
 ), sig AS (
-  SELECT doc_id, len(shingles) AS n_shingles, [{sig_items}] AS signature FROM sh
+  SELECT doc_id, len(shingles) AS n_shingles, [{sig_items}] AS signature
+  FROM sigsrc
 ), bands AS (
   {bands_sql}
 ), cand AS (
@@ -174,9 +181,17 @@ JOIN sig sb ON sb.doc_id = c.doc_b
 
 @query("minhash_lsh_pairs", oracle=_minhash_oracle(), tags=("dedup", "minhash", "lsh"))
 def minhash_lsh_pairs(spark, sf_dir):
-    d = T(spark, sf_dir, "documents")
-    sigs = minhash_signatures(d, num_perm=_NUM_PERM)
-    pairs = lsh_candidate_pairs(sigs, bands=_BANDS, rows_per_band=_ROWS)
+    # documents arrive as a single parquet file → 1 input partition; the md5
+    # signature chain is CPU-bound, so spread it across the cluster first
+    # (at 100 TB the source is naturally multi-file and this is a no-op cost)
+    d = T(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    # signatures feed the band join, est_sim join (×2) and verification —
+    # persist so the shingle+md5 chain runs once (at cluster scale this is a
+    # materialized silver table, exactly like the reference's medallion nodes)
+    sigs = minhash_signatures(d, num_perm=_NUM_PERM).cache()
+    pairs = lsh_candidate_pairs(sigs, bands=_BANDS, rows_per_band=_ROWS).cache()
     verified = jaccard_verify(pairs, d)
     sig_a = sigs.select(
         F.col("doc_id").alias("doc_a"), F.col("signature").alias("sig_a")
