@@ -1,0 +1,105 @@
+"""Property-based checks (SURVEY.md §5.4): algebraic invariants the reference
+relies on implicitly, verified over generated inputs."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from zeta_etl_spark.operators.cdc import latest_by_keys
+from zeta_etl_spark.operators.windows import cumsum, share_of_total
+
+ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),  # key
+        st.integers(min_value=0, max_value=10_000),  # seq
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, width=32),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(rows=ROWS)
+@settings(**_SETTINGS)
+def test_cumsum_final_equals_group_total(spark, rows):
+    df = spark.createDataFrame(
+        [(k, s, i, float(v)) for i, (k, s, v) in enumerate(rows)],
+        "key int, seq int, uid int, value double",
+    )
+    out = cumsum(df, "value", ["key"], [F.col("seq"), F.col("uid")], "cum")
+    last = latest_by_keys(out, ["key"], ["seq", "uid"]).select("key", "cum")
+    totals = df.groupBy("key").agg(
+        F.sum(F.col("value").cast("DECIMAL(32,6)")).cast("double").alias("t")
+    )
+    joined = last.join(totals, "key").collect()
+    for r in joined:
+        assert abs(r["cum"] - r["t"]) < 1e-4
+
+
+@given(rows=ROWS)
+@settings(**_SETTINGS)
+def test_share_of_total_sums_to_one(spark, rows):
+    df = spark.createDataFrame(
+        [(k, abs(float(v)) + 1.0) for k, _, v in rows],
+        "key int, value double",
+    )
+    out = share_of_total(df, "value", ["key"], "share")
+    sums = out.groupBy("key").agg(F.sum("share").alias("s")).collect()
+    # denominator is the 1e-6-rounded decimal total → ppm-level slack
+    for r in sums:
+        assert abs(r["s"] - 1.0) < 1e-4
+
+
+@given(rows=ROWS)
+@settings(**_SETTINGS)
+def test_latest_by_keys_unique_and_maximal(spark, rows):
+    df = spark.createDataFrame(
+        [(k, s, i) for i, (k, s, _) in enumerate(rows)],
+        "key int, seq int, uid int",
+    )
+    out = latest_by_keys(df, ["key"], ["seq", "uid"])
+    assert out.groupBy("key").count().filter("count > 1").count() == 0
+    maxes = df.groupBy("key").agg(F.max("seq").alias("m"))
+    bad = out.join(maxes, "key").filter(F.col("seq") != F.col("m"))
+    assert bad.count() == 0
+
+
+def test_rollup_total_equals_sum_of_parts(spark):
+    from zeta_etl_spark.operators.reshape import rollup_with_total
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.5), ("b", 4.0)], "k string, v double"
+    )
+    out = rollup_with_total(
+        df, "k", [F.sum(F.col("v").cast("DECIMAL(32,6)")).cast("double").alias("s")]
+    ).collect()
+    by_k = {r["k"]: r["s"] for r in out}
+    assert abs(by_k["ALL"] - (by_k["a"] + by_k["b"])) < 1e-9
+
+
+def test_approx_aggregates_close_to_exact(spark, sf_dir):
+    """A6/A9 scale variants: approx_count_distinct and percentile_approx are
+    the 100 TB substitutes for countDistinct/median — verify bounded error."""
+    from zeta_etl_spark.datasets import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    row = ev.agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+        F.median("value").alias("exact_median"),
+        F.percentile_approx("value", 0.5, 10_000).alias("approx_median"),
+    ).first()
+    assert abs(row["approx_users"] - row["exact_users"]) <= max(
+        2, 0.05 * row["exact_users"]
+    )
+    assert abs(row["approx_median"] - row["exact_median"]) <= 0.05 * max(
+        1.0, abs(row["exact_median"])
+    )

@@ -110,3 +110,38 @@ def serving_export(spark, sf_dir):
         "expiry_ts", F.col("hour_ts") + F.expr("interval 2 weeks")
     )
     return camel_case_columns(timestamps_to_unix(shaped))
+
+
+# --- latest_hour_snapshot: O3 snapshot filter with the injectable clock -----
+# The reference serves `filter("timestamp == date_trunc('hour',
+# current_timestamp - interval 1 hour)")` (dfs-serving/zetadex-serving.py:
+# 348-351).  The engine replaces current_timestamp with the injected/
+# data-derived clock (zeta_etl_spark.clock) so results are deterministic.
+
+_SNAPSHOT_ORACLE = """
+WITH clock AS (
+  SELECT date_trunc('hour', max(CAST(ts AS TIMESTAMP)) - INTERVAL 1 HOUR)
+    AS snap_hour
+  FROM events
+), hourly AS (
+  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_ts, event_type,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(32,6))) AS DOUBLE) AS sum_value
+  FROM events GROUP BY 1, 2
+)
+SELECT h.hour_ts, h.event_type, h.n_events, h.sum_value
+FROM hourly h JOIN clock c ON h.hour_ts = c.snap_hour
+"""
+
+
+@query("latest_hour_snapshot", oracle=_SNAPSHOT_ORACLE, tags=("serving", "O3"))
+def latest_hour_snapshot(spark, sf_dir):
+    from zeta_etl_spark.clock import as_of, data_as_of, latest_complete_hour
+
+    ev = T(spark, sf_dir, "events")
+    clock = as_of() if as_of() is not None else data_as_of(ev, "ts")
+    snap_hour = latest_complete_hour(clock)
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour_ts"), F.col("event_type")
+    ).agg(F.count(F.lit(1)).alias("n_events"), dec_sum("value", "sum_value"))
+    return hourly.filter(F.col("hour_ts") == snap_hour)

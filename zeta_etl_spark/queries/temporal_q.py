@@ -333,3 +333,88 @@ def user_sessions(spark, sf_dir):
         ).alias("duration_s"),
         dec_sum("value", "session_value"),
     )
+
+
+# --- connect_attribution: validity windows via lead + sentinel + fallback ---
+# The amplitude wallet-session join (zetadex-amplitude-events-pipeline.py:
+# 149-167 builds [connect, next_connect) windows with lead() and a 9999-12-31
+# sentinel; :198-207 attributes pre-first-connect events to the FIRST connect).
+# 'signup' events play the wallet-connect role here.
+
+_ATTRIB_ORACLE = """
+WITH e AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events
+), connects AS (
+  SELECT user_id, event_id AS connect_event_id, ts AS connect_ts,
+    COALESCE(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+             TIMESTAMP '9999-12-31 00:00:00') AS valid_to
+  FROM e WHERE event_type = 'signup'
+), first_connect AS (
+  SELECT user_id, connect_event_id AS first_event_id, connect_ts AS first_ts
+  FROM connects
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                             ORDER BY connect_ts, connect_event_id) = 1
+)
+SELECT ev.event_id, ev.user_id, ev.ts,
+  COALESCE(c.connect_event_id, f.first_event_id) AS connect_event_id,
+  COALESCE(c.connect_ts, f.first_ts) AS connect_ts,
+  CASE WHEN c.connect_event_id IS NOT NULL THEN 'in_window'
+       WHEN f.first_event_id IS NOT NULL THEN 'fallback'
+       ELSE 'none' END AS attribution
+FROM e ev
+LEFT JOIN connects c
+  ON ev.user_id = c.user_id AND ev.ts >= c.connect_ts AND ev.ts < c.valid_to
+LEFT JOIN first_connect f ON ev.user_id = f.user_id
+"""
+
+
+@query("connect_attribution", oracle=_ATTRIB_ORACLE, tags=("join", "J7", "W8", "T10"))
+def connect_attribution(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    ev = T(spark, sf_dir, "events").select("event_id", "user_id", "ts", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    connects = (
+        ev.filter(F.col("event_type") == "signup")
+        .select(
+            "user_id",
+            F.col("event_id").alias("connect_event_id"),
+            F.col("ts").alias("connect_ts"),
+            F.coalesce(
+                F.lead("ts").over(w),
+                F.lit("9999-12-31 00:00:00").cast("timestamp_ntz"),
+            ).alias("valid_to"),
+        )
+    )
+    wf = Window.partitionBy("user_id").orderBy("connect_ts", "connect_event_id")
+    first_connect = (
+        connects.withColumn("rn", F.row_number().over(wf))
+        .filter("rn = 1")
+        .select(
+            "user_id",
+            F.col("connect_event_id").alias("first_event_id"),
+            F.col("connect_ts").alias("first_ts"),
+        )
+    )
+    e = ev.alias("e")
+    c = connects.alias("c")
+    joined = e.join(
+        c,
+        (F.col("e.user_id") == F.col("c.user_id"))
+        & (F.col("e.ts") >= F.col("c.connect_ts"))
+        & (F.col("e.ts") < F.col("c.valid_to")),
+        "left",
+    ).join(F.broadcast(first_connect.alias("f")), F.col("e.user_id") == F.col("f.user_id"), "left")
+    return joined.select(
+        F.col("e.event_id").alias("event_id"),
+        F.col("e.user_id").alias("user_id"),
+        F.col("e.ts").alias("ts"),
+        F.coalesce("c.connect_event_id", "f.first_event_id").alias(
+            "connect_event_id"
+        ),
+        F.coalesce("c.connect_ts", "f.first_ts").alias("connect_ts"),
+        F.when(F.col("c.connect_event_id").isNotNull(), "in_window")
+        .when(F.col("f.first_event_id").isNotNull(), "fallback")
+        .otherwise("none")
+        .alias("attribution"),
+    )
