@@ -87,3 +87,50 @@ def test_unknown_node(spark, tmp_path):
     p = Pipeline("empty", str(tmp_path / "empty"))
     with pytest.raises(KeyError):
         p.run(spark, targets=["missing"])
+
+
+def test_incremental_node_processes_only_new_files(spark, tmp_path):
+    """SURVEY §4: per-node incremental flag — second run picks up only new
+    upstream files via the checkpointed streaming edge."""
+    import os
+
+    from pyspark.sql import functions as F2
+
+    src = str(tmp_path / "inc_src")
+    os.makedirs(src, exist_ok=True)
+
+    def write_batch(run_id, n):
+        spark.range(n).withColumn("run_id", F2.lit(run_id)).write.mode(
+            "append"
+        ).parquet(src)
+
+    base = str(tmp_path / "inc_pipe")
+
+    def build():
+        p = Pipeline("inc", base)
+
+        # bronze is itself incremental (append-only materialization) — a
+        # read_stream upstream must be append-only, so the whole incremental
+        # chain starts at the streaming file source, exactly like DLT
+        @p.table(name="bronze", incremental=True)
+        def bronze(pl):
+            return spark.readStream.schema("id bigint, run_id int").parquet(src)
+
+        @p.table(name="silver", incremental=True)
+        def silver(pl):
+            return pl.read_stream("bronze").withColumn(
+                "doubled", F2.col("id") * 2
+            )
+
+        return p
+
+    write_batch(1, 5)
+    out1 = build().run(spark, targets=["silver"])["silver"]
+    assert out1.count() == 5
+
+    write_batch(2, 3)
+    out2 = build().run(spark, targets=["silver"])["silver"]
+    # 8 total rows, no reprocessing duplicates of the first 5
+    assert out2.count() == 8
+    assert out2.filter("run_id = 1").count() == 5
+    assert out2.filter("doubled != id * 2").count() == 0

@@ -61,6 +61,7 @@ class Pipeline:
         self._spark: SparkSession | None = None
         self._done: dict[str, DataFrame] = {}
         self._running: set[str] = set()
+        self._streaming_ctx = False
 
     # --- declaration API ---------------------------------------------------
 
@@ -72,10 +73,23 @@ class Pipeline:
         comment: str | None = None,
         sort_within_partitions: Sequence[str] = (),
         mode: str = "overwrite",
+        incremental: bool = False,
     ):
         """``mode='append'`` gives the S7 append-save sink semantics
         (zetadex-mm-uptime-pipeline-v3.sql:157 saves each epoch run with
-        mode('append'))."""
+        mode('append')).
+
+        ``incremental=True`` is the engine's per-node batch/streaming flag
+        (SURVEY §4: the reference's dlt.read vs dlt.read_stream split).  The
+        node's function receives streaming DataFrames from ``read_stream``
+        edges and is executed via Structured Streaming with an availableNow
+        trigger and a per-node checkpoint — repeated ``run()`` calls process
+        only new upstream files.
+
+        CONSTRAINT (same as DLT): a ``read_stream`` upstream must be
+        append-only — an incremental node or an external append-only file
+        feed.  Streaming over an overwrite-mode table re-processes every
+        rewrite (file-stream sources track files, not rows)."""
 
         def deco(fn):
             n = name or fn.__name__
@@ -88,7 +102,7 @@ class Pipeline:
                     quality=quality,
                     comment=comment,
                     sort_within_partitions=tuple(sort_within_partitions),
-                    extra={"mode": mode},
+                    extra={"mode": mode, "incremental": incremental},
                 )
             )
             return fn
@@ -143,9 +157,19 @@ class Pipeline:
         first if necessary (mirrors dlt.read)."""
         return self._materialize(name)
 
-    # batch runner treats read_stream edges as full re-reads (the reference
-    # does the same when it flips nodes to batch — SURVEY §2.9 T9)
-    read_stream = read
+    def read_stream(self, name: str) -> DataFrame:
+        """Incremental dependency edge (mirrors dlt.read_stream): inside an
+        ``incremental=True`` node this returns a streaming scan of the
+        upstream node's materialized parquet; inside a batch node it degrades
+        to a full re-read (the reference's own fallback — SURVEY §2.9 T9)."""
+        upstream = self._materialize(name)
+        if not self._streaming_ctx:
+            return upstream
+        spark = self._spark
+        return (
+            spark.readStream.schema(upstream.schema)
+            .parquet(self.path(name))
+        )
 
     def run(
         self, spark: SparkSession, targets: Sequence[str] | None = None
@@ -174,6 +198,8 @@ class Pipeline:
             if node.kind == "cdc":
                 src = self._materialize(node.source)
                 df = latest_by_keys(src, node.keys, node.sequence_by)
+            elif node.kind == "table" and node.extra.get("incremental"):
+                return self._materialize_incremental(node)
             else:
                 df = node.fn(self)
             if node.kind in ("table", "cdc"):
@@ -190,3 +216,32 @@ class Pipeline:
             return df
         finally:
             self._running.discard(name)
+
+    def _materialize_incremental(self, node: Node) -> DataFrame:
+        """Run an incremental node via Structured Streaming (availableNow):
+        only new upstream files since the last run are processed, state is
+        checkpointed under ``{base}/_checkpoints/{name}``."""
+        spark = self._spark
+        # save/restore: materializing an incremental upstream from inside
+        # another incremental node's fn must not clear the caller's context
+        prev_ctx = self._streaming_ctx
+        self._streaming_ctx = True
+        try:
+            stream_df = node.fn(self)
+        finally:
+            self._streaming_ctx = prev_ctx
+        ckpt = os.path.join(self.base_path, "_checkpoints", node.name)
+        writer = (
+            stream_df.writeStream.format("parquet")
+            .option("path", self.path(node.name))
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+        )
+        if node.partition_by:
+            writer = writer.partitionBy(*node.partition_by)
+        writer.start().awaitTermination()
+        df = spark.read.parquet(self.path(node.name))
+        df.createOrReplaceTempView(f"{self.name}__{node.name}")
+        self._done[node.name] = df
+        return df
