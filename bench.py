@@ -34,13 +34,19 @@ HEADLINE = [
     "user_leaderboard",
     "rank_change_24h",
     "serving_export",
+    "pnl_leaderboard",
+    "connect_attribution",
+    "user_sessions",
 ]
 # scale-path operators registered later in the round are benchmarked when present
 OPTIONAL = [
     "exact_dedup_docs",
     "minhash_lsh_pairs",
     "doc_quality",
+    "doc_language_id",
     "knn_cosine_top5",
+    "ann_lsh_top5",
+    "nearest_centroid_assign",
 ]
 
 

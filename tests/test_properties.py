@@ -103,3 +103,20 @@ def test_approx_aggregates_close_to_exact(spark, sf_dir):
     assert abs(row["approx_median"] - row["exact_median"]) <= 0.05 * max(
         1.0, abs(row["exact_median"])
     )
+
+
+def test_seeded_rand_is_deterministic(spark):
+    """§2.8 math family: rand(seed) team assignment (madwars-pipeline.py:60)
+    must be reproducible run-to-run under a fixed seed and partitioning."""
+    def assign():
+        df = spark.range(0, 100, 1, 4)
+        return {
+            r["id"]: r["team"]
+            for r in df.withColumn(
+                "team", (F.rand(42) * 4).cast("int")
+            ).collect()
+        }
+
+    a, b = assign(), assign()
+    assert a == b
+    assert len(set(a.values())) > 1

@@ -78,6 +78,73 @@ def cosine_topk(
     )
 
 
+def hyperplane_params(n_planes: int, dim: int, seed: int = 42) -> list[list[int]]:
+    """Seeded integer hyperplanes in [-1000, 1000] — identical constants in
+    the DuckDB oracle, exact BIGINT dot products."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        [rng.randrange(-1000, 1001) for _ in range(dim)] for _ in range(n_planes)
+    ]
+
+
+def lsh_bucket(sv_col: str, planes: list[list[int]]) -> F.Column:
+    """Random-hyperplane LSH bucket id: bit b = sign(<v, plane_b>).
+
+    Components are exact integers (scaled vector × integer plane), so the
+    bucket assignment is bit-identical across engines.  |v_i| ≤ 1e6 and
+    |p_i| ≤ 1e3 → per-term ≤ 1e9, 64-dim sum ≤ 6.4e10 — no overflow.
+    """
+    terms = []
+    for b, plane in enumerate(planes):
+        arr = "array(" + ",".join(f"{w}L" for w in plane) + ")"
+        dot = (
+            f"aggregate(zip_with({sv_col}, {arr}, (x, y) -> x * y), 0L, "
+            "(a, v) -> a + v)"
+        )
+        terms.append(f"(case when ({dot}) > 0 then {1 << b}L else 0L end)")
+    return F.expr(" + ".join(terms))
+
+
+def ann_lsh_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    planes: list[list[int]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: cosine ranking restricted to same-LSH-bucket
+    candidates.  The bucket equi-join replaces the brute-force cross join —
+    at 100 TB the corpus shuffles once on bucket id and each query probes one
+    bucket, turning O(|Q|·|N|) similarity work into O(|Q|·bucket_size)."""
+    v = vectors.withColumn("_bucket", lsh_bucket("sv", planes))
+    q = queries.withColumn("_qbucket", lsh_bucket("qv", planes))
+    dot = F.expr("aggregate(zip_with(qv, sv, (x, y) -> x * y), 0L, (a, v) -> a + v)")
+    cos = dot.cast("double") / F.nullif(
+        F.sqrt(F.col("qn").cast("double")) * F.sqrt(F.col("norm2").cast("double")),
+        F.lit(0.0),
+    )
+    pairs = (
+        F.broadcast(q)
+        .join(v, F.col("_qbucket") == F.col("_bucket"))
+        .filter(F.col(query_id_col) != F.col(id_col))
+        .select(
+            F.col(query_id_col),
+            F.col(id_col).alias("neighbor_id"),
+            cos.alias("cosine"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.withColumn("knn_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("knn_rank") <= k)
+    )
+
+
 def label_centroids(scaled: DataFrame, label_col: str = "label") -> DataFrame:
     """Per-(label, dim) centroid via exact integer sums."""
     exploded = scaled.select(

@@ -116,3 +116,69 @@ def nearest_centroid_assign(spark, sf_dir):
     emb = scaled_vectors(T(spark, sf_dir, "embeddings"))
     cents = label_centroids(emb)
     return nearest_centroid(emb, cents)
+
+
+# --- ann_lsh_top5: LSH-bucketed approximate nearest neighbors ---------------
+# The 100 TB scale path for knn_cosine_top5: random-hyperplane buckets turn
+# the brute-force cross join into a bucket equi-join.  Integer hyperplanes +
+# integer-scaled vectors keep bucket assignment bit-identical in the oracle.
+
+_N_PLANES = 8
+
+
+def _ann_oracle() -> str:
+    from zeta_etl_spark.operators.vectors import hyperplane_params
+
+    planes = hyperplane_params(_N_PLANES, 64)
+    bucket_terms = []
+    for b, plane in enumerate(planes):
+        lit = "[" + ",".join(str(w) for w in plane) + "]"
+        dot = (
+            f"list_sum(list_transform(range(1, 65), i -> sv[CAST(i AS INT)] * "
+            f"({lit})[CAST(i AS INT)]))"
+        )
+        bucket_terms.append(
+            f"(CASE WHEN ({dot}) > 0 THEN CAST({1 << b} AS BIGINT) "
+            "ELSE CAST(0 AS BIGINT) END)"
+        )
+    bucket = " + ".join(bucket_terms)
+    return f"""
+WITH e AS (
+  SELECT vec_id, {_DUCK_SCALED} AS sv FROM embeddings
+), n AS (
+  SELECT vec_id, sv,
+         list_sum(list_transform(sv, x -> x * x)) AS norm2,
+         {bucket} AS bucket
+  FROM e
+), q AS (
+  SELECT vec_id AS query_id, sv AS qv, norm2 AS qn, bucket AS qbucket
+  FROM n WHERE vec_id < 10
+), p AS (
+  SELECT q.query_id, n.vec_id AS neighbor_id,
+    CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
+                                 i -> q.qv[i] * n.sv[i])) AS DOUBLE)
+      / NULLIF(sqrt(CAST(q.qn AS DOUBLE)) * sqrt(CAST(n.norm2 AS DOUBLE)), 0.0)
+      AS cosine
+  FROM q JOIN n ON n.bucket = q.qbucket AND n.vec_id != q.query_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rn AS BIGINT) AS knn_rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rn
+  FROM p
+) t WHERE rn <= 5
+"""
+
+
+@query("ann_lsh_top5", oracle=_ann_oracle(), tags=("vectors", "ann", "lsh"))
+def ann_lsh_top5(spark, sf_dir):
+    from zeta_etl_spark.operators.vectors import ann_lsh_topk, hyperplane_params
+
+    planes = hyperplane_params(_N_PLANES, 64)
+    emb = scaled_vectors(T(spark, sf_dir, "embeddings").drop("label"))
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("sv").alias("qv"),
+        F.col("norm2").alias("qn"),
+    )
+    return ann_lsh_topk(emb, queries, planes, k=5)
