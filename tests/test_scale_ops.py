@@ -1,0 +1,56 @@
+"""Scale-utility tests: salted joins preserve join semantics under skew;
+bucketed tables join without exchanges."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from zeta_etl_spark.operators.scale import (
+    bucketed_join,
+    salted_join,
+    write_bucketed,
+)
+
+
+def test_salted_join_matches_plain_join(spark):
+    # heavily skewed big side: 90% of rows share key 0
+    big = spark.range(2000).select(
+        F.when(F.col("id") % 10 != 0, 0).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("row_id"),
+    )
+    small = spark.createDataFrame(
+        [(0, "hot"), (10, "cold10"), (20, "cold20")], "k long, label string"
+    )
+    plain = big.join(small, "k").select("row_id", "label")
+    salted = salted_join(big, small, ["k"], salt_factor=4).select(
+        "row_id", "label"
+    )
+    assert plain.count() == salted.count()
+    assert plain.exceptAll(salted).count() == 0
+    assert salted.exceptAll(plain).count() == 0
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    # disable broadcast so the plan must rely on bucket co-location (at real
+    # scale both sides exceed the broadcast threshold anyway)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("va")
+        )
+        b = spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("vb")
+        )
+        write_bucketed(a, "bkt_a", ["k"], num_buckets=8)
+        write_bucketed(b, "bkt_b", ["k"], num_buckets=8)
+        joined = bucketed_join(spark, "bkt_a", "bkt_b", ["k"])
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")
