@@ -36,6 +36,13 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     # scale both sides exceed the broadcast threshold anyway)
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # clear any stale managed-table locations from interrupted runs
+    import shutil
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("bkt_a", "bkt_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
     try:
         a = spark.range(1000).select(
             F.col("id").alias("k"), (F.col("id") * 2).alias("va")
