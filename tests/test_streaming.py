@@ -196,3 +196,44 @@ def test_append_mode_table(spark, tmp_path):
     df = spark.read.parquet(os.path.join(base, "log"))
     assert df.count() == 6
     assert df.select("run_id").distinct().count() == 2
+
+
+def test_stateful_sessionizer(spark, tmp_path):
+    """applyInPandasWithState: sessions close via event-time timeout across
+    incremental runs (custom stateful operator path)."""
+    from zeta_etl_spark.streaming.stateful import sessionize_stream
+
+    src = str(tmp_path / "sess_src")
+    out = str(tmp_path / "sess_out")
+    ckpt = str(tmp_path / "sess_ckpt")
+    _write_json(
+        src,
+        [
+            {"user": "a", "ts": "2024-01-01 00:00:00", "amount": 1.0},
+            {"user": "a", "ts": "2024-01-01 00:10:00", "amount": 2.0},
+            # >30 min gap → closes session 1 within the same batch
+            {"user": "a", "ts": "2024-01-01 01:00:00", "amount": 4.0},
+        ],
+        "s1.json",
+    )
+
+    def run():
+        stream = read_json(spark, src, SCHEMA, streaming=True)
+        sessions = sessionize_stream(stream, gap_seconds=1800, watermark="1 minute")
+        run_available_now(sessions, out, ckpt)
+
+    run()
+    first = spark.read.parquet(out).collect()
+    assert len(first) == 1
+    assert first[0]["n_events"] == 2 and first[0]["total"] == 3.0
+
+    # watermark far beyond 01:00 + gap → the open session times out and emits
+    _write_json(
+        src,
+        [{"user": "b", "ts": "2024-01-01 05:00:00", "amount": 9.0}],
+        "s2.json",
+    )
+    run()
+    rows = {(r["user"], r["n_events"]): r for r in spark.read.parquet(out).collect()}
+    assert (("a", 1)) in rows  # timed-out single-event session at 01:00
+    assert rows[("a", 1)]["total"] == 4.0

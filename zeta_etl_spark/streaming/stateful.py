@@ -1,0 +1,102 @@
+"""Custom stateful streaming operators via ``applyInPandasWithState`` —
+the escape hatch for semantics the built-in streaming operators can't express
+(SURVEY §2.9 T10 notes the reference builds sessions with lead()+interval
+joins in batch; this is the true streaming form with bounded state).
+
+Scale notes: state is keyed and bounded by the event-time timeout, so the
+store holds one open session per active key; Arrow batches flow per
+key-group (no per-row Python crossings).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_SCHEMA = (
+    "user string, session_start timestamp, session_end timestamp, "
+    "n_events bigint, total double"
+)
+STATE_SCHEMA = "start long, end long, n long, total double"
+
+
+def sessionize_stream(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming sessionization: one output row per closed session; a session
+    closes when no event for ``gap_seconds`` (event time) arrives before the
+    watermark passes.  Input needs columns (user string, ts timestamp,
+    amount double)."""
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user,) = key
+        if state.hasTimedOut:
+            if state.exists:
+                start, end, n, total = state.get
+                state.remove()
+                yield pd.DataFrame(
+                    [
+                        {
+                            "user": user,
+                            "session_start": pd.Timestamp(start, unit="us"),
+                            "session_end": pd.Timestamp(end, unit="us"),
+                            "n_events": n,
+                            "total": total,
+                        }
+                    ]
+                )
+            return
+
+        closed = []
+        if state.exists:
+            start, end, n, total = state.get
+        else:
+            start = end = n = 0
+            total = 0.0
+        rows = pd.concat(list(pdfs)).sort_values("ts")
+        for _, r in rows.iterrows():
+            t = int(r["ts"].value // 1000)  # ns → us
+            if n == 0:
+                start, end, n, total = t, t, 1, float(r["amount"])
+            elif t - end > gap_seconds * 1_000_000:
+                closed.append((start, end, n, total))
+                start, end, n, total = t, t, 1, float(r["amount"])
+            else:
+                end = t
+                n += 1
+                total += float(r["amount"])
+        state.update((start, end, n, total))
+        # close the open session once the watermark passes end + gap
+        state.setTimeoutTimestamp(end // 1000 + gap_seconds * 1000)
+        if closed:
+            yield pd.DataFrame(
+                [
+                    {
+                        "user": user,
+                        "session_start": pd.Timestamp(s, unit="us"),
+                        "session_end": pd.Timestamp(e, unit="us"),
+                        "n_events": c,
+                        "total": tot,
+                    }
+                    for s, e, c, tot in closed
+                ]
+            )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
