@@ -136,41 +136,36 @@ def jaccard_verify(
     id_col: str = "doc_id",
     shingle_k: int = 5,
 ) -> DataFrame:
-    """Exact shingle-set Jaccard for candidate pairs only (semi-join first)."""
-    cand_ids = (
-        pairs.select(F.col("doc_a").alias(id_col))
-        .unionByName(pairs.select(F.col("doc_b").alias(id_col)))
-        .distinct()
+    """Exact shingle-set Jaccard for candidate pairs only.
+
+    The candidate set is small (LSH bucket collisions), so each pair joins to
+    the two shingle ARRAYS and intersects them in-place (``array_intersect``)
+    — no shingle explode, no second shuffle.  Verification cost is
+    O(|candidates| × shingles-per-doc), independent of corpus size."""
+    shingled = docs.select(
+        F.col(id_col), F.expr(spark_shingles(text_col, shingle_k)).alias("_sh")
     )
-    shingled = (
-        docs.join(cand_ids, id_col, "left_semi")
-        .select(
-            F.col(id_col),
-            F.explode(F.expr(spark_shingles(text_col, shingle_k))).alias("shingle"),
-        )
+    sa = shingled.select(
+        F.col(id_col).alias("doc_a"), F.col("_sh").alias("sh_a")
     )
-    sizes = shingled.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
-    sa = shingled.select(F.col(id_col).alias("doc_a"), "shingle")
-    sb = shingled.select(F.col(id_col).alias("doc_b"), "shingle")
-    common = (
-        pairs.join(sa, "doc_a")
-        .join(sb, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    sb = shingled.select(
+        F.col(id_col).alias("doc_b"), F.col("_sh").alias("sh_b")
     )
     out = (
-        pairs.join(common, ["doc_a", "doc_b"], "left")
-        .fillna({"n_common": 0})
-        .join(sizes.withColumnRenamed(id_col, "doc_a").withColumnRenamed("n_shingles", "n_a"), "doc_a")
-        .join(sizes.withColumnRenamed(id_col, "doc_b").withColumnRenamed("n_shingles", "n_b"), "doc_b")
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "n_common",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint"),
+        )
     )
     return out.select(
         "doc_a",
         "doc_b",
-        F.col("n_common").cast("bigint").alias("n_common"),
+        "n_common",
         (
             F.col("n_common").cast("double")
-            / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            / (F.size("sh_a") + F.size("sh_b") - F.col("n_common"))
         ).alias("jaccard"),
     )
 

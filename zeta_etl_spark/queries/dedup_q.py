@@ -157,23 +157,20 @@ WITH sh AS (
   FROM bands a
   JOIN bands b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
              AND a.doc_id < b.doc_id
-), ex AS (
-  SELECT doc_id, unnest(shingles) AS shingle FROM sh
-  WHERE doc_id IN (SELECT doc_a FROM cand UNION SELECT doc_b FROM cand)
 ), common AS (
-  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+  SELECT c.doc_a, c.doc_b,
+    CAST(len(list_intersect(sha.shingles, shb.shingles)) AS BIGINT) AS n_common
   FROM cand c
-  JOIN ex ea ON ea.doc_id = c.doc_a
-  JOIN ex eb ON eb.doc_id = c.doc_b AND eb.shingle = ea.shingle
-  GROUP BY 1, 2
+  JOIN sh sha ON sha.doc_id = c.doc_a
+  JOIN sh shb ON shb.doc_id = c.doc_b
 )
 SELECT c.doc_a, c.doc_b,
-  CAST(COALESCE(cm.n_common, 0) AS BIGINT) AS n_common,
-  CAST(COALESCE(cm.n_common, 0) AS DOUBLE)
-    / (sa.n_shingles + sb.n_shingles - COALESCE(cm.n_common, 0)) AS jaccard,
+  cm.n_common,
+  CAST(cm.n_common AS DOUBLE)
+    / (sa.n_shingles + sb.n_shingles - cm.n_common) AS jaccard,
   {est} AS est_sim
 FROM cand c
-LEFT JOIN common cm ON cm.doc_a = c.doc_a AND cm.doc_b = c.doc_b
+JOIN common cm ON cm.doc_a = c.doc_a AND cm.doc_b = c.doc_b
 JOIN sig sa ON sa.doc_id = c.doc_a
 JOIN sig sb ON sb.doc_id = c.doc_b
 """
