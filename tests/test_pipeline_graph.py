@@ -134,3 +134,46 @@ def test_incremental_node_processes_only_new_files(spark, tmp_path):
     assert out2.count() == 8
     assert out2.filter("run_id = 1").count() == 5
     assert out2.filter("doubled != id * 2").count() == 0
+
+
+def test_data_quality_expectations(spark, tmp_path, sf_dir):
+    """dlt.expect / expect_or_drop / expect_or_fail parity."""
+    p = Pipeline("dq", str(tmp_path / "dq"))
+
+    @p.table(
+        expectations={
+            "positive_value": ("value > 0", "drop"),
+            "known_type": (
+                "event_type in ('click','view','purchase','signup','error')",
+                "warn",
+            ),
+        }
+    )
+    def checked(pl):
+        return load_table(spark, sf_dir, "events")
+
+    out = p.run(spark, targets=["checked"])["checked"]
+    ev = load_table(spark, sf_dir, "events")
+    n_bad = ev.filter("value <= 0").count()
+    assert out.count() == ev.count() - n_bad
+    m = p.expectation_metrics["checked"]
+    assert m["positive_value"]["failed"] == n_bad
+    assert m["known_type"]["failed"] == 0
+
+    p2 = Pipeline("dq2", str(tmp_path / "dq2"))
+
+    @p2.table(expectations={"impossible": ("value > 1e12", "fail")})
+    def failing(pl):
+        return load_table(spark, sf_dir, "events")
+
+    with pytest.raises(ValueError, match="impossible"):
+        p2.run(spark, targets=["failing"])
+
+
+def test_partition_pruning_on_materialized_table(spark, pipeline, sf_dir):
+    """§1.3 layout: date-partitioned silver scans prune partitions."""
+    out = pipeline.run(spark, targets=["silver_events"])["silver_events"]
+    pruned = out.filter(F.col("date_") == "2024-01-05")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(date_" in plan
+    assert pruned.count() > 0

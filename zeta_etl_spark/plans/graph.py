@@ -44,6 +44,11 @@ class Node:
     quality: str | None = None  # bronze | silver | gold (metadata only)
     comment: str | None = None
     sort_within_partitions: tuple[str, ...] = ()  # OSS stand-in for zOrderCols
+    # data-quality expectations: name -> (sql_condition, action) where action
+    # is "warn" | "drop" | "fail" — the engine's dlt.expect / expect_or_drop /
+    # expect_or_fail equivalent (the reference uses none — SURVEY §5 — but the
+    # mechanism is part of the DLT surface the engine replaces)
+    expectations: dict[str, tuple[str, str]] = field(default_factory=dict)
     # cdc-only
     source: str | None = None
     keys: tuple[str, ...] = ()
@@ -62,6 +67,8 @@ class Pipeline:
         self._done: dict[str, DataFrame] = {}
         self._running: set[str] = set()
         self._streaming_ctx = False
+        # node -> expectation -> {"failed": n, "action": str} after run()
+        self.expectation_metrics: dict[str, dict[str, dict]] = {}
 
     # --- declaration API ---------------------------------------------------
 
@@ -74,6 +81,7 @@ class Pipeline:
         sort_within_partitions: Sequence[str] = (),
         mode: str = "overwrite",
         incremental: bool = False,
+        expectations: dict[str, tuple[str, str]] | None = None,
     ):
         """``mode='append'`` gives the S7 append-save sink semantics
         (zetadex-mm-uptime-pipeline-v3.sql:157 saves each epoch run with
@@ -102,6 +110,7 @@ class Pipeline:
                     quality=quality,
                     comment=comment,
                     sort_within_partitions=tuple(sort_within_partitions),
+                    expectations=dict(expectations or {}),
                     extra={"mode": mode, "incremental": incremental},
                 )
             )
@@ -202,6 +211,8 @@ class Pipeline:
                 return self._materialize_incremental(node)
             else:
                 df = node.fn(self)
+            if node.expectations:
+                df = self._apply_expectations(node, df)
             if node.kind in ("table", "cdc"):
                 mode = node.extra.get("mode", "overwrite")
                 if node.sort_within_partitions:
@@ -216,6 +227,34 @@ class Pipeline:
             return df
         finally:
             self._running.discard(name)
+
+    def _apply_expectations(self, node: Node, df: DataFrame) -> DataFrame:
+        """Evaluate data-quality expectations (dlt.expect* parity).
+
+        One aggregate pass counts all violations; ``drop`` filters failing
+        rows, ``fail`` raises if any violation exists, ``warn`` records only.
+        """
+        from pyspark.sql import functions as F
+
+        counts = df.agg(
+            *[
+                F.count(F.when(~F.expr(cond), F.lit(1))).alias(name)
+                for name, (cond, _action) in node.expectations.items()
+            ]
+        ).first()
+        metrics = {}
+        for name, (cond, action) in node.expectations.items():
+            failed = counts[name]
+            metrics[name] = {"failed": failed, "action": action, "condition": cond}
+            if action == "fail" and failed:
+                raise ValueError(
+                    f"expectation {name!r} failed for {failed} rows on node "
+                    f"{node.name!r}: {cond}"
+                )
+            if action == "drop":
+                df = df.filter(F.expr(cond))
+        self.expectation_metrics[node.name] = metrics
+        return df
 
     def _materialize_incremental(self, node: Node) -> DataFrame:
         """Run an incremental node via Structured Streaming (availableNow):
