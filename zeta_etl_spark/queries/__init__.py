@@ -18,6 +18,7 @@ from zeta_etl_spark.queries import (  # noqa: E402,F401
     scalar_q,
     serving_q,
     temporal_q,
+    text2_q,
     text_q,
     vectors_q,
     windows2_q,

@@ -1,0 +1,192 @@
+"""Second text/vector coverage batch: BPE-ish regex token counting,
+winnowing (rolling-hash) fingerprints, embedding-cosine near-duplicate pairs
+(BASELINE.json north-star operators).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from zeta_etl_spark.functions.text import duck_hex2long, spark_hex2long
+from zeta_etl_spark.queries.registry import T, query
+
+# --- bpe_token_counts: whitespace vs BPE-ish regex tokenization --------------
+# Portable token classes (identical in Java regex and RE2): letter runs,
+# digit runs, single punctuation marks.
+
+_BPE_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+_BPE_ORACLE = f"""
+SELECT doc_id, lang,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+  CAST(len(regexp_extract_all(lower(text), '{_BPE_PATTERN}')) AS BIGINT)
+    AS n_bpe_tokens,
+  CAST(length(text) AS DOUBLE)
+    / len(regexp_extract_all(lower(text), '{_BPE_PATTERN}'))
+    AS chars_per_token
+FROM documents
+"""
+
+
+@query("bpe_token_counts", oracle=_BPE_ORACLE, tags=("text", "tokens", "bpe"))
+def bpe_token_counts(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    bpe = F.expr(f"regexp_extract_all(lower(text), '{_BPE_PATTERN}', 0)")
+    return d.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_ws_tokens"),
+        F.size(bpe).cast("bigint").alias("n_bpe_tokens"),
+        (F.length("text").cast("double") / F.size(bpe)).alias("chars_per_token"),
+    )
+
+
+# --- winnowing_fingerprints: MOSS-style rolling-hash document fingerprints ---
+# k-shingle hashes → min per sliding window of w → distinct fingerprint set.
+# Guarantees any shared substring of length ≥ k+w-1 tokens shares a
+# fingerprint — the classic winnowing bound — with fingerprint density 2/(w+1).
+
+_K = 3  # shingle tokens
+_W = 4  # winnow window
+
+
+def _winnow_oracle() -> str:
+    h = duck_hex2long("s", digits=8)
+    return f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), hs AS (
+  SELECT doc_id,
+    list_transform(
+      list_transform(range(0, greatest(len(toks) - {_K}, -1) + 1),
+                     j -> array_to_string(toks[j + 1:j + {_K}], ' ')),
+      s -> {h}) AS hashes
+  FROM t
+), fp AS (
+  SELECT doc_id,
+    list_distinct(list_transform(range(0, greatest(len(hashes) - {_W}, -1) + 1),
+                  i -> list_min(hashes[i + 1:i + {_W}]))) AS fingerprints
+  FROM hs
+)
+SELECT doc_id, CAST(len(fingerprints) AS BIGINT) AS n_fingerprints,
+  CAST(list_min(fingerprints) AS BIGINT) AS min_fingerprint,
+  md5(array_to_string(list_sort(fingerprints), ',')) AS fingerprint_digest
+FROM fp
+"""
+
+
+@query("winnowing_fingerprints", oracle=_winnow_oracle(), tags=("text", "fingerprint", "winnowing"))
+def winnowing_fingerprints(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    h = spark_hex2long("s", digits=8)
+    toks = "split(text, ' ')"
+    shingles = (
+        f"case when size({toks}) >= {_K} then "
+        f"transform(sequence(0, size({toks}) - {_K}), "
+        f"j -> concat_ws(' ', slice({toks}, j + 1, {_K}))) "
+        f"else cast(array() as array<string>) end"
+    )
+    hashes = f"transform({shingles}, s -> {h})"
+    fingerprints = (
+        f"array_distinct(case when size({hashes}) >= {_W} then "
+        f"transform(sequence(0, size({hashes}) - {_W}), "
+        f"i -> array_min(slice({hashes}, i + 1, {_W}))) "
+        f"else cast(array() as array<bigint>) end)"
+    )
+    out = d.select("doc_id", F.expr(fingerprints).alias("fp"))
+    return out.select(
+        "doc_id",
+        F.size("fp").cast("bigint").alias("n_fingerprints"),
+        F.array_min("fp").cast("bigint").alias("min_fingerprint"),
+        F.md5(
+            F.array_join(
+                F.expr("transform(array_sort(fp), x -> cast(x as string))"), ","
+            )
+        ).alias("fingerprint_digest"),
+    )
+
+
+# --- embedding_near_dups: cosine near-duplicate pairs (LSH-bucketed) ---------
+# The embedding-space analogue of MinHash dedup: candidate pairs share a
+# random-hyperplane bucket; exact integer cosine confirms ≥ threshold.
+
+_NEAR_THRESHOLD = 0.9
+_ND_PLANES = 6
+
+
+def _near_dup_oracle() -> str:
+    from zeta_etl_spark.operators.vectors import SCALE, hyperplane_params
+
+    planes = hyperplane_params(_ND_PLANES, 64)
+    terms = []
+    for b, plane in enumerate(planes):
+        lit = "[" + ",".join(str(w) for w in plane) + "]"
+        dot = (
+            f"list_sum(list_transform(range(1, 65), i -> sv[CAST(i AS INT)] * "
+            f"({lit})[CAST(i AS INT)]))"
+        )
+        terms.append(
+            f"(CASE WHEN ({dot}) > 0 THEN CAST({1 << b} AS BIGINT) "
+            "ELSE CAST(0 AS BIGINT) END)"
+        )
+    bucket = " + ".join(terms)
+    scaled = (
+        f"list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {SCALE} "
+        "+ 0.5) AS BIGINT))"
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, {scaled} AS sv FROM embeddings
+), n AS (
+  SELECT vec_id, sv, list_sum(list_transform(sv, x -> x * x)) AS norm2,
+         {bucket} AS bucket
+  FROM e
+), p AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+    CAST(list_sum(list_transform(range(1, 65),
+                  i -> a.sv[CAST(i AS INT)] * b.sv[CAST(i AS INT)])) AS DOUBLE)
+      / NULLIF(sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(b.norm2 AS DOUBLE)),
+               0.0) AS cosine
+  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, cosine FROM p WHERE cosine >= {_NEAR_THRESHOLD}
+"""
+
+
+@query("embedding_near_dups", oracle=_near_dup_oracle(), tags=("vectors", "dedup"))
+def embedding_near_dups(spark, sf_dir):
+    from zeta_etl_spark.operators.vectors import (
+        hyperplane_params,
+        lsh_bucket,
+        scaled_vectors,
+    )
+
+    planes = hyperplane_params(_ND_PLANES, 64)
+    emb = scaled_vectors(T(spark, sf_dir, "embeddings").drop("label")).withColumn(
+        "_bucket", lsh_bucket("sv", planes)
+    )
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("sv").alias("sv_a"),
+        F.col("norm2").alias("n_a"),
+        "_bucket",
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("sv").alias("sv_b"),
+        F.col("norm2").alias("n_b"),
+        "_bucket",
+    )
+    dot = F.expr(
+        "aggregate(zip_with(sv_a, sv_b, (x, y) -> x * y), 0L, (a, v) -> a + v)"
+    )
+    cos = dot.cast("double") / F.nullif(
+        F.sqrt(F.col("n_a").cast("double")) * F.sqrt(F.col("n_b").cast("double")),
+        F.lit(0.0),
+    )
+    pairs = (
+        a.join(b, ["_bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cos.alias("cosine"))
+    )
+    return pairs.filter(F.col("cosine") >= _NEAR_THRESHOLD)
