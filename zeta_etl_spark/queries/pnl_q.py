@@ -134,3 +134,78 @@ def pnl_leaderboard(spark, sf_dir):
         "rank_change_24h",
         -(F.col("rank_24h") - F.first("rank_24h").over(w_chg)),
     )
+
+
+# --- zscore_leaderboard: the §3.2 tail — conditional volume agg + multiplier
+# when-chain + z-score formula + rank (zetadex-transactions-helius-pipeline.py
+# :1703-1763: z = mult × nft_mult × (taker + 0.2·maker) + campaign).
+
+_ZSCORE_ORACLE = """
+WITH vols AS (
+  SELECT user_id,
+    CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END
+      AS DECIMAL(32,6))) AS DOUBLE) AS taker_volume,
+    CAST(SUM(CAST(CASE WHEN event_type = 'click' THEN value ELSE 0 END
+      AS DECIMAL(32,6))) AS DOUBLE) AS maker_volume,
+    COUNT(DISTINCT date_trunc('day', CAST(ts AS TIMESTAMP))) AS active_days
+  FROM events GROUP BY user_id
+), scored AS (
+  SELECT *,
+    CASE WHEN active_days >= 25 THEN 1.5
+         WHEN active_days >= 15 THEN 1.2
+         WHEN active_days >= 5 THEN 1.0
+         ELSE 0.5 END AS activity_mult
+  FROM vols
+)
+SELECT user_id, taker_volume, maker_volume,
+  CAST(active_days AS BIGINT) AS active_days, activity_mult,
+  activity_mult * (taker_volume + 0.2 * maker_volume) AS z_score,
+  CAST(RANK() OVER (ORDER BY activity_mult * (taker_volume
+       + 0.2 * maker_volume) DESC, user_id) AS BIGINT) AS z_rank
+FROM scored
+"""
+
+
+@query("zscore_leaderboard", oracle=_ZSCORE_ORACLE, tags=("window", "W5", "A3", "zscore"))
+def zscore_leaderboard(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    vols = ev.groupBy("user_id").agg(
+        dec_sum(
+            F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(
+                F.lit(0.0)
+            ),
+            "taker_volume",
+        ),
+        dec_sum(
+            F.when(F.col("event_type") == "click", F.col("value")).otherwise(
+                F.lit(0.0)
+            ),
+            "maker_volume",
+        ),
+        F.countDistinct(F.date_trunc("day", F.col("ts"))).alias("active_days"),
+    )
+    mult = (
+        F.when(F.col("active_days") >= 25, 1.5)
+        .when(F.col("active_days") >= 15, 1.2)
+        .when(F.col("active_days") >= 5, 1.0)
+        .otherwise(0.5)
+    )
+    scored = vols.withColumn("activity_mult", mult).withColumn(
+        "z_score",
+        F.col("activity_mult")
+        * (F.col("taker_volume") + 0.2 * F.col("maker_volume")),
+    )
+    return scored.select(
+        "user_id",
+        "taker_volume",
+        "maker_volume",
+        F.col("active_days").cast("bigint").alias("active_days"),
+        "activity_mult",
+        "z_score",
+        F.rank()
+        .over(
+            Window.orderBy(F.col("z_score").desc(), F.col("user_id"))
+        )
+        .cast("bigint")
+        .alias("z_rank"),
+    )
