@@ -177,3 +177,25 @@ def test_partition_pruning_on_materialized_table(spark, pipeline, sf_dir):
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(date_" in plan
     assert pruned.count() > 0
+
+
+def test_sort_within_partitions_zorder_standin(spark, tmp_path, sf_dir):
+    """§1.3 z-order stand-in: sort_within_partitions produces files whose row
+    groups are clustered on the sort key (verified via per-file min==sorted)."""
+    p = Pipeline("zo", str(tmp_path / "zo"))
+
+    @p.table(sort_within_partitions=["user_id"])
+    def sorted_events(pl):
+        return load_table(spark, sf_dir, "events").repartition(2)
+
+    out = p.run(spark, targets=["sorted_events"])["sorted_events"]
+    from pyspark.sql.functions import input_file_name, col
+
+    per_file = (
+        out.withColumn("f", input_file_name())
+        .groupBy("f")
+        .agg(F.collect_list("user_id").alias("ids"))
+        .collect()
+    )
+    for r in per_file:
+        assert r["ids"] == sorted(r["ids"])

@@ -134,3 +134,33 @@ def test_time_spine_and_densify(spark):
     dense = densify(facts, spine, dims, on=["spine_ts", "k"], fill={"v": 0.0})
     assert dense.count() == 8
     assert dense.filter("v != 0").count() == 1
+
+
+def test_asof_join_rejects_column_collision(spark):
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:00"), 5.0)], "k int, ts timestamp_ntz, value double"
+    )
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01 09:00:00"), 1.0)],
+        "k int, rts timestamp_ntz, value double",
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="collide"):
+        as_of_join(left, right, keys=["k"], left_ts="ts", right_ts="rts",
+                   right_cols=["value"])
+
+
+def test_range_join_rejects_column_collision(spark):
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:00"), 5.0)], "k int, ts timestamp_ntz, v double"
+    )
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01 09:00:00"), _ts("2024-01-01 11:00:00"), 1.0)],
+        "k int, start_ts timestamp_ntz, end_ts timestamp_ntz, v double",
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="collide"):
+        range_join(left, right, left_ts="ts", start_col="start_ts",
+                   end_col="end_ts", keys=["k"])

@@ -116,6 +116,12 @@ def as_of_join(
     greatest ``right_cols`` ordering position wins via the final sort key
     ``_src`` (left sorts after right at equal time, so non-strict sees them).
     """
+    clash = (set(right_cols) | {right_ts}) & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"as_of_join: right columns {sorted(clash)} collide with left "
+            "columns — rename the right side first (e.g. value -> prior_value)"
+        )
     lt = left.withColumn("_src", F.lit(1)).withColumn("_ts", F.col(left_ts))
     rt_cols = [F.col(c) for c in (*keys, right_ts, *right_cols)]
     rt = (
@@ -179,6 +185,13 @@ def range_join(
     reference's hint uses 60 s).
     """
     bs = int(bucket_seconds)
+    clash = set(right.columns) - set(keys)
+    clash &= set(left.columns)
+    if clash:
+        raise ValueError(
+            f"range_join: non-key right columns {sorted(clash)} collide with "
+            "left columns — rename one side first"
+        )
     right_b = right.withColumn(
         "_bucket",
         F.explode(
