@@ -47,6 +47,9 @@ OPTIONAL = [
     "knn_cosine_top5",
     "ann_lsh_top5",
     "nearest_centroid_assign",
+    "ivf_cosine_top3",
+    "corpus_curation",
+    "winnowing_fingerprints",
 ]
 
 

@@ -182,3 +182,76 @@ def ann_lsh_top5(spark, sf_dir):
         F.col("norm2").alias("qn"),
     )
     return ann_lsh_topk(emb, queries, planes, k=5)
+
+
+# --- ivf_cosine_top3: full IVF search (coarse quantizer + nprobe lists) ------
+# Corpus partitioned into centroid lists; each query probes its 2 nearest
+# centroids and ranks only those lists by exact cosine.
+
+_NPROBE = 2
+
+
+def _ivf_oracle() -> str:
+    return f"""
+WITH e AS (
+  SELECT vec_id, label, {_DUCK_SCALED} AS sv FROM embeddings
+), n AS (
+  SELECT vec_id, sv, list_sum(list_transform(sv, x -> x * x)) AS norm2 FROM e
+), cent AS (
+  SELECT label AS cent_id, CAST(i AS BIGINT) AS dim,
+    CAST(floor(CAST(SUM(sv[CAST(i AS INT)]) AS DOUBLE)
+               / ({SCALE}.0 * COUNT(*)) * {SCALE} + 0.5) AS BIGINT) AS cv
+  FROM e CROSS JOIN range(1, 65) t(i)
+  GROUP BY label, i
+), ex AS (
+  SELECT vec_id, CAST(i AS BIGINT) AS dim, sv[CAST(i AS INT)] AS v
+  FROM e CROSS JOIN range(1, 65) t(i)
+), dists AS (
+  SELECT ex.vec_id, cent.cent_id,
+         SUM((ex.v - cent.cv) * (ex.v - cent.cv)) AS dist2
+  FROM ex JOIN cent ON ex.dim = cent.dim
+  GROUP BY 1, 2
+), corpus_assign AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY dist2, cent_id) AS rn FROM dists
+  ) WHERE rn = 1
+), probe AS (
+  SELECT vec_id AS query_id, cent_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY dist2, cent_id) AS rn FROM dists
+  ) WHERE rn <= {_NPROBE} AND vec_id < 10
+), pairs AS (
+  SELECT p.query_id, c.vec_id AS neighbor_id,
+    CAST(list_sum(list_transform(range(1, 65),
+         i -> nq.sv[CAST(i AS INT)] * nn.sv[CAST(i AS INT)])) AS DOUBLE)
+      / NULLIF(sqrt(CAST(nq.norm2 AS DOUBLE)) * sqrt(CAST(nn.norm2 AS DOUBLE)),
+               0.0) AS cosine
+  FROM probe p
+  JOIN corpus_assign c ON c.cent_id = p.cent_id
+  JOIN n nq ON nq.vec_id = p.query_id
+  JOIN n nn ON nn.vec_id = c.vec_id
+  WHERE c.vec_id != p.query_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rn AS BIGINT) AS knn_rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rn
+  FROM pairs
+) t WHERE rn <= 3
+"""
+
+
+@query("ivf_cosine_top3", oracle=_ivf_oracle(), tags=("vectors", "ann", "ivf"))
+def ivf_cosine_top3(spark, sf_dir):
+    from zeta_etl_spark.operators.vectors import ivf_topk
+
+    emb = scaled_vectors(T(spark, sf_dir, "embeddings"))
+    cents = label_centroids(emb)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("sv").alias("qv"),
+        F.col("norm2").alias("qn"),
+    )
+    corpus = emb.select("vec_id", "sv", "norm2")
+    return ivf_topk(corpus, cents, queries, k=3, nprobe=_NPROBE)
