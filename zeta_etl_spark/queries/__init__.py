@@ -15,6 +15,7 @@ from zeta_etl_spark.queries import (  # noqa: E402,F401
     dedup_q,
     pnl_q,
     relational,
+    relational2_q,
     scalar_q,
     serving_q,
     temporal_q,

@@ -1,0 +1,209 @@
+"""Final relational/time-series batch: TPC-H classic shapes (Q3 shipping
+priority, Q6 forecast revenue) for relational breadth, and linear-interpolation
+gap filling — the hypertable-style time-series operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from zeta_etl_spark.functions import dec_sum
+from zeta_etl_spark.queries.registry import T, query
+
+# --- shipping_priority (TPC-H Q3 shape): 3-way join + agg + deterministic
+# top-10 ----------------------------------------------------------------------
+
+_Q3_ORACLE = """
+WITH base AS (
+  SELECT l.l_orderkey,
+    CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(32,6)))
+      AS DOUBLE) AS revenue,
+    o.o_orderdate, o.o_orderpriority
+  FROM customer c
+  JOIN orders o ON c.c_custkey = o.o_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE c.c_mktsegment = 'BUILDING'
+    AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+    AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+  GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+)
+SELECT l_orderkey, revenue, o_orderdate, o_orderpriority,
+       CAST(rn AS BIGINT) AS revenue_rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY revenue DESC, l_orderkey) AS rn
+  FROM base
+) t WHERE rn <= 10
+"""
+
+
+@query("shipping_priority", oracle=_Q3_ORACLE, tags=("join", "agg", "topk", "tpch"))
+def shipping_priority(spark, sf_dir):
+    c = T(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp_ntz")
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    base = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            dec_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+            )
+        )
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+    return (
+        base.withColumn("revenue_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("revenue_rank") <= 10)
+        .select(
+            "l_orderkey", "revenue", "o_orderdate", "o_orderpriority",
+            "revenue_rank",
+        )
+    )
+
+
+# --- forecast_revenue (TPC-H Q6 shape): pure pushdown-filter aggregate -------
+
+_Q6_ORACLE = """
+SELECT
+  CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(32,6))) AS DOUBLE)
+    AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@query("forecast_revenue", oracle=_Q6_ORACLE, tags=("agg", "filter", "tpch"))
+def forecast_revenue(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    lo = F.lit("1997-01-01 00:00:00").cast("timestamp_ntz")
+    hi = F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= lo)
+            & (F.col("l_shipdate") < hi)
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dec_sum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# --- gap_fill_interpolate: hypertable-style densify + linear interpolation ---
+# Hourly per-type means densified over the full spine; missing hours filled by
+# linear interpolation between the previous and next observed values.  The
+# interpolation weight is an exact integer hour ratio, so the arithmetic is
+# engine-deterministic (single double expression per row).
+
+_GAPFILL_ORACLE = """
+WITH hourly AS (
+  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_ts, event_type,
+    CAST(SUM(CAST(value AS DECIMAL(32,6))) AS DOUBLE) / COUNT(value) AS avg_value
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT min(hour_ts) AS lo, max(hour_ts) AS hi FROM hourly
+), spine AS (
+  SELECT unnest(generate_series((SELECT lo FROM bounds), (SELECT hi FROM bounds),
+                                INTERVAL 1 HOUR)) AS hour_ts
+), grid AS (
+  SELECT s.hour_ts, t.event_type, h.avg_value
+  FROM spine s
+  CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+  LEFT JOIN hourly h ON h.hour_ts = s.hour_ts AND h.event_type = t.event_type
+), ctx AS (
+  SELECT *,
+    last_value(avg_value IGNORE NULLS) OVER w_prev AS prev_val,
+    last_value(CASE WHEN avg_value IS NOT NULL THEN hour_ts END IGNORE NULLS)
+      OVER w_prev AS prev_ts,
+    first_value(avg_value IGNORE NULLS) OVER w_next AS next_val,
+    first_value(CASE WHEN avg_value IS NOT NULL THEN hour_ts END IGNORE NULLS)
+      OVER w_next AS next_ts
+  FROM grid
+  WINDOW
+    w_prev AS (PARTITION BY event_type ORDER BY hour_ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    w_next AS (PARTITION BY event_type ORDER BY hour_ts
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT hour_ts, event_type,
+  CAST(avg_value IS NOT NULL AS BIGINT) AS is_observed,
+  CASE
+    WHEN avg_value IS NOT NULL THEN avg_value
+    WHEN prev_val IS NOT NULL AND next_val IS NOT NULL THEN
+      prev_val + (next_val - prev_val)
+        * (CAST(date_diff('hour', prev_ts, hour_ts) AS DOUBLE)
+           / date_diff('hour', prev_ts, next_ts))
+    ELSE COALESCE(prev_val, next_val)
+  END AS filled_value
+FROM ctx
+"""
+
+
+@query("gap_fill_interpolate", oracle=_GAPFILL_ORACLE, tags=("timeseries", "gapfill"))
+def gap_fill_interpolate(spark, sf_dir):
+    from zeta_etl_spark.functions import dec_avg
+
+    ev = T(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour_ts"), F.col("event_type")
+    ).agg(dec_avg("value", "avg_value"))
+    bounds = hourly.agg(F.min("hour_ts").alias("lo"), F.max("hour_ts").alias("hi"))
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("interval 1 hour"))
+        ).alias("hour_ts")
+    )
+    types = ev.select("event_type").distinct()
+    grid = spine.crossJoin(F.broadcast(types)).join(
+        hourly, ["hour_ts", "event_type"], "left"
+    )
+    w_prev = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_ts")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_ts = F.when(F.col("avg_value").isNotNull(), F.col("hour_ts"))
+    ctx = grid.select(
+        "hour_ts",
+        "event_type",
+        "avg_value",
+        F.last("avg_value", ignorenulls=True).over(w_prev).alias("prev_val"),
+        F.last(obs_ts, ignorenulls=True).over(w_prev).alias("prev_ts"),
+        F.first("avg_value", ignorenulls=True).over(w_next).alias("next_val"),
+        F.first(obs_ts, ignorenulls=True).over(w_next).alias("next_ts"),
+    )
+    hours = lambda a, b: (  # noqa: E731 — whole-hour timestamps: exact ints
+        F.unix_timestamp(F.col(b).cast("timestamp"))
+        - F.unix_timestamp(F.col(a).cast("timestamp"))
+    ) / 3600
+    interp = F.col("prev_val") + (F.col("next_val") - F.col("prev_val")) * (
+        hours("prev_ts", "hour_ts").cast("double")
+        / hours("prev_ts", "next_ts")
+    )
+    filled = (
+        F.when(F.col("avg_value").isNotNull(), F.col("avg_value"))
+        .when(
+            F.col("prev_val").isNotNull() & F.col("next_val").isNotNull(), interp
+        )
+        .otherwise(F.coalesce("prev_val", "next_val"))
+    )
+    return ctx.select(
+        "hour_ts",
+        "event_type",
+        F.col("avg_value").isNotNull().cast("bigint").alias("is_observed"),
+        filled.alias("filled_value"),
+    )
