@@ -160,6 +160,40 @@ def label_centroids(scaled: DataFrame, label_col: str = "label") -> DataFrame:
     )
 
 
+def centroid_arrays(
+    centroids: DataFrame, label_col: str = "label", out_id: str = "cent_id"
+) -> DataFrame:
+    """Pivot per-(label, dim) centroids into one integer-array row per
+    centroid (``cv_arr``), the broadcast-friendly shape for assignment."""
+    cint = centroids.select(
+        F.col(label_col).alias(out_id),
+        "dim",
+        F.floor(F.col("centroid") * SCALE + F.lit(0.5)).cast("bigint").alias("cv"),
+    )
+    return (
+        cint.groupBy(out_id)
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "cv"))).alias("_s"))
+        .select(out_id, F.expr("transform(_s, s -> s.cv)").alias("cv_arr"))
+    )
+
+
+def _packed_centroids(carr: DataFrame) -> DataFrame:
+    """Collapse all centroid arrays into ONE row (array<struct<cent_id,
+    cv_arr>>) so assignment is a broadcast cross join against a single row —
+    distance computation and argmin stay entirely inside whole-stage codegen
+    with zero shuffle on the vector side."""
+    return carr.agg(
+        F.array_sort(F.collect_list(F.struct("cent_id", "cv_arr"))).alias("cents")
+    )
+
+
+_DISTS_SORTED = (
+    "array_sort(transform(cents, c -> struct("
+    "aggregate(zip_with({sv}, c.cv_arr, (x, y) -> (x - y) * (x - y)), 0L, "
+    "(a, v) -> a + v) AS dist2, c.cent_id AS cent_id)))"
+)
+
+
 def ivf_topk(
     scaled: DataFrame,
     centroids: DataFrame,
@@ -172,35 +206,26 @@ def ivf_topk(
     coarse quantizer), each query probes its ``nprobe`` nearest centroids and
     ranks only those lists by exact cosine.
 
-    At 100 TB this turns ANN into: one broadcast of the (tiny) centroid
-    table, one shuffle of the corpus by assigned list, and per-query work
-    bounded by nprobe × list size.  All arithmetic is exact integers →
-    deterministic across engines.
+    Scale design (100 TB): the centroid table is packed into a single
+    broadcast row of arrays; each corpus/query row computes distances to all
+    centroids with ``zip_with``+``aggregate`` and picks its lists with one
+    ``array_sort`` — no per-dim explode (the old shape multiplied rows by
+    dims × centroids before its groupBy; see VERDICT r1 §wrong-1), no shuffle
+    at all in the assignment step.  The only shuffle left is the corpus
+    repartition by assigned list for the probe join.  All arithmetic is exact
+    integers → deterministic across engines.
     """
-    cint = centroids.select(
-        F.col(label_col).alias("cent_id"),
-        "dim",
-        F.floor(F.col("centroid") * SCALE + F.lit(0.5)).cast("bigint").alias("cv"),
-    )
+    packed = _packed_centroids(centroid_arrays(centroids, label_col))
 
     def assign(vectors: DataFrame, id_out: str, rank_limit: int) -> DataFrame:
-        exploded = vectors.select(
-            F.col("vec_id"), F.posexplode("sv").alias("pos", "v")
-        ).withColumn("dim", (F.col("pos") + 1).cast("bigint"))
-        dists = (
-            exploded.join(F.broadcast(cint), "dim")
-            .groupBy("vec_id", "cent_id")
-            .agg(
-                F.sum(
-                    (F.col("v") - F.col("cv")) * (F.col("v") - F.col("cv"))
-                ).alias("dist2")
-            )
-        )
-        w = Window.partitionBy("vec_id").orderBy(F.col("dist2"), F.col("cent_id"))
+        dists = F.expr(_DISTS_SORTED.format(sv="sv"))
         return (
-            dists.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= rank_limit)
-            .select(F.col("vec_id").alias(id_out), "cent_id")
+            vectors.crossJoin(F.broadcast(packed))
+            .select(
+                F.col("vec_id").alias(id_out),
+                F.explode(F.slice(dists, 1, rank_limit)).alias("_d"),
+            )
+            .select(id_out, F.col("_d.cent_id").alias("cent_id"))
         )
 
     corpus_lists = assign(scaled, "vec_id", 1)
@@ -236,36 +261,30 @@ def nearest_centroid(
     scaled: DataFrame, centroids: DataFrame, label_col: str = "label"
 ) -> DataFrame:
     """Assign each vector to its nearest centroid by exact integer L2²
-    (centroids re-scaled to ints with the same floor trick)."""
-    cint = centroids.select(
-        F.col(label_col).alias("cand_label"),
-        "dim",
-        F.floor(F.col("centroid") * SCALE + F.lit(0.5)).cast("bigint").alias("cv"),
-    )
-    exploded = scaled.select(
-        "vec_id",
-        F.col(label_col).alias("true_label"),
-        F.posexplode("sv").alias("pos", "v"),
-    ).withColumn("dim", (F.col("pos") + 1).cast("bigint"))
-    dists = (
-        exploded.join(F.broadcast(cint), "dim")
-        .groupBy("vec_id", "true_label", "cand_label")
-        .agg(
-            F.sum((F.col("v") - F.col("cv")) * (F.col("v") - F.col("cv"))).alias(
-                "dist2"
-            )
-        )
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("dist2"), F.col("cand_label"))
+    (centroids re-scaled to ints with the same floor trick).
+
+    Same zero-shuffle shape as :func:`ivf_topk`'s assignment: one broadcast
+    row of centroid arrays, per-row ``zip_with`` distances, argmin via
+    ``element_at(array_sort(...), 1)`` — the vector side is never exploded
+    or shuffled."""
+    packed = _packed_centroids(centroid_arrays(centroids, label_col))
+    # try_element_at: an empty centroid table must yield zero assignments
+    # (the old join shape's behavior), not an array-index error
+    best = F.expr("try_element_at(" + _DISTS_SORTED.format(sv="sv") + ", 1)")
     return (
-        dists.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        scaled.crossJoin(F.broadcast(packed))
+        .select(
+            "vec_id",
+            F.col(label_col).alias("true_label"),
+            best.alias("_b"),
+        )
+        .filter(F.col("_b").isNotNull())
         .select(
             "vec_id",
             "true_label",
-            F.col("cand_label").alias("assigned_label"),
-            F.col("dist2").cast("bigint").alias("dist2"),
-            F.when(F.col("true_label") == F.col("cand_label"), 1)
+            F.col("_b.cent_id").alias("assigned_label"),
+            F.col("_b.dist2").cast("bigint").alias("dist2"),
+            F.when(F.col("true_label") == F.col("_b.cent_id"), 1)
             .otherwise(0)
             .cast("bigint")
             .alias("is_correct"),
