@@ -20,6 +20,7 @@ from zeta_etl_spark.queries import (  # noqa: E402,F401
     serving_q,
     temporal_q,
     text2_q,
+    transactions_q,
     text_q,
     vectors_q,
     windows2_q,
