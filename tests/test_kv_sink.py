@@ -27,6 +27,7 @@ def test_kv_export_shape(spark, tmp_path):
         sort_key=["timestamp"],
         global_secondary_indexes={"byHour": ["timestamp"]},
         ttl="interval 2 weeks",
+        ttl_anchor="timestamp",
     )
     out = export_to_kv(df, spec, str(tmp_path))
     rows = {r["pk"]: r.asDict() for r in out.collect()}

@@ -12,6 +12,7 @@ from zeta_etl_spark.operators.multimodal import (
     fake_decode,
     frame_sample,
     media_metadata_stats,
+    stamp_ingest_metadata,
 )
 
 
@@ -56,8 +57,29 @@ def test_frame_sampling(spark, media):
 
 def test_metadata_stats_prune_payload(spark, media, tmp_path):
     path = str(tmp_path / "media")
-    media.write.parquet(path)
+    stamp_ingest_metadata(media).write.parquet(path)
     df = spark.read.parquet(path)
     stats = media_metadata_stats(df)
-    rows = {(r["kind"], r["format"]): r["n_items"] for r in stats.collect()}
-    assert rows[("image", "png")] == 2
+    rows = {(r["kind"], r["format"]): r for r in stats.collect()}
+    assert rows[("image", "png")]["n_items"] == 2
+    # stamped byte counts match the real payload lengths
+    assert rows[("image", "png")]["total_bytes"] == 2 * len(b"\x89PNG fake bytes 1")
+    assert rows[("audio", "wav")]["total_bytes"] == 0  # null payload → 0
+    # THE pruning claim: the blob column never reaches the parquet scan
+    plan = stats._jdf.queryExecution().executedPlan().toString()
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "payload" not in read_schema
+    assert "n_bytes" in read_schema
+
+
+def test_metadata_stats_requires_stamped_column(spark, media):
+    with pytest.raises(ValueError, match="n_bytes"):
+        media_metadata_stats(media)
+
+
+def test_frame_sample_plan_explodes_jvm_side(spark, media):
+    # the offset-grid multiplication must be a JVM Generate(explode(sequence)),
+    # not Python row loops: Generate appears BELOW the Arrow eval in the plan
+    frames = frame_sample(media, every_ms=1000)
+    plan = frames._jdf.queryExecution().executedPlan().toString()
+    assert "Generate explode(sequence" in plan

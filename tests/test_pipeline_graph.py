@@ -199,3 +199,69 @@ def test_sort_within_partitions_zorder_standin(spark, tmp_path, sf_dir):
     )
     for r in per_file:
         assert r["ids"] == sorted(r["ids"])
+
+
+def test_incremental_rejects_window_functions(spark, tmp_path):
+    """T9 as code: a window function inside an incremental node fails fast
+    with an engine error naming the batch-fallback rule."""
+    import pytest
+    from pyspark.sql import functions as F2
+    from pyspark.sql.window import Window as W
+
+    src = str(tmp_path / "t9_src")
+    spark.range(10).selectExpr(
+        "id", "timestamp '2024-01-01' + make_interval(0,0,0,0,0,0,id) as ts"
+    ).write.parquet(src)
+
+    p = Pipeline("t9", str(tmp_path / "t9_pipe"))
+
+    @p.table(name="ranked", incremental=True)
+    def ranked(pl):
+        s = spark.readStream.schema("id bigint, ts timestamp").parquet(src)
+        return s.withColumn(
+            "rn", F2.row_number().over(W.partitionBy().orderBy("id"))
+        )
+
+    with pytest.raises(ValueError, match="incremental=True.*window functions"):
+        p.run(spark, targets=["ranked"])
+
+
+def test_incremental_expectations_enforced(spark, tmp_path):
+    """ADVICE r1: expectations on incremental nodes must not be silently
+    ignored — drop filters in-stream, fail raises post-update."""
+    import pytest
+    from pyspark.sql import functions as F2
+
+    src = str(tmp_path / "exp_src")
+    spark.range(10).withColumn(
+        "value", F2.when(F2.col("id") < 7, F2.col("id")).otherwise(-F2.col("id"))
+    ).write.parquet(src)
+
+    base = str(tmp_path / "exp_pipe")
+    p = Pipeline("exp", base)
+
+    @p.table(
+        name="cleaned",
+        incremental=True,
+        expectations={"nonneg": ("value >= 0", "drop")},
+    )
+    def cleaned(pl):
+        return spark.readStream.schema("id bigint, value bigint").parquet(src)
+
+    out = p.run(spark, targets=["cleaned"])["cleaned"]
+    assert out.count() == 7  # 3 negative rows dropped IN the streaming plan
+    assert out.filter("value < 0").count() == 0
+    assert p.expectation_metrics["cleaned"]["nonneg"]["failed"] == 0
+
+    p2 = Pipeline("exp2", str(tmp_path / "exp2_pipe"))
+
+    @p2.table(
+        name="strict",
+        incremental=True,
+        expectations={"nonneg": ("value >= 0", "fail")},
+    )
+    def strict(pl):
+        return spark.readStream.schema("id bigint, value bigint").parquet(src)
+
+    with pytest.raises(ValueError, match="expectation 'nonneg' failed"):
+        p2.run(spark, targets=["strict"])

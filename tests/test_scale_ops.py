@@ -61,3 +61,19 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bkt_a")
         spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_salted_join_rejects_outer_semantics(spark):
+    # right/full would emit unmatched small-side rows once per salt replica
+    import pytest
+
+    big = spark.range(10).select(F.col("id").alias("k"))
+    small = spark.createDataFrame([(0, "a"), (99, "unmatched")],
+                                  "k long, label string")
+    for how in ("right", "full", "outer", "right_outer"):
+        with pytest.raises(ValueError, match="inner.*left"):
+            salted_join(big, small, ["k"], salt_factor=4, how=how)
+    # left stays allowed and correct: unmatched BIG rows appear exactly once
+    left = salted_join(big, small, ["k"], salt_factor=4, how="left")
+    assert left.count() == 10
+    assert left.filter("label is null").count() == 9

@@ -4,7 +4,8 @@ Reference parity: ``dlt.apply_changes(target, source, keys, sequence_by)``
 (zetaflex-pipeline.py:146-151 and 4 more call sites;
 zetadex-referrals-pipeline.py:147-152) collapses a stream of entity snapshots
 to the latest row per key.  Batch form here is a window rank; the streaming
-form lives in streaming/cdc_stream.py (foreachBatch + idempotent overwrite).
+form is streaming/runner.py:foreach_batch_upsert (foreachBatch + versioned
+idempotent merge).
 
 Scale design: one shuffle on the key columns; with AQE skew-join handling a
 hot key splits automatically.  For 100 TB backfills prefer the

@@ -76,32 +76,70 @@ def frame_sample(
     id_col: str = "media_id",
 ) -> DataFrame:
     """Video-style frame sampling: one output row per sampled frame offset.
-    Frame decode is stubbed (offset + payload digest); the explode shape and
-    per-frame schema are the real contract."""
+
+    Two-stage shape: the offset grid is exploded JVM-side
+    (``sequence(0, duration-1, every_ms)``, whole-stage codegen — the row
+    multiplication never touches Python), then the per-frame decode runs
+    through one vectorized ``mapInPandas`` stage.  The decode here is a
+    stub (payload digest + offset); REAL-DECODER SEAM: replace the
+    ``_digest`` map with per-offset frame extraction (e.g. pyav seek).
+    No ``iterrows`` — columnar pandas ops only."""
     out_schema = f"{id_col} bigint, frame_ms bigint, frame_key string"
+
+    frames = df.select(
+        id_col,
+        payload_col,
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(
+                    F.coalesce(F.col("duration_ms"), F.lit(0)) - 1, F.lit(0)
+                ),
+                F.lit(every_ms),
+            )
+        ).alias("frame_ms"),
+    )
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            rows = []
-            for _, r in pdf.iterrows():
-                dur = int(r["duration_ms"] or 0)
-                digest = hashlib.md5(r[payload_col] or b"").hexdigest()
-                for off in range(0, max(dur, 1), every_ms):
-                    rows.append(
-                        (r[id_col], off, f"{digest[:12]}:{off}")
-                    )
-            yield pd.DataFrame(rows, columns=[id_col, "frame_ms", "frame_key"])
+            digests = pdf[payload_col].map(
+                lambda p: hashlib.md5(p if p is not None else b"").hexdigest()[:12]
+            )
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "frame_ms": pdf["frame_ms"].astype("int64"),
+                    "frame_key": digests + ":" + pdf["frame_ms"].astype(str),
+                }
+            )
 
-    return df.select(id_col, "duration_ms", payload_col).mapInPandas(
-        _batches, out_schema
+    return frames.mapInPandas(_batches, out_schema)
+
+
+def stamp_ingest_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Ingest-time metadata stamping: the payload byte count becomes a
+    columnar field so every downstream metadata query prunes the blob column
+    entirely.  Run this ONCE where media enters the lake; after that,
+    ``length(payload)`` never appears in an analytical plan."""
+    return df.withColumn(
+        "n_bytes", F.coalesce(F.length(payload_col).cast("bigint"), F.lit(0))
     )
 
 
 def media_metadata_stats(df: DataFrame) -> DataFrame:
-    """Pure-columnar metadata rollup — must never deserialize payloads
-    (verify with .explain(): the payload column is absent from ReadSchema)."""
+    """Pure-columnar metadata rollup over ingest-stamped metadata.  The
+    payload column is never referenced — at 100 TB of media the scan reads
+    kilobytes of metadata, not the blobs (asserted by
+    tests/test_multimodal.py::test_metadata_stats_prune_payload via
+    ReadSchema)."""
+    if "n_bytes" not in df.columns:
+        raise ValueError(
+            "media_metadata_stats requires the ingest-stamped 'n_bytes' "
+            "column (see stamp_ingest_metadata); aggregating "
+            "length(payload) here would read every blob byte"
+        )
     return df.groupBy("kind", "format").agg(
         F.count(F.lit(1)).alias("n_items"),
-        F.sum(F.length("payload").cast("bigint")).alias("total_bytes"),
+        F.sum("n_bytes").alias("total_bytes"),
         F.avg("duration_ms").alias("avg_duration_ms"),
     )

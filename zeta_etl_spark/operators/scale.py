@@ -31,7 +31,18 @@ def salted_join(
 ) -> DataFrame:
     """Equi join with key salting: big side gets ``salt = rand(seed)*N``,
     small side is exploded ×N, join on (keys..., salt).  Row multiplicity is
-    preserved (each big row matches exactly one replica)."""
+    preserved (each big row matches exactly one replica).
+
+    Only ``inner`` and ``left`` are semantics-safe: for right/full joins the
+    replicated small side would emit each UNMATCHED small row once per salt
+    replica (matched rows are fine — exactly one replica matches).  Guarded
+    here rather than silently wrong."""
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'/'left' only, got {how!r}: "
+            "right/full would duplicate unmatched small-side rows once per "
+            "salt replica — de-salt or use a plain join for outer semantics"
+        )
     big_s = big.withColumn(
         "_salt", (F.rand(seed) * salt_factor).cast("int")
     )

@@ -112,9 +112,11 @@ def as_of_join(
     strictly cheaper and skew-stable).
 
     Tie handling: right rows at exactly ``left_ts`` are visible unless
-    ``strict``; among right rows with identical ``right_ts`` the one with the
-    greatest ``right_cols`` ordering position wins via the final sort key
-    ``_src`` (left sorts after right at equal time, so non-strict sees them).
+    ``strict``; among duplicate right rows with identical (keys, right_ts)
+    the row with the greatest ``right_cols`` tuple wins — enforced by
+    appending ``right_cols`` (ascending, nulls first) to the window sort so
+    ``last()`` deterministically picks the greatest, independent of
+    partition/scan order.
     """
     clash = (set(right_cols) | {right_ts}) & set(left.columns)
     if clash:
@@ -138,8 +140,13 @@ def as_of_join(
     lt = lt.select(*rt.columns)
     unioned = lt.unionByName(rt)
     # right rows sort before (non-strict) or after (strict) left rows at the
-    # same timestamp, which is exactly the <=/< visibility rule
-    order = [F.col("_ts"), F.col("_src") if not strict else (-F.col("_src"))]
+    # same timestamp, which is exactly the <=/< visibility rule; right_cols
+    # break ties among duplicate right rows so last() is deterministic
+    order = [
+        F.col("_ts"),
+        F.col("_src") if not strict else (-F.col("_src")),
+        *[F.col(c).asc_nulls_first() for c in right_cols],
+    ]
     w = (
         Window.partitionBy(*[F.col(k) for k in keys])
         .orderBy(*order)

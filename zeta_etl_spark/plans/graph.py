@@ -259,16 +259,55 @@ class Pipeline:
     def _materialize_incremental(self, node: Node) -> DataFrame:
         """Run an incremental node via Structured Streaming (availableNow):
         only new upstream files since the last run are processed, state is
-        checkpointed under ``{base}/_checkpoints/{name}``."""
+        checkpointed under ``{base}/_checkpoints/{name}``.
+
+        Expectations run here too (ADVICE r1): ``drop`` filters inside the
+        streaming plan; ``warn``/``fail`` count violations on the materialized
+        output after the update (streaming plans can't side-count without a
+        second sink).  T9 is enforced as code, not convention: a window
+        function inside an incremental plan fails fast with an engine error
+        instead of Spark's obscure unsupported-operation trace."""
+        import re
+
+        from pyspark.sql import functions as F
+
         spark = self._spark
         # save/restore: materializing an incremental upstream from inside
         # another incremental node's fn must not clear the caller's context
+        t9_error = ValueError(
+            f"node {node.name!r} is incremental=True but its plan contains "
+            "window functions (rank/lag/rolling frames). Window functions "
+            "require a full partition view and cannot run incrementally — "
+            "declare the node with incremental=False (T9: the reference "
+            "computes rolling/rank tables as batch gold for the same reason)"
+        )
         prev_ctx = self._streaming_ctx
         self._streaming_ctx = True
         try:
-            stream_df = node.fn(self)
+            # T9: window functions ⇒ batch node (SURVEY §2.9).  Spark's own
+            # analyzer rejects some shapes eagerly (NON_TIME_WINDOW_NOT_
+            # SUPPORTED_IN_STREAMING) — translate that to the engine rule;
+            # for shapes analysis lets through, match the `Window` logical
+            # OPERATOR (event-time groupBy windows are a `window` expression
+            # inside Aggregate and stay legal).
+            try:
+                stream_df = node.fn(self)
+                plan = stream_df._jdf.queryExecution().analyzed().toString()
+            except Exception as e:  # noqa: BLE001 — re-raised unless T9
+                if "NON_TIME_WINDOW_NOT_SUPPORTED_IN_STREAMING" in str(e):
+                    raise t9_error from e
+                raise
+            if re.search(r"(?m)^[\s:+\-~]*Window\b", plan):
+                raise t9_error
         finally:
             self._streaming_ctx = prev_ctx
+        drops = {
+            name: cond
+            for name, (cond, action) in node.expectations.items()
+            if action == "drop"
+        }
+        for cond in drops.values():
+            stream_df = stream_df.filter(F.expr(cond))
         ckpt = os.path.join(self.base_path, "_checkpoints", node.name)
         writer = (
             stream_df.writeStream.format("parquet")
@@ -281,6 +320,25 @@ class Pipeline:
             writer = writer.partitionBy(*node.partition_by)
         writer.start().awaitTermination()
         df = spark.read.parquet(self.path(node.name))
+        if node.expectations:
+            counts = df.agg(
+                *[
+                    F.count(F.when(~F.expr(cond), F.lit(1))).alias(name)
+                    for name, (cond, _a) in node.expectations.items()
+                ]
+            ).first()
+            metrics = {}
+            for name, (cond, action) in node.expectations.items():
+                failed = counts[name]
+                metrics[name] = {
+                    "failed": failed, "action": action, "condition": cond,
+                }
+                if action == "fail" and failed:
+                    raise ValueError(
+                        f"expectation {name!r} failed for {failed} rows on "
+                        f"incremental node {node.name!r}: {cond}"
+                    )
+            self.expectation_metrics[node.name] = metrics
         df.createOrReplaceTempView(f"{self.name}__{node.name}")
         self._done[node.name] = df
         return df

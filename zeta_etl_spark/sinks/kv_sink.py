@@ -37,6 +37,10 @@ class KVTableSpec:
     local_secondary_indexes: dict[str, Sequence[str]] = field(default_factory=dict)
     global_secondary_indexes: dict[str, Sequence[str]] = field(default_factory=dict)
     ttl: str | None = None  # interval expr, e.g. "interval 2 weeks" (S10)
+    # the timestamp column TTL is anchored to — REQUIRED when ttl is set (the
+    # reference anchors TTL to a specific column, zetadex-serving.py:457;
+    # inferring "first timestamp column" would silently depend on schema order)
+    ttl_anchor: str | None = None
     write_batch_size: int = 25
     throughput: int = 100
 
@@ -46,15 +50,20 @@ def build_export_frame(df: DataFrame, spec: KVTableSpec) -> DataFrame:
     camelCase attributes, unix timestamps, TTL column."""
     out = df
     if spec.ttl:
-        ts_cols = [
-            f.name
-            for f in df.schema.fields
-            if f.dataType.typeName() in ("timestamp", "timestamp_ntz")
-        ]
-        if ts_cols:
-            out = out.withColumn(
-                "expiry", F.col(ts_cols[0]) + F.expr(spec.ttl)
+        if not spec.ttl_anchor:
+            raise ValueError(
+                f"KVTableSpec({spec.table_name!r}): ttl={spec.ttl!r} requires "
+                "an explicit ttl_anchor column — picking the first timestamp "
+                "column would make expiry depend on schema order"
             )
+        if spec.ttl_anchor not in df.columns:
+            raise ValueError(
+                f"KVTableSpec({spec.table_name!r}): ttl_anchor "
+                f"{spec.ttl_anchor!r} not in frame columns {df.columns}"
+            )
+        out = out.withColumn(
+            "expiry", F.col(spec.ttl_anchor) + F.expr(spec.ttl)
+        )
     # unix-convert first so composite keys serialize epoch seconds, matching
     # the reference's `timestamp#asset` key encoding (zetadex-serving.py:353)
     out = timestamps_to_unix(out)

@@ -99,22 +99,62 @@ def foreach_batch_upsert(
 
     Each microbatch unions the current target with the batch and keeps the
     latest row per key.  On Delta-capable deployments this becomes a real
-    MERGE INTO; parquet-overwrite keeps identical semantics locally.
+    MERGE INTO; locally the crash-safety Delta's log provides comes from
+    versioned directories + an atomic pointer file:
+
+    - each merge WRITES a fresh ``{target}__v{batch_id}`` dir, READS only the
+      last pointer-committed version (never a possibly-partial write), and
+      commits by ``os.replace`` of the pointer — atomic on POSIX.
+    - a crash at any point leaves the pointer naming a complete version; the
+      availableNow checkpoint replays the uncommitted batch, which re-merges
+      idempotently (latest-wins by key).
+    - ``target_path`` itself is maintained as a convenience mirror for plain
+      ``spark.read.parquet`` readers; it is rebuilt from the committed
+      version, so a torn mirror heals on the next batch.
+
+    SCOPE: pointer/rename ops use the local filesystem (this runner's
+    deployment surface).  On HDFS/S3 this seam is where Delta/Iceberg (or
+    Hadoop FileSystem rename) replaces the pointer file.
     """
+    import shutil
+
     from zeta_etl_spark.operators.cdc import latest_by_keys
 
+    ptr_path = target_path + ".version"
+
+    def _committed_version() -> int | None:
+        if not os.path.exists(ptr_path):
+            return None
+        with open(ptr_path) as fh:
+            return int(fh.read().strip())
+
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
-        if os.path.exists(target_path):
-            current = spark.read.parquet(target_path)
+        current_ver = _committed_version()
+        if current_ver == batch_id:
+            # replay of an already-committed batch (crash after pointer
+            # commit, before the stream checkpoint): just heal the mirror
+            spark.read.parquet(f"{target_path}__v{batch_id}").write.mode(
+                "overwrite"
+            ).parquet(target_path)
+            return
+        if current_ver is not None:
+            current = spark.read.parquet(f"{target_path}__v{current_ver}")
             merged = current.unionByName(batch_df.select(*current.columns))
         else:
             merged = batch_df
         out = latest_by_keys(merged, keys, sequence_by)
-        # write to temp then swap to keep the read path consistent
-        tmp = target_path + "__staging"
-        out.write.mode("overwrite").parquet(tmp)
-        refreshed = spark.read.parquet(tmp)
-        refreshed.write.mode("overwrite").parquet(target_path)
+        new_dir = f"{target_path}__v{batch_id}"
+        out.write.mode("overwrite").parquet(new_dir)
+        # refresh the reader mirror BEFORE the commit point: a torn mirror is
+        # recoverable (rebuilt from the committed version), a torn version
+        # dir named by the pointer would not be
+        spark.read.parquet(new_dir).write.mode("overwrite").parquet(target_path)
+        tmp_ptr = ptr_path + ".tmp"
+        with open(tmp_ptr, "w") as fh:
+            fh.write(str(batch_id))
+        os.replace(tmp_ptr, ptr_path)  # atomic commit point
+        if current_ver is not None:
+            shutil.rmtree(f"{target_path}__v{current_ver}", ignore_errors=True)
 
     (
         stream.writeStream.foreachBatch(_merge)
