@@ -50,6 +50,21 @@ def minhash_params(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
     ]
 
 
+def shingle_docs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Per-doc shingle arrays (column ``_sh``) — the shared silver
+    projection feeding BOTH the MinHash signature chain and exact-Jaccard
+    verification, so the text is shingled exactly once per corpus pass
+    (at cluster scale this is a materialized pipeline node)."""
+    return df.select(
+        F.col(id_col), F.expr(spark_shingles(text_col, shingle_k)).alias("_sh")
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -66,13 +81,17 @@ def minhash_signatures(
     variant measured 30× slower purely on Catalyst codegen size).
     ``a_i·h < 2^31·2^32 = 2^63`` so the arithmetic never overflows BIGINT in
     either engine.
+
+    Accepts either raw docs (shingles computed inline) or the output of
+    :func:`shingle_docs` (column ``_sh`` reused as-is).
     """
     h = spark_hex2long("s", digits=8)  # 32-bit shingle hash
+    sh_expr = (
+        "_sh" if "_sh" in df.columns else spark_shingles(text_col, shingle_k)
+    )
     shingled = df.select(
         F.col(id_col),
-        F.expr(
-            f"transform({spark_shingles(text_col, shingle_k)}, s -> {h})"
-        ).alias("_hs"),
+        F.expr(f"transform({sh_expr}, s -> {h})").alias("_hs"),
     )
     sig_exprs = [
         F.expr(
@@ -141,9 +160,15 @@ def jaccard_verify(
     The candidate set is small (LSH bucket collisions), so each pair joins to
     the two shingle ARRAYS and intersects them in-place (``array_intersect``)
     — no shingle explode, no second shuffle.  Verification cost is
-    O(|candidates| × shingles-per-doc), independent of corpus size."""
-    shingled = docs.select(
-        F.col(id_col), F.expr(spark_shingles(text_col, shingle_k)).alias("_sh")
+    O(|candidates| × shingles-per-doc), independent of corpus size.
+
+    ``docs`` may be raw documents or a pre-shingled :func:`shingle_docs`
+    frame (column ``_sh`` reused, sharing one corpus text pass with the
+    signature chain)."""
+    shingled = (
+        docs.select(F.col(id_col), "_sh")
+        if "_sh" in docs.columns
+        else shingle_docs(docs, text_col, id_col, shingle_k)
     )
     sa = shingled.select(
         F.col(id_col).alias("doc_a"), F.col("_sh").alias("sh_a")

@@ -221,7 +221,9 @@ class Pipeline:
                 if node.partition_by:
                     writer = writer.partitionBy(*node.partition_by)
                 writer.parquet(self.path(name))
-                df = spark.read.parquet(self.path(name))
+                # explicit schema: an empty node (0-row day, empty source)
+                # writes no part files and schema inference would fail
+                df = spark.read.schema(df.schema).parquet(self.path(name))
             df.createOrReplaceTempView(f"{self.name}__{name}")
             self._done[name] = df
             return df
@@ -319,7 +321,7 @@ class Pipeline:
         if node.partition_by:
             writer = writer.partitionBy(*node.partition_by)
         writer.start().awaitTermination()
-        df = spark.read.parquet(self.path(node.name))
+        df = spark.read.schema(stream_df.schema).parquet(self.path(node.name))
         if node.expectations:
             counts = df.agg(
                 *[

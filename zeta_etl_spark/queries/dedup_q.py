@@ -186,7 +186,11 @@ def minhash_lsh_pairs(spark, sf_dir):
     )
     # signatures feed the band join, est_sim join (×2) and verification —
     # persist so the shingle+md5 chain runs once (at cluster scale this is a
-    # materialized silver table, exactly like the reference's medallion nodes)
+    # materialized silver table, exactly like the reference's medallion
+    # nodes).  Measured note: caching the raw SHINGLE arrays instead (to
+    # share one text pass with verification) regressed ~30% at sf0.1 —
+    # materializing wide string arrays costs more than recomputing the md5
+    # chain; signatures (16 bigints/doc) are the right cache grain.
     sigs = minhash_signatures(d, num_perm=_NUM_PERM).cache()
     pairs = lsh_candidate_pairs(sigs, bands=_BANDS, rows_per_band=_ROWS).cache()
     verified = jaccard_verify(pairs, d)
