@@ -237,3 +237,48 @@ def test_stateful_sessionizer(spark, tmp_path):
     rows = {(r["user"], r["n_events"]): r for r in spark.read.parquet(out).collect()}
     assert (("a", 1)) in rows  # timed-out single-event session at 01:00
     assert rows[("a", 1)]["total"] == 4.0
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """T4+: stream-stream INNER join with watermarks and an event-time
+    interval condition — impressions joined to clicks within 10 minutes
+    (the canonical Structured Streaming two-stream shape; state on both
+    sides is bounded by the watermark + time-range)."""
+    imp_rows = [
+        {"ad_id": "a1", "ts": "2024-03-01T10:00:00", "amount": 1.0},
+        {"ad_id": "a2", "ts": "2024-03-01T10:05:00", "amount": 1.0},
+        {"ad_id": "a3", "ts": "2024-03-01T10:10:00", "amount": 1.0},
+    ]
+    clk_rows = [
+        {"user": "a1", "ts": "2024-03-01T10:04:00", "amount": 0.5},  # +4m ✓
+        {"user": "a2", "ts": "2024-03-01T10:30:00", "amount": 0.5},  # +25m ✗
+        # a3 never clicked ✗ (inner join)
+    ]
+    imp_dir, clk_dir = str(tmp_path / "imp"), str(tmp_path / "clk")
+    _write_json(imp_dir, imp_rows, "i.json")
+    _write_json(clk_dir, clk_rows, "c.json")
+
+    imps = (
+        read_json(spark, imp_dir, "ad_id string, ts timestamp, amount double",
+                  streaming=True)
+        .withColumnRenamed("ts", "imp_ts")
+        .withWatermark("imp_ts", "1 hour")
+    )
+    clks = (
+        read_json(spark, clk_dir, "user string, ts timestamp, amount double",
+                  streaming=True)
+        .select(F.col("user").alias("c_ad_id"), F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "1 hour")
+    )
+    joined = imps.join(
+        clks,
+        F.expr(
+            "ad_id = c_ad_id AND click_ts >= imp_ts "
+            "AND click_ts <= imp_ts + interval 10 minutes"
+        ),
+    ).select("ad_id", "imp_ts", "click_ts")
+
+    out = str(tmp_path / "out")
+    run_available_now(joined, out, str(tmp_path / "ck"))
+    rows = spark.read.parquet(out).collect()
+    assert [(r["ad_id"]) for r in rows] == ["a1"]

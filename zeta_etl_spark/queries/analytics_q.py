@@ -1,0 +1,282 @@
+"""Advanced-analytics queries: ranked-distribution window family
+(ntile/cume_dist/percent_rank), TF-IDF term ranking, an Arrow-batched
+applyInPandas normalization (the sanctioned Python-UDF path, oracle-verified),
+and an iterative Lloyd k-means over the embeddings table.
+
+Beyond-reference breadth (BASELINE.json north star): these are the shapes an
+LLM-data platform adds on top of the reference's finance analytics — corpus
+term weighting, grouped Python feature engineering, unsupervised clustering.
+
+Determinism notes:
+- ntile/cume_dist/percent_rank are rank-arithmetic (exact ints + one double
+  division) over fully tie-broken orderings — bit-identical across engines.
+- TF-IDF uses the rational idf ``n_docs / df`` (no libm log — ln() last-ulp
+  behavior is not guaranteed identical across engines); tf·N/df on exact
+  BIGINTs with one final double division.
+- The applyInPandas normalizer only uses order-independent group stats
+  (median/max/min) and elementwise arithmetic, so pandas float64 matches
+  DuckDB's double math exactly; median on even counts is (a+b)/2 in both.
+- k-means distances/assignments are exact integer arithmetic on scaled
+  vectors; recomputed centroids round via floor(sum/cnt + 0.5) where the
+  double division of exact ints (|sum| < 2^53) is IEEE-deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from zeta_etl_spark.functions import dec_sum
+from zeta_etl_spark.queries.registry import T, query
+
+# --- ntile_cume_dist: ranked-distribution window family (W5 completeness) ---
+
+_NTILE_ORACLE = """
+WITH totals AS (
+  SELECT user_id,
+    CAST(SUM(CAST(value AS DECIMAL(32,6))) AS DOUBLE) AS total_value
+  FROM events GROUP BY user_id
+)
+SELECT user_id, total_value,
+  CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+  CUME_DIST() OVER w AS cume,
+  PERCENT_RANK() OVER w AS pct_rank
+FROM totals
+WINDOW w AS (ORDER BY total_value DESC, user_id)
+"""
+
+
+@query("ntile_cume_dist", oracle=_NTILE_ORACLE, tags=("window", "W5"))
+def ntile_cume_dist(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    totals = ev.groupBy("user_id").agg(dec_sum("value", "total_value"))
+    w = Window.orderBy(F.col("total_value").desc(), F.col("user_id"))
+    return totals.select(
+        "user_id",
+        "total_value",
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.cume_dist().over(w).alias("cume"),
+        F.percent_rank().over(w).alias("pct_rank"),
+    )
+
+
+# --- tfidf_top_terms: corpus term weighting with rational idf ---------------
+
+_TFIDF_ORACLE = """
+WITH docs AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+  WHERE doc_id < 100
+), tokens AS (
+  SELECT doc_id, toks[CAST(i AS INT)] AS term
+  FROM docs CROSS JOIN range(1, 10000) r(i) WHERE i <= len(toks)
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tokens GROUP BY 1, 2
+), df AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM tokens GROUP BY 1
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM docs
+), scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+    CAST(tf.tf * n.n_docs AS DOUBLE) / df.df AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, tfidf, CAST(rn AS BIGINT) AS term_rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, term) AS rn
+  FROM scored
+) t WHERE rn <= 3
+"""
+
+
+@query("tfidf_top_terms", oracle=_TFIDF_ORACLE, tags=("text", "tfidf", "agg"))
+def tfidf_top_terms(spark, sf_dir):
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    tokens = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    tf = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tokens.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            ((F.col("tf") * F.col("n_docs")).cast("double") / F.col("df")).alias(
+                "tfidf"
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("term_rank") <= 3)
+    )
+
+
+# --- pandas_minmax_norm: the sanctioned Python-UDF path, oracle-verified ----
+# The engine keeps Python out of relational hot paths (SURVEY §2.10); when a
+# user DOES need grouped Python feature engineering, applyInPandas is the
+# shape — Arrow-batched, one group per call.  This query proves the path
+# produces hash-identical results to a pure-SQL oracle when the group stats
+# are order-independent.
+
+_NORM_ORACLE = """
+WITH s AS (
+  SELECT user_id, median(value) AS med, max(value) AS mx, min(value) AS mn
+  FROM events GROUP BY user_id
+)
+SELECT e.event_id, e.user_id,
+  CASE WHEN s.mx = s.mn THEN 0.0
+       ELSE (e.value - s.med) / (s.mx - s.mn) END AS norm_value
+FROM events e JOIN s USING (user_id)
+"""
+
+
+@query(
+    "pandas_minmax_norm",
+    oracle=_NORM_ORACLE,
+    tags=("udf", "applyInPandas", "python"),
+)
+def pandas_minmax_norm(spark, sf_dir):
+    import pandas as pd
+
+    ev = T(spark, sf_dir, "events").select("event_id", "user_id", "value")
+
+    def _norm(pdf: pd.DataFrame) -> pd.DataFrame:
+        med = pdf["value"].median()  # (a+b)/2 on even counts, same as DuckDB
+        mx, mn = pdf["value"].max(), pdf["value"].min()
+        rng = mx - mn
+        norm = (pdf["value"] - med) / rng if rng != 0 else 0.0 * pdf["value"]
+        return pd.DataFrame(
+            {"event_id": pdf["event_id"], "user_id": pdf["user_id"],
+             "norm_value": norm}
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        _norm, "event_id bigint, user_id bigint, norm_value double"
+    )
+
+
+# --- kmeans_lloyd_assign: iterative Lloyd clustering over embeddings --------
+# Beyond-reference iterative algorithm on the DataFrame API: k seeded
+# centroids (first k vectors by vec_id), N unrolled Lloyd iterations, final
+# assignment with exact integer distances.  Assignment uses the packed-
+# broadcast zip_with shape (zero shuffle on the corpus); recomputation is a
+# (cluster, dim) aggregation — the one genuinely necessary shuffle, map-side
+# combined.
+
+_KMEANS_K = 8
+_KMEANS_ITERS = 2
+
+
+def _kmeans_oracle() -> str:
+    from zeta_etl_spark.operators.vectors import SCALE
+
+    scaled = (
+        f"list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {SCALE} "
+        "+ 0.5) AS BIGINT))"
+    )
+    # one assignment round against centroid table {cl, dim, cv}
+    def assign_cte(cent: str, out: str) -> str:
+        return f"""
+{out}_d AS (
+  SELECT e.vec_id, c.cl,
+    SUM((e.v - c.cv) * (e.v - c.cv)) AS dist2
+  FROM ex e JOIN {cent} c ON e.dim = c.dim GROUP BY 1, 2
+), {out} AS (
+  SELECT vec_id, cl, dist2 FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY dist2, cl) AS rn FROM {out}_d
+  ) WHERE rn = 1
+)"""
+
+    def recompute_cte(assign: str, out: str) -> str:
+        return f"""
+{out} AS (
+  SELECT a.cl, e.dim,
+    CAST(floor(CAST(SUM(e.v) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) AS cv
+  FROM ex e JOIN {assign} a USING (vec_id) GROUP BY 1, 2
+)"""
+
+    return f"""
+WITH emb AS (
+  SELECT vec_id, {scaled} AS sv FROM embeddings
+), ex AS (
+  SELECT vec_id, CAST(i AS BIGINT) AS dim, sv[CAST(i AS INT)] AS v
+  FROM emb CROSS JOIN range(1, 65) t(i)
+), cent0 AS (
+  SELECT vec_id AS cl, dim, v AS cv FROM ex WHERE vec_id < {_KMEANS_K}
+), {assign_cte("cent0", "a1")}, {recompute_cte("a1", "cent1")},
+{assign_cte("cent1", "a2")}, {recompute_cte("a2", "cent2")},
+{assign_cte("cent2", "afinal")}
+SELECT vec_id, cl AS cluster, CAST(dist2 AS BIGINT) AS dist2 FROM afinal
+"""
+
+
+@query(
+    "kmeans_lloyd_assign",
+    oracle=_kmeans_oracle(),
+    tags=("vectors", "kmeans", "iterative"),
+)
+def kmeans_lloyd_assign(spark, sf_dir):
+    from zeta_etl_spark.operators.vectors import scaled_vectors
+
+    emb = scaled_vectors(T(spark, sf_dir, "embeddings").drop("label"))
+    # seeded init: the first k vectors ARE the centroids
+    cent = (
+        emb.filter(F.col("vec_id") < _KMEANS_K)
+        .select(F.col("vec_id").alias("cl"), F.col("sv").alias("cv_arr"))
+    )
+
+    def packed(c):
+        return c.agg(F.array_sort(F.collect_list(F.struct("cl", "cv_arr"))).alias("cents"))
+
+    dists_sorted = (
+        "array_sort(transform(cents, c -> struct("
+        "aggregate(zip_with(sv, c.cv_arr, (x, y) -> (x - y) * (x - y)), 0L, "
+        "(a, v) -> a + v) AS dist2, c.cl AS cl)))"
+    )
+
+    def assign(c):
+        best = F.expr("element_at(" + dists_sorted + ", 1)")
+        return (
+            emb.crossJoin(F.broadcast(packed(c)))
+            .withColumn("_b", best)
+            .select(
+                "vec_id",
+                "sv",
+                F.col("_b.cl").alias("cluster"),
+                F.col("_b.dist2").alias("dist2"),
+            )
+        )
+
+    def recompute(assigned):
+        ex = assigned.select(
+            "cluster", F.posexplode("sv").alias("pos", "v")
+        ).withColumn("dim", (F.col("pos") + 1).cast("bigint"))
+        per_dim = ex.groupBy("cluster", "dim").agg(
+            F.floor(
+                F.sum("v").cast("double") / F.count(F.lit(1)) + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("cv")
+        )
+        return (
+            per_dim.groupBy(F.col("cluster").alias("cl"))
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "cv"))).alias("_s"))
+            .select("cl", F.expr("transform(_s, s -> s.cv)").alias("cv_arr"))
+        )
+
+    for _ in range(_KMEANS_ITERS):
+        cent = recompute(assign(cent))
+    final = assign(cent)
+    return final.select(
+        "vec_id",
+        F.col("cluster"),
+        F.col("dist2").cast("bigint").alias("dist2"),
+    )
