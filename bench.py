@@ -50,6 +50,14 @@ OPTIONAL = [
     "ivf_cosine_top3",
     "corpus_curation",
     "winnowing_fingerprints",
+    # round-2 additions (r1's 26 queries above are unchanged for
+    # cross-round comparability; compare totals accordingly)
+    "fee_tier_volume",
+    "pnl_roi_leaderboard",
+    "tfidf_top_terms",
+    "pandas_minmax_norm",
+    "minmax_norm_sql",  # codegen twin of pandas_minmax_norm: the Python tax
+    "kmeans_lloyd_assign",
 ]
 
 

@@ -280,3 +280,32 @@ def kmeans_lloyd_assign(spark, sf_dir):
         F.col("cluster"),
         F.col("dist2").cast("bigint").alias("dist2"),
     )
+
+
+# --- minmax_norm_sql: the codegen twin of pandas_minmax_norm ----------------
+# Same semantics, same oracle — pure JVM plan (groupBy stats + broadcast
+# join + elementwise projection).  Exists to measure the Python-path tax:
+# bench runs both; the pandas variant is the deliberate slow-path demo
+# (brief: "UDFs are the slow path"), this is what the engine does when the
+# logic is expressible relationally.
+
+
+@query(
+    "minmax_norm_sql",
+    oracle=_NORM_ORACLE,
+    tags=("window", "norm", "codegen-twin"),
+)
+def minmax_norm_sql(spark, sf_dir):
+    ev = T(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    stats = ev.groupBy("user_id").agg(
+        F.median("value").alias("med"),
+        F.max("value").alias("mx"),
+        F.min("value").alias("mn"),
+    )
+    return ev.join(F.broadcast(stats), "user_id").select(
+        "event_id",
+        "user_id",
+        F.when(F.col("mx") == F.col("mn"), F.lit(0.0))
+        .otherwise((F.col("value") - F.col("med")) / (F.col("mx") - F.col("mn")))
+        .alias("norm_value"),
+    )

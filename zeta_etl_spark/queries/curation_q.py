@@ -114,3 +114,139 @@ def split_balance(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.min("doc_id").cast("bigint").alias("min_doc_id"),
     )
+
+
+# --- contamination_check: train/test n-gram containment ---------------------
+# The benchmark-decontamination pass every LLM data pipeline needs: for each
+# eval-split document, the fraction of its shingles that appear anywhere in
+# the train split.  Split assignment reuses the deterministic md5-bucket
+# rule (operators/sampling.py); containment joins the eval docs' shingle
+# arrays against the DISTINCT train shingle set — the join is a semi-join on
+# the exploded eval side only, so cost scales with eval size (small), never
+# train size × eval size.
+
+_CONTAM_ORACLE = f"""
+WITH splits AS (
+  SELECT doc_id, text,
+    CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+              % 10 < 8 THEN 'train' ELSE 'eval' END AS split
+  FROM documents
+), train_shingles AS (
+  SELECT DISTINCT s.sh FROM splits,
+    UNNEST({{dsh}}) AS s(sh) WHERE split = 'train'
+), eval_docs AS (
+  SELECT doc_id, {{dsh}} AS sh FROM splits WHERE split = 'eval'
+), ex AS (
+  SELECT doc_id, s.sh FROM eval_docs, UNNEST(sh) AS s(sh)
+), hits AS (
+  SELECT e.doc_id,
+    COUNT(*) AS n_shingles,
+    COUNT(t.sh) AS n_contaminated
+  FROM ex e LEFT JOIN train_shingles t ON e.sh = t.sh
+  GROUP BY 1
+)
+SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+  CAST(n_contaminated AS BIGINT) AS n_contaminated,
+  CAST(n_contaminated AS DOUBLE) / n_shingles AS contamination
+FROM hits WHERE n_shingles > 0
+"""
+
+
+def _contam_oracle() -> str:
+    from zeta_etl_spark.functions.text import duck_shingles
+
+    return _CONTAM_ORACLE.format(dsh=duck_shingles("text", 5))
+
+
+@query(
+    "contamination_check",
+    oracle=_contam_oracle(),
+    tags=("curation", "dedup", "contamination"),
+)
+def contamination_check(spark, sf_dir):
+    from zeta_etl_spark.functions.text import spark_shingles
+
+    d = T(spark, sf_dir, "documents")
+    split = F.when(
+        F.expr(
+            "cast(conv(substr(md5(cast(doc_id as string)), 1, 8), 16, 10) "
+            "as bigint) % 10 < 8"
+        ),
+        "train",
+    ).otherwise("eval")
+    splits = d.select("doc_id", "text", split.alias("split"))
+    sh = F.expr(spark_shingles("text", 5))
+    train_shingles = (
+        splits.filter("split = 'train'")
+        .select(F.explode(sh).alias("sh"))
+        .distinct()
+    )
+    ex = splits.filter("split = 'eval'").select(
+        "doc_id", F.explode(sh).alias("sh")
+    )
+    hits = (
+        ex.join(train_shingles.withColumn("_hit", F.lit(1)), "sh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("_hit").alias("n_contaminated"),
+        )
+    )
+    return hits.filter(F.col("n_shingles") > 0).select(
+        "doc_id",
+        "n_shingles",
+        "n_contaminated",
+        (
+            F.col("n_contaminated").cast("double") / F.col("n_shingles")
+        ).alias("contamination"),
+    )
+
+
+# --- doc_repetition: repetition-ratio quality signal ------------------------
+# Boilerplate/templated text shows up as a high most-frequent-token share and
+# a low distinct-token ratio — the standard cheap repetition filters.
+
+_REPEAT_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, t.tok FROM documents,
+    UNNEST(string_split(text, ' ')) AS t(tok)
+), counts AS (
+  SELECT doc_id, tok, COUNT(*) AS n FROM toks GROUP BY 1, 2
+), stats AS (
+  SELECT doc_id,
+    SUM(n) AS n_tokens,
+    COUNT(*) AS n_distinct,
+    MAX(n) AS top_count
+  FROM counts GROUP BY 1
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+  CAST(n_distinct AS BIGINT) AS n_distinct,
+  CAST(top_count AS BIGINT) AS top_count,
+  CAST(top_count AS DOUBLE) / n_tokens AS top_token_share,
+  CAST(n_distinct AS DOUBLE) / n_tokens AS distinct_ratio
+FROM stats
+"""
+
+
+@query("doc_repetition", oracle=_REPEAT_ORACLE, tags=("curation", "quality"))
+def doc_repetition(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    counts = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("n"))
+    stats = counts.groupBy("doc_id").agg(
+        F.sum("n").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("n").alias("top_count"),
+    )
+    return stats.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        "top_count",
+        (F.col("top_count").cast("double") / F.col("n_tokens")).alias(
+            "top_token_share"
+        ),
+        (F.col("n_distinct").cast("double") / F.col("n_tokens")).alias(
+            "distinct_ratio"
+        ),
+    )

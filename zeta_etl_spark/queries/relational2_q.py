@@ -207,3 +207,66 @@ def gap_fill_interpolate(spark, sf_dir):
         F.col("avg_value").isNotNull().cast("bigint").alias("is_observed"),
         filled.alias("filled_value"),
     )
+
+
+# --- event_type_pivot: native PIVOT (wide reshaping, U4's inverse) ----------
+# Spark's .pivot() with EXPLICIT values (deterministic column order + no
+# extra distinct-values job — the implicit form scans once to discover
+# columns, which at 100 TB is a full extra pass).
+
+_PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+_PIVOT_ORACLE = f"""
+SELECT user_id,
+  {", ".join(
+    "CAST(SUM(CAST(CASE WHEN event_type = '" + t + "' THEN value ELSE 0 END "
+    "AS DECIMAL(32,6))) AS DOUBLE) AS " + t for t in _PIVOT_TYPES)}
+FROM events GROUP BY user_id
+"""
+
+
+@query("event_type_pivot", oracle=_PIVOT_ORACLE, tags=("reshape", "pivot", "U4"))
+def event_type_pivot(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", _PIVOT_TYPES)
+        .agg(F.sum(F.col("value").cast("DECIMAL(32,6)")).cast("double"))
+        .fillna(0.0, subset=_PIVOT_TYPES)
+    )
+
+
+# --- daily_type_cube: CUBE + GROUPING_ID (A10 depth beyond rollup) ----------
+
+_CUBE_ORACLE = """
+SELECT
+  COALESCE(event_type, '<all>') AS event_type,
+  COALESCE(strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d'),
+           '<all>') AS day_str,
+  CAST(GROUPING(event_type) * 2 + GROUPING(date_trunc('day',
+       CAST(ts AS TIMESTAMP))) AS BIGINT) AS gid,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(32,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY CUBE (event_type, date_trunc('day', CAST(ts AS TIMESTAMP)))
+"""
+
+
+@query("daily_type_cube", oracle=_CUBE_ORACLE, tags=("agg", "cube", "A10"))
+def daily_type_cube(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    cube = ev.cube(F.col("event_type"), day.alias("_day")).agg(
+        F.grouping_id().cast("bigint").alias("gid"),
+        F.count(F.lit(1)).alias("n_events"),
+        dec_sum("value", "sum_value"),
+    )
+    return cube.select(
+        F.coalesce(F.col("event_type"), F.lit("<all>")).alias("event_type"),
+        F.coalesce(
+            F.date_format("_day", "yyyy-MM-dd"), F.lit("<all>")
+        ).alias("day_str"),
+        "gid",
+        "n_events",
+        "sum_value",
+    )
