@@ -418,3 +418,62 @@ def connect_attribution(spark, sf_dir):
         .otherwise("none")
         .alias("attribution"),
     )
+
+
+# --- session_window_native: Spark's built-in session windows (T10 depth) ----
+# The lead-based sessionizer (user_sessions) is the reference's shape
+# (zetadex-amplitude-events-pipeline.py:149-197); Spark also has a native
+# F.session_window usable in BOTH batch and streaming groupBy.  Oracle: the
+# classic gaps-and-islands construction — new island when the gap from the
+# previous event exceeds the timeout; window end = last event + gap (Spark's
+# session_window end semantics).
+
+_SESSION_GAP_MIN = 360  # 6 hours
+
+_NATIVE_SESSION_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+), flagged AS (
+  SELECT *, CASE WHEN ts - LAG(ts) OVER w > INTERVAL {_SESSION_GAP_MIN} MINUTE
+                 OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), islands AS (
+  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+)
+SELECT user_id,
+  MIN(ts) AS session_start,
+  MAX(ts) + INTERVAL {_SESSION_GAP_MIN} MINUTE AS session_end,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(32,6))) AS DOUBLE) AS session_value
+FROM islands GROUP BY user_id, sid
+"""
+
+
+@query(
+    "session_window_native",
+    oracle=_NATIVE_SESSION_ORACLE,
+    tags=("window", "session", "T10"),
+)
+def session_window_native(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id",
+            F.session_window(F.col("ts"), f"{_SESSION_GAP_MIN} minutes").alias(
+                "_w"
+            ),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dec_sum("value", "session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("_w.start").alias("session_start"),
+            F.col("_w.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
