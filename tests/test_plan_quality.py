@@ -85,3 +85,29 @@ def _join_keys(plan: str) -> str:
         ln for ln in plan.splitlines()
         if "HashJoin" in ln or "SortMergeJoin" in ln
     )
+
+
+def test_pnl_roi_two_window_exchanges(spark, sf_dir):
+    # the shuffle-consolidation discipline: 11 derived columns, exactly TWO
+    # window shuffles (user_id family + hour_ts family)
+    plan = _plan(spark, sf_dir, "pnl_roi_leaderboard")
+    win_exchanges = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln
+        and ("user_id" in ln or "hour_ts" in ln)
+    ]
+    assert len(win_exchanges) <= 3  # groupBy + 2 window families
+
+
+def test_tfidf_doc_count_broadcast(spark, sf_dir):
+    # the 1-row corpus-size frame must broadcast, never shuffle
+    plan = _plan(spark, sf_dir, "tfidf_top_terms")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_kmeans_assignment_zero_shuffle_on_corpus(spark, sf_dir):
+    # same contract as nearest_centroid: no join on dim anywhere in the
+    # final assignment; packed centroids broadcast as a single row
+    plan = _plan(spark, sf_dir, "kmeans_lloyd_assign")
+    assert "dim#" not in _join_keys(plan)
+    assert "BroadcastNestedLoopJoin" in plan

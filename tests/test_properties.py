@@ -120,3 +120,74 @@ def test_seeded_rand_is_deterministic(spark):
     a, b = assign(), assign()
     assert a == b
     assert len(set(a.values())) > 1
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 3),                # key
+            st.integers(0, 50_000),           # start offset (s)
+            st.integers(1, 30_000),           # duration (s)
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_interval_overlap_join_matches_naive(spark, rows):
+    """The bucketized interval-overlap join must be EXACTLY the naive
+    all-pairs overlap join for any interval layout (bucket boundaries,
+    shared-bucket dedup, multi-key)."""
+    from datetime import datetime, timedelta
+
+    from zeta_etl_spark.operators.temporal import interval_overlap_join
+
+    t0 = datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(k, i, t0 + timedelta(seconds=s), t0 + timedelta(seconds=s + d))
+         for i, (k, s, d) in enumerate(rows)],
+        "k int, lid int, l_start timestamp, l_end timestamp",
+    )
+    right = spark.createDataFrame(
+        [(k, i, t0 + timedelta(seconds=s * 2 % 50_000),
+          t0 + timedelta(seconds=s * 2 % 50_000 + d))
+         for i, (k, s, d) in enumerate(rows)],
+        "k int, rid int, r_start timestamp, r_end timestamp",
+    )
+    fast = interval_overlap_join(
+        left, right, "l_start", "l_end", "r_start", "r_end",
+        keys=["k"], bucket_seconds=3600,
+    ).select("lid", "rid")
+    naive = (
+        left.join(right, "k")
+        .filter(
+            (F.col("l_start") < F.col("r_end"))
+            & (F.col("l_end") > F.col("r_start"))
+        )
+        .select("lid", "rid")
+    )
+    assert fast.exceptAll(naive).count() == 0
+    assert naive.exceptAll(fast).count() == 0
+
+
+def test_asof_join_deterministic_under_shuffling(spark):
+    """Duplicate (key, ts) right rows must resolve identically regardless of
+    input order/partitioning (the r2 tie-break fix)."""
+    from datetime import datetime
+
+    from zeta_etl_spark.operators.temporal import as_of_join
+
+    t0 = datetime(2024, 1, 1, 12)
+    left = spark.createDataFrame(
+        [("k", t0)], "key string, lts timestamp"
+    )
+    dups = [("k", datetime(2024, 1, 1, 11), float(v)) for v in (3, 8, 1, 8)]
+    results = set()
+    for rot in range(4):
+        right = spark.createDataFrame(
+            dups[rot:] + dups[:rot], "key string, rts timestamp, val double"
+        ).repartition(5)
+        out = as_of_join(left, right, ["key"], "lts", "rts", ["val"]).collect()
+        results.add(out[0]["val"])
+    assert results == {8.0}
