@@ -282,3 +282,34 @@ def test_stream_stream_interval_join(spark, tmp_path):
     run_available_now(joined, out, str(tmp_path / "ck"))
     rows = spark.read.parquet(out).collect()
     assert [(r["ad_id"]) for r in rows] == ["a1"]
+
+
+def test_streaming_session_window(spark, tmp_path):
+    """T10 native form: F.session_window in a STREAMING groupBy with
+    watermark — the same expression the batch query uses (SURVEY §4
+    batch/streaming unification)."""
+    rows = [
+        {"user": "u1", "ts": "2024-03-01T10:00:00", "amount": 1.0},
+        {"user": "u1", "ts": "2024-03-01T10:10:00", "amount": 2.0},  # same session
+        {"user": "u1", "ts": "2024-03-01T12:00:00", "amount": 4.0},  # new session
+        {"user": "u2", "ts": "2024-03-01T10:05:00", "amount": 8.0},
+    ]
+    src = str(tmp_path / "sw_src")
+    _write_json(src, rows, "a.json")
+    stream = read_json(spark, src, SCHEMA, streaming=True)
+    sessions = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy("user", F.session_window("ts", "30 minutes").alias("_w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("amount").alias("total"))
+        .select("user", F.col("_w.start").alias("start"), "n", "total")
+    )
+    out = str(tmp_path / "sw_out")
+    run_available_now(sessions, out, str(tmp_path / "sw_ck"))
+    got = {(r["user"], r["start"].minute): (r["n"], r["total"])
+           for r in spark.read.parquet(out).collect()}
+    assert got[("u1", 0)] == (2, 3.0)   # 10:00+10:10 merged
+    assert got[("u2", 5)] == (1, 8.0)
+    # the 12:00 session's end (12:30) is NEWER than the watermark
+    # (max event 12:00 - 1h = 11:00), so append mode correctly HOLDS it in
+    # state rather than emitting a possibly-unfinished session
+    assert len(got) == 2

@@ -309,3 +309,84 @@ def minmax_norm_sql(spark, sf_dir):
         .otherwise((F.col("value") - F.col("med")) / (F.col("mx") - F.col("mn")))
         .alias("norm_value"),
     )
+
+
+# --- linear_trend_per_user: exact least-squares regression on DataFrames ----
+# Per-user OLS over (hour index, hourly value): slope/intercept from the
+# closed form using ONLY exact accumulators — x is a small int (hours since
+# the user's first hour), y stays DECIMAL, so nΣxy − ΣxΣy and nΣx² − (Σx)²
+# are exact; the single double division at the end is IEEE-deterministic.
+# (Never divide DECIMAL by DECIMAL cross-engine — result scale/rounding is
+# engine-specific; cast both operands to double first.)
+
+_TREND_ORACLE = """
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+    SUM(CAST(value AS DECIMAL(18,6))) AS y
+  FROM events GROUP BY 1, 2
+), idx AS (
+  SELECT user_id, y,
+    date_diff('hour', MIN(h) OVER (PARTITION BY user_id), h) AS x
+  FROM hourly
+), s AS (
+  SELECT user_id,
+    COUNT(*) AS n,
+    SUM(x) AS sx,
+    SUM(x * x) AS sxx,
+    SUM(y) AS sy,
+    SUM(y * x) AS sxy
+  FROM idx GROUP BY 1
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_hours,
+  CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+       ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+            / CAST(n * sxx - sx * sx AS DOUBLE) END AS slope,
+  CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+       ELSE (CAST(sy AS DOUBLE)
+             - (CAST(n * sxy - sx * sy AS DOUBLE)
+                / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+            / CAST(n AS DOUBLE) END AS intercept
+FROM s
+"""
+
+
+@query(
+    "linear_trend_per_user",
+    oracle=_TREND_ORACLE,
+    tags=("agg", "regression", "ml"),
+)
+def linear_trend_per_user(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.sum(F.col("value").cast("DECIMAL(18,6)")).alias("y"))
+    w = Window.partitionBy("user_id")
+    epoch_h = F.unix_timestamp(F.col("h").cast("timestamp")) / 3600
+    idx = hourly.withColumn(
+        "x", (epoch_h - F.min(epoch_h).over(w)).cast("bigint")
+    )
+    s = idx.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y") * F.col("x")).alias("sxy"),
+    )
+    denom = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    ) / denom.cast("double")
+    slope = F.when(denom == 0, F.lit(None)).otherwise(slope)
+    intercept = F.when(denom == 0, F.lit(None)).otherwise(
+        (
+            F.col("sy").cast("double")
+            - slope * F.col("sx").cast("double")
+        )
+        / F.col("n").cast("double")
+    )
+    return s.select(
+        "user_id",
+        F.col("n").cast("bigint").alias("n_hours"),
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+    )
