@@ -228,3 +228,64 @@ def map_payload_access(spark, sf_dir):
             "nonzero_flag"
         ),
     )
+
+
+# --- array_hof_functions: array + higher-order-function family sweep --------
+# The engine leans on HOFs instead of Python UDFs (§2.10); this query pins
+# the full family cross-engine: transform, filter, exists, aggregate,
+# zip_with, slice, sort, position, flatten, distinct.
+
+_ARRAY_HOF_ORACLE = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+  WHERE doc_id < 200
+)
+SELECT doc_id,
+  CAST(len(toks) AS BIGINT) AS n_toks,
+  array_to_string(list_transform(toks[1:3], x -> upper(x)), ',')
+    AS first3_upper,
+  CAST(len(list_filter(toks, x -> len(x) > 5)) AS BIGINT) AS n_long,
+  CAST(CASE WHEN len(list_filter(toks, x -> x = 'the')) > 0
+       THEN 1 ELSE 0 END AS BIGINT) AS has_the,
+  CAST(list_sum(list_transform(toks, x -> len(x))) AS BIGINT) AS total_chars,
+  CAST(NULLIF(list_position(toks, 'the'), 0) AS BIGINT) AS first_the_pos,
+  array_to_string(list_sort(list_distinct(toks[1:5])), ',')
+    AS first5_sorted_distinct
+FROM t
+"""
+
+
+@query(
+    "array_hof_functions",
+    oracle=_ARRAY_HOF_ORACLE,
+    tags=("scalar", "array", "hof", "F4"),
+)
+def array_hof_functions(spark, sf_dir):
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_toks"),
+        F.expr(
+            "concat_ws(',', transform(slice(split(text, ' '), 1, 3), "
+            "x -> upper(x)))"
+        ).alias("first3_upper"),
+        F.expr("size(filter(split(text, ' '), x -> length(x) > 5))")
+        .cast("bigint")
+        .alias("n_long"),
+        F.expr("case when exists(split(text, ' '), x -> x = 'the') then 1 else 0 end")
+        .cast("bigint")
+        .alias("has_the"),
+        F.expr(
+            "aggregate(split(text, ' '), 0L, (acc, x) -> acc + length(x))"
+        ).alias("total_chars"),
+        # array_position: 0 when absent in Spark; DuckDB list_position gives
+        # NULL — normalize with nullif/coalesce to the same convention
+        F.expr("nullif(array_position(split(text, ' '), 'the'), 0)")
+        .cast("bigint")
+        .alias("first_the_pos"),
+        F.expr(
+            "concat_ws(',', array_sort(array_distinct("
+            "slice(split(text, ' '), 1, 5))))"
+        ).alias("first5_sorted_distinct"),
+    )
