@@ -58,6 +58,7 @@ OPTIONAL = [
     "pandas_minmax_norm",
     "minmax_norm_sql",  # codegen twin of pandas_minmax_norm: the Python tax
     "kmeans_lloyd_assign",
+    "sq8_cosine_top5",
 ]
 
 

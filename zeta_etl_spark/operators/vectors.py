@@ -290,3 +290,81 @@ def nearest_centroid(
             .alias("is_correct"),
         )
     )
+
+
+def int8_quantize(scaled: DataFrame) -> DataFrame:
+    """Per-dimension symmetric int8 scalar quantization of scaled vectors.
+
+    The compression half of large-scale ANN (SQ8): each dimension d gets a
+    scale ``s_d = max |v_d| / 127`` over the corpus, values quantize to
+    ``round(v / s_d) ∈ [-127, 127]``.  Memory drops 8× (int64→int8 per
+    component conceptually; arrays stay bigint-typed but bounded ±127, so a
+    real columnar sink stores them as TINYINT), and distance arithmetic
+    stays exact integers → cross-engine deterministic.
+
+    Executor plan: one per-dim max aggregation over posexploded vectors
+    (map-side combined, k·dims groups) packed back into ONE broadcast row of
+    scales; quantization itself is a zip_with — zero shuffle on the corpus.
+    """
+    ex = scaled.select(F.posexplode("sv").alias("pos", "v"))
+    dim_scales = (
+        ex.groupBy((F.col("pos") + 1).cast("bigint").alias("dim"))
+        .agg(F.max(F.abs(F.col("v"))).alias("vmax"))
+        .select("dim", F.greatest(F.col("vmax"), F.lit(1)).alias("vmax"))
+    )
+    packed = (
+        dim_scales.groupBy()
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "vmax"))).alias("_s"))
+        .select(F.expr("transform(_s, s -> s.vmax)").alias("vmaxes"))
+    )
+    # q_d = floor(v * 127 / vmax_d + 0.5) with floor-based symmetric rounding
+    # (floor(x+0.5) matches the engine-wide no-ambiguity rounding rule);
+    # integer-exact because v*127 stays well under 2^63
+    quant = (
+        "zip_with(sv, vmaxes, (v, m) -> cast(floor((v * 127.0) / m + 0.5) "
+        "as bigint))"
+    )
+    return scaled.crossJoin(F.broadcast(packed)).select(
+        *[c for c in scaled.columns if c != "norm2"],
+        F.expr(quant).alias("qv"),
+    )
+
+
+def sq8_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate cosine top-k over int8-quantized vectors (SQ8 rerank-free
+    form): same broadcast-queries shape as :func:`cosine_topk`, but dots and
+    norms run over the ±127-bounded arrays — the arithmetic an int8 SIMD
+    kernel would do, expressed in codegen.
+
+    ``vectors`` carry ``qv`` from :func:`int8_quantize`; ``queries`` carry
+    ``qqv`` (same quantization, renamed).
+    """
+    dot = F.expr("aggregate(zip_with(qqv, qv, (x, y) -> x * y), 0L, (a, v) -> a + v)")
+    qn = F.expr("aggregate(zip_with(qqv, qqv, (x, y) -> x * y), 0L, (a, v) -> a + v)")
+    vn = F.expr("aggregate(zip_with(qv, qv, (x, y) -> x * y), 0L, (a, v) -> a + v)")
+    cos = dot.cast("double") / F.nullif(
+        F.sqrt(qn.cast("double")) * F.sqrt(vn.cast("double")), F.lit(0.0)
+    )
+    pairs = (
+        F.broadcast(queries)
+        .crossJoin(vectors)
+        .filter(F.col(query_id_col) != F.col(id_col))
+        .select(
+            F.col(query_id_col),
+            F.col(id_col).alias("neighbor_id"),
+            cos.alias("cosine_q"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_q").desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.withColumn("knn_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("knn_rank") <= k)
+    )

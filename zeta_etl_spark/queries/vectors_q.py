@@ -255,3 +255,60 @@ def ivf_cosine_top3(spark, sf_dir):
     )
     corpus = emb.select("vec_id", "sv", "norm2")
     return ivf_topk(corpus, cents, queries, k=3, nprobe=_NPROBE)
+
+
+# --- sq8_cosine_top5: int8 scalar-quantized ANN (SQ8) ------------------------
+# The compression half of planet-scale vector search: per-dim symmetric int8
+# quantization (8× memory; the arithmetic an int8 SIMD kernel does), then
+# brute-force cosine over the quantized arrays.  Quantized components are
+# exact integers (floor-based symmetric rounding), so ranking is
+# deterministic cross-engine.
+
+_SQ8_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, {_DUCK_SCALED} AS sv FROM embeddings
+), ex AS (
+  SELECT CAST(i AS BIGINT) AS dim, abs(sv[CAST(i AS INT)]) AS av
+  FROM e CROSS JOIN range(1, 65) t(i)
+), scales AS (
+  SELECT dim, GREATEST(MAX(av), 1) AS vmax FROM ex GROUP BY dim
+), vm AS (
+  SELECT list(vmax ORDER BY dim) AS vmaxes FROM scales
+), q8 AS (
+  SELECT vec_id,
+    list_transform(range(1, 65), i -> CAST(floor(
+      (sv[CAST(i AS INT)] * 127.0) / vmaxes[CAST(i AS INT)] + 0.5)
+      AS BIGINT)) AS qv
+  FROM e CROSS JOIN vm
+), q AS (
+  SELECT vec_id AS query_id, qv AS qqv FROM q8 WHERE vec_id < 10
+), p AS (
+  SELECT q.query_id, n.vec_id AS neighbor_id,
+    CAST(list_sum(list_transform(range(1, 65),
+         i -> q.qqv[CAST(i AS INT)] * n.qv[CAST(i AS INT)])) AS DOUBLE)
+      / NULLIF(
+          sqrt(CAST(list_sum(list_transform(q.qqv, x -> x * x)) AS DOUBLE))
+          * sqrt(CAST(list_sum(list_transform(n.qv, x -> x * x)) AS DOUBLE)),
+          0.0) AS cosine_q
+  FROM q JOIN q8 n ON n.vec_id != q.query_id
+)
+SELECT query_id, neighbor_id, cosine_q, CAST(rn AS BIGINT) AS knn_rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine_q DESC, neighbor_id) AS rn
+  FROM p
+) t WHERE rn <= 5
+"""
+
+
+@query("sq8_cosine_top5", oracle=_SQ8_ORACLE, tags=("vectors", "ann", "sq8"))
+def sq8_cosine_top5(spark, sf_dir):
+    from zeta_etl_spark.operators.vectors import int8_quantize, sq8_topk
+
+    emb = scaled_vectors(T(spark, sf_dir, "embeddings").drop("label"))
+    q8 = int8_quantize(emb)
+    queries = q8.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("qqv")
+    )
+    corpus = q8.select("vec_id", "qv")
+    return sq8_topk(corpus, queries, k=5)
