@@ -390,3 +390,61 @@ def linear_trend_per_user(spark, sf_dir):
         slope.alias("slope"),
         intercept.alias("intercept"),
     )
+
+
+# --- exact_variance_per_user: order-independent variance/stddev -------------
+# Naive var_pop/stddev over doubles is summation-order-dependent (Welford or
+# not, partial aggregation reorders terms); this computes
+# var = (nΣx² − (Σx)²) / n² from EXACT integer accumulators (value has ≤2
+# decimals → ×100 is exact) so the result is bit-identical under any
+# partitioning AND across engines.  sqrt is IEEE-deterministic.
+
+_VAR_ORACLE = """
+WITH s AS (
+  SELECT user_id,
+    COUNT(*) AS n,
+    SUM(CAST(round(value * 100) AS BIGINT)) AS sx,
+    SUM(CAST(round(value * 100) AS BIGINT)
+        * CAST(round(value * 100) AS BIGINT)) AS sxx
+  FROM events GROUP BY user_id
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_events,
+  CAST(sx AS DOUBLE) / (100.0 * n) AS mean_value,
+  (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+    / (10000.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS var_pop,
+  sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       / (10000.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS stddev_pop
+FROM s
+"""
+
+
+@query(
+    "exact_variance_per_user",
+    oracle=_VAR_ORACLE,
+    tags=("agg", "variance", "deterministic"),
+)
+def exact_variance_per_user(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    # floor(x*100 + 0.5) == round for the non-negative 2-decimal values here,
+    # and floor avoids rounding-mode ambiguity (engine-wide rule)
+    xi = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    s = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xi).alias("sx"),
+        F.sum(xi * xi).alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxx").cast("double") - (
+        F.col("sx").cast("double") * F.col("sx").cast("double")
+    )
+    var = num / (F.lit(10000.0) * nd * nd)
+    return s.select(
+        "user_id",
+        F.col("n").cast("bigint").alias("n_events"),
+        (F.col("sx").cast("double") / (F.lit(100.0) * F.col("n"))).alias(
+            "mean_value"
+        ),
+        var.alias("var_pop"),
+        F.sqrt(var).alias("stddev_pop"),
+    )
