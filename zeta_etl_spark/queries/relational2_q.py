@@ -270,3 +270,122 @@ def daily_type_cube(spark, sf_dir):
         "n_events",
         "sum_value",
     )
+
+
+# --- promo_revenue_share: TPC-H Q14 shape (conditional agg over a join) -----
+
+_Q14_ORACLE = """
+SELECT
+  100.00 * CAST(SUM(CAST(CASE WHEN p.p_type LIKE 'PROMO%'
+        THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END
+      AS DECIMAL(32,6))) AS DOUBLE)
+    / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+      AS DECIMAL(32,6))) AS DOUBLE) AS promo_revenue_pct,
+  COUNT(*) AS n_lines
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= DATE '1995-09-01'
+  AND l.l_shipdate < DATE '1995-10-01'
+"""
+
+
+@query("promo_revenue_share", oracle=_Q14_ORACLE, tags=("agg", "tpch", "A3"))
+def promo_revenue_share(spark, sf_dir):
+    l = T(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-09-01") & (F.col("l_shipdate") < "1995-10-01")
+    )
+    p = T(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0))
+    j = l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+    return j.agg(
+        (
+            F.lit(100.0)
+            * F.sum(promo.cast("DECIMAL(32,6)")).cast("double")
+            / F.sum(rev.cast("DECIMAL(32,6)")).cast("double")
+        ).alias("promo_revenue_pct"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+# --- large_orders: TPC-H Q18 shape (HAVING + semi join back to detail) ------
+
+_Q18_ORACLE = """
+WITH big AS (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(32,6))) > 150
+)
+SELECT c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+  CAST(SUM(CAST(l.l_quantity AS DECIMAL(32,6))) AS DOUBLE) AS total_qty
+FROM orders o
+JOIN big ON o.o_orderkey = big.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY 1, 2, 3, 4
+"""
+
+
+@query("large_orders", oracle=_Q18_ORACLE, tags=("join", "agg", "tpch", "having"))
+def large_orders(spark, sf_dir):
+    l = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("DECIMAL(32,6)")).alias("_q"))
+        .filter(F.col("_q") > 150)
+        .select(F.col("l_orderkey").alias("_bigkey"))
+    )
+    return (
+        o.join(big, o["o_orderkey"] == big["_bigkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(l.alias("_d"), o["o_orderkey"] == F.col("_d.l_orderkey"))
+        .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(
+            F.sum(F.col("_d.l_quantity").cast("DECIMAL(32,6)"))
+            .cast("double")
+            .alias("total_qty")
+        )
+    )
+
+
+# --- dormant_customers: TPC-H Q22 shape (scalar subquery + anti join) -------
+
+_Q22_CUTOFF = "1997-06-01"
+
+_Q22_ORACLE = f"""
+WITH avg_bal AS (
+  SELECT AVG(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0
+)
+SELECT c.c_nationkey,
+  COUNT(*) AS n_customers,
+  CAST(SUM(CAST(c.c_acctbal AS DECIMAL(32,6))) AS DOUBLE) AS total_bal
+FROM customer c CROSS JOIN avg_bal
+WHERE c.c_acctbal > avg_bal.ab
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= DATE '{_Q22_CUTOFF}')
+GROUP BY c.c_nationkey
+"""
+
+
+@query("dormant_customers", oracle=_Q22_ORACLE, tags=("join", "anti", "tpch", "J3"))
+def dormant_customers(spark, sf_dir):
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    # AVG over positive balances: exact decimal sum / count (dec_avg), then
+    # the single-row threshold broadcasts into the filter
+    avg_bal = c.filter("c_acctbal > 0").agg(
+        (
+            F.sum(F.col("c_acctbal").cast("DECIMAL(32,6)")).cast("double")
+            / F.count("c_acctbal")
+        ).alias("ab")
+    )
+    rich = c.crossJoin(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("ab"))
+    recent = o.filter(F.col("o_orderdate") >= _Q22_CUTOFF)
+    dormant = rich.join(recent, rich["c_custkey"] == recent["o_custkey"], "left_anti")
+    return dormant.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.col("c_acctbal").cast("DECIMAL(32,6)"))
+        .cast("double")
+        .alias("total_bal"),
+    )
