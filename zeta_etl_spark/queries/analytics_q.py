@@ -448,3 +448,41 @@ def exact_variance_per_user(spark, sf_dir):
         var.alias("var_pop"),
         F.sqrt(var).alias("stddev_pop"),
     )
+
+
+# --- value_histogram: fixed-width bucketed distribution ---------------------
+# The histogram/width_bucket shape dashboards need: per-event-type counts in
+# fixed 5-unit buckets plus bucket share.  Bucket index is exact integer
+# floor division; shares are one double division of exact counts.
+
+_HIST_ORACLE = """
+WITH b AS (
+  SELECT event_type, CAST(floor(value / 5.0) AS BIGINT) AS bucket,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), tot AS (
+  SELECT event_type, SUM(n) AS total FROM b GROUP BY 1
+)
+SELECT b.event_type, b.bucket,
+  b.bucket * 5.0 AS bucket_lo,
+  CAST(b.n AS BIGINT) AS n,
+  CAST(b.n AS DOUBLE) / tot.total AS share
+FROM b JOIN tot USING (event_type)
+"""
+
+
+@query("value_histogram", oracle=_HIST_ORACLE, tags=("agg", "histogram"))
+def value_histogram(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    b = ev.groupBy(
+        "event_type",
+        F.floor(F.col("value") / 5.0).cast("bigint").alias("bucket"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = b.groupBy("event_type").agg(F.sum("n").alias("total"))
+    return b.join(tot, "event_type").select(
+        "event_type",
+        "bucket",
+        (F.col("bucket") * 5.0).alias("bucket_lo"),
+        F.col("n").cast("bigint").alias("n"),
+        (F.col("n").cast("double") / F.col("total")).alias("share"),
+    )
