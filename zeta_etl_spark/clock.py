@@ -34,8 +34,16 @@ def as_of(explicit: str | datetime | None = None) -> Column | None:
 
 def data_as_of(df: DataFrame, ts_col: str) -> Column:
     """Data-derived clock: the max event time (deterministic for fixed input).
-    Used when no explicit/env clock is set."""
-    return F.lit(df.agg(F.max(ts_col)).first()[0]).cast("timestamp_ntz")
+    Used when no explicit/env clock is set.
+
+    The collected datetime goes back to Spark as a STRING literal cast to
+    timestamp_ntz: passing a naive Python datetime through ``F.lit`` converts
+    it via the driver's LOCAL zone while the session interprets it in the
+    session zone — under a non-UTC driver (TZ env) the clock silently shifts
+    hours and snapshot filters match nothing.  String → ntz is zone-free.
+    """
+    value = df.agg(F.max(ts_col)).first()[0]
+    return F.lit(value.isoformat(sep=" ")).cast("timestamp_ntz")
 
 
 def latest_complete_hour(clock: Column) -> Column:
