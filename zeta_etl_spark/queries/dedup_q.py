@@ -352,3 +352,51 @@ def dedup_clusters(spark, sf_dir):
         F.col("label").alias("cluster_id"),
         "cluster_size",
     )
+
+
+# --- edit_distance_pairs: character-level verification of near-dup pairs ----
+# A second verification lens for the LSH candidates: Levenshtein distance on
+# the raw text plus a normalized similarity.  Classic DP edit distance is
+# integer-exact and both engines implement it identically — a rare
+# cross-engine-safe string metric.  Cost is bounded by the candidate set
+# (jaccard pairs), never |docs|².
+
+_EDIT_ORACLE = f"""
+WITH pairs AS (
+  SELECT doc_a, doc_b FROM ({_NGRAM_ORACLE}) _np
+)
+SELECT p.doc_a, p.doc_b,
+  CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist,
+  1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE)
+      / GREATEST(len(a.text), len(b.text)) AS edit_sim
+FROM pairs p
+JOIN documents a ON a.doc_id = p.doc_a
+JOIN documents b ON b.doc_id = p.doc_b
+"""
+
+
+@query(
+    "edit_distance_pairs",
+    oracle=_EDIT_ORACLE,
+    tags=("dedup", "levenshtein", "verify"),
+)
+def edit_distance_pairs(spark, sf_dir):
+    pairs = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    d = T(spark, sf_dir, "documents")
+    a = d.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
+    b = d.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
+    lev = F.levenshtein("text_a", "text_b")
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            lev.cast("bigint").alias("edit_dist"),
+            (
+                F.lit(1.0)
+                - lev.cast("double")
+                / F.greatest(F.length("text_a"), F.length("text_b"))
+            ).alias("edit_sim"),
+        )
+    )
