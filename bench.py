@@ -59,6 +59,7 @@ OPTIONAL = [
     "minmax_norm_sql",  # codegen twin of pandas_minmax_norm: the Python tax
     "kmeans_lloyd_assign",
     "sq8_cosine_top5",
+    "sq8_rerank_top5",
 ]
 
 
