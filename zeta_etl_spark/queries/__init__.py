@@ -15,6 +15,7 @@ from zeta_etl_spark.queries import (  # noqa: E402,F401
     curation_q,
     dedup_q,
     pnl_q,
+    product_q,
     relational,
     relational2_q,
     scalar_q,

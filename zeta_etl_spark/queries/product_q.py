@@ -1,0 +1,156 @@
+"""Product-analytics queries downstream of the amplitude-style event stream:
+conversion funnels and retention cohorts — the two reports every
+wallet-connect/session pipeline ultimately feeds.
+
+Determinism: both are pure count/min/date-bucket arithmetic over fully
+keyed groupings; the only doubles are final ratios of exact counts.
+
+Scale: funnels are one groupBy(user) with conditional min-timestamps (a
+single shuffle, map-side combined); cohorts are two hash aggregations keyed
+by (cohort_week, week_offset) — no windows, no joins against raw events
+beyond the first-activity broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from zeta_etl_spark.queries.registry import T, query
+
+# --- funnel_conversion: ordered-stage funnel (signup → click → purchase) ----
+# A user converts a stage only if its FIRST occurrence is at-or-after the
+# first occurrence of the previous stage (classic ordered funnel).
+
+_FUNNEL_ORACLE = """
+WITH stages AS (
+  SELECT user_id,
+    MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+    MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+    MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id
+), flags AS (
+  SELECT user_id,
+    CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END AS s1,
+    CASE WHEN t_signup IS NOT NULL AND t_click >= t_signup
+         THEN 1 ELSE 0 END AS s2,
+    CASE WHEN t_signup IS NOT NULL AND t_click >= t_signup
+          AND t_purchase >= t_click THEN 1 ELSE 0 END AS s3
+  FROM stages
+)
+SELECT
+  CAST(SUM(s1) AS BIGINT) AS n_signup,
+  CAST(SUM(s2) AS BIGINT) AS n_clicked_after,
+  CAST(SUM(s3) AS BIGINT) AS n_purchased_after,
+  CAST(SUM(s2) AS DOUBLE) / NULLIF(SUM(s1), 0) AS click_rate,
+  CAST(SUM(s3) AS DOUBLE) / NULLIF(SUM(s2), 0) AS purchase_rate
+FROM flags
+"""
+
+
+@query("funnel_conversion", oracle=_FUNNEL_ORACLE, tags=("product", "funnel", "A3"))
+def funnel_conversion(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+
+    def first_ts(etype):
+        return F.min(F.when(F.col("event_type") == etype, F.col("ts")))
+
+    stages = ev.groupBy("user_id").agg(
+        first_ts("signup").alias("t_signup"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    s1 = F.when(F.col("t_signup").isNotNull(), 1).otherwise(0)
+    s2 = F.when(
+        F.col("t_signup").isNotNull() & (F.col("t_click") >= F.col("t_signup")),
+        1,
+    ).otherwise(0)
+    s3 = F.when(
+        F.col("t_signup").isNotNull()
+        & (F.col("t_click") >= F.col("t_signup"))
+        & (F.col("t_purchase") >= F.col("t_click")),
+        1,
+    ).otherwise(0)
+    flags = stages.select(
+        s1.alias("s1"), s2.alias("s2"), s3.alias("s3")
+    )
+    return flags.agg(
+        F.sum("s1").cast("bigint").alias("n_signup"),
+        F.sum("s2").cast("bigint").alias("n_clicked_after"),
+        F.sum("s3").cast("bigint").alias("n_purchased_after"),
+        (
+            F.sum("s2").cast("double") / F.nullif(F.sum("s1"), F.lit(0))
+        ).alias("click_rate"),
+        (
+            F.sum("s3").cast("double") / F.nullif(F.sum("s2"), F.lit(0))
+        ).alias("purchase_rate"),
+    )
+
+
+# --- retention_cohorts: daily purchase-retention matrix ---------------------
+# Cohort = the day of a user's FIRST purchase; retention(k) = fraction of
+# that cohort purchasing again k days later.  Daily purchase activity (not
+# any-event weekly) because the synthetic users are uniformly active —
+# any-event cohorts would collapse to a single all-1.0 row (found live; a
+# degenerate matrix verifies nothing).  Day buckets via epoch-day integers
+# (zone-free; date_trunc('week') week-start conventions differ across
+# engines).
+
+_COHORT_ORACLE = """
+WITH d AS (
+  SELECT user_id,
+    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+      AS BIGINT) AS day_no
+  FROM events WHERE event_type = 'purchase'
+), firsts AS (
+  SELECT user_id, MIN(day_no) AS cohort_day FROM d GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT d.user_id, f.cohort_day,
+    d.day_no - f.cohort_day AS day_offset
+  FROM d JOIN firsts f USING (user_id)
+), sizes AS (
+  SELECT cohort_day, COUNT(DISTINCT user_id) AS cohort_size FROM firsts
+  GROUP BY cohort_day
+)
+SELECT a.cohort_day, a.day_offset,
+  COUNT(*) AS active_users,
+  s.cohort_size,
+  CAST(COUNT(*) AS DOUBLE) / s.cohort_size AS retention
+FROM activity a JOIN sizes s USING (cohort_day)
+GROUP BY a.cohort_day, a.day_offset, s.cohort_size
+"""
+
+
+@query("retention_cohorts", oracle=_COHORT_ORACLE, tags=("product", "cohort", "A6"))
+def retention_cohorts(spark, sf_dir):
+    ev = T(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    day_no = F.datediff(
+        F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+    ).cast("bigint")
+    d = ev.select("user_id", day_no.alias("day_no"))
+    firsts = d.groupBy("user_id").agg(F.min("day_no").alias("cohort_day"))
+    activity = (
+        d.join(F.broadcast(firsts), "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            (F.col("day_no") - F.col("cohort_day")).alias("day_offset"),
+        )
+        .distinct()
+    )
+    sizes = firsts.groupBy("cohort_day").agg(
+        F.countDistinct("user_id").alias("cohort_size")
+    )
+    return (
+        activity.groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("active_users"))
+        .join(F.broadcast(sizes), "cohort_day")
+        .select(
+            "cohort_day",
+            "day_offset",
+            "active_users",
+            "cohort_size",
+            (
+                F.col("active_users").cast("double") / F.col("cohort_size")
+            ).alias("retention"),
+        )
+    )
