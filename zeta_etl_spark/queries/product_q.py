@@ -154,3 +154,87 @@ def retention_cohorts(spark, sf_dir):
             ).alias("retention"),
         )
     )
+
+
+# --- event_type_lift: association (market-basket) co-occurrence -------------
+# Which event types co-occur in the same (user, day) basket more than
+# chance?  support(a,b)·N / (support(a)·support(b)) — the classic lift
+# statistic, all exact counts with one double division.  Baskets are
+# (user, day), not lifetime users: on the uniformly-active synthetic
+# corpus every user touches every type eventually, which collapses
+# lifetime lift to exactly 1.0 (found live — a flat matrix verifies
+# nothing).
+
+_LIFT_ORACLE = """
+WITH baskets AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day_, event_type FROM events
+), n AS (
+  SELECT COUNT(*) AS n_users FROM
+    (SELECT DISTINCT user_id, CAST(ts AS DATE) FROM events)
+), supp AS (
+  SELECT event_type, COUNT(*) AS n_a FROM baskets GROUP BY event_type
+), pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_ab
+  FROM baskets a JOIN baskets b
+    ON a.user_id = b.user_id AND a.day_ = b.day_
+   AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT p.type_a, p.type_b,
+  CAST(p.n_ab AS BIGINT) AS n_both,
+  CAST(sa.n_a AS BIGINT) AS n_a,
+  CAST(sb.n_a AS BIGINT) AS n_b,
+  (CAST(p.n_ab AS DOUBLE) * n.n_users)
+    / (CAST(sa.n_a AS DOUBLE) * sb.n_a) AS lift
+FROM pairs p
+JOIN supp sa ON sa.event_type = p.type_a
+JOIN supp sb ON sb.event_type = p.type_b
+CROSS JOIN n
+"""
+
+
+@query("event_type_lift", oracle=_LIFT_ORACLE, tags=("product", "association", "lift"))
+def event_type_lift(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    baskets = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day_"), "event_type"
+    ).distinct()
+    n = (
+        ev.select("user_id", F.col("ts").cast("date"))
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    supp = baskets.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_a"))
+    a = baskets.alias("a")
+    b = baskets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.day_") == F.col("b.day_"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    sa = supp.select(F.col("event_type").alias("type_a"), F.col("n_a"))
+    sb = supp.select(F.col("event_type").alias("type_b"), F.col("n_a").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n_ab").cast("bigint").alias("n_both"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            (
+                F.col("n_ab").cast("double") * F.col("n_users")
+                / (F.col("n_a").cast("double") * F.col("n_b"))
+            ).alias("lift"),
+        )
+    )
