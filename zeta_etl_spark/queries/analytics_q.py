@@ -486,3 +486,53 @@ def value_histogram(spark, sf_dir):
         F.col("n").cast("bigint").alias("n"),
         (F.col("n").cast("double") / F.col("total")).alias("share"),
     )
+
+
+# --- user_value_gini: exact Gini concentration coefficient ------------------
+# How concentrated is total value across users?  Gini from the rank-weighted
+# closed form G = 2·Σ(i·x_(i)) / (n·Σx) − (n+1)/n over values sorted
+# ascending — every term an exact integer (values scaled ×100), one double
+# division at the end.  The concentration/whale metric every trading and
+# token-distribution dashboard carries.
+
+_GINI_ORACLE = """
+WITH totals AS (
+  SELECT user_id, SUM(CAST(round(value * 100) AS BIGINT)) AS v
+  FROM events GROUP BY user_id
+), ranked AS (
+  SELECT v, ROW_NUMBER() OVER (ORDER BY v, user_id) AS i FROM totals
+), s AS (
+  SELECT COUNT(*) AS n, SUM(v) AS sv, SUM(i * v) AS siv FROM ranked
+)
+SELECT CAST(n AS BIGINT) AS n_users,
+  CAST(sv AS DOUBLE) / 100.0 AS total_value,
+  2.0 * CAST(siv AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(sv AS DOUBLE))
+    - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE) AS gini
+FROM s
+"""
+
+
+@query("user_value_gini", oracle=_GINI_ORACLE, tags=("agg", "gini", "concentration"))
+def user_value_gini(spark, sf_dir):
+    from pyspark.sql.window import Window as W
+
+    ev = T(spark, sf_dir, "events")
+    xi = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    totals = ev.groupBy("user_id").agg(F.sum(xi).alias("v"))
+    ranked = totals.withColumn(
+        "i", F.row_number().over(W.orderBy(F.col("v"), F.col("user_id")))
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("sv"),
+        F.sum(F.col("i") * F.col("v")).alias("siv"),
+    )
+    nd = F.col("n").cast("double")
+    return s.select(
+        F.col("n").cast("bigint").alias("n_users"),
+        (F.col("sv").cast("double") / 100.0).alias("total_value"),
+        (
+            F.lit(2.0) * F.col("siv").cast("double") / (nd * F.col("sv").cast("double"))
+            - (nd + 1.0) / nd
+        ).alias("gini"),
+    )
