@@ -536,3 +536,66 @@ def user_value_gini(spark, sf_dir):
             - (nd + 1.0) / nd
         ).alias("gini"),
     )
+
+
+# --- value_hour_correlation: exact Pearson correlation ----------------------
+# Does event value correlate with time of day?  Pearson r per event_type
+# from the closed form over exact accumulators (x = hour-of-day 0..23,
+# y = value scaled ×100) — same determinism recipe as exact_variance and
+# linear_trend: every sum an exact integer, one double expression at the
+# end (sqrt is IEEE-deterministic).
+
+_CORR_ORACLE = """
+WITH e AS (
+  SELECT event_type,
+    CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS x,
+    CAST(round(value * 100) AS BIGINT) AS y
+  FROM events
+), s AS (
+  SELECT event_type, COUNT(*) AS n,
+    SUM(x) AS sx, SUM(y) AS sy,
+    SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+  FROM e GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_events,
+  CASE WHEN (n * sxx - sx * sx) = 0 OR (n * syy - sy * sy) = 0 THEN NULL
+  ELSE (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+       / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+          * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+  END AS pearson_r
+FROM s
+"""
+
+
+@query(
+    "value_hour_correlation",
+    oracle=_CORR_ORACLE,
+    tags=("agg", "correlation", "deterministic"),
+)
+def value_hour_correlation(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    x = F.hour(F.col("ts")).cast("bigint")
+    y = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    e = ev.select("event_type", x.alias("x"), y.alias("y"))
+    s = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    vx = nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    vy = nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    r = (nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")) / (
+        F.sqrt(vx) * F.sqrt(vy)
+    )
+    zero = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") == 0) | (
+        F.col("n") * F.col("syy") - F.col("sy") * F.col("sy") == 0
+    )
+    return s.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_events"),
+        F.when(zero, F.lit(None)).otherwise(r).alias("pearson_r"),
+    )
