@@ -251,7 +251,10 @@ def test_incremental_expectations_enforced(spark, tmp_path):
     out = p.run(spark, targets=["cleaned"])["cleaned"]
     assert out.count() == 7  # 3 negative rows dropped IN the streaming plan
     assert out.filter("value < 0").count() == 0
-    assert p.expectation_metrics["cleaned"]["nonneg"]["failed"] == 0
+    # ADVICE r2: drops are enforced in-stream so a post-write count would
+    # always read 0 — the metric honestly records "not counted" (None).
+    m = p.expectation_metrics["cleaned"]["nonneg"]
+    assert m["failed"] is None and "not counted" in m["note"]
 
     p2 = Pipeline("exp2", str(tmp_path / "exp2_pipe"))
 

@@ -171,6 +171,32 @@ def test_interval_overlap_join_matches_naive(spark, rows):
     assert naive.exceptAll(fast).count() == 0
 
 
+def test_interval_overlap_join_preserves_duplicate_multiplicity(spark):
+    """ADVICE r2: identical input rows (no distinguishing id) must stay
+    distinct pairs in the output — bag semantics, like the plain overlap
+    join.  Two identical-priced quotes from different (projected-away)
+    order_ids are two quotes, not one."""
+    from datetime import datetime
+
+    from zeta_etl_spark.operators.temporal import interval_overlap_join
+
+    t = datetime(2024, 1, 1, 0, 0, 0)
+    t2 = datetime(2024, 1, 1, 5, 0, 0)   # spans several 1h buckets
+    left = spark.createDataFrame(
+        [("A", t, t2, 10.0), ("A", t, t2, 10.0)],   # exact duplicates
+        "k string, l_start timestamp, l_end timestamp, bid double",
+    )
+    right = spark.createDataFrame(
+        [("A", t, t2, 11.0)],
+        "k string, r_start timestamp, r_end timestamp, ask double",
+    )
+    out = interval_overlap_join(
+        left, right, "l_start", "l_end", "r_start", "r_end",
+        keys=["k"], bucket_seconds=3600,
+    )
+    assert out.count() == 2   # was 1 with the old trailing .distinct()
+
+
 def test_asof_join_deterministic_under_shuffling(spark):
     """Duplicate (key, ts) right rows must resolve identically regardless of
     input order/partitioning (the r2 tie-break fix)."""

@@ -77,3 +77,17 @@ def test_salted_join_rejects_outer_semantics(spark):
     left = salted_join(big, small, ["k"], salt_factor=4, how="left")
     assert left.count() == 10
     assert left.filter("label is null").count() == 9
+
+
+def test_preshingled_sh_column_type_validated(spark):
+    """ADVICE r2: a caller frame carrying a '_sh' of the wrong type must
+    fail loudly, not be silently consumed as shingles."""
+    import pytest
+
+    from zeta_etl_spark.operators.dedup import minhash_signatures
+
+    bad = spark.createDataFrame(
+        [("d1", 42)], "doc_id string, _sh int"
+    )
+    with pytest.raises(TypeError, match="_sh"):
+        minhash_signatures(bad)

@@ -65,3 +65,21 @@ def test_unpivot_and_export(served, spark):
     assert "volume#allTime" in pks and "trade_count#latestHour" in pks
     written = spark.read.parquet(str(base / "export" / "zetadex_stats"))
     assert written.count() == len(long_rows)
+
+
+def test_data_as_of_empty_frame_degrades_to_null_clock(spark):
+    """ADVICE r2: F.max over 0 rows returns None — data_as_of must degrade to
+    a null clock (empty downstream output), not crash with AttributeError."""
+    from zeta_etl_spark.clock import data_as_of, latest_complete_hour
+
+    empty = spark.createDataFrame([], "ts timestamp_ntz, v int")
+    clock = data_as_of(empty, "ts")  # must not raise
+    out = empty.withColumn("cutoff", latest_complete_hour(clock)).filter(
+        F.col("ts") == F.col("cutoff")
+    )
+    assert out.count() == 0
+
+    # All-null ts column hits the same None path on a non-empty frame.
+    nulls = spark.createDataFrame([(None, 1), (None, 2)], "ts timestamp_ntz, v int")
+    clock2 = data_as_of(nulls, "ts")
+    assert nulls.select(clock2.alias("c")).first()["c"] is None

@@ -43,6 +43,12 @@ def data_as_of(df: DataFrame, ts_col: str) -> Column:
     hours and snapshot filters match nothing.  String → ntz is zone-free.
     """
     value = df.agg(F.max(ts_col)).first()[0]
+    if value is None:
+        # Empty (or all-null) source: degrade to a null clock so downstream
+        # snapshot filters match nothing and the node materializes 0 rows —
+        # consistent with the engine's empty-node materialization support
+        # (plans/graph.py) instead of an AttributeError mid-run.
+        return F.lit(None).cast("timestamp_ntz")
     return F.lit(value.isoformat(sep=" ")).cast("timestamp_ntz")
 
 

@@ -65,6 +65,25 @@ def shingle_docs(
     )
 
 
+def _validate_preshingled(df: DataFrame) -> bool:
+    """True iff ``df`` carries a :func:`shingle_docs`-shaped ``_sh`` column.
+
+    Pre-shingled input is detected by the ``_sh`` column-name convention;
+    ADVICE r2: a caller frame that merely *happens* to carry a ``_sh`` of the
+    wrong type must not be silently consumed as shingles — validate the type
+    and fail loudly."""
+    if "_sh" not in df.columns:
+        return False
+    dtype = dict(df.dtypes)["_sh"]
+    if dtype != "array<string>":
+        raise TypeError(
+            f"column '_sh' is reserved for shingle_docs output "
+            f"(array<string>), found {dtype}; rename the column or pass raw "
+            f"documents"
+        )
+    return True
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -87,7 +106,9 @@ def minhash_signatures(
     """
     h = spark_hex2long("s", digits=8)  # 32-bit shingle hash
     sh_expr = (
-        "_sh" if "_sh" in df.columns else spark_shingles(text_col, shingle_k)
+        "_sh"
+        if _validate_preshingled(df)
+        else spark_shingles(text_col, shingle_k)
     )
     shingled = df.select(
         F.col(id_col),
@@ -167,7 +188,7 @@ def jaccard_verify(
     signature chain)."""
     shingled = (
         docs.select(F.col(id_col), "_sh")
-        if "_sh" in docs.columns
+        if _validate_preshingled(docs)
         else shingle_docs(docs, text_col, id_col, shingle_k)
     )
     sa = shingled.select(

@@ -246,12 +246,15 @@ def interval_overlap_join(
 
     Both sides explode into the time buckets their interval covers, the join
     runs as an equi join on (keys..., bucket) with the exact overlap test as
-    a residual, and duplicate pairs (intervals sharing several buckets) are
-    collapsed with one distinct.  This bounds the per-key fan-out to
-    overlapping-in-the-same-bucket pairs instead of the quadratic all-pairs a
-    plain (keys)-equi join produces for a prolific key — the scale fix for
-    the mm-uptime two-sided pairing (VERDICT r1 wrong-6; the reference v3
-    instead joins on exact (start, end) equality,
+    a residual, and each qualifying pair is emitted exactly once — in the
+    FIRST bucket both intervals share (``bucket == greatest(start buckets)``)
+    — so input multiplicity is preserved bit-for-bit (bag semantics, same as
+    the plain overlap join this replaces; ADVICE r2: a trailing ``distinct``
+    also collapsed legitimately duplicate input rows).  This bounds the
+    per-key fan-out to overlapping-in-the-same-bucket pairs instead of the
+    quadratic all-pairs a plain (keys)-equi join produces for a prolific key
+    — the scale fix for the mm-uptime two-sided pairing (VERDICT r1 wrong-6;
+    the reference v3 instead joins on exact (start, end) equality,
     zetadex-mm-uptime-pipeline-v3.sql:85-94, which changes semantics).
 
     ``bucket_seconds`` near the median interval length keeps the explode
@@ -265,6 +268,11 @@ def interval_overlap_join(
             f"interval_overlap_join: right columns {sorted(clash)} collide "
             "with left columns — rename one side first"
         )
+
+    def start_bucket(qual: str, col: str) -> Column:
+        return (
+            F.unix_timestamp(F.col(f"{qual}.{col}").cast("timestamp")) / bs
+        ).cast("long")
 
     def bucketize(df: DataFrame, start: str, end: str) -> DataFrame:
         return df.withColumn(
@@ -288,13 +296,17 @@ def interval_overlap_join(
         cond
         & (F.col(f"_l.{left_start}") < F.col(f"_r.{right_end}"))
         & (F.col(f"_l.{left_end}") > F.col(f"_r.{right_start}"))
+        # Multi-bucket dedup without distinct: of the buckets a pair shares
+        # ([max(start buckets), min(end buckets)]), keep only the first.
+        & (
+            F.col("_l._bucket")
+            == F.greatest(
+                start_bucket("_l", left_start), start_bucket("_r", right_start)
+            )
+        )
     )
     right_keep = [c for c in right.columns if c not in keys]
-    return (
-        la.join(ra, cond)
-        .select(
-            *[F.col(f"_l.{c}") for c in left.columns],
-            *[F.col(f"_r.{c}") for c in right_keep],
-        )
-        .distinct()
+    return la.join(ra, cond).select(
+        *[F.col(f"_l.{c}") for c in left.columns],
+        *[F.col(f"_r.{c}") for c in right_keep],
     )

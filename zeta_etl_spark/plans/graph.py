@@ -332,13 +332,32 @@ class Pipeline:
             metrics = {}
             for name, (cond, action) in node.expectations.items():
                 failed = counts[name]
+                if action == "drop":
+                    # Drops were enforced in-stream above, so the
+                    # post-materialization count is always 0 here.  Record
+                    # that honestly instead of a misleading failed=0 (the
+                    # batch path counts before dropping; streaming cannot
+                    # without a second pass over the un-filtered stream).
+                    metrics[name] = {
+                        "failed": None, "action": action, "condition": cond,
+                        "note": "enforced in-stream; not counted on "
+                                "incremental nodes",
+                    }
+                    continue
                 metrics[name] = {
                     "failed": failed, "action": action, "condition": cond,
                 }
                 if action == "fail" and failed:
                     raise ValueError(
                         f"expectation {name!r} failed for {failed} rows on "
-                        f"incremental node {node.name!r}: {cond}"
+                        f"incremental node {node.name!r}: {cond}. NOTE: the "
+                        f"streaming write and checkpoint already committed, so "
+                        f"the violating rows are durably published at "
+                        f"{self.path(node.name)!r}; to reprocess, delete that "
+                        f"path AND the checkpoint dir "
+                        f"{os.path.join(self.base_path, '_checkpoints', node.name)!r}, "
+                        f"then rerun (the reference's expect_or_fail fails "
+                        f"before publish; parquet sinks cannot)."
                     )
             self.expectation_metrics[node.name] = metrics
         df.createOrReplaceTempView(f"{self.name}__{node.name}")
