@@ -274,14 +274,13 @@ def simhash_near_pairs(spark, sf_dir):
 # --- dedup_clusters: connected components over the near-dup pair graph ------
 # Pair detection (MinHash/n-gram Jaccard) yields EDGES; production dedup
 # needs the transitive closure — each document labeled with its component's
-# minimum doc_id (the canonical copy).  Spark side: iterative min-label
-# propagation over the edge list, looping until a driver-side convergence
-# check reports zero changed labels (the standard DataFrame connected-
-# components shape; iteration count adapts to the true component diameter,
-# so the result is the exact fixpoint at ANY scale).  Oracle: a recursive
-# CTE computing reachability-minimum per node.  Edges are the exact-Jaccard
-# near-dup pairs (same threshold as ngram_jaccard_pairs), a deterministic
-# non-empty graph on the test corpus.
+# minimum doc_id (the canonical copy).  Spark side:
+# operators.dedup.connected_components — iterative min-label propagation
+# with per-round localCheckpoint + unpersist so lineage and executor storage
+# stay bounded regardless of component diameter (VERDICT r2 wrong-1).
+# Oracle: a recursive CTE computing reachability-minimum per node.  Edges
+# are the exact-Jaccard near-dup pairs (same threshold as
+# ngram_jaccard_pairs), a deterministic non-empty graph on the test corpus.
 
 _CLUSTER_ORACLE = f"""
 WITH RECURSIVE pairs AS (
@@ -308,44 +307,10 @@ FROM reach GROUP BY doc_id
     tags=("dedup", "graph", "iterative"),
 )
 def dedup_clusters(spark, sf_dir):
+    from zeta_etl_spark.operators.dedup import connected_components
+
     pairs = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    edges = pairs.unionByName(
-        pairs.select(
-            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
-        )
-    ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).cache()
-    labels = (
-        edges.select(F.col("src").alias("doc_id")).distinct()
-        .withColumn("label", F.col("doc_id"))
-        .cache()
-    )
-    # min-label propagation to the fixpoint; the convergence probe is a
-    # single count per round (sanctioned driver-side scalar, like A13)
-    while True:
-        neighbor_min = (
-            edges.join(labels, edges["dst"] == labels["doc_id"])
-            .groupBy(F.col("src").alias("doc_id"))
-            .agg(F.min("label").alias("nmin"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("label"), F.coalesce("nmin", F.col("label"))
-                ).alias("label"),
-            )
-            .cache()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+    labels = connected_components(pairs, src="doc_a", dst="doc_b")
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
     return labels.join(sizes, "label").select(
         "doc_id",
