@@ -113,3 +113,38 @@ def test_connected_components_chain_bounded_lineage(spark):
     plan = labels._jdf.queryExecution().optimizedPlan().toString()
     assert "Join" not in plan
     assert len(plan.splitlines()) <= 5
+
+
+def test_ivf_sq8_rerank_recall_and_candidate_only_rerank(spark, sf_dir):
+    """VERDICT r2 next-2: the composed production ANN stack.  (a) recall@5
+    vs the exact brute-force baseline stays >= 0.6 (synthetic corpus is
+    near-unclusterable, so IVF recall ~= probed fraction = 0.4 at nprobe=4;
+    SQ8+wide-rerank recovers the rest); (b) the exact-vector join sits ABOVE
+    the wide candidate cut in the plan — full-precision vectors are touched
+    for |Q| x wide rows only, never the whole corpus."""
+    from zeta_etl_spark.queries import REGISTRY
+
+    exact = REGISTRY["knn_cosine_top5"].fn(spark, sf_dir).toPandas()
+    appx_df = REGISTRY["ivf_sq8_rerank_top5"].fn(spark, sf_dir)
+    appx = appx_df.toPandas()
+    e = exact.groupby("query_id")["neighbor_id"].apply(set)
+    a = appx.groupby("query_id")["neighbor_id"].apply(set)
+    recall = sum(
+        len(e[q] & a.get(q, set())) / len(e[q]) for q in e.index
+    ) / len(e)
+    assert recall >= 0.6, f"recall@5 {recall}"
+
+    plan = appx_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    lines = plan.splitlines()
+    # executedPlan prints top-down: the rerank join on neighbor_id must come
+    # BEFORE (above) the _rn wide-cut window that produces its candidates.
+    join_idx = min(
+        i for i, ln in enumerate(lines)
+        if "neighbor_id" in ln
+        and ("HashJoin" in ln or "SortMergeJoin" in ln)
+    )
+    wide_idx = min(
+        i for i, ln in enumerate(lines) if "_rn" in ln and "row_number" in ln
+    )
+    assert join_idx < wide_idx, "exact join must consume the wide cut"

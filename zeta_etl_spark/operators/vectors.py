@@ -194,6 +194,24 @@ _DISTS_SORTED = (
 )
 
 
+def assign_lists(
+    vectors: DataFrame, packed: DataFrame, id_col: str, id_out: str,
+    rank_limit: int,
+) -> DataFrame:
+    """(id, cent_id) list assignments: each vector's ``rank_limit`` nearest
+    centroids by exact integer L2².  Zero-shuffle: one broadcast packed-
+    centroid row, per-row ``zip_with`` distances, ``array_sort`` + slice."""
+    dists = F.expr(_DISTS_SORTED.format(sv="sv"))
+    return (
+        vectors.crossJoin(F.broadcast(packed))
+        .select(
+            F.col(id_col).alias(id_out),
+            F.explode(F.slice(dists, 1, rank_limit)).alias("_d"),
+        )
+        .select(id_out, F.col("_d.cent_id").alias("cent_id"))
+    )
+
+
 def ivf_topk(
     scaled: DataFrame,
     centroids: DataFrame,
@@ -216,21 +234,11 @@ def ivf_topk(
     integers → deterministic across engines.
     """
     packed = _packed_centroids(centroid_arrays(centroids, label_col))
-
-    def assign(vectors: DataFrame, id_out: str, rank_limit: int) -> DataFrame:
-        dists = F.expr(_DISTS_SORTED.format(sv="sv"))
-        return (
-            vectors.crossJoin(F.broadcast(packed))
-            .select(
-                F.col("vec_id").alias(id_out),
-                F.explode(F.slice(dists, 1, rank_limit)).alias("_d"),
-            )
-            .select(id_out, F.col("_d.cent_id").alias("cent_id"))
-        )
-
-    corpus_lists = assign(scaled, "vec_id", 1)
-    probe_lists = assign(queries.withColumnRenamed("query_id", "vec_id")
-                         .withColumnRenamed("qv", "sv"), "query_id", nprobe)
+    corpus_lists = assign_lists(scaled, packed, "vec_id", "vec_id", 1)
+    probe_lists = assign_lists(
+        queries.withColumnRenamed("qv", "sv"), packed,
+        "query_id", "query_id", nprobe,
+    )
 
     corpus = scaled.join(corpus_lists, "vec_id")
     q = queries.join(probe_lists, "query_id")
@@ -366,5 +374,116 @@ def sq8_topk(
     )
     return (
         pairs.withColumn("knn_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("knn_rank") <= k)
+    )
+
+
+def ivf_sq8_rerank_topk(
+    scaled: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    wide: int = 20,
+    label_col: str = "label",
+) -> DataFrame:
+    """The composed production ANN stack (VERDICT r2 next-2): IVF nprobe
+    PRUNING × SQ8 quantized SCORING × exact RERANK, one plan.
+
+    Stage 1 — prune: corpus vectors are assigned to their nearest centroid
+    list, queries probe their ``nprobe`` nearest lists (broadcast packed
+    centroids, zero shuffle — :func:`assign_lists`).
+    Stage 2 — score: within probed lists only, candidates are ranked by
+    cosine over int8-quantized vectors (8× compressed scan) and cut to a
+    WIDE set of ``wide`` per query.
+    Stage 3 — rerank: full-precision vectors are joined for the |Q|·wide
+    candidate rows ONLY and cut to the final top ``k``.
+
+    At 100 TB this is the deployment shape: the exact-vector store is
+    touched for candidate rows alone, the quantized scan covers just the
+    probed lists (~nprobe/|lists| of the corpus), and every stage's
+    arithmetic is exact integers → deterministic across engines.
+
+    ``queries`` must be a (query_id, qv, qn) projection of ``scaled`` rows
+    (the identity row is excluded from results).
+    """
+    packed = _packed_centroids(centroid_arrays(centroids, label_col))
+    corpus_lists = assign_lists(scaled, packed, "vec_id", "vec_id", 1)
+    probe_lists = assign_lists(
+        queries.withColumnRenamed("qv", "sv"), packed,
+        "query_id", "query_id", nprobe,
+    )
+
+    q8 = int8_quantize(scaled)
+    q8c = q8.select("vec_id", "qv").join(corpus_lists, "vec_id")
+    qq = (
+        q8.join(
+            queries.select("query_id"),
+            q8["vec_id"] == F.col("query_id"),
+        )
+        .select("query_id", F.col("qv").alias("qqv"))
+        .join(probe_lists, "query_id")
+    )
+
+    dot_q = F.expr(
+        "aggregate(zip_with(qqv, qv, (x, y) -> x * y), 0L, (a, v) -> a + v)"
+    )
+    qn_q = F.expr(
+        "aggregate(zip_with(qqv, qqv, (x, y) -> x * y), 0L, (a, v) -> a + v)"
+    )
+    vn_q = F.expr(
+        "aggregate(zip_with(qv, qv, (x, y) -> x * y), 0L, (a, v) -> a + v)"
+    )
+    cos_q = dot_q.cast("double") / F.nullif(
+        F.sqrt(qn_q.cast("double")) * F.sqrt(vn_q.cast("double")), F.lit(0.0)
+    )
+    # corpus_lists is top-1 per corpus vector, so each (query, neighbor)
+    # pair appears in at most one probed list — no dedup needed
+    scored = (
+        F.broadcast(qq)
+        .join(q8c, "cent_id")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"),
+            cos_q.alias("cosine_q"),
+        )
+    )
+    w_wide = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_q").desc(), F.col("neighbor_id")
+    )
+    cand = (
+        scored.withColumn("_rn", F.row_number().over(w_wide))
+        .filter(F.col("_rn") <= wide)
+        .select("query_id", "neighbor_id")
+    )
+
+    nq = scaled.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("sv").alias("qv_x"),
+        F.col("norm2").alias("qn_x"),
+    )
+    nn = scaled.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("sv").alias("nv_x"),
+        F.col("norm2").alias("nn_x"),
+    )
+    dot = F.expr(
+        "aggregate(zip_with(qv_x, nv_x, (x, y) -> x * y), 0L, (a, v) -> a + v)"
+    )
+    cos = dot.cast("double") / F.nullif(
+        F.sqrt(F.col("qn_x").cast("double"))
+        * F.sqrt(F.col("nn_x").cast("double")),
+        F.lit(0.0),
+    )
+    rer = (
+        cand.join(F.broadcast(nq), "query_id")
+        .join(nn, "neighbor_id")
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        rer.withColumn("knn_rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("knn_rank") <= k)
     )

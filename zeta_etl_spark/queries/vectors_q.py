@@ -422,3 +422,122 @@ def sq8_rerank_top5(spark, sf_dir):
         rer.withColumn("knn_rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("knn_rank") <= _RERANK_K)
     )
+
+
+# --- ivf_sq8_rerank_top5: the COMPOSED production ANN stack ------------------
+# VERDICT r2 next-2: IVF nprobe pruning x SQ8 quantized scoring x exact
+# rerank in ONE plan — the deployment shape for a 100 TB vector corpus.
+# Prune: corpus -> nearest centroid list, queries probe 2 lists (broadcast
+# packed centroids, zero shuffle).  Score: quantized cosine within probed
+# lists only, wide top-20 cut.  Rerank: exact vectors joined for the
+# |Q| x 20 candidate rows only, final top-5.  recall@5 vs the exact
+# brute-force baseline is asserted in tests/test_scale_ops.py.
+
+_IVF_SQ8_WIDE = 20
+_IVF_SQ8_K = 5
+# nprobe=4 of 10 lists: on this SYNTHETIC near-unclusterable corpus IVF
+# recall roughly equals the probed fraction (measured recall@5: 0.38/0.52/
+# 0.68/0.74 at nprobe 2/3/4/5); real embedding corpora cluster, so the same
+# nprobe yields far higher recall.  4 keeps the honest recall >= 0.6 while
+# still pruning 60% of the quantized scan.
+_IVF_SQ8_NPROBE = 4
+
+_IVF_SQ8_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, label, {_DUCK_SCALED} AS sv FROM embeddings
+), n AS (
+  SELECT vec_id, sv, list_sum(list_transform(sv, x -> x * x)) AS norm2 FROM e
+), cent AS (
+  SELECT label AS cent_id, CAST(i AS BIGINT) AS dim,
+    CAST(floor(CAST(SUM(sv[CAST(i AS INT)]) AS DOUBLE)
+               / ({SCALE}.0 * COUNT(*)) * {SCALE} + 0.5) AS BIGINT) AS cv
+  FROM e CROSS JOIN range(1, 65) t(i)
+  GROUP BY label, i
+), ex AS (
+  SELECT vec_id, CAST(i AS BIGINT) AS dim, sv[CAST(i AS INT)] AS v
+  FROM e CROSS JOIN range(1, 65) t(i)
+), dists AS (
+  SELECT ex.vec_id, cent.cent_id,
+         SUM((ex.v - cent.cv) * (ex.v - cent.cv)) AS dist2
+  FROM ex JOIN cent ON ex.dim = cent.dim
+  GROUP BY 1, 2
+), corpus_assign AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY dist2, cent_id) AS rn FROM dists
+  ) WHERE rn = 1
+), probe AS (
+  SELECT vec_id AS query_id, cent_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY dist2, cent_id) AS rn FROM dists
+  ) WHERE rn <= {_IVF_SQ8_NPROBE} AND vec_id < 10
+), exq AS (
+  SELECT CAST(i AS BIGINT) AS dim, abs(sv[CAST(i AS INT)]) AS av
+  FROM e CROSS JOIN range(1, 65) t(i)
+), scales AS (
+  SELECT dim, GREATEST(MAX(av), 1) AS vmax FROM exq GROUP BY dim
+), vm AS (
+  SELECT list(vmax ORDER BY dim) AS vmaxes FROM scales
+), q8 AS (
+  SELECT vec_id,
+    list_transform(range(1, 65), i -> CAST(floor(
+      (sv[CAST(i AS INT)] * 127.0) / vmaxes[CAST(i AS INT)] + 0.5)
+      AS BIGINT)) AS qv
+  FROM e CROSS JOIN vm
+), q AS (
+  SELECT vec_id AS query_id, qv AS qqv FROM q8 WHERE vec_id < 10
+), cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT p.query_id, ca.vec_id AS neighbor_id,
+      ROW_NUMBER() OVER (PARTITION BY p.query_id ORDER BY
+        CAST(list_sum(list_transform(range(1, 65),
+             i -> qq.qqv[CAST(i AS INT)] * n8.qv[CAST(i AS INT)])) AS DOUBLE)
+          / NULLIF(
+              sqrt(CAST(list_sum(list_transform(qq.qqv, x -> x * x)) AS DOUBLE))
+              * sqrt(CAST(list_sum(list_transform(n8.qv, x -> x * x)) AS DOUBLE)),
+              0.0) DESC, ca.vec_id) AS rn
+    FROM probe p
+    JOIN corpus_assign ca ON ca.cent_id = p.cent_id
+    JOIN q8 n8 ON n8.vec_id = ca.vec_id
+    JOIN q qq ON qq.query_id = p.query_id
+    WHERE ca.vec_id != p.query_id
+  ) t WHERE rn <= {_IVF_SQ8_WIDE}
+), rer AS (
+  SELECT c.query_id, c.neighbor_id,
+    CAST(list_sum(list_transform(range(1, 65),
+         i -> nq.sv[CAST(i AS INT)] * nn.sv[CAST(i AS INT)])) AS DOUBLE)
+      / NULLIF(sqrt(CAST(nq.norm2 AS DOUBLE)) * sqrt(CAST(nn.norm2 AS DOUBLE)),
+               0.0) AS cosine
+  FROM cand c
+  JOIN n nq ON nq.vec_id = c.query_id
+  JOIN n nn ON nn.vec_id = c.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rn AS BIGINT) AS knn_rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rn
+  FROM rer
+) t WHERE rn <= {_IVF_SQ8_K}
+"""
+
+
+@query(
+    "ivf_sq8_rerank_top5",
+    oracle=_IVF_SQ8_ORACLE,
+    tags=("vectors", "ann", "ivf", "sq8", "rerank"),
+)
+def ivf_sq8_rerank_top5(spark, sf_dir):
+    from zeta_etl_spark.operators.vectors import ivf_sq8_rerank_topk
+
+    emb = scaled_vectors(T(spark, sf_dir, "embeddings"))
+    cents = label_centroids(emb)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("sv").alias("qv"),
+        F.col("norm2").alias("qn"),
+    )
+    corpus = emb.select("vec_id", "sv", "norm2")
+    return ivf_sq8_rerank_topk(
+        corpus, cents, queries,
+        k=_IVF_SQ8_K, nprobe=_IVF_SQ8_NPROBE, wide=_IVF_SQ8_WIDE,
+    )
