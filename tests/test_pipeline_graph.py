@@ -268,3 +268,21 @@ def test_incremental_expectations_enforced(spark, tmp_path):
 
     with pytest.raises(ValueError, match="expectation 'nonneg' failed"):
         p2.run(spark, targets=["strict"])
+
+
+def test_minhash_pipeline_matches_registry_query(spark, tmp_path, sf_dir):
+    """pipelines/dedup.py: the materialized-signature pipeline must produce
+    exactly the registry query's verified pairs (same seam, durable silver)."""
+    from zeta_etl_spark.pipelines.dedup import build_minhash_pipeline
+    from zeta_etl_spark.queries import REGISTRY
+    from zeta_etl_spark.queries.registry import T
+
+    docs = T(spark, sf_dir, "documents")
+    p = build_minhash_pipeline(spark, str(tmp_path / "mh"), docs)
+    out = p.run(spark, targets=["near_dup_pairs"])["near_dup_pairs"]
+    direct = REGISTRY["minhash_lsh_pairs"].fn(spark, sf_dir)
+    assert out.exceptAll(direct).count() == 0
+    assert direct.exceptAll(out).count() == 0
+    # the silver table really is on disk and narrow
+    sigs = spark.read.parquet(str(tmp_path / "mh" / "minhash_sigs"))
+    assert set(sigs.columns) == {"doc_id", "n_shingles", "signature"}

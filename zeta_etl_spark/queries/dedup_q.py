@@ -176,24 +176,16 @@ JOIN sig sb ON sb.doc_id = c.doc_b
 """
 
 
-@query("minhash_lsh_pairs", oracle=_minhash_oracle(), tags=("dedup", "minhash", "lsh"))
-def minhash_lsh_pairs(spark, sf_dir):
-    # documents arrive as a single parquet file → 1 input partition; the md5
-    # signature chain is CPU-bound, so spread it across the cluster first
-    # (at 100 TB the source is naturally multi-file and this is a no-op cost)
-    d = T(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
-    # signatures feed the band join, est_sim join (×2) and verification —
-    # persist so the shingle+md5 chain runs once (at cluster scale this is a
-    # materialized silver table, exactly like the reference's medallion
-    # nodes).  Measured note: caching the raw SHINGLE arrays instead (to
-    # share one text pass with verification) regressed ~30% at sf0.1 —
-    # materializing wide string arrays costs more than recomputing the md5
-    # chain; signatures (16 bigints/doc) are the right cache grain.
-    sigs = minhash_signatures(d, num_perm=_NUM_PERM).cache()
-    pairs = lsh_candidate_pairs(sigs, bands=_BANDS, rows_per_band=_ROWS).cache()
-    verified = jaccard_verify(pairs, d)
+def lsh_verified_pairs(sigs, docs):
+    """Band-bucket candidate pairs + exact-Jaccard verification + est_sim,
+    given a signature frame (``minhash_signatures`` output — live, cached,
+    or read back from a materialized silver table) and the raw docs.
+
+    This is the seam the production pipeline materializes at: signatures are
+    a 16-bigint-per-doc silver table feeding band join, est_sim join (×2)
+    and verification (`pipelines/dedup.py`)."""
+    pairs = lsh_candidate_pairs(sigs, bands=_BANDS, rows_per_band=_ROWS)
+    verified = jaccard_verify(pairs, docs)
     sig_a = sigs.select(
         F.col("doc_id").alias("doc_a"), F.col("signature").alias("sig_a")
     )
@@ -212,6 +204,26 @@ def minhash_lsh_pairs(spark, sf_dir):
         .join(sig_b, "doc_b")
         .select("doc_a", "doc_b", "n_common", "jaccard", est.alias("est_sim"))
     )
+
+
+@query("minhash_lsh_pairs", oracle=_minhash_oracle(), tags=("dedup", "minhash", "lsh"))
+def minhash_lsh_pairs(spark, sf_dir):
+    # documents arrive as a single parquet file → 1 input partition; the md5
+    # signature chain is CPU-bound, so spread it across the cluster first
+    # (at 100 TB the source is naturally multi-file and this is a no-op cost)
+    d = T(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    # signatures feed the band join, est_sim join (×2) and verification —
+    # persist so the shingle+md5 chain runs once (at cluster scale this is a
+    # materialized silver table, exactly like the reference's medallion
+    # nodes — see pipelines/dedup.py for that production shape).  Measured
+    # note: caching the raw SHINGLE arrays instead (to share one text pass
+    # with verification) regressed ~30% at sf0.1 — materializing wide string
+    # arrays costs more than recomputing the md5 chain; signatures (16
+    # bigints/doc) are the right cache grain.
+    sigs = minhash_signatures(d, num_perm=_NUM_PERM).cache()
+    return lsh_verified_pairs(sigs, d)
 
 
 # --- simhash_docs + near-pairs ----------------------------------------------
