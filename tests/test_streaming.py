@@ -313,3 +313,85 @@ def test_streaming_session_window(spark, tmp_path):
     # (max event 12:00 - 1h = 11:00), so append mode correctly HOLDS it in
     # state rather than emitting a possibly-unfinished session
     assert len(got) == 2
+
+
+def test_two_level_streaming_agg_matches_batch(spark, tmp_path):
+    """VERDICT r2 next-4: agg-on-agg chain via foreachBatch.  Hourly per-user
+    sums (level 1, watermarked streaming) re-aggregated to per-user totals
+    across hours (level 2) must equal the same two aggregations computed in
+    pure batch over the NON-LATE rows, across incremental runs."""
+    from zeta_etl_spark.streaming.runner import foreach_batch_two_level_agg
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "l2")
+    ckpt = str(tmp_path / "ckpt")
+
+    def second_level(l1):
+        return l1.groupBy("user").agg(
+            F.sum("total").alias("grand_total"),
+            F.count(F.lit(1)).alias("n_hours"),
+            F.sum("n").alias("n_events"),
+        )
+
+    def run():
+        stream = read_json(spark, src, SCHEMA, streaming=True)
+        first = hourly_agg_stream(
+            stream,
+            "ts",
+            keys=[F.col("user")],
+            aggs=[F.count(F.lit(1)).alias("n"), F.sum("amount").alias("total")],
+            watermark="5 minutes",
+        )
+        foreach_batch_two_level_agg(
+            first, ["hour_ts", "user"], out, ckpt, second_level, spark
+        )
+
+    _write_json(
+        src,
+        [
+            {"user": "a", "ts": "2024-01-01 00:10:00", "amount": 1.0},
+            {"user": "a", "ts": "2024-01-01 01:20:00", "amount": 2.0},
+            {"user": "b", "ts": "2024-01-01 02:30:00", "amount": 3.0},
+        ],
+        "batch1.json",
+    )
+    run()
+    l2 = {r["user"]: r for r in spark.read.parquet(out).collect()}
+    # watermark at 02:25 → only hours 00/01 closed; b's hour-02 row pending
+    assert l2["a"]["grand_total"] == 3.0 and l2["a"]["n_hours"] == 2
+    assert "b" not in l2
+
+    # increment: a LATE hour-00 row (dropped at level 1 → must not reach
+    # level 2) plus an hour-03 row closing hour 02
+    _write_json(
+        src,
+        [
+            {"user": "a", "ts": "2024-01-01 00:15:00", "amount": 100.0},
+            {"user": "b", "ts": "2024-01-01 03:30:00", "amount": 4.0},
+        ],
+        "batch2.json",
+    )
+    run()
+    l2 = {r["user"]: r for r in spark.read.parquet(out).collect()}
+    assert l2["a"]["grand_total"] == 3.0  # late 100.0 excluded end-to-end
+    assert l2["b"]["grand_total"] == 3.0 and l2["b"]["n_hours"] == 1
+
+    # batch twin over the same non-late rows == streaming result
+    batch = (
+        read_json(spark, src, SCHEMA)
+        .filter(~((F.col("user") == "a") & (F.col("amount") == 100.0)))
+        .filter(F.col("ts") < "2024-01-01 03:00:00")  # hour 03 still open
+        .groupBy(F.date_trunc("hour", "ts").alias("hour_ts"), "user")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("amount").alias("total"))
+    )
+    batch_l2 = {r["user"]: r for r in second_level(batch).collect()}
+    for u in batch_l2:
+        assert l2[u]["grand_total"] == batch_l2[u]["grand_total"]
+        assert l2[u]["n_hours"] == batch_l2[u]["n_hours"]
+        assert l2[u]["n_events"] == batch_l2[u]["n_events"]
+
+    # idempotence: re-running with no new input leaves level 2 unchanged
+    run()
+    again = {r["user"]: r for r in spark.read.parquet(out).collect()}
+    assert again.keys() == l2.keys()
+    assert all(again[u]["grand_total"] == l2[u]["grand_total"] for u in again)

@@ -163,3 +163,89 @@ def foreach_batch_upsert(
         .start()
         .awaitTermination()
     )
+
+
+def foreach_batch_two_level_agg(
+    first_level: DataFrame,
+    first_keys: Sequence[str],
+    target_path: str,
+    checkpoint: str,
+    second_level,
+    spark: SparkSession,
+) -> None:
+    """Streaming multi-agg chain (T9's production escape hatch): OSS
+    Structured Streaming cannot stack an aggregation on an aggregation in
+    one plan (the reference does exactly that under DLT,
+    zetadex-transactions-helius-pipeline.py:226-245).  This runner splits
+    the chain at the first aggregation boundary:
+
+    - ``first_level``: a watermark-finalized streaming aggregation (e.g.
+      :func:`hourly_agg_stream` in append mode) — rows arrive exactly once
+      per closed window, so they are immutable facts keyed by
+      ``first_keys``.
+    - each microbatch merges those rows into a durable level-1 store
+      (versioned dirs + atomic pointer, same crash story as
+      :func:`foreach_batch_upsert`; replayed batches dedup by key), then
+      recomputes ``second_level`` — ANY batch transform, typically the
+      agg-on-agg — from the full level-1 state into ``target_path``.
+
+    Idempotence: a replayed microbatch re-merges rows already present
+    (key dedup → no-op) and rebuilds the same level-2 output.  Late data:
+    rows dropped by the level-1 watermark never reach level 2, so both
+    levels agree on the same event-time cut.
+
+    Scale: level-1 state is one row per closed (window, key) — orders of
+    magnitude smaller than the input stream — so the per-batch level-2
+    recompute is a small batch job; when even that is too large the
+    ``second_level`` callable can itself aggregate incrementally from the
+    batch argument instead of the full state.
+    """
+    import shutil
+
+    l1_path = target_path + "__level1"
+    ptr_path = l1_path + ".version"
+
+    def _committed_version() -> int | None:
+        if not os.path.exists(ptr_path):
+            return None
+        with open(ptr_path) as fh:
+            return int(fh.read().strip())
+
+    def _rebuild_l2(l1_dir: str) -> None:
+        out = second_level(spark.read.parquet(l1_dir))
+        out.write.mode("overwrite").parquet(target_path)
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        current_ver = _committed_version()
+        if current_ver == batch_id:
+            # replay after pointer commit but before stream checkpoint:
+            # level 1 already holds this batch; just heal level 2
+            _rebuild_l2(f"{l1_path}__v{batch_id}")
+            return
+        if current_ver is not None:
+            current = spark.read.parquet(f"{l1_path}__v{current_ver}")
+            merged = current.unionByName(batch_df.select(*current.columns))
+        else:
+            merged = batch_df
+        # closed-window rows are immutable → replays carry identical rows;
+        # key dedup makes the merge idempotent
+        out = merged.dropDuplicates(list(first_keys))
+        new_dir = f"{l1_path}__v{batch_id}"
+        out.write.mode("overwrite").parquet(new_dir)
+        # level 2 is a derived mirror: rebuild BEFORE the commit point (a
+        # torn level-2 heals from the committed level-1 on the next batch)
+        _rebuild_l2(new_dir)
+        tmp_ptr = ptr_path + ".tmp"
+        with open(tmp_ptr, "w") as fh:
+            fh.write(str(batch_id))
+        os.replace(tmp_ptr, ptr_path)  # atomic commit point
+        if current_ver is not None:
+            shutil.rmtree(f"{l1_path}__v{current_ver}", ignore_errors=True)
+
+    (
+        first_level.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
