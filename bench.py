@@ -61,6 +61,9 @@ OPTIONAL = [
     "sq8_rerank_top5",
     # round-3 additions
     "ivf_sq8_rerank_top5",
+    "corpus_pack_docs",
+    "gopher_quality_rules",
+    "hapax_fraction",
 ]
 
 # Deliberate experiments whose cost is a MEASUREMENT, not the engine's real

@@ -12,6 +12,7 @@ from zeta_etl_spark.queries.registry import REGISTRY, QuerySpec, query
 # imported for registration side effects
 from zeta_etl_spark.queries import (  # noqa: E402,F401
     analytics_q,
+    curation2_q,
     curation_q,
     dedup_q,
     pnl_q,
