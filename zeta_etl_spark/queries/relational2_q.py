@@ -389,3 +389,164 @@ def dormant_customers(spark, sf_dir):
         .cast("double")
         .alias("total_bal"),
     )
+
+
+# --- returned_items: TPC-H Q10 shape (returned-revenue top-k) ---------------
+# Customers ranked by revenue lost to returns in a quarter: fact⋈fact joins
+# shuffle, nation broadcasts, top-20 via deterministic (revenue DESC,
+# custkey) ordering computed as a row_number so the cut is total-order
+# stable in both engines.
+
+_Q10_ORACLE = """
+WITH rev AS (
+  SELECT c.c_custkey, c.c_name, n.n_name AS nation_name,
+    CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(32,6)))
+      AS DOUBLE) AS revenue,
+    COUNT(*) AS n_returned_items
+  FROM customer c
+  JOIN orders o   ON o.o_custkey = c.c_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  JOIN nation n   ON c.c_nationkey = n.n_nationkey
+  WHERE l.l_returnflag = 'R'
+    AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o.o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+  GROUP BY 1, 2, 3
+)
+SELECT c_custkey, c_name, nation_name, revenue, n_returned_items,
+  CAST(rn AS BIGINT) AS revenue_rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY revenue DESC, c_custkey) AS rn
+  FROM rev
+) t WHERE rn <= 20
+"""
+
+
+@query("returned_items", oracle=_Q10_ORACLE, tags=("join", "agg", "tpch", "topk"))
+def returned_items(spark, sf_dir):
+    from pyspark.sql.window import Window as W
+
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01 00:00:00").cast("timestamp_ntz"))
+    )
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = T(spark, sf_dir, "nation")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation_name"))
+        .agg(
+            dec_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_returned_items"),
+        )
+    )
+    # scale shape: orderBy+limit plans TakeOrderedAndProject (per-partition
+    # top-20 + merge — no global shuffle); the rank window then runs over
+    # just those 20 rows, so the single-partition WindowExec is harmless
+    top = rev.orderBy(F.col("revenue").desc(), F.col("c_custkey")).limit(20)
+    w = W.orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+    return top.withColumn(
+        "revenue_rank", F.row_number().over(w).cast("bigint")
+    )
+
+
+# --- top_revenue_supplier: TPC-H Q15 shape (scalar-max subquery) ------------
+# Suppliers achieving the quarter's MAXIMUM revenue: the revenue table is
+# aggregated once, its max is a one-row broadcast, and the equality join
+# back is the classic view+scalar-subquery pattern the reference would
+# express as a Databricks temp view.
+
+_Q15_ORACLE = """
+WITH rev AS (
+  SELECT l_suppkey,
+    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(32,6)))
+      AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+), mx AS (SELECT MAX(total_revenue) AS m FROM rev)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM rev r
+JOIN supplier s ON s.s_suppkey = r.l_suppkey
+CROSS JOIN mx WHERE r.total_revenue = mx.m
+"""
+
+
+@query("top_revenue_supplier", oracle=_Q15_ORACLE, tags=("join", "agg", "tpch", "scalar"))
+def top_revenue_supplier(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp_ntz"))
+    )
+    s = T(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        dec_sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")),
+            "total_revenue",
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("m"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("m"))
+        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+# --- nation_trade_volume: TPC-H Q7 shape (bilateral trade matrix) ------------
+# Revenue shipped between (supplier nation, customer nation) pairs per year:
+# two broadcast nation lookups on one fact join chain.
+
+_Q7_ORACLE = """
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+  CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS ship_year,
+  CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(32,6)))
+    AS DOUBLE) AS volume,
+  COUNT(*) AS n_items
+FROM lineitem l
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation ns  ON ns.n_nationkey = s.s_nationkey
+JOIN nation nc  ON nc.n_nationkey = c.c_nationkey
+WHERE ns.n_nationkey < 8 AND nc.n_nationkey < 8
+  AND ns.n_nationkey <> nc.n_nationkey
+GROUP BY 1, 2, 3
+"""
+
+
+@query("nation_trade_volume", oracle=_Q7_ORACLE, tags=("join", "agg", "tpch"))
+def nation_trade_volume(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    s = T(spark, sf_dir, "supplier")
+    n = T(spark, sf_dir, "nation").filter(F.col("n_nationkey") < 8)
+    ns = n.select(
+        F.col("n_nationkey").alias("_ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    nc = n.select(
+        F.col("n_nationkey").alias("_nc_key"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("_ns_key"))
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("_nc_key"))
+        .filter(F.col("_ns_key") != F.col("_nc_key"))
+    )
+    return joined.groupBy(
+        "supp_nation",
+        "cust_nation",
+        F.year("l_shipdate").cast("bigint").alias("ship_year"),
+    ).agg(
+        dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "volume"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
