@@ -377,3 +377,50 @@ def edit_distance_pairs(spark, sf_dir):
             ).alias("edit_sim"),
         )
     )
+
+
+# --- near_dup_triangles: triangle census of the near-dup graph ---------------
+# Graph-analytics lens on dedup quality: a triangle (a,b,c) means three
+# documents that are pairwise near-duplicates — dense triangle counts around
+# a node indicate a template/boilerplate cluster rather than a one-off copy.
+# Spark side: two self-joins over the (a < b) edge list with the a < b < c
+# orientation, then a per-node participation count.  The edge basis is the
+# candidate-restricted jaccard graph, so the join input is |near-dup pairs|,
+# not |docs|²; at larger scale the standard degree-ordered orientation
+# applies unchanged (edges already flow low→high doc_id).
+
+_TRIANGLE_ORACLE = f"""
+WITH pairs AS (
+  SELECT doc_a, doc_b FROM ({_NGRAM_ORACLE}) _np
+), tri AS (
+  SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+  FROM pairs e1
+  JOIN pairs e2 ON e2.doc_a = e1.doc_b
+  JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+), nodes AS (
+  SELECT a AS doc_id FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT doc_id, COUNT(*) AS n_triangles
+FROM nodes GROUP BY doc_id
+"""
+
+
+@query("near_dup_triangles", oracle=_TRIANGLE_ORACLE, tags=("dedup", "graph"))
+def near_dup_triangles(spark, sf_dir):
+    pairs = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b").cache()
+    e1 = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    e2 = pairs.select(F.col("doc_a").alias("b2"), F.col("doc_b").alias("c"))
+    e3 = pairs.select(F.col("doc_a").alias("a3"), F.col("doc_b").alias("c3"))
+    tri = (
+        e1.join(e2, F.col("b") == F.col("b2"))
+        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        .select("a", "b", "c")
+    )
+    nodes = (
+        tri.select(F.col("a").alias("doc_id"))
+        .unionAll(tri.select(F.col("b").alias("doc_id")))
+        .unionAll(tri.select(F.col("c").alias("doc_id")))
+    )
+    return nodes.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_triangles"))

@@ -541,3 +541,75 @@ def ivf_sq8_rerank_top5(spark, sf_dir):
         corpus, cents, queries,
         k=_IVF_SQ8_K, nprobe=_IVF_SQ8_NPROBE, wide=_IVF_SQ8_WIDE,
     )
+
+
+# --- rrf_fused_top5: reciprocal-rank fusion of two retrieval systems --------
+# Hybrid retrieval: the exact brute-force ranking and the LSH-bucketed
+# approximate ranking are fused with Reciprocal Rank Fusion
+# (score = sum over systems of 1/(60 + rank), Cormack et al. — public
+# method).  The reciprocal is computed as floor(1e6 / (60 + rank)) so the
+# score is an exact BIGINT in both engines (float reciprocal sums are
+# order-dependent); ties break on neighbor_id.  At scale this is the
+# standard last-mile combiner over per-system top-k tables — a small
+# (|Q| x k per system) full-outer join, never corpus-sized.
+
+_RRF_K = 60
+_RRF_SCALE = 1_000_000
+
+
+def _rrf_oracle() -> str:
+    return f"""
+WITH k AS (
+  SELECT query_id, neighbor_id, knn_rank FROM ({_KNN_ORACLE}) _k
+), l AS (
+  SELECT query_id, neighbor_id, knn_rank AS lsh_rank FROM ({_ann_oracle()}) _l
+), u AS (
+  SELECT COALESCE(k.query_id, l.query_id) AS query_id,
+         COALESCE(k.neighbor_id, l.neighbor_id) AS neighbor_id,
+         COALESCE({_RRF_SCALE} // ({_RRF_K} + k.knn_rank), 0)
+           + COALESCE({_RRF_SCALE} // ({_RRF_K} + l.lsh_rank), 0) AS rrf_score
+  FROM k FULL OUTER JOIN l
+    ON l.query_id = k.query_id AND l.neighbor_id = k.neighbor_id
+)
+SELECT query_id, neighbor_id, CAST(rrf_score AS BIGINT) AS rrf_score,
+  CAST(rn AS BIGINT) AS fused_rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY rrf_score DESC, neighbor_id) AS rn
+  FROM u
+) t WHERE rn <= 5
+"""
+
+
+@query("rrf_fused_top5", oracle=_rrf_oracle(), tags=("vectors", "ann", "fusion"))
+def rrf_fused_top5(spark, sf_dir):
+    exact = knn_cosine_top5(spark, sf_dir).select(
+        "query_id", "neighbor_id", "knn_rank"
+    )
+    lsh = ann_lsh_top5(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.col("knn_rank").alias("lsh_rank")
+    )
+    u = (
+        exact.join(lsh, ["query_id", "neighbor_id"], "full_outer")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                F.coalesce(
+                    F.expr(f"{_RRF_SCALE} div ({_RRF_K} + knn_rank)"), F.lit(0)
+                )
+                + F.coalesce(
+                    F.expr(f"{_RRF_SCALE} div ({_RRF_K} + lsh_rank)"), F.lit(0)
+                )
+            )
+            .cast("bigint")
+            .alias("rrf_score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("neighbor_id")
+    )
+    return (
+        u.withColumn("fused_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("fused_rank") <= 5)
+    )
