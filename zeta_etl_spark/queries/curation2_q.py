@@ -350,3 +350,65 @@ def hapax_fraction(spark, sf_dir):
             "hapax_fraction"
         ),
     )
+
+
+# --- token_quantiles_per_source ----------------------------------------------
+# Exact distributed quantiles WITHOUT percentile interpolation: the q-th
+# quantile is the value at 1-indexed position ceil(q*n) of the
+# (n_tokens, doc_id)-sorted shard — pure integer arithmetic
+# ((q*100*n + 99) div 100), so Spark and DuckDB agree bit-for-bit where
+# interpolating percentile functions diverge.  One window per shard +
+# map-side-combinable conditional max; scales like any rank window.
+
+_QUANT_POSITIONS = [25, 50, 75, 90]
+
+
+def _quant_oracle() -> str:
+    sel = ",\n  ".join(
+        f"MAX(CASE WHEN rn = ({q} * n + 99) // 100 THEN n_tokens END) AS p{q}"
+        for q in _QUANT_POSITIONS
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, source,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+), r AS (
+  SELECT *,
+    ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_tokens, doc_id) AS rn,
+    COUNT(*) OVER (PARTITION BY source) AS n
+  FROM t
+)
+SELECT source, COUNT(*) AS n_docs,
+  {sel}
+FROM r GROUP BY source
+"""
+
+
+@query(
+    "token_quantiles_per_source",
+    oracle=_quant_oracle(),
+    tags=("curation", "quantiles"),
+)
+def token_quantiles_per_source(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        "source",
+        F.expr("cast(size(split(text, ' ')) as bigint)").alias("n_tokens"),
+    )
+    w = Window.partitionBy("source").orderBy("n_tokens", "doc_id")
+    wn = Window.partitionBy("source")
+    r = base.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    aggs = [F.count(F.lit(1)).alias("n_docs")] + [
+        F.max(
+            F.when(
+                F.col("rn") == F.expr(f"({q} * n + 99) div 100"),
+                F.col("n_tokens"),
+            )
+        ).alias(f"p{q}")
+        for q in _QUANT_POSITIONS
+    ]
+    return r.groupBy("source").agg(*aggs)
