@@ -190,3 +190,106 @@ def embedding_near_dups(spark, sf_dir):
         .select("vec_a", "vec_b", cos.alias("cosine"))
     )
     return pairs.filter(F.col("cosine") >= _NEAR_THRESHOLD)
+
+
+# --- bm25_search_top10: full-text relevance ranking --------------------------
+# BM25 (Robertson et al., public method) with two engine-portability twists:
+# (1) the idf factor is the rational (N - df + 0.5)/(df + 0.5) WITHOUT the
+# usual log — log is libm-dependent and monotone, so rankings are preserved;
+# (2) each (doc, term) partial score is floor-scaled to an exact BIGINT
+# BEFORE the per-doc sum — float partial-score sums would be order-dependent
+# across partitionings, integer sums are not.  k1=1.2, b=0.75 (the standard
+# constants; both are exactly representable doubles).
+#
+# Scale shape: tokens explode once, filter to the query terms BEFORE the
+# shuffle (predicate on the exploded value), df/avgdl are one-row broadcast
+# scalars, and the final top-10 is TakeOrderedAndProject.
+
+_BM25_TERMS = ("vector", "dup", "scan")
+_BM25_SCALE = 1_000_000_000
+
+# shared Spark/DuckDB arithmetic (identical expression tree => identical
+# IEEE result before the floor)
+_BM25_EXPR = (
+    f"floor({_BM25_SCALE}.0 * (((n_docs - df) + 0.5) / (df + 0.5)) * "
+    "((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))))"
+)
+
+
+def _bm25_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return f"""
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+  FROM documents
+), scalars AS (
+  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM base
+), doc_term AS (
+  SELECT doc_id, token AS term, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS token FROM base) u
+  WHERE token IN ({terms})
+  GROUP BY doc_id, token
+), df_t AS (
+  SELECT term, COUNT(*) AS df FROM doc_term GROUP BY term
+), scored AS (
+  SELECT dt.doc_id,
+    CAST({_BM25_EXPR} AS BIGINT) AS partial
+  FROM doc_term dt
+  JOIN df_t ON df_t.term = dt.term
+  JOIN base b ON b.doc_id = dt.doc_id
+  CROSS JOIN scalars
+), ranked AS (
+  SELECT doc_id, CAST(SUM(partial) AS BIGINT) AS bm25_score,
+    COUNT(*) AS n_terms_matched
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, bm25_score, n_terms_matched, CAST(rn AS BIGINT) AS bm25_rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY bm25_score DESC, doc_id) AS rn
+  FROM ranked
+) t WHERE rn <= 10
+"""
+
+
+@query("bm25_search_top10", oracle=_bm25_oracle(), tags=("text", "search", "bm25"))
+def bm25_search_top10(spark, sf_dir):
+    from pyspark.sql.window import Window as W
+
+    d = T(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    terms_sql = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    base = d.select(
+        "doc_id",
+        F.expr("split(text, ' ')").alias("toks"),
+        F.expr("cast(size(split(text, ' ')) as bigint)").alias("dl"),
+    )
+    scalars = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    doc_term = (
+        base.select("doc_id", F.explode("toks").alias("term"))
+        .filter(F.expr(f"term IN ({terms_sql})"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = doc_term.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        doc_term.join(F.broadcast(df_t), "term")
+        .join(base.select("doc_id", "dl"), "doc_id")
+        .crossJoin(F.broadcast(scalars))
+        .select(
+            "doc_id",
+            F.expr(f"cast({_BM25_EXPR} as bigint)").alias("partial"),
+        )
+    )
+    ranked = scored.groupBy("doc_id").agg(
+        F.sum("partial").cast("bigint").alias("bm25_score"),
+        F.count(F.lit(1)).alias("n_terms_matched"),
+    )
+    top = ranked.orderBy(F.col("bm25_score").desc(), F.col("doc_id")).limit(10)
+    w = W.orderBy(F.col("bm25_score").desc(), F.col("doc_id"))
+    return top.withColumn("bm25_rank", F.row_number().over(w).cast("bigint"))
