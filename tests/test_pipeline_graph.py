@@ -286,3 +286,58 @@ def test_minhash_pipeline_matches_registry_query(spark, tmp_path, sf_dir):
     # the silver table really is on disk and narrow
     sigs = spark.read.parquet(str(tmp_path / "mh" / "minhash_sigs"))
     assert set(sigs.columns) == {"doc_id", "n_shingles", "signature"}
+
+
+def test_corpus_pipeline_end_to_end(spark, tmp_path, sf_dir):
+    """pipelines/corpus.py: the composed training-data DAG materializes
+    every stage, decisions reconcile with the corpus_curation registry
+    query, packing invariants hold on the kept stream, and the report adds
+    up."""
+    from pyspark.sql import functions as F2
+
+    from zeta_etl_spark.pipelines.corpus import _PACK_BUDGET, build_corpus_pipeline
+    from zeta_etl_spark.queries.registry import T
+
+    docs = T(spark, sf_dir, "documents")
+    p = build_corpus_pipeline(spark, str(tmp_path / "corpus"), docs)
+    out = p.run(spark)
+
+    n_docs = docs.count()
+    gate = out["quality_gate"]
+    assert gate.count() == n_docs                      # every doc decided
+    kept = out["kept_docs"]
+    assert kept.count() == gate.filter("decision = 'keep'").count()
+    assert set(r["split"] for r in kept.select("split").distinct().collect()) \
+        <= {"train", "val", "test"}
+
+    # packing invariants on the materialized gold
+    packed = out["packed_sequences"]
+    assert packed.count() == kept.count()
+    b = _PACK_BUDGET
+    spans = packed.selectExpr(
+        "split", "source",
+        "explode(sequence(start_pack, end_pack)) AS pack",
+        f"start_pack * {b} + start_offset AS tok_begin",
+        f"start_pack * {b} + start_offset + n_tokens AS tok_end",
+    ).selectExpr(
+        "split", "source", "pack",
+        f"least(tok_end, (pack + 1) * {b}) - greatest(tok_begin, pack * {b})"
+        " AS tokens_in_pack",
+    )
+    over = (
+        spans.groupBy("split", "source", "pack")
+        .agg(F2.sum("tokens_in_pack").alias("t"))
+        .filter(F2.col("t") > b)
+    )
+    assert over.count() == 0
+
+    # report adds up against the packed gold
+    rep = {r["split"]: r for r in out["corpus_report"].collect()}
+    for split, r in rep.items():
+        assert r["n_docs"] == packed.filter(F2.col("split") == split).count()
+
+    # all five nodes durable on disk
+    import os
+    for node in ["doc_stats", "quality_gate", "kept_docs",
+                 "packed_sequences", "corpus_report"]:
+        assert os.path.exists(str(tmp_path / "corpus" / node))

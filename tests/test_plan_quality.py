@@ -111,3 +111,29 @@ def test_kmeans_assignment_zero_shuffle_on_corpus(spark, sf_dir):
     plan = _plan(spark, sf_dir, "kmeans_lloyd_assign")
     assert "dim#" not in _join_keys(plan)
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_round3_query_plan_shapes(spark, sf_dir):
+    """Round-3 additions keep the 100 TB plan properties: top-k queries use
+    TakeOrderedAndProject (no global-window shuffle of the full frame),
+    packing runs ONE window exchange and no joins, quantiles stay within
+    two exchanges on the shard key."""
+    plan = _plan(spark, sf_dir, "returned_items")
+    assert "TakeOrderedAndProject" in plan
+    plan = _plan(spark, sf_dir, "bm25_search_top10")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+    plan = _plan(spark, sf_dir, "corpus_pack_docs")
+    assert "Join" not in plan
+    exchanges = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    assert len(exchanges) == 1  # one shard window, nothing else
+
+    plan = _plan(spark, sf_dir, "token_quantiles_per_source")
+    exchanges = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    assert len(exchanges) <= 2  # rank+count windows share the shard key
+    assert "CartesianProduct" not in plan
