@@ -253,3 +253,51 @@ def test_corpus_packing_invariants(spark, sf_dir):
     total_spans = spans.agg(F.sum("tokens_in_pack")).first()[0]
     total_tokens = out.agg(F.sum("n_tokens")).first()[0]
     assert total_spans == total_tokens
+
+
+def test_countmin_sketch_estimate_bounds(spark, sf_dir):
+    """CMS guarantees: the point estimate (min over depths of the hashed
+    cell) never underestimates the true frequency, and with width=256 the
+    classic bound caps overestimation at ~e/width * N."""
+    from zeta_etl_spark.functions.text import spark_hex2long
+    from zeta_etl_spark.queries import REGISTRY
+    from zeta_etl_spark.queries.analytics_q import _CMS_DEPTH, _CMS_WIDTH
+
+    sketch = {
+        (r["depth"], r["bucket"]): r["cnt"]
+        for r in REGISTRY["countmin_sketch"].fn(spark, sf_dir).collect()
+    }
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n_total = events.count()
+    truth = {
+        r["user_id"]: r["cnt"]
+        for r in events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    # recompute each sampled user's buckets with the same salted hash
+    users = list(truth)[:50]
+    hashed = events.sparkSession.createDataFrame(
+        [(u,) for u in users], "user_id bigint"
+    ).select(
+        "user_id",
+        *[
+            (
+                F.expr(
+                    spark_hex2long(
+                        f"concat('cms{d}:', cast(user_id as string))", digits=8
+                    )
+                )
+                % _CMS_WIDTH
+            ).alias(f"b{d}")
+            for d in range(_CMS_DEPTH)
+        ],
+    )
+    slack = 3 * n_total / _CMS_WIDTH  # e/width*N with margin
+    for r in hashed.collect():
+        est = min(
+            sketch.get((d, r[f"b{d}"]), 0) for d in range(_CMS_DEPTH)
+        )
+        true = truth[r["user_id"]]
+        assert est >= true, (r["user_id"], est, true)
+        assert est <= true + slack, (r["user_id"], est, true, slack)

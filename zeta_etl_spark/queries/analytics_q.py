@@ -599,3 +599,63 @@ def value_hour_correlation(spark, sf_dir):
         F.col("n").cast("bigint").alias("n_events"),
         F.when(zero, F.lit(None)).otherwise(r).alias("pearson_r"),
     )
+
+
+# --- countmin_sketch: Count-Min frequency sketch over user_id ----------------
+# The classic streaming frequency sketch (Cormode & Muthukrishnan, public
+# method) as a distributed aggregation: depth=4 salted md5 hash rows per
+# event, width=256 buckets, one groupBy — the sketch table is depth*width
+# cells regardless of stream size, mergeable across partitions/batches by
+# cell-wise addition (map-side combine IS the merge).  Point estimates
+# (min over depths of the hashed cells) are checked against exact counts in
+# tests/test_properties.py: CMS never underestimates and overestimates by
+# at most the classic eps*N bound.
+
+_CMS_DEPTH = 4
+_CMS_WIDTH = 256
+
+
+def _cms_oracle() -> str:
+    from zeta_etl_spark.functions.text import duck_hex2long
+
+    rows = " UNION ALL ".join(
+        f"SELECT {d} AS depth, "
+        + duck_hex2long(f"concat('cms{d}:', CAST(user_id AS VARCHAR))", digits=8)
+        + f" % {_CMS_WIDTH} AS bucket FROM events"
+        for d in range(_CMS_DEPTH)
+    )
+    return f"""
+WITH cells AS ({rows})
+SELECT CAST(depth AS BIGINT) AS depth, CAST(bucket AS BIGINT) AS bucket,
+  COUNT(*) AS cnt
+FROM cells GROUP BY depth, bucket
+"""
+
+
+@query("countmin_sketch", oracle=_cms_oracle(), tags=("sketch", "streaming-scale"))
+def countmin_sketch(spark, sf_dir):
+    from zeta_etl_spark.functions.text import spark_hex2long
+
+    e = T(spark, sf_dir, "events")
+    depth_rows = F.array(
+        *[
+            F.struct(
+                F.lit(d).cast("bigint").alias("depth"),
+                (
+                    F.expr(
+                        spark_hex2long(
+                            f"concat('cms{d}:', cast(user_id as string))",
+                            digits=8,
+                        )
+                    )
+                    % _CMS_WIDTH
+                ).alias("bucket"),
+            )
+            for d in range(_CMS_DEPTH)
+        ]
+    )
+    cells = e.select(F.explode(depth_rows).alias("_c")).select(
+        F.col("_c.depth").alias("depth"),
+        F.col("_c.bucket").cast("bigint").alias("bucket"),
+    )
+    return cells.groupBy("depth", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
