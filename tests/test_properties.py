@@ -301,3 +301,39 @@ def test_countmin_sketch_estimate_bounds(spark, sf_dir):
         true = truth[r["user_id"]]
         assert est >= true, (r["user_id"], est, true)
         assert est <= true + slack, (r["user_id"], est, true, slack)
+
+
+def test_hll_and_kmv_distinct_estimates(spark):
+    """Sketch estimator accuracy at sf0.1 (1500 distinct users): the HLL
+    harmonic-mean estimate lands within ~3 standard errors (1.04/sqrt(256)
+    = 6.5%) and the KMV (k-1)/x_k estimate within ~3*n/sqrt(64)."""
+    from zeta_etl_spark.queries import REGISTRY
+    from zeta_etl_spark.queries.analytics_q import _HLL_M, _KMV_K
+
+    from zeta_etl_spark.datasets import load_table
+
+    sf = "/root/testdata/sf0.1"
+    exact = (
+        load_table(spark, sf, "events")
+        .select("user_id").distinct().count()
+    )
+
+    regs = {
+        r["register"]: r["max_rank"]
+        for r in REGISTRY["hll_registers"].fn(spark, sf).collect()
+    }
+    m = _HLL_M
+    alpha = 0.7213 / (1 + 1.079 / m)
+    s = sum(2.0 ** -regs.get(j, 0) for j in range(m))
+    est = alpha * m * m / s
+    v = sum(1 for j in range(m) if j not in regs)
+    if est <= 2.5 * m and v > 0:  # small-range (linear counting) correction
+        import math
+        est = m * math.log(m / v)
+    assert abs(est - exact) / exact < 0.20, (est, exact)
+
+    kmv = REGISTRY["kmv_bottomk"].fn(spark, sf).collect()
+    assert len(kmv) == _KMV_K
+    xk = max(r["hash_val"] for r in kmv) / float(16 ** 15)  # normalize 60-bit
+    est_kmv = (_KMV_K - 1) / xk
+    assert abs(est_kmv - exact) / exact < 0.40, (est_kmv, exact)

@@ -659,3 +659,90 @@ def countmin_sketch(spark, sf_dir):
         F.col("_c.bucket").cast("bigint").alias("bucket"),
     )
     return cells.groupBy("depth", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+# --- hll_registers: HyperLogLog register table -------------------------------
+# Deterministic HLL (Flajolet et al., public method) with md5 instead of an
+# engine-private hash: 256 registers from the low 8 bits of a 60-bit md5
+# hash, register value = max leading-zero rank of the remaining 52 bits.
+# The register TABLE is the sketch — mergeable by cell-wise MAX, constant
+# size for any stream.  bin() (both engines drop leading zeros) gives the
+# MSB position without libm logs.  The harmonic-mean estimate is validated
+# against exact COUNT(DISTINCT) in tests/test_properties.py (within the
+# ~1.04/sqrt(256)=6.5% standard error).
+
+_HLL_B = 8
+_HLL_M = 1 << _HLL_B  # 256 registers
+
+
+def _hll_oracle() -> str:
+    from zeta_etl_spark.functions.text import duck_hex2long
+
+    h = duck_hex2long("concat('hll:', CAST(user_id AS VARCHAR))", digits=15)
+    return f"""
+WITH hashed AS (
+  SELECT {h} AS h FROM events
+), parts AS (
+  SELECT h % {_HLL_M} AS register, h // {_HLL_M} AS rem FROM hashed
+)
+SELECT CAST(register AS BIGINT) AS register,
+  CAST(MAX(CASE WHEN rem = 0 THEN 53 ELSE 53 - length(bin(rem)) END)
+    AS BIGINT) AS max_rank
+FROM parts GROUP BY register
+"""
+
+
+@query("hll_registers", oracle=_hll_oracle(), tags=("sketch", "distinct"))
+def hll_registers(spark, sf_dir):
+    from zeta_etl_spark.functions.text import spark_hex2long
+
+    e = T(spark, sf_dir, "events")
+    h = spark_hex2long("concat('hll:', cast(user_id as string))", digits=15)
+    parts = e.select(
+        F.expr(f"({h}) % {_HLL_M}").alias("register"),
+        F.expr(f"({h}) div {_HLL_M}").alias("rem"),
+    )
+    rank = F.when(F.col("rem") == 0, 53).otherwise(
+        53 - F.length(F.expr("bin(rem)"))
+    )
+    return parts.groupBy(F.col("register").cast("bigint").alias("register")).agg(
+        F.max(rank).cast("bigint").alias("max_rank")
+    )
+
+
+# --- kmv_bottomk: KMV (bottom-k) distinct sketch -----------------------------
+# The k minimum hash values of the distinct key set — simultaneously a
+# deterministic uniform sample of distinct users AND a distinct-count
+# estimator ((k-1) / normalized k-th minimum; validated in tests).  At
+# scale this is a per-partition top-k (TakeOrdered shape) — no full sort.
+
+_KMV_K = 64
+
+
+def _kmv_oracle() -> str:
+    from zeta_etl_spark.functions.text import duck_hex2long
+
+    h = duck_hex2long("concat('kmv:', CAST(user_id AS VARCHAR))", digits=15)
+    return f"""
+WITH hashed AS (
+  SELECT DISTINCT user_id, {h} AS hash_val FROM events
+)
+SELECT user_id, hash_val, CAST(rn AS BIGINT) AS kmv_rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY hash_val, user_id) AS rn FROM hashed
+) t WHERE rn <= {_KMV_K}
+"""
+
+
+@query("kmv_bottomk", oracle=_kmv_oracle(), tags=("sketch", "distinct", "sample"))
+def kmv_bottomk(spark, sf_dir):
+    from pyspark.sql.window import Window as W
+
+    from zeta_etl_spark.functions.text import spark_hex2long
+
+    e = T(spark, sf_dir, "events")
+    h = spark_hex2long("concat('kmv:', cast(user_id as string))", digits=15)
+    hashed = e.select("user_id", F.expr(h).alias("hash_val")).distinct()
+    top = hashed.orderBy("hash_val", "user_id").limit(_KMV_K)
+    w = W.orderBy("hash_val", "user_id")
+    return top.withColumn("kmv_rank", F.row_number().over(w).cast("bigint"))
