@@ -477,3 +477,51 @@ def session_window_native(spark, sf_dir):
             "session_value",
         )
     )
+
+
+# --- hopping_event_counts: sliding (hopping) event-time windows --------------
+# 1-hour windows hopping every 30 minutes — each event lands in exactly two
+# windows.  Spark: the native F.window(ts, '1 hour', '30 minutes') generate;
+# oracle: the two epoch-aligned window starts derived with integer div
+# (floor(epoch/1800)*1800 and its 30-minute predecessor).  Same operator
+# family as the streaming T2 tumbling window, completing SURVEY §2.5's
+# event-time window shapes.
+
+_HOPPING_ORACLE = """
+WITH e AS (
+  SELECT CAST(ts AS TIMESTAMP) AS t, event_type, value FROM events
+), w AS (
+  SELECT make_timestamp(((epoch_ms(t) // 1000 // 1800) * 1800)
+                        * 1000000) AS s1,
+         event_type, value
+  FROM e
+), x AS (
+  SELECT s1 AS hop_start, event_type, value FROM w
+  UNION ALL
+  SELECT s1 - INTERVAL 30 MINUTE, event_type, value FROM w
+)
+SELECT hop_start, event_type, COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(32,6))) AS DOUBLE) AS sum_value
+FROM x GROUP BY 1, 2
+"""
+
+
+@query("hopping_event_counts", oracle=_HOPPING_ORACLE, tags=("agg", "window", "T2"))
+def hopping_event_counts(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("_w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dec_sum("value", "sum_value"),
+        )
+        .select(
+            F.col("_w.start").alias("hop_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
