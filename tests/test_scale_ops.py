@@ -115,6 +115,17 @@ def test_connected_components_chain_bounded_lineage(spark):
     assert len(plan.splitlines()) <= 5
 
 
+def test_connected_components_empty_edges_terminates(spark):
+    """Zero-edge regression: F.sum over an empty frame is NULL, and the
+    convergence probe must treat that as converged (`not changed`), not loop
+    forever — found when semantic_dup_clusters ran over an empty near-dup
+    cut (cosine >= 0.9 matches nothing on the synthetic corpus)."""
+    from zeta_etl_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame([], "src bigint, dst bigint")
+    assert connected_components(edges).count() == 0
+
+
 def test_ivf_sq8_rerank_recall_and_candidate_only_rerank(spark, sf_dir):
     """VERDICT r2 next-2: the composed production ANN stack.  (a) recall@5
     vs the exact brute-force baseline stays >= 0.6 (synthetic corpus is

@@ -297,7 +297,9 @@ def connected_components(
         changed = new_labels.agg(F.sum("_chg")).first()[0]
         labels.unpersist()
         labels = new_labels.drop("_chg")
-        if changed == 0:
+        # F.sum over an EMPTY frame yields NULL, not 0 — `not changed` covers
+        # both convergence and the zero-edge graph (else: infinite loop).
+        if not changed:
             break
     sym.unpersist()  # labels is checkpointed; nothing recomputes the edges
     return labels

@@ -114,7 +114,7 @@ _NEAR_THRESHOLD = 0.9
 _ND_PLANES = 6
 
 
-def _near_dup_oracle() -> str:
+def _near_dup_oracle(threshold: float = _NEAR_THRESHOLD) -> str:
     from zeta_etl_spark.operators.vectors import SCALE, hyperplane_params
 
     planes = hyperplane_params(_ND_PLANES, 64)
@@ -149,12 +149,17 @@ WITH e AS (
                0.0) AS cosine
   FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 )
-SELECT vec_a, vec_b, cosine FROM p WHERE cosine >= {_NEAR_THRESHOLD}
+SELECT vec_a, vec_b, cosine FROM p WHERE cosine >= {threshold}
 """
 
 
-@query("embedding_near_dups", oracle=_near_dup_oracle(), tags=("vectors", "dedup"))
-def embedding_near_dups(spark, sf_dir):
+def _cosine_bucket_pairs(spark, sf_dir, threshold):
+    """LSH-bucketed candidate pairs with exact integer-dot cosine ≥ threshold.
+
+    Shared plan seam for ``embedding_near_dups`` (strict 0.9 near-dup cut)
+    and ``semantic_dup_clusters`` (looser similarity graph): one bucket
+    equi-join — never all-pairs — then exact arithmetic on candidates only.
+    """
     from zeta_etl_spark.operators.vectors import (
         hyperplane_params,
         lsh_bucket,
@@ -189,7 +194,12 @@ def embedding_near_dups(spark, sf_dir):
         .filter(F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b", cos.alias("cosine"))
     )
-    return pairs.filter(F.col("cosine") >= _NEAR_THRESHOLD)
+    return pairs.filter(F.col("cosine") >= threshold)
+
+
+@query("embedding_near_dups", oracle=_near_dup_oracle(), tags=("vectors", "dedup"))
+def embedding_near_dups(spark, sf_dir):
+    return _cosine_bucket_pairs(spark, sf_dir, _NEAR_THRESHOLD)
 
 
 # --- bm25_search_top10: full-text relevance ranking --------------------------
@@ -293,3 +303,56 @@ def bm25_search_top10(spark, sf_dir):
     top = ranked.orderBy(F.col("bm25_score").desc(), F.col("doc_id")).limit(10)
     w = W.orderBy(F.col("bm25_score").desc(), F.col("doc_id"))
     return top.withColumn("bm25_rank", F.row_number().over(w).cast("bigint"))
+
+
+# --- semantic_dup_clusters: transitive closure of embedding similarity -------
+# Semantic dedup at corpus scale keeps ONE representative per cluster of
+# mutually-similar embeddings, not per pair: LSH-bucketed cosine edges feed
+# the same bounded-lineage connected-components operator the text-side dedup
+# uses (operators/dedup.py:connected_components — per-round localCheckpoint +
+# unpersist, O(1) lineage at any component diameter).  The canonical
+# representative is the component's minimum vec_id.  The edge cut is looser
+# than the 0.9 near-dup rule (the synthetic corpus has no 0.9 pairs at any
+# SF; 0.35 yields a real graph — 14/25/247 edges at sf0.001/0.01/0.1) so the
+# clustering itself is exercised, transitive merges included.
+
+_SIM_THRESHOLD = 0.35
+
+
+def _semantic_cluster_oracle() -> str:
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT vec_a, vec_b FROM ({_near_dup_oracle(_SIM_THRESHOLD)}) _nd
+), edges AS (
+  SELECT vec_a AS src, vec_b AS dst FROM pairs
+  UNION ALL SELECT vec_b, vec_a FROM pairs
+), nodes AS (
+  SELECT DISTINCT src AS vec_id FROM edges
+), reach AS (
+  SELECT vec_id, vec_id AS peer FROM nodes
+  UNION
+  SELECT r.vec_id, e.dst FROM reach r JOIN edges e ON r.peer = e.src
+)
+SELECT vec_id, MIN(peer) AS cluster_id, COUNT(*) AS cluster_size
+FROM reach GROUP BY vec_id
+"""
+
+
+@query(
+    "semantic_dup_clusters",
+    oracle=_semantic_cluster_oracle(),
+    tags=("vectors", "dedup", "graph", "iterative"),
+)
+def semantic_dup_clusters(spark, sf_dir):
+    from zeta_etl_spark.operators.dedup import connected_components
+
+    pairs = _cosine_bucket_pairs(spark, sf_dir, _SIM_THRESHOLD).select(
+        "vec_a", "vec_b"
+    )
+    labels = connected_components(pairs, src="vec_a", dst="vec_b")
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return labels.join(sizes, "label").select(
+        F.col("doc_id").alias("vec_id"),
+        F.col("label").alias("cluster_id"),
+        "cluster_size",
+    )
