@@ -14,8 +14,10 @@ from zeta_etl_spark.queries import (  # noqa: E402,F401
     analytics_q,
     curation2_q,
     curation3_q,
+    curation4_q,
     curation_q,
     dedup_q,
+    graph_q,
     pnl_q,
     product_q,
     relational,

@@ -1,0 +1,185 @@
+"""Curation batch 4: canonical-document selection inside exact-dup groups,
+per-document n-gram novelty, and sqrt-temperature source mixture weights.
+
+All three are standard large-corpus training-data operations (dedup keep
+rules, novelty filtering, mixture reweighting).  Cross-engine determinism
+follows the house rules: integer counts + ONE final integer division
+(``div`` ↔ ``//``), and the only float op is IEEE-exact ``sqrt`` whose
+result is floor-scaled to BIGINT before any summation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from zeta_etl_spark.functions.text import duck_shingles, spark_shingles
+from zeta_etl_spark.queries.registry import T, query
+
+# --- canonical_doc_selection: quality-keep rule inside exact-dup groups ------
+# exact_dedup_docs keeps MIN(doc_id) per content hash; production curation
+# keeps the BEST copy (here: longest n_chars, deterministic doc_id
+# tie-break) and records how many copies it shadows.  One shuffle on the
+# content hash; the window never sees more rows than the group.
+
+_CANON_ORACLE = """
+WITH g AS (
+  SELECT doc_id, source, n_chars, md5(text) AS content_hash,
+    row_number() OVER (
+      PARTITION BY md5(text) ORDER BY n_chars DESC, doc_id
+    ) AS rn,
+    COUNT(*) OVER (PARTITION BY md5(text)) AS n_copies
+  FROM documents
+)
+SELECT content_hash, doc_id AS kept_doc_id, source AS kept_source,
+  CAST(n_chars AS BIGINT) AS kept_n_chars, CAST(n_copies AS BIGINT) AS n_copies
+FROM g WHERE rn = 1
+"""
+
+
+@query(
+    "canonical_doc_selection",
+    oracle=_CANON_ORACLE,
+    tags=("dedup", "curation", "window"),
+)
+def canonical_doc_selection(spark, sf_dir):
+    d = T(spark, sf_dir, "documents").withColumn(
+        "content_hash", F.md5("text")
+    )
+    part = W.partitionBy("content_hash")
+    ranked = d.select(
+        "content_hash",
+        "doc_id",
+        "source",
+        "n_chars",
+        F.row_number()
+        .over(part.orderBy(F.col("n_chars").desc(), "doc_id"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(part).alias("n_copies"),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "content_hash",
+        F.col("doc_id").alias("kept_doc_id"),
+        F.col("source").alias("kept_source"),
+        F.col("n_chars").cast("bigint").alias("kept_n_chars"),
+        F.col("n_copies").cast("bigint").alias("n_copies"),
+    )
+
+
+# --- ngram_novelty: how much of each doc appears nowhere else ----------------
+# Distinct 3-shingles per doc; a shingle is "novel" when exactly one doc
+# contains it.  Scale shape: one explode, one shuffle on the shingle (the
+# ownership count), one shuffle back on doc_id — the same inverted-index
+# seam as ngram_jaccard_pairs, no pairwise work at all.
+
+_NOVEL_K = 3
+
+_NOVEL_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, {duck_shingles(k=_NOVEL_K)} AS shingles FROM documents
+), ex AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh
+), owners AS (
+  SELECT shingle, COUNT(*) AS n_owner_docs FROM ex GROUP BY shingle
+), per_doc AS (
+  SELECT e.doc_id,
+    CAST(COUNT(*) AS BIGINT) AS n_shingles,
+    CAST(SUM(CASE WHEN o.n_owner_docs = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_novel
+  FROM ex e JOIN owners o ON o.shingle = e.shingle
+  GROUP BY e.doc_id
+)
+SELECT doc_id, n_shingles, n_novel,
+  (1000 * n_novel) // n_shingles AS novelty_permille
+FROM per_doc
+"""
+
+
+@query("ngram_novelty", oracle=_NOVEL_ORACLE, tags=("text", "curation", "ngram"))
+def ngram_novelty(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    ex = d.select(
+        "doc_id",
+        F.explode(F.expr(spark_shingles(k=_NOVEL_K))).alias("shingle"),
+    )
+    owners = ex.groupBy("shingle").agg(
+        F.count(F.lit(1)).alias("n_owner_docs")
+    )
+    per_doc = (
+        ex.join(owners, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("n_owner_docs") == 1, F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_shingles",
+        "n_novel",
+        F.expr("(1000 * n_novel) div n_shingles").alias("novelty_permille"),
+    )
+
+
+# --- source_mixture_weights: temperature-scaled sampling weights -------------
+# Mixture reweighting p_s ∝ n_s^(1/T) with T = 2 (i.e. sqrt smoothing —
+# upweights small sources, the standard multi-source LLM recipe).  sqrt is
+# IEEE-correctly-rounded so Spark and DuckDB agree bit-for-bit; each
+# sqrt is floor-scaled to BIGINT *before* the cross-source sum (float sums
+# of 3+ terms are order-dependent; integer sums are not).
+
+_MIX_ORACLE = """
+WITH s AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+), w AS (
+  SELECT source, n_docs, n_tokens,
+    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+      AS w_scaled
+  FROM s
+), tot AS (
+  SELECT CAST(SUM(w_scaled) AS BIGINT) AS total FROM w
+)
+SELECT source, n_docs, n_tokens,
+  (1000000 * w_scaled) // total AS weight_ppm
+FROM w CROSS JOIN tot
+"""
+
+
+@query(
+    "source_mixture_weights",
+    oracle=_MIX_ORACLE,
+    tags=("curation", "sampling", "mixture"),
+)
+def source_mixture_weights(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " ")))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    w = s.withColumn(
+        "w_scaled",
+        F.expr(
+            "cast(floor(sqrt(cast(n_tokens as double)) * 1000000 + 0.5)"
+            " as bigint)"
+        ),
+    )
+    tot = w.agg(F.sum("w_scaled").cast("bigint").alias("total"))
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.expr("(1000000 * w_scaled) div total").alias("weight_ppm"),
+        )
+    )
