@@ -64,6 +64,12 @@ OPTIONAL = [
     "corpus_pack_docs",
     "gopher_quality_rules",
     "hapax_fraction",
+    # round-3 late batch: iterative graph ops + curation batch 4
+    "semantic_dup_clusters",
+    "pagerank_sim_graph",
+    "cluster_cohesion",
+    "canonical_doc_selection",
+    "source_mixture_weights",
 ]
 
 # Deliberate experiments whose cost is a MEASUREMENT, not the engine's real

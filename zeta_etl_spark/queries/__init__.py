@@ -29,6 +29,7 @@ from zeta_etl_spark.queries import (  # noqa: E402,F401
     text2_q,
     transactions_q,
     text_q,
+    vectors2_q,
     vectors_q,
     windows2_q,
     windows_q,

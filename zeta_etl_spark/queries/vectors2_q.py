@@ -1,0 +1,113 @@
+"""Embedding-quality diagnostics: per-label cluster cohesion.
+
+A labeled embedding table (here: ``embeddings.label``, the synthetic class
+id) is the shape of every curated training set with taxonomy tags; cohesion
+— how tightly each label's vectors hug their own centroid — is the standard
+"are these labels worth training on" screen.
+
+Determinism: cosine against the centroid is computed WITHOUT dividing the
+centroid by the member count — cosine is scale-invariant, so the integer
+centroid SUM vector stands in for the mean and the dot product stays exact
+BIGINT arithmetic.  Each per-row cosine (IEEE double, identical expression
+tree both engines) is floor-scaled to BIGINT *before* the per-label mean
+(float sums are order-dependent; integer sums are not), and the final mean
+is one integer division — Spark ``div`` and DuckDB ``//`` both truncate
+toward zero, negatives included (verified empirically).
+
+Overflow bound: dot(sv, centroid_sum) <= dims * SCALE^2 * n_members =
+64e12 * n — safe to ~1.4e5 members per label at SCALE=1e6; beyond that,
+shard the label or drop SCALE one decade.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from zeta_etl_spark.operators.vectors import SCALE
+from zeta_etl_spark.queries.registry import T, query
+
+_COS_SCALE = 10**9
+
+
+def _cohesion_oracle() -> str:
+    scaled = (
+        f"list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {SCALE}"
+        " + 0.5) AS BIGINT))"
+    )
+    return f"""
+WITH emb AS (
+  SELECT vec_id, label, {scaled} AS sv FROM embeddings
+), ex AS (
+  SELECT label, CAST(i AS BIGINT) AS dim, sv[CAST(i AS INT)] AS v
+  FROM emb CROSS JOIN range(1, 65) t(i)
+), cs AS (
+  SELECT label, dim, CAST(SUM(v) AS BIGINT) AS c FROM ex GROUP BY 1, 2
+), cent AS (
+  SELECT label, list(c ORDER BY dim) AS cs_arr FROM cs GROUP BY label
+), cn AS (
+  SELECT label, cs_arr,
+    CAST(list_sum(list_transform(cs_arr, x -> x * x)) AS BIGINT) AS cnorm2
+  FROM cent
+), scored AS (
+  SELECT e.vec_id, e.label,
+    CAST(floor({_COS_SCALE} * (
+      CAST(list_sum(list_transform(range(1, 65),
+        i -> e.sv[CAST(i AS INT)] * c.cs_arr[CAST(i AS INT)])) AS DOUBLE)
+      / (sqrt(CAST(list_sum(list_transform(e.sv, x -> x * x)) AS DOUBLE))
+         * sqrt(CAST(c.cnorm2 AS DOUBLE)))
+    ) + 0.5) AS BIGINT) AS cos_e9
+  FROM emb e JOIN cn c ON c.label = e.label
+)
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+  CAST(SUM(cos_e9) AS BIGINT) // COUNT(*) AS mean_cos_e9,
+  MIN(cos_e9) AS min_cos_e9, MAX(cos_e9) AS max_cos_e9
+FROM scored GROUP BY label
+"""
+
+
+@query(
+    "cluster_cohesion",
+    oracle=_cohesion_oracle(),
+    tags=("vectors", "quality", "diagnostic"),
+)
+def cluster_cohesion(spark, sf_dir):
+    """Scale shape: centroid sums are a 64x-row explode aggregated down to
+    (n_labels x 64) and packed to one array per label — a tiny broadcast
+    frame; every full-width row is touched exactly once in the scoring join
+    (no pairwise work, no corpus shuffle)."""
+    from zeta_etl_spark.operators.vectors import scaled_vectors
+
+    emb = scaled_vectors(T(spark, sf_dir, "embeddings"))
+    ex = emb.select("label", F.posexplode("sv").alias("pos", "v"))
+    cs = ex.groupBy("label", "pos").agg(F.sum("v").alias("c"))
+    cent = (
+        cs.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("_s"))
+        .select("label", F.expr("transform(_s, s -> s.c)").alias("cs_arr"))
+        .withColumn(
+            "cnorm2",
+            F.expr(
+                "aggregate(zip_with(cs_arr, cs_arr, (x, y) -> x * y), 0L,"
+                " (a, v) -> a + v)"
+            ),
+        )
+    )
+    dot = F.expr(
+        "aggregate(zip_with(sv, cs_arr, (x, y) -> x * y), 0L, (a, v) -> a + v)"
+    )
+    cos = dot.cast("double") / (
+        F.sqrt(F.col("norm2").cast("double"))
+        * F.sqrt(F.col("cnorm2").cast("double"))
+    )
+    scored = emb.join(F.broadcast(cent), "label").select(
+        "label",
+        F.floor(F.lit(_COS_SCALE) * cos + F.lit(0.5))
+        .cast("bigint")
+        .alias("cos_e9"),
+    )
+    return scored.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.expr("sum(cos_e9) div count(1)").alias("mean_cos_e9"),
+        F.min("cos_e9").alias("min_cos_e9"),
+        F.max("cos_e9").alias("max_cos_e9"),
+    )
