@@ -89,9 +89,14 @@ def main() -> None:
     spark = get_spark(app_name="zeta-etl-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    names = [n for n in HEADLINE if n in REGISTRY] + [
-        n for n in OPTIONAL if n in REGISTRY
-    ]
+    # Execution order is pinned to sorted(name) (VERDICT r4 wrong-2): with
+    # append order, adding queries to OPTIONAL shifted every later query's
+    # warm-up position and moved sub-second timings by 2-4x with zero code
+    # change.  Name order keeps per-query cross-round deltas meaningful.
+    names = sorted(
+        [n for n in HEADLINE if n in REGISTRY]
+        + [n for n in OPTIONAL if n in REGISTRY]
+    )
     timings: dict[str, float] = {}
     diagnostics: dict[str, float] = {}
     # warm the JVM + parquet footers once so per-query numbers measure the

@@ -61,17 +61,21 @@ def sessionize_stream(
             start = end = n = 0
             total = 0.0
         rows = pd.concat(list(pdfs)).sort_values("ts")
-        for _, r in rows.iterrows():
-            t = int(r["ts"].value // 1000)  # ns → us
+        # zipped ndarrays, not iterrows: the per-key state machine is
+        # inherently sequential but each step is O(1) tuple work — iterrows
+        # builds a Series per row and is ~10x slower for the same loop
+        ts_us = (rows["ts"].to_numpy().astype("datetime64[us]").astype("int64"))
+        amounts = rows["amount"].to_numpy(dtype="float64")
+        for t, amount in zip(ts_us.tolist(), amounts.tolist()):
             if n == 0:
-                start, end, n, total = t, t, 1, float(r["amount"])
+                start, end, n, total = t, t, 1, amount
             elif t - end > gap_seconds * 1_000_000:
                 closed.append((start, end, n, total))
-                start, end, n, total = t, t, 1, float(r["amount"])
+                start, end, n, total = t, t, 1, amount
             else:
                 end = t
                 n += 1
-                total += float(r["amount"])
+                total += amount
         state.update((start, end, n, total))
         # close the open session once the watermark passes end + gap
         state.setTimeoutTimestamp(end // 1000 + gap_seconds * 1000)
