@@ -70,6 +70,8 @@ OPTIONAL = [
     "cluster_cohesion",
     "canonical_doc_selection",
     "source_mixture_weights",
+    # round-5 additions
+    "minhash_incremental_pairs",
 ]
 
 # Deliberate experiments whose cost is a MEASUREMENT, not the engine's real

@@ -341,3 +341,50 @@ def test_corpus_pipeline_end_to_end(spark, tmp_path, sf_dir):
     for node in ["doc_stats", "quality_gate", "kept_docs",
                  "packed_sequences", "corpus_report"]:
         assert os.path.exists(str(tmp_path / "corpus" / node))
+
+
+def test_incremental_minhash_pipeline(spark, tmp_path, sf_dir):
+    """pipelines/dedup.build_incremental_minhash_pipeline: a new batch is
+    deduped against the durable corpus signature silver; old×old pairs are
+    never re-emitted, yet previous-run pairs ∪ incremental pairs equals the
+    from-scratch recompute over the full corpus, and the batch signatures
+    are appended into the silver for the next increment."""
+    from zeta_etl_spark.pipelines.dedup import (
+        build_incremental_minhash_pipeline,
+        build_minhash_pipeline,
+    )
+    from zeta_etl_spark.queries import REGISTRY
+    from zeta_etl_spark.queries.registry import T
+
+    docs = T(spark, sf_dir, "documents")
+    corpus = docs.filter("doc_id % 10 >= 2")
+    batch = docs.filter("doc_id % 10 < 2")
+    base = str(tmp_path / "mh_incr")
+
+    # day 0: full run over the old corpus only
+    p0 = build_minhash_pipeline(spark, base, corpus)
+    old_pairs = p0.run(spark)["near_dup_pairs"]
+
+    # day 1: incremental run for the batch
+    p1 = build_incremental_minhash_pipeline(spark, base, batch, docs)
+    out = p1.run(spark)
+    incr = out["incremental_pairs"]
+
+    # old×old pairs are NOT re-emitted — every pair touches the batch
+    assert incr.filter("doc_a % 10 >= 2 AND doc_b % 10 >= 2").count() == 0
+
+    # previous pairs ∪ incremental pairs == full recompute on corpus+batch
+    full = REGISTRY["minhash_lsh_pairs"].fn(spark, sf_dir)
+    union = old_pairs.unionByName(incr)
+    assert union.exceptAll(full).count() == 0
+    assert full.exceptAll(union).count() == 0
+
+    # incremental gold matches the registry query for the same split
+    direct = REGISTRY["minhash_incremental_pairs"].fn(spark, sf_dir)
+    assert incr.exceptAll(direct).count() == 0
+    assert direct.exceptAll(incr).count() == 0
+
+    # batch signatures were appended into the durable silver
+    sigs = spark.read.parquet(base + "/minhash_sigs")
+    assert sigs.count() == docs.count()
+    assert sigs.select("doc_id").distinct().count() == docs.count()

@@ -128,13 +128,14 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(
+def band_explode(
     sigs: DataFrame,
     id_col: str = "doc_id",
     bands: int = 4,
     rows_per_band: int = 4,
 ) -> DataFrame:
-    """Distinct candidate pairs (a < b) sharing any LSH band bucket."""
+    """One row per (doc, band) with the band's bucket hash — the LSH join key
+    frame shared by full and incremental candidate generation."""
     band_hashes = F.array(
         *[
             F.md5(
@@ -149,9 +150,19 @@ def lsh_candidate_pairs(
             for b in range(bands)
         ]
     )
-    exploded = sigs.select(
+    return sigs.select(
         F.col(id_col), F.posexplode(band_hashes).alias("band_id", "band_hash")
     )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Distinct candidate pairs (a < b) sharing any LSH band bucket."""
+    exploded = band_explode(sigs, id_col, bands, rows_per_band)
     a = exploded.alias("a")
     b = exploded.alias("b")
     pairs = (
@@ -167,6 +178,57 @@ def lsh_candidate_pairs(
         .distinct()
     )
     return pairs
+
+
+def incremental_lsh_candidate_pairs(
+    corpus_sigs: DataFrame,
+    batch_sigs: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Candidate pairs TOUCHING a new batch only: batch×corpus ∪ batch×batch;
+    corpus×corpus is never joined.
+
+    This is how 100 TB dedup actually runs: the corpus signature silver is
+    durable (``pipelines/dedup.py`` materializes it; the reference's CDC
+    latest-wins upsert, zetaflex-pipeline.py:146-151, is the precedent for
+    incremental state), each increment appends its own signatures, and the
+    pair job compares the increment against everything while the quadratic
+    corpus×corpus term — already emitted by previous runs — is structurally
+    excluded from the join, not filtered after the fact.  Join cost is
+    O(|batch bands| × bucket density), independent of |corpus|²; a small
+    daily increment makes the batch side broadcast-eligible (left to AQE —
+    at 1000-executor scale the corpus side is the one that must stay
+    shuffle-partitioned).
+
+    Pairs are normalized to ``doc_a < doc_b`` so output is directly
+    union-able with previously emitted pair gold."""
+    corpus_b = band_explode(corpus_sigs, id_col, bands, rows_per_band)
+    batch_b = band_explode(batch_sigs, id_col, bands, rows_per_band)
+    n = batch_b.alias("n")
+    o = corpus_b.alias("o")
+    batch_corpus = n.join(
+        o,
+        (F.col("n.band_id") == F.col("o.band_id"))
+        & (F.col("n.band_hash") == F.col("o.band_hash"))
+        & (F.col(f"n.{id_col}") != F.col(f"o.{id_col}")),
+    ).select(
+        F.least(F.col(f"n.{id_col}"), F.col(f"o.{id_col}")).alias("doc_a"),
+        F.greatest(F.col(f"n.{id_col}"), F.col(f"o.{id_col}")).alias("doc_b"),
+    )
+    a = batch_b.alias("a")
+    b = batch_b.alias("b")
+    batch_batch = a.join(
+        b,
+        (F.col("a.band_id") == F.col("b.band_id"))
+        & (F.col("a.band_hash") == F.col("b.band_hash"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("doc_a"),
+        F.col(f"b.{id_col}").alias("doc_b"),
+    )
+    return batch_corpus.unionByName(batch_batch).distinct()
 
 
 def jaccard_verify(

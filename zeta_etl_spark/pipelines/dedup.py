@@ -52,3 +52,65 @@ def build_minhash_pipeline(
         )
 
     return p
+
+
+def build_incremental_minhash_pipeline(
+    spark: SparkSession,
+    base_path: str,
+    batch_docs: DataFrame,
+    all_docs: DataFrame,
+    num_perm: int = 16,
+) -> Pipeline:
+    """Incremental run against a corpus whose ``minhash_sigs`` silver is
+    already materialized at ``base_path`` (a prior
+    :func:`build_minhash_pipeline` run or previous increments).
+
+    DAG: batch_docs → ``minhash_sigs_batch`` (silver, this increment's only
+    corpus-text pass) → ``incremental_pairs`` (gold: batch×corpus ∪
+    batch×batch candidates, scored) → ``minhash_sigs`` (append: the batch
+    signatures join the durable silver so the NEXT increment sees them as
+    corpus).  corpus×corpus is never joined — those pairs were emitted by
+    previous runs, so each run's cost is O(|batch| × bucket density), not
+    O(|corpus|²).  Precedent for durable incremental state: the reference's
+    CDC latest-wins upsert (zetaflex-pipeline.py:146-151).
+
+    ``all_docs`` must cover batch + corpus (verification needs both sides'
+    text); at scale this is the durable documents silver.
+
+    Node order matters: ``incremental_pairs`` is registered before the
+    ``minhash_sigs`` append so the corpus snapshot it reads predates the
+    append (run() executes in registration order)."""
+    from zeta_etl_spark.queries.dedup_q import score_candidate_pairs
+
+    from zeta_etl_spark.operators.dedup import (
+        incremental_lsh_candidate_pairs,
+    )
+
+    p = Pipeline("minhash_dedup_incr", base_path)
+    n_part = spark.sparkContext.defaultParallelism
+    sigs_path = p.path("minhash_sigs")
+
+    @p.table(name="minhash_sigs_batch", quality="silver",
+             comment="MinHash signatures for this increment only")
+    def minhash_sigs_batch(pl):
+        return minhash_signatures(
+            batch_docs.repartition(n_part, "doc_id"), num_perm=num_perm
+        )
+
+    @p.table(name="incremental_pairs", quality="gold",
+             comment="near-dup pairs touching the new batch (never old×old)")
+    def incremental_pairs(pl):
+        corpus_sigs = spark.read.parquet(sigs_path)
+        batch_sigs = pl.read("minhash_sigs_batch")
+        pairs = incremental_lsh_candidate_pairs(corpus_sigs, batch_sigs)
+        all_sigs = corpus_sigs.unionByName(batch_sigs)
+        return score_candidate_pairs(
+            pairs, all_sigs, all_docs.repartition(n_part, "doc_id")
+        )
+
+    @p.table(name="minhash_sigs", quality="silver", mode="append",
+             comment="append batch signatures into the durable corpus silver")
+    def minhash_sigs(pl):
+        return pl.read("minhash_sigs_batch")
+
+    return p

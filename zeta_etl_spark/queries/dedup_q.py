@@ -176,15 +176,11 @@ JOIN sig sb ON sb.doc_id = c.doc_b
 """
 
 
-def lsh_verified_pairs(sigs, docs):
-    """Band-bucket candidate pairs + exact-Jaccard verification + est_sim,
-    given a signature frame (``minhash_signatures`` output — live, cached,
-    or read back from a materialized silver table) and the raw docs.
-
-    This is the seam the production pipeline materializes at: signatures are
-    a 16-bigint-per-doc silver table feeding band join, est_sim join (×2)
-    and verification (`pipelines/dedup.py`)."""
-    pairs = lsh_candidate_pairs(sigs, bands=_BANDS, rows_per_band=_ROWS)
+def score_candidate_pairs(pairs, sigs, docs):
+    """Exact-Jaccard verification + signature est_sim for a candidate pair
+    frame — the scoring tail shared by the full self-join path
+    (:func:`lsh_verified_pairs`) and the incremental batch path
+    (:func:`minhash_incremental_pairs`)."""
     verified = jaccard_verify(pairs, docs)
     sig_a = sigs.select(
         F.col("doc_id").alias("doc_a"), F.col("signature").alias("sig_a")
@@ -206,6 +202,18 @@ def lsh_verified_pairs(sigs, docs):
     )
 
 
+def lsh_verified_pairs(sigs, docs):
+    """Band-bucket candidate pairs + exact-Jaccard verification + est_sim,
+    given a signature frame (``minhash_signatures`` output — live, cached,
+    or read back from a materialized silver table) and the raw docs.
+
+    This is the seam the production pipeline materializes at: signatures are
+    a 16-bigint-per-doc silver table feeding band join, est_sim join (×2)
+    and verification (`pipelines/dedup.py`)."""
+    pairs = lsh_candidate_pairs(sigs, bands=_BANDS, rows_per_band=_ROWS)
+    return score_candidate_pairs(pairs, sigs, docs)
+
+
 @query("minhash_lsh_pairs", oracle=_minhash_oracle(), tags=("dedup", "minhash", "lsh"))
 def minhash_lsh_pairs(spark, sf_dir):
     # documents arrive as a single parquet file → 1 input partition; the md5
@@ -224,6 +232,48 @@ def minhash_lsh_pairs(spark, sf_dir):
     # bigints/doc) are the right cache grain.
     sigs = minhash_signatures(d, num_perm=_NUM_PERM).cache()
     return lsh_verified_pairs(sigs, d)
+
+
+# --- minhash_incremental_pairs: new-batch-vs-corpus dedup -------------------
+# Production dedup is INCREMENTAL: the corpus signature silver is durable and
+# each arriving batch compares only against it (batch×corpus ∪ batch×batch);
+# the quadratic corpus×corpus term was emitted by previous runs and is
+# structurally excluded from the join.  The batch here is the deterministic
+# 20% slice doc_id % 10 < 2 (stands in for "today's increment"); the oracle
+# is the FULL recompute restricted to pairs touching the batch — proving the
+# incremental join finds exactly the pairs a from-scratch run would.
+
+_NEW_BATCH_PRED = "doc_id % 10 < 2"
+
+_INCR_ORACLE = f"""
+SELECT * FROM ({_minhash_oracle()}) _full
+WHERE (doc_a % 10 < 2) OR (doc_b % 10 < 2)
+"""
+
+
+@query(
+    "minhash_incremental_pairs",
+    oracle=_INCR_ORACLE,
+    tags=("dedup", "minhash", "lsh", "incremental"),
+)
+def minhash_incremental_pairs(spark, sf_dir):
+    from zeta_etl_spark.operators.dedup import incremental_lsh_candidate_pairs
+
+    d = T(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    corpus = d.filter(f"NOT ({_NEW_BATCH_PRED})")
+    batch = d.filter(_NEW_BATCH_PRED)
+    # corpus signatures stand in for the materialized silver
+    # (pipelines/dedup.build_incremental_minhash_pipeline reads them from
+    # durable parquet); batch signatures are the only fresh corpus text pass
+    corpus_sigs = minhash_signatures(corpus, num_perm=_NUM_PERM).cache()
+    batch_sigs = minhash_signatures(batch, num_perm=_NUM_PERM).cache()
+    pairs = incremental_lsh_candidate_pairs(
+        corpus_sigs, batch_sigs, bands=_BANDS, rows_per_band=_ROWS
+    )
+    all_sigs = corpus_sigs.unionByName(batch_sigs)
+    return score_candidate_pairs(pairs, all_sigs, d)
 
 
 # --- simhash_docs + near-pairs ----------------------------------------------
