@@ -229,3 +229,64 @@ def test_salted_join_balances_hot_key_and_salts_join_keys(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+
+
+def test_star_contraction_matches_minlabel_in_fewer_rounds(spark):
+    """VERDICT r4 next-4: large-star/small-star contraction converges in
+    O(log n) rounds where min-label propagation needs O(diameter).  On a
+    chain of 20 nodes min-label needs ~20 rounds; star contraction must
+    produce IDENTICAL labels in strictly fewer — the property that matters
+    on a 100 TB graph with chain-shaped components (copies of copies)."""
+    from zeta_etl_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    chain = [(i, i + 1) for i in range(19)] + [(40, 41)]
+    edges = spark.createDataFrame(chain, "src bigint, dst bigint")
+    s_min, s_star = {}, {}
+    got_min = {
+        r["doc_id"]: r["label"]
+        for r in connected_components(edges, stats=s_min).collect()
+    }
+    got_star = {
+        r["doc_id"]: r["label"]
+        for r in connected_components_star(edges, stats=s_star).collect()
+    }
+    assert got_star == got_min
+    assert all(got_star[i] == 0 for i in range(20))
+    assert got_star[40] == 40 and got_star[41] == 40
+    assert s_star["rounds"] < s_min["rounds"], (s_star, s_min)
+    assert s_star["rounds"] <= 8  # O(log 20), not O(20)
+
+
+def test_star_contraction_random_graph_and_empty(spark):
+    """Star contraction is exact on arbitrary graphs (fuzz vs the min-label
+    twin) and terminates on the zero-edge graph."""
+    import random
+
+    from zeta_etl_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(7)
+    raw = [(rng.randrange(60), rng.randrange(60)) for _ in range(80)]
+    edges = spark.createDataFrame(raw, "src bigint, dst bigint")
+    a = {
+        r["doc_id"]: r["label"]
+        for r in connected_components(edges).collect()
+    }
+    b = {
+        r["doc_id"]: r["label"]
+        for r in connected_components_star(edges).collect()
+    }
+    assert a == b
+
+    empty = spark.createDataFrame([], "src bigint, dst bigint")
+    assert connected_components_star(empty).count() == 0
+
+    # lineage stays flat after convergence (same bar as the min-label twin)
+    labels = connected_components_star(edges)
+    plan = labels._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Join") <= 1  # final nodes-left-join only

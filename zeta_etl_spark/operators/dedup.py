@@ -307,7 +307,10 @@ def simhash(
 
 
 def connected_components(
-    edges: DataFrame, src: str = "src", dst: str = "dst"
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components over an undirected edge list: each node labeled
     with its component's minimum node id → columns ``(doc_id, label)``.
@@ -323,6 +326,8 @@ def connected_components(
     materialized checkpoint; no extra join-per-round).
 
     ``edges`` need not be symmetric — both directions are added here.
+    ``stats``, if given, receives ``{"rounds": n}`` on return (round-count
+    evidence vs :func:`connected_components_star`).
     """
     sym = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst")
@@ -336,7 +341,9 @@ def connected_components(
         .withColumn("label", F.col("doc_id"))
         .localCheckpoint()
     )
+    rounds = 0
     while True:
+        rounds += 1
         neighbor_min = (
             sym.join(labels, sym["dst"] == labels["doc_id"])
             .groupBy(F.col("src").alias("doc_id"))
@@ -364,4 +371,126 @@ def connected_components(
         if not changed:
             break
     sym.unpersist()  # labels is checkpointed; nothing recomputes the edges
+    if stats is not None:
+        stats["rounds"] = rounds
+    return labels
+
+
+def _large_star(sym: DataFrame) -> DataFrame:
+    """Large-star: every node u connects its STRICTLY LARGER neighbors to
+    min(N(u) ∪ {u}).  Input must carry both edge directions."""
+    mins = sym.groupBy(F.col("src").alias("u")).agg(
+        F.min("dst").alias("_mv")
+    )
+    m = F.least(F.col("_mv"), F.col("u")).alias("m")
+    return (
+        sym.join(mins, sym["src"] == mins["u"])
+        .where(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), m.alias("dst"))
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star: orient each edge high→low; every node u connects its
+    smaller neighbors AND itself to min(N(u) ∪ {u})."""
+    o = edges.select(
+        F.greatest("src", "dst").alias("src"),
+        F.least("src", "dst").alias("dst"),
+    ).where(F.col("src") != F.col("dst"))
+    mins = o.groupBy(F.col("src").alias("u")).agg(F.min("dst").alias("m"))
+    attach = (
+        o.join(mins, o["src"] == mins["u"])
+        .where(F.col("dst") != F.col("m"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    )
+    self_edges = mins.select(F.col("u").alias("src"), F.col("m").alias("dst"))
+    return attach.unionByName(self_edges)
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    stats: dict | None = None,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    contraction — columns ``(doc_id, label)``, label = component minimum,
+    same contract as :func:`connected_components`.
+
+    Two-phase star contraction (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC 2014) converges in **O(log n)** rounds where
+    min-label propagation needs O(diameter): each round re-wires whole
+    neighborhoods to their local minimum instead of moving labels one hop.
+    On a 100 TB near-dup graph with chain-shaped components (serial copies
+    of copies) that is the difference between ~60 and ~6 shuffle rounds
+    (VERDICT r4 next-4).  Per-round cost is the same shape as min-label: one
+    groupBy-min plus one equi join, `localCheckpoint`ed so lineage stays
+    O(1) and the superseded generation is unpersisted.
+
+    Convergence: the edge set is a fixpoint of small∘large iff every edge
+    already points child→component-min.  A cheap (count, sum-of-xxhash64)
+    checksum gates an EXACT ``exceptAll`` confirmation — the expensive
+    comparison runs only on the (usually final) rounds whose checksums
+    match, and a checksum collision costs one extra comparison, never wrong
+    labels.
+
+    The min-label operator stays as the oracle twin
+    (tests assert identical labels; registry oracles are recursive CTEs).
+    """
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+    )
+    nodes = (
+        e.select(F.col("src").alias("doc_id"))
+        .unionByName(e.select(F.col("dst").alias("doc_id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    cur = e.distinct().localCheckpoint()
+
+    def checksum(df: DataFrame):
+        # mod-reduced before summing: ANSI mode raises on BIGINT overflow,
+        # and sum of raw xxhash64 values overflows immediately
+        canon = F.pmod(
+            F.xxhash64(
+                F.least("src", "dst").cast("string"),
+                F.greatest("src", "dst").cast("string"),
+            ),
+            F.lit(1_000_000_007),
+        )
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"), F.sum(canon).alias("h")
+        ).first()
+        return (row["n"], row["h"])
+
+    prev_sum = checksum(cur)
+    rounds = 0
+    while True:
+        rounds += 1
+        sym = cur.unionByName(
+            cur.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        nxt = (
+            _small_star(_large_star(sym)).distinct().localCheckpoint()
+        )
+        cur_sum = checksum(nxt)
+        if cur_sum == prev_sum and nxt.exceptAll(cur).count() == 0:
+            cur.unpersist()
+            cur = nxt
+            break
+        cur.unpersist()
+        cur = nxt
+        prev_sum = cur_sum
+    # converged: every edge is (child, component-min); roots only appear as dst
+    labels = (
+        nodes.join(cur, nodes["doc_id"] == cur["src"], "left")
+        .select(
+            nodes["doc_id"],
+            F.coalesce(cur["dst"], nodes["doc_id"]).alias("label"),
+        )
+    )
+    cur.unpersist()
+    if stats is not None:
+        stats["rounds"] = rounds
     return labels

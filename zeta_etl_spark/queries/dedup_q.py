@@ -369,10 +369,13 @@ FROM reach GROUP BY doc_id
     tags=("dedup", "graph", "iterative"),
 )
 def dedup_clusters(spark, sf_dir):
-    from zeta_etl_spark.operators.dedup import connected_components
+    # star contraction (O(log n) rounds); operators.dedup.connected_components
+    # (min-label) is the operator-level twin asserted equal in
+    # tests/test_scale_ops.py
+    from zeta_etl_spark.operators.dedup import connected_components_star
 
     pairs = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    labels = connected_components(pairs, src="doc_a", dst="doc_b")
+    labels = connected_components_star(pairs, src="doc_a", dst="doc_b")
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
     return labels.join(sizes, "label").select(
         "doc_id",

@@ -344,12 +344,13 @@ FROM reach GROUP BY vec_id
     tags=("vectors", "dedup", "graph", "iterative"),
 )
 def semantic_dup_clusters(spark, sf_dir):
-    from zeta_etl_spark.operators.dedup import connected_components
+    # star contraction (O(log n) rounds vs O(diameter) min-label)
+    from zeta_etl_spark.operators.dedup import connected_components_star
 
     pairs = _cosine_bucket_pairs(spark, sf_dir, _SIM_THRESHOLD).select(
         "vec_a", "vec_b"
     )
-    labels = connected_components(pairs, src="vec_a", dst="vec_b")
+    labels = connected_components_star(pairs, src="vec_a", dst="vec_b")
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
     return labels.join(sizes, "label").select(
         F.col("doc_id").alias("vec_id"),
