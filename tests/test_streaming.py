@@ -395,3 +395,57 @@ def test_two_level_streaming_agg_matches_batch(spark, tmp_path):
     again = {r["user"]: r for r in spark.read.parquet(out).collect()}
     assert again.keys() == l2.keys()
     assert all(again[u]["grand_total"] == l2[u]["grand_total"] for u in again)
+
+
+def test_foreach_batch_incremental_dedup(spark, tmp_path, sf_dir):
+    """Streaming incremental near-dup dedup: wave 2 joins only against the
+    durable signature store (never corpus×corpus), its pairs all touch wave-2
+    docs, and the union across waves equals the from-scratch batch recompute
+    over all documents."""
+    from zeta_etl_spark.queries.registry import T
+    from zeta_etl_spark.streaming.runner import foreach_batch_incremental_dedup
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    wave1 = [r.asDict() for r in docs.filter("doc_id % 10 >= 2").collect()]
+    wave2 = [r.asDict() for r in docs.filter("doc_id % 10 < 2").collect()]
+    src = str(tmp_path / "dedup_src")
+    store = str(tmp_path / "dedup_store")
+    ckpt = str(tmp_path / "dedup_ckpt")
+    schema = "doc_id bigint, text string"
+
+    _write_json(src, wave1, "wave1.json")
+    stream = read_json(spark, src, schema, streaming=True)
+    foreach_batch_incremental_dedup(stream, store, ckpt, spark)
+    p1 = spark.read.parquet(store + "/pairs")
+    assert {r["batch"] for r in p1.select("batch").distinct().collect()} == {0}
+
+    _write_json(src, wave2, "wave2.json")
+    stream = read_json(spark, src, schema, streaming=True)
+    foreach_batch_incremental_dedup(stream, store, ckpt, spark)
+    pall = spark.read.parquet(store + "/pairs")
+    p2 = pall.filter("batch > 0").drop("batch")
+
+    # every wave-2-era pair touches a wave-2 doc: corpus×corpus not re-emitted
+    assert p2.filter("doc_a % 10 >= 2 AND doc_b % 10 >= 2").count() == 0
+    w1_pairs = pall.filter("batch = 0")
+    assert w1_pairs.filter(
+        "doc_a % 10 < 2 OR doc_b % 10 < 2"
+    ).count() == 0  # wave-1 pairs are wave-1-only (sanity)
+
+    # union over waves == from-scratch recompute over the full corpus
+    from zeta_etl_spark.operators.dedup import (
+        jaccard_verify,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    sigs = minhash_signatures(docs).cache()
+    full = jaccard_verify(lsh_candidate_pairs(sigs), docs)
+    got = pall.drop("batch")
+    assert got.exceptAll(full).count() == 0
+    assert full.exceptAll(got).count() == 0
+
+    # the signature store now covers every doc exactly once
+    sig_store = spark.read.parquet(store + "/sigs")
+    assert sig_store.count() == docs.count()
+    assert sig_store.select("doc_id").distinct().count() == docs.count()

@@ -249,3 +249,93 @@ def foreach_batch_two_level_agg(
         .start()
         .awaitTermination()
     )
+
+
+def foreach_batch_incremental_dedup(
+    doc_stream: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    spark: SparkSession,
+    num_perm: int = 16,
+) -> None:
+    """Streaming near-dup detection against a durable corpus: each microbatch
+    of documents is MinHash-signed, LSH-joined against the signature store
+    (batch×corpus ∪ batch×batch — corpus×corpus never re-joined), verified
+    pairs appended to the pair gold, and the batch signatures appended to the
+    store so the NEXT batch sees them as corpus.
+
+    This is the streaming form of
+    ``pipelines/dedup.build_incremental_minhash_pipeline`` — how 100 TB
+    dedup actually ingests (per-increment cost is O(|batch| × bucket
+    density), independent of |corpus|²).
+
+    Layout under ``store_path`` (all hive-partitioned by ``batch`` so every
+    write is an idempotent overwrite of that batch's own partition — a
+    replayed microbatch rewrites the same directories and re-derives the same
+    pairs, exactly-once without a transaction log):
+
+    - ``docs/batch=N``  raw (doc_id, text) for verification joins
+    - ``sigs/batch=N``  MinHash signatures
+    - ``pairs/batch=N`` verified pairs whose NEWEST side arrived in batch N
+
+    ``doc_stream`` must carry (doc_id, text).
+    """
+    from pyspark.sql.utils import AnalysisException
+
+    from zeta_etl_spark.operators.dedup import (
+        incremental_lsh_candidate_pairs,
+        jaccard_verify,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs_root = os.path.join(store_path, "docs")
+    sigs_root = os.path.join(store_path, "sigs")
+    pairs_root = os.path.join(store_path, "pairs")
+
+    def _read_earlier(root: str, batch_id: int) -> DataFrame | None:
+        """Partitions written by batches strictly before ``batch_id`` —
+        filtering on the partition column keeps a replayed batch from
+        joining against its own (being-rewritten) output."""
+        try:
+            df = spark.read.parquet(root)
+        except AnalysisException:
+            return None
+        if "batch" not in df.columns:  # pragma: no cover - layout guard
+            raise ValueError(f"{root} is not a batch-partitioned store")
+        earlier = df.filter(F.col("batch") < batch_id).drop("batch")
+        return earlier
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        batch_docs = batch_df.select("doc_id", "text").localCheckpoint()
+        if batch_docs.rdd.isEmpty():
+            return
+        batch_sigs = minhash_signatures(batch_docs, num_perm=num_perm)
+        # idempotent writes: a replay overwrites this batch's own partitions
+        batch_docs.write.mode("overwrite").parquet(
+            os.path.join(docs_root, f"batch={batch_id}")
+        )
+        batch_sigs.write.mode("overwrite").parquet(
+            os.path.join(sigs_root, f"batch={batch_id}")
+        )
+        batch_sigs = spark.read.parquet(
+            os.path.join(sigs_root, f"batch={batch_id}")
+        )
+        corpus_sigs = _read_earlier(sigs_root, batch_id)
+        if corpus_sigs is None:
+            pairs = lsh_candidate_pairs(batch_sigs)
+        else:
+            pairs = incremental_lsh_candidate_pairs(corpus_sigs, batch_sigs)
+        all_docs = spark.read.parquet(docs_root).drop("batch")
+        verified = jaccard_verify(pairs, all_docs)
+        verified.write.mode("overwrite").parquet(
+            os.path.join(pairs_root, f"batch={batch_id}")
+        )
+
+    (
+        doc_stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
