@@ -72,6 +72,7 @@ OPTIONAL = [
     "source_mixture_weights",
     # round-5 additions
     "minhash_incremental_pairs",
+    "duplicated_span_fraction",
 ]
 
 # Deliberate experiments whose cost is a MEASUREMENT, not the engine's real

@@ -183,3 +183,109 @@ def source_mixture_weights(spark, sf_dir):
             F.expr("(1000000 * w_scaled) div total").alias("weight_ppm"),
         )
     )
+
+
+# --- duplicated_span_fraction: exact-substring dedup signal ------------------
+# Lee et al., "Deduplicating Training Data Makes Language Models Better"
+# (ACL 2022): the actionable unit is the repeated SPAN, not the whole-doc
+# near-dup.  Per document: how many of its positional 8-token windows also
+# occur (verbatim) in at least one OTHER document.  High fractions mark
+# boilerplate/templated text that whole-doc MinHash misses.
+# Scale shape: windows are hashed to 60-bit BIGINTs before the explode so
+# the token-grain shuffle carries 8 bytes per window, not the text; the
+# shared-gram set is produced by one groupBy and semi-joined back — the
+# same inverted-index seam as ngram_novelty/hapax_fraction, no pairwise
+# doc×doc work at any point.
+
+_SPAN_K = 8
+
+
+def _spark_window_hashes(col: str = "text", k: int = _SPAN_K) -> str:
+    from zeta_etl_spark.functions.text import spark_hex2long, spark_tokens
+
+    toks = spark_tokens(col)
+    wins = (
+        f"case when size({toks}) >= {k} then "
+        f"transform(sequence(0, size({toks}) - {k}), "
+        f"j -> concat_ws(' ', slice({toks}, j + 1, {k}))) "
+        f"else cast(array() as array<string>) end"
+    )
+    return f"transform({wins}, s -> {spark_hex2long('s')})"
+
+
+def _duck_window_hashes(col: str = "text", k: int = _SPAN_K) -> str:
+    from zeta_etl_spark.functions.text import duck_hex2long, duck_tokens
+
+    toks = duck_tokens(col)
+    wins = (
+        f"list_transform(range(0, greatest(len({toks}) - {k}, -1) + 1), "
+        f"j -> array_to_string({toks}[j + 1:j + {k}], ' '))"
+    )
+    return f"list_transform({wins}, s -> {duck_hex2long('s')})"
+
+
+_SPAN_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, unnest({_duck_window_hashes()}) AS g FROM documents
+), per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_windows FROM w GROUP BY doc_id
+), shared AS (
+  SELECT g FROM w GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2
+), sc AS (
+  SELECT w.doc_id, COUNT(*) AS n_shared
+  FROM w JOIN shared USING (g) GROUP BY w.doc_id
+)
+SELECT d.doc_id,
+  CAST(COALESCE(p.n_windows, 0) AS BIGINT) AS n_windows,
+  CAST(COALESCE(s.n_shared, 0) AS BIGINT) AS n_shared,
+  CASE WHEN COALESCE(p.n_windows, 0) = 0 THEN 0.0
+       ELSE CAST(COALESCE(s.n_shared, 0) AS DOUBLE) / p.n_windows
+  END AS dup_fraction
+FROM documents d
+LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+LEFT JOIN sc s ON s.doc_id = d.doc_id
+"""
+
+
+@query(
+    "duplicated_span_fraction",
+    oracle=_SPAN_ORACLE,
+    tags=("dedup", "spans", "curation"),
+)
+def duplicated_span_fraction(spark, sf_dir):
+    d = T(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    win = d.select(
+        "doc_id", F.explode(F.expr(_spark_window_hashes())).alias("g")
+    )
+    per_doc = win.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_windows")
+    )
+    shared = (
+        win.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter("nd >= 2")
+        .select("g")
+    )
+    sc = (
+        win.join(shared, "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        d.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .join(sc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_windows", F.lit(0)).cast("bigint").alias("n_windows"),
+            F.coalesce("n_shared", F.lit(0)).cast("bigint").alias("n_shared"),
+            F.when(F.coalesce("n_windows", F.lit(0)) == 0, F.lit(0.0))
+            .otherwise(
+                F.coalesce("n_shared", F.lit(0)).cast("double")
+                / F.col("n_windows")
+            )
+            .alias("dup_fraction"),
+        )
+    )
