@@ -73,6 +73,7 @@ OPTIONAL = [
     # round-5 additions
     "minhash_incremental_pairs",
     "duplicated_span_fraction",
+    "pq_rerank_top5",
 ]
 
 # Deliberate experiments whose cost is a MEASUREMENT, not the engine's real

