@@ -331,3 +331,36 @@ def test_pq_encoding_bounds_and_recall(spark, sf_dir):
     tot = exact.count()
     hit = pq.intersect(exact).count()
     assert hit / tot >= 0.3, f"recall@5 {hit}/{tot}"
+
+
+def test_incremental_connected_components_merges_and_news(spark):
+    """incremental_connected_components: a new edge bridging two existing
+    components merges them to the global minimum label; brand-new nodes get
+    fresh components; untouched components keep their labels — and the
+    result always equals a from-scratch CC over the union edge set."""
+    from zeta_etl_spark.operators.dedup import (
+        connected_components_star,
+        incremental_connected_components,
+    )
+
+    old = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21)], "src bigint, dst bigint"
+    )
+    old_labels = connected_components_star(old)
+    # bridge {1,2,3} and {10,11}; add brand-new pair {30,31}; new node 40
+    # attaching to the untouched {20,21}
+    new = spark.createDataFrame(
+        [(3, 10), (30, 31), (40, 20)], "src bigint, dst bigint"
+    )
+    got = {
+        r["doc_id"]: r["label"]
+        for r in incremental_connected_components(old_labels, new).collect()
+    }
+    full = {
+        r["doc_id"]: r["label"]
+        for r in connected_components_star(old.unionByName(new)).collect()
+    }
+    assert got == full
+    assert got[10] == 1 and got[11] == 1  # merged to global min
+    assert got[30] == 30 and got[31] == 30  # fresh component
+    assert got[40] == 20 and got[20] == 20  # attached to existing

@@ -376,6 +376,62 @@ def connected_components(
     return labels
 
 
+def incremental_connected_components(
+    old_labels: DataFrame,
+    new_edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Update component labels with a batch of NEW edges without recomputing
+    the old graph — the companion to incremental MinHash dedup (new pairs
+    arrive per increment; cluster labels must follow).
+
+    Correctness: contracting each existing component to its label preserves
+    connectivity, so running CC on the (tiny) label-graph induced by the new
+    edges yields exactly the merged components; nodes unseen before enter
+    with themselves as provisional label.  Labels stay the component-minimum
+    node id because every provisional label IS a node id and star CC takes
+    minima.
+
+    Cost: O(|new edges|) for the label projection, one star-CC run on a
+    graph no larger than |new edges| (label-space), and ONE broadcast-able
+    map join to relabel the full labels table — the O(|corpus graph|)
+    edge set is never re-read, matching how a 100 TB dedup graph absorbs a
+    daily increment."""
+    e = new_edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    la = old_labels.select(
+        F.col("doc_id").alias("src"), F.col("label").alias("_la")
+    )
+    lb = old_labels.select(
+        F.col("doc_id").alias("dst"), F.col("label").alias("_lb")
+    )
+    label_edges = (
+        e.join(la, "src", "left")
+        .join(lb, "dst", "left")
+        .select(
+            F.coalesce("_la", F.col("src")).alias("src"),
+            F.coalesce("_lb", F.col("dst")).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+    )
+    merge_map = connected_components_star(label_edges).select(
+        F.col("doc_id").alias("_old"), F.col("label").alias("_new")
+    )
+    new_nodes = (
+        e.select(F.col("src").alias("doc_id"))
+        .unionByName(e.select(F.col("dst").alias("doc_id")))
+        .distinct()
+        .join(old_labels.select("doc_id"), "doc_id", "left_anti")
+        .withColumn("label", F.col("doc_id"))
+    )
+    all_nodes = old_labels.unionByName(new_nodes)
+    return all_nodes.join(
+        F.broadcast(merge_map), all_nodes["label"] == F.col("_old"), "left"
+    ).select(
+        "doc_id", F.coalesce("_new", all_nodes["label"]).alias("label")
+    )
+
+
 def _large_star(sym: DataFrame) -> DataFrame:
     """Large-star: every node u connects its STRICTLY LARGER neighbors to
     min(N(u) ∪ {u}).  Input must carry both edge directions."""

@@ -384,6 +384,48 @@ def dedup_clusters(spark, sf_dir):
     )
 
 
+# --- dedup_clusters_incremental: absorb a new batch into existing clusters --
+# The label-maintenance half of incremental dedup: old docs' clusters are
+# already labeled (previous runs); a new batch contributes only the pairs
+# touching it (exactly what minhash_incremental_pairs emits), and labels are
+# updated by contracting old components to their labels and running CC on
+# the tiny label graph — the old corpus edge set is never re-read.  The
+# oracle is the FULL from-scratch recompute (same recursive CTE as
+# dedup_clusters): incremental maintenance must be invisible in the result.
+
+_INCR_SPLIT = "doc_id % 10 < 2"  # same deterministic batch as minhash_incr
+
+
+@query(
+    "dedup_clusters_incremental",
+    oracle=_CLUSTER_ORACLE,
+    tags=("dedup", "graph", "iterative", "incremental"),
+)
+def dedup_clusters_incremental(spark, sf_dir):
+    from zeta_etl_spark.operators.dedup import (
+        connected_components_star,
+        incremental_connected_components,
+    )
+
+    pairs = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b").cache()
+    old_pairs = pairs.filter("doc_a % 10 >= 2 AND doc_b % 10 >= 2")
+    new_pairs = pairs.filter("doc_a % 10 < 2 OR doc_b % 10 < 2")
+    old_labels = connected_components_star(
+        old_pairs, src="doc_a", dst="doc_b"
+    )
+    labels = incremental_connected_components(
+        old_labels, new_pairs, src="doc_a", dst="doc_b"
+    )
+    sizes = labels.groupBy("label").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return labels.join(sizes, "label").select(
+        "doc_id",
+        F.col("label").alias("cluster_id"),
+        "cluster_size",
+    )
+
+
 # --- edit_distance_pairs: character-level verification of near-dup pairs ----
 # A second verification lens for the LSH candidates: Levenshtein distance on
 # the raw text plus a normalized similarity.  Classic DP edit distance is
