@@ -289,3 +289,67 @@ def duplicated_span_fraction(spark, sf_dir):
             .alias("dup_fraction"),
         )
     )
+
+
+# --- corpus_snapshot_diff: version reconciliation between corpus snapshots ---
+# Every managed corpus ships as versioned snapshots; the reconciliation
+# report (added / removed / changed / unchanged per source) is the standard
+# pre-release gate before retraining.  Snapshots are simulated
+# deterministically from the one documents table: snapshot A drops
+# doc_id % 7 = 0, snapshot B revises the text of doc_id % 11 = 0.
+# Scale shape: ONE full outer equi join on doc_id (shuffle-partitioned both
+# sides), change detection via md5 comparison inside the join projection,
+# then a small groupBy — no row-pair work beyond the keyed join.
+
+_DIFF_ORACLE = """
+WITH a AS (
+  SELECT doc_id, source, md5(text) AS h FROM documents WHERE doc_id % 7 <> 0
+), b AS (
+  SELECT doc_id, source,
+    md5(CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END) AS h
+  FROM documents
+), d AS (
+  SELECT COALESCE(a.source, b.source) AS source,
+    CASE WHEN a.doc_id IS NULL THEN 'added'
+         WHEN b.doc_id IS NULL THEN 'removed'
+         WHEN a.h <> b.h THEN 'changed'
+         ELSE 'unchanged' END AS status
+  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+)
+SELECT source, status, COUNT(*) AS n_docs
+FROM d GROUP BY source, status
+"""
+
+
+@query(
+    "corpus_snapshot_diff",
+    oracle=_DIFF_ORACLE,
+    tags=("curation", "diff", "outer"),
+)
+def corpus_snapshot_diff(spark, sf_dir):
+    docs = T(spark, sf_dir, "documents")
+    a = docs.filter("doc_id % 7 != 0").select(
+        F.col("doc_id").alias("a_id"),
+        F.col("source").alias("a_source"),
+        F.md5("text").alias("a_h"),
+    )
+    b = docs.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("source").alias("b_source"),
+        F.md5(
+            F.when(
+                F.col("doc_id") % 11 == 0, F.concat(F.col("text"), F.lit(" v2"))
+            ).otherwise(F.col("text"))
+        ).alias("b_h"),
+    )
+    d = a.join(b, a["a_id"] == b["b_id"], "full_outer").select(
+        F.coalesce("a_source", "b_source").alias("source"),
+        F.when(F.col("a_id").isNull(), "added")
+        .when(F.col("b_id").isNull(), "removed")
+        .when(F.col("a_h") != F.col("b_h"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+    )
+    return d.groupBy("source", "status").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
