@@ -159,6 +159,16 @@ def _cosine_bucket_pairs(spark, sf_dir, threshold):
     Shared plan seam for ``embedding_near_dups`` (strict 0.9 near-dup cut)
     and ``semantic_dup_clusters`` (looser similarity graph): one bucket
     equi-join — never all-pairs — then exact arithmetic on candidates only.
+
+    SCALE KNOB (PERF.md round-5): with a FIXED plane count the expected
+    candidate volume is n²/2^planes — quadratic in corpus size.  ``_ND_PLANES``
+    must grow with log2(n) to hold per-bucket density constant (measured: 10×
+    corpus at 6 planes → 103× candidates; at 10 planes → ~8× candidates,
+    edge-build wall 3.4× for 10× data).  The constant stays 6 here because
+    the oracle SQL embeds the same plane set and the driver gates at fixed
+    sf; a deployment derives planes from the corpus count and, when recall
+    matters at high plane counts, runs b banded tables exactly like the
+    MinHash band join.
     """
     from zeta_etl_spark.operators.vectors import (
         hyperplane_params,
