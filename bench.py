@@ -74,6 +74,11 @@ OPTIONAL = [
     "minhash_incremental_pairs",
     "duplicated_span_fraction",
     "pq_rerank_top5",
+    "dedup_clusters_incremental",
+    "corpus_snapshot_diff",
+    "hard_negative_candidates",
+    "quality_budget_gate",
+    "normalized_exact_dedup",
 ]
 
 # Deliberate experiments whose cost is a MEASUREMENT, not the engine's real

@@ -353,3 +353,71 @@ def corpus_snapshot_diff(spark, sf_dir):
     return d.groupBy("source", "status").agg(
         F.count(F.lit(1)).alias("n_docs")
     )
+
+
+# --- quality_budget_gate: per-source keep-threshold hitting a global budget --
+# Corpus assembly works backward from a token/document BUDGET: keep the best
+# X% of every source, where "best" is a deterministic integer score and the
+# cut is an exact rank-selection threshold (no percentile interpolation —
+# the r3 house rule).  Here X = 60%, score = per-mille token uniqueness
+# (BIGINT: 1000·distinct div total), tie-broken by doc_id so the budget is
+# hit EXACTLY regardless of score ties.  One shuffle on source; windows
+# never see more rows than the source group.
+
+_BUDGET_PPC = 60  # keep percentage
+
+
+def _budget_oracle() -> str:
+    from zeta_etl_spark.functions.text import duck_tokens
+
+    return f"""
+WITH s AS (
+  SELECT doc_id, source,
+    CAST(1000 * len(list_distinct({duck_tokens()}))
+         // len({duck_tokens()}) AS BIGINT) AS score
+  FROM documents
+), r AS (
+  SELECT doc_id, source, score,
+    ROW_NUMBER() OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS rn,
+    COUNT(*) OVER (PARTITION BY source) AS n
+  FROM s
+)
+SELECT doc_id, source, score,
+  CAST(CASE WHEN rn <= ({_BUDGET_PPC} * n + 99) // 100 THEN 1 ELSE 0 END
+    AS BIGINT) AS kept
+FROM r
+"""
+
+
+@query(
+    "quality_budget_gate",
+    oracle=_budget_oracle(),
+    tags=("curation", "quality", "quantile"),
+)
+def quality_budget_gate(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    from zeta_etl_spark.functions.text import spark_tokens
+
+    toks = spark_tokens()
+    s = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.expr(
+            f"cast(1000 * size(array_distinct({toks})) div size({toks}) "
+            "as bigint)"
+        ).alias("score"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    wc = Window.partitionBy("source")
+    r = s.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(wc)
+    )
+    kept = F.when(
+        F.col("rn") <= F.expr(f"({_BUDGET_PPC} * n + 99) div 100"), 1
+    ).otherwise(0)
+    return r.select(
+        "doc_id", "source", "score", kept.cast("bigint").alias("kept")
+    )

@@ -519,3 +519,42 @@ def near_dup_triangles(spark, sf_dir):
         .unionAll(tri.select(F.col("c").alias("doc_id")))
     )
     return nodes.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+# --- normalized_exact_dedup: canonicalized-text exact dedup ------------------
+# Exact dedup on the RAW text misses trivially-reformatted copies (case,
+# punctuation, whitespace).  The standard fix is a canonicalization key:
+# lower → strip non-alphanumerics → collapse runs of spaces → trim, then
+# hash.  Same one-shuffle map-side-combined shape as exact_dedup_docs; the
+# regex subset ([^a-z0-9 ], ' +') is identical in Java and RE2 flavors.
+# NOTE the cross-engine trap: DuckDB regexp_replace replaces the FIRST
+# match unless the 'g' flag is passed; Spark always replaces all.
+
+_NORM_SPARK = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ''), "
+    "' +', ' '))"
+)
+_NORM_DUCK = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), "
+    "' +', ' ', 'g'))"
+)
+
+_NORM_DEDUP_ORACLE = f"""
+SELECT md5({_NORM_DUCK}) AS norm_hash, MIN(doc_id) AS doc_id,
+       COUNT(*) AS n_copies
+FROM documents GROUP BY md5({_NORM_DUCK})
+"""
+
+
+@query(
+    "normalized_exact_dedup",
+    oracle=_NORM_DEDUP_ORACLE,
+    tags=("dedup", "exact", "normalize"),
+)
+def normalized_exact_dedup(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    h = F.md5(F.expr(_NORM_SPARK))
+    return d.groupBy(h.alias("norm_hash")).agg(
+        F.min("doc_id").alias("doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )

@@ -111,3 +111,122 @@ def cluster_cohesion(spark, sf_dir):
         F.min("cos_e9").alias("min_cos_e9"),
         F.max("cos_e9").alias("max_cos_e9"),
     )
+
+
+# --- hard_negative_candidates: contrastive-training negative mining ----------
+# Embedding-model training needs HARD negatives: for each query vector, the
+# most-similar vectors that carry a DIFFERENT label (easy negatives are
+# random; hard ones share the query's LSH bucket yet belong to another
+# class).  Scale shape: the same 6-plane LSH bucket equi-join as the
+# similarity-graph seam (never all-pairs; planes scale with log2(n) — see
+# PERF.md round-5), label inequality pushed into the join, exact integer
+# cosine on candidates only, per-query top-5 via row_number.
+
+_HN_PLANES = 6
+_HN_K = 5
+
+
+def _hard_negative_oracle() -> str:
+    from zeta_etl_spark.operators.vectors import hyperplane_params
+
+    planes = hyperplane_params(_HN_PLANES, 64)
+    terms = []
+    for b, plane in enumerate(planes):
+        lit = "[" + ",".join(str(w) for w in plane) + "]"
+        dot = (
+            f"list_sum(list_transform(range(1, 65), i -> sv[CAST(i AS INT)] * "
+            f"({lit})[CAST(i AS INT)]))"
+        )
+        terms.append(
+            f"(CASE WHEN ({dot}) > 0 THEN CAST({1 << b} AS BIGINT) "
+            "ELSE CAST(0 AS BIGINT) END)"
+        )
+    bucket = " + ".join(terms)
+    scaled = (
+        f"list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {SCALE}"
+        " + 0.5) AS BIGINT))"
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, label, {scaled} AS sv FROM embeddings
+), n AS (
+  SELECT vec_id, label, sv,
+    list_sum(list_transform(sv, x -> x * x)) AS norm2,
+    {bucket} AS bucket
+  FROM e
+), q AS (
+  SELECT vec_id AS query_id, label AS qlabel, sv AS qv, norm2 AS qn, bucket
+  FROM n WHERE vec_id < 10
+), p AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id, c.label AS neg_label,
+    CAST(list_sum(list_transform(range(1, 65),
+      i -> q.qv[CAST(i AS INT)] * c.sv[CAST(i AS INT)])) AS DOUBLE)
+      / NULLIF(sqrt(CAST(q.qn AS DOUBLE)) * sqrt(CAST(c.norm2 AS DOUBLE)),
+               0.0) AS cosine
+  FROM q JOIN n c ON c.bucket = q.bucket
+    AND c.label <> q.qlabel AND c.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, CAST(neg_label AS BIGINT) AS neg_label,
+       cosine, CAST(rn AS BIGINT) AS neg_rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rn
+  FROM p
+) t WHERE rn <= {_HN_K}
+"""
+
+
+@query(
+    "hard_negative_candidates",
+    oracle=_hard_negative_oracle(),
+    tags=("vectors", "contrastive", "lsh"),
+)
+def hard_negative_candidates(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    from zeta_etl_spark.operators.vectors import (
+        hyperplane_params,
+        lsh_bucket,
+        scaled_vectors,
+    )
+
+    planes = hyperplane_params(_HN_PLANES, 64)
+    emb = scaled_vectors(T(spark, sf_dir, "embeddings")).withColumn(
+        "_bucket", lsh_bucket("sv", planes)
+    )
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("sv").alias("qv"),
+        F.col("norm2").alias("qn"),
+        "_bucket",
+    )
+    dot = F.expr(
+        "aggregate(zip_with(qv, sv, (x, y) -> x * y), 0L, (a, v) -> a + v)"
+    )
+    cos = dot.cast("double") / F.nullif(
+        F.sqrt(F.col("qn").cast("double"))
+        * F.sqrt(F.col("norm2").cast("double")),
+        F.lit(0.0),
+    )
+    pairs = (
+        F.broadcast(q)
+        .join(emb, "_bucket")
+        .filter(
+            (F.col("label") != F.col("qlabel"))
+            & (F.col("vec_id") != F.col("query_id"))
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").cast("bigint").alias("neg_label"),
+            cos.alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.withColumn("neg_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("neg_rank") <= _HN_K)
+    )
