@@ -449,3 +449,65 @@ def test_foreach_batch_incremental_dedup(spark, tmp_path, sf_dir):
     sig_store = spark.read.parquet(store + "/sigs")
     assert sig_store.count() == docs.count()
     assert sig_store.select("doc_id").distinct().count() == docs.count()
+
+
+def test_streaming_hopping_window(spark, tmp_path):
+    """Hopping-window streaming agg: each event lands in exactly
+    window/slide panes; late rows behind the watermark are dropped; pane
+    counts match the batch hopping computation."""
+    from zeta_etl_spark.sources.json_source import read_json
+    from zeta_etl_spark.streaming.runner import hopping_agg_stream, run_available_now
+
+    src = str(tmp_path / "hop_src")
+    out = str(tmp_path / "hop_out")
+    ckpt = str(tmp_path / "hop_ckpt")
+    schema = "user string, ts timestamp, amount double"
+    _write_json(
+        src,
+        [
+            {"user": "a", "ts": "2024-01-01 00:10:00", "amount": 1.0},
+            {"user": "a", "ts": "2024-01-01 00:40:00", "amount": 2.0},
+            {"user": "b", "ts": "2024-01-01 01:05:00", "amount": 5.0},
+            # closes all 00:xx panes (watermark = max ts - 5 min)
+            {"user": "a", "ts": "2024-01-01 03:00:00", "amount": 0.5},
+        ],
+        "h1.json",
+    )
+    stream = read_json(spark, src, schema, streaming=True)
+    agg = hopping_agg_stream(
+        stream,
+        "ts",
+        ["user"],
+        [F.count(F.lit(1)).alias("n"), F.sum("amount").alias("total")],
+    )
+    run_available_now(agg, out, ckpt)
+    rows = {
+        (r["user"], str(r["win_start"])): (r["n"], r["total"])
+        for r in spark.read.parquet(out).collect()
+    }
+    # 00:10 event -> panes [23:30,00:30) and [00:00,01:00);
+    # 00:40 -> [00:00,01:00) and [00:30,01:30)
+    assert rows[("a", "2023-12-31 23:30:00")] == (1, 1.0)
+    assert rows[("a", "2024-01-01 00:00:00")] == (2, 3.0)
+    assert rows[("a", "2024-01-01 00:30:00")] == (1, 2.0)
+    assert rows[("b", "2024-01-01 01:00:00")] == (1, 5.0)
+
+    # a late row far behind the watermark is dropped from closed panes
+    _write_json(
+        src,
+        [{"user": "a", "ts": "2024-01-01 00:11:00", "amount": 100.0}],
+        "h2.json",
+    )
+    stream = read_json(spark, src, schema, streaming=True)
+    agg = hopping_agg_stream(
+        stream,
+        "ts",
+        ["user"],
+        [F.count(F.lit(1)).alias("n"), F.sum("amount").alias("total")],
+    )
+    run_available_now(agg, out, ckpt)
+    rows2 = {
+        (r["user"], str(r["win_start"])): (r["n"], r["total"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert rows2[("a", "2024-01-01 00:00:00")] == (2, 3.0)  # unchanged

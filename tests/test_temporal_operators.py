@@ -164,3 +164,47 @@ def test_range_join_rejects_column_collision(spark):
     with _pytest.raises(ValueError, match="collide"):
         range_join(left, right, left_ts="ts", start_col="start_ts",
                    end_col="end_ts", keys=["k"])
+
+
+def test_cogrouped_asof_matches_union_merge(spark):
+    """cogrouped applyInPandas as-of join (pandas merge_asof per key group)
+    must equal the codegen union-merge as_of_join, including exact-match
+    visibility, keys with no right rows, and duplicate right timestamps
+    (greatest right_cols tuple wins)."""
+    from zeta_etl_spark.operators.temporal import as_of_join, cogrouped_asof_join
+
+    left = spark.createDataFrame(
+        [
+            ("a", 10, 1.0),
+            ("a", 20, 2.0),
+            ("a", 5, 0.5),
+            ("b", 15, 3.0),
+            ("c", 1, 9.0),  # no right rows for c
+        ],
+        "k string, lts bigint, lval double",
+    )
+    right = spark.createDataFrame(
+        [
+            ("a", 10, 100.0),  # exact match visible at lts=10
+            ("a", 10, 150.0),  # duplicate ts: greatest rval wins
+            ("a", 12, 200.0),
+            ("b", 14, 300.0),
+            ("b", 16, 400.0),  # after lts=15 → invisible
+        ],
+        "k string, rts bigint, rval double",
+    )
+    got = cogrouped_asof_join(
+        left, right, keys=["k"], left_ts="lts", right_ts="rts",
+        right_cols=["rval"],
+    )
+    want = as_of_join(
+        left, right, keys=["k"], left_ts="lts", right_ts="rts",
+        right_cols=["rval"],
+    ).select(*got.columns)
+    g = {(r["k"], r["lts"]): r["rval"] for r in got.collect()}
+    w = {(r["k"], r["lts"]): r["rval"] for r in want.collect()}
+    assert g == w
+    assert g[("a", 10)] == 150.0
+    assert g[("a", 5)] is None
+    assert g[("c", 1)] is None
+    assert g[("b", 15)] == 300.0

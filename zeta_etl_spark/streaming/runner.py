@@ -339,3 +339,28 @@ def foreach_batch_incremental_dedup(
         .start()
         .awaitTermination()
     )
+
+
+def hopping_agg_stream(
+    df: DataFrame,
+    ts_col: str,
+    keys: Sequence[str],
+    aggs: Sequence,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "5 minutes",
+) -> DataFrame:
+    """Watermarked HOPPING (sliding) window aggregation — the overlapping
+    companion to :func:`hourly_agg_stream`'s tumbling form.  Each event lands
+    in window/slide panes (2 here); state is per (pane, key) and panes close
+    as the watermark passes their end, exactly like tumbling windows — the
+    batch twin is ``hopping_event_counts`` (explode over pane offsets).
+    """
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window, slide).alias("_w"), *keys)
+        .agg(*aggs)
+        .withColumn("win_start", F.col("_w.start"))
+        .withColumn("win_end", F.col("_w.end"))
+        .drop("_w")
+    )
