@@ -137,3 +137,36 @@ def test_round3_query_plan_shapes(spark, sf_dir):
     ]
     assert len(exchanges) <= 2  # rank+count windows share the shard key
     assert "CartesianProduct" not in plan
+
+
+def test_round5_query_plan_shapes(spark, sf_dir):
+    """Round-5 additions keep the 100 TB plan properties: no
+    CartesianProduct anywhere (broadcast one-row/codebook sides only),
+    single-shuffle hash dedup, bounded window exchanges on the group key."""
+    for name in (
+        "minhash_incremental_pairs",
+        "dedup_clusters_incremental",
+        "pq_rerank_top5",
+        "hard_negative_candidates",
+        "duplicated_span_fraction",
+        "corpus_snapshot_diff",
+        "quality_budget_gate",
+        "normalized_exact_dedup",
+    ):
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+
+    # normalized dedup: one hash-aggregate shuffle, no joins
+    plan = _plan(spark, sf_dir, "normalized_exact_dedup")
+    assert "Join" not in plan
+    exchanges = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    assert len(exchanges) == 1
+
+    # budget gate: both windows share the source key -> bounded exchanges
+    plan = _plan(spark, sf_dir, "quality_budget_gate")
+    exchanges = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    assert len(exchanges) <= 2
