@@ -364,3 +364,54 @@ def test_incremental_connected_components_merges_and_news(spark):
     assert got[10] == 1 and got[11] == 1  # merged to global min
     assert got[30] == 30 and got[31] == 30  # fresh component
     assert got[40] == 20 and got[20] == 20  # attached to existing
+
+
+def test_round5_operator_edge_cases(spark, sf_dir):
+    """Empty/undersized-input probes for the round-5 operators: empty batch
+    or empty corpus in the incremental LSH join, no-op edge batches in
+    incremental CC, and a PQ corpus smaller than the 16-entry codebook all
+    degrade gracefully (0 rows / unchanged labels / fewer codes) instead of
+    raising."""
+    import pyspark.sql.functions as F2
+
+    from zeta_etl_spark.operators.dedup import (
+        connected_components_star,
+        incremental_connected_components,
+        incremental_lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from zeta_etl_spark.operators.vectors import (
+        pq_adc_rerank_topk,
+        scaled_vectors,
+    )
+    from zeta_etl_spark.queries.registry import T
+
+    docs = T(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs)
+    empty_sigs = sigs.filter("doc_id < 0")
+    assert incremental_lsh_candidate_pairs(sigs, empty_sigs).count() == 0
+    # empty corpus -> batch-only (batch x batch) pairs, no error
+    assert incremental_lsh_candidate_pairs(empty_sigs, sigs).count() >= 0
+
+    labels = connected_components_star(
+        spark.createDataFrame([(1, 2)], "src bigint, dst bigint")
+    )
+    empty_edges = spark.createDataFrame([], "src bigint, dst bigint")
+    got = {
+        r["doc_id"]: r["label"]
+        for r in incremental_connected_components(labels, empty_edges).collect()
+    }
+    assert got == {1: 1, 2: 1}  # labels unchanged
+
+    emb = scaled_vectors(T(spark, sf_dir, "embeddings").drop("label")).filter(
+        "vec_id < 8"
+    )
+    q = (
+        emb.select(
+            F2.col("vec_id").alias("query_id"),
+            F2.col("sv").alias("qv"),
+            F2.col("norm2").alias("qn"),
+        ).limit(2)
+    )
+    out = pq_adc_rerank_topk(emb, q, k=5)
+    assert out.count() == 10  # 2 queries x min(k, n-1)=5
