@@ -337,3 +337,35 @@ def test_hll_and_kmv_distinct_estimates(spark):
     xk = max(r["hash_val"] for r in kmv) / float(16 ** 15)  # normalize 60-bit
     est_kmv = (_KMV_K - 1) / xk
     assert abs(est_kmv - exact) / exact < 0.40, (est_kmv, exact)
+
+
+def test_chunk_udtf_matches_codegen_grid(spark, sf_dir):
+    """Python UDTF chunker (lateral table function) yields exactly the
+    codegen chunk_docs grid — same chunk ids, token counts and md5 chunk
+    hashes — proving the API surface without admitting it to the hot path."""
+    from pyspark.sql import functions as F2
+
+    from zeta_etl_spark.functions.python_surface import ChunkDocUDTF
+    from zeta_etl_spark.queries import REGISTRY
+    from zeta_etl_spark.queries.registry import T
+
+    docs = T(spark, sf_dir, "documents").filter("doc_id < 20")
+    spark.udtf.register("chunk_doc", ChunkDocUDTF)
+    docs.createOrReplaceTempView("_udtf_docs")
+    got = spark.sql(
+        "SELECT d.doc_id, c.chunk_idx, c.n_chunk_tokens, "
+        "md5(c.chunk_text) AS chunk_hash "
+        "FROM _udtf_docs d, LATERAL chunk_doc(d.text) c"
+    )
+    want = (
+        REGISTRY["chunk_docs"].fn(spark, sf_dir).filter("doc_id < 20")
+    )
+    g = {
+        (r["doc_id"], r["chunk_idx"]): (r["n_chunk_tokens"], r["chunk_hash"])
+        for r in got.collect()
+    }
+    w = {
+        (r["doc_id"], r["chunk_idx"]): (r["n_chunk_tokens"], r["chunk_hash"])
+        for r in want.collect()
+    }
+    assert g == w and len(g) > 0
