@@ -79,6 +79,7 @@ OPTIONAL = [
     "hard_negative_candidates",
     "quality_budget_gate",
     "normalized_exact_dedup",
+    "ivf_pq_rerank_top5",
 ]
 
 # Deliberate experiments whose cost is a MEASUREMENT, not the engine's real

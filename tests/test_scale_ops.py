@@ -415,3 +415,21 @@ def test_round5_operator_edge_cases(spark, sf_dir):
     )
     out = pq_adc_rerank_topk(emb, q, k=5)
     assert out.count() == 10  # 2 queries x min(k, n-1)=5
+
+
+def test_ivf_pq_rerank_recall_floor(spark, sf_dir):
+    """Composed IVF×PQ stack: recall@5 vs exact brute force clears a floor
+    (measured 0.34 at sf0.01 — the product of IVF's probed-fraction recall
+    ~0.68 at nprobe 4 and PQ's ADC precision on this near-unclusterable
+    synthetic corpus; clustered real embeddings fare far better)."""
+    from zeta_etl_spark.queries import REGISTRY
+
+    got = REGISTRY["ivf_pq_rerank_top5"].fn(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    exact = REGISTRY["knn_cosine_top5"].fn(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    tot = exact.count()
+    hit = got.intersect(exact).count()
+    assert hit / tot >= 0.2, f"recall@5 {hit}/{tot}"

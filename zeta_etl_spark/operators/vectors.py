@@ -643,3 +643,99 @@ def pq_adc_rerank_topk(
         rer.withColumn("knn_rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("knn_rank") <= k)
     )
+
+
+def ivf_pq_rerank_topk(
+    scaled: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    wide: int = 20,
+    dim: int = 64,
+    m: int = PQ_M,
+    label_col: str = "label",
+) -> DataFrame:
+    """IVF nprobe PRUNING × PQ-ADC SCORING × exact RERANK — the corpus-scale
+    composition promised by :func:`pq_adc_rerank_topk` (whose flat ADC scan
+    is linear in the corpus): the quantized-code scan covers only the probed
+    lists (~nprobe/|lists| of the corpus), codes are 4 nibbles + 1 norm per
+    row, and full-precision vectors are touched for |Q|×wide candidates
+    only.  Identical staging to :func:`ivf_sq8_rerank_topk` with PQ codes in
+    place of SQ8 vectors.
+
+    ``queries`` must be (query_id, qv, qn) projections of ``scaled`` rows.
+    """
+    sub = dim // m
+    packed = _packed_centroids(centroid_arrays(centroids, label_col))
+    corpus_lists = assign_lists(scaled, packed, "vec_id", "vec_id", 1)
+    probe_lists = assign_lists(
+        queries.withColumnRenamed("qv", "sv"), packed,
+        "query_id", "query_id", nprobe,
+    )
+    cbp = pq_codebook(scaled, dim=dim, m=m)
+    enc = pq_encode(scaled, cbp, dim=dim, m=m).join(corpus_lists, "vec_id")
+    qq = queries.join(probe_lists, "query_id")
+    adc_dot = (
+        f"aggregate(sequence(0, {m - 1}), 0L, (acc, s) -> acc + "
+        f"aggregate(zip_with(slice(qv, s * {sub} + 1, {sub}), "
+        f"element_at(filter(cb, c -> c.s = s AND "
+        f"c.code = element_at(codes, s + 1)), 1).cv, "
+        f"(x, y) -> x * y), 0L, (a, v) -> a + v))"
+    )
+    cos_q = F.expr(adc_dot).cast("double") / F.nullif(
+        F.sqrt(F.col("qn").cast("double"))
+        * F.sqrt(F.col("recon2").cast("double")),
+        F.lit(0.0),
+    )
+    # corpus_lists is top-1 per corpus vector -> each (query, neighbor) pair
+    # appears in at most one probed list, no dedup needed
+    scored = (
+        F.broadcast(qq)
+        .join(enc, "cent_id")
+        .crossJoin(F.broadcast(cbp))
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cos_q.alias("cosine_q"),
+        )
+    )
+    w_wide = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_q").desc(), F.col("neighbor_id")
+    )
+    cand = (
+        scored.withColumn("_rn", F.row_number().over(w_wide))
+        .filter(F.col("_rn") <= wide)
+        .select("query_id", "neighbor_id")
+    )
+    nq = scaled.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("sv").alias("qv_x"),
+        F.col("norm2").alias("qn_x"),
+    )
+    nn = scaled.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("sv").alias("nv_x"),
+        F.col("norm2").alias("nn_x"),
+    )
+    dot = F.expr(
+        "aggregate(zip_with(qv_x, nv_x, (x, y) -> x * y), 0L, (a, v) -> a + v)"
+    )
+    cos = dot.cast("double") / F.nullif(
+        F.sqrt(F.col("qn_x").cast("double"))
+        * F.sqrt(F.col("nn_x").cast("double")),
+        F.lit(0.0),
+    )
+    rer = (
+        cand.join(F.broadcast(nq), "query_id")
+        .join(nn, "neighbor_id")
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        rer.withColumn("knn_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("knn_rank") <= k)
+    )

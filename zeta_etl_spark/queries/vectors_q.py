@@ -729,3 +729,145 @@ def pq_rerank_top5(spark, sf_dir):
         F.col("norm2").alias("qn"),
     )
     return pq_adc_rerank_topk(emb, queries, k=5, wide=20)
+
+
+# --- ivf_pq_rerank_top5: IVF pruning x PQ-ADC scoring x exact rerank --------
+# The corpus-scale composition for PQ (PERF.md round-5: flat ADC is linear
+# in corpus by design): the 4-nibble code scan covers only the nprobe probed
+# lists, exact vectors are touched for |Q| x wide candidates.  Same staging
+# as ivf_sq8_rerank_top5 with PQ codes as the compressed representation.
+
+_IVF_PQ_K = 5
+_IVF_PQ_WIDE = 20
+_IVF_PQ_NPROBE = 4
+
+
+def _ivf_pq_oracle() -> str:
+    sub_tbl = "(SELECT unnest(range(4)) AS s)"
+    return f"""
+WITH e AS (
+  SELECT vec_id, label, {_DUCK_SCALED} AS sv FROM embeddings
+), n AS (
+  SELECT vec_id, sv, list_sum(list_transform(sv, x -> x * x)) AS norm2 FROM e
+), cent AS (
+  SELECT label AS cent_id, CAST(i AS BIGINT) AS dim,
+    CAST(floor(CAST(SUM(sv[CAST(i AS INT)]) AS DOUBLE)
+               / ({SCALE}.0 * COUNT(*)) * {SCALE} + 0.5) AS BIGINT) AS cv
+  FROM e CROSS JOIN range(1, 65) t(i)
+  GROUP BY label, i
+), ex AS (
+  SELECT vec_id, CAST(i AS BIGINT) AS dim, sv[CAST(i AS INT)] AS v
+  FROM e CROSS JOIN range(1, 65) t(i)
+), dists AS (
+  SELECT ex.vec_id, cent.cent_id,
+         SUM((ex.v - cent.cv) * (ex.v - cent.cv)) AS dist2
+  FROM ex JOIN cent ON ex.dim = cent.dim
+  GROUP BY 1, 2
+), corpus_assign AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY dist2, cent_id) AS rn FROM dists
+  ) WHERE rn = 1
+), probe AS (
+  SELECT vec_id AS query_id, cent_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY dist2, cent_id) AS rn FROM dists
+  ) WHERE rn <= {_IVF_PQ_NPROBE} AND vec_id < 10
+), seeds AS (
+  SELECT vec_id, sv, CAST(rn - 1 AS BIGINT) AS code FROM (
+    SELECT vec_id, sv, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM e
+  ) t WHERE rn <= 16
+), cb AS (
+  SELECT CAST(t.s AS BIGINT) AS s, code,
+         sv[t.s * 16 + 1 : t.s * 16 + 16] AS cv
+  FROM seeds CROSS JOIN {sub_tbl} t
+), cbn AS (
+  SELECT s, code, cv,
+    CAST(list_sum(list_transform(cv, x -> x * x)) AS BIGINT) AS n2
+  FROM cb
+), subv AS (
+  SELECT vec_id, CAST(t.s AS BIGINT) AS s,
+         sv[t.s * 16 + 1 : t.s * 16 + 16] AS v
+  FROM e CROSS JOIN {sub_tbl} t
+), codes AS (
+  SELECT vec_id, s, code, n2 FROM (
+    SELECT subv.vec_id, subv.s, cbn.code, cbn.n2,
+      ROW_NUMBER() OVER (PARTITION BY subv.vec_id, subv.s ORDER BY
+        list_sum(list_transform(range(1, 17),
+          j -> (subv.v[CAST(j AS INT)] - cbn.cv[CAST(j AS INT)])
+             * (subv.v[CAST(j AS INT)] - cbn.cv[CAST(j AS INT)]))),
+        cbn.code) AS rn
+    FROM subv JOIN cbn ON cbn.s = subv.s
+  ) t WHERE rn = 1
+), recon AS (
+  SELECT vec_id, CAST(SUM(n2) AS BIGINT) AS recon2 FROM codes GROUP BY vec_id
+), q AS (
+  SELECT vec_id AS query_id, sv AS qv, norm2 AS qnorm
+  FROM n WHERE vec_id < 10
+), qsub AS (
+  SELECT query_id, CAST(t.s AS BIGINT) AS s,
+         qv[t.s * 16 + 1 : t.s * 16 + 16] AS v
+  FROM q CROSS JOIN {sub_tbl} t
+), adc AS (
+  SELECT qs.query_id, c.vec_id,
+    CAST(SUM(list_sum(list_transform(range(1, 17),
+      j -> qs.v[CAST(j AS INT)] * cb2.cv[CAST(j AS INT)]))) AS BIGINT)
+      AS adc_dot
+  FROM qsub qs
+  JOIN codes c ON c.s = qs.s AND c.vec_id != qs.query_id
+  JOIN cbn cb2 ON cb2.s = c.s AND cb2.code = c.code
+  GROUP BY qs.query_id, c.vec_id
+), cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT a.query_id, a.vec_id AS neighbor_id,
+      ROW_NUMBER() OVER (PARTITION BY a.query_id ORDER BY
+        CAST(a.adc_dot AS DOUBLE)
+          / NULLIF(sqrt(CAST(qd.qnorm AS DOUBLE))
+                   * sqrt(CAST(r.recon2 AS DOUBLE)), 0.0) DESC,
+        a.vec_id) AS rn
+    FROM adc a
+    JOIN recon r ON r.vec_id = a.vec_id
+    JOIN q qd ON qd.query_id = a.query_id
+    JOIN probe p ON p.query_id = a.query_id
+    JOIN corpus_assign ca
+      ON ca.vec_id = a.vec_id AND ca.cent_id = p.cent_id
+  ) t WHERE rn <= {_IVF_PQ_WIDE}
+), rer AS (
+  SELECT c.query_id, c.neighbor_id,
+    CAST(list_sum(list_transform(range(1, 65),
+         i -> nq.sv[CAST(i AS INT)] * nn.sv[CAST(i AS INT)])) AS DOUBLE)
+      / NULLIF(sqrt(CAST(nq.norm2 AS DOUBLE)) * sqrt(CAST(nn.norm2 AS DOUBLE)),
+               0.0) AS cosine
+  FROM cand c
+  JOIN n nq ON nq.vec_id = c.query_id
+  JOIN n nn ON nn.vec_id = c.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rn AS BIGINT) AS knn_rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rn
+  FROM rer
+) t WHERE rn <= {_IVF_PQ_K}
+"""
+
+
+@query(
+    "ivf_pq_rerank_top5",
+    oracle=_ivf_pq_oracle(),
+    tags=("vectors", "ann", "ivf", "pq", "rerank"),
+)
+def ivf_pq_rerank_top5(spark, sf_dir):
+    from zeta_etl_spark.operators.vectors import ivf_pq_rerank_topk
+
+    emb = scaled_vectors(T(spark, sf_dir, "embeddings"))
+    cents = label_centroids(emb)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("sv").alias("qv"),
+        F.col("norm2").alias("qn"),
+    )
+    corpus = emb.select("vec_id", "sv", "norm2")
+    return ivf_pq_rerank_topk(
+        corpus, cents, queries,
+        k=_IVF_PQ_K, nprobe=_IVF_PQ_NPROBE, wide=_IVF_PQ_WIDE,
+    )
