@@ -511,3 +511,44 @@ def test_streaming_hopping_window(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     }
     assert rows2[("a", "2024-01-01 00:00:00")] == (2, 3.0)  # unchanged
+
+
+def test_incremental_dedup_replay_is_idempotent(spark, tmp_path, sf_dir):
+    """Crash-replay safety: re-processing an already-committed microbatch
+    (simulated by wiping the stream checkpoint and re-running over the same
+    source files) rewrites the same batch-partitioned directories and leaves
+    the store bit-identical — no duplicate pairs, signatures or docs."""
+    from zeta_etl_spark.queries.registry import T
+    from zeta_etl_spark.streaming.runner import foreach_batch_incremental_dedup
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    wave = [r.asDict() for r in docs.filter("doc_id % 10 >= 2").collect()]
+    src = str(tmp_path / "rp_src")
+    store = str(tmp_path / "rp_store")
+    ckpt = str(tmp_path / "rp_ckpt")
+    schema = "doc_id bigint, text string"
+
+    _write_json(src, wave, "w1.json")
+    stream = read_json(spark, src, schema, streaming=True)
+    foreach_batch_incremental_dedup(stream, store, ckpt, spark)
+
+    def snapshot():
+        out = {}
+        for sub in ["docs", "sigs", "pairs"]:
+            df = spark.read.parquet(f"{store}/{sub}")
+            out[sub] = sorted(
+                tuple(str(v) for v in r) for r in df.collect()
+            )
+        return out
+
+    before = snapshot()
+
+    # simulate a crash after the data writes but before the checkpoint
+    # commit: wipe the checkpoint so the SAME files replay as batch 0 again
+    import shutil
+
+    shutil.rmtree(ckpt)
+    stream = read_json(spark, src, schema, streaming=True)
+    foreach_batch_incremental_dedup(stream, store, ckpt, spark)
+
+    assert snapshot() == before
