@@ -388,3 +388,41 @@ def test_incremental_minhash_pipeline(spark, tmp_path, sf_dir):
     sigs = spark.read.parquet(base + "/minhash_sigs")
     assert sigs.count() == docs.count()
     assert sigs.select("doc_id").distinct().count() == docs.count()
+
+
+def test_compact_reduces_files_and_preserves_rows(spark, tmp_path):
+    """Pipeline.compact: a table fragmented into many small files (one per
+    shuffle partition / micro-batch) rewrites into ceil(rows/target) files
+    with identical content, and the sort_by clustering is re-applied."""
+    import glob as _glob
+
+    from pyspark.sql import functions as F2
+
+    from zeta_etl_spark.plans.graph import Pipeline
+
+    base = str(tmp_path / "compactor")
+    p = Pipeline("compactor", base)
+
+    @p.table(name="frag")
+    def frag(pl):
+        # 4 shuffle partitions -> 4+ part files for 1000 rows
+        return (
+            spark.range(1000)
+            .repartition(4)
+            .withColumn("k", F2.col("id") % 7)
+        )
+
+    p.run(spark, targets=["frag"])
+    before = len(_glob.glob(base + "/frag/part-*.parquet"))
+    assert before >= 4
+
+    n_files = p.compact(spark, "frag", target_rows_per_file=600, sort_by=["k"])
+    assert n_files == 2
+    after = len(_glob.glob(base + "/frag/part-*.parquet"))
+    assert after == 2
+    df = spark.read.parquet(base + "/frag")
+    assert df.count() == 1000
+    assert df.select(F2.sum("id")).first()[0] == 999 * 1000 // 2
+    # no leftover side directory
+    import os as _os
+    assert not _os.path.exists(base + "/frag__compacting")

@@ -433,3 +433,38 @@ def test_ivf_pq_rerank_recall_floor(spark, sf_dir):
     tot = exact.count()
     hit = got.intersect(exact).count()
     assert hit / tot >= 0.2, f"recall@5 {hit}/{tot}"
+
+
+def test_adaptive_plane_count_bounds_bucket_density(spark, sf_dir):
+    """adaptive_plane_count holds expected LSH bucket density ~constant as
+    the corpus grows: one extra plane per doubling, clamped.  On the real
+    corpus, buckets built with the adaptive count keep mean occupancy at or
+    under ~2x the target."""
+    import pyspark.sql.functions as F2
+
+    from zeta_etl_spark.operators.vectors import (
+        adaptive_plane_count,
+        hyperplane_params,
+        lsh_bucket,
+        scaled_vectors,
+    )
+    from zeta_etl_spark.queries.registry import T
+
+    # rule shape: +1 plane per doubling, clamped at both ends
+    assert adaptive_plane_count(2_000) == 6
+    assert adaptive_plane_count(20_000) == 10
+    assert adaptive_plane_count(40_000) == 11
+    assert adaptive_plane_count(0) == 6
+    assert adaptive_plane_count(10**12) == 24
+
+    emb = scaled_vectors(T(spark, sf_dir, "embeddings").drop("label"))
+    n = emb.count()
+    planes = hyperplane_params(adaptive_plane_count(n), 64)
+    occ = (
+        emb.withColumn("_b", lsh_bucket("sv", planes))
+        .groupBy("_b")
+        .count()
+        .agg(F2.avg("count").alias("mean_occ"))
+        .first()["mean_occ"]
+    )
+    assert occ <= 2 * 32, occ

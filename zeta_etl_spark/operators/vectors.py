@@ -739,3 +739,26 @@ def ivf_pq_rerank_topk(
         rer.withColumn("knn_rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("knn_rank") <= k)
     )
+
+
+def adaptive_plane_count(
+    n_vectors: int, target_bucket: int = 32, min_planes: int = 6,
+    max_planes: int = 24,
+) -> int:
+    """Plane count for random-hyperplane LSH that holds expected bucket
+    density constant as the corpus grows: ``2^planes ≈ n / target_bucket``,
+    i.e. one extra plane per corpus doubling.
+
+    This is the PERF.md round-5 scale rule as code: with a FIXED plane
+    count, candidate verification grows as n²/2^planes (measured 103× at a
+    10× corpus); deriving planes from the corpus count keeps the candidate
+    volume ~linear (measured: +4 planes at 10× → ~8× candidates).  Clamped
+    to [min_planes, max_planes]; higher counts trade recall, which a
+    deployment buys back with b banded tables (same pattern as the MinHash
+    band join)."""
+    import math
+
+    if n_vectors <= 0:
+        return min_planes
+    raw = math.ceil(math.log2(max(n_vectors / target_bucket, 1.0)))
+    return max(min_planes, min(max_planes, raw))

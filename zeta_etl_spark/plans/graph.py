@@ -166,6 +166,46 @@ class Pipeline:
         first if necessary (mirrors dlt.read)."""
         return self._materialize(name)
 
+    def compact(
+        self,
+        spark: SparkSession,
+        name: str,
+        target_rows_per_file: int = 1_000_000,
+        sort_by: Sequence[str] = (),
+    ) -> int:
+        """Small-file compaction for a materialized table — the engine's
+        ``OPTIMIZE`` stand-in (the reference relies on
+        ``pipelines.autoOptimize`` Delta table properties,
+        zetadex-transactions-helius-pipeline.py:285; parquet pipelines
+        accumulate a file per micro-batch/partition instead and must compact
+        out of band).  Rewrites the table into ``ceil(rows / target)``
+        files; ``sort_by`` re-applies the z-order stand-in
+        (``sortWithinPartitions``) so compaction preserves data clustering.
+
+        Returns the new file count.  The rewrite goes to a side directory
+        first and swaps in only after success, so a crashed compaction
+        leaves the original table intact; the swap itself (rm + rename) is
+        the documented non-transactional seam a Delta/Iceberg deployment
+        replaces with OPTIMIZE."""
+        import math
+        import shutil
+
+        path = self.path(name)
+        df = spark.read.parquet(path)
+        rows = df.count()
+        n_files = max(1, math.ceil(rows / target_rows_per_file))
+        out = df.repartition(n_files)
+        if sort_by:
+            out = out.sortWithinPartitions(*sort_by)
+        tmp = path + "__compacting"
+        shutil.rmtree(tmp, ignore_errors=True)
+        out.write.mode("overwrite").parquet(tmp)
+        # verify the rewrite before touching the live table
+        assert spark.read.parquet(tmp).count() == rows
+        shutil.rmtree(path)
+        os.replace(tmp, path)
+        return n_files
+
     def read_stream(self, name: str) -> DataFrame:
         """Incremental dependency edge (mirrors dlt.read_stream): inside an
         ``incremental=True`` node this returns a streaming scan of the
