@@ -7,6 +7,8 @@ from __future__ import annotations
 import json
 import os
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from zeta_etl_spark.sources.json_source import read_json
@@ -552,3 +554,65 @@ def test_incremental_dedup_replay_is_idempotent(spark, tmp_path, sf_dir):
     foreach_batch_incremental_dedup(stream, store, ckpt, spark)
 
     assert snapshot() == before
+
+
+def _protobuf_available() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _protobuf_available(),
+    reason="transformWithStateInPandas needs google.protobuf (TWS state "
+    "server wire format), absent in this container - env-gated like Delta",
+)
+def test_tws_sessionizer_matches_legacy(spark, tmp_path):
+    """transformWithStateInPandas sessionizer (typed value state + explicit
+    event-time timers) produces exactly the applyInPandasWithState
+    operator's sessions on the same two-increment input."""
+    from zeta_etl_spark.streaming.stateful import (
+        sessionize_stream,
+        sessionize_stream_tws,
+    )
+
+    rows1 = [
+        {"user": "a", "ts": "2024-01-01 00:00:00", "amount": 1.0},
+        {"user": "a", "ts": "2024-01-01 00:10:00", "amount": 2.0},
+        {"user": "a", "ts": "2024-01-01 01:00:00", "amount": 4.0},
+        {"user": "b", "ts": "2024-01-01 00:05:00", "amount": 7.0},
+    ]
+    rows2 = [
+        # advances the watermark far past every open session for both users
+        {"user": "a", "ts": "2024-01-01 06:00:00", "amount": 0.25},
+        {"user": "b", "ts": "2024-01-01 06:00:00", "amount": 0.25},
+    ]
+
+    def drive(builder, tag):
+        src = str(tmp_path / f"{tag}_src")
+        out = str(tmp_path / f"{tag}_out")
+        ckpt = str(tmp_path / f"{tag}_ckpt")
+        _write_json(src, rows1, "w1.json")
+        stream = read_json(spark, src, SCHEMA, streaming=True)
+        run_available_now(builder(stream), out, ckpt)
+        _write_json(src, rows2, "w2.json")
+        stream = read_json(spark, src, SCHEMA, streaming=True)
+        run_available_now(builder(stream), out, ckpt)
+        return sorted(
+            (
+                r["user"],
+                str(r["session_start"]),
+                str(r["session_end"]),
+                r["n_events"],
+                r["total"],
+            )
+            for r in spark.read.parquet(out).collect()
+        )
+
+    legacy = drive(sessionize_stream, "legacy")
+    tws = drive(sessionize_stream_tws, "tws")
+    assert tws == legacy
+    assert len(legacy) >= 3  # a's two sessions + b's session all closed

@@ -104,3 +104,117 @@ def sessionize_stream(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def sessionize_stream_tws(
+    events: "DataFrame",
+    gap_seconds: int = 1800,
+    watermark: str = "10 minutes",
+) -> "DataFrame":
+    """The :func:`sessionize_stream` semantics on Spark 4's
+    ``transformWithStateInPandas`` — the modern arbitrary-state API
+    (typed value state + explicit event-time timers) that replaces
+    ``applyInPandasWithState``.  Same contract: one output row per closed
+    session, closed when no event for ``gap_seconds`` arrives before the
+    watermark passes; equality with the legacy operator is pinned by
+    ``tests/test_streaming.py::test_tws_sessionizer_matches_legacy``.
+
+    ENV-GATED (same class as the Delta seams, ROUND_NOTES): the TWS state
+    server speaks protobuf and ``google.protobuf`` is absent in this
+    container (no installs), so the operator raises a clear error here and
+    the equality test skips; on a standard Spark 4 deployment (protobuf
+    ships with it) it runs as written.
+
+    State layout: one ValueState row (start, end, n, total) per key; one
+    event-time timer at ``session end + gap`` re-registered as the session
+    extends — the engine-managed replacement for the legacy
+    ``setTimeoutTimestamp``."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    try:  # pragma: no cover - env probe
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            "transformWithStateInPandas needs google.protobuf (the TWS "
+            "state-server wire format), absent in this environment; use "
+            "sessionize_stream (applyInPandasWithState) instead"
+        ) from e
+
+    gap_us = gap_seconds * 1_000_000
+
+    class SessionProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._sess = handle.getValueState(
+                "session", "start long, end long, n long, total double"
+            )
+
+        def _emit(self, user, start, end, n, total):
+            return pd.DataFrame(
+                [
+                    {
+                        "user": user,
+                        "session_start": pd.Timestamp(start, unit="us"),
+                        "session_end": pd.Timestamp(end, unit="us"),
+                        "n_events": n,
+                        "total": total,
+                    }
+                ]
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            (user,) = key
+            if self._sess.exists():
+                start, end, n, total = self._sess.get()
+            else:
+                start = end = n = 0
+                total = 0.0
+            closed = []
+            batches = list(rows)
+            df = pd.concat(batches).sort_values("ts")
+            ts_us = (
+                df["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+            )
+            amounts = df["amount"].to_numpy(dtype="float64")
+            old_timer = end // 1000 + gap_seconds * 1000 if n else None
+            for t, amount in zip(ts_us.tolist(), amounts.tolist()):
+                if n == 0:
+                    start, end, n, total = t, t, 1, amount
+                elif t - end > gap_us:
+                    closed.append((start, end, n, total))
+                    start, end, n, total = t, t, 1, amount
+                else:
+                    end = t
+                    n += 1
+                    total += amount
+            self._sess.update((start, end, n, total))
+            if old_timer is not None:
+                self._handle.deleteTimer(old_timer)
+            self._handle.registerTimer(end // 1000 + gap_seconds * 1000)
+            for s, e, c, tot in closed:
+                yield self._emit(user, s, e, c, tot)
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            (user,) = key
+            if self._sess.exists():
+                start, end, n, total = self._sess.get()
+                self._sess.clear()
+                yield self._emit(user, start, end, n, total)
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user")
+        .transformWithStateInPandas(
+            SessionProcessor(),
+            outputStructType=SESSION_SCHEMA,
+            outputMode="Append",
+            timeMode="EventTime",
+        )
+    )
