@@ -80,6 +80,7 @@ OPTIONAL = [
     "quality_budget_gate",
     "normalized_exact_dedup",
     "ivf_pq_rerank_top5",
+    "banded_cosine_pairs",
 ]
 
 # Deliberate experiments whose cost is a MEASUREMENT, not the engine's real

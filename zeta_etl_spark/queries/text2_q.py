@@ -367,3 +367,132 @@ def semantic_dup_clusters(spark, sf_dir):
         F.col("label").alias("cluster_id"),
         "cluster_size",
     )
+
+
+# --- banded_cosine_pairs: multi-table LSH (recall at high plane counts) ------
+# PERF.md round-5 names the deployment answer to the plane-count/recall
+# tradeoff: b independent hyperplane tables, candidates = union of their
+# bucket joins (the random-hyperplane analogue of the MinHash band join).
+# Recall math: a pair at angle θ collides in one k-plane table with
+# p = (1 - θ/π)^k, and in ≥1 of b tables with 1-(1-p^k)^b — so banding is
+# the knob for HIGH-similarity targets (cos 0.99 → p^10 ≈ 0.63, two tables
+# ≈ 0.86) and is measured exactly there by
+# tests/test_scale_ops.py::test_banded_tables_buy_recall_on_near_dups;
+# for LOOSE thresholds like this 0.35 graph, hyperplane collision is weak
+# (p^10 ≈ 0.008 at θ≈69°) and the bucket restriction is a documented
+# approximation, not a recall promise.  Scale shape: b bucket equi-joins
+# (per-bucket density held constant via adaptive_plane_count) + one
+# distinct — candidate cost grows linearly in b, never all-pairs.
+
+_BANDED_PLANES = 10
+_BANDED_TABLES = (42, 43)  # hyperplane seeds, one per table
+
+
+def _banded_bucket_sql(seed: int) -> str:
+    from zeta_etl_spark.operators.vectors import hyperplane_params
+
+    planes = hyperplane_params(_BANDED_PLANES, 64, seed=seed)
+    terms = []
+    for b, plane in enumerate(planes):
+        lit = "[" + ",".join(str(w) for w in plane) + "]"
+        dot = (
+            f"list_sum(list_transform(range(1, 65), i -> sv[CAST(i AS INT)] * "
+            f"({lit})[CAST(i AS INT)]))"
+        )
+        terms.append(
+            f"(CASE WHEN ({dot}) > 0 THEN CAST({1 << b} AS BIGINT) "
+            "ELSE CAST(0 AS BIGINT) END)"
+        )
+    return " + ".join(terms)
+
+
+def _banded_oracle() -> str:
+    from zeta_etl_spark.operators.vectors import SCALE
+
+    scaled = (
+        f"list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {SCALE}"
+        " + 0.5) AS BIGINT))"
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, {scaled} AS sv FROM embeddings
+), n AS (
+  SELECT vec_id, sv, list_sum(list_transform(sv, x -> x * x)) AS norm2,
+         {_banded_bucket_sql(_BANDED_TABLES[0])} AS b1,
+         {_banded_bucket_sql(_BANDED_TABLES[1])} AS b2
+  FROM e
+), cand AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM n a JOIN n b ON a.b1 = b.b1 AND a.vec_id < b.vec_id
+  UNION
+  SELECT a.vec_id, b.vec_id
+  FROM n a JOIN n b ON a.b2 = b.b2 AND a.vec_id < b.vec_id
+), p AS (
+  SELECT c.vec_a, c.vec_b,
+    CAST(list_sum(list_transform(range(1, 65),
+                  i -> a.sv[CAST(i AS INT)] * b.sv[CAST(i AS INT)])) AS DOUBLE)
+      / NULLIF(sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(b.norm2 AS DOUBLE)),
+               0.0) AS cosine
+  FROM cand c
+  JOIN n a ON a.vec_id = c.vec_a
+  JOIN n b ON b.vec_id = c.vec_b
+)
+SELECT vec_a, vec_b, cosine FROM p WHERE cosine >= {_SIM_THRESHOLD}
+"""
+
+
+@query(
+    "banded_cosine_pairs",
+    oracle=_banded_oracle(),
+    tags=("vectors", "dedup", "lsh", "banded"),
+)
+def banded_cosine_pairs(spark, sf_dir):
+    from zeta_etl_spark.operators.vectors import (
+        hyperplane_params,
+        lsh_bucket,
+        scaled_vectors,
+    )
+
+    emb = scaled_vectors(T(spark, sf_dir, "embeddings").drop("label"))
+    for i, seed in enumerate(_BANDED_TABLES, 1):
+        planes = hyperplane_params(_BANDED_PLANES, 64, seed=seed)
+        emb = emb.withColumn(f"_b{i}", lsh_bucket("sv", planes))
+    emb = emb.cache()
+    cands = None
+    for i in range(1, len(_BANDED_TABLES) + 1):
+        a = emb.select(
+            F.col("vec_id").alias("vec_a"), F.col(f"_b{i}").alias("_bk")
+        )
+        b = emb.select(
+            F.col("vec_id").alias("vec_b"), F.col(f"_b{i}").alias("_bk")
+        )
+        t = (
+            a.join(b, "_bk")
+            .filter(F.col("vec_a") < F.col("vec_b"))
+            .select("vec_a", "vec_b")
+        )
+        cands = t if cands is None else cands.unionByName(t)
+    cands = cands.distinct()
+    va = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("sv").alias("sv_a"),
+        F.col("norm2").alias("n_a"),
+    )
+    vb = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("sv").alias("sv_b"),
+        F.col("norm2").alias("n_b"),
+    )
+    dot = F.expr(
+        "aggregate(zip_with(sv_a, sv_b, (x, y) -> x * y), 0L, (a, v) -> a + v)"
+    )
+    cos = dot.cast("double") / F.nullif(
+        F.sqrt(F.col("n_a").cast("double")) * F.sqrt(F.col("n_b").cast("double")),
+        F.lit(0.0),
+    )
+    return (
+        cands.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .select("vec_a", "vec_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= _SIM_THRESHOLD)
+    )
