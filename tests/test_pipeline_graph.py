@@ -426,3 +426,57 @@ def test_compact_reduces_files_and_preserves_rows(spark, tmp_path):
     # no leftover side directory
     import os as _os
     assert not _os.path.exists(base + "/frag__compacting")
+
+
+def test_apply_changes_with_deletes(spark, tmp_path):
+    """apply_as_deletes (the DLT delete surface): the latest row per key
+    wins; when that winner satisfies the delete condition the key vanishes
+    from the target, and a later non-delete row resurrects it."""
+    from pyspark.sql import functions as F2
+
+    from zeta_etl_spark.plans.graph import Pipeline
+
+    rows = [
+        # x: upsert then delete -> gone
+        ("x", 1.0, 1, "upsert"),
+        ("x", 2.0, 2, "delete"),
+        # y: delete then later upsert -> resurrection wins
+        ("y", 5.0, 1, "delete"),
+        ("y", 7.0, 2, "upsert"),
+        # z: plain upserts -> latest value
+        ("z", 3.0, 1, "upsert"),
+        ("z", 4.0, 2, "upsert"),
+    ]
+    p = Pipeline("cdc_del", str(tmp_path / "cdc_del"))
+
+    @p.view(name="changes")
+    def changes(pl):
+        return spark.createDataFrame(
+            rows, "entity string, val double, seq bigint, op string"
+        )
+
+    p.apply_changes(
+        target="current",
+        source="changes",
+        keys=["entity"],
+        sequence_by="seq",
+        apply_as_deletes="op = 'delete'",
+    )
+    out = p.run(spark, targets=["current"])["current"]
+    got = {r["entity"]: r["val"] for r in out.collect()}
+    assert got == {"y": 7.0, "z": 4.0}
+
+    # without the delete clause, x's delete row would win as a plain upsert
+    p2 = Pipeline("cdc_nodel", str(tmp_path / "cdc_nodel"))
+
+    @p2.view(name="changes")
+    def changes2(pl):
+        return spark.createDataFrame(
+            rows, "entity string, val double, seq bigint, op string"
+        )
+
+    p2.apply_changes(
+        target="current", source="changes", keys=["entity"], sequence_by="seq"
+    )
+    out2 = p2.run(spark, targets=["current"])["current"]
+    assert {r["entity"] for r in out2.collect()} == {"x", "y", "z"}

@@ -52,3 +52,24 @@ def latest_by_keys_agg(
         F.max_by(c, sequence_by).alias(c) for c in value_cols
     ]
     return df.groupBy(*keys).agg(*aggs)
+
+
+def latest_by_keys_with_deletes(
+    df: DataFrame,
+    keys: Sequence[str],
+    sequence_by: Sequence[str],
+    apply_as_deletes: str,
+) -> DataFrame:
+    """``apply_changes`` with delete semantics (the DLT
+    ``apply_as_deletes=expr(...)`` surface the engine replaces; the
+    reference's call sites never pass it, but the API is part of the CDC
+    contract): the latest row per key wins as usual, and if that winning
+    row satisfies ``apply_as_deletes`` the key is REMOVED from the target
+    instead of upserted.  A later non-delete row for the same key
+    re-inserts it (standard CDC resurrection).
+
+    Same one-shuffle shape as :func:`latest_by_keys` — the delete predicate
+    is evaluated on the already-selected winner rows only."""
+    return latest_by_keys(df, keys, sequence_by).filter(
+        ~F.expr(apply_as_deletes)
+    )

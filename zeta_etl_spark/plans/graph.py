@@ -134,9 +134,15 @@ class Pipeline:
         sequence_by: str | Sequence[str],
         partition_by: Sequence[str] = (),
         quality: str | None = None,
+        apply_as_deletes: str | None = None,
     ) -> None:
         """Latest-record-wins CDC node (batch semantics; the streaming form is
-        streaming.cdc_stream.apply_changes_stream)."""
+        streaming.cdc_stream.apply_changes_stream).
+
+        ``apply_as_deletes`` is the DLT delete surface: a SQL condition
+        evaluated on the winning (latest) row per key — when it holds, the
+        key is removed from the target instead of upserted (a later
+        non-delete row re-inserts it)."""
         seq = (sequence_by,) if isinstance(sequence_by, str) else tuple(sequence_by)
         self._register(
             Node(
@@ -148,6 +154,7 @@ class Pipeline:
                 sequence_by=seq,
                 partition_by=tuple(partition_by),
                 quality=quality,
+                extra={"apply_as_deletes": apply_as_deletes},
             )
         )
 
@@ -246,7 +253,17 @@ class Pipeline:
         try:
             if node.kind == "cdc":
                 src = self._materialize(node.source)
-                df = latest_by_keys(src, node.keys, node.sequence_by)
+                deletes = node.extra.get("apply_as_deletes")
+                if deletes:
+                    from zeta_etl_spark.operators.cdc import (
+                        latest_by_keys_with_deletes,
+                    )
+
+                    df = latest_by_keys_with_deletes(
+                        src, node.keys, node.sequence_by, deletes
+                    )
+                else:
+                    df = latest_by_keys(src, node.keys, node.sequence_by)
             elif node.kind == "table" and node.extra.get("incremental"):
                 return self._materialize_incremental(node)
             else:
