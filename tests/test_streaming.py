@@ -616,3 +616,53 @@ def test_tws_sessionizer_matches_legacy(spark, tmp_path):
     tws = drive(sessionize_stream_tws, "tws")
     assert tws == legacy
     assert len(legacy) >= 3  # a's two sessions + b's session all closed
+
+
+def test_foreach_batch_upsert_with_deletes(spark, tmp_path):
+    """Streaming apply_as_deletes: delete markers remove keys from the
+    reader mirror but persist as tombstones in the versioned state, so a
+    LATE-arriving row older than the delete cannot resurrect the key, while
+    a genuinely newer upsert can."""
+    src = str(tmp_path / "del_src")
+    target = str(tmp_path / "del_target")
+    ckpt = str(tmp_path / "del_ckpt")
+    snap = "entity string, val double, seq bigint, op string"
+
+    def drive():
+        stream = read_json(spark, src, snap, streaming=True)
+        foreach_batch_upsert(
+            stream, target, ckpt, keys=["entity"], sequence_by=["seq"],
+            spark=spark, apply_as_deletes="op = 'delete'",
+        )
+        return {r["entity"]: r["val"] for r in spark.read.parquet(target).collect()}
+
+    _write_json(
+        src,
+        [
+            {"entity": "x", "val": 1.0, "seq": 1, "op": "upsert"},
+            {"entity": "x", "val": 0.0, "seq": 5, "op": "delete"},
+            {"entity": "y", "val": 9.0, "seq": 1, "op": "upsert"},
+        ],
+        "d1.json",
+    )
+    assert drive() == {"y": 9.0}  # x deleted from the reader surface
+
+    # late row OLDER than x's tombstone: must NOT resurrect x;
+    # newer upsert for y updates normally
+    _write_json(
+        src,
+        [
+            {"entity": "x", "val": 3.0, "seq": 3, "op": "upsert"},
+            {"entity": "y", "val": 11.0, "seq": 2, "op": "upsert"},
+        ],
+        "d2.json",
+    )
+    assert drive() == {"y": 11.0}
+
+    # genuinely newer upsert resurrects x
+    _write_json(
+        src,
+        [{"entity": "x", "val": 8.0, "seq": 9, "op": "upsert"}],
+        "d3.json",
+    )
+    assert drive() == {"x": 8.0, "y": 11.0}

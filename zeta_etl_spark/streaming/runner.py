@@ -93,6 +93,7 @@ def foreach_batch_upsert(
     keys: Sequence[str],
     sequence_by: Sequence[str],
     spark: SparkSession,
+    apply_as_deletes: str | None = None,
 ) -> None:
     """Streaming latest-wins CDC sink: merge each microbatch into the target
     parquet (open-source stand-in for apply_changes / Delta MERGE — S8/T7).
@@ -133,9 +134,10 @@ def foreach_batch_upsert(
         if current_ver == batch_id:
             # replay of an already-committed batch (crash after pointer
             # commit, before the stream checkpoint): just heal the mirror
-            spark.read.parquet(f"{target_path}__v{batch_id}").write.mode(
-                "overwrite"
-            ).parquet(target_path)
+            healed = spark.read.parquet(f"{target_path}__v{batch_id}")
+            if apply_as_deletes:
+                healed = healed.filter(~F.expr(apply_as_deletes))
+            healed.write.mode("overwrite").parquet(target_path)
             return
         if current_ver is not None:
             current = spark.read.parquet(f"{target_path}__v{current_ver}")
@@ -147,8 +149,14 @@ def foreach_batch_upsert(
         out.write.mode("overwrite").parquet(new_dir)
         # refresh the reader mirror BEFORE the commit point: a torn mirror is
         # recoverable (rebuilt from the committed version), a torn version
-        # dir named by the pointer would not be
-        spark.read.parquet(new_dir).write.mode("overwrite").parquet(target_path)
+        # dir named by the pointer would not be.  Delete markers STAY in the
+        # versioned store as tombstones (so a late-arriving row older than
+        # the delete cannot resurrect the key) and are filtered only here,
+        # on the reader surface — the DLT apply_as_deletes contract.
+        mirror = spark.read.parquet(new_dir)
+        if apply_as_deletes:
+            mirror = mirror.filter(~F.expr(apply_as_deletes))
+        mirror.write.mode("overwrite").parquet(target_path)
         tmp_ptr = ptr_path + ".tmp"
         with open(tmp_ptr, "w") as fh:
             fh.write(str(batch_id))
