@@ -426,6 +426,11 @@ def test_compact_reduces_files_and_preserves_rows(spark, tmp_path):
     # no leftover side directory
     import os as _os
     assert not _os.path.exists(base + "/frag__compacting")
+    # the memoized frame and temp view were refreshed — the pre-compaction
+    # file listing is gone, so these would throw FileNotFoundException
+    # without the invalidation
+    assert p.read("frag").count() == 1000
+    assert spark.sql("SELECT COUNT(*) FROM compactor__frag").first()[0] == 1000
 
 
 def test_apply_changes_with_deletes(spark, tmp_path):
@@ -480,3 +485,34 @@ def test_apply_changes_with_deletes(spark, tmp_path):
     )
     out2 = p2.run(spark, targets=["current"])["current"]
     assert {r["entity"] for r in out2.collect()} == {"x", "y", "z"}
+
+
+def test_apply_changes_null_delete_predicate_is_not_delete(spark, tmp_path):
+    """A NULL-evaluating delete predicate must mean NOT deleted (DLT deletes
+    only where the expression is TRUE): with op NULL on plain upserts, the
+    keys survive."""
+    from zeta_etl_spark.plans.graph import Pipeline
+
+    rows = [
+        ("x", 1.0, 1, None),      # op NULL: ordinary upsert
+        ("y", 2.0, 1, "delete"),  # real delete
+        ("z", 3.0, 1, None),
+    ]
+    p = Pipeline("cdc_null", str(tmp_path / "cdc_null"))
+
+    @p.view(name="changes")
+    def changes(pl):
+        return spark.createDataFrame(
+            rows, "entity string, val double, seq bigint, op string"
+        )
+
+    p.apply_changes(
+        target="current",
+        source="changes",
+        keys=["entity"],
+        sequence_by="seq",
+        apply_as_deletes="op = 'delete'",
+    )
+    out = p.run(spark, targets=["current"])["current"]
+    got = {r["entity"]: r["val"] for r in out.collect()}
+    assert got == {"x": 1.0, "z": 3.0}

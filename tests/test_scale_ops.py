@@ -390,8 +390,13 @@ def test_round5_operator_edge_cases(spark, sf_dir):
     sigs = minhash_signatures(docs)
     empty_sigs = sigs.filter("doc_id < 0")
     assert incremental_lsh_candidate_pairs(sigs, empty_sigs).count() == 0
-    # empty corpus -> batch-only (batch x batch) pairs, no error
-    assert incremental_lsh_candidate_pairs(empty_sigs, sigs).count() >= 0
+    # empty corpus degrades to EXACTLY the batch×batch pair set
+    from zeta_etl_spark.operators.dedup import lsh_candidate_pairs
+
+    batch_only = incremental_lsh_candidate_pairs(empty_sigs, sigs)
+    full_self = lsh_candidate_pairs(sigs)
+    assert batch_only.exceptAll(full_self).count() == 0
+    assert full_self.exceptAll(batch_only).count() == 0
 
     labels = connected_components_star(
         spark.createDataFrame([(1, 2)], "src bigint, dst bigint")

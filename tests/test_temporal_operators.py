@@ -208,3 +208,37 @@ def test_cogrouped_asof_matches_union_merge(spark):
     assert g[("a", 5)] is None
     assert g[("c", 1)] is None
     assert g[("b", 15)] == 300.0
+
+
+def test_cogrouped_asof_null_tie_and_collision_guard(spark):
+    """Null right_cols value in a right-ts tie must LOSE to the real value
+    (matching the twin's nulls-first + last(ignorenulls)); colliding column
+    names are rejected upfront like the twin."""
+    import pytest as _pytest
+
+    from zeta_etl_spark.operators.temporal import as_of_join, cogrouped_asof_join
+
+    left = spark.createDataFrame(
+        [("a", 10, 1.0)], "k string, lts bigint, lval double"
+    )
+    right = spark.createDataFrame(
+        [("a", 10, 100.0), ("a", 10, None)],
+        "k string, rts bigint, rval double",
+    )
+    got = cogrouped_asof_join(
+        left, right, keys=["k"], left_ts="lts", right_ts="rts",
+        right_cols=["rval"],
+    ).collect()
+    want = as_of_join(
+        left, right, keys=["k"], left_ts="lts", right_ts="rts",
+        right_cols=["rval"],
+    ).collect()
+    assert got[0]["rval"] == 100.0
+    assert got[0]["rval"] == want[0]["rval"]
+
+    with _pytest.raises(ValueError, match="collide"):
+        cogrouped_asof_join(
+            left,
+            right.withColumnRenamed("rts", "lts"),
+            keys=["k"], left_ts="lts", right_ts="lts", right_cols=["rval"],
+        )

@@ -69,7 +69,10 @@ def latest_by_keys_with_deletes(
     re-inserts it (standard CDC resurrection).
 
     Same one-shuffle shape as :func:`latest_by_keys` — the delete predicate
-    is evaluated on the already-selected winner rows only."""
+    is evaluated on the already-selected winner rows only.  A NULL-valued
+    predicate (e.g. ``op = 'delete'`` on a row whose op is NULL) means NOT
+    deleted — DLT deletes only where the expression is TRUE, and a bare
+    ``filter(~expr)`` would silently drop NULL-evaluating rows."""
     return latest_by_keys(df, keys, sequence_by).filter(
-        ~F.expr(apply_as_deletes)
+        ~F.coalesce(F.expr(apply_as_deletes), F.lit(False))
     )

@@ -336,9 +336,18 @@ def cogrouped_asof_join(
 
     Tie handling matches ``as_of_join(strict=False)``: right rows at exactly
     ``left_ts`` are visible; among identical (keys, right_ts) duplicates the
-    greatest ``right_cols`` tuple wins.
+    greatest ``right_cols`` tuple wins, with nulls ranked BELOW any value
+    (same as the twin's nulls-first window sort + ``last(ignorenulls)``).
     """
     import pandas as pd
+
+    clash = (set(right_cols) | {right_ts}) & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"cogrouped_asof_join: right columns {sorted(clash)} collide "
+            "with left columns — rename the right side first "
+            "(e.g. value -> prior_value)"
+        )
 
     out_fields = []
     for f in left.schema.fields:
@@ -361,8 +370,13 @@ def cogrouped_asof_join(
                 out[c] = None
             return out
         # greatest right_cols tuple wins among right-ts duplicates:
-        # stable sort by (ts, right_cols) then keep the last per ts
-        rs = rdf.sort_values([right_ts, *rcols], kind="mergesort")
+        # stable sort by (ts, right_cols) with NaN FIRST (pandas defaults
+        # NaN last, which would make a null value beat a real one) then
+        # keep the last per ts — matches the twin's nulls-first ascending
+        # window sort + last()
+        rs = rdf.sort_values(
+            [right_ts, *rcols], kind="mergesort", na_position="first"
+        )
         rs = rs.drop_duplicates(subset=[right_ts], keep="last")
         out = pd.merge_asof(
             ldf.sort_values(left_ts, kind="mergesort"),

@@ -378,6 +378,56 @@ def sq8_topk(
     )
 
 
+def _adc_dot_sql(m: int, sub: int) -> str:
+    """ADC scoring expression shared by the PQ paths: per-subspace dot of the
+    full-precision query slice against the codebook reconstruction of the
+    candidate's code."""
+    return (
+        f"aggregate(sequence(0, {m - 1}), 0L, (acc, s) -> acc + "
+        f"aggregate(zip_with(slice(qv, s * {sub} + 1, {sub}), "
+        f"element_at(filter(cb, c -> c.s = s AND "
+        f"c.code = element_at(codes, s + 1)), 1).cv, "
+        f"(x, y) -> x * y), 0L, (a, v) -> a + v))"
+    )
+
+
+def exact_rerank_topk(cand: DataFrame, scaled: DataFrame, k: int) -> DataFrame:
+    """Shared exact-rerank tail of every quantized ANN path (SQ8, PQ,
+    IVF×SQ8, IVF×PQ): join full-precision vectors for the (query_id,
+    neighbor_id) candidate rows ONLY, exact integer cosine, cut to top-k
+    with the engine-wide (cosine DESC, neighbor_id) tie-break."""
+    nq = scaled.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("sv").alias("qv_x"),
+        F.col("norm2").alias("qn_x"),
+    )
+    nn = scaled.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("sv").alias("nv_x"),
+        F.col("norm2").alias("nn_x"),
+    )
+    dot = F.expr(
+        "aggregate(zip_with(qv_x, nv_x, (x, y) -> x * y), 0L, (a, v) -> a + v)"
+    )
+    cos = dot.cast("double") / F.nullif(
+        F.sqrt(F.col("qn_x").cast("double"))
+        * F.sqrt(F.col("nn_x").cast("double")),
+        F.lit(0.0),
+    )
+    rer = (
+        cand.join(F.broadcast(nq), "query_id")
+        .join(nn, "neighbor_id")
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        rer.withColumn("knn_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("knn_rank") <= k)
+    )
+
+
 def ivf_sq8_rerank_topk(
     scaled: DataFrame,
     centroids: DataFrame,
@@ -457,36 +507,7 @@ def ivf_sq8_rerank_topk(
         .select("query_id", "neighbor_id")
     )
 
-    nq = scaled.select(
-        F.col("vec_id").alias("query_id"),
-        F.col("sv").alias("qv_x"),
-        F.col("norm2").alias("qn_x"),
-    )
-    nn = scaled.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("sv").alias("nv_x"),
-        F.col("norm2").alias("nn_x"),
-    )
-    dot = F.expr(
-        "aggregate(zip_with(qv_x, nv_x, (x, y) -> x * y), 0L, (a, v) -> a + v)"
-    )
-    cos = dot.cast("double") / F.nullif(
-        F.sqrt(F.col("qn_x").cast("double"))
-        * F.sqrt(F.col("nn_x").cast("double")),
-        F.lit(0.0),
-    )
-    rer = (
-        cand.join(F.broadcast(nq), "query_id")
-        .join(nn, "neighbor_id")
-        .select("query_id", "neighbor_id", cos.alias("cosine"))
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id")
-    )
-    return (
-        rer.withColumn("knn_rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("knn_rank") <= k)
-    )
+    return exact_rerank_topk(cand, scaled, k)
 
 
 # --- Product quantization (PQ) ----------------------------------------------
@@ -583,13 +604,7 @@ def pq_adc_rerank_topk(
     sub = dim // m
     cbp = pq_codebook(scaled, dim=dim, m=m)
     enc = pq_encode(scaled, cbp, dim=dim, m=m)
-    adc_dot = (
-        f"aggregate(sequence(0, {m - 1}), 0L, (acc, s) -> acc + "
-        f"aggregate(zip_with(slice(qv, s * {sub} + 1, {sub}), "
-        f"element_at(filter(cb, c -> c.s = s AND "
-        f"c.code = element_at(codes, s + 1)), 1).cv, "
-        f"(x, y) -> x * y), 0L, (a, v) -> a + v))"
-    )
+    adc_dot = _adc_dot_sql(m, sub)
     cos_q = F.expr(adc_dot).cast("double") / F.nullif(
         F.sqrt(F.col("qn").cast("double"))
         * F.sqrt(F.col("recon2").cast("double")),
@@ -613,36 +628,7 @@ def pq_adc_rerank_topk(
         .filter(F.col("_rn") <= wide)
         .select("query_id", "neighbor_id")
     )
-    nq = scaled.select(
-        F.col("vec_id").alias("query_id"),
-        F.col("sv").alias("qv_x"),
-        F.col("norm2").alias("qn_x"),
-    )
-    nn = scaled.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("sv").alias("nv_x"),
-        F.col("norm2").alias("nn_x"),
-    )
-    dot = F.expr(
-        "aggregate(zip_with(qv_x, nv_x, (x, y) -> x * y), 0L, (a, v) -> a + v)"
-    )
-    cos = dot.cast("double") / F.nullif(
-        F.sqrt(F.col("qn_x").cast("double"))
-        * F.sqrt(F.col("nn_x").cast("double")),
-        F.lit(0.0),
-    )
-    rer = (
-        cand.join(F.broadcast(nq), "query_id")
-        .join(nn, "neighbor_id")
-        .select("query_id", "neighbor_id", cos.alias("cosine"))
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id")
-    )
-    return (
-        rer.withColumn("knn_rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("knn_rank") <= k)
-    )
+    return exact_rerank_topk(cand, scaled, k)
 
 
 def ivf_pq_rerank_topk(
@@ -676,13 +662,7 @@ def ivf_pq_rerank_topk(
     cbp = pq_codebook(scaled, dim=dim, m=m)
     enc = pq_encode(scaled, cbp, dim=dim, m=m).join(corpus_lists, "vec_id")
     qq = queries.join(probe_lists, "query_id")
-    adc_dot = (
-        f"aggregate(sequence(0, {m - 1}), 0L, (acc, s) -> acc + "
-        f"aggregate(zip_with(slice(qv, s * {sub} + 1, {sub}), "
-        f"element_at(filter(cb, c -> c.s = s AND "
-        f"c.code = element_at(codes, s + 1)), 1).cv, "
-        f"(x, y) -> x * y), 0L, (a, v) -> a + v))"
-    )
+    adc_dot = _adc_dot_sql(m, sub)
     cos_q = F.expr(adc_dot).cast("double") / F.nullif(
         F.sqrt(F.col("qn").cast("double"))
         * F.sqrt(F.col("recon2").cast("double")),
@@ -709,36 +689,7 @@ def ivf_pq_rerank_topk(
         .filter(F.col("_rn") <= wide)
         .select("query_id", "neighbor_id")
     )
-    nq = scaled.select(
-        F.col("vec_id").alias("query_id"),
-        F.col("sv").alias("qv_x"),
-        F.col("norm2").alias("qn_x"),
-    )
-    nn = scaled.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("sv").alias("nv_x"),
-        F.col("norm2").alias("nn_x"),
-    )
-    dot = F.expr(
-        "aggregate(zip_with(qv_x, nv_x, (x, y) -> x * y), 0L, (a, v) -> a + v)"
-    )
-    cos = dot.cast("double") / F.nullif(
-        F.sqrt(F.col("qn_x").cast("double"))
-        * F.sqrt(F.col("nn_x").cast("double")),
-        F.lit(0.0),
-    )
-    rer = (
-        cand.join(F.broadcast(nq), "query_id")
-        .join(nn, "neighbor_id")
-        .select("query_id", "neighbor_id", cos.alias("cosine"))
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id")
-    )
-    return (
-        rer.withColumn("knn_rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("knn_rank") <= k)
-    )
+    return exact_rerank_topk(cand, scaled, k)
 
 
 def adaptive_plane_count(
@@ -762,3 +713,25 @@ def adaptive_plane_count(
         return min_planes
     raw = math.ceil(math.log2(max(n_vectors / target_bucket, 1.0)))
     return max(min_planes, min(max_planes, raw))
+
+
+def duck_hyperplane_bucket_sql(planes: list[list[int]]) -> str:
+    """DuckDB SQL expression computing the same bucket id as
+    :func:`lsh_bucket` over a ``sv`` BIGINT-array column — the ONE oracle
+    twin of the hyperplane bucketing, shared by every LSH-bucketed query's
+    oracle (a drifted copy would silently break that query's oracle
+    equality)."""
+    dim = len(planes[0]) if planes else 0
+    terms = []
+    for b, plane in enumerate(planes):
+        lit = "[" + ",".join(str(w) for w in plane) + "]"
+        dot = (
+            f"list_sum(list_transform(range(1, {dim + 1}), "
+            f"i -> sv[CAST(i AS INT)] * "
+            f"({lit})[CAST(i AS INT)]))"
+        )
+        terms.append(
+            f"(CASE WHEN ({dot}) > 0 THEN CAST({1 << b} AS BIGINT) "
+            "ELSE CAST(0 AS BIGINT) END)"
+        )
+    return " + ".join(terms)

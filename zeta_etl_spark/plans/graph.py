@@ -207,10 +207,25 @@ class Pipeline:
         tmp = path + "__compacting"
         shutil.rmtree(tmp, ignore_errors=True)
         out.write.mode("overwrite").parquet(tmp)
-        # verify the rewrite before touching the live table
-        assert spark.read.parquet(tmp).count() == rows
+        # verify the rewrite before touching the live table — an explicit
+        # raise, not assert, so python -O cannot strip the safety gate
+        rewritten = spark.read.parquet(tmp).count()
+        if rewritten != rows:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise RuntimeError(
+                f"compact({name!r}): rewrite produced {rewritten} rows, "
+                f"expected {rows}; original table left untouched"
+            )
         shutil.rmtree(path)
         os.replace(tmp, path)
+        # the pre-compaction DataFrame (and its temp view) points at the
+        # deleted part files — drop the memoized frame and re-register the
+        # view over the new files so later read()/SQL doesn't hit
+        # FileNotFoundException
+        if name in self._done:
+            df_new = spark.read.parquet(path)
+            df_new.createOrReplaceTempView(f"{self.name}__{name}")
+            self._done[name] = df_new
         return n_files
 
     def read_stream(self, name: str) -> DataFrame:

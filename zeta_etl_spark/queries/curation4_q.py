@@ -256,9 +256,13 @@ def duplicated_span_fraction(spark, sf_dir):
     d = T(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )
+    # win feeds three branches (per-doc counts, shared-gram set, shared
+    # counts) whose groupBys partition on different keys — cache so the
+    # corpus tokenize + window-hash + explode pass runs once, not three
+    # times
     win = d.select(
         "doc_id", F.explode(F.expr(_spark_window_hashes())).alias("g")
-    )
+    ).cache()
     per_doc = win.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_windows")
     )

@@ -407,9 +407,11 @@ def dedup_clusters_incremental(spark, sf_dir):
         incremental_connected_components,
     )
 
+    new_a = _INCR_SPLIT.replace("doc_id", "doc_a")
+    new_b = _INCR_SPLIT.replace("doc_id", "doc_b")
     pairs = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b").cache()
-    old_pairs = pairs.filter("doc_a % 10 >= 2 AND doc_b % 10 >= 2")
-    new_pairs = pairs.filter("doc_a % 10 < 2 OR doc_b % 10 < 2")
+    old_pairs = pairs.filter(f"NOT ({new_a}) AND NOT ({new_b})")
+    new_pairs = pairs.filter(f"({new_a}) OR ({new_b})")
     old_labels = connected_components_star(
         old_pairs, src="doc_a", dst="doc_b"
     )

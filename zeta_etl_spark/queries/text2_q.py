@@ -115,21 +115,13 @@ _ND_PLANES = 6
 
 
 def _near_dup_oracle(threshold: float = _NEAR_THRESHOLD) -> str:
-    from zeta_etl_spark.operators.vectors import SCALE, hyperplane_params
+    from zeta_etl_spark.operators.vectors import (
+        SCALE,
+        duck_hyperplane_bucket_sql,
+        hyperplane_params,
+    )
 
-    planes = hyperplane_params(_ND_PLANES, 64)
-    terms = []
-    for b, plane in enumerate(planes):
-        lit = "[" + ",".join(str(w) for w in plane) + "]"
-        dot = (
-            f"list_sum(list_transform(range(1, 65), i -> sv[CAST(i AS INT)] * "
-            f"({lit})[CAST(i AS INT)]))"
-        )
-        terms.append(
-            f"(CASE WHEN ({dot}) > 0 THEN CAST({1 << b} AS BIGINT) "
-            "ELSE CAST(0 AS BIGINT) END)"
-        )
-    bucket = " + ".join(terms)
+    bucket = duck_hyperplane_bucket_sql(hyperplane_params(_ND_PLANES, 64))
     scaled = (
         f"list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {SCALE} "
         "+ 0.5) AS BIGINT))"
@@ -389,21 +381,14 @@ _BANDED_TABLES = (42, 43)  # hyperplane seeds, one per table
 
 
 def _banded_bucket_sql(seed: int) -> str:
-    from zeta_etl_spark.operators.vectors import hyperplane_params
+    from zeta_etl_spark.operators.vectors import (
+        duck_hyperplane_bucket_sql,
+        hyperplane_params,
+    )
 
-    planes = hyperplane_params(_BANDED_PLANES, 64, seed=seed)
-    terms = []
-    for b, plane in enumerate(planes):
-        lit = "[" + ",".join(str(w) for w in plane) + "]"
-        dot = (
-            f"list_sum(list_transform(range(1, 65), i -> sv[CAST(i AS INT)] * "
-            f"({lit})[CAST(i AS INT)]))"
-        )
-        terms.append(
-            f"(CASE WHEN ({dot}) > 0 THEN CAST({1 << b} AS BIGINT) "
-            "ELSE CAST(0 AS BIGINT) END)"
-        )
-    return " + ".join(terms)
+    return duck_hyperplane_bucket_sql(
+        hyperplane_params(_BANDED_PLANES, 64, seed=seed)
+    )
 
 
 def _banded_oracle() -> str:

@@ -127,21 +127,12 @@ _HN_K = 5
 
 
 def _hard_negative_oracle() -> str:
-    from zeta_etl_spark.operators.vectors import hyperplane_params
+    from zeta_etl_spark.operators.vectors import (
+        duck_hyperplane_bucket_sql,
+        hyperplane_params,
+    )
 
-    planes = hyperplane_params(_HN_PLANES, 64)
-    terms = []
-    for b, plane in enumerate(planes):
-        lit = "[" + ",".join(str(w) for w in plane) + "]"
-        dot = (
-            f"list_sum(list_transform(range(1, 65), i -> sv[CAST(i AS INT)] * "
-            f"({lit})[CAST(i AS INT)]))"
-        )
-        terms.append(
-            f"(CASE WHEN ({dot}) > 0 THEN CAST({1 << b} AS BIGINT) "
-            "ELSE CAST(0 AS BIGINT) END)"
-        )
-    bucket = " + ".join(terms)
+    bucket = duck_hyperplane_bucket_sql(hyperplane_params(_HN_PLANES, 64))
     scaled = (
         f"list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {SCALE}"
         " + 0.5) AS BIGINT))"

@@ -128,21 +128,12 @@ _N_PLANES = 8
 
 
 def _ann_oracle() -> str:
-    from zeta_etl_spark.operators.vectors import hyperplane_params
+    from zeta_etl_spark.operators.vectors import (
+        duck_hyperplane_bucket_sql,
+        hyperplane_params,
+    )
 
-    planes = hyperplane_params(_N_PLANES, 64)
-    bucket_terms = []
-    for b, plane in enumerate(planes):
-        lit = "[" + ",".join(str(w) for w in plane) + "]"
-        dot = (
-            f"list_sum(list_transform(range(1, 65), i -> sv[CAST(i AS INT)] * "
-            f"({lit})[CAST(i AS INT)]))"
-        )
-        bucket_terms.append(
-            f"(CASE WHEN ({dot}) > 0 THEN CAST({1 << b} AS BIGINT) "
-            "ELSE CAST(0 AS BIGINT) END)"
-        )
-    bucket = " + ".join(bucket_terms)
+    bucket = duck_hyperplane_bucket_sql(hyperplane_params(_N_PLANES, 64))
     return f"""
 WITH e AS (
   SELECT vec_id, {_DUCK_SCALED} AS sv FROM embeddings
@@ -393,35 +384,10 @@ def sq8_rerank_top5(spark, sf_dir):
         "query_id", "neighbor_id"
     )
     # exact rerank: full-precision vectors joined ONLY for the candidates
-    nq = emb.select(
-        F.col("vec_id").alias("query_id"),
-        F.col("sv").alias("qv_x"),
-        F.col("norm2").alias("qn_x"),
-    )
-    nn = emb.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("sv").alias("nv_x"),
-        F.col("norm2").alias("nn_x"),
-    )
-    dot = F.expr(
-        "aggregate(zip_with(qv_x, nv_x, (x, y) -> x * y), 0L, (a, v) -> a + v)"
-    )
-    cos = dot.cast("double") / F.nullif(
-        F.sqrt(F.col("qn_x").cast("double")) * F.sqrt(F.col("nn_x").cast("double")),
-        F.lit(0.0),
-    )
-    rer = (
-        cand.join(F.broadcast(nq), "query_id")
-        .join(nn, "neighbor_id")
-        .select("query_id", "neighbor_id", cos.alias("cosine"))
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id")
-    )
-    return (
-        rer.withColumn("knn_rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("knn_rank") <= _RERANK_K)
-    )
+    # (shared tail — operators.vectors.exact_rerank_topk)
+    from zeta_etl_spark.operators.vectors import exact_rerank_topk
+
+    return exact_rerank_topk(cand, emb, _RERANK_K)
 
 
 # --- ivf_sq8_rerank_top5: the COMPOSED production ANN stack ------------------

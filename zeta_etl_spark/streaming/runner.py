@@ -136,7 +136,9 @@ def foreach_batch_upsert(
             # commit, before the stream checkpoint): just heal the mirror
             healed = spark.read.parquet(f"{target_path}__v{batch_id}")
             if apply_as_deletes:
-                healed = healed.filter(~F.expr(apply_as_deletes))
+                healed = healed.filter(
+                    ~F.coalesce(F.expr(apply_as_deletes), F.lit(False))
+                )
             healed.write.mode("overwrite").parquet(target_path)
             return
         if current_ver is not None:
@@ -155,7 +157,10 @@ def foreach_batch_upsert(
         # on the reader surface — the DLT apply_as_deletes contract.
         mirror = spark.read.parquet(new_dir)
         if apply_as_deletes:
-            mirror = mirror.filter(~F.expr(apply_as_deletes))
+            # NULL predicate = not deleted (DLT deletes only where TRUE)
+            mirror = mirror.filter(
+                ~F.coalesce(F.expr(apply_as_deletes), F.lit(False))
+            )
         mirror.write.mode("overwrite").parquet(target_path)
         tmp_ptr = ptr_path + ".tmp"
         with open(tmp_ptr, "w") as fh:
@@ -288,12 +293,9 @@ def foreach_batch_incremental_dedup(
 
     ``doc_stream`` must carry (doc_id, text).
     """
-    from pyspark.sql.utils import AnalysisException
-
     from zeta_etl_spark.operators.dedup import (
         incremental_lsh_candidate_pairs,
         jaccard_verify,
-        lsh_candidate_pairs,
         minhash_signatures,
     )
 
@@ -301,22 +303,20 @@ def foreach_batch_incremental_dedup(
     sigs_root = os.path.join(store_path, "sigs")
     pairs_root = os.path.join(store_path, "pairs")
 
-    def _read_earlier(root: str, batch_id: int) -> DataFrame | None:
+    def _read_earlier(root: str, batch_id: int) -> DataFrame:
         """Partitions written by batches strictly before ``batch_id`` —
         filtering on the partition column keeps a replayed batch from
-        joining against its own (being-rewritten) output."""
-        try:
-            df = spark.read.parquet(root)
-        except AnalysisException:
-            return None
+        joining against its own (being-rewritten) output.  The root always
+        exists when this runs (the batch's own partition was just written),
+        so on the first batch this is simply an empty frame."""
+        df = spark.read.parquet(root)
         if "batch" not in df.columns:  # pragma: no cover - layout guard
             raise ValueError(f"{root} is not a batch-partitioned store")
-        earlier = df.filter(F.col("batch") < batch_id).drop("batch")
-        return earlier
+        return df.filter(F.col("batch") < batch_id).drop("batch")
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         batch_docs = batch_df.select("doc_id", "text").localCheckpoint()
-        if batch_docs.rdd.isEmpty():
+        if batch_docs.isEmpty():
             return
         batch_sigs = minhash_signatures(batch_docs, num_perm=num_perm)
         # idempotent writes: a replay overwrites this batch's own partitions
@@ -330,10 +330,10 @@ def foreach_batch_incremental_dedup(
             os.path.join(sigs_root, f"batch={batch_id}")
         )
         corpus_sigs = _read_earlier(sigs_root, batch_id)
-        if corpus_sigs is None:
-            pairs = lsh_candidate_pairs(batch_sigs)
-        else:
-            pairs = incremental_lsh_candidate_pairs(corpus_sigs, batch_sigs)
+        # first batch: corpus is empty and the incremental join degrades to
+        # exactly the batch×batch pair set (pinned by
+        # test_round5_operator_edge_cases)
+        pairs = incremental_lsh_candidate_pairs(corpus_sigs, batch_sigs)
         all_docs = spark.read.parquet(docs_root).drop("batch")
         verified = jaccard_verify(pairs, all_docs)
         verified.write.mode("overwrite").parquet(
