@@ -34,7 +34,9 @@ def hash_split(
     """Assign rows to named splits with the given fractions (must sum ≤ 1;
     remainder → last split)."""
     total = sum(f for _, f in splits)
-    assert total <= 1.0 + 1e-9, f"split fractions sum to {total} > 1"
+    # explicit raise, not assert: input validation must survive python -O
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"split fractions sum to {total} > 1")
     bucket = _bucket(key_col)
     expr: Column | None = None
     lo = 0.0

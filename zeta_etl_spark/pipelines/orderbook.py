@@ -41,7 +41,9 @@ MARKET_PARAMS = [
 
 def market_params_df(spark: SparkSession) -> DataFrame:
     total = sum(w for _, w in MARKET_PARAMS)
-    assert abs(total - 1.0) < 1e-9, f"market weights must sum to 1, got {total}"
+    # explicit raise, not assert: config validation must survive python -O
+    if abs(total - 1.0) >= 1e-9:
+        raise ValueError(f"market weights must sum to 1, got {total}")
     return spark.createDataFrame(
         [(a, w, w / total) for a, w in MARKET_PARAMS],
         "asset string, raw_weight double, weight double",
