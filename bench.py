@@ -81,6 +81,7 @@ OPTIONAL = [
     "normalized_exact_dedup",
     "ivf_pq_rerank_top5",
     "banded_cosine_pairs",
+    "zorder_bucket_stats",
 ]
 
 # Deliberate experiments whose cost is a MEASUREMENT, not the engine's real

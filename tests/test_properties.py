@@ -369,3 +369,30 @@ def test_chunk_udtf_matches_codegen_grid(spark, sf_dir):
         for r in want.collect()
     }
     assert g == w and len(g) > 0
+
+
+def test_morton_code_interleave_and_tile_locality(spark, sf_dir):
+    """Morton code: known-value bit interleave, and the tile property that
+    makes Z-order pruning work — every bucket of 2^20 consecutive z-codes
+    is a 1024x1024 tile, so BOTH dimensions' spans are <= 1023 within any
+    bucket (a single-column sort leaves the other span full-range)."""
+    from pyspark.sql import functions as F2
+
+    from zeta_etl_spark.operators.reshape import morton_code_sql
+    from zeta_etl_spark.queries import REGISTRY
+
+    # interleave(a=0b11, b=0b01) = a0<<0 | b0<<1 | a1<<2 | b1<<3 = 0b0111
+    df = spark.createDataFrame([(3, 1)], "a bigint, b bigint")
+    code = df.select(F2.expr(morton_code_sql("a", "b")).alias("z")).first()["z"]
+    assert code == 0b0111
+    df2 = spark.createDataFrame([(0, 65535)], "a bigint, b bigint")
+    code2 = df2.select(F2.expr(morton_code_sql("a", "b")).alias("z")).first()["z"]
+    assert code2 == sum(1 << (2 * i + 1) for i in range(16))
+
+    stats = REGISTRY["zorder_bucket_stats"].fn(spark, sf_dir)
+    bad = stats.filter(
+        (F2.col("ck_max") - F2.col("ck_min") > 1023)
+        | (F2.col("ok_max") - F2.col("ok_min") > 1023)
+    )
+    assert stats.count() > 0
+    assert bad.count() == 0

@@ -70,3 +70,31 @@ def timestamps_to_unix(df: DataFrame) -> DataFrame:
                 f.name, F.col(f.name).cast("timestamp").cast("long")
             )
     return out
+
+
+def morton_code_sql(col_a: str, col_b: str, bits: int = 16) -> str:
+    """Spark SQL expression interleaving the low ``bits`` of two non-negative
+    integer columns into a Z-order (Morton) code — a REAL space-filling
+    curve for the reference's ``pipelines.autoOptimize.zOrderCols`` table
+    property (zetadex-transactions-helius-pipeline.py:285), not just the
+    lexicographic ``sortWithinPartitions`` stand-in: sorting by the
+    interleaved code clusters rows that are close in EITHER dimension, so
+    parquet row-group min/max pruning stays effective for filters on both
+    columns.  Pure bit arithmetic (whole-stage codegen, identical in
+    DuckDB)."""
+    terms = [
+        f"(((({col_a}) >> {i}) & 1) << {2 * i}) + "
+        f"(((({col_b}) >> {i}) & 1) << {2 * i + 1})"
+        for i in range(bits)
+    ]
+    return "cast(" + " + ".join(terms) + " as bigint)"
+
+
+def duck_morton_code_sql(col_a: str, col_b: str, bits: int = 16) -> str:
+    """DuckDB twin of :func:`morton_code_sql` (same bit arithmetic)."""
+    terms = [
+        f"(((({col_a}) >> {i}) & 1) << {2 * i}) + "
+        f"(((({col_b}) >> {i}) & 1) << {2 * i + 1})"
+        for i in range(bits)
+    ]
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"

@@ -425,3 +425,59 @@ def quality_budget_gate(spark, sf_dir):
     return r.select(
         "doc_id", "source", "score", kept.cast("bigint").alias("kept")
     )
+
+
+# --- zorder_bucket_stats: real Z-order clustering for two-column pruning -----
+# The reference's zOrderCols table property is a storage-layout concern this
+# engine stands in with sortWithinPartitions; this query implements the
+# actual space-filling curve: Morton-interleave (custkey, orderkey mod 2^16)
+# and report per-Z-bucket min/max spans of BOTH dimensions — the quantity
+# row-group pruning depends on.  Sorting by the interleaved code keeps both
+# spans narrow per bucket; sorting by either column alone leaves the other
+# span full-range.
+
+def _zorder_oracle() -> str:
+    from zeta_etl_spark.operators.reshape import duck_morton_code_sql
+
+    code = duck_morton_code_sql("o_custkey % 65536", "o_orderkey % 65536")
+    return f"""
+WITH z AS (
+  SELECT o_custkey % 65536 AS ck, o_orderkey % 65536 AS ok,
+         {code} AS zcode
+  FROM orders
+), b AS (
+  SELECT zcode // 1048576 AS zbucket, ck, ok FROM z
+)
+SELECT zbucket,
+  COUNT(*) AS n_rows,
+  MIN(ck) AS ck_min, MAX(ck) AS ck_max,
+  MIN(ok) AS ok_min, MAX(ok) AS ok_max
+FROM b GROUP BY zbucket
+"""
+
+
+@query(
+    "zorder_bucket_stats",
+    oracle=_zorder_oracle(),
+    tags=("layout", "zorder", "pruning"),
+)
+def zorder_bucket_stats(spark, sf_dir):
+    from zeta_etl_spark.operators.reshape import morton_code_sql
+
+    code = morton_code_sql("o_custkey % 65536", "o_orderkey % 65536")
+    z = T(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 65536).alias("ck"),
+        (F.col("o_orderkey") % 65536).alias("ok"),
+        F.expr(code).alias("zcode"),
+    )
+    return (
+        z.withColumn("zbucket", F.expr("zcode div 1048576"))
+        .groupBy("zbucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("ck").alias("ck_min"),
+            F.max("ck").alias("ck_max"),
+            F.min("ok").alias("ok_min"),
+            F.max("ok").alias("ok_max"),
+        )
+    )
