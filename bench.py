@@ -82,6 +82,8 @@ OPTIONAL = [
     "ivf_pq_rerank_top5",
     "banded_cosine_pairs",
     "zorder_bucket_stats",
+    "winsorized_user_stats",
+    "composition_chisq",
 ]
 
 # Deliberate experiments whose cost is a MEASUREMENT, not the engine's real

@@ -746,3 +746,84 @@ def kmv_bottomk(spark, sf_dir):
     top = hashed.orderBy("hash_val", "user_id").limit(_KMV_K)
     w = W.orderBy("hash_val", "user_id")
     return top.withColumn("kmv_rank", F.row_number().over(w).cast("bigint"))
+
+
+# --- winsorized_user_stats: robust per-user statistics -----------------------
+# Outlier-robust aggregates: clip each user's values at their exact p10/p90
+# (rank selection — value at row ceil(q·n), NO percentile interpolation,
+# the r3 house rule) and report the winsorized mean next to the raw one.
+# Determinism: each clipped double is floor-scaled to BIGINT BEFORE the sum
+# (float sums are order-dependent; integer sums are not), one division at
+# the end.  Scale shape: two window passes sharing the user_id partition
+# key (one Exchange) + one groupBy on the same key.
+
+_WINSOR_ORACLE = """
+WITH r AS (
+  SELECT user_id, value,
+    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value, event_id) AS rn,
+    COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+), cuts AS (
+  SELECT user_id,
+    MAX(CASE WHEN rn = (10 * n + 99) // 100 THEN value END) AS p10,
+    MAX(CASE WHEN rn = (90 * n + 99) // 100 THEN value END) AS p90
+  FROM r GROUP BY user_id
+), clipped AS (
+  SELECT r.user_id, r.n,
+    CAST(floor(LEAST(GREATEST(r.value, c.p10), c.p90) * 1000000 + 0.5)
+      AS BIGINT) AS w_scaled,
+    CAST(floor(r.value * 1000000 + 0.5) AS BIGINT) AS v_scaled
+  FROM r JOIN cuts c ON c.user_id = r.user_id
+)
+SELECT user_id, CAST(MAX(n) AS BIGINT) AS n_events,
+  CAST(SUM(v_scaled) AS BIGINT) AS raw_sum_e6,
+  CAST(SUM(w_scaled) AS BIGINT) AS winsor_sum_e6,
+  CAST(SUM(w_scaled) AS DOUBLE) / (1000000.0 * MAX(n)) AS winsor_mean
+FROM clipped GROUP BY user_id
+"""
+
+
+@query(
+    "winsorized_user_stats",
+    oracle=_WINSOR_ORACLE,
+    tags=("analytics", "robust", "quantile"),
+)
+def winsorized_user_stats(spark, sf_dir):
+    e = T(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    w = Window.partitionBy("user_id")
+    r = e.select(
+        "user_id",
+        "value",
+        F.row_number()
+        .over(w.orderBy("value", "event_id"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    cuts = r.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("rn") == F.expr("(10 * n + 99) div 100"), F.col("value"))
+        ).alias("p10"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(90 * n + 99) div 100"), F.col("value"))
+        ).alias("p90"),
+    )
+    clipped = r.join(cuts, "user_id").select(
+        "user_id",
+        "n",
+        F.expr(
+            "cast(floor(least(greatest(value, p10), p90) * 1000000 + 0.5) "
+            "as bigint)"
+        ).alias("w_scaled"),
+        F.expr("cast(floor(value * 1000000 + 0.5) as bigint)").alias(
+            "v_scaled"
+        ),
+    )
+    return clipped.groupBy("user_id").agg(
+        F.max("n").cast("bigint").alias("n_events"),
+        F.sum("v_scaled").cast("bigint").alias("raw_sum_e6"),
+        F.sum("w_scaled").cast("bigint").alias("winsor_sum_e6"),
+        (
+            F.sum("w_scaled").cast("double")
+            / (F.lit(1000000.0) * F.max("n"))
+        ).alias("winsor_mean"),
+    )

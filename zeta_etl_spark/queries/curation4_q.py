@@ -481,3 +481,70 @@ def zorder_bucket_stats(spark, sf_dir):
             F.max("ok").alias("ok_max"),
         )
     )
+
+
+# --- composition_chisq: corpus composition independence check ----------------
+# Curation QA: is language independent of source, or do some sources skew
+# the language mix?  Pearson chi-square over the lang × source contingency
+# table.  Determinism: all inputs are exact BIGINT counts; each cell's
+# statistic is computed in ONE expression tree of single IEEE ops
+# ((obs·tot − rt·ct)² / (tot·rt·ct) — identical rounding both engines) and
+# floor-scaled to BIGINT so the cross-cell SUM is order-independent.
+# Scale shape: one groupBy for cells, two tiny broadcast margins, no row
+# explosion.
+
+_CHISQ_ORACLE = """
+WITH cells AS (
+  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS obs
+  FROM documents GROUP BY lang, source
+), rt AS (
+  SELECT lang, CAST(SUM(obs) AS BIGINT) AS row_total FROM cells GROUP BY lang
+), ct AS (
+  SELECT source, CAST(SUM(obs) AS BIGINT) AS col_total
+  FROM cells GROUP BY source
+), tot AS (
+  SELECT CAST(SUM(obs) AS BIGINT) AS total FROM cells
+)
+SELECT c.lang, c.source, c.obs,
+  CAST(floor(
+    (CAST(c.obs * t.total - r.row_total * k.col_total AS DOUBLE)
+     * CAST(c.obs * t.total - r.row_total * k.col_total AS DOUBLE))
+    / (CAST(t.total AS DOUBLE) * r.row_total * k.col_total)
+    * 1000000 + 0.5) AS BIGINT) AS chi_e6
+FROM cells c
+JOIN rt r ON r.lang = c.lang
+JOIN ct k ON k.source = c.source
+CROSS JOIN tot t
+"""
+
+
+@query(
+    "composition_chisq",
+    oracle=_CHISQ_ORACLE,
+    tags=("curation", "stats", "composition"),
+)
+def composition_chisq(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    cells = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("obs")
+    )
+    rt = cells.groupBy("lang").agg(
+        F.sum("obs").cast("bigint").alias("row_total")
+    )
+    ct = cells.groupBy("source").agg(
+        F.sum("obs").cast("bigint").alias("col_total")
+    )
+    tot = cells.agg(F.sum("obs").cast("bigint").alias("total"))
+    chi = F.expr(
+        "cast(floor("
+        "(cast(obs * total - row_total * col_total as double)"
+        " * cast(obs * total - row_total * col_total as double))"
+        " / (cast(total as double) * row_total * col_total)"
+        " * 1000000 + 0.5) as bigint)"
+    )
+    return (
+        cells.join(F.broadcast(rt), "lang")
+        .join(F.broadcast(ct), "source")
+        .crossJoin(F.broadcast(tot))
+        .select("lang", "source", "obs", chi.alias("chi_e6"))
+    )
