@@ -84,6 +84,7 @@ OPTIONAL = [
     "zorder_bucket_stats",
     "winsorized_user_stats",
     "composition_chisq",
+    "hll_rolling_registers",
 ]
 
 # Deliberate experiments whose cost is a MEASUREMENT, not the engine's real

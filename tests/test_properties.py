@@ -396,3 +396,46 @@ def test_morton_code_interleave_and_tile_locality(spark, sf_dir):
     )
     assert stats.count() > 0
     assert bad.count() == 0
+
+
+def test_hll_rolling_merge_estimates_rolling_distinct(spark):
+    """The merged 3-day rolling registers estimate each day's exact 3-day
+    rolling COUNT(DISTINCT user_id) within sketch error (~3σ = 20%) — the
+    mergeable-rollup property: window estimates come from sketch merges,
+    never a second scan of the events."""
+    import datetime as _dt
+    import math
+
+    from pyspark.sql import functions as F2
+
+    from zeta_etl_spark.datasets import load_table
+    from zeta_etl_spark.queries import REGISTRY
+    from zeta_etl_spark.queries.analytics_q import _HLL_M
+
+    sf = "/root/testdata/sf0.1"
+    rows = REGISTRY["hll_rolling_registers"].fn(spark, sf).collect()
+    by_day: dict = {}
+    for r in rows:
+        by_day.setdefault(r["day"], {})[r["register"]] = r["rolling_max_rank"]
+
+    ev = load_table(spark, sf, "events").select(
+        F2.expr("cast(date_trunc('day', ts) as date)").alias("day"), "user_id"
+    )
+    days = sorted(by_day)
+    # spot-check up to 5 days spread across the range
+    step = max(1, len(days) // 5)
+    m = _HLL_M
+    alpha = 0.7213 / (1 + 1.079 / m)
+    for day in days[::step]:
+        lo = day - _dt.timedelta(days=2)
+        exact = (
+            ev.filter((F2.col("day") >= F2.lit(lo)) & (F2.col("day") <= F2.lit(day)))
+            .select("user_id").distinct().count()
+        )
+        regs = by_day[day]
+        s = sum(2.0 ** -regs.get(j, 0) for j in range(m))
+        est = alpha * m * m / s
+        v = sum(1 for j in range(m) if j not in regs)
+        if est <= 2.5 * m and v > 0:
+            est = m * math.log(m / v)
+        assert abs(est - exact) / exact < 0.20, (day, est, exact)

@@ -827,3 +827,72 @@ def winsorized_user_stats(spark, sf_dir):
             / (F.lit(1000000.0) * F.max("n"))
         ).alias("winsor_mean"),
     )
+
+
+# --- hll_rolling_registers: mergeable-sketch rollup over time windows --------
+# How 100 TB distinct-count rollups actually run: per-hour HLL register
+# tables are the PRE-AGGREGATE (tiny, mergeable), and any window's distinct
+# estimate is a cell-wise MAX merge of the hours it covers — the raw events
+# are scanned once ever.  Here: per-(day, register) sketches merged into
+# 3-day rolling sketches via an integer MAX over a range window — no float
+# anywhere in the merged output (the harmonic estimate stays in pytest,
+# same as hll_registers).  Scale shape: sketch rows are days × 256 — the
+# window input is sketch-sized, never event-sized.
+
+def _hll_rolling_oracle() -> str:
+    from zeta_etl_spark.functions.text import duck_hex2long
+
+    h = duck_hex2long("concat('hll:', CAST(user_id AS VARCHAR))", digits=15)
+    return f"""
+WITH hashed AS (
+  SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+         {h} AS h
+  FROM events
+), parts AS (
+  SELECT day, h % {_HLL_M} AS register, h // {_HLL_M} AS rem FROM hashed
+), daily AS (
+  SELECT day, CAST(register AS BIGINT) AS register,
+    CAST(MAX(CASE WHEN rem = 0 THEN 53 ELSE 53 - length(bin(rem)) END)
+      AS BIGINT) AS max_rank
+  FROM parts GROUP BY day, register
+)
+SELECT day, register,
+  CAST(MAX(max_rank) OVER (
+    PARTITION BY register ORDER BY day
+    RANGE BETWEEN INTERVAL 2 DAY PRECEDING AND CURRENT ROW
+  ) AS BIGINT) AS rolling_max_rank
+FROM daily
+"""
+
+
+@query(
+    "hll_rolling_registers",
+    oracle=_hll_rolling_oracle(),
+    tags=("sketch", "distinct", "rolling"),
+)
+def hll_rolling_registers(spark, sf_dir):
+    from zeta_etl_spark.functions.text import spark_hex2long
+
+    e = T(spark, sf_dir, "events")
+    h = spark_hex2long("concat('hll:', cast(user_id as string))", digits=15)
+    parts = e.select(
+        F.expr("cast(date_trunc('day', ts) as date)").alias("day"),
+        F.expr(f"({h}) % {_HLL_M}").alias("register"),
+        F.expr(f"({h}) div {_HLL_M}").alias("rem"),
+    )
+    rank = F.when(F.col("rem") == 0, 53).otherwise(
+        53 - F.length(F.expr("bin(rem)"))
+    )
+    daily = parts.groupBy(
+        "day", F.col("register").cast("bigint").alias("register")
+    ).agg(F.max(rank).cast("bigint").alias("max_rank"))
+    w = (
+        Window.partitionBy("register")
+        .orderBy(F.expr("cast(day as timestamp)").cast("long"))
+        .rangeBetween(-2 * 86400, 0)
+    )
+    return daily.select(
+        "day",
+        "register",
+        F.max("max_rank").over(w).cast("bigint").alias("rolling_max_rank"),
+    )
