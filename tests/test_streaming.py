@@ -666,3 +666,55 @@ def test_foreach_batch_upsert_with_deletes(spark, tmp_path):
         "d3.json",
     )
     assert drive() == {"x": 8.0, "y": 11.0}
+
+
+def test_streaming_hll_sketch_maintenance_via_upsert(spark, tmp_path, sf_dir):
+    """Streaming sketch maintenance is a pure composition of existing
+    operators: map each event to its (register, rank) pair in the stream
+    and run foreach_batch_upsert with keys=register, sequence_by=rank —
+    latest-wins per register over raw pair rows IS the cell-wise MAX merge
+    for monotone ranks.  After two waves the durable store equals the
+    batch-computed HLL registers over all events."""
+    from zeta_etl_spark.functions.text import spark_hex2long
+    from zeta_etl_spark.queries.analytics_q import _HLL_M
+    from zeta_etl_spark.queries.registry import T
+
+    ev = T(spark, sf_dir, "events").select("user_id")
+    n = ev.count()
+    waves = [
+        [r.asDict() for r in ev.limit(n // 2).collect()],
+        [r.asDict() for r in ev.subtract(ev.limit(n // 2)).collect()],
+    ]
+    src = str(tmp_path / "hll_src")
+    target = str(tmp_path / "hll_store")
+    ckpt = str(tmp_path / "hll_ckpt")
+
+    h = spark_hex2long("concat('hll:', cast(user_id as string))", digits=15)
+    rank = (
+        f"cast(if(({h}) div {_HLL_M} = 0, 53, "
+        f"53 - length(bin(({h}) div {_HLL_M}))) as bigint)"
+    )
+
+    for i, wave in enumerate(waves):
+        _write_json(src, wave, f"w{i}.json")
+        stream = read_json(spark, src, "user_id bigint", streaming=True)
+        pairs = stream.select(
+            F.expr(f"cast(({h}) % {_HLL_M} as bigint)").alias("register"),
+            F.expr(rank).alias("max_rank"),
+        )
+        foreach_batch_upsert(
+            pairs, target, ckpt,
+            keys=["register"], sequence_by=["max_rank"], spark=spark,
+        )
+
+    got = {
+        r["register"]: r["max_rank"]
+        for r in spark.read.parquet(target).collect()
+    }
+    from zeta_etl_spark.queries import REGISTRY
+
+    want = {
+        r["register"]: r["max_rank"]
+        for r in REGISTRY["hll_registers"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
