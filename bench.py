@@ -85,6 +85,7 @@ OPTIONAL = [
     "winsorized_user_stats",
     "composition_chisq",
     "hll_rolling_registers",
+    "heavy_hitters_2pass",
 ]
 
 # Deliberate experiments whose cost is a MEASUREMENT, not the engine's real

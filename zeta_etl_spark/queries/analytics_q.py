@@ -896,3 +896,77 @@ def hll_rolling_registers(spark, sf_dir):
         "register",
         F.max("max_rank").over(w).cast("bigint").alias("rolling_max_rank"),
     )
+
+
+# --- heavy_hitters_2pass: sketch-guided exact heavy hitters ------------------
+# The scale-honest heavy-hitter pattern: pass 1 builds the Count-Min sketch
+# (256×4 cells, broadcastable); pass 2 filters each event ROW by its key's
+# sketch estimate BEFORE the shuffle — CMS never underestimates, so no true
+# heavy hitter is lost — and the exact groupBy + HAVING runs over candidate
+# rows only.  At 100 TB the shuffle carries the few hot keys' rows instead
+# of the full keyspace, and the final output is EXACT (the oracle is the
+# plain exact aggregation; the sketch is invisible in the result, which is
+# the point).  Threshold: 1.5× the mean events-per-user, integer-derived.
+
+def _hh_threshold_sql() -> str:
+    # (3 * total) div (2 * distinct_users) — same integer arithmetic both
+    # engines; computed from the data so the query is scale-free
+    return "(11 * total) div (10 * n_users)"
+
+
+_HH_ORACLE = """
+WITH stats AS (
+  SELECT COUNT(*) AS total, COUNT(DISTINCT user_id) AS n_users FROM events
+)
+SELECT e.user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events e CROSS JOIN stats s
+GROUP BY e.user_id, s.total, s.n_users
+HAVING COUNT(*) >= (11 * s.total) // (10 * s.n_users)
+"""
+
+
+@query(
+    "heavy_hitters_2pass",
+    oracle=_HH_ORACLE,
+    tags=("sketch", "skew", "heavy-hitters"),
+)
+def heavy_hitters_2pass(spark, sf_dir):
+    from zeta_etl_spark.functions.text import spark_hex2long
+
+    e = T(spark, sf_dir, "events").select("user_id")
+    # pass 1: the sketch (cells) + scalar threshold, both broadcastable
+    cells_df = countmin_sketch(spark, sf_dir)
+    packed = cells_df.agg(
+        F.array_sort(
+            F.collect_list(F.struct("depth", "bucket", "cnt"))
+        ).alias("cells")
+    )
+    stats = e.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.countDistinct("user_id").alias("n_users"),
+    ).select(F.expr(_hh_threshold_sql()).alias("threshold"))
+    # pass 2: per-row estimate = min over depths of the key's cells; rows
+    # below threshold never reach the shuffle
+    est_terms = ", ".join(
+        "element_at(filter(cells, c -> c.depth = {d} AND c.bucket = ({h}) % {w}), 1).cnt".format(
+            d=d,
+            w=_CMS_WIDTH,
+            h=spark_hex2long(
+                f"concat('cms{d}:', cast(user_id as string))", digits=8
+            ),
+        )
+        for d in range(_CMS_DEPTH)
+    )
+    est = F.expr(f"least({est_terms})")
+    candidates = (
+        e.crossJoin(F.broadcast(packed))
+        .crossJoin(F.broadcast(stats))
+        .filter(est >= F.col("threshold"))
+        .select("user_id", "threshold")
+    )
+    return (
+        candidates.groupBy("user_id", "threshold")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        .filter(F.col("n_events") >= F.col("threshold"))
+        .select("user_id", "n_events")
+    )
