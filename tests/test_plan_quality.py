@@ -147,11 +147,18 @@ def test_round5_query_plan_shapes(spark, sf_dir):
         "minhash_incremental_pairs",
         "dedup_clusters_incremental",
         "pq_rerank_top5",
+        "ivf_pq_rerank_top5",
+        "banded_cosine_pairs",
         "hard_negative_candidates",
         "duplicated_span_fraction",
         "corpus_snapshot_diff",
         "quality_budget_gate",
         "normalized_exact_dedup",
+        "zorder_bucket_stats",
+        "winsorized_user_stats",
+        "composition_chisq",
+        "hll_rolling_registers",
+        "heavy_hitters_2pass",
     ):
         plan = _plan(spark, sf_dir, name)
         assert "CartesianProduct" not in plan, name
