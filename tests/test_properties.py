@@ -439,3 +439,71 @@ def test_hll_rolling_merge_estimates_rolling_distinct(spark):
         if est <= 2.5 * m and v > 0:
             est = m * math.log(m / v)
         assert abs(est - exact) / exact < 0.20, (day, est, exact)
+
+
+_EDGES = st.lists(
+    st.tuples(st.integers(0, 25), st.integers(0, 25)),
+    min_size=0,
+    max_size=30,
+)
+
+_CC_SETTINGS = dict(
+    max_examples=6,  # each example runs two iterative Spark fixpoints
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(edges=_EDGES)
+@settings(**_CC_SETTINGS)
+def test_star_cc_equals_minlabel_on_random_graphs(spark, edges):
+    """Property: large-star/small-star contraction and min-label
+    propagation produce identical component labels on arbitrary graphs
+    (self-loops, duplicates, disconnected nodes, empty)."""
+    from zeta_etl_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    df = spark.createDataFrame(edges, "src bigint, dst bigint") \
+        if edges else spark.createDataFrame([], "src bigint, dst bigint")
+    a = {
+        r["doc_id"]: r["label"] for r in connected_components(df).collect()
+    }
+    b = {
+        r["doc_id"]: r["label"]
+        for r in connected_components_star(df).collect()
+    }
+    assert a == b
+
+
+@given(edges=_EDGES, split=st.integers(1, 9))
+@settings(**_CC_SETTINGS)
+def test_incremental_cc_equals_full_on_random_splits(spark, edges, split):
+    """Property: splitting any edge list into old/new batches and absorbing
+    the new batch incrementally yields exactly the from-scratch labels over
+    the union — for every graph shape and split point."""
+    from zeta_etl_spark.operators.dedup import (
+        connected_components_star,
+        incremental_connected_components,
+    )
+
+    old = [e for e in edges if (e[0] + e[1]) % 10 < split]
+    new = [e for e in edges if (e[0] + e[1]) % 10 >= split]
+    mk = lambda rows: (  # noqa: E731
+        spark.createDataFrame(rows, "src bigint, dst bigint")
+        if rows
+        else spark.createDataFrame([], "src bigint, dst bigint")
+    )
+    old_labels = connected_components_star(mk(old))
+    got = {
+        r["doc_id"]: r["label"]
+        for r in incremental_connected_components(
+            old_labels, mk(new)
+        ).collect()
+    }
+    want = {
+        r["doc_id"]: r["label"]
+        for r in connected_components_star(mk(edges)).collect()
+    }
+    assert got == want

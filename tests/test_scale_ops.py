@@ -286,6 +286,15 @@ def test_star_contraction_random_graph_and_empty(spark):
     empty = spark.createDataFrame([], "src bigint, dst bigint")
     assert connected_components_star(empty).count() == 0
 
+    # a node whose only edge is a self-loop is a singleton component and
+    # must be labeled (hypothesis-found divergence vs the min-label twin)
+    loops = spark.createDataFrame([(5, 5), (1, 2)], "src bigint, dst bigint")
+    got = {
+        r["doc_id"]: r["label"]
+        for r in connected_components_star(loops).collect()
+    }
+    assert got == {5: 5, 1: 1, 2: 1}
+
     # lineage stays flat after convergence (same bar as the min-label twin)
     labels = connected_components_star(edges)
     plan = labels._jdf.queryExecution().optimizedPlan().toString()

@@ -493,16 +493,17 @@ def connected_components_star(
     The min-label operator stays as the oracle twin
     (tests assert identical labels; registry oracles are recursive CTEs).
     """
-    e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .where(F.col("src") != F.col("dst"))
-    )
+    raw = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # nodes from the RAW edge list: a node whose only edge is a self-loop
+    # is still a (singleton) component and must appear in the output — the
+    # min-label twin keeps it, so this must too (found by hypothesis)
     nodes = (
-        e.select(F.col("src").alias("doc_id"))
-        .unionByName(e.select(F.col("dst").alias("doc_id")))
+        raw.select(F.col("src").alias("doc_id"))
+        .unionByName(raw.select(F.col("dst").alias("doc_id")))
         .distinct()
         .localCheckpoint()
     )
+    e = raw.where(F.col("src") != F.col("dst"))
     cur = e.distinct().localCheckpoint()
 
     def checksum(df: DataFrame):
