@@ -412,7 +412,20 @@ def test_hll_rolling_merge_estimates_rolling_distinct(spark):
     from zeta_etl_spark.queries import REGISTRY
     from zeta_etl_spark.queries.analytics_q import _HLL_M
 
-    sf = "/root/testdata/sf0.1"
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.1"):
+        _check_rolling_hll(spark, sf)
+
+
+def _check_rolling_hll(spark, sf):
+    import datetime as _dt
+    import math
+
+    from pyspark.sql import functions as F2
+
+    from zeta_etl_spark.datasets import load_table
+    from zeta_etl_spark.queries import REGISTRY
+    from zeta_etl_spark.queries.analytics_q import _HLL_M
+
     rows = REGISTRY["hll_rolling_registers"].fn(spark, sf).collect()
     by_day: dict = {}
     for r in rows:

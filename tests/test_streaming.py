@@ -680,11 +680,11 @@ def test_streaming_hll_sketch_maintenance_via_upsert(spark, tmp_path, sf_dir):
     from zeta_etl_spark.queries.registry import T
 
     ev = T(spark, sf_dir, "events").select("user_id")
-    n = ev.count()
-    waves = [
-        [r.asDict() for r in ev.limit(n // 2).collect()],
-        [r.asDict() for r in ev.subtract(ev.limit(n // 2)).collect()],
-    ]
+    # collect ONCE and split the list: un-ordered limit() evaluated twice
+    # can pick different rows per plan run (review finding), leaving rows
+    # in neither wave
+    all_rows = [r.asDict() for r in ev.collect()]
+    waves = [all_rows[: len(all_rows) // 2], all_rows[len(all_rows) // 2 :]]
     src = str(tmp_path / "hll_src")
     target = str(tmp_path / "hll_store")
     ckpt = str(tmp_path / "hll_ckpt")

@@ -91,10 +91,7 @@ def morton_code_sql(col_a: str, col_b: str, bits: int = 16) -> str:
 
 
 def duck_morton_code_sql(col_a: str, col_b: str, bits: int = 16) -> str:
-    """DuckDB twin of :func:`morton_code_sql` (same bit arithmetic)."""
-    terms = [
-        f"(((({col_a}) >> {i}) & 1) << {2 * i}) + "
-        f"(((({col_b}) >> {i}) & 1) << {2 * i + 1})"
-        for i in range(bits)
-    ]
-    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+    """DuckDB twin of :func:`morton_code_sql` — DELEGATES to it (the bit
+    arithmetic and lowercase ``cast`` parse identically in both engines),
+    keeping one copy per the twin-builder rule (ROUND_NOTES lesson 5)."""
+    return morton_code_sql(col_a, col_b, bits)

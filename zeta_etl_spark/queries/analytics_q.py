@@ -794,8 +794,16 @@ def winsorized_user_stats(spark, sf_dir):
     r = e.select(
         "user_id",
         "value",
+        # asc_nulls_last pins Spark to DuckDB's default ASC NULLS LAST
+        # (Spark defaults nulls FIRST — latent rank shift if value is ever
+        # NULL; same trap class as ROUND_NOTES lesson 2)
         F.row_number()
-        .over(w.orderBy("value", "event_id"))
+        .over(
+            w.orderBy(
+                F.col("value").asc_nulls_last(),
+                F.col("event_id").asc_nulls_last(),
+            )
+        )
         .alias("rn"),
         F.count(F.lit(1)).over(w).alias("n"),
     )
@@ -855,13 +863,23 @@ WITH hashed AS (
     CAST(MAX(CASE WHEN rem = 0 THEN 53 ELSE 53 - length(bin(rem)) END)
       AS BIGINT) AS max_rank
   FROM parts GROUP BY day, register
+), grid AS (
+  -- densify: a register hit on D-1/D-2 but not on D must still appear in
+  -- day D's merged sketch (sparse data otherwise silently undercounts)
+  SELECT d.day, CAST(r.register AS BIGINT) AS register
+  FROM (SELECT DISTINCT day FROM daily) d
+  CROSS JOIN (SELECT unnest(range(256)) AS register) r
+), merged AS (
+  SELECT g.day, g.register,
+    MAX(dl.max_rank) OVER (
+      PARTITION BY g.register ORDER BY g.day
+      RANGE BETWEEN INTERVAL 2 DAY PRECEDING AND CURRENT ROW
+    ) AS rolling_max_rank
+  FROM grid g
+  LEFT JOIN daily dl ON dl.day = g.day AND dl.register = g.register
 )
-SELECT day, register,
-  CAST(MAX(max_rank) OVER (
-    PARTITION BY register ORDER BY day
-    RANGE BETWEEN INTERVAL 2 DAY PRECEDING AND CURRENT ROW
-  ) AS BIGINT) AS rolling_max_rank
-FROM daily
+SELECT day, register, CAST(rolling_max_rank AS BIGINT) AS rolling_max_rank
+FROM merged WHERE rolling_max_rank IS NOT NULL
 """
 
 
@@ -886,15 +904,34 @@ def hll_rolling_registers(spark, sf_dir):
     daily = parts.groupBy(
         "day", F.col("register").cast("bigint").alias("register")
     ).agg(F.max(rank).cast("bigint").alias("max_rank"))
+    # densify to the full day x register grid before the window: a register
+    # hit on D-1/D-2 but not on D must still appear in day D's merged
+    # sketch (review finding: sparse data silently undercounted; window MAX
+    # ignores the grid's nulls, absent-everywhere cells are dropped after)
+    grid = (
+        daily.select("day")
+        .distinct()
+        .crossJoin(
+            spark.range(_HLL_M).select(
+                F.col("id").cast("bigint").alias("register")
+            )
+        )
+    )
+    dense = grid.join(daily, ["day", "register"], "left")
     w = (
         Window.partitionBy("register")
         .orderBy(F.expr("cast(day as timestamp)").cast("long"))
         .rangeBetween(-2 * 86400, 0)
     )
-    return daily.select(
-        "day",
-        "register",
-        F.max("max_rank").over(w).cast("bigint").alias("rolling_max_rank"),
+    return (
+        dense.select(
+            "day",
+            "register",
+            F.max("max_rank").over(w).cast("bigint").alias(
+                "rolling_max_rank"
+            ),
+        )
+        .filter(F.col("rolling_max_rank").isNotNull())
     )
 
 
@@ -906,12 +943,17 @@ def hll_rolling_registers(spark, sf_dir):
 # rows only.  At 100 TB the shuffle carries the few hot keys' rows instead
 # of the full keyspace, and the final output is EXACT (the oracle is the
 # plain exact aggregation; the sketch is invisible in the result, which is
-# the point).  Threshold: 1.5× the mean events-per-user, integer-derived.
+# the point).  Threshold: 1.1× the mean events-per-user (the synthetic
+# distribution is near-uniform — min 49 / mean 67 / max 86 per user at
+# sf0.01 — so a 1.5× cut matches nothing), integer-derived.
 
 def _hh_threshold_sql() -> str:
-    # (3 * total) div (2 * distinct_users) — same integer arithmetic both
-    # engines; computed from the data so the query is scale-free
-    return "(11 * total) div (10 * n_users)"
+    # (11 * total) div (10 * n_users): 1.1× the mean — same integer
+    # arithmetic both engines, computed from the data so the query is
+    # scale-free.  nullif guards the empty-events case: ANSI mode raises on
+    # division by zero where the oracle's HAVING simply never evaluates; a
+    # NULL threshold filters every row, matching the oracle's empty result.
+    return "(11 * total) div (10 * nullif(n_users, 0))"
 
 
 _HH_ORACLE = """
@@ -936,19 +978,36 @@ def heavy_hitters_2pass(spark, sf_dir):
     e = T(spark, sf_dir, "events").select("user_id")
     # pass 1: the sketch (cells) + scalar threshold, both broadcastable
     cells_df = countmin_sketch(spark, sf_dir)
-    packed = cells_df.agg(
-        F.array_sort(
-            F.collect_list(F.struct("depth", "bucket", "cnt"))
-        ).alias("cells")
+    depth_maps = cells_df.groupBy("depth").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("bucket", "cnt"))
+        ).alias("m")
+    )
+    packed = depth_maps.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("depth", "m"))
+        ).alias("mm")
+    ).select(
+        *[
+            F.expr(
+                f"transform(sequence(0, {_CMS_WIDTH - 1}), "
+                f"b -> coalesce(try_element_at(try_element_at(mm, "
+                f"cast({d} as bigint)), cast(b as bigint)), 0L))"
+            ).alias(f"cells_{d}")
+            for d in range(_CMS_DEPTH)
+        ]
     )
     stats = e.agg(
         F.count(F.lit(1)).alias("total"),
         F.countDistinct("user_id").alias("n_users"),
     ).select(F.expr(_hh_threshold_sql()).alias("threshold"))
-    # pass 2: per-row estimate = min over depths of the key's cells; rows
-    # below threshold never reach the shuffle
+    # pass 2: per-row estimate = min over depths of the key's cells.  The
+    # sketch is packed into DENSE per-depth arrays (one tiny row), so each
+    # event row costs depth O(1) array-index lookups instead of
+    # lambda-scanning the full cell list per row (review finding: the
+    # pre-shuffle scan is the hot path this query exists to keep cheap).
     est_terms = ", ".join(
-        "element_at(filter(cells, c -> c.depth = {d} AND c.bucket = ({h}) % {w}), 1).cnt".format(
+        "element_at(cells_{d}, cast(({h}) % {w} as int) + 1)".format(
             d=d,
             w=_CMS_WIDTH,
             h=spark_hex2long(

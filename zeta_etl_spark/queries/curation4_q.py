@@ -507,8 +507,8 @@ WITH cells AS (
 )
 SELECT c.lang, c.source, c.obs,
   CAST(floor(
-    (CAST(c.obs * t.total - r.row_total * k.col_total AS DOUBLE)
-     * CAST(c.obs * t.total - r.row_total * k.col_total AS DOUBLE))
+    ((CAST(c.obs AS DOUBLE) * t.total - CAST(r.row_total AS DOUBLE) * k.col_total)
+     * (CAST(c.obs AS DOUBLE) * t.total - CAST(r.row_total AS DOUBLE) * k.col_total))
     / (CAST(t.total AS DOUBLE) * r.row_total * k.col_total)
     * 1000000 + 0.5) AS BIGINT) AS chi_e6
 FROM cells c
@@ -535,10 +535,13 @@ def composition_chisq(spark, sf_dir):
         F.sum("obs").cast("bigint").alias("col_total")
     )
     tot = cells.agg(F.sum("obs").cast("bigint").alias("total"))
+    # cast to double BEFORE multiplying: BIGINT obs*total overflows (ANSI
+    # raises) past ~3e9 total rows; the double products are the same single
+    # IEEE ops in both engines and stay exact below 2^53
     chi = F.expr(
         "cast(floor("
-        "(cast(obs * total - row_total * col_total as double)"
-        " * cast(obs * total - row_total * col_total as double))"
+        "((cast(obs as double) * total - cast(row_total as double) * col_total)"
+        " * (cast(obs as double) * total - cast(row_total as double) * col_total))"
         " / (cast(total as double) * row_total * col_total)"
         " * 1000000 + 0.5) as bigint)"
     )
