@@ -516,3 +516,56 @@ def test_apply_changes_null_delete_predicate_is_not_delete(spark, tmp_path):
     out = p.run(spark, targets=["current"])["current"]
     got = {r["entity"]: r["val"] for r in out.collect()}
     assert got == {"x": 1.0, "z": 3.0}
+
+
+def test_backfill_rewrites_only_matching_partitions(spark, tmp_path):
+    """Pipeline.backfill: re-running one date partition replaces exactly
+    that partition's content while the other partition's files stay
+    byte-identical on disk; non-partitioned nodes are rejected."""
+    import glob as _glob
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F2
+
+    from zeta_etl_spark.plans.graph import Pipeline
+
+    base = str(tmp_path / "bf")
+    state = {"v": 1}
+    p = Pipeline("bf", base)
+
+    @p.table(name="daily", partition_by=["dt"])
+    def daily(pl):
+        return spark.createDataFrame(
+            [("2024-01-01", 1, state["v"]), ("2024-01-02", 2, state["v"])],
+            "dt string, k bigint, v bigint",
+        )
+
+    p.run(spark, targets=["daily"])
+    day1_files_before = sorted(_glob.glob(base + "/daily/dt=2024-01-01/*"))
+
+    # source logic changes (v=2); backfill ONLY 2024-01-02
+    state["v"] = 2
+    n = p.backfill(spark, "daily", "dt = '2024-01-02'")
+    assert n == 1
+
+    out = {
+        (str(r["dt"]), r["k"]): r["v"]  # partition discovery types dt as date
+        for r in spark.read.parquet(base + "/daily").collect()
+    }
+    assert out == {("2024-01-01", 1): 1, ("2024-01-02", 2): 2}
+    # untouched partition kept its exact files
+    day1_files_after = sorted(_glob.glob(base + "/daily/dt=2024-01-01/*"))
+    assert day1_files_before == day1_files_after
+
+    # memoized view refreshed
+    assert spark.sql("SELECT SUM(v) FROM bf__daily").first()[0] == 3
+
+    p2 = Pipeline("bf2", str(tmp_path / "bf2"))
+
+    @p2.table(name="flat")
+    def flat(pl):
+        return spark.range(3)
+
+    p2.run(spark, targets=["flat"])
+    with _pytest.raises(ValueError, match="partition_by"):
+        p2.backfill(spark, "flat", "id = 1")

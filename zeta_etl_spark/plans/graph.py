@@ -173,6 +173,51 @@ class Pipeline:
         first if necessary (mirrors dlt.read)."""
         return self._materialize(name)
 
+    def backfill(
+        self,
+        spark: SparkSession,
+        name: str,
+        where: str,
+    ) -> int:
+        """Partition-scoped rebuild: re-run the node's function, keep only
+        rows matching ``where`` (a SQL predicate over the partition
+        columns), and overwrite ONLY the hive partitions those rows land in
+        — untouched partitions keep their existing files byte-for-byte.
+        The standard warehouse backfill shape (fix one bad day without
+        rewriting a year), built on Spark's dynamic partition overwrite.
+
+        Returns the number of rows written.  Requires the node to be a
+        ``partition_by`` table; raises otherwise (a non-partitioned table
+        has no partition boundary to scope the overwrite to)."""
+        node = self.nodes[name]
+        if node.kind != "table" or not node.partition_by:
+            raise ValueError(
+                f"backfill({name!r}): node must be a partition_by table"
+            )
+        self._spark = spark
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            df = node.fn(self).filter(where)
+            if node.sort_within_partitions:
+                df = df.sortWithinPartitions(*node.sort_within_partitions)
+            n = df.count()
+            (
+                df.write.mode("overwrite")
+                .partitionBy(*node.partition_by)
+                .parquet(self.path(name))
+            )
+        finally:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev
+            )
+        # refresh any memoized frame/view (same invalidation rule as compact)
+        if name in self._done:
+            df_new = spark.read.parquet(self.path(name))
+            df_new.createOrReplaceTempView(f"{self.name}__{name}")
+            self._done[name] = df_new
+        return n
+
     def compact(
         self,
         spark: SparkSession,
