@@ -569,3 +569,43 @@ def test_backfill_rewrites_only_matching_partitions(spark, tmp_path):
     p2.run(spark, targets=["flat"])
     with _pytest.raises(ValueError, match="partition_by"):
         p2.backfill(spark, "flat", "id = 1")
+
+    # a row-level predicate would overwrite whole partitions with a row
+    # SUBSET (silent data loss) — rejected up front
+    with _pytest.raises(ValueError, match="partition columns"):
+        p.backfill(spark, "daily", "k = 2")
+
+    # append tables accumulate epochs a re-run cannot reproduce — rejected
+    p3 = Pipeline("bf3", str(tmp_path / "bf3"))
+
+    @p3.table(name="epochs", partition_by=["dt"], mode="append")
+    def epochs(pl):
+        return spark.createDataFrame(
+            [("2024-01-01", 1)], "dt string, v bigint"
+        )
+
+    p3.run(spark, targets=["epochs"])
+    with _pytest.raises(ValueError, match="append"):
+        p3.backfill(spark, "epochs", "dt = '2024-01-01'")
+
+    # declared expectations run on backfilled partitions too
+    p4 = Pipeline("bf4", str(tmp_path / "bf4"))
+
+    @p4.table(
+        name="gated",
+        partition_by=["dt"],
+        expectations={"pos": ("v > 0", "drop")},
+    )
+    def gated(pl):
+        return spark.createDataFrame(
+            [("2024-01-01", 5), ("2024-01-01", -1)], "dt string, v bigint"
+        )
+
+    p4.run(spark, targets=["gated"])
+    n4 = p4.backfill(spark, "gated", "dt = '2024-01-01'")
+    assert n4 == 1  # the v=-1 row was dropped by the expectation
+    vals = [
+        r["v"]
+        for r in spark.read.parquet(str(tmp_path / "bf4" / "gated")).collect()
+    ]
+    assert vals == [5]

@@ -180,42 +180,86 @@ class Pipeline:
         where: str,
     ) -> int:
         """Partition-scoped rebuild: re-run the node's function, keep only
-        rows matching ``where`` (a SQL predicate over the partition
-        columns), and overwrite ONLY the hive partitions those rows land in
-        — untouched partitions keep their existing files byte-for-byte.
-        The standard warehouse backfill shape (fix one bad day without
-        rewriting a year), built on Spark's dynamic partition overwrite.
+        rows matching ``where`` (a SQL predicate over the PARTITION columns
+        only — enforced), and overwrite ONLY the hive partitions those rows
+        land in — untouched partitions keep their existing files
+        byte-for-byte.  The standard warehouse backfill shape (fix one bad
+        day without rewriting a year), built on Spark's dynamic partition
+        overwrite.  Declared data-quality expectations run exactly as in
+        ``run()``.
 
-        Returns the number of rows written.  Requires the node to be a
-        ``partition_by`` table; raises otherwise (a non-partitioned table
-        has no partition boundary to scope the overwrite to)."""
+        Returns the number of rows written.  Guards (each a silent-data-loss
+        vector otherwise): the node must be a ``partition_by`` overwrite
+        table (append tables hold accumulated epochs a re-run can't
+        reproduce; incremental tables are streaming sinks whose
+        ``_spark_metadata`` log a batch write would corrupt), and ``where``
+        may reference partition columns only (a row-level predicate would
+        overwrite whole partitions with a row subset).  Downstream nodes'
+        memoized frames are evicted so a later ``read()`` recomputes from
+        the backfilled data; their MATERIALIZED parquet stays stale until
+        re-run — re-run dependents after a backfill."""
         node = self.nodes[name]
         if node.kind != "table" or not node.partition_by:
             raise ValueError(
                 f"backfill({name!r}): node must be a partition_by table"
             )
+        if node.extra.get("incremental"):
+            raise ValueError(
+                f"backfill({name!r}): incremental tables are streaming "
+                "sinks (_spark_metadata log); a batch overwrite would "
+                "corrupt them — re-run the stream instead"
+            )
+        if node.extra.get("mode", "overwrite") == "append":
+            raise ValueError(
+                f"backfill({name!r}): append tables accumulate epochs a "
+                "re-run cannot reproduce; overwriting would drop history"
+            )
+        # the predicate must resolve against the partition columns ALONE —
+        # a predicate on data columns would rewrite whole partitions with a
+        # row SUBSET, silently deleting the rest
         self._spark = spark
+        df_full = node.fn(self)
+        part_schema = [
+            f for f in df_full.schema.fields if f.name in node.partition_by
+        ]
+        try:
+            spark.createDataFrame([], schema=type(df_full.schema)(part_schema))                 .filter(where)
+        except Exception as e:  # noqa: BLE001 - analysis error → clear msg
+            raise ValueError(
+                f"backfill({name!r}): `where` must reference only the "
+                f"partition columns {list(node.partition_by)}: {e}"
+            ) from e
+        df = df_full.filter(where)
+        if node.expectations:
+            df = self._apply_expectations(node, df)
+        if node.sort_within_partitions:
+            df = df.sortWithinPartitions(*node.sort_within_partitions)
+        df = df.cache()  # one compute for count + write
         prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
-            df = node.fn(self).filter(where)
-            if node.sort_within_partitions:
-                df = df.sortWithinPartitions(*node.sort_within_partitions)
             n = df.count()
-            (
-                df.write.mode("overwrite")
-                .partitionBy(*node.partition_by)
-                .parquet(self.path(name))
-            )
+            if n:
+                (
+                    df.write.mode("overwrite")
+                    .partitionBy(*node.partition_by)
+                    .parquet(self.path(name))
+                )
         finally:
             spark.conf.set(
                 "spark.sql.sources.partitionOverwriteMode", prev
             )
-        # refresh any memoized frame/view (same invalidation rule as compact)
+            df.unpersist()
+        # refresh the memoized frame/view with an EXPLICIT schema (an empty
+        # table has no part files to infer from), and evict downstream
+        # memoized frames so read() recomputes from the new data
         if name in self._done:
-            df_new = spark.read.parquet(self.path(name))
+            df_new = spark.read.schema(df.schema).parquet(self.path(name))
             df_new.createOrReplaceTempView(f"{self.name}__{name}")
             self._done[name] = df_new
+        for other in list(self._done):
+            if other != name:
+                del self._done[other]
         return n
 
     def compact(
