@@ -24,31 +24,11 @@ def entry(spark: SparkSession) -> DataFrame:
     return REGISTRY["hourly_spine_rolling"].fn(spark, "/root/testdata/sf0.001")
 
 
-# Queries never yet sampled by the driver's 50-of-N correctness rotation are
-# surfaced first so a prefix-biased sample closes the evidence gap; names are
-# unchanged, only dict order.  The sampled set is read from the driver's own
-# CORRECTNESS_r*.json records so the ordering stays current each round.
-def _already_sampled() -> set[str]:
-    import glob
-    import json
-
-    seen: set[str] = set()
-    here = os.path.dirname(os.path.abspath(__file__))
-    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
-        try:
-            with open(path, encoding="utf-8") as fh:
-                seen.update(json.load(fh).keys())
-        except (OSError, ValueError):
-            continue
-    return seen
-
-
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    sampled = _already_sampled()
-    ordered = [n for n in REGISTRY if n not in sampled] + [
-        n for n in REGISTRY if n in sampled
-    ]
-    return {name: REGISTRY[name].fn for name in ordered}
+    # plain registry order — every registry query has been driver-sampled
+    # at least once (r1–r5), so the earlier never-sampled-first reordering
+    # is retired (VERDICT r5 next-8) and the rotation samples uniformly
+    return {name: spec.fn for name, spec in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:

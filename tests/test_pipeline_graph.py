@@ -283,9 +283,13 @@ def test_minhash_pipeline_matches_registry_query(spark, tmp_path, sf_dir):
     direct = REGISTRY["minhash_lsh_pairs"].fn(spark, sf_dir)
     assert out.exceptAll(direct).count() == 0
     assert direct.exceptAll(out).count() == 0
-    # the silver table really is on disk and narrow
+    # the silver table really is on disk, narrow, and batch-partitioned
     sigs = spark.read.parquet(str(tmp_path / "mh" / "minhash_sigs"))
-    assert set(sigs.columns) == {"doc_id", "n_shingles", "signature"}
+    assert set(sigs.columns) == {
+        "doc_id", "n_shingles", "signature", "batch_id"
+    }
+    assert [r["batch_id"] for r in sigs.select("batch_id").distinct()
+            .collect()] == ["base"]
 
 
 def test_corpus_pipeline_end_to_end(spark, tmp_path, sf_dir):
@@ -389,6 +393,18 @@ def test_incremental_minhash_pipeline(spark, tmp_path, sf_dir):
     assert sigs.count() == docs.count()
     assert sigs.select("doc_id").distinct().count() == docs.count()
 
+    # replay idempotency (ADVICE r5): re-running the SAME increment —
+    # the crash-recovery path — must not duplicate silver signatures or
+    # inflate the pair set, because the batch partition is overwritten
+    # and the corpus snapshot excludes this run's own batch_id
+    before = sorted(map(tuple, incr.collect()))  # snapshot: the replay
+    # rewrites the gold parquet, invalidating incr's file listing
+    p1r = build_incremental_minhash_pipeline(spark, base, batch, docs)
+    incr2 = p1r.run(spark)["incremental_pairs"]
+    assert sorted(map(tuple, incr2.collect())) == before
+    sigs2 = spark.read.parquet(base + "/minhash_sigs")
+    assert sigs2.count() == docs.count()
+
 
 def test_compact_reduces_files_and_preserves_rows(spark, tmp_path):
     """Pipeline.compact: a table fragmented into many small files (one per
@@ -431,6 +447,62 @@ def test_compact_reduces_files_and_preserves_rows(spark, tmp_path):
     # without the invalidation
     assert p.read("frag").count() == 1000
     assert spark.sql("SELECT COUNT(*) FROM compactor__frag").first()[0] == 1000
+
+
+def test_compact_preserves_hive_layout_and_rejects_incremental(
+    spark, tmp_path
+):
+    """ADVICE r5: compacting a partition_by table must re-apply the hive
+    layout (a flat rewrite would silently break later dynamic-partition
+    backfills), and compacting an incremental node must be rejected (the
+    rewrite would orphan the streaming sink's _spark_metadata log)."""
+    import glob as _glob
+    import os as _os
+
+    from pyspark.sql import functions as F2
+
+    from zeta_etl_spark.plans.graph import Pipeline
+
+    base = str(tmp_path / "compact2")
+    p = Pipeline("compact2", base)
+
+    @p.table(name="part_tbl", partition_by=("day",))
+    def part_tbl(pl):
+        return (
+            spark.range(900)
+            .repartition(6)
+            .withColumn("day", F2.col("id") % 3)
+        )
+
+    p.run(spark, targets=["part_tbl"])
+    assert _os.path.isdir(base + "/part_tbl/day=0")
+
+    p.compact(spark, "part_tbl", target_rows_per_file=450)
+    # hive dirs survive; no flat root part files
+    for d in (0, 1, 2):
+        assert _os.path.isdir(base + f"/part_tbl/day={d}")
+    assert _glob.glob(base + "/part_tbl/part-*.parquet") == []
+    df = spark.read.parquet(base + "/part_tbl")
+    assert df.count() == 900
+    assert df.filter("day = 1").count() == 300
+    # a later partition-scoped backfill still works on the compacted table
+    n = p.backfill(spark, "part_tbl", "day = 1")
+    assert n == 300
+    assert spark.read.parquet(base + "/part_tbl").count() == 900
+    # crash-safety: no residual side dirs after a clean compact
+    assert not _os.path.exists(base + "/part_tbl__compacting")
+    assert not _os.path.exists(base + "/part_tbl__old")
+
+    src = str(tmp_path / "c2src")
+    spark.range(10).write.parquet(src)
+
+    @p.table(name="inc_tbl", incremental=True)
+    def inc_tbl(pl):
+        return spark.readStream.schema("id bigint").parquet(src)
+
+    p.run(spark, targets=["inc_tbl"])
+    with pytest.raises(ValueError, match="incremental"):
+        p.compact(spark, "inc_tbl")
 
 
 def test_apply_changes_with_deletes(spark, tmp_path):

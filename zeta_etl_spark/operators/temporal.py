@@ -349,13 +349,18 @@ def cogrouped_asof_join(
             "(e.g. value -> prior_value)"
         )
 
+    from pyspark.sql.types import StructField, StructType
+
     out_fields = []
     for f in left.schema.fields:
         out_fields.append(f)
     right_schema = {f.name: f for f in right.schema.fields}
     for c in right_cols:
-        out_fields.append(right_schema[c])
-    from pyspark.sql.types import StructType
+        # left-join semantics: unmatched left rows (or an empty right
+        # group) emit None for right columns, so the declared fields must
+        # be nullable regardless of the source table's nullability
+        rf = right_schema[c]
+        out_fields.append(StructField(rf.name, rf.dataType, True))
 
     out_schema = StructType(out_fields)
     key_list = list(keys)

@@ -20,6 +20,7 @@ doc_id on write so the band self-join starts from a balanced layout.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from zeta_etl_spark.operators.dedup import minhash_signatures
 from zeta_etl_spark.plans.graph import Pipeline
@@ -30,25 +31,33 @@ def build_minhash_pipeline(
     base_path: str,
     docs: DataFrame,
     num_perm: int = 16,
+    batch_id: str = "base",
 ) -> Pipeline:
-    """DAG: documents → minhash_sigs (silver) → near_dup_pairs (gold)."""
+    """DAG: documents → minhash_sigs (silver) → near_dup_pairs (gold).
+
+    The signature silver is hive-partitioned by ``batch_id`` and written
+    with dynamic partition overwrite, so the base load and every later
+    increment own disjoint partitions and any run can be replayed after a
+    crash without duplicating signatures (ADVICE r5)."""
     from zeta_etl_spark.queries.dedup_q import lsh_verified_pairs
 
     p = Pipeline("minhash_dedup", base_path)
     n_part = spark.sparkContext.defaultParallelism
 
     @p.table(name="minhash_sigs", quality="silver",
-             comment="16-bigint MinHash signature per doc")
+             partition_by=("batch_id",), mode="overwrite_partitions",
+             comment="16-bigint MinHash signature per doc, by increment")
     def minhash_sigs(pl):
         return minhash_signatures(
             docs.repartition(n_part, "doc_id"), num_perm=num_perm
-        )
+        ).withColumn("batch_id", F.lit(batch_id))
 
     @p.table(name="near_dup_pairs", quality="gold",
              comment="LSH band candidates + exact-Jaccard verification")
     def near_dup_pairs(pl):
         return lsh_verified_pairs(
-            pl.read("minhash_sigs"), docs.repartition(n_part, "doc_id")
+            pl.read("minhash_sigs").drop("batch_id"),
+            docs.repartition(n_part, "doc_id"),
         )
 
     return p
@@ -60,6 +69,7 @@ def build_incremental_minhash_pipeline(
     batch_docs: DataFrame,
     all_docs: DataFrame,
     num_perm: int = 16,
+    batch_id: str = "incr",
 ) -> Pipeline:
     """Incremental run against a corpus whose ``minhash_sigs`` silver is
     already materialized at ``base_path`` (a prior
@@ -67,19 +77,25 @@ def build_incremental_minhash_pipeline(
 
     DAG: batch_docs → ``minhash_sigs_batch`` (silver, this increment's only
     corpus-text pass) → ``incremental_pairs`` (gold: batch×corpus ∪
-    batch×batch candidates, scored) → ``minhash_sigs`` (append: the batch
-    signatures join the durable silver so the NEXT increment sees them as
-    corpus).  corpus×corpus is never joined — those pairs were emitted by
-    previous runs, so each run's cost is O(|batch| × bucket density), not
-    O(|corpus|²).  Precedent for durable incremental state: the reference's
-    CDC latest-wins upsert (zetaflex-pipeline.py:146-151).
+    batch×batch candidates, scored) → ``minhash_sigs`` (the batch
+    signatures land in the durable silver's ``batch_id=<this run>``
+    partition so the NEXT increment sees them as corpus).  corpus×corpus
+    is never joined — those pairs were emitted by previous runs, so each
+    run's cost is O(|batch| × bucket density), not O(|corpus|²).
+    Precedent for durable incremental state: the reference's CDC
+    latest-wins upsert (zetaflex-pipeline.py:146-151).
+
+    Replay-idempotent (ADVICE r5): the corpus snapshot is the silver MINUS
+    this run's ``batch_id`` partition, and the batch signatures are
+    written with dynamic partition overwrite into exactly that partition —
+    so re-running a crashed (or even completed) increment overwrites its
+    own partition and re-reads the same corpus, instead of appending
+    duplicate signatures that would inflate later candidate joins.  This
+    mirrors ``foreach_batch_incremental_dedup``'s batch-partitioned
+    exactly-once scheme (streaming/runner.py).
 
     ``all_docs`` must cover batch + corpus (verification needs both sides'
-    text); at scale this is the durable documents silver.
-
-    Node order matters: ``incremental_pairs`` is registered before the
-    ``minhash_sigs`` append so the corpus snapshot it reads predates the
-    append (run() executes in registration order)."""
+    text); at scale this is the durable documents silver."""
     from zeta_etl_spark.queries.dedup_q import score_candidate_pairs
 
     from zeta_etl_spark.operators.dedup import (
@@ -100,7 +116,14 @@ def build_incremental_minhash_pipeline(
     @p.table(name="incremental_pairs", quality="gold",
              comment="near-dup pairs touching the new batch (never old×old)")
     def incremental_pairs(pl):
-        corpus_sigs = spark.read.parquet(sigs_path)
+        # corpus = every PRIOR increment's partition; excluding this run's
+        # batch_id makes a replay see the identical corpus snapshot even
+        # if the crashed run already published its signature partition
+        corpus_sigs = (
+            spark.read.parquet(sigs_path)
+            .filter(F.col("batch_id") != batch_id)
+            .drop("batch_id")
+        )
         batch_sigs = pl.read("minhash_sigs_batch")
         pairs = incremental_lsh_candidate_pairs(corpus_sigs, batch_sigs)
         all_sigs = corpus_sigs.unionByName(batch_sigs)
@@ -108,9 +131,13 @@ def build_incremental_minhash_pipeline(
             pairs, all_sigs, all_docs.repartition(n_part, "doc_id")
         )
 
-    @p.table(name="minhash_sigs", quality="silver", mode="append",
-             comment="append batch signatures into the durable corpus silver")
+    @p.table(name="minhash_sigs", quality="silver",
+             partition_by=("batch_id",), mode="overwrite_partitions",
+             comment="publish batch signatures into this increment's "
+                     "partition of the durable corpus silver")
     def minhash_sigs(pl):
-        return pl.read("minhash_sigs_batch")
+        return pl.read("minhash_sigs_batch").withColumn(
+            "batch_id", F.lit(batch_id)
+        )
 
     return p

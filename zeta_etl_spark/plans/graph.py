@@ -87,6 +87,16 @@ class Pipeline:
         (zetadex-mm-uptime-pipeline-v3.sql:157 saves each epoch run with
         mode('append')).
 
+        ``mode='overwrite_partitions'`` (requires ``partition_by``) writes
+        with dynamic partition overwrite: only the hive partitions present
+        in the node's OUTPUT are replaced, others keep their files.  This
+        is the engine's idempotent-append primitive — a node that stamps
+        its rows with a batch/increment id partition can be re-run after a
+        crash without duplicating that batch (the re-run overwrites the
+        same partition), which plain ``append`` cannot guarantee.  It is
+        the parquet stand-in for Delta's ``replaceWhere``/MERGE surface
+        the reference leans on (zetaflex-pipeline.py:146-151).
+
         ``incremental=True`` is the engine's per-node batch/streaming flag
         (SURVEY §4: the reference's dlt.read vs dlt.read_stream split).  The
         node's function receives streaming DataFrames from ``read_stream``
@@ -101,6 +111,12 @@ class Pipeline:
 
         def deco(fn):
             n = name or fn.__name__
+            if mode == "overwrite_partitions" and not partition_by:
+                raise ValueError(
+                    f"table {n!r}: mode='overwrite_partitions' requires "
+                    "partition_by (it replaces only the output's hive "
+                    "partitions)"
+                )
             self._register(
                 Node(
                     name=n,
@@ -209,10 +225,11 @@ class Pipeline:
                 "sinks (_spark_metadata log); a batch overwrite would "
                 "corrupt them — re-run the stream instead"
             )
-        if node.extra.get("mode", "overwrite") == "append":
+        if node.extra.get("mode", "overwrite") != "overwrite":
             raise ValueError(
-                f"backfill({name!r}): append tables accumulate epochs a "
-                "re-run cannot reproduce; overwriting would drop history"
+                f"backfill({name!r}): append/overwrite_partitions tables "
+                "accumulate increments a single re-run cannot reproduce; "
+                "re-run the increment itself instead"
             )
         # the predicate must resolve against the partition columns ALONE —
         # a predicate on data columns would rewrite whole partitions with a
@@ -278,24 +295,48 @@ class Pipeline:
         files; ``sort_by`` re-applies the z-order stand-in
         (``sortWithinPartitions``) so compaction preserves data clustering.
 
-        Returns the new file count.  The rewrite goes to a side directory
-        first and swaps in only after success, so a crashed compaction
-        leaves the original table intact; the swap itself (rm + rename) is
-        the documented non-transactional seam a Delta/Iceberg deployment
-        replaces with OPTIMIZE."""
+        Returns the new file count.  Guards mirror ``backfill``'s:
+        incremental tables are streaming sinks whose ``_spark_metadata``
+        transaction log a rewrite would orphan, and a ``partition_by``
+        table is rewritten WITH ``.partitionBy`` so the hive layout (and
+        downstream partition pruning) survives compaction.  The rewrite
+        goes to a side directory first and swaps in only after success;
+        the swap renames the live table aside before promoting the
+        rewrite, so every crash point leaves either the original or the
+        verified rewrite on disk (the residual ``__old``/``__compacting``
+        dir is cleaned up by the next compact).  That two-rename seam is
+        what a Delta/Iceberg deployment replaces with OPTIMIZE."""
         import math
         import shutil
 
+        node = self.nodes[name]
+        if node.extra.get("incremental"):
+            raise ValueError(
+                f"compact({name!r}): incremental tables are streaming "
+                "sinks (_spark_metadata log); a batch rewrite would orphan "
+                "the log — stop the stream and migrate instead"
+            )
         path = self.path(name)
         df = spark.read.parquet(path)
         rows = df.count()
         n_files = max(1, math.ceil(rows / target_rows_per_file))
-        out = df.repartition(n_files)
+        if node.partition_by:
+            # co-locate each hive partition's rows in few tasks so the
+            # rewrite emits ~n_files per partition VALUE, not n_files ×
+            # partitions tiny files
+            out = df.repartition(n_files, *node.partition_by)
+        else:
+            out = df.repartition(n_files)
         if sort_by:
             out = out.sortWithinPartitions(*sort_by)
         tmp = path + "__compacting"
+        old = path + "__old"
         shutil.rmtree(tmp, ignore_errors=True)
-        out.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(old, ignore_errors=True)
+        writer = out.write.mode("overwrite")
+        if node.partition_by:
+            writer = writer.partitionBy(*node.partition_by)
+        writer.parquet(tmp)
         # verify the rewrite before touching the live table — an explicit
         # raise, not assert, so python -O cannot strip the safety gate
         rewritten = spark.read.parquet(tmp).count()
@@ -305,8 +346,13 @@ class Pipeline:
                 f"compact({name!r}): rewrite produced {rewritten} rows, "
                 f"expected {rows}; original table left untouched"
             )
-        shutil.rmtree(path)
+        # crash-safe swap: live → __old, __compacting → live, drop __old.
+        # A crash after the first rename leaves the full original at
+        # __old and the verified rewrite at __compacting — recoverable;
+        # never a window with NO live copy being the only state.
+        os.replace(path, old)
         os.replace(tmp, path)
+        shutil.rmtree(old)
         # the pre-compaction DataFrame (and its temp view) points at the
         # deleted part files — drop the memoized frame and re-register the
         # view over the new files so later read()/SQL doesn't hit
@@ -378,10 +424,31 @@ class Pipeline:
                 mode = node.extra.get("mode", "overwrite")
                 if node.sort_within_partitions:
                     df = df.sortWithinPartitions(*node.sort_within_partitions)
-                writer = df.write.mode(mode)
-                if node.partition_by:
-                    writer = writer.partitionBy(*node.partition_by)
-                writer.parquet(self.path(name))
+                if mode == "overwrite_partitions":
+                    # dynamic partition overwrite: replace only the
+                    # partitions present in df, keep the rest — idempotent
+                    # under re-runs of the same increment partition
+                    prev = spark.conf.get(
+                        "spark.sql.sources.partitionOverwriteMode"
+                    )
+                    spark.conf.set(
+                        "spark.sql.sources.partitionOverwriteMode", "dynamic"
+                    )
+                    try:
+                        (
+                            df.write.mode("overwrite")
+                            .partitionBy(*node.partition_by)
+                            .parquet(self.path(name))
+                        )
+                    finally:
+                        spark.conf.set(
+                            "spark.sql.sources.partitionOverwriteMode", prev
+                        )
+                else:
+                    writer = df.write.mode(mode)
+                    if node.partition_by:
+                        writer = writer.partitionBy(*node.partition_by)
+                    writer.parquet(self.path(name))
                 # explicit schema: an empty node (0-row day, empty source)
                 # writes no part files and schema inference would fail
                 df = spark.read.schema(df.schema).parquet(self.path(name))
