@@ -116,8 +116,19 @@ def main() -> None:
     timings: dict[str, float] = {}
     diagnostics: dict[str, float] = {}
     # warm the JVM + parquet footers once so per-query numbers measure the
-    # query, not session startup
+    # query, not session startup.  Two probes, one per cold path: a
+    # relational scan/agg (pricing_summary) and a minimal higher-order-fn
+    # pass over embeddings — without the latter, whichever vector query
+    # sorts first (ann_lsh_top5) absorbs the one-time codegen/JIT cost of
+    # the zip_with/aggregate expression class and reads 2-3x its warm
+    # time (the r5 'regression' was exactly this measurement artifact).
     REGISTRY["pricing_summary"].fn(spark, sf_dir).count()
+    from zeta_etl_spark.queries.registry import T as _T
+
+    _T(spark, sf_dir, "embeddings").selectExpr(
+        "aggregate(zip_with(embedding, embedding, (x, y) -> x * y), "
+        "cast(0.0 as double), (a, v) -> a + v) AS s"
+    ).agg({"s": "sum"}).collect()
 
     # minhash_lsh_pairs runs in its production shape (VERDICT r2 next-3):
     # the signature silver table is materialized once via pipelines/dedup.py
@@ -131,6 +142,16 @@ def main() -> None:
     from zeta_etl_spark.queries.dedup_q import lsh_verified_pairs
     from zeta_etl_spark.queries.registry import T
 
+    # dedup_clusters_incremental likewise (VERDICT r5 next-3): the prior
+    # corpus's label state is a durable pipeline silver (one-time cost in
+    # diagnostics); the headline entry times ONLY the increment job —
+    # batch-bounded pair generation + label-graph CC maintenance.
+    from zeta_etl_spark.pipelines.dedup import build_cc_state_pipeline
+    from zeta_etl_spark.queries.dedup_q import (
+        _INCR_SPLIT,
+        maintain_cluster_labels,
+    )
+
     mh_dir = tempfile.mkdtemp(prefix="bench_minhash_")
     try:
         docs = T(spark, sf_dir, "documents")
@@ -143,11 +164,25 @@ def main() -> None:
         )
         sigs = spark.read.parquet(os.path.join(mh_dir, "minhash_sigs"))
         n_part = spark.sparkContext.defaultParallelism
+        t0 = time.perf_counter()
+        build_cc_state_pipeline(
+            spark, mh_dir, docs.filter(f"NOT ({_INCR_SPLIT})")
+        ).run(spark, targets=["old_labels"])
+        diagnostics["cc_old_labels_materialize"] = round(
+            time.perf_counter() - t0, 3
+        )
+        old_labels = spark.read.parquet(os.path.join(mh_dir, "old_labels"))
         for name in names:
             t0 = time.perf_counter()
             if name == "minhash_lsh_pairs":
                 df = lsh_verified_pairs(
                     sigs, docs.repartition(n_part, "doc_id")
+                )
+            elif name == "dedup_clusters_incremental":
+                df = maintain_cluster_labels(
+                    docs.repartition(n_part, "doc_id"),
+                    old_labels,
+                    _INCR_SPLIT,
                 )
             else:
                 df = REGISTRY[name].fn(spark, sf_dir)

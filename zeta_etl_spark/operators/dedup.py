@@ -278,6 +278,110 @@ def jaccard_verify(
     )
 
 
+def shingle_jaccard_pairs(
+    docs: DataFrame,
+    min_jaccard: float = 0.2,
+    touching: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via an inverted shingle index —
+    the ONE implementation behind both the full-corpus registry query
+    (`ngram_jaccard_pairs`) and the incremental batch job (twin-drift rule,
+    ROUND_NOTES r3-5).
+
+    Full mode (``touching=None``): every pair sharing ≥1 shingle with
+    ``doc_a < doc_b``; the inverted index bounds the self-join to shingle
+    collisions, never |docs|².
+
+    Incremental mode (``touching`` = SQL predicate over ``doc_id``, e.g.
+    the deterministic batch split ``"doc_id % 10 < 2"``): only pairs with
+    ≥1 endpoint satisfying the predicate.  Candidate generation fans out
+    from the BATCH side's shingle postings probing the full index —
+    batch×corpus plus batch×batch exactly once each, corpus×corpus
+    structurally excluded — so each increment costs O(|batch postings| ×
+    collision density), not a full-corpus self-join.  This is the exact-
+    Jaccard companion of :func:`incremental_lsh_candidate_pairs`.
+
+    Output: (doc_a, doc_b, n_common BIGINT, jaccard DOUBLE), doc_a < doc_b,
+    jaccard ≥ ``min_jaccard``."""
+    sh = shingle_docs(docs, text_col, id_col, shingle_k).withColumnRenamed(
+        "_sh", "shingles"
+    )
+    sh = sh.cache()
+    ex = sh.select(F.col(id_col), F.explode("shingles").alias("shingle"))
+    sizes = sh.select(F.col(id_col), F.size("shingles").alias("n_shingles"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    if touching is None:
+        common = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .groupBy(
+                F.col(f"a.{id_col}").alias("doc_a"),
+                F.col(f"b.{id_col}").alias("doc_b"),
+            )
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+    else:
+        in_batch = touching.replace(id_col, f"b.{id_col}")
+        probe = ex.filter(touching.replace(id_col, id_col)).alias("a")
+        # each batch×corpus pair generated once (from its batch endpoint);
+        # batch×batch pairs once via the id ordering
+        common = (
+            probe.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
+                & (
+                    ~F.expr(in_batch)
+                    | (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+                ),
+            )
+            .groupBy(
+                F.least(
+                    F.col(f"a.{id_col}"), F.col(f"b.{id_col}")
+                ).alias("doc_a"),
+                F.greatest(
+                    F.col(f"a.{id_col}"), F.col(f"b.{id_col}")
+                ).alias("doc_b"),
+            )
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+    out = (
+        common.join(
+            sizes.select(
+                F.col(id_col).alias("doc_a"),
+                F.col("n_shingles").alias("n_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            sizes.select(
+                F.col(id_col).alias("doc_b"),
+                F.col("n_shingles").alias("n_b"),
+            ),
+            "doc_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+    return out.select(
+        "doc_a",
+        "doc_b",
+        F.col("n_common").cast("bigint").alias("n_common"),
+        "jaccard",
+    )
+
+
 def simhash(
     df: DataFrame,
     text_col: str = "text",

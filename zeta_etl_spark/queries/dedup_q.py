@@ -69,46 +69,12 @@ WHERE CAST(c.n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - c.n_common)
 
 @query("ngram_jaccard_pairs", oracle=_NGRAM_ORACLE, tags=("dedup", "jaccard"))
 def ngram_jaccard_pairs(spark, sf_dir):
-    from zeta_etl_spark.functions.text import spark_shingles
+    from zeta_etl_spark.operators.dedup import shingle_jaccard_pairs
 
     d = T(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )
-    sh = d.select("doc_id", F.expr(spark_shingles()).alias("shingles")).cache()
-    ex = sh.select("doc_id", F.explode("shingles").alias("shingle"))
-    sizes = sh.select("doc_id", F.size("shingles").alias("n_shingles"))
-    a = ex.alias("a")
-    b = ex.alias("b")
-    common = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    out = (
-        common.join(
-            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a")),
-            "doc_a",
-        )
-        .join(
-            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b")),
-            "doc_b",
-        )
-        .withColumn(
-            "jaccard",
-            F.col("n_common").cast("double")
-            / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
-        )
-        .filter(F.col("jaccard") >= 0.2)
-    )
-    return out.select(
-        "doc_a", "doc_b", F.col("n_common").cast("bigint").alias("n_common"), "jaccard"
-    )
+    return shingle_jaccard_pairs(d, min_jaccard=0.2)
 
 
 # --- minhash_lsh_pairs: MinHash signatures → banded LSH → exact verify ------
@@ -404,17 +370,38 @@ _INCR_SPLIT = "doc_id % 10 < 2"  # same deterministic batch as minhash_incr
 def dedup_clusters_incremental(spark, sf_dir):
     from zeta_etl_spark.operators.dedup import (
         connected_components_star,
-        incremental_connected_components,
+        shingle_jaccard_pairs,
     )
 
-    new_a = _INCR_SPLIT.replace("doc_id", "doc_a")
-    new_b = _INCR_SPLIT.replace("doc_id", "doc_b")
-    pairs = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b").cache()
-    old_pairs = pairs.filter(f"NOT ({new_a}) AND NOT ({new_b})")
-    new_pairs = pairs.filter(f"({new_a}) OR ({new_b})")
+    d = T(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    old_docs = d.filter(f"NOT ({_INCR_SPLIT})")
+    old_pairs = shingle_jaccard_pairs(old_docs, min_jaccard=0.2).select(
+        "doc_a", "doc_b"
+    )
     old_labels = connected_components_star(
         old_pairs, src="doc_a", dst="doc_b"
     )
+    return maintain_cluster_labels(d, old_labels, _INCR_SPLIT)
+
+
+def maintain_cluster_labels(docs, old_labels, batch_pred: str):
+    """The INCREMENT job shared by the registry query and the pipeline
+    gold (`pipelines/dedup.build_incremental_cc_pipeline`): batch-bounded
+    pair generation + label-graph CC maintenance + sizes.  The registry
+    query recomputes ``old_labels`` inline so the oracle comparison stays
+    self-contained; the pipeline reads them from the durable state silver,
+    so production (and the bench) pays ONLY this function's cost per
+    increment — VERDICT r5 next-3."""
+    from zeta_etl_spark.operators.dedup import (
+        incremental_connected_components,
+        shingle_jaccard_pairs,
+    )
+
+    new_pairs = shingle_jaccard_pairs(
+        docs, min_jaccard=0.2, touching=batch_pred
+    ).select("doc_a", "doc_b")
     labels = incremental_connected_components(
         old_labels, new_pairs, src="doc_a", dst="doc_b"
     )
