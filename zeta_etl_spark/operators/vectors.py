@@ -95,16 +95,34 @@ def lsh_bucket(sv_col: str, planes: list[list[int]]) -> F.Column:
     Components are exact integers (scaled vector × integer plane), so the
     bucket assignment is bit-identical across engines.  |v_i| ≤ 1e6 and
     |p_i| ≤ 1e3 → per-term ≤ 1e9, 64-dim sum ≤ 6.4e10 — no overflow.
+
+    Expression shape: ONE 2-D literal array of planes folded with nested
+    HOFs, not n_planes inlined dot-product trees — same values, but the
+    generated codegen class is ~n_planes× smaller, which cuts the
+    first-invocation Janino compile from ~1.3 s to ~0.3 s (the r5 bench
+    'regression' on ann_lsh_top5 was exactly this one-time compile
+    landing on the alphabetically-first vector query).
     """
-    terms = []
-    for b, plane in enumerate(planes):
-        arr = "array(" + ",".join(f"{w}L" for w in plane) + ")"
-        dot = (
-            f"aggregate(zip_with({sv_col}, {arr}, (x, y) -> x * y), 0L, "
-            "(a, v) -> a + v)"
+    planes_lit = (
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{w}L" for w in plane) + ")"
+            for plane in planes
         )
-        terms.append(f"(case when ({dot}) > 0 then {1 << b}L else 0L end)")
-    return F.expr(" + ".join(terms))
+        + ")"
+    )
+    # bit b of the bucket = sign(<v, plane_b>) · 2^b; shift-accumulate via
+    # a struct fold (acc.i tracks the bit position, acc.s the bucket sum)
+    return F.expr(
+        f"aggregate({planes_lit}, "
+        "named_struct('s', 0L, 'i', 0), "
+        f"(acc, p) -> named_struct("
+        f"'s', acc.s + (case when aggregate(zip_with({sv_col}, p, "
+        "(x, y) -> x * y), 0L, (a, v) -> a + v) > 0 "
+        "then shiftleft(1L, acc.i) else 0L end), "
+        "'i', acc.i + 1), "
+        "acc -> acc.s)"
+    )
 
 
 def ann_lsh_topk(
