@@ -310,9 +310,26 @@ def test_corpus_pipeline_end_to_end(spark, tmp_path, sf_dir):
     gate = out["quality_gate"]
     assert gate.count() == n_docs                      # every doc decided
     kept = out["kept_docs"]
-    assert kept.count() == gate.filter("decision = 'keep'").count()
+    # near-dup gate: kept = quality keeps minus non-canonical cluster
+    # members (canonical doc of every near-dup cluster IS retained)
+    labels = out["cluster_labels"]
+    n_near_dupes = labels.filter("NOT is_canonical").count()
+    assert kept.count() == (
+        gate.filter("decision = 'keep'").count() - n_near_dupes
+    )
+    assert n_near_dupes > 0  # the synthetic corpus has real near-dups
+    # every cluster keeps exactly its canonical member
+    canon = labels.filter("is_canonical")
+    assert canon.count() == labels.select("cluster_id").distinct().count()
+    assert canon.join(kept, "doc_id").count() == canon.count()
     assert set(r["split"] for r in kept.select("split").distinct().collect()) \
         <= {"train", "val", "test"}
+
+    # mixture weights: over kept corpus only, ppm sums ≤ 1e6 (integer floor)
+    mw = {r["source"]: r for r in out["mixture_weights"].collect()}
+    assert sum(r["n_docs"] for r in mw.values()) == kept.count()
+    ppm_total = sum(r["weight_ppm"] for r in mw.values())
+    assert 990000 <= ppm_total <= 1000000
 
     # packing invariants on the materialized gold
     packed = out["packed_sequences"]
@@ -340,11 +357,19 @@ def test_corpus_pipeline_end_to_end(spark, tmp_path, sf_dir):
     for split, r in rep.items():
         assert r["n_docs"] == packed.filter(F2.col("split") == split).count()
 
-    # all five nodes durable on disk
+    # all nine nodes durable on disk, and the stage accounting reads them
     import os
-    for node in ["doc_stats", "quality_gate", "kept_docs",
-                 "packed_sequences", "corpus_report"]:
+
+    from zeta_etl_spark.pipelines.corpus import CORPUS_STAGES, stage_accounting
+
+    for node in CORPUS_STAGES:
         assert os.path.exists(str(tmp_path / "corpus" / node))
+    acct = stage_accounting(p, spark)
+    assert [a["stage"] for a in acct] == CORPUS_STAGES
+    by_stage = {a["stage"]: a for a in acct}
+    assert by_stage["doc_stats"]["rows"] == n_docs
+    assert by_stage["kept_docs"]["rows"] == kept.count()
+    assert all(a["bytes"] > 0 and a["files"] > 0 for a in acct)
 
 
 def test_incremental_minhash_pipeline(spark, tmp_path, sf_dir):
