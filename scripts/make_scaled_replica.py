@@ -112,17 +112,24 @@ def build(src: str, out: str, factor: int) -> None:
          .withColumn("user_id", F.col("user_id") + F.lit(c * max_user))
     )), "events")
 
+    # function words stay UNSUFFIXED: quality gates score stopword
+    # evidence (gopher rules, doc_quality, the corpus pipeline), so a
+    # replica that renames them flags every clone as low-quality and the
+    # downstream dedup/pack stages silently shrink back to 1× — found
+    # live on the first sf1 corpus-pipeline run.  Content words carry the
+    # clone suffix, which still drives cross-clone shingle Jaccard to ~0
+    # (a 5-shingle matches only if all 5 tokens are function words).
+    keep_words = "'the','a','of','to','and','in','is','it'"
+
     def doc_clone(d, c):
         d = d.withColumn("doc_id", F.col("doc_id") + F.lit(c * maxes["documents"]))
         if c == 0:
             return d
-        # per-clone vocabulary: suffix every token; recompute n_chars so
-        # length-derived quality signals stay self-consistent
         d = d.withColumn(
             "text",
             F.expr(
                 f"concat_ws(' ', transform(split(text, ' '), "
-                f"t -> concat(t, '_c{c}')))"
+                f"t -> if(t in ({keep_words}), t, concat(t, '_c{c}'))))"
             ),
         )
         return d.withColumn("n_chars", F.length("text").cast("bigint"))
