@@ -292,6 +292,15 @@ def foreach_batch_incremental_dedup(
     - ``pairs/batch=N`` verified pairs whose NEWEST side arrived in batch N
 
     ``doc_stream`` must carry (doc_id, text).
+
+    State is bounded by corpus NOVELTY, not delivery volume: re-delivered
+    doc_ids (at-least-once sources, replayed upstream files, overlapping
+    waves) are anti-joined against the durable store and skipped — their
+    signatures are already corpus and their pairs were emitted when first
+    seen, so a batch of 100% re-deliveries writes zero state rows and
+    joins nothing.  Novelty is keyed on ``doc_id`` (a re-delivered id with
+    different text is NOT re-ingested — content re-versioning is the CDC
+    upsert sink's job, not the dedup store's).
     """
     from zeta_etl_spark.operators.dedup import (
         incremental_lsh_candidate_pairs,
@@ -315,9 +324,27 @@ def foreach_batch_incremental_dedup(
         return df.filter(F.col("batch") < batch_id).drop("batch")
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        batch_docs = batch_df.select("doc_id", "text").localCheckpoint()
+        batch_docs = (
+            batch_df.select("doc_id", "text")
+            .dropDuplicates(["doc_id"])
+            .localCheckpoint()
+        )
         if batch_docs.isEmpty():
             return
+        # novelty gate: ids already in the durable store (strictly earlier
+        # batches — a replayed batch must not see its own partition) are
+        # dropped, so state growth tracks novel docs, not delivered rows
+        if os.path.exists(docs_root):
+            seen = (
+                spark.read.parquet(docs_root)
+                .filter(F.col("batch") < batch_id)
+                .select("doc_id")
+            )
+            batch_docs = batch_docs.join(
+                seen, "doc_id", "left_anti"
+            ).localCheckpoint()
+            if batch_docs.isEmpty():
+                return
         batch_sigs = minhash_signatures(batch_docs, num_perm=num_perm)
         # idempotent writes: a replay overwrites this batch's own partitions
         batch_docs.write.mode("overwrite").parquet(
