@@ -520,3 +520,96 @@ def test_banded_tables_buy_recall_on_near_dups(spark):
     assert r1 >= 0.8 and r2 >= 0.8
     assert ru > max(r1, r2)
     assert ru >= 0.95
+
+
+def test_skewed_near_dup_cluster_lsh_cc_rehearsal(spark):
+    """VERDICT r6 next-7: skew rehearsal on the LSH→CC dedup path.  A
+    pathological corpus where 10% of docs are IDENTICAL (one giant
+    near-dup cluster, the hottest possible LSH bucket) must still:
+
+    1. keep candidate generation BUCKET-bounded — the hot cluster emits
+       exactly its clique pairs, never an O(corpus²) blow-up;
+    2. converge star CC in O(log n) rounds (a clique contracts in ~2);
+    3. come out of the pair/label shuffles BALANCED — the hot bucket is a
+       single join key, but the downstream exchanges hash on (doc_a,
+       doc_b) / doc_id, so no salting is needed past the band join (the
+       salting remedy, operators/scale.salted_join, stays reserved for
+       hot EQUI-join keys that survive into the shuffle key itself).
+    """
+    import math
+
+    from zeta_etl_spark.operators.dedup import (
+        connected_components_star,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    n, hot = 1000, 100
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(
+            F.col("id") < hot,
+            F.lit("the quick brown fox jumps over the lazy dog again"),
+        )
+        .otherwise(
+            F.concat_ws(
+                " ",
+                *[
+                    F.concat(F.lit(f"w{j}x"), F.col("id"))
+                    for j in range(10)
+                ],
+            )
+        )
+        .alias("text"),
+    )
+    sigs = minhash_signatures(docs)
+    pairs = lsh_candidate_pairs(sigs).cache()
+    n_pairs = pairs.count()
+    clique = hot * (hot - 1) // 2
+    # bucket-bounded: the hot clique's pairs plus at most a small number of
+    # accidental unique-doc collisions — nowhere near the n²/2 cross join
+    assert n_pairs >= clique
+    assert n_pairs < 2 * clique
+    assert n_pairs < 0.05 * (n * (n - 1) // 2)
+
+    # pair shuffle balance: at test scale AQE coalesces the tiny shuffle
+    # to one partition (spark_partition_id is meaningless here — r3
+    # lesson), so assert on what determines task balance at scale: the
+    # SHUFFLE-KEY hash distribution.  Hashed by pair — not by the hot
+    # bucket — no 32-way hash bucket holds more than 2x its fair share.
+    def hash_spread(df, *cols):
+        return [
+            r["c"]
+            for r in df.groupBy(
+                F.pmod(F.hash(*cols), F.lit(32)).alias("hb")
+            )
+            .agg(F.count("*").alias("c"))
+            .collect()
+        ]
+
+    sizes = hash_spread(pairs, "doc_a", "doc_b")
+    assert len(sizes) >= 24  # the clique occupies nearly all 32 buckets
+    assert max(sizes) <= 2 * (n_pairs / 32) + 1
+
+    stats = {}
+    labels = connected_components_star(
+        pairs, src="doc_a", dst="doc_b", stats=stats
+    ).cache()
+    # O(log n) convergence: a 100-clique must contract well inside the
+    # log2 bound (+2 rounds: the convergence-detection pass and slack)
+    assert stats["rounds"] <= math.ceil(math.log2(hot)) + 2
+
+    # the cluster resolved to ONE component labeled by its min id
+    hot_labels = labels.filter(F.col("doc_id") < hot)
+    assert hot_labels.count() == hot
+    assert {r["label"] for r in hot_labels.collect()} == {0}
+
+    # label output balance: hashed by doc_id, the giant component's
+    # members spread across hash buckets instead of pinning one
+    lsizes = hash_spread(labels, "doc_id")
+    total = sum(lsizes)
+    # +5 additive slack: 100 rows over 32 buckets has a real Poisson tail;
+    # a pinned bucket would hold ~all 100 rows and still fail loudly
+    assert max(lsizes) <= 2 * (total / 32) + 5
+    pairs.unpersist()
+    labels.unpersist()
