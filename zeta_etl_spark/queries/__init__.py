@@ -31,6 +31,7 @@ from zeta_etl_spark.queries import (  # noqa: E402,F401
     text_q,
     vectors2_q,
     vectors_q,
+    warehouse_q,
     windows2_q,
     windows_q,
 )

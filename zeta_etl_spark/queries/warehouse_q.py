@@ -1,0 +1,530 @@
+"""Warehouse-pattern batch: interval algebra, sketch set operations, SCD2
+history, robust outlier statistics, and mixture-realizing sampling.
+
+Beyond-reference operators rounding out the §2.11 engine additions with
+classic warehouse/curation shapes the registry did not yet cover:
+
+- interval coalescing (sweep-line union of overlapping validity windows) —
+  the dual of the interval-overlap JOIN the engine already has;
+- KMV sketch ALGEBRA (union/intersection estimates from mergeable bottom-k
+  registers — `kmv_bottomk` built the sketch, this operates on two);
+- SCD2 run-length history (CDC's latest-wins surface extended to full
+  validity-interval lineage, the standard warehouse type-2 dimension);
+- median/MAD robust outlier counts (exact rank selection, no percentile
+  interpolation — the r3 house rule);
+- a sampler that REALIZES `source_mixture_weights`' target mixture as
+  deterministic per-source md5 acceptance rates.
+
+All arithmetic is BIGINT (integer div, floor-scaled doubles) so every
+query is bit-identical in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from zeta_etl_spark.functions.text import duck_hex2long, spark_hex2long
+from zeta_etl_spark.queries.registry import T, query
+
+# --- interval_union_seconds: sweep-line interval coalescing ------------------
+# Each event opens a validity interval [ts, ts + 60 + event_id % 540 s); per
+# user, overlapping intervals merge into islands and the query reports the
+# UNION length — the classic "total covered time" warehouse ask (uptime,
+# session coverage, on-call overlap), and the dual of interval_overlap_join.
+# Sweep-line as windows: an island starts where start > max(end) over all
+# PRIOR intervals (running max, exclusive frame); island id = running count
+# of starts.  One shuffle on user_id shared by both window families and the
+# final groupBy — scale cost is the sort within each user partition.
+# Epoch seconds via the proven floor pair (Spark unix_timestamp ≡ DuckDB
+# date_diff from the epoch, both truncate micros — user_sessions precedent).
+
+_IU_ORACLE = """
+WITH iv AS (
+  SELECT user_id, event_id,
+    date_diff('second', TIMESTAMP '1970-01-01', CAST(ts AS TIMESTAMP))
+      AS start_s,
+    date_diff('second', TIMESTAMP '1970-01-01', CAST(ts AS TIMESTAMP))
+      + 60 + event_id % 540 AS end_s
+  FROM events
+), flagged AS (
+  SELECT *,
+    CASE WHEN max(end_s) OVER (PARTITION BY user_id ORDER BY start_s, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              IS NULL
+         OR start_s > max(end_s) OVER (PARTITION BY user_id
+                               ORDER BY start_s, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    THEN 1 ELSE 0 END AS is_island_start
+  FROM iv
+), islands AS (
+  SELECT *, SUM(is_island_start) OVER (PARTITION BY user_id
+            ORDER BY start_s, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island_id
+  FROM flagged
+), merged AS (
+  SELECT user_id, island_id,
+    MIN(start_s) AS island_start, MAX(end_s) AS island_end,
+    COUNT(*) AS n_intervals
+  FROM islands GROUP BY user_id, island_id
+)
+SELECT user_id,
+  CAST(COUNT(*) AS BIGINT) AS n_islands,
+  CAST(SUM(island_end - island_start) AS BIGINT) AS covered_seconds,
+  CAST(SUM(n_intervals) AS BIGINT) AS n_intervals,
+  CAST(MAX(island_end - island_start) AS BIGINT) AS longest_island_s
+FROM merged GROUP BY user_id
+"""
+
+
+@query(
+    "interval_union_seconds",
+    oracle=_IU_ORACLE,
+    tags=("interval", "window", "sweep"),
+)
+def interval_union_seconds(spark, sf_dir):
+    e = T(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    start_s = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    iv = e.select(
+        "user_id",
+        "event_id",
+        start_s.alias("start_s"),
+        (start_s + 60 + F.col("event_id") % 540).alias("end_s"),
+    )
+    w = Window.partitionBy("user_id").orderBy("start_s", "event_id")
+    prior_max_end = F.max("end_s").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.withColumn(
+        "is_island_start",
+        F.when(
+            prior_max_end.isNull() | (F.col("start_s") > prior_max_end), 1
+        ).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "island_id",
+        F.sum("is_island_start").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    merged = islands.groupBy("user_id", "island_id").agg(
+        F.min("start_s").alias("island_start"),
+        F.max("end_s").alias("island_end"),
+        F.count(F.lit(1)).alias("n_intervals"),
+    )
+    return merged.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_islands"),
+        F.sum(F.col("island_end") - F.col("island_start"))
+        .cast("bigint")
+        .alias("covered_seconds"),
+        F.sum("n_intervals").cast("bigint").alias("n_intervals"),
+        F.max(F.col("island_end") - F.col("island_start"))
+        .cast("bigint")
+        .alias("longest_island_s"),
+    )
+
+
+# --- kmv_set_ops: sketch algebra over two KMV bottom-k registers -------------
+# `kmv_bottomk` built ONE sketch; production sketch tables answer SET
+# questions between groups without rescanning raw data: merge two bottom-k
+# registers (union sketch = bottom-k of the hash union), estimate
+# |A ∪ B| = (k-1)·H / kth_min, and |A ∩ B| via the membership estimator
+# (fraction of union-sketch hashes present in BOTH input sketches).  When a
+# side has fewer than k distinct members its sketch IS the exact set and the
+# estimate degrades gracefully to the exact count.  All integer div —
+# bit-identical cross-engine.  Scale shape: sketches are k rows each;
+# everything after the two bottom-k passes is driver-trivial but expressed
+# relationally (mergeable across shards by construction).
+
+_KMV_K2 = 64
+_KMV_H = 16**14  # hash space: 14 hex digits — (k-1)*H must fit BIGINT
+
+
+def _kmv_set_oracle() -> str:
+    h = duck_hex2long("concat('kmv:', CAST(user_id AS VARCHAR))", digits=14)
+    return f"""
+WITH a AS (
+  SELECT DISTINCT user_id, {h} AS hv FROM events WHERE event_type = 'click'
+), b AS (
+  SELECT DISTINCT user_id, {h} AS hv FROM events WHERE event_type = 'view'
+), ka AS (
+  SELECT hv FROM (SELECT hv, ROW_NUMBER() OVER (ORDER BY hv) AS rn FROM a)
+  WHERE rn <= {_KMV_K2}
+), kb AS (
+  SELECT hv FROM (SELECT hv, ROW_NUMBER() OVER (ORDER BY hv) AS rn FROM b)
+  WHERE rn <= {_KMV_K2}
+), ku AS (
+  SELECT hv, rn FROM (
+    SELECT hv, ROW_NUMBER() OVER (ORDER BY hv) AS rn
+    FROM (SELECT hv FROM ka UNION SELECT hv FROM kb)
+  ) WHERE rn <= {_KMV_K2}
+), est AS (
+  SELECT
+    (SELECT COUNT(*) FROM ka) AS na,
+    (SELECT MAX(hv) FROM (SELECT hv FROM ka ORDER BY hv LIMIT {_KMV_K2}))
+      AS kth_a,
+    (SELECT COUNT(*) FROM kb) AS nb,
+    (SELECT MAX(hv) FROM (SELECT hv FROM kb ORDER BY hv LIMIT {_KMV_K2}))
+      AS kth_b,
+    (SELECT COUNT(*) FROM ku) AS nu,
+    (SELECT MAX(hv) FROM ku) AS kth_u,
+    (SELECT COUNT(*) FROM ku
+     WHERE hv IN (SELECT hv FROM ka) AND hv IN (SELECT hv FROM kb))
+      AS n_both
+)
+SELECT
+  CAST({_KMV_K2} AS BIGINT) AS k,
+  CAST(CASE WHEN na < {_KMV_K2} THEN na
+       ELSE (({_KMV_K2} - 1) * {_KMV_H}) // kth_a END AS BIGINT) AS est_a,
+  CAST(CASE WHEN nb < {_KMV_K2} THEN nb
+       ELSE (({_KMV_K2} - 1) * {_KMV_H}) // kth_b END AS BIGINT) AS est_b,
+  CAST(CASE WHEN nu < {_KMV_K2} THEN nu
+       ELSE (({_KMV_K2} - 1) * {_KMV_H}) // kth_u END AS BIGINT) AS est_union,
+  CAST(n_both AS BIGINT) AS n_both,
+  CAST((n_both * CASE WHEN nu < {_KMV_K2} THEN nu
+       ELSE (({_KMV_K2} - 1) * {_KMV_H}) // kth_u END) // nu AS BIGINT)
+    AS est_intersection
+FROM est
+"""
+
+
+@query(
+    "kmv_set_ops",
+    oracle=_kmv_set_oracle(),
+    tags=("sketch", "distinct", "setops"),
+)
+def kmv_set_ops(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    h = spark_hex2long("concat('kmv:', cast(user_id as string))", digits=14)
+
+    def sketch(event_type):
+        return (
+            e.filter(F.col("event_type") == event_type)
+            .select(F.expr(h).alias("hv"))
+            .distinct()
+            .orderBy("hv")
+            .limit(_KMV_K2)
+        )
+
+    ka = sketch("click").cache()
+    kb = sketch("view").cache()
+    ku = ka.unionByName(kb).distinct().orderBy("hv").limit(_KMV_K2).cache()
+
+    def est(k_df, name):
+        # (count, kth_min) -> estimate; exact when the set is smaller than
+        # k.  One-row frame, composed by broadcast cross join below — no
+        # driver-side pulls.
+        return k_df.agg(
+            F.count(F.lit(1)).alias(f"_n_{name}"), F.max("hv").alias("_kth")
+        ).select(
+            f"_n_{name}",
+            F.when(
+                F.col(f"_n_{name}") < _KMV_K2,
+                F.col(f"_n_{name}").cast("bigint"),
+            )
+            .otherwise(F.expr(f"(({_KMV_K2} - 1) * {_KMV_H}) div _kth"))
+            .alias(f"est_{name}"),
+        )
+
+    n_both_df = (
+        ku.join(ka, "hv", "left_semi")
+        .join(kb, "hv", "left_semi")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+    )
+    return (
+        est(ka, "a")
+        .crossJoin(F.broadcast(est(kb, "b")))
+        .crossJoin(F.broadcast(est(ku, "union")))
+        .crossJoin(F.broadcast(n_both_df))
+        .select(
+            F.lit(_KMV_K2).cast("bigint").alias("k"),
+            "est_a",
+            "est_b",
+            "est_union",
+            "n_both",
+            F.expr("(n_both * est_union) div _n_union").alias(
+                "est_intersection"
+            ),
+        )
+    )
+
+
+# --- scd2_event_history: type-2 validity intervals from the change stream ----
+# The CDC surface (`latest_by_keys`) keeps only the LATEST row per key; a
+# type-2 dimension keeps every state with [valid_from, valid_to) lineage —
+# the standard warehouse history table.  Runs of equal event_type per user
+# (ordered by ts, event_id) collapse to one row; valid_to = next run's
+# valid_from (NULL = current, with is_current flag).  Scale: one shuffle on
+# user_id shared by the run-detection window, the groupBy, and the
+# run-to-run lead window.
+
+_SCD2_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+  FROM events
+), runs AS (
+  SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+                   OR lag(event_type) OVER w <> event_type
+            THEN 1 ELSE 0 END AS is_new
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+  FROM runs
+), collapsed AS (
+  SELECT user_id, CAST(run_id AS BIGINT) AS run_id,
+    MIN(event_type) AS event_type,
+    MIN(ts) AS valid_from,
+    CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM numbered GROUP BY user_id, run_id
+)
+SELECT user_id, run_id, event_type, valid_from,
+  lead(valid_from) OVER (PARTITION BY user_id ORDER BY run_id) AS valid_to,
+  n_events,
+  lead(valid_from) OVER (PARTITION BY user_id ORDER BY run_id) IS NULL
+    AS is_current
+FROM collapsed
+"""
+
+
+@query(
+    "scd2_event_history",
+    oracle=_SCD2_ORACLE,
+    tags=("cdc", "scd2", "window", "history"),
+)
+def scd2_event_history(spark, sf_dir):
+    e = T(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w)
+    runs = e.withColumn(
+        "is_new",
+        F.when(prev.isNull() | (prev != F.col("event_type")), 1).otherwise(0),
+    )
+    numbered = runs.withColumn(
+        "run_id",
+        F.sum("is_new")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint"),
+    )
+    collapsed = numbered.groupBy("user_id", "run_id").agg(
+        F.min("event_type").alias("event_type"),
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    wr = Window.partitionBy("user_id").orderBy("run_id")
+    nxt = F.lead("valid_from").over(wr)
+    return collapsed.select(
+        "user_id",
+        "run_id",
+        "event_type",
+        "valid_from",
+        nxt.alias("valid_to"),
+        "n_events",
+        nxt.isNull().alias("is_current"),
+    )
+
+
+# --- robust_mad_outliers: median/MAD outlier counts per user -----------------
+# Robust statistics for value-quality gating: per-user median and median
+# absolute deviation by EXACT rank selection (value at row (n+1) div 2 in
+# (cents, event_id) order — no percentile interpolation), then the count of
+# points beyond 3·MAD.  Values floor-scale to integer cents before any
+# comparison, so median/MAD/outlier decisions are BIGINT-exact in both
+# engines.  Scale: three window/groupBy passes all sharing the user_id
+# partition key — a single Exchange feeds them.
+
+_MAD_ORACLE = """
+WITH c AS (
+  SELECT user_id, event_id,
+    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+), med AS (
+  SELECT user_id, MAX(cents) FILTER (WHERE rn = (n + 1) // 2) AS med_cents
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                 ORDER BY cents, event_id) AS rn,
+              COUNT(*) OVER (PARTITION BY user_id) AS n
+    FROM c
+  ) GROUP BY user_id
+), dev AS (
+  SELECT c.user_id, c.event_id, c.cents, m.med_cents,
+    abs(c.cents - m.med_cents) AS d
+  FROM c JOIN med m ON m.user_id = c.user_id
+), mad AS (
+  SELECT user_id, MAX(d) FILTER (WHERE rn = (n + 1) // 2) AS mad_cents
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                 ORDER BY d, event_id) AS rn,
+              COUNT(*) OVER (PARTITION BY user_id) AS n
+    FROM dev
+  ) GROUP BY user_id
+)
+SELECT d.user_id,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(MAX(d.med_cents) AS BIGINT) AS median_cents,
+  CAST(MAX(m.mad_cents) AS BIGINT) AS mad_cents,
+  CAST(COUNT(*) FILTER (WHERE d.d > 3 * m.mad_cents) AS BIGINT)
+    AS n_outliers
+FROM dev d JOIN mad m ON m.user_id = d.user_id
+GROUP BY d.user_id
+"""
+
+
+@query(
+    "robust_mad_outliers",
+    oracle=_MAD_ORACLE,
+    tags=("robust", "window", "rank", "quality"),
+)
+def robust_mad_outliers(spark, sf_dir):
+    e = T(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.expr("cast(floor(value * 100 + 0.5) as bigint)").alias("cents"),
+    )
+
+    def rank_median(df, val_col, out_col):
+        w = Window.partitionBy("user_id").orderBy(val_col, "event_id")
+        wn = Window.partitionBy("user_id")
+        r = df.withColumn("_rn", F.row_number().over(w)).withColumn(
+            "_n", F.count(F.lit(1)).over(wn)
+        )
+        return r.groupBy("user_id").agg(
+            F.max(
+                F.when(
+                    F.col("_rn") == F.expr("(_n + 1) div 2"), F.col(val_col)
+                )
+            ).alias(out_col)
+        )
+
+    med = rank_median(e, "cents", "med_cents")
+    dev = e.join(med, "user_id").withColumn(
+        "d", F.abs(F.col("cents") - F.col("med_cents"))
+    )
+    mad = rank_median(dev.select("user_id", "event_id", "d"), "d", "mad_cents")
+    j = dev.join(mad, "user_id")
+    return j.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.max("med_cents").cast("bigint").alias("median_cents"),
+        F.max("mad_cents").cast("bigint").alias("mad_cents"),
+        F.count(F.when(F.col("d") > 3 * F.col("mad_cents"), F.lit(1)))
+        .cast("bigint")
+        .alias("n_outliers"),
+    )
+
+
+# --- mixture_sample_docs: realize the target source mixture ------------------
+# `source_mixture_weights` computes TARGET proportions p_s ∝ √tokens; this
+# query REALIZES them: the limiting source (smallest tokens/weight ratio) is
+# taken whole, every other source is deterministically down-sampled by an
+# md5 acceptance rate so achieved token shares match the target mixture at
+# maximum data usage.  Integer staging (div 1000 twice) keeps the
+# rate arithmetic inside BIGINT at any corpus size.  Per-doc acceptance is
+# one md5 — embarrassingly parallel, no shuffle beyond the tiny rate join.
+
+_MIX_SAMPLE_ORACLE = f"""
+WITH s AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+), w AS (
+  SELECT source, n_docs, n_tokens,
+    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+      AS w_scaled
+  FROM s
+), ppm AS (
+  SELECT source, n_docs, n_tokens,
+    (1000000 * w_scaled) // (SELECT SUM(w_scaled) FROM w) AS weight_ppm
+  FROM w
+), lam AS (
+  SELECT MIN((n_tokens * 1000000) // weight_ppm) AS lam FROM ppm
+), rates AS (
+  SELECT p.source, p.n_docs, p.n_tokens, p.weight_ppm,
+    LEAST(CAST(1000000 AS BIGINT),
+      ((((SELECT lam FROM lam) // 1000) * p.weight_ppm // 1000) * 1000000)
+        // p.n_tokens) AS rate_ppm
+  FROM ppm p
+), kept AS (
+  SELECT d.source,
+    CAST(COUNT(*) AS BIGINT) AS kept_docs,
+    CAST(SUM(len(string_split(d.text, ' '))) AS BIGINT) AS kept_tokens
+  FROM documents d JOIN rates r ON r.source = d.source
+  WHERE {duck_hex2long("concat('mix:', CAST(d.doc_id AS VARCHAR))", digits=8)}
+        % 1000000 < r.rate_ppm
+  GROUP BY d.source
+)
+SELECT r.source, r.n_docs, r.n_tokens, r.weight_ppm, r.rate_ppm,
+  COALESCE(k.kept_docs, 0) AS kept_docs,
+  COALESCE(k.kept_tokens, 0) AS kept_tokens
+FROM rates r LEFT JOIN kept k ON k.source = r.source
+"""
+
+
+@query(
+    "mixture_sample_docs",
+    oracle=_MIX_SAMPLE_ORACLE,
+    tags=("curation", "sampling", "mixture"),
+)
+def mixture_sample_docs(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.col("text"), " ")).cast("bigint")
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(toks).cast("bigint").alias("n_tokens"),
+    )
+    w = s.withColumn(
+        "w_scaled",
+        F.expr(
+            "cast(floor(sqrt(cast(n_tokens as double)) * 1000000 + 0.5)"
+            " as bigint)"
+        ),
+    )
+    tot = w.agg(F.sum("w_scaled").cast("bigint").alias("total"))
+    ppm = w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.expr("(1000000 * w_scaled) div total").alias("weight_ppm"),
+    )
+    lam = ppm.agg(
+        F.min(F.expr("(n_tokens * 1000000) div weight_ppm")).alias("lam")
+    )
+    rates = ppm.crossJoin(F.broadcast(lam)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "weight_ppm",
+        F.expr(
+            "least(cast(1000000 as bigint), "
+            "(((lam div 1000) * weight_ppm div 1000) * 1000000)"
+            " div n_tokens)"
+        ).alias("rate_ppm"),
+    )
+    accept_sql = spark_hex2long(
+        "concat('mix:', cast(doc_id as string))", digits=8
+    )
+    accept = F.expr(f"{accept_sql} % 1000000")
+    kept = (
+        d.join(F.broadcast(rates.select("source", "rate_ppm")), "source")
+        .filter(accept < F.col("rate_ppm"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("kept_docs"),
+            F.sum(toks).cast("bigint").alias("kept_tokens"),
+        )
+    )
+    return (
+        rates.join(kept, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "weight_ppm",
+            "rate_ppm",
+            F.coalesce("kept_docs", F.lit(0)).cast("bigint").alias("kept_docs"),
+            F.coalesce("kept_tokens", F.lit(0))
+            .cast("bigint")
+            .alias("kept_tokens"),
+        )
+    )
