@@ -25,6 +25,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from zeta_etl_spark.functions.text import duck_hex2long, spark_hex2long
+from zeta_etl_spark.operators.vectors import SCALE as _V_SCALE
+
+_DUCK_SCALED_WH = (
+    f"list_transform(embedding, x -> "
+    f"CAST(floor(CAST(x AS DOUBLE) * {_V_SCALE} + 0.5) AS BIGINT))"
+)
 from zeta_etl_spark.queries.registry import T, query
 
 # --- interval_union_seconds: sweep-line interval coalescing ------------------
@@ -527,4 +533,130 @@ def mixture_sample_docs(spark, sf_dir):
             .cast("bigint")
             .alias("kept_tokens"),
         )
+    )
+
+
+# --- token_rarity_score: corpus-frequency rarity signal per document ---------
+# A perplexity PROXY that needs no model and no global sort: per doc, the
+# count of corpus-rare tokens (freq ≤ 2) and an integer idf-ish sum
+# (Σ 1e6 div freq).  High rarity = OCR noise / codes / misspellings; low =
+# boilerplate.  Deliberately built on the token-frequency TABLE, not a
+# global rank window — a vocabulary-wide ROW_NUMBER would funnel the whole
+# vocab through one partition at 100 TB, while freq joins shuffle by token
+# and stay parallel.  All-BIGINT arithmetic.
+
+_RARITY_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), freq AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS f FROM tok GROUP BY token
+)
+SELECT t.doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+  CAST(COUNT(*) FILTER (WHERE fr.f <= 2) AS BIGINT) AS rare_tokens,
+  CAST(SUM(1000000 // fr.f) AS BIGINT) AS idf_sum,
+  (1000 * COUNT(*) FILTER (WHERE fr.f <= 2)) // COUNT(*) AS rare_permille
+FROM tok t JOIN freq fr ON fr.token = t.token
+GROUP BY t.doc_id
+"""
+
+
+@query(
+    "token_rarity_score",
+    oracle=_RARITY_ORACLE,
+    tags=("text", "quality", "frequency"),
+)
+def token_rarity_score(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    freq = tok.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("f")
+    )
+    j = tok.join(freq, "token")
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.count(F.when(F.col("f") <= 2, F.lit(1)))
+        .cast("bigint")
+        .alias("rare_tokens"),
+        F.sum(F.expr("1000000 div f")).cast("bigint").alias("idf_sum"),
+        F.expr(
+            "(1000 * count(if(f <= 2, 1, null))) div count(1)"
+        ).alias("rare_permille"),
+    )
+
+
+# --- embedding_outliers: vector-norm hygiene per label -----------------------
+# Embedding QA before any ANN/clustering consumes the table: per label,
+# exact-rank p10/p90 of the integer squared norm and the count of vectors
+# outside [p10 − 3·IQR, p90 + 3·IQR] — degenerate (zero/exploding) vectors
+# surface here before they poison cosine math.  Exact rank selection in
+# (norm2, vec_id) order; everything BIGINT.  One shuffle on label shared by
+# the rank window and the final groupBy.
+
+_EMB_OUT_ORACLE = f"""
+WITH n AS (
+  SELECT vec_id, label,
+    list_sum(list_transform({_DUCK_SCALED_WH}, x -> x * x)) AS norm2
+  FROM embeddings
+), r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY label
+                               ORDER BY norm2, vec_id) AS rn,
+            COUNT(*) OVER (PARTITION BY label) AS cnt
+  FROM n
+), cuts AS (
+  SELECT label,
+    MAX(CASE WHEN rn = (10 * cnt + 99) // 100 THEN norm2 END) AS p10,
+    MAX(CASE WHEN rn = (90 * cnt + 99) // 100 THEN norm2 END) AS p90
+  FROM r GROUP BY label
+)
+SELECT n.label,
+  CAST(COUNT(*) AS BIGINT) AS n_vecs,
+  CAST(MAX(c.p10) AS BIGINT) AS p10_norm2,
+  CAST(MAX(c.p90) AS BIGINT) AS p90_norm2,
+  CAST(COUNT(*) FILTER (
+    WHERE n.norm2 < c.p10 - 3 * (c.p90 - c.p10)
+       OR n.norm2 > c.p90 + 3 * (c.p90 - c.p10)) AS BIGINT) AS n_outliers
+FROM n JOIN cuts c ON c.label = n.label
+GROUP BY n.label
+"""
+
+
+@query(
+    "embedding_outliers",
+    oracle=_EMB_OUT_ORACLE,
+    tags=("vectors", "quality", "rank"),
+)
+def embedding_outliers(spark, sf_dir):
+    from zeta_etl_spark.operators.vectors import scaled_vectors
+
+    n = scaled_vectors(T(spark, sf_dir, "embeddings")).select(
+        "vec_id", "label", "norm2"
+    )
+    w = Window.partitionBy("label").orderBy("norm2", "vec_id")
+    wl = Window.partitionBy("label")
+    r = n.withColumn("rn", F.row_number().over(w)).withColumn(
+        "cnt", F.count(F.lit(1)).over(wl)
+    )
+    cuts = r.groupBy("label").agg(
+        F.max(
+            F.when(F.col("rn") == F.expr("(10 * cnt + 99) div 100"),
+                   F.col("norm2"))
+        ).alias("p10"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(90 * cnt + 99) div 100"),
+                   F.col("norm2"))
+        ).alias("p90"),
+    )
+    j = n.join(F.broadcast(cuts), "label")
+    iqr = F.col("p90") - F.col("p10")
+    is_out = (F.col("norm2") < F.col("p10") - 3 * iqr) | (
+        F.col("norm2") > F.col("p90") + 3 * iqr
+    )
+    return j.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.max("p10").cast("bigint").alias("p10_norm2"),
+        F.max("p90").cast("bigint").alias("p90_norm2"),
+        F.count(F.when(is_out, F.lit(1))).cast("bigint").alias("n_outliers"),
     )
