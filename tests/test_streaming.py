@@ -787,3 +787,61 @@ def test_streaming_hll_sketch_maintenance_via_upsert(spark, tmp_path, sf_dir):
         for r in REGISTRY["hll_registers"].fn(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_foreach_batch_topk_leaderboard(spark, tmp_path):
+    """Incremental top-k maintenance: the durable leaderboard equals the
+    batch top-k over everything ever delivered (max score per item wins),
+    state stays bounded by groups x k, and re-delivering old rows is a
+    no-op."""
+    from zeta_etl_spark.sources.json_source import read_json
+    from zeta_etl_spark.streaming.runner import foreach_batch_topk
+
+    src = str(tmp_path / "tk_src")
+    store = str(tmp_path / "tk_store")
+    ckpt = str(tmp_path / "tk_ckpt")
+    schema = "grp string, item bigint, score double"
+    waves = [
+        # wave 0: initial scores
+        [{"grp": g, "item": i, "score": float(10 * i % 17)}
+         for g in ("a", "b") for i in range(20)],
+        # wave 1: updates — item 3 surges in both groups; new items
+        [{"grp": g, "item": 3, "score": 99.0} for g in ("a", "b")]
+        + [{"grp": "a", "item": i, "score": float(i)} for i in range(20, 30)],
+        # wave 2: pure redelivery of wave 0 (stale scores — must not
+        # displace anything)
+        [{"grp": g, "item": i, "score": float(10 * i % 17)}
+         for g in ("a", "b") for i in range(20)],
+    ]
+    delivered = []
+    for i, wave in enumerate(waves):
+        delivered += wave
+        _write_json(src, wave, f"wave{i}.json")
+        stream = read_json(spark, src, schema, streaming=True)
+        foreach_batch_topk(
+            stream, store, ckpt,
+            group_keys=["grp"], id_cols=["item"], order_col="score",
+            k=5, spark=spark,
+        )
+
+    got = spark.read.parquet(store)
+    # bounded state: never more than groups x k rows durable
+    assert got.count() <= 2 * 5
+
+    # equals the batch top-k over the full delivered history
+    from pyspark.sql.window import Window
+    all_rows = spark.createDataFrame(
+        [(d["grp"], d["item"], d["score"]) for d in delivered], schema
+    )
+    best = all_rows.groupBy("grp", "item").agg(F.max("score").alias("score"))
+    w = Window.partitionBy("grp").orderBy(F.col("score").desc(), "item")
+    expect = (
+        best.withColumn("topk_rank", F.row_number().over(w))
+        .filter("topk_rank <= 5")
+        .withColumn("topk_rank", F.col("topk_rank").cast("bigint"))
+    )
+    assert got.exceptAll(expect).count() == 0
+    assert expect.exceptAll(got).count() == 0
+    # the wave-1 surge is rank 1 in both groups
+    top1 = {r["grp"]: r["item"] for r in got.filter("topk_rank = 1").collect()}
+    assert top1 == {"a": 3, "b": 3}

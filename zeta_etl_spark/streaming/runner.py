@@ -399,3 +399,88 @@ def hopping_agg_stream(
         .withColumn("win_end", F.col("_w.end"))
         .drop("_w")
     )
+
+
+def foreach_batch_topk(
+    stream: DataFrame,
+    target_path: str,
+    checkpoint: str,
+    group_keys: Sequence[str],
+    id_cols: Sequence[str],
+    order_col: str,
+    k: int,
+    spark: SparkSession,
+) -> None:
+    """Incremental per-group top-k maintenance — a streaming leaderboard
+    (the reference's serving layer exports exactly this shape per hour;
+    dfs-serving/zetadex-serving.py reads precomputed leaderboard golds).
+
+    Top-k merge is associative and idempotent over keyed rows:
+    ``state' = topk(dedup(state ∪ batch))`` where dedup keeps the MAX
+    ``order_col`` per (group, id) — so re-delivered or updated items
+    cannot double-place, and the durable state is bounded by
+    |groups| × k rows regardless of stream volume (the property that makes
+    a perpetual leaderboard affordable; everything below rank k is
+    discarded at the merge, never re-read).
+
+    Crash story = foreach_batch_upsert's: versioned dirs + atomic pointer
+    commit + reader mirror; a replayed batch re-merges into the same
+    version and re-commits identically.
+    """
+    import shutil
+
+    from pyspark.sql.window import Window
+
+    ptr_path = target_path + ".version"
+
+    def _committed_version() -> int | None:
+        if not os.path.exists(ptr_path):
+            return None
+        with open(ptr_path) as fh:
+            return int(fh.read().strip())
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        current_ver = _committed_version()
+        if current_ver == batch_id:
+            spark.read.parquet(f"{target_path}__v{batch_id}").write.mode(
+                "overwrite"
+            ).parquet(target_path)
+            return
+        if current_ver is not None:
+            current = spark.read.parquet(
+                f"{target_path}__v{current_ver}"
+            ).drop("topk_rank")
+            merged = current.unionByName(batch_df.select(*current.columns))
+        else:
+            merged = batch_df
+        # keyed dedup: max order_col per (group, id) — update-safe
+        best = merged.groupBy(*group_keys, *id_cols).agg(
+            F.max(order_col).alias(order_col)
+        )
+        w = Window.partitionBy(*group_keys).orderBy(
+            F.col(order_col).desc(), *id_cols
+        )
+        out = (
+            best.withColumn("topk_rank", F.row_number().over(w))
+            .filter(F.col("topk_rank") <= k)
+            .withColumn("topk_rank", F.col("topk_rank").cast("bigint"))
+        )
+        new_dir = f"{target_path}__v{batch_id}"
+        out.write.mode("overwrite").parquet(new_dir)
+        spark.read.parquet(new_dir).write.mode("overwrite").parquet(
+            target_path
+        )
+        tmp_ptr = ptr_path + ".tmp"
+        with open(tmp_ptr, "w") as fh:
+            fh.write(str(batch_id))
+        os.replace(tmp_ptr, ptr_path)  # atomic commit point
+        if current_ver is not None:
+            shutil.rmtree(f"{target_path}__v{current_ver}", ignore_errors=True)
+
+    (
+        stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
