@@ -86,6 +86,14 @@ OPTIONAL = [
     "composition_chisq",
     "hll_rolling_registers",
     "heavy_hitters_2pass",
+    # round-6 additions
+    "interval_union_seconds",
+    "kmv_set_ops",
+    "scd2_event_history",
+    "robust_mad_outliers",
+    "mixture_sample_docs",
+    "token_rarity_score",
+    "embedding_outliers",
 ]
 
 # Deliberate experiments whose cost is a MEASUREMENT, not the engine's real
