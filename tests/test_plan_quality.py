@@ -177,3 +177,44 @@ def test_round5_query_plan_shapes(spark, sf_dir):
         ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
     ]
     assert len(exchanges) <= 2
+
+
+def test_round6_query_plan_shapes(spark, sf_dir):
+    """Round-6 warehouse batch keeps the 100 TB plan properties."""
+    for name in (
+        "interval_union_seconds",
+        "kmv_set_ops",
+        "scd2_event_history",
+        "robust_mad_outliers",
+        "mixture_sample_docs",
+        "token_rarity_score",
+        "embedding_outliers",
+    ):
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+
+    # interval union: both window families + both groupBys share the ONE
+    # user_id exchange — the sweep costs a single shuffle of the events
+    plan = _plan(spark, sf_dir, "interval_union_seconds")
+    ex = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
+    assert len(ex) == 1, plan
+
+    # scd2: same property — run detection, collapse and the lead window
+    # all ride one user_id exchange
+    plan = _plan(spark, sf_dir, "scd2_event_history")
+    ex = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
+    assert len(ex) == 1, plan
+
+    # mixture sampler: the per-doc acceptance join broadcasts the tiny
+    # rate table — the corpus never shuffles for it
+    plan = _plan(spark, sf_dir, "mixture_sample_docs")
+    assert "BroadcastHashJoin" in plan
+
+    # embedding outliers: cuts broadcast back onto the vector side
+    plan = _plan(spark, sf_dir, "embedding_outliers")
+    assert "BroadcastHashJoin" in plan
+
+    # kmv: bottom-k sketches build via TakeOrdered (per-partition top-k,
+    # no full sort of the distinct-hash set)
+    plan = _plan(spark, sf_dir, "kmv_set_ops")
+    assert "TakeOrderedAndProject" in plan

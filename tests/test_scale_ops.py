@@ -613,3 +613,43 @@ def test_skewed_near_dup_cluster_lsh_cc_rehearsal(spark):
     assert max(lsizes) <= 2 * (total / 32) + 5
     pairs.unpersist()
     labels.unpersist()
+
+
+def test_round6_operator_edge_cases(spark, tmp_path, sf_dir):
+    """Degenerate inputs for the round-6 batch: a corpus with NO members
+    of either KMV set (empty sketches -> exact-0 estimates, NULL
+    intersection instead of an ANSI divide-by-zero), single-event users
+    (one island, MAD 0, single current SCD2 run)."""
+    import os as _os
+
+    from zeta_etl_spark.queries import REGISTRY
+
+    edge = str(tmp_path / "edge_sf")
+    _os.makedirs(edge, exist_ok=True)
+    # one event per user, and none of type click/view
+    spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 7, "error", 3.25, "{}"),
+         (2, "2024-01-01 01:00:00", 8, "signup", 4.75, "{}")],
+        "event_id bigint, ts string, user_id bigint, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.expr("cast(ts as timestamp_ntz)")).write.parquet(
+        _os.path.join(edge, "events.parquet")
+    )
+
+    kmv = REGISTRY["kmv_set_ops"].fn(spark, edge).first()
+    assert kmv["est_a"] == 0 and kmv["est_b"] == 0 and kmv["est_union"] == 0
+    assert kmv["n_both"] == 0 and kmv["est_intersection"] is None
+
+    iu = {r["user_id"]: r for r in
+          REGISTRY["interval_union_seconds"].fn(spark, edge).collect()}
+    assert iu[7]["n_islands"] == 1
+    assert iu[7]["covered_seconds"] == 60 + 1 % 540
+
+    mad = {r["user_id"]: r for r in
+           REGISTRY["robust_mad_outliers"].fn(spark, edge).collect()}
+    assert mad[7]["median_cents"] == 325
+    assert mad[7]["mad_cents"] == 0 and mad[7]["n_outliers"] == 0
+
+    scd = REGISTRY["scd2_event_history"].fn(spark, edge).collect()
+    assert len(scd) == 2
+    assert all(r["is_current"] and r["valid_to"] is None for r in scd)

@@ -188,7 +188,8 @@ SELECT
        ELSE (({_KMV_K2} - 1) * {_KMV_H}) // kth_u END AS BIGINT) AS est_union,
   CAST(n_both AS BIGINT) AS n_both,
   CAST((n_both * CASE WHEN nu < {_KMV_K2} THEN nu
-       ELSE (({_KMV_K2} - 1) * {_KMV_H}) // kth_u END) // nu AS BIGINT)
+       ELSE (({_KMV_K2} - 1) * {_KMV_H}) // kth_u END) // NULLIF(nu, 0)
+    AS BIGINT)
     AS est_intersection
 FROM est
 """
@@ -248,9 +249,11 @@ def kmv_set_ops(spark, sf_dir):
             "est_b",
             "est_union",
             "n_both",
-            F.expr("(n_both * est_union) div _n_union").alias(
-                "est_intersection"
-            ),
+            # nullif guard: an empty union sketch (no click/view users at all)
+            # must yield NULL, not an ANSI divide-by-zero
+            F.expr(
+                "(n_both * est_union) div nullif(_n_union, 0)"
+            ).alias("est_intersection"),
         )
     )
 
