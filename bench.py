@@ -94,6 +94,9 @@ OPTIONAL = [
     "mixture_sample_docs",
     "token_rarity_score",
     "embedding_outliers",
+    "grouping_sets_report",
+    "lateral_top_orders",
+    "forward_fill_values",
 ]
 
 # Deliberate experiments whose cost is a MEASUREMENT, not the engine's real

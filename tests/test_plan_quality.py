@@ -218,3 +218,33 @@ def test_round6_query_plan_shapes(spark, sf_dir):
     # no full sort of the distinct-hash set)
     plan = _plan(spark, sf_dir, "kmv_set_ops")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_sql_surface_trio_plan_shapes(spark, sf_dir):
+    """GROUPING SETS / LATERAL / IGNORE-NULLS forward fill keep sane
+    physical shapes: the correlated LATERAL decorrelates to a
+    WindowGroupLimit + hash join (NOT a nested-loop re-execution per
+    customer) with the segment filter pushed to the scan; the grouping-set
+    Expand emits exactly the 3 chosen grains; the gap-fill runs one
+    user_id exchange."""
+    plan = _plan(spark, sf_dir, "lateral_top_orders")
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert "PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)" in plan
+
+    # 3 grouping sets -> exactly 3 projections in the Expand operator
+    # (CUBE over the same columns would emit 4 — the row-multiplication
+    # factor is the whole point of choosing GROUPING SETS at scale)
+    # the Expand projections carry the grouping-id literal of each grain:
+    # 0=(source,lang), 1=(source), 3=() present; 2=(lang-only) ABSENT —
+    # that absent grain is precisely what CUBE would have added
+    plan = _plan(spark, sf_dir, "grouping_sets_report")
+    expand_line = next(ln for ln in plan.splitlines() if "Expand" in ln)
+    assert ", 0]" in expand_line
+    assert ", 1]" in expand_line
+    assert ", 3]" in expand_line
+    assert ", 2]" not in expand_line
+
+    plan = _plan(spark, sf_dir, "forward_fill_values")
+    ex = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
+    assert len(ex) == 1

@@ -23,6 +23,7 @@ from zeta_etl_spark.queries import (  # noqa: E402,F401
     relational,
     relational2_q,
     relational3_q,
+    relational4_q,
     scalar_q,
     serving_q,
     temporal_q,
