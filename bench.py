@@ -97,6 +97,8 @@ OPTIONAL = [
     "grouping_sets_report",
     "lateral_top_orders",
     "forward_fill_values",
+    "recursive_dup_reachability",
+    "variant_payload_access",
 ]
 
 # Deliberate experiments whose cost is a MEASUREMENT, not the engine's real

@@ -138,3 +138,103 @@ def forward_fill_values(spark, sf_dir):
         .over(w)
         .alias("last_purchase_cents"),
     )
+
+
+# --- recursive_dup_reachability: native recursive CTE over the dup graph -----
+# Spark 4 ships WITH RECURSIVE (UNION ALL form); the engine's star-CC
+# operator remains the scale path for full components (O(log n) rounds,
+# checkpointed), but bounded-depth graph walks — "what is within k hops of
+# this doc" — are exactly what the recursive form expresses naturally.
+# Depth is bounded EXPLICITLY (depth < 3) because Spark's recursion is
+# UNION ALL only (no UNION-distinct cycle termination yet) and the dup
+# graph has cycles; min-hop dedup happens in the final GROUP BY.  Seeds:
+# every pair endpoint divisible by 10.
+
+_REACH_SPARK = """
+WITH RECURSIVE reach(seed, doc, depth) AS (
+  SELECT src, src, 0 FROM (SELECT DISTINCT src FROM _rd_edges
+                           WHERE src % 10 = 0)
+  UNION ALL
+  SELECT r.seed, e.dst, r.depth + 1
+  FROM reach r JOIN _rd_edges e ON e.src = r.doc
+  WHERE r.depth < 3
+)
+SELECT seed, doc, CAST(MIN(depth) AS BIGINT) AS min_hops
+FROM reach GROUP BY seed, doc
+"""
+
+
+def _reach_oracle() -> str:
+    from zeta_etl_spark.queries.dedup_q import _NGRAM_ORACLE
+
+    return f"""
+WITH RECURSIVE pairs AS ({_NGRAM_ORACLE}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(seed, doc, depth) AS (
+  SELECT src, src, 0 FROM (SELECT DISTINCT src FROM edges
+                           WHERE src % 10 = 0)
+  UNION ALL
+  SELECT r.seed, e.dst, r.depth + 1
+  FROM reach r JOIN edges e ON e.src = r.doc
+  WHERE r.depth < 3
+)
+SELECT seed, doc, CAST(MIN(depth) AS BIGINT) AS min_hops
+FROM reach GROUP BY seed, doc
+"""
+
+
+@query(
+    "recursive_dup_reachability",
+    oracle=_reach_oracle(),
+    tags=("graph", "recursive-cte", "iterative"),
+)
+def recursive_dup_reachability(spark, sf_dir):
+    from zeta_etl_spark.queries.dedup_q import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.selectExpr("doc_a AS src", "doc_b AS dst").unionByName(
+        pairs.selectExpr("doc_b AS src", "doc_a AS dst")
+    )
+    edges.createOrReplaceTempView("_rd_edges")
+    return spark.sql(_REACH_SPARK)
+
+
+# --- variant_payload_access: semi-structured VARIANT column access -----------
+# Spark 4's VARIANT type: parse the JSON payload once into a binary
+# variant and read typed paths with variant_get — the engine's answer to
+# the reference's stringly-typed map payloads (§1.2) when the payload
+# schema is open-ended.  At scale, parse_json runs once per row in codegen
+# and variant_get is a binary path read, vs re-parsing the JSON string per
+# accessed field.  The oracle reads the same paths with DuckDB's JSON
+# extraction.
+
+_VARIANT_ORACLE = """
+SELECT event_id,
+  CAST(json_extract(props, '$.k') AS BIGINT) AS k_value,
+  CAST(json_extract(props, '$.missing') AS BIGINT) AS missing_value
+FROM events
+WHERE event_type = 'purchase'
+"""
+
+
+@query(
+    "variant_payload_access",
+    oracle=_VARIANT_ORACLE,
+    tags=("scalar", "variant", "json"),
+)
+def variant_payload_access(spark, sf_dir):
+    e = T(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    v = F.expr("parse_json(props)")
+    return e.select(
+        "event_id",
+        F.expr("variant_get(parse_json(props), '$.k', 'bigint')").alias(
+            "k_value"
+        ),
+        F.expr(
+            "variant_get(parse_json(props), '$.missing', 'bigint')"
+        ).alias("missing_value"),
+    )
