@@ -739,3 +739,46 @@ def test_backfill_rewrites_only_matching_partitions(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "bf4" / "gated")).collect()
     ]
     assert vals == [5]
+
+
+def test_vacuum_and_describe(spark, tmp_path):
+    """Pipeline.vacuum removes only stranded maintenance side dirs;
+    Pipeline.describe lists node metadata + materialization stats without
+    touching data."""
+    import os as _os
+
+    from pyspark.sql import functions as F2
+
+    from zeta_etl_spark.plans.graph import Pipeline
+
+    base = str(tmp_path / "vac")
+    p = Pipeline("vac", base)
+
+    @p.table(name="tbl", partition_by=("day",), quality="silver",
+             comment="demo")
+    def tbl(pl):
+        return spark.range(100).withColumn("day", F2.col("id") % 2)
+
+    @p.view(name="vw")
+    def vw(pl):
+        return p.read("tbl")
+
+    p.run(spark, targets=["tbl"])
+
+    # simulate a crashed compaction
+    _os.makedirs(base + "/tbl__compacting")
+    _os.makedirs(base + "/tbl__old")
+    removed = p.vacuum()
+    assert sorted(removed) == [base + "/tbl__compacting", base + "/tbl__old"]
+    assert _os.path.exists(base + "/tbl")  # live table untouched
+    assert p.vacuum() == []  # idempotent
+
+    with pytest.raises(KeyError):
+        p.vacuum("nope")
+
+    desc = {d["name"]: d for d in p.describe()}
+    assert desc["tbl"]["kind"] == "table"
+    assert desc["tbl"]["quality"] == "silver"
+    assert desc["tbl"]["partition_by"] == ["day"]
+    assert desc["tbl"]["materialized"] and desc["tbl"]["bytes"] > 0
+    assert desc["vw"]["kind"] == "view" and not desc["vw"]["materialized"]

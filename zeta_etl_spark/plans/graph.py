@@ -363,6 +363,67 @@ class Pipeline:
             self._done[name] = df_new
         return n_files
 
+    def vacuum(self, name: str | None = None) -> list[str]:
+        """Remove orphan maintenance directories — the engine's VACUUM
+        stand-in.  Crash-safe operations (``compact``) stage their work in
+        ``{table}__compacting`` / ``{table}__old`` side dirs; a crash can
+        strand those, and they are dead weight once the live table is
+        intact (the swap protocol never needs them across restarts —
+        recovery is manual by design, see ``compact``).  Scoped to one
+        node or the whole pipeline; returns the removed paths.  Never
+        touches live tables, checkpoints, or streaming ``_spark_metadata``.
+        """
+        import shutil
+
+        names = [name] if name else list(self.nodes)
+        removed = []
+        for n in names:
+            if n not in self.nodes:
+                raise KeyError(f"unknown node {n!r} in pipeline {self.name}")
+            for suffix in ("__compacting", "__old"):
+                side = self.path(n) + suffix
+                if os.path.exists(side):
+                    shutil.rmtree(side)
+                    removed.append(side)
+        return removed
+
+    def describe(self, spark: SparkSession | None = None) -> list[dict]:
+        """Node inventory with materialization stats — the engine's
+        DESCRIBE/lineage-listing surface (DLT renders the same from its
+        graph UI).  Per node: declaration metadata plus, when the node is
+        materialized on disk, file count and bytes (footer-free walk; row
+        counts are deliberately NOT read here — a listing must stay
+        cheap)."""
+        out = []
+        for n, node in self.nodes.items():
+            path = self.path(n)
+            n_bytes = n_files = 0
+            materialized = node.kind != "view" and os.path.exists(path)
+            if materialized:
+                for root, _dirs, files in os.walk(path):
+                    for f in files:
+                        if f.startswith((".", "_")):
+                            continue
+                        n_files += 1
+                        n_bytes += os.path.getsize(os.path.join(root, f))
+            out.append(
+                {
+                    "name": n,
+                    "kind": node.kind,
+                    "quality": node.quality,
+                    "mode": node.extra.get("mode", "overwrite")
+                    if node.kind in ("table", "cdc")
+                    else None,
+                    "incremental": bool(node.extra.get("incremental")),
+                    "partition_by": list(node.partition_by),
+                    "comment": node.comment,
+                    "materialized": materialized,
+                    "files": n_files,
+                    "bytes": n_bytes,
+                }
+            )
+        return out
+
     def read_stream(self, name: str) -> DataFrame:
         """Incremental dependency edge (mirrors dlt.read_stream): inside an
         ``incremental=True`` node this returns a streaming scan of the
