@@ -520,3 +520,108 @@ def test_incremental_cc_equals_full_on_random_splits(spark, edges, split):
         for r in connected_components_star(mk(edges)).collect()
     }
     assert got == want
+
+
+_INTERVALS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),     # user
+        st.integers(min_value=0, max_value=300),   # start second
+        st.integers(min_value=1, max_value=60),    # duration
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(iv=_INTERVALS)
+@settings(**_SETTINGS)
+def test_interval_union_matches_naive_second_sets(spark, iv):
+    """Sweep-line interval coalescing == brute-force union of the covered
+    integer seconds, for arbitrary overlapping/nested/adjacent intervals.
+    (The registry query derives intervals from events; the operator shape
+    under test is the window sweep itself.)"""
+    from pyspark.sql.window import Window as W
+
+    rows = [
+        (u, i, s, s + d) for i, (u, s, d) in enumerate(iv)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id int, event_id int, start_s long, end_s long"
+    )
+    w = W.partitionBy("user_id").orderBy("start_s", "event_id")
+    prior_max = F.max("end_s").over(w.rowsBetween(W.unboundedPreceding, -1))
+    islands = (
+        df.withColumn(
+            "is_start",
+            F.when(prior_max.isNull() | (F.col("start_s") > prior_max), 1)
+            .otherwise(0),
+        )
+        .withColumn(
+            "island",
+            F.sum("is_start").over(
+                w.rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
+        )
+        .groupBy("user_id", "island")
+        .agg(F.min("start_s").alias("a"), F.max("end_s").alias("b"))
+        .groupBy("user_id")
+        .agg(F.sum(F.col("b") - F.col("a")).alias("covered"))
+    )
+    got = {r["user_id"]: r["covered"] for r in islands.collect()}
+    naive = {}
+    for u, s, d in iv:
+        naive.setdefault(u, set()).update(range(s, s + d))
+    assert got == {u: len(secs) for u, secs in naive.items()}
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1),    # group
+            st.integers(min_value=0, max_value=15),   # item
+            st.integers(min_value=0, max_value=100),  # score
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    cut=st.integers(min_value=0, max_value=30),
+)
+@settings(**_SETTINGS)
+def test_topk_merge_is_split_invariant(spark, rows, cut):
+    """The incremental top-k merge rule (topk of max-score dedup of
+    state ∪ batch) gives the SAME result for any split of the input into
+    two batches as for one batch — the associativity that makes
+    foreach_batch_topk correct under arbitrary microbatch boundaries."""
+    from pyspark.sql.window import Window as W
+
+    k = 3
+
+    def topk(df):
+        best = df.groupBy("g", "item").agg(F.max("score").alias("score"))
+        w = W.partitionBy("g").orderBy(F.col("score").desc(), "item")
+        return (
+            best.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .drop("rn")
+        )
+
+    schema = "g int, item int, score int"
+    all_df = spark.createDataFrame(rows, schema)
+    direct = topk(all_df)
+
+    cut = min(cut, len(rows))
+    b1 = spark.createDataFrame(rows[:cut], schema) if cut else None
+    b2 = (
+        spark.createDataFrame(rows[cut:], schema)
+        if cut < len(rows)
+        else None
+    )
+    state = None
+    for b in (b1, b2):
+        if b is None:
+            continue
+        merged = b if state is None else state.unionByName(b)
+        state = topk(merged)
+    assert state is not None
+    assert direct.exceptAll(state).count() == 0
+    assert state.exceptAll(direct).count() == 0
