@@ -196,9 +196,13 @@ def recursive_dup_reachability(spark, sf_dir):
     from zeta_etl_spark.queries.dedup_q import ngram_jaccard_pairs
 
     pairs = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    # cache: the recursive CTE re-evaluates the anchor view's plan on
+    # EVERY recursion step — uncached, each of the 3 hops re-executes the
+    # full inverted-index shingle join (measured 3.7 s vs 1.2 s at sf0.1).
+    # The edge list is the bounded near-dup pair set, safe to pin.
     edges = pairs.selectExpr("doc_a AS src", "doc_b AS dst").unionByName(
         pairs.selectExpr("doc_b AS src", "doc_a AS dst")
-    )
+    ).cache()
     edges.createOrReplaceTempView("_rd_edges")
     return spark.sql(_REACH_SPARK)
 
