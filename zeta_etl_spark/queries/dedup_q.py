@@ -340,7 +340,9 @@ def dedup_clusters(spark, sf_dir):
     # tests/test_scale_ops.py
     from zeta_etl_spark.operators.dedup import connected_components_star
 
-    pairs = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    # cache: CC's symmetrizing union would re-execute the inverted-index
+    # shingle join once per branch (same fix as semantic_dup_clusters)
+    pairs = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b").cache()
     labels = connected_components_star(pairs, src="doc_a", dst="doc_b")
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
     return labels.join(sizes, "label").select(

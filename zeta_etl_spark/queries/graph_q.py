@@ -76,9 +76,12 @@ def pagerank_sim_graph(spark, sf_dir):
     built by ONE LSH-bucket equi-join (never all-pairs); each round is one
     shuffle on dst; ranks are localCheckpoint-ed per round so plan depth
     does not grow with iteration count."""
+    # cache: deg and edges each checkpoint a plan containing the bucketed
+    # cosine edge build, and sym's union doubles it again — without the
+    # pin the expensive join executes ~4x before the checkpoints exist
     pairs = _cosine_bucket_pairs(spark, sf_dir, _SIM_THRESHOLD).select(
         "vec_a", "vec_b"
-    )
+    ).cache()
     sym = pairs.select(
         F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
     )

@@ -349,9 +349,12 @@ def semantic_dup_clusters(spark, sf_dir):
     # star contraction (O(log n) rounds vs O(diameter) min-label)
     from zeta_etl_spark.operators.dedup import connected_components_star
 
+    # cache: star CC symmetrizes the edge list with a union whose two
+    # branches would each re-execute the bucketed cosine edge build —
+    # pinning the bounded pair set halves the query (15.9 -> 9.6 s at sf1)
     pairs = _cosine_bucket_pairs(spark, sf_dir, _SIM_THRESHOLD).select(
         "vec_a", "vec_b"
-    )
+    ).cache()
     labels = connected_components_star(pairs, src="vec_a", dst="vec_b")
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
     return labels.join(sizes, "label").select(
