@@ -165,9 +165,10 @@ def build_cc_state_pipeline(
     @p.table(name="old_labels", quality="silver",
              comment="durable (doc_id, label) cluster state of the corpus")
     def old_labels(pl):
+        # cache: CC's symmetrizing union would run the shingle join twice
         pairs = shingle_jaccard_pairs(
             old_docs.repartition(n_part, "doc_id"), min_jaccard=0.2
-        ).select("doc_a", "doc_b")
+        ).select("doc_a", "doc_b").cache()
         return connected_components_star(pairs, src="doc_a", dst="doc_b")
 
     return p

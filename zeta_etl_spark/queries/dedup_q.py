@@ -379,9 +379,10 @@ def dedup_clusters_incremental(spark, sf_dir):
         spark.sparkContext.defaultParallelism, "doc_id"
     )
     old_docs = d.filter(f"NOT ({_INCR_SPLIT})")
+    # cache: CC's symmetrizing union would run the shingle join per branch
     old_pairs = shingle_jaccard_pairs(old_docs, min_jaccard=0.2).select(
         "doc_a", "doc_b"
-    )
+    ).cache()
     old_labels = connected_components_star(
         old_pairs, src="doc_a", dst="doc_b"
     )
