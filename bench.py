@@ -99,6 +99,8 @@ OPTIONAL = [
     "forward_fill_values",
     "recursive_dup_reachability",
     "variant_payload_access",
+    "span_dedup_removal",
+    "tokenizer_shard_manifest",
 ]
 
 # Deliberate experiments whose cost is a MEASUREMENT, not the engine's real

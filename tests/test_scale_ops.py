@@ -653,3 +653,38 @@ def test_round6_operator_edge_cases(spark, tmp_path, sf_dir):
     scd = REGISTRY["scd2_event_history"].fn(spark, edge).collect()
     assert len(scd) == 2
     assert all(r["is_current"] and r["valid_to"] is None for r in scd)
+
+
+def test_span_dedup_removal_semantics(spark, tmp_path):
+    """span_dedup_removal end cases: two identical docs lose EVERY token
+    (all windows shared), a unique doc keeps every token (cleaned_md5 ==
+    md5 of its own text), and a doc shorter than the window size is never
+    dropped."""
+    import os as _os
+
+    from pyspark.sql import functions as F2
+
+    from zeta_etl_spark.queries import REGISTRY
+
+    edge = str(tmp_path / "span_sf")
+    _os.makedirs(edge, exist_ok=True)
+    long_a = " ".join(f"w{i}" for i in range(20))
+    uniq = " ".join(f"u{i}" for i in range(20))
+    short = "tiny doc here"
+    spark.createDataFrame(
+        [(1, long_a, "en", "s", len(long_a)),
+         (2, long_a, "en", "s", len(long_a)),
+         (3, uniq, "en", "s", len(uniq)),
+         (4, short, "en", "s", len(short))],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.parquet(_os.path.join(edge, "documents.parquet"))
+
+    got = {r["doc_id"]: r for r in
+           REGISTRY["span_dedup_removal"].fn(spark, edge).collect()}
+    assert got[1]["n_dropped"] == 20 and got[2]["n_dropped"] == 20
+    empty_md5 = spark.range(1).select(F2.md5(F2.lit(""))).first()[0]
+    assert got[1]["cleaned_md5"] == empty_md5
+    assert got[3]["n_dropped"] == 0
+    full_md5 = spark.range(1).select(F2.md5(F2.lit(uniq))).first()[0]
+    assert got[3]["cleaned_md5"] == full_md5
+    assert got[4]["n_dropped"] == 0 and got[4]["n_tokens"] == 3

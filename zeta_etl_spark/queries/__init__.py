@@ -15,6 +15,7 @@ from zeta_etl_spark.queries import (  # noqa: E402,F401
     curation2_q,
     curation3_q,
     curation4_q,
+    curation5_q,
     curation_q,
     dedup_q,
     graph_q,

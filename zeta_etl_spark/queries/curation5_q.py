@@ -1,0 +1,187 @@
+"""Curation batch 5: actionable span-level dedup (removal, not just the
+fraction signal) and the tokenizer-shard export manifest.
+
+- ``span_dedup_removal`` upgrades `duplicated_span_fraction` from a signal
+  to an ACTION: tokens covered by any cross-document duplicated window are
+  dropped and the cleaned text is reconstructed — the Lee et al. exact-
+  substring dedup as the pipeline would actually apply it.
+- ``tokenizer_shard_manifest`` is the export step after `corpus_pack_docs`:
+  packs group into fixed-size shards and the manifest records per-shard
+  doc/token accounting — what a training loader consumes instead of
+  listing parquet files.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from zeta_etl_spark.queries.registry import T, query
+
+# --- span_dedup_removal ------------------------------------------------------
+# Token t of a doc is dropped iff some 8-token window that covers t also
+# occurs verbatim in ANOTHER document.  Output is per-doc accounting plus
+# the md5 of the reconstructed cleaned text (narrow result; the text
+# itself stays in the engine).  Scale shape: windows hash to 60-bit
+# BIGINTs before the explode (8 bytes per window on the shuffle); the
+# shared-gram set is one groupBy + semi-join back; the per-token coverage
+# test is a bounded HOF scan over the doc's own shared-window starts —
+# no token-grain join ever leaves the doc.
+
+_SPAN_K = 8
+
+
+def _rm_oracle() -> str:
+    from zeta_etl_spark.queries.curation4_q import _duck_window_hashes
+
+    return f"""
+WITH sh AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         {_duck_window_hashes()} AS whs
+  FROM documents
+), w AS (
+  SELECT doc_id, unnest(whs) AS g,
+         generate_subscripts(whs, 1) - 1 AS j
+  FROM sh
+), shared AS (
+  SELECT g FROM w GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2
+), starts AS (
+  SELECT w.doc_id, list(w.j) AS js
+  FROM w JOIN shared USING (g) GROUP BY w.doc_id
+), toks AS (
+  SELECT sh.doc_id, unnest(sh.toks) AS token,
+         generate_subscripts(sh.toks, 1) - 1 AS t,
+         COALESCE(st.js, []) AS js
+  FROM sh LEFT JOIN starts st ON st.doc_id = sh.doc_id
+), marked AS (
+  SELECT doc_id, token, t,
+    len(list_filter(js, j -> j <= t AND t <= j + {_SPAN_K} - 1)) > 0
+      AS dropped
+  FROM toks
+)
+SELECT doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+  CAST(COUNT(*) FILTER (WHERE dropped) AS BIGINT) AS n_dropped,
+  md5(COALESCE(
+    string_agg(CASE WHEN NOT dropped THEN token END, ' ' ORDER BY t), ''))
+    AS cleaned_md5
+FROM marked GROUP BY doc_id
+"""
+
+
+def _spark_window_hash_structs() -> str:
+    from zeta_etl_spark.queries.curation4_q import _spark_window_hashes
+
+    # (hash, start) structs so shared-window starts survive the explode
+    return (
+        f"transform({_spark_window_hashes()}, (g, j) -> struct(g AS g, j AS j))"
+    )
+
+
+@query(
+    "span_dedup_removal",
+    oracle=_rm_oracle(),
+    tags=("dedup", "spans", "curation", "action"),
+)
+def span_dedup_removal(spark, sf_dir):
+    d = T(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    win = d.select(
+        "doc_id",
+        F.explode(F.expr(_spark_window_hash_structs())).alias("w"),
+    ).select("doc_id", F.col("w.g").alias("g"), F.col("w.j").alias("j"))
+    win = win.cache()  # feeds the shared-gram groupBy AND the starts join
+    shared = (
+        win.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter("nd >= 2")
+        .select("g")
+    )
+    starts = (
+        win.join(shared, "g")
+        .groupBy("doc_id")
+        .agg(F.collect_list("j").alias("js"))
+    )
+    toks = d.join(starts, "doc_id", "left").select(
+        "doc_id",
+        F.split(F.col("text"), " ").alias("toks"),
+        F.coalesce("js", F.expr("cast(array() as array<int>)")).alias("js"),
+    )
+    k = _SPAN_K
+    marked = toks.select(
+        "doc_id",
+        F.expr(
+            "transform(toks, (x, t) -> struct(x AS token, "
+            f"exists(js, j -> j <= t AND t <= j + {k} - 1) AS dropped))"
+        ).alias("m"),
+    )
+    return marked.select(
+        "doc_id",
+        F.expr("cast(size(m) as bigint)").alias("n_tokens"),
+        F.expr(
+            "cast(size(filter(m, s -> s.dropped)) as bigint)"
+        ).alias("n_dropped"),
+        F.md5(
+            F.expr(
+                "array_join(transform(filter(m, s -> NOT s.dropped), "
+                "s -> s.token), ' ')"
+            )
+        ).alias("cleaned_md5"),
+    )
+
+
+# --- tokenizer_shard_manifest ------------------------------------------------
+# Packs (fixed 256-token windows of each source's doc stream,
+# `corpus_pack_docs`) group into shards of 4 packs; the manifest records,
+# per (source, shard): docs STARTING there, token mass starting there,
+# the pack span, and how many docs spill over the shard's right edge
+# (loader prefetch hint).  Pure integer arithmetic over the packing
+# query's output — one extra groupBy, no new text pass.
+
+_PACKS_PER_SHARD = 4
+
+
+def _manifest_oracle() -> str:
+    from zeta_etl_spark.queries.curation_q import _PACK_ORACLE
+
+    p = _PACKS_PER_SHARD
+    return f"""
+WITH packed AS ({_PACK_ORACLE})
+SELECT source,
+  CAST(start_pack // {p} AS BIGINT) AS shard_id,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+  CAST(MIN(start_pack) AS BIGINT) AS first_pack,
+  CAST(MAX(end_pack) AS BIGINT) AS last_pack,
+  CAST(COUNT(*) FILTER (WHERE end_pack // {p} > start_pack // {p}) AS BIGINT)
+    AS n_spill_docs
+FROM packed
+GROUP BY source, start_pack // {p}
+"""
+
+
+@query(
+    "tokenizer_shard_manifest",
+    oracle=_manifest_oracle(),
+    tags=("curation", "packing", "export"),
+)
+def tokenizer_shard_manifest(spark, sf_dir):
+    from zeta_etl_spark.queries.curation_q import corpus_pack_docs
+
+    packed = corpus_pack_docs(spark, sf_dir)
+    p = _PACKS_PER_SHARD
+    return packed.groupBy(
+        "source", F.expr(f"start_pack div {p}").alias("shard_id")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.min("start_pack").cast("bigint").alias("first_pack"),
+        F.max("end_pack").cast("bigint").alias("last_pack"),
+        F.count(
+            F.when(
+                F.expr(f"end_pack div {p} > start_pack div {p}"), F.lit(1)
+            )
+        )
+        .cast("bigint")
+        .alias("n_spill_docs"),
+    )
