@@ -845,3 +845,39 @@ def test_foreach_batch_topk_leaderboard(spark, tmp_path):
     # the wave-1 surge is rank 1 in both groups
     top1 = {r["grp"]: r["item"] for r in got.filter("topk_rank = 1").collect()}
     assert top1 == {"a": 3, "b": 3}
+
+
+def test_topk_sink_replay_after_crash_is_idempotent(spark, tmp_path):
+    """Same crash model as the upsert sink: the stream checkpoint is lost
+    AFTER the pointer committed (crash between data commit and checkpoint
+    write) — the same files replay as batch 0 and the leaderboard must
+    come out byte-identical (the replay hits the current_ver == batch_id
+    heal path and the merge is idempotent)."""
+    import shutil
+
+    from zeta_etl_spark.sources.json_source import read_json
+    from zeta_etl_spark.streaming.runner import foreach_batch_topk
+
+    src = str(tmp_path / "tkc_src")
+    store = str(tmp_path / "tkc_store")
+    ckpt = str(tmp_path / "tkc_ckpt")
+    schema = "grp string, item bigint, score double"
+    rows = [{"grp": "a", "item": i, "score": float((i * 7) % 11)}
+            for i in range(12)]
+    _write_json(src, rows, "w1.json")
+
+    def run():
+        stream = read_json(spark, src, schema, streaming=True)
+        foreach_batch_topk(
+            stream, store, ckpt, group_keys=["grp"], id_cols=["item"],
+            order_col="score", k=4, spark=spark,
+        )
+
+    run()
+    before = sorted(tuple(r) for r in spark.read.parquet(store).collect())
+    assert len(before) == 4
+
+    shutil.rmtree(ckpt)  # crash: checkpoint lost, pointer survives
+    run()
+    after = sorted(tuple(r) for r in spark.read.parquet(store).collect())
+    assert after == before
