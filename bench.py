@@ -204,6 +204,21 @@ def main() -> None:
             n = df.count()
             timings[name] = round(time.perf_counter() - t0, 3)
             assert n >= 0
+        # corpus-DAG end-to-end: the composed training-data pipeline
+        # (exact-dup -> quality -> MinHash/LSH -> CC canonical -> split ->
+        # mixture -> pack -> report) materialized to a temp dir — the
+        # driver-visible per-round record of the composition cost
+        from zeta_etl_spark.pipelines.corpus import build_corpus_pipeline
+
+        corpus_dir = tempfile.mkdtemp(prefix="bench_corpus_")
+        try:
+            t0 = time.perf_counter()
+            build_corpus_pipeline(spark, corpus_dir, docs).run(spark)
+            diagnostics["corpus_pipeline_e2e"] = round(
+                time.perf_counter() - t0, 3
+            )
+        finally:
+            shutil.rmtree(corpus_dir, ignore_errors=True)
         for name in DIAGNOSTICS:
             if name not in REGISTRY:
                 continue

@@ -232,7 +232,6 @@ WHERE event_type = 'purchase'
 )
 def variant_payload_access(spark, sf_dir):
     e = T(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
-    v = F.expr("parse_json(props)")
     return e.select(
         "event_id",
         F.expr("variant_get(parse_json(props), '$.k', 'bigint')").alias(
