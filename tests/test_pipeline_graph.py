@@ -395,7 +395,8 @@ def test_incremental_minhash_pipeline(spark, tmp_path, sf_dir):
     old_pairs = p0.run(spark)["near_dup_pairs"]
 
     # day 1: incremental run for the batch
-    p1 = build_incremental_minhash_pipeline(spark, base, batch, docs)
+    p1 = build_incremental_minhash_pipeline(spark, base, batch, docs,
+                                        batch_id="day1")
     out = p1.run(spark)
     incr = out["incremental_pairs"]
 
@@ -424,7 +425,8 @@ def test_incremental_minhash_pipeline(spark, tmp_path, sf_dir):
     # and the corpus snapshot excludes this run's own batch_id
     before = sorted(map(tuple, incr.collect()))  # snapshot: the replay
     # rewrites the gold parquet, invalidating incr's file listing
-    p1r = build_incremental_minhash_pipeline(spark, base, batch, docs)
+    p1r = build_incremental_minhash_pipeline(spark, base, batch, docs,
+                                         batch_id="day1")  # same id = replay
     incr2 = p1r.run(spark)["incremental_pairs"]
     assert sorted(map(tuple, incr2.collect())) == before
     sigs2 = spark.read.parquet(base + "/minhash_sigs")
@@ -782,3 +784,63 @@ def test_vacuum_and_describe(spark, tmp_path):
     assert desc["tbl"]["partition_by"] == ["day"]
     assert desc["tbl"]["materialized"] and desc["tbl"]["bytes"] > 0
     assert desc["vw"]["kind"] == "view" and not desc["vw"]["materialized"]
+
+
+def test_vacuum_refuses_when_live_table_missing(spark, tmp_path):
+    """Review finding: after a mid-swap compact crash the side dirs hold
+    the ONLY copies — vacuum must refuse with recovery instructions, not
+    delete them."""
+    import os as _os
+    import shutil as _shutil
+
+    from zeta_etl_spark.plans.graph import Pipeline
+
+    base = str(tmp_path / "vrc")
+    p = Pipeline("vrc", base)
+
+    @p.table(name="t")
+    def t(pl):
+        return spark.range(10)
+
+    p.run(spark, targets=["t"])
+    # simulate the crash window: live renamed aside, rewrite staged
+    _os.rename(base + "/t", base + "/t__old")
+    _os.makedirs(base + "/t__compacting")
+    with pytest.raises(RuntimeError, match="only copies"):
+        p.vacuum("t")
+    assert _os.path.exists(base + "/t__old")  # data still there
+    # after manual recovery, vacuum proceeds
+    _os.rename(base + "/t__old", base + "/t")
+    removed = p.vacuum("t")
+    assert removed == [base + "/t__compacting"]
+    _shutil.rmtree(base)
+
+
+def test_compact_splits_hot_partition_value(spark, tmp_path):
+    """Review finding: repartition(n, *partition_cols) collapses each hive
+    value to ONE task/file, ignoring target_rows_per_file.  With the salt,
+    a hot value holding many times the target splits into multiple files."""
+    import glob as _glob
+
+    from pyspark.sql import functions as F2
+
+    from zeta_etl_spark.plans.graph import Pipeline
+
+    base = str(tmp_path / "hotc")
+    p = Pipeline("hotc", base)
+
+    @p.table(name="hot", partition_by=("day",))
+    def hot(pl):
+        # day 0 is hot: ids < 9000 plus every third id above -> 9334 rows
+        return spark.range(10000).withColumn(
+            "day", F2.when(F2.col("id") < 9000, 0).otherwise(F2.col("id") % 3)
+        )
+
+    p.run(spark, targets=["hot"])
+    p.compact(spark, "hot", target_rows_per_file=2000)
+    hot_files = _glob.glob(base + "/hot/day=0/part-*.parquet")
+    # 9334 rows / 2000 target -> >= 4 files for the hot value, not one
+    assert len(hot_files) >= 4, hot_files
+    df = spark.read.parquet(base + "/hot")
+    assert df.count() == 10000
+    assert df.filter("day = 0").count() == 9334

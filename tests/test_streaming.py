@@ -881,3 +881,53 @@ def test_topk_sink_replay_after_crash_is_idempotent(spark, tmp_path):
     run()
     after = sorted(tuple(r) for r in spark.read.parquet(store).collect())
     assert after == before
+
+
+def test_upsert_and_topk_heal_paths_absorb_new_files(spark, tmp_path):
+    """Review finding: after CHECKPOINT LOSS the replanned batch 0 can
+    contain files the committed version never saw; a heal path that skips
+    the batch would silently drop them.  Both versioned sinks must
+    re-merge — re-delivered rows are idempotent, new rows land."""
+    import shutil
+
+    from zeta_etl_spark.sources.json_source import read_json
+    from zeta_etl_spark.streaming.runner import (
+        foreach_batch_topk,
+        foreach_batch_upsert,
+    )
+
+    # ---- upsert sink ----
+    src = str(tmp_path / "hu_src")
+    target = str(tmp_path / "hu_tgt")
+    ckpt = str(tmp_path / "hu_ckpt")
+    snap = "entity string, val double, seq bigint"
+    _write_json(src, [{"entity": "x", "val": 1.0, "seq": 1}], "w1.json")
+    stream = read_json(spark, src, snap, streaming=True)
+    foreach_batch_upsert(stream, target, ckpt, keys=["entity"],
+                         sequence_by=["seq"], spark=spark)
+    # crash model: checkpoint lost AFTER pointer commit; new file arrives
+    shutil.rmtree(ckpt)
+    _write_json(src, [{"entity": "y", "val": 9.0, "seq": 1}], "w2.json")
+    stream = read_json(spark, src, snap, streaming=True)
+    foreach_batch_upsert(stream, target, ckpt, keys=["entity"],
+                         sequence_by=["seq"], spark=spark)
+    got = {r["entity"]: r["val"] for r in spark.read.parquet(target).collect()}
+    assert got == {"x": 1.0, "y": 9.0}  # y NOT dropped by the heal path
+
+    # ---- topk sink ----
+    src2 = str(tmp_path / "ht_src")
+    store = str(tmp_path / "ht_store")
+    ckpt2 = str(tmp_path / "ht_ckpt")
+    schema = "grp string, item bigint, score double"
+    _write_json(src2, [{"grp": "a", "item": 1, "score": 5.0}], "w1.json")
+    stream = read_json(spark, src2, schema, streaming=True)
+    foreach_batch_topk(stream, store, ckpt2, group_keys=["grp"],
+                       id_cols=["item"], order_col="score", k=3, spark=spark)
+    shutil.rmtree(ckpt2)
+    _write_json(src2, [{"grp": "a", "item": 2, "score": 9.0}], "w2.json")
+    stream = read_json(spark, src2, schema, streaming=True)
+    foreach_batch_topk(stream, store, ckpt2, group_keys=["grp"],
+                       id_cols=["item"], order_col="score", k=3, spark=spark)
+    rows = {(r["item"], r["score"], r["topk_rank"])
+            for r in spark.read.parquet(store).collect()}
+    assert rows == {(2, 9.0, 1), (1, 5.0, 2)}

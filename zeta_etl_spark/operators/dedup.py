@@ -329,7 +329,7 @@ def shingle_jaccard_pairs(
         )
     else:
         in_batch = touching.replace(id_col, f"b.{id_col}")
-        probe = ex.filter(touching.replace(id_col, id_col)).alias("a")
+        probe = ex.filter(touching).alias("a")
         # each batch×corpus pair generated once (from its batch endpoint);
         # batch×batch pairs once via the id ordering
         common = (

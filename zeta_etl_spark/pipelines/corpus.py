@@ -39,8 +39,6 @@ pass):
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -242,27 +240,21 @@ def stage_accounting(
 ) -> list[dict]:
     """Per-stage row/byte/file accounting over the MATERIALIZED nodes — the
     audit a 100 TB run records so each stage's data reduction (dedup drops,
-    gate drops) and storage cost is attributable.  Reads parquet footers
-    (row counts) and directory sizes only; never the data columns."""
+    gate drops) and storage cost is attributable.  Bytes/files come from
+    ``Pipeline.describe()`` (the one walk implementation); only the row
+    counts (parquet-footer reads) are added here."""
+    desc = {d["name"]: d for d in p.describe()}
     out = []
     for name in CORPUS_STAGES:
-        path = p.path(name)
-        if not os.path.exists(path):
+        d = desc.get(name)
+        if d is None or not d["materialized"]:
             continue
-        n_bytes = 0
-        n_files = 0
-        for root, _dirs, files in os.walk(path):
-            for f in files:
-                if f.startswith((".", "_")):
-                    continue
-                n_files += 1
-                n_bytes += os.path.getsize(os.path.join(root, f))
         out.append(
             {
                 "stage": name,
-                "rows": spark.read.parquet(path).count(),
-                "bytes": n_bytes,
-                "files": n_files,
+                "rows": spark.read.parquet(p.path(name)).count(),
+                "bytes": d["bytes"],
+                "files": d["files"],
             }
         )
     return out

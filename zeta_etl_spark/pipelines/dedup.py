@@ -68,8 +68,8 @@ def build_incremental_minhash_pipeline(
     base_path: str,
     batch_docs: DataFrame,
     all_docs: DataFrame,
+    batch_id: str,
     num_perm: int = 16,
-    batch_id: str = "incr",
 ) -> Pipeline:
     """Incremental run against a corpus whose ``minhash_sigs`` silver is
     already materialized at ``base_path`` (a prior
@@ -93,6 +93,13 @@ def build_incremental_minhash_pipeline(
     duplicate signatures that would inflate later candidate joins.  This
     mirrors ``foreach_batch_incremental_dedup``'s batch-partitioned
     exactly-once scheme (streaming/runner.py).
+
+    ``batch_id`` is deliberately REQUIRED (review finding): re-using one
+    id means "replay that increment" — the run excludes the id's own
+    partition from its corpus and then overwrites it.  A shared default
+    would make every DISTINCT increment silently erase its predecessor's
+    signatures and skip its pairs; callers must name each increment
+    (ingest date, batch number) so replay-vs-new is an explicit choice.
 
     ``all_docs`` must cover batch + corpus (verification needs both sides'
     text); at scale this is the durable documents silver."""

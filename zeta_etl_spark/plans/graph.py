@@ -321,10 +321,38 @@ class Pipeline:
         rows = df.count()
         n_files = max(1, math.ceil(rows / target_rows_per_file))
         if node.partition_by:
-            # co-locate each hive partition's rows in few tasks so the
-            # rewrite emits ~n_files per partition VALUE, not n_files ×
-            # partitions tiny files
-            out = df.repartition(n_files, *node.partition_by)
+            # repartition(n, *cols) alone would hash each partition VALUE
+            # to ONE task — a hot value's 50M rows become one giant file
+            # and target_rows_per_file is ignored (review finding).  Salt
+            # within each value so a value holding k×target rows spreads
+            # over ~k tasks, while the writer's partitionBy still lands
+            # every row in its hive dir; files per value ≈ value_rows /
+            # target, files overall ≈ n_files.
+            from pyspark.sql import functions as F
+
+            per_val = max(
+                r[0]
+                for r in df.groupBy(*node.partition_by)
+                .count()
+                .select("count")
+                .collect()
+            )
+            import math as _math
+
+            salts = max(1, _math.ceil(per_val / target_rows_per_file))
+            out = (
+                df.withColumn(
+                    "_compact_salt",
+                    F.pmod(
+                        F.hash(F.monotonically_increasing_id()),
+                        F.lit(salts),
+                    ),
+                )
+                .repartition(
+                    max(n_files, salts), *node.partition_by, "_compact_salt"
+                )
+                .drop("_compact_salt")
+            )
         else:
             out = df.repartition(n_files)
         if sort_by:
@@ -368,8 +396,11 @@ class Pipeline:
         stand-in.  Crash-safe operations (``compact``) stage their work in
         ``{table}__compacting`` / ``{table}__old`` side dirs; a crash can
         strand those, and they are dead weight once the live table is
-        intact (the swap protocol never needs them across restarts —
-        recovery is manual by design, see ``compact``).  Scoped to one
+        intact.  That precondition is ENFORCED, not assumed: after a crash
+        in compact's swap window the live dir may be missing and the side
+        dirs hold the ONLY copies of the data — vacuuming then would be
+        permanent data loss, so vacuum refuses with recovery instructions
+        instead (found by review before it could bite).  Scoped to one
         node or the whole pipeline; returns the removed paths.  Never
         touches live tables, checkpoints, or streaming ``_spark_metadata``.
         """
@@ -380,11 +411,24 @@ class Pipeline:
         for n in names:
             if n not in self.nodes:
                 raise KeyError(f"unknown node {n!r} in pipeline {self.name}")
-            for suffix in ("__compacting", "__old"):
-                side = self.path(n) + suffix
-                if os.path.exists(side):
-                    shutil.rmtree(side)
-                    removed.append(side)
+            sides = [
+                self.path(n) + suffix
+                for suffix in ("__compacting", "__old")
+                if os.path.exists(self.path(n) + suffix)
+            ]
+            if sides and not os.path.exists(self.path(n)):
+                raise RuntimeError(
+                    f"vacuum({n!r}): live table missing but maintenance "
+                    f"dirs exist ({sides}) — a compaction crashed "
+                    "mid-swap and these are the only copies of the data. "
+                    f"Recover first: os.replace('{self.path(n)}__old', "
+                    f"'{self.path(n)}') to restore the original (or "
+                    "promote __compacting, the verified rewrite), THEN "
+                    "vacuum."
+                )
+            for side in sides:
+                shutil.rmtree(side)
+                removed.append(side)
         return removed
 
     def describe(self, spark: SparkSession | None = None) -> list[dict]:

@@ -123,31 +123,36 @@ def foreach_batch_upsert(
 
     ptr_path = target_path + ".version"
 
-    def _committed_version() -> int | None:
+    def _committed_version() -> str | None:
         if not os.path.exists(ptr_path):
             return None
         with open(ptr_path) as fh:
-            return int(fh.read().strip())
+            return fh.read().strip()
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         current_ver = _committed_version()
-        if current_ver == batch_id:
-            # replay of an already-committed batch (crash after pointer
-            # commit, before the stream checkpoint): just heal the mirror
-            healed = spark.read.parquet(f"{target_path}__v{batch_id}")
-            if apply_as_deletes:
-                healed = healed.filter(
-                    ~F.coalesce(F.expr(apply_as_deletes), F.lit(False))
-                )
-            healed.write.mode("overwrite").parquet(target_path)
-            return
+        # A replayed batch id (crash after pointer commit before the
+        # stream checkpoint, or full checkpoint loss) is NOT skipped: after
+        # checkpoint loss the replanned batch can contain files the
+        # committed version never saw, so the only safe move is to merge
+        # batch_df again — latest-wins by key makes the re-merge
+        # idempotent for re-delivered rows while new rows land.  The
+        # rewritten version gets an 'h' (heal) suffix so it never
+        # overwrites the directory it is reading from.
+        if current_ver is not None and (
+            current_ver == str(batch_id)
+            or current_ver.startswith(f"{batch_id}h")
+        ):
+            new_ver = current_ver + "h"
+        else:
+            new_ver = str(batch_id)
         if current_ver is not None:
             current = spark.read.parquet(f"{target_path}__v{current_ver}")
             merged = current.unionByName(batch_df.select(*current.columns))
         else:
             merged = batch_df
         out = latest_by_keys(merged, keys, sequence_by)
-        new_dir = f"{target_path}__v{batch_id}"
+        new_dir = f"{target_path}__v{new_ver}"
         out.write.mode("overwrite").parquet(new_dir)
         # refresh the reader mirror BEFORE the commit point: a torn mirror is
         # recoverable (rebuilt from the committed version), a torn version
@@ -164,7 +169,7 @@ def foreach_batch_upsert(
         mirror.write.mode("overwrite").parquet(target_path)
         tmp_ptr = ptr_path + ".tmp"
         with open(tmp_ptr, "w") as fh:
-            fh.write(str(batch_id))
+            fh.write(new_ver)
         os.replace(tmp_ptr, ptr_path)  # atomic commit point
         if current_ver is not None:
             shutil.rmtree(f"{target_path}__v{current_ver}", ignore_errors=True)
@@ -218,11 +223,11 @@ def foreach_batch_two_level_agg(
     l1_path = target_path + "__level1"
     ptr_path = l1_path + ".version"
 
-    def _committed_version() -> int | None:
+    def _committed_version() -> str | None:
         if not os.path.exists(ptr_path):
             return None
         with open(ptr_path) as fh:
-            return int(fh.read().strip())
+            return fh.read().strip()
 
     def _rebuild_l2(l1_dir: str) -> None:
         out = second_level(spark.read.parquet(l1_dir))
@@ -230,11 +235,18 @@ def foreach_batch_two_level_agg(
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         current_ver = _committed_version()
-        if current_ver == batch_id:
-            # replay after pointer commit but before stream checkpoint:
-            # level 1 already holds this batch; just heal level 2
-            _rebuild_l2(f"{l1_path}__v{batch_id}")
-            return
+        # a replayed batch id is re-MERGED, never skipped: after checkpoint
+        # loss the replanned batch can contain rows the committed version
+        # never saw (same rationale as foreach_batch_upsert); key dedup
+        # makes re-delivered rows a no-op.  Heal versions get an 'h'
+        # suffix so the rewrite never overwrites its own input dir.
+        if current_ver is not None and (
+            current_ver == str(batch_id)
+            or current_ver.startswith(f"{batch_id}h")
+        ):
+            new_ver = current_ver + "h"
+        else:
+            new_ver = str(batch_id)
         if current_ver is not None:
             current = spark.read.parquet(f"{l1_path}__v{current_ver}")
             merged = current.unionByName(batch_df.select(*current.columns))
@@ -243,14 +255,14 @@ def foreach_batch_two_level_agg(
         # closed-window rows are immutable → replays carry identical rows;
         # key dedup makes the merge idempotent
         out = merged.dropDuplicates(list(first_keys))
-        new_dir = f"{l1_path}__v{batch_id}"
+        new_dir = f"{l1_path}__v{new_ver}"
         out.write.mode("overwrite").parquet(new_dir)
         # level 2 is a derived mirror: rebuild BEFORE the commit point (a
         # torn level-2 heals from the committed level-1 on the next batch)
         _rebuild_l2(new_dir)
         tmp_ptr = ptr_path + ".tmp"
         with open(tmp_ptr, "w") as fh:
-            fh.write(str(batch_id))
+            fh.write(new_ver)
         os.replace(tmp_ptr, ptr_path)  # atomic commit point
         if current_ver is not None:
             shutil.rmtree(f"{l1_path}__v{current_ver}", ignore_errors=True)
@@ -335,11 +347,7 @@ def foreach_batch_incremental_dedup(
         # batches — a replayed batch must not see its own partition) are
         # dropped, so state growth tracks novel docs, not delivered rows
         if os.path.exists(docs_root):
-            seen = (
-                spark.read.parquet(docs_root)
-                .filter(F.col("batch") < batch_id)
-                .select("doc_id")
-            )
+            seen = _read_earlier(docs_root, batch_id).select("doc_id")
             batch_docs = batch_docs.join(
                 seen, "doc_id", "left_anti"
             ).localCheckpoint()
@@ -433,19 +441,26 @@ def foreach_batch_topk(
 
     ptr_path = target_path + ".version"
 
-    def _committed_version() -> int | None:
+    def _committed_version() -> str | None:
         if not os.path.exists(ptr_path):
             return None
         with open(ptr_path) as fh:
-            return int(fh.read().strip())
+            return fh.read().strip()
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         current_ver = _committed_version()
-        if current_ver == batch_id:
-            spark.read.parquet(f"{target_path}__v{batch_id}").write.mode(
-                "overwrite"
-            ).parquet(target_path)
-            return
+        # a replayed batch id is re-MERGED, never skipped: after checkpoint
+        # loss the replanned batch can contain rows the committed version
+        # never saw; the merge is idempotent (max per key), so re-merging
+        # is always safe.  Heal versions get an 'h' suffix so the rewrite
+        # never overwrites the directory it reads.
+        if current_ver is not None and (
+            current_ver == str(batch_id)
+            or current_ver.startswith(f"{batch_id}h")
+        ):
+            new_ver = current_ver + "h"
+        else:
+            new_ver = str(batch_id)
         if current_ver is not None:
             current = spark.read.parquet(
                 f"{target_path}__v{current_ver}"
@@ -465,14 +480,14 @@ def foreach_batch_topk(
             .filter(F.col("topk_rank") <= k)
             .withColumn("topk_rank", F.col("topk_rank").cast("bigint"))
         )
-        new_dir = f"{target_path}__v{batch_id}"
+        new_dir = f"{target_path}__v{new_ver}"
         out.write.mode("overwrite").parquet(new_dir)
         spark.read.parquet(new_dir).write.mode("overwrite").parquet(
             target_path
         )
         tmp_ptr = ptr_path + ".tmp"
         with open(tmp_ptr, "w") as fh:
-            fh.write(str(batch_id))
+            fh.write(new_ver)
         os.replace(tmp_ptr, ptr_path)  # atomic commit point
         if current_ver is not None:
             shutil.rmtree(f"{target_path}__v{current_ver}", ignore_errors=True)
