@@ -844,3 +844,34 @@ def test_compact_splits_hot_partition_value(spark, tmp_path):
     df = spark.read.parquet(base + "/hot")
     assert df.count() == 10000
     assert df.filter("day = 0").count() == 9334
+
+
+def test_warn_only_expectations_piggyback_on_write(spark, tmp_path, sf_dir):
+    """Warn-only expectations ride the materialization pass via
+    df.observe (no separate counting scan) and still record correct
+    violation counts."""
+    from zeta_etl_spark.plans.graph import Pipeline
+
+    p = Pipeline("obsdq", str(tmp_path / "obsdq"))
+
+    @p.table(
+        name="watched",
+        expectations={
+            "positive_value": ("value > 0", "warn"),
+            "known_type": (
+                "event_type in ('click','view','purchase','signup','error')",
+                "warn",
+            ),
+        },
+    )
+    def watched(pl):
+        return load_table(spark, sf_dir, "events")
+
+    out = p.run(spark, targets=["watched"])["watched"]
+    ev = load_table(spark, sf_dir, "events")
+    # warn never drops rows
+    assert out.count() == ev.count()
+    m = p.expectation_metrics["watched"]
+    assert m["positive_value"]["failed"] == ev.filter("value <= 0").count()
+    assert m["known_type"]["failed"] == 0
+    assert all(v["action"] == "warn" for v in m.values())

@@ -523,8 +523,31 @@ class Pipeline:
                 return self._materialize_incremental(node)
             else:
                 df = node.fn(self)
+            obs = None
             if node.expectations:
-                df = self._apply_expectations(node, df)
+                if node.kind in ("table", "cdc") and all(
+                    action == "warn"
+                    for _c, action in node.expectations.values()
+                ):
+                    # warn-only expectations piggyback on the
+                    # materialization pass via df.observe — zero extra
+                    # scans (the separate counting aggregate below is only
+                    # needed when a drop/fail must act BEFORE the write)
+                    from pyspark.sql import Observation
+                    from pyspark.sql import functions as F
+
+                    obs = Observation(f"dq_{node.name}")
+                    df = df.observe(
+                        obs,
+                        *[
+                            F.count(F.when(~F.expr(cond), F.lit(1))).alias(
+                                ename
+                            )
+                            for ename, (cond, _a) in node.expectations.items()
+                        ],
+                    )
+                else:
+                    df = self._apply_expectations(node, df)
             if node.kind in ("table", "cdc"):
                 mode = node.extra.get("mode", "overwrite")
                 if node.sort_within_partitions:
@@ -557,6 +580,16 @@ class Pipeline:
                 # explicit schema: an empty node (0-row day, empty source)
                 # writes no part files and schema inference would fail
                 df = spark.read.schema(df.schema).parquet(self.path(name))
+                if obs is not None:
+                    counts = obs.get  # filled by the write action above
+                    self.expectation_metrics[node.name] = {
+                        ename: {
+                            "failed": counts[ename],
+                            "action": "warn",
+                            "condition": cond,
+                        }
+                        for ename, (cond, _a) in node.expectations.items()
+                    }
             df.createOrReplaceTempView(f"{self.name}__{name}")
             self._done[name] = df
             return df
