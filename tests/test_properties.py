@@ -625,3 +625,67 @@ def test_topk_merge_is_split_invariant(spark, rows, cut):
     assert state is not None
     assert direct.exceptAll(state).count() == 0
     assert state.exceptAll(direct).count() == 0
+
+
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=19),        # doc id
+            st.lists(st.sampled_from("abcdefg"), min_size=0, max_size=12),
+        ),
+        min_size=1,
+        max_size=12,
+        unique_by=lambda t: t[0],
+    ),
+    mod=st.integers(min_value=2, max_value=5),
+)
+@settings(**_SETTINGS)
+def test_incremental_jaccard_equals_filtered_full(spark, docs, mod):
+    """shingle_jaccard_pairs incremental mode == full mode restricted to
+    batch-touching pairs, for arbitrary corpora (including docs shorter
+    than the shingle size, empty docs, and batches that are empty or the
+    whole corpus)."""
+    from zeta_etl_spark.operators.dedup import shingle_jaccard_pairs
+
+    rows = [(i, " ".join(toks)) for i, toks in docs]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    pred = f"doc_id % {mod} = 0"
+
+    full = shingle_jaccard_pairs(df, min_jaccard=0.2).select(
+        "doc_a", "doc_b", "n_common"
+    )
+    expected = full.filter(
+        f"(doc_a % {mod} = 0) OR (doc_b % {mod} = 0)"
+    )
+    got = shingle_jaccard_pairs(df, min_jaccard=0.2, touching=pred).select(
+        "doc_a", "doc_b", "n_common"
+    )
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0
+
+
+@given(
+    vec=st.lists(
+        st.integers(min_value=-1_000_000, max_value=1_000_000),
+        min_size=8,
+        max_size=8,
+    ),
+    n_planes=st.integers(min_value=1, max_value=10),
+)
+@settings(**_SETTINGS)
+def test_lsh_bucket_fold_matches_reference(spark, vec, n_planes):
+    """The folded one-expression lsh_bucket (2-D literal + nested HOFs)
+    computes bit-identical bucket ids to a direct per-plane Python
+    evaluation, for arbitrary vectors and plane counts — guards the
+    codegen-size refactor against silent arithmetic drift."""
+    from zeta_etl_spark.operators.vectors import hyperplane_params, lsh_bucket
+
+    planes = hyperplane_params(n_planes, 8)
+    expected = sum(
+        (1 << b)
+        for b, plane in enumerate(planes)
+        if sum(x * w for x, w in zip(vec, plane)) > 0
+    )
+    df = spark.createDataFrame([(vec,)], "sv array<bigint>")
+    got = df.select(lsh_bucket("sv", planes).alias("b")).first()["b"]
+    assert got == expected
