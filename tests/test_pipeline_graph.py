@@ -841,6 +841,12 @@ def test_compact_splits_hot_partition_value(spark, tmp_path):
     hot_files = _glob.glob(base + "/hot/day=0/part-*.parquet")
     # 9334 rows / 2000 target -> >= 4 files for the hot value, not one
     assert len(hot_files) >= 4, hot_files
+    # per-VALUE salting (second review pass): the small values (333 rows
+    # each, far under target) must stay at ONE file, not fragment into
+    # the hot value's salt count
+    for d in (1, 2):
+        cold = _glob.glob(base + f"/hot/day={d}/part-*.parquet")
+        assert len(cold) == 1, (d, cold)
     df = spark.read.parquet(base + "/hot")
     assert df.count() == 10000
     assert df.filter("day = 0").count() == 9334

@@ -68,6 +68,7 @@ def build_incremental_minhash_pipeline(
     base_path: str,
     batch_docs: DataFrame,
     all_docs: DataFrame,
+    *,
     batch_id: str,
     num_perm: int = 16,
 ) -> Pipeline:
@@ -176,7 +177,9 @@ def build_cc_state_pipeline(
         pairs = shingle_jaccard_pairs(
             old_docs.repartition(n_part, "doc_id"), min_jaccard=0.2
         ).select("doc_a", "doc_b").cache()
-        return connected_components_star(pairs, src="doc_a", dst="doc_b")
+        labels = connected_components_star(pairs, src="doc_a", dst="doc_b")
+        pairs.unpersist()  # labels are eagerly checkpointed
+        return labels
 
     return p
 

@@ -318,42 +318,48 @@ class Pipeline:
             )
         path = self.path(name)
         df = spark.read.parquet(path)
-        rows = df.count()
-        n_files = max(1, math.ceil(rows / target_rows_per_file))
         if node.partition_by:
             # repartition(n, *cols) alone would hash each partition VALUE
             # to ONE task — a hot value's 50M rows become one giant file
             # and target_rows_per_file is ignored (review finding).  Salt
-            # within each value so a value holding k×target rows spreads
-            # over ~k tasks, while the writer's partitionBy still lands
-            # every row in its hive dir; files per value ≈ value_rows /
-            # target, files overall ≈ n_files.
+            # within each value, with a PER-VALUE salt count (a global
+            # count derived from the hottest value would scatter every
+            # small value into that many tiny files — second review
+            # finding): value holding k×target rows spreads over ~k
+            # tasks, a value under target keeps salt 0 and lands in one
+            # file.  One stats scan yields both the total and the join
+            # side; AQE broadcasts the per-value counts when small.
             from pyspark.sql import functions as F
 
-            per_val = max(
-                r[0]
-                for r in df.groupBy(*node.partition_by)
-                .count()
-                .select("count")
-                .collect()
+            cols = list(node.partition_by)
+            counts = df.groupBy(*cols).agg(F.count("*").alias("_cnt"))
+            per_val_files = F.greatest(
+                F.lit(1),
+                F.ceil(F.col("_cnt") / F.lit(target_rows_per_file)).cast(
+                    "int"
+                ),
             )
-            import math as _math
-
-            salts = max(1, _math.ceil(per_val / target_rows_per_file))
+            stats = counts.agg(
+                F.sum("_cnt").alias("rows"),
+                F.sum(per_val_files).alias("n_tasks"),
+            ).first()
+            rows = stats["rows"] or 0
+            n_files = int(stats["n_tasks"] or 1)
             out = (
-                df.withColumn(
+                df.join(counts, cols)
+                .withColumn(
                     "_compact_salt",
                     F.pmod(
                         F.hash(F.monotonically_increasing_id()),
-                        F.lit(salts),
+                        per_val_files,
                     ),
                 )
-                .repartition(
-                    max(n_files, salts), *node.partition_by, "_compact_salt"
-                )
-                .drop("_compact_salt")
+                .repartition(n_files, *cols, "_compact_salt")
+                .drop("_compact_salt", "_cnt")
             )
         else:
+            rows = df.count()
+            n_files = max(1, math.ceil(rows / target_rows_per_file))
             out = df.repartition(n_files)
         if sort_by:
             out = out.sortWithinPartitions(*sort_by)

@@ -344,6 +344,7 @@ def dedup_clusters(spark, sf_dir):
     # shingle join once per branch (same fix as semantic_dup_clusters)
     pairs = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b").cache()
     labels = connected_components_star(pairs, src="doc_a", dst="doc_b")
+    pairs.unpersist()  # CC checkpointed its labels eagerly; pairs is dead
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
     return labels.join(sizes, "label").select(
         "doc_id",
@@ -386,6 +387,7 @@ def dedup_clusters_incremental(spark, sf_dir):
     old_labels = connected_components_star(
         old_pairs, src="doc_a", dst="doc_b"
     )
+    old_pairs.unpersist()  # labels are eagerly checkpointed
     return maintain_cluster_labels(d, old_labels, _INCR_SPLIT)
 
 

@@ -97,6 +97,7 @@ def pagerank_sim_graph(spark, sf_dir):
     )
     # one materialized frame carries (src, dst, deg) for every round
     edges = sym.join(deg, "src").localCheckpoint()
+    pairs.unpersist()  # deg and edges are checkpointed; the edge build is done
     ranks = deg.select(
         F.col("src").alias("vec_id"),
         F.lit(_PR_SCALE).cast("bigint").alias("pr"),

@@ -356,6 +356,7 @@ def semantic_dup_clusters(spark, sf_dir):
         "vec_a", "vec_b"
     ).cache()
     labels = connected_components_star(pairs, src="vec_a", dst="vec_b")
+    pairs.unpersist()  # CC checkpointed its labels eagerly; pairs is dead
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
     return labels.join(sizes, "label").select(
         F.col("doc_id").alias("vec_id"),
