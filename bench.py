@@ -101,6 +101,9 @@ OPTIONAL = [
     "variant_payload_access",
     "span_dedup_removal",
     "tokenizer_shard_manifest",
+    "embedding_coverage",
+    "value_range_window",
+    "session_funnel",
 ]
 
 # Deliberate experiments whose cost is a MEASUREMENT, not the engine's real

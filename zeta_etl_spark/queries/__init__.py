@@ -11,6 +11,7 @@ from zeta_etl_spark.queries.registry import REGISTRY, QuerySpec, query
 
 # imported for registration side effects
 from zeta_etl_spark.queries import (  # noqa: E402,F401
+    analytics2_q,
     analytics_q,
     curation2_q,
     curation3_q,
