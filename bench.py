@@ -104,6 +104,9 @@ OPTIONAL = [
     "embedding_coverage",
     "value_range_window",
     "session_funnel",
+    "rfm_segments",
+    "rolling_wau_exact",
+    "order_lateness_histogram",
 ]
 
 # Deliberate experiments whose cost is a MEASUREMENT, not the engine's real

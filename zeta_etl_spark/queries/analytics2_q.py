@@ -193,3 +193,175 @@ def session_funnel(spark, sf_dir):
         F.count(F.when(stage2, F.lit(1))).cast("bigint").alias("n_stage2"),
         F.count(F.when(stage3, F.lit(1))).cast("bigint").alias("n_stage3"),
     )
+
+
+# --- rfm_segments: recency/frequency/monetary segmentation -------------------
+# The classic lifecycle segmentation: per user, days since last purchase
+# (recency, against the corpus max date — injectable-clock style anchor),
+# purchase count (frequency) and integer-cents total (monetary), each
+# scored into terciles by EXACT rank selection (no percentile
+# interpolation — house rule), concatenated into an 'RFM' cell.  One
+# user-grain aggregate + three rank windows over the tiny per-user frame.
+
+_RFM_ORACLE = """
+WITH p AS (
+  SELECT user_id,
+    MAX(CAST(ts AS TIMESTAMP)) AS last_ts,
+    CAST(COUNT(*) AS BIGINT) AS frequency,
+    CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      AS monetary_cents
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+), anchored AS (
+  SELECT *, date_diff('day', CAST(last_ts AS DATE),
+                      (SELECT MAX(CAST(last_ts AS DATE)) FROM p))
+    AS recency_days
+  FROM p
+), ranked AS (
+  SELECT *,
+    ROW_NUMBER() OVER (ORDER BY recency_days, user_id) AS r_rn,
+    ROW_NUMBER() OVER (ORDER BY frequency DESC, user_id) AS f_rn,
+    ROW_NUMBER() OVER (ORDER BY monetary_cents DESC, user_id) AS m_rn,
+    COUNT(*) OVER () AS n
+  FROM anchored
+)
+SELECT user_id, CAST(recency_days AS BIGINT) AS recency_days,
+  frequency, monetary_cents,
+  ((3 * (r_rn - 1)) // n) + 1 AS r_score,
+  ((3 * (f_rn - 1)) // n) + 1 AS f_score,
+  ((3 * (m_rn - 1)) // n) + 1 AS m_score,
+  CAST(((3 * (r_rn - 1)) // n) + 1 AS VARCHAR) ||
+  CAST(((3 * (f_rn - 1)) // n) + 1 AS VARCHAR) ||
+  CAST(((3 * (m_rn - 1)) // n) + 1 AS VARCHAR) AS rfm_cell
+FROM ranked
+"""
+
+
+@query(
+    "rfm_segments",
+    oracle=_RFM_ORACLE,
+    tags=("product", "segmentation", "rank"),
+)
+def rfm_segments(spark, sf_dir):
+    e = T(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    p = e.groupBy("user_id").agg(
+        F.max(F.col("ts").cast("timestamp")).alias("last_ts"),
+        F.count(F.lit(1)).cast("bigint").alias("frequency"),
+        F.sum(F.expr("cast(floor(value * 100 + 0.5) as bigint)"))
+        .cast("bigint")
+        .alias("monetary_cents"),
+    )
+    anchor = p.agg(F.max(F.to_date("last_ts")).alias("_anchor"))
+    anchored = p.crossJoin(F.broadcast(anchor)).withColumn(
+        "recency_days",
+        F.datediff(F.col("_anchor"), F.to_date("last_ts")).cast("bigint"),
+    )
+    wr = Window.orderBy("recency_days", "user_id")
+    wf = Window.orderBy(F.col("frequency").desc(), "user_id")
+    wm = Window.orderBy(F.col("monetary_cents").desc(), "user_id")
+    wn = Window.partitionBy()
+    ranked = (
+        anchored.withColumn("r_rn", F.row_number().over(wr))
+        .withColumn("f_rn", F.row_number().over(wf))
+        .withColumn("m_rn", F.row_number().over(wm))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+    )
+    def score(rn):
+        return F.expr(f"((3 * ({rn} - 1)) div n) + 1")
+    return ranked.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        score("r_rn").alias("r_score"),
+        score("f_rn").alias("f_score"),
+        score("m_rn").alias("m_score"),
+        F.concat(
+            score("r_rn").cast("string"),
+            score("f_rn").cast("string"),
+            score("m_rn").cast("string"),
+        ).alias("rfm_cell"),
+    )
+
+
+# --- rolling_wau_exact: exact 7-day rolling active users ---------------------
+# The exact counterpart of the mergeable-sketch rollup
+# (`hll_rolling_registers` estimates this): distinct users per trailing
+# 7-day window, computed from the (day, user) DEDUPED grain self-joined
+# over the 7-day band — the fan-out is exactly 7× the day-grain table
+# (bounded by the window length, never by raw event volume), which is the
+# honest exact-computation cost the sketch amortizes away.
+
+_WAU_ORACLE = """
+WITH du AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day_, user_id FROM events
+), days AS (
+  SELECT DISTINCT day_ FROM du
+)
+SELECT d.day_,
+  CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS wau
+FROM days d
+JOIN du u ON u.day_ BETWEEN d.day_ - 6 AND d.day_
+GROUP BY d.day_
+"""
+
+
+@query(
+    "rolling_wau_exact",
+    oracle=_WAU_ORACLE,
+    tags=("window", "distinct", "rolling"),
+)
+def rolling_wau_exact(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    du = e.select(
+        F.to_date("ts").alias("day_"), "user_id"
+    ).distinct()
+    days = du.select("day_").distinct()
+    d = days.alias("d")
+    u = du.alias("u")
+    j = d.join(
+        u,
+        F.col("u.day_").between(
+            F.date_sub(F.col("d.day_"), 6), F.col("d.day_")
+        ),
+    )
+    return j.groupBy(F.col("d.day_").alias("day_")).agg(
+        F.countDistinct(F.col("u.user_id")).cast("bigint").alias("wau")
+    )
+
+
+# --- order_lateness_histogram: ship-delay day buckets ------------------------
+# Fulfillment-latency distribution: days between order and line-item ship
+# date, bucketed per 7-day band with integer div — the warehouse ops
+# report shape (join + datediff + histogram), one shuffle each.
+
+_LATE_ORACLE = """
+SELECT (date_diff('day', CAST(o.o_orderdate AS DATE),
+                  CAST(l.l_shipdate AS DATE))) // 7 AS weeks_to_ship,
+  CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+  CAST(SUM(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+    AS revenue_cents
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+GROUP BY 1
+"""
+
+
+@query(
+    "order_lateness_histogram",
+    oracle=_LATE_ORACLE,
+    tags=("join", "histogram", "tpch"),
+)
+def order_lateness_histogram(spark, sf_dir):
+    l = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders")
+    j = l.join(o, o["o_orderkey"] == l["l_orderkey"])
+    weeks = F.expr(
+        "datediff(cast(l_shipdate as date), cast(o_orderdate as date)) div 7"
+    )
+    return j.groupBy(weeks.alias("weeks_to_ship")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lineitems"),
+        F.sum(F.expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint)"))
+        .cast("bigint")
+        .alias("revenue_cents"),
+    )
