@@ -12,6 +12,7 @@ from zeta_etl_spark.queries.registry import REGISTRY, QuerySpec, query
 # imported for registration side effects
 from zeta_etl_spark.queries import (  # noqa: E402,F401
     analytics2_q,
+    analytics3_q,
     analytics_q,
     curation2_q,
     curation3_q,
@@ -26,6 +27,7 @@ from zeta_etl_spark.queries import (  # noqa: E402,F401
     relational2_q,
     relational3_q,
     relational4_q,
+    relational5_q,
     scalar_q,
     serving_q,
     temporal_q,

@@ -1,0 +1,133 @@
+"""TPC-H completion batch: the two join shapes still missing from the
+relational suite — Q5's *local supplier* constraint (a join predicate that
+ties two dimension foreign keys of different fact-side rows together) and
+Q9's product-profit rollup (fact⋈fact⋈dim with a LIKE-pruned dim and a
+two-measure margin).
+
+The driver's TPC-H-ish schema has no ``partsupp`` table, so Q2/Q11/Q16/Q20
+cannot be expressed and Q9 is adapted: supply cost is proxied by
+``p_retailprice * l_quantity`` (retailprice has 1 decimal, quantity is
+integral → the product is 1-decimal exact, decimal-cast safe).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from zeta_etl_spark.functions.deterministic import dec_sum
+from zeta_etl_spark.queries.registry import T, query
+
+# --- local_supplier_volume: TPC-H Q5 ----------------------------------------
+# The defining predicate is c_nationkey = s_nationkey: revenue only counts
+# when the CUSTOMER's nation supplied the line.  Distinct from
+# regional_revenue (J12), which groups by the customer nation without the
+# locality constraint.  Scale shape: lineitem⋈orders shuffles on orderkey;
+# orders⋈customer on custkey; supplier/nation/region broadcast.  The
+# locality filter is applied as an equi-join predicate (s_nationkey =
+# c_nationkey), so Catalyst keeps it inside the broadcast hash join — no
+# post-join filter pass over the fact rows.
+
+_Q5_ORACLE = """
+SELECT
+  n.n_name AS nation_name,
+  CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(32,6)))
+    AS DOUBLE) AS revenue,
+  COUNT(*) AS n_lineitems
+FROM customer c
+JOIN orders o   ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND s.s_nationkey = c.c_nationkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n.n_name
+"""
+
+
+@query("local_supplier_volume", oracle=_Q5_ORACLE, tags=("join", "tpch-q5", "J12"))
+def local_supplier_volume(spark, sf_dir):
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    li = T(spark, sf_dir, "lineitem")
+    s = T(spark, sf_dir, "supplier")
+    n = T(spark, sf_dir, "nation")
+    r = T(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return joined.groupBy(F.col("n_name").alias("nation_name")).agg(
+        dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
+# --- part_type_profit: TPC-H Q9 (adapted) -----------------------------------
+# Profit per supplier-nation per order-year for parts matching a name
+# pattern.  Cost proxy = p_retailprice * l_quantity (no partsupp table).
+# DECIMAL determinism: revenue and cost are each exact-decimal summed
+# SEPARATELY, converted to double, and subtracted ONCE — sum(a-b) as
+# sum(a)-sum(b) avoids decimal-casting a mixed-scale difference while both
+# engines perform the identical single IEEE subtraction.  Scale shape:
+# the p_name LIKE filter prunes part BEFORE the broadcast, so the
+# lineitem⋈part broadcast join doubles as a semi-filter on the fact table;
+# the only all-to-all shuffle is lineitem⋈orders on orderkey.
+
+_Q9_ORACLE = """
+SELECT
+  n.n_name AS nation_name,
+  CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+  CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(32,6)))
+    AS DOUBLE) AS revenue,
+  CAST(SUM(CAST(p.p_retailprice * l.l_quantity AS DECIMAL(32,6)))
+    AS DOUBLE) AS retail_cost,
+  CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(32,6)))
+    AS DOUBLE)
+    - CAST(SUM(CAST(p.p_retailprice * l.l_quantity AS DECIMAL(32,6)))
+    AS DOUBLE) AS margin,
+  COUNT(*) AS n_lineitems
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN part p     ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+WHERE p.p_name LIKE '%red%'
+GROUP BY n.n_name, year(o.o_orderdate)
+"""
+
+
+@query("part_type_profit", oracle=_Q9_ORACLE, tags=("join", "tpch-q9", "agg"))
+def part_type_profit(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders")
+    p = T(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = T(spark, sf_dir, "supplier")
+    n = T(spark, sf_dir, "nation")
+    joined = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+    )
+    revenue = dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    cost = dec_sum(F.col("p_retailprice") * F.col("l_quantity"))
+    return joined.groupBy(
+        F.col("n_name").alias("nation_name"),
+        F.year("o_orderdate").cast("bigint").alias("o_year"),
+    ).agg(
+        revenue.alias("revenue"),
+        cost.alias("retail_cost"),
+        (revenue - cost).alias("margin"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
