@@ -107,6 +107,11 @@ OPTIONAL = [
     "rfm_segments",
     "rolling_wau_exact",
     "order_lateness_histogram",
+    "local_supplier_volume",
+    "part_type_profit",
+    "ddsketch_quantiles",
+    "token_cooccurrence",
+    "reservoir_sample_per_source",
 ]
 
 # Deliberate experiments whose cost is a MEASUREMENT, not the engine's real

@@ -248,3 +248,30 @@ def test_sql_surface_trio_plan_shapes(spark, sf_dir):
     plan = _plan(spark, sf_dir, "forward_fill_values")
     ex = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
     assert len(ex) == 1
+
+
+def test_round6_batch3_plan_shapes(spark, sf_dir):
+    """Batch-3 queries keep the scale shapes they claim: the co-occurrence
+    pair grid is generated array-side (explode only — a positional
+    self-join would shuffle the exploded token table); the reservoir
+    sample plans the rank<=k as WindowGroupLimit (per-partition top-k
+    heap, no full sort); the DDSketch estimate broadcasts the tiny
+    register table; the TPC-H joins broadcast dims and never go
+    cartesian."""
+    plan = _plan(spark, sf_dir, "token_cooccurrence")
+    assert "Join" not in plan, plan
+    assert "Generate" in plan  # one explode of the HOF pair grid
+    # pair counts are map-side combined before the single shuffle
+    assert plan.count("HashAggregate") >= 2
+
+    plan = _plan(spark, sf_dir, "reservoir_sample_per_source")
+    assert "WindowGroupLimit" in plan
+
+    plan = _plan(spark, sf_dir, "ddsketch_quantiles")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # cum-register side is sketch-sized
+
+    for name in ("local_supplier_volume", "part_type_profit"):
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastHashJoin" in plan, name

@@ -689,3 +689,71 @@ def test_lsh_bucket_fold_matches_reference(spark, vec, n_planes):
     df = spark.createDataFrame([(vec,)], "sv array<bigint>")
     got = df.select(lsh_bucket("sv", planes).alias("b")).first()["b"]
     assert got == expected
+
+
+def test_ddsketch_brackets_exact_quantiles(spark, sf_dir):
+    """DDSketch guarantee: for each (event_type, q) the returned bucket
+    [lo_cents, hi_cents] must CONTAIN the exact q-quantile (ceil-rank
+    definition, the same integer target the sketch uses), and the sketch
+    must be mergeable — cell-wise SUM of per-split histograms equals the
+    whole-corpus histogram."""
+    import duckdb
+
+    from zeta_etl_spark.queries import REGISTRY
+
+    rows = REGISTRY["ddsketch_quantiles"].fn(spark, sf_dir).collect()
+    assert rows, "sketch produced no estimates"
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    )
+    exact = {
+        (et, q): v
+        for et, q, v in con.execute(
+            """
+            WITH cents AS (
+              SELECT event_type,
+                CAST(floor(value * 100 + 0.5) AS BIGINT) AS c FROM events
+            ), ranked AS (
+              SELECT event_type, c,
+                ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY c) AS rn,
+                COUNT(*) OVER (PARTITION BY event_type) AS n
+              FROM cents
+            )
+            SELECT event_type, q, MIN(c)
+            FROM ranked, (SELECT UNNEST([50, 90, 99]) AS q) qs
+            WHERE rn >= (q * n + 99) // 100
+            GROUP BY event_type, q
+            """
+        ).fetchall()
+    }
+    for r in rows:
+        ex = exact[(r["event_type"], r["q"])]
+        assert r["lo_cents"] <= ex <= r["hi_cents"], (
+            r["event_type"], r["q"], ex, r["lo_cents"], r["hi_cents"],
+        )
+
+    # mergeability: per-split histograms SUM to the full histogram
+    full = con.execute(
+        """
+        SELECT event_type, length(bin(CAST(floor(value*100+0.5) AS BIGINT))) AS b,
+          COUNT(*) FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    ).fetchall()
+    merged = con.execute(
+        """
+        WITH part AS (
+          SELECT event_type, event_id % 4 AS shard,
+            length(bin(CAST(floor(value*100+0.5) AS BIGINT))) AS b
+          FROM events
+        ), per_shard AS (
+          SELECT event_type, shard, b, COUNT(*) AS cnt FROM part GROUP BY 1,2,3
+        )
+        SELECT event_type, b, SUM(cnt) FROM per_shard GROUP BY 1,2 ORDER BY 1,2
+        """
+    ).fetchall()
+    assert [(a, b, int(c)) for a, b, c in full] == [
+        (a, b, int(c)) for a, b, c in merged
+    ]
