@@ -931,3 +931,86 @@ def test_upsert_and_topk_heal_paths_absorb_new_files(spark, tmp_path):
     rows = {(r["item"], r["score"], r["topk_rank"])
             for r in spark.read.parquet(store).collect()}
     assert rows == {(2, 9.0, 1), (1, 5.0, 2)}
+
+
+def test_streaming_ddsketch_maintenance_two_level(spark, tmp_path):
+    """Streaming DDSketch maintenance is the same two-level composition as
+    the HLL/hourly chains, with SUM as the merge: level 1 keeps immutable
+    per-(hour, user, bucket) counts under the watermark; level 2 SUMs
+    cells across hours into the corpus sketch.  After two waves the
+    durable sketch equals the batch histogram over the delivered non-late
+    rows — the cell-wise-SUM mergeability that makes the sketch a 100 TB
+    aggregation."""
+    from zeta_etl_spark.streaming.runner import foreach_batch_two_level_agg
+
+    src = str(tmp_path / "dds_src")
+    out = str(tmp_path / "dds_l2")
+    ckpt = str(tmp_path / "dds_ckpt")
+
+    bucket = (
+        "cast(length(bin(cast(floor(amount * 100 + 0.5) as bigint))) as bigint)"
+    )
+
+    def second_level(l1):
+        return l1.groupBy("user", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+    def run():
+        stream = read_json(spark, src, SCHEMA, streaming=True)
+        first = hourly_agg_stream(
+            stream.withColumn("bucket", F.expr(bucket)),
+            "ts",
+            keys=[F.col("user"), F.col("bucket")],
+            aggs=[F.count(F.lit(1)).alias("cnt")],
+            watermark="5 minutes",
+        )
+        foreach_batch_two_level_agg(
+            first, ["hour_ts", "user", "bucket"], out, ckpt, second_level, spark
+        )
+
+    _write_json(
+        src,
+        [
+            {"user": "a", "ts": "2024-01-01 00:10:00", "amount": 1.27},   # 127 → 7 bits
+            {"user": "a", "ts": "2024-01-01 00:20:00", "amount": 1.29},   # 129 → 8 bits
+            {"user": "a", "ts": "2024-01-01 01:10:00", "amount": 1.27},   # 127 again, later hour
+            {"user": "b", "ts": "2024-01-01 02:30:00", "amount": 0.01},   # hour still open
+        ],
+        "w1.json",
+    )
+    run()
+    got = {
+        (r["user"], r["bucket"]): r["cnt"]
+        for r in spark.read.parquet(out).collect()
+    }
+    # watermark 02:25 → hours 00 and 01 closed; b's hour-02 row held back;
+    # a's two 127-cent rows land in the same bucket cell across two hours
+    assert got == {("a", 7): 2, ("a", 8): 1}
+
+    _write_json(
+        src,
+        [
+            # late row for hour 00 — dropped at level 1, must not inflate cells
+            {"user": "a", "ts": "2024-01-01 00:15:00", "amount": 1.27},
+            # hour-03 row closes hour 02, releasing b's held cell
+            {"user": "b", "ts": "2024-01-01 03:30:00", "amount": 2.56},
+        ],
+        "w2.json",
+    )
+    run()
+    got = {
+        (r["user"], r["bucket"]): r["cnt"]
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {("a", 7): 2, ("a", 8): 1, ("b", 1): 1}
+
+    # batch twin over delivered, non-late, closed-hour rows
+    batch = (
+        read_json(spark, src, SCHEMA)
+        .filter(F.col("ts") < "2024-01-01 03:00:00")
+        .filter(~F.col("ts").eqNullSafe(F.lit("2024-01-01 00:15:00").cast("timestamp")))
+        .withColumn("bucket", F.expr(bucket))
+        .groupBy("user", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    want = {(r["user"], r["bucket"]): r["cnt"] for r in batch.collect()}
+    assert got == want
