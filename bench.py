@@ -112,6 +112,9 @@ OPTIONAL = [
     "ddsketch_quantiles",
     "token_cooccurrence",
     "reservoir_sample_per_source",
+    "twap_per_user",
+    "markov_transitions",
+    "cusum_drift",
 ]
 
 # Deliberate experiments whose cost is a MEASUREMENT, not the engine's real

@@ -275,3 +275,25 @@ def test_round6_batch3_plan_shapes(spark, sf_dir):
         plan = _plan(spark, sf_dir, name)
         assert "CartesianProduct" not in plan, name
         assert "BroadcastHashJoin" in plan, name
+
+
+def test_round6_batch4_plan_shapes(spark, sf_dir):
+    """Time-series batch: TWAP and CUSUM must ride ONE user_id exchange
+    (window families + groupBy share the partitioning; CUSUM additionally
+    folds the per-user mean into an unbounded window on the same key
+    instead of joining a per-user aggregate).  The Markov matrix scans
+    and shuffles the fact table once — the out-degree is a window over
+    the |types|^2 transition frame, so the only data-sized exchange is
+    the user_id one."""
+    for name, max_ex in (("twap_per_user", 1), ("cusum_drift", 1),
+                         ("markov_transitions", 3)):
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        ex = [ln for ln in plan.splitlines()
+              if "Exchange hashpartitioning" in ln]
+        assert len(ex) <= max_ex, (name, plan)
+    # markov: exactly one exchange carries user_id (the fact shuffle)
+    plan = _plan(spark, sf_dir, "markov_transitions")
+    user_ex = [ln for ln in plan.splitlines()
+               if "Exchange hashpartitioning(user_id" in ln]
+    assert len(user_ex) == 1, plan

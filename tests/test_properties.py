@@ -757,3 +757,48 @@ def test_ddsketch_brackets_exact_quantiles(spark, sf_dir):
     assert [(a, b, int(c)) for a, b, c in full] == [
         (a, b, int(c)) for a, b, c in merged
     ]
+
+
+def test_markov_rows_sum_to_one_and_twap_bounds(spark, sf_dir):
+    """Transition probabilities per from-state must sum to EXACTLY the
+    count ratio total (p = n/n_out with one shared denominator → the sum
+    is Σn/n_out = 1 up to one rounding per term); TWAP must lie within
+    the user's [min, max] event value."""
+    from zeta_etl_spark.queries import REGISTRY
+
+    rows = REGISTRY["markov_transitions"].fn(spark, sf_dir).collect()
+    by_from = {}
+    for r in rows:
+        by_from.setdefault(r["from_type"], []).append(r)
+    for ft, grp in by_from.items():
+        total = sum(r["p_trans"] for r in grp)
+        assert abs(total - 1.0) < 1e-9, (ft, total)
+        n_out = grp[0]["n_out"]
+        assert all(r["n_out"] == n_out for r in grp)
+        assert sum(r["n_trans"] for r in grp) == n_out
+
+    from pyspark.sql import functions as F
+    from zeta_etl_spark.queries.registry import T
+
+    twap = {
+        r["user_id"]: r
+        for r in REGISTRY["twap_per_user"].fn(spark, sf_dir).collect()
+    }
+    bounds = {
+        r["user_id"]: (r["lo"], r["hi"])
+        for r in T(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.expr("min(cast(floor(value*100+0.5) as bigint))").alias("lo"),
+            F.expr("max(cast(floor(value*100+0.5) as bigint))").alias("hi"),
+        )
+        .collect()
+    }
+    checked = 0
+    for uid, r in twap.items():
+        if r["twap_cents"] is None:
+            continue
+        lo, hi = bounds[uid]
+        assert lo <= r["twap_cents"] <= hi, (uid, r["twap_cents"], lo, hi)
+        checked += 1
+    assert checked > 0

@@ -13,6 +13,7 @@ from zeta_etl_spark.queries.registry import REGISTRY, QuerySpec, query
 from zeta_etl_spark.queries import (  # noqa: E402,F401
     analytics2_q,
     analytics3_q,
+    analytics4_q,
     analytics_q,
     curation2_q,
     curation3_q,
