@@ -1,0 +1,138 @@
+"""The versioned-store Python DataSource must read the COMMITTED snapshot
+(not the tearable mirror), honor the tombstone contract, and push
+comparison filters into the Arrow scan."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from zeta_etl_spark.sources.json_source import read_json
+from zeta_etl_spark.sources.versioned_store import (
+    VersionedStoreReader,
+    read_versioned_store,
+)
+from zeta_etl_spark.streaming.runner import foreach_batch_upsert
+
+SCHEMA = "k string, ts timestamp, v double, deleted boolean"
+
+
+def _write_json(path, rows, name):
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, name), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def _build_store(spark, tmp_path, deletes=None):
+    src = str(tmp_path / "src")
+    target = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    _write_json(
+        src,
+        [
+            {"k": "a", "ts": "2024-01-01 00:00:00", "v": 1.0, "deleted": False},
+            {"k": "b", "ts": "2024-01-01 00:00:00", "v": 2.0, "deleted": False},
+        ],
+        "w1.json",
+    )
+    stream = read_json(spark, src, SCHEMA, streaming=True)
+    foreach_batch_upsert(
+        stream, target, ckpt, keys=["k"], sequence_by=["ts"],
+        spark=spark, apply_as_deletes=deletes,
+    )
+    _write_json(
+        src,
+        [
+            {"k": "a", "ts": "2024-01-02 00:00:00", "v": 10.0, "deleted": False},
+            {"k": "c", "ts": "2024-01-02 00:00:00", "v": 3.0, "deleted": False},
+            {"k": "b", "ts": "2024-01-02 00:00:00", "v": 0.0, "deleted": True},
+        ],
+        "w2.json",
+    )
+    stream = read_json(spark, src, SCHEMA, streaming=True)
+    foreach_batch_upsert(
+        stream, target, ckpt, keys=["k"], sequence_by=["ts"],
+        spark=spark, apply_as_deletes=deletes,
+    )
+    return target
+
+
+def test_reads_committed_snapshot_equals_mirror(spark, tmp_path):
+    target = _build_store(spark, tmp_path)
+    got = {
+        r["k"]: r["v"] for r in read_versioned_store(spark, target).collect()
+    }
+    mirror = {
+        r["k"]: r["v"] for r in spark.read.parquet(target).collect()
+    }
+    assert got == mirror == {"a": 10.0, "b": 0.0, "c": 3.0}
+
+
+def test_survives_torn_mirror(spark, tmp_path):
+    target = _build_store(spark, tmp_path)
+    # tear the mirror mid-"rebuild": connector must not notice
+    shutil.rmtree(target)
+    os.makedirs(target)
+    got = {
+        r["k"]: r["v"] for r in read_versioned_store(spark, target).collect()
+    }
+    assert got == {"a": 10.0, "b": 0.0, "c": 3.0}
+
+
+def test_tombstone_contract(spark, tmp_path):
+    target = _build_store(spark, tmp_path, deletes="deleted")
+    # raw committed store KEEPS the tombstone (late rows must not
+    # resurrect the key) …
+    raw = {
+        r["k"]: r["deleted"]
+        for r in read_versioned_store(spark, target).collect()
+    }
+    assert raw["b"] is True and len(raw) == 3
+    # … and the reader-surface predicate filters it, matching the mirror
+    filtered = {
+        r["k"]
+        for r in read_versioned_store(
+            spark, target, delete_predicate="deleted"
+        ).collect()
+    }
+    mirror = {r["k"] for r in spark.read.parquet(target).collect()}
+    assert filtered == mirror == {"a", "c"}
+
+
+def test_filter_pushdown_claims_and_filters(spark, tmp_path):
+    target = _build_store(spark, tmp_path)
+    df = read_versioned_store(spark, target).filter(F.col("k") == "a")
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0]["v"] == 10.0
+    # range predicate crosses the arrow boundary too
+    df2 = read_versioned_store(spark, target).filter(F.col("v") >= 3.0)
+    assert {r["k"] for r in df2.collect()} == {"a", "c"}
+
+    # unit: the reader claims comparison/null/IN filters, returns the rest
+    from pyspark.sql.datasource import EqualTo, StringContains
+
+    reader = VersionedStoreReader({"path": target})
+    remaining = list(
+        reader.pushFilters(
+            [EqualTo(("k",), "a"), StringContains(("k",), "x")]
+        )
+    )
+    assert len(remaining) == 1
+    assert isinstance(remaining[0], StringContains)
+    assert reader._filter_expr is not None
+
+
+def test_one_partition_per_committed_file(spark, tmp_path):
+    target = _build_store(spark, tmp_path)
+    reader = VersionedStoreReader({"path": target})
+    parts = reader.partitions()
+    ptr = open(target + ".version").read().strip()
+    vdir = f"{target}__v{ptr}"
+    n_files = len(
+        [f for f in os.listdir(vdir) if f.endswith(".parquet")]
+    )
+    assert len(parts) == n_files >= 1

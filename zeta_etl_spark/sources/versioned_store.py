@@ -1,0 +1,200 @@
+"""Spark 4 Python DataSource reading the engine's versioned CDC/KV store.
+
+The streaming upsert sinks (``streaming/runner.foreach_batch_upsert`` and
+friends) commit state as ``{path}__v{ver}`` parquet directories named by an
+atomically-replaced ``{path}.version`` pointer, plus a convenience mirror at
+``{path}`` that can be torn mid-rebuild.  This connector is the CORRECT
+reader surface: it resolves the pointer once per query plan and scans only
+the committed version — never the mirror — so a reader racing a writer's
+mirror rebuild still sees a complete, consistent snapshot.
+
+Reference parity: the read side of the serving export
+(``dfs-serving/zetadex-serving.py:25-235`` materializes gold tables into
+DynamoDB; here the same committed snapshot is directly queryable in Spark).
+
+Scale design: one :class:`InputPartition` per committed parquet file, so the
+scan parallelizes across executors exactly like a native file source;
+``pushFilters`` claims the comparison/null/IN predicates and evaluates them
+as pyarrow dataset filters (row groups whose statistics exclude the
+predicate are skipped — real pushdown, not post-filter), returning the rest
+to Spark.  Batches are yielded as Arrow record batches (vectorized, no
+per-row Python).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualNullSafe,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    IsNotNull,
+    IsNull,
+    LessThan,
+    LessThanOrEqual,
+)
+from pyspark.sql.types import StructType
+
+
+def _committed_dir(path: str) -> str:
+    ptr = path + ".version"
+    if not os.path.exists(ptr):
+        raise FileNotFoundError(
+            f"no committed version for versioned store at {path!r} "
+            f"(missing pointer {ptr!r}); the store is created by "
+            "foreach_batch_upsert / foreach_batch_topk"
+        )
+    with open(ptr) as fh:
+        ver = fh.read().strip()
+    vdir = f"{path}__v{ver}"
+    if not os.path.isdir(vdir):
+        raise FileNotFoundError(
+            f"pointer names version {ver!r} but {vdir!r} is missing — "
+            "store was vacuumed or moved out from under the pointer"
+        )
+    return vdir
+
+
+def _list_parquet(vdir: str) -> list[str]:
+    return sorted(
+        os.path.join(vdir, f)
+        for f in os.listdir(vdir)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    )
+
+
+def _normalized_arrow_schema(files: list[str]):
+    """Arrow schema of the store with timestamps coerced to microseconds —
+    Spark's Arrow batch transfer rejects NANOSECOND (the unit pyarrow
+    surfaces for Spark-written TIMESTAMP_NTZ parquet); truncation matches
+    the engine-wide ns→us rule (datasets.load_table)."""
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+
+    sch = pads.dataset(files[0], format="parquet").schema
+    fields = []
+    for f in sch:
+        t = f.type
+        if pa.types.is_timestamp(t) and t.unit != "us":
+            t = pa.timestamp("us", t.tz)
+        fields.append(pa.field(f.name, t, f.nullable))
+    return pa.schema(fields)
+
+
+@dataclass
+class _FilePartition(InputPartition):
+    path: str
+
+
+class VersionedStoreReader(DataSourceReader):
+    def __init__(self, options: dict) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("versioned_store requires .option('path', ...)")
+        # pin the committed snapshot ONCE per query plan: the file list is
+        # fixed here, so every partition reads the same version even if a
+        # writer commits (and vacuums the old dir) mid-query planning
+        self._files = _list_parquet(_committed_dir(path))
+        self._arrow_schema = (
+            _normalized_arrow_schema(self._files) if self._files else None
+        )
+        self._filter_expr = None  # pyarrow expression, built in pushFilters
+
+    def pushFilters(self, filters: list[Filter]):
+        import pyarrow.compute as pc
+
+        claimed = None
+        for f in filters:
+            expr = self._arrow_expr(pc, f)
+            if expr is None:
+                yield f  # unsupported — Spark evaluates it post-scan
+            else:
+                claimed = expr if claimed is None else claimed & expr
+        self._filter_expr = claimed
+
+    @staticmethod
+    def _arrow_expr(pc, f: Filter):
+        attr = getattr(f, "attribute", None)
+        if attr is None or len(attr) != 1:
+            return None  # nested paths stay Spark-side
+        field = pc.field(attr[0])
+        if isinstance(f, (EqualTo, EqualNullSafe)):
+            return field == f.value
+        if isinstance(f, GreaterThan):
+            return field > f.value
+        if isinstance(f, GreaterThanOrEqual):
+            return field >= f.value
+        if isinstance(f, LessThan):
+            return field < f.value
+        if isinstance(f, LessThanOrEqual):
+            return field <= f.value
+        if isinstance(f, In):
+            return field.isin(list(f.value))
+        if isinstance(f, IsNull):
+            return field.is_null()
+        if isinstance(f, IsNotNull):
+            return ~field.is_null()
+        return None
+
+    def partitions(self):
+        if not self._files:
+            return [_FilePartition("")]  # one empty split keeps read() simple
+        return [_FilePartition(p) for p in self._files]
+
+    def read(self, partition: _FilePartition):
+        if not partition.path:
+            return
+        import pyarrow.dataset as pads
+
+        ds = pads.dataset(partition.path, format="parquet")
+        for batch in ds.to_batches(filter=self._filter_expr):
+            yield batch.cast(self._arrow_schema)
+
+
+class VersionedStoreDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "versioned_store"
+
+    def schema(self) -> StructType:
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        files = _list_parquet(_committed_dir(self.options["path"]))
+        if not files:
+            raise ValueError(
+                "committed version is empty; pass .schema(...) explicitly"
+            )
+        return from_arrow_schema(_normalized_arrow_schema(files))
+
+    def reader(self, schema: StructType) -> VersionedStoreReader:
+        return VersionedStoreReader(dict(self.options))
+
+
+def read_versioned_store(
+    spark: SparkSession, path: str, delete_predicate: str | None = None
+) -> DataFrame:
+    """Load the committed snapshot of a versioned store.
+
+    ``delete_predicate`` mirrors the sink's ``apply_as_deletes``: tombstones
+    persist in the store (so late rows cannot resurrect a deleted key) and
+    are filtered only at this reader surface, NULL predicate = kept — the
+    same contract the mirror applies.
+    """
+    spark.dataSource.register(VersionedStoreDataSource)
+    # Python-source filter pushdown ships disabled; the reader implements
+    # pushFilters, which Spark rejects outright unless this is on
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    df = spark.read.format("versioned_store").option("path", path).load()
+    if delete_predicate:
+        df = df.filter(~F.coalesce(F.expr(delete_predicate), F.lit(False)))
+    return df
