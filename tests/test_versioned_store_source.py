@@ -136,3 +136,61 @@ def test_one_partition_per_committed_file(spark, tmp_path):
         [f for f in os.listdir(vdir) if f.endswith(".parquet")]
     )
     assert len(parts) == n_files >= 1
+
+
+def test_writer_round_trip_and_atomic_republish(spark, tmp_path):
+    from zeta_etl_spark.sources.versioned_store import write_versioned_store
+
+    path = str(tmp_path / "wstore")
+    df1 = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    ).repartition(4)
+    write_versioned_store(df1, path)
+    got = {r["k"]: r["v"] for r in read_versioned_store(spark, path).collect()}
+    assert got == {i: 2 * i for i in range(100)}
+    # plain-parquet readers get the mirror
+    assert spark.read.parquet(path).count() == 100
+    ver1 = open(path + ".version").read().strip()
+
+    # second publish atomically supersedes: new pointer, old version dir
+    # vacuumed, no staging dirs stranded
+    df2 = spark.range(0, 10).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    write_versioned_store(df2, path)
+    ver2 = open(path + ".version").read().strip()
+    assert ver2 != ver1
+    assert not os.path.isdir(f"{path}__v{ver1}")
+    got = {r["k"]: r["v"] for r in read_versioned_store(spark, path).collect()}
+    assert got == {i: 3 * i for i in range(10)}
+    parent = os.path.dirname(path)
+    assert not [d for d in os.listdir(parent) if "__staging_" in d]
+
+
+def test_writer_interops_with_streaming_store(spark, tmp_path):
+    """A batch publish over a store created by the STREAMING sink keeps the
+    same pointer protocol — the committed snapshot simply advances."""
+    from zeta_etl_spark.sources.versioned_store import write_versioned_store
+
+    target = _build_store(spark, tmp_path)
+    snap = read_versioned_store(spark, target)
+    replacement = snap.withColumn("v", F.col("v") + 100.0)
+    write_versioned_store(replacement, target)
+    got = {r["k"]: r["v"] for r in read_versioned_store(spark, target).collect()}
+    assert got == {"a": 110.0, "b": 100.0, "c": 103.0}
+
+
+def test_writer_rejects_append_mode(spark, tmp_path):
+    import pytest as _pytest
+
+    path = str(tmp_path / "astore")
+    spark.dataSource.register(
+        __import__(
+            "zeta_etl_spark.sources.versioned_store", fromlist=["x"]
+        ).VersionedStoreDataSource
+    )
+    df = spark.range(3).select(F.col("id").alias("k"))
+    with _pytest.raises(Exception, match="overwrite"):
+        df.write.format("versioned_store").mode("append").option(
+            "path", path
+        ).save()

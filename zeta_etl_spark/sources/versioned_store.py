@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     EqualNullSafe,
     EqualTo,
@@ -42,6 +43,7 @@ from pyspark.sql.datasource import (
     IsNull,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -161,6 +163,98 @@ class VersionedStoreReader(DataSourceReader):
             yield batch.cast(self._arrow_schema)
 
 
+@dataclass
+class _StagedFile(WriterCommitMessage):
+    path: str
+    n_rows: int
+
+
+class VersionedStoreWriter(DataSourceArrowWriter):
+    """Two-phase-commit snapshot publisher (the batch write side of the
+    store): each task streams its Arrow batches into a parquet file under a
+    job-private staging dir and reports it in the commit message; the
+    driver's ``commit`` promotes the staged files to a fresh
+    ``{path}__v{ver}`` dir, rebuilds the convenience mirror, and publishes
+    with the same atomic pointer replace the streaming sinks use — readers
+    see the old snapshot or the new one, never a mix.  ``abort`` removes
+    the staging dir, so failed jobs leave the committed snapshot untouched.
+    This is the same task-stage / driver-publish protocol a real
+    distributed object-store sink commits with.
+    """
+
+    def __init__(self, options: dict, overwrite: bool) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("versioned_store requires .option('path', ...)")
+        if not overwrite:
+            raise ValueError(
+                "versioned_store writes are snapshot publishes — use "
+                "mode('overwrite'); incremental merge is the streaming "
+                "upsert sink's job (foreach_batch_upsert)"
+            )
+        import uuid
+
+        self._path = path
+        self._staging = f"{path}__staging_{uuid.uuid4().hex}"
+
+    def write(self, iterator):
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(self._staging, exist_ok=True)
+        out = os.path.join(self._staging, f"part-{uuid.uuid4().hex}.parquet")
+        writer = None
+        n = 0
+        for batch in iterator:
+            if writer is None:
+                writer = pq.ParquetWriter(out, batch.schema)
+            writer.write_table(pa.Table.from_batches([batch]))
+            n += batch.num_rows
+        if writer is None:
+            return _StagedFile(path="", n_rows=0)  # empty task, nothing staged
+        writer.close()
+        return _StagedFile(path=out, n_rows=n)
+
+    def commit(self, messages):
+        import shutil
+        import uuid
+
+        staged = [m.path for m in messages if m and m.path]
+        ver = f"w{uuid.uuid4().hex[:12]}"
+        new_dir = f"{self._path}__v{ver}"
+        os.makedirs(new_dir, exist_ok=True)
+        for i, src in enumerate(sorted(staged)):
+            os.replace(src, os.path.join(new_dir, f"part-{i:05d}.parquet"))
+        shutil.rmtree(self._staging, ignore_errors=True)
+        # mirror before pointer: a torn mirror is recoverable from the
+        # committed version, a torn version dir named by the pointer is not
+        mirror_tmp = f"{self._path}__mirror_{uuid.uuid4().hex[:8]}"
+        shutil.copytree(new_dir, mirror_tmp)
+        old_mirror = f"{self._path}__mirror_old"
+        if os.path.isdir(self._path):
+            os.replace(self._path, old_mirror)
+        os.replace(mirror_tmp, self._path)
+        shutil.rmtree(old_mirror, ignore_errors=True)
+        ptr = self._path + ".version"
+        old_ver = None
+        if os.path.exists(ptr):
+            with open(ptr) as fh:
+                old_ver = fh.read().strip()
+        tmp = ptr + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(ver)
+        os.replace(tmp, ptr)  # atomic publish
+        if old_ver is not None and old_ver != ver:
+            shutil.rmtree(f"{self._path}__v{old_ver}", ignore_errors=True)
+
+    def abort(self, messages):
+        import shutil
+
+        shutil.rmtree(self._staging, ignore_errors=True)
+
+
 class VersionedStoreDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -178,6 +272,22 @@ class VersionedStoreDataSource(DataSource):
 
     def reader(self, schema: StructType) -> VersionedStoreReader:
         return VersionedStoreReader(dict(self.options))
+
+    def writer(self, schema: StructType, overwrite: bool) -> VersionedStoreWriter:
+        return VersionedStoreWriter(dict(self.options), overwrite)
+
+
+def write_versioned_store(df: DataFrame, path: str) -> None:
+    """Publish ``df`` as the store's next committed snapshot (two-phase:
+    task-staged parquet + driver-side atomic pointer replace)."""
+    spark = df.sparkSession
+    spark.dataSource.register(VersionedStoreDataSource)
+    (
+        df.write.format("versioned_store")
+        .mode("overwrite")
+        .option("path", path)
+        .save()
+    )
 
 
 def read_versioned_store(
