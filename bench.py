@@ -115,6 +115,7 @@ OPTIONAL = [
     "twap_per_user",
     "markov_transitions",
     "cusum_drift",
+    "session_paths_topk",
 ]
 
 # Deliberate experiments whose cost is a MEASUREMENT, not the engine's real

@@ -175,7 +175,6 @@ def cusum_drift(spark, sf_dir):
         F.expr("cast(floor(value * 100 + 0.5) as bigint)").alias("cents"),
         F.unix_timestamp("ts").alias("ep"),
     )
-    wpart = Window.partitionBy("user_id")
     w = Window.partitionBy("user_id").orderBy("ep", "event_id")
     cum = (
         base.withColumn(
@@ -194,3 +193,73 @@ def cusum_drift(spark, sf_dir):
         F.max("cusum").cast("bigint").alias("peak_cusum"),
         F.min(F.when(alarm, F.col("ep"))).cast("bigint").alias("first_alarm_ep"),
     )
+
+
+# --- session_paths_topk: frequent-path sequence mining -----------------------
+# The top-20 most common within-session event-type journeys ("path"
+# strings) — the product-analytics path report built from the SAME 30-min
+# sessionization as user_sessions (idiom copied verbatim so the two
+# queries agree on session boundaries).  The path is serialized
+# deterministically: collect_list(struct(ts, event_id, type)) sorted by
+# the struct's field order == the oracle's string_agg(... ORDER BY ts,
+# event_id).  Top-k takes TakeOrderedAndProject (orderBy+limit BEFORE the
+# rank window, which then runs over 20 rows — never a single-partition
+# window over the full path frame); count ties break on the unique path
+# string, so the limit is deterministic.
+
+_PATHS_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+), f AS (
+  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                  OR date_diff('second', lag(ts) OVER w, ts) > 1800
+             THEN 1 ELSE 0 END AS is_start
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT *, SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  FROM f
+), paths AS (
+  SELECT user_id, session_idx,
+    string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM s GROUP BY user_id, session_idx
+), counts AS (
+  SELECT path, COUNT(*) AS n_sessions FROM paths GROUP BY path
+)
+SELECT path, CAST(n_sessions AS BIGINT) AS n_sessions,
+  CAST(ROW_NUMBER() OVER (ORDER BY n_sessions DESC, path) AS BIGINT) AS rnk
+FROM counts
+ORDER BY n_sessions DESC, path
+LIMIT 20
+"""
+
+
+@query("session_paths_topk", oracle=_PATHS_ORACLE, tags=("sequence", "topk", "T10"))
+def session_paths_topk(spark, sf_dir):
+    ev = T(spark, sf_dir, "events").select("user_id", "event_id", "ts", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    prev_epoch = F.unix_timestamp(F.lag("ts").over(w).cast("timestamp"))
+    flagged = ev.withColumn(
+        "is_start",
+        F.when(
+            F.lag("ts").over(w).isNull() | ((epoch - prev_epoch) > 1800), 1
+        ).otherwise(0),
+    )
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sessions = flagged.withColumn(
+        "session_idx", F.sum("is_start").over(wcum).cast("bigint")
+    )
+    paths = sessions.groupBy("user_id", "session_idx").agg(
+        F.expr(
+            "array_join(transform("
+            "  array_sort(collect_list(struct(ts, event_id, event_type))),"
+            "  s -> s.event_type), '>')"
+        ).alias("path")
+    )
+    counts = paths.groupBy("path").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions")
+    )
+    top = counts.orderBy(F.col("n_sessions").desc(), "path").limit(20)
+    wr = Window.orderBy(F.col("n_sessions").desc(), "path")
+    return top.withColumn("rnk", F.row_number().over(wr).cast("bigint"))
