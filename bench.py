@@ -116,6 +116,9 @@ OPTIONAL = [
     "markov_transitions",
     "cusum_drift",
     "session_paths_topk",
+    "ewma_user_value",
+    "bollinger_breakouts",
+    "rsi_cutler",
 ]
 
 # Deliberate experiments whose cost is a MEASUREMENT, not the engine's real

@@ -297,3 +297,16 @@ def test_round6_batch4_plan_shapes(spark, sf_dir):
     user_ex = [ln for ln in plan.splitlines()
                if "Exchange hashpartitioning(user_id" in ln]
     assert len(user_ex) == 1, plan
+
+
+def test_indicator_plan_shapes(spark, sf_dir):
+    """Indicator batch: every query is windows + agg over ONE user_id
+    exchange (EWMA's rank<=k additionally plans as WindowGroupLimit so
+    deep user histories are truncated before aggregation)."""
+    for name in ("ewma_user_value", "bollinger_breakouts", "rsi_cutler"):
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        ex = [ln for ln in plan.splitlines()
+              if "Exchange hashpartitioning" in ln]
+        assert len(ex) == 1, (name, plan)
+    assert "WindowGroupLimit" in _plan(spark, sf_dir, "ewma_user_value")

@@ -22,6 +22,7 @@ from zeta_etl_spark.queries import (  # noqa: E402,F401
     curation_q,
     dedup_q,
     graph_q,
+    indicators_q,
     pnl_q,
     product_q,
     relational,

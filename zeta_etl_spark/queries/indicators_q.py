@@ -1,0 +1,222 @@
+"""Technical-indicator batch: EWMA, Bollinger bands, and Cutler's RSI over
+per-user event-value series — the market-analytics family the reference's
+domain (perp-DEX trade series) consumes daily.
+
+Cross-engine determinism is the design constraint (SURVEY §5): EWMA uses
+α = 1/2, whose weights 2^-j are DYADIC — every term cents·2^(k-j) is an
+exact BIGINT, so the smoothing is two integer sums and one double
+division (recursive EMA with arbitrary α is NOT reproducible across
+engines; α=1/2 is the closed form that is).  Bollinger σ comes from
+integer window sums via sqrt(n·Sxx − Sx²)/n — IEEE sqrt is correctly
+rounded, so identical inputs give identical doubles.  RSI is Cutler's
+(SMA-based) variant: ratio of two integer sums — Wilder's recursive
+smoothing is again not cross-engine reproducible and is documented out.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from zeta_etl_spark.queries.registry import T, query
+
+_EWMA_K = 20  # window length; weight of the j-th most recent event = 2^-j
+
+# --- ewma_user_value ---------------------------------------------------------
+# EWMA at each user's LATEST event over their last 20 values.  With
+# α = 1/2 the weighted sum Σ cents_j·2^(19-j) and the weight total
+# Σ 2^(19-j) are both exact BIGINTs (shiftleft, no float pow), leaving
+# ONE double division.  Scale: row_number + filter ≤ 20 is a per-key
+# top-k (WindowGroupLimit) — the tail of each user's history is never
+# aggregated.
+
+_EWMA_ORACLE = f"""
+WITH ranked AS (
+  SELECT user_id,
+    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+    ROW_NUMBER() OVER (
+      PARTITION BY user_id
+      ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id,
+  CAST(COUNT(*) AS BIGINT) AS n_used,
+  CAST(SUM(cents * (CAST(1 AS BIGINT) << ({_EWMA_K} - CAST(rn AS INTEGER))))
+    AS BIGINT) AS weighted_sum,
+  CAST(SUM(CAST(1 AS BIGINT) << ({_EWMA_K} - CAST(rn AS INTEGER)))
+    AS BIGINT) AS weight_total,
+  CAST(SUM(cents * (CAST(1 AS BIGINT) << ({_EWMA_K} - CAST(rn AS INTEGER))))
+    AS DOUBLE)
+    / CAST(SUM(CAST(1 AS BIGINT) << ({_EWMA_K} - CAST(rn AS INTEGER)))
+    AS DOUBLE) AS ewma_cents
+FROM ranked
+WHERE rn <= {_EWMA_K}
+GROUP BY user_id
+"""
+
+
+@query("ewma_user_value", oracle=_EWMA_ORACLE, tags=("indicator", "window"))
+def ewma_user_value(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    ranked = (
+        e.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.expr("cast(floor(value * 100 + 0.5) as bigint)").alias("cents"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _EWMA_K)
+    )
+    wgt = F.expr(f"shiftleft(cast(1 as bigint), {_EWMA_K} - cast(rn as int))")
+    return ranked.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_used"),
+        F.sum(F.col("cents") * wgt).cast("bigint").alias("weighted_sum"),
+        F.sum(wgt).cast("bigint").alias("weight_total"),
+        (
+            F.sum(F.col("cents") * wgt).cast("double")
+            / F.sum(wgt).cast("double")
+        ).alias("ewma_cents"),
+    )
+
+
+# --- bollinger_breakouts -----------------------------------------------------
+# 20-event rolling mean ± 2σ per user; count closes outside the band.
+# σ is the population std over the window from INTEGER sums:
+# sqrt(n·Sxx − Sx²)/n — every input to the band expressions is a BIGINT
+# window sum, so both engines evaluate the identical double expression
+# tree.  One user_id exchange carries all three window sums and the
+# final aggregation.
+
+_BOLL_ORACLE = """
+WITH base AS (
+  SELECT user_id, event_id,
+    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+    CAST(ts AS TIMESTAMP) AS ts
+  FROM events
+), win AS (
+  SELECT user_id, cents,
+    CAST(COUNT(*) OVER w AS BIGINT) AS n,
+    CAST(SUM(cents) OVER w AS BIGINT) AS sx,
+    CAST(SUM(cents * cents) OVER w AS BIGINT) AS sxx
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+), bands AS (
+  SELECT user_id, cents,
+    CAST(sx AS DOUBLE) / n AS mean_c,
+    sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) / n AS sigma_c
+  FROM win
+)
+SELECT user_id,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(COUNT(*) FILTER (WHERE cents > mean_c + 2 * sigma_c) AS BIGINT)
+    AS n_upper_breaks,
+  CAST(COUNT(*) FILTER (WHERE cents < mean_c - 2 * sigma_c) AS BIGINT)
+    AS n_lower_breaks
+FROM bands
+GROUP BY user_id
+"""
+
+
+@query("bollinger_breakouts", oracle=_BOLL_ORACLE, tags=("indicator", "window"))
+def bollinger_breakouts(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    base = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.expr("cast(floor(value * 100 + 0.5) as bigint)").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, Window.currentRow)
+    )
+    win = base.select(
+        "user_id",
+        "cents",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n"),
+        F.sum("cents").over(w).cast("bigint").alias("sx"),
+        F.sum(F.col("cents") * F.col("cents")).over(w).cast("bigint").alias("sxx"),
+    )
+    bands = win.select(
+        "user_id",
+        "cents",
+        (F.col("sx").cast("double") / F.col("n")).alias("mean_c"),
+        (
+            F.sqrt(
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                    "double"
+                )
+            )
+            / F.col("n")
+        ).alias("sigma_c"),
+    )
+    upper = F.col("cents") > F.col("mean_c") + 2 * F.col("sigma_c")
+    lower = F.col("cents") < F.col("mean_c") - 2 * F.col("sigma_c")
+    return bands.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.count(F.when(upper, 1)).cast("bigint").alias("n_upper_breaks"),
+        F.count(F.when(lower, 1)).cast("bigint").alias("n_lower_breaks"),
+    )
+
+
+# --- rsi_cutler --------------------------------------------------------------
+# Cutler's RSI at each user's latest event: simple (not Wilder-recursive)
+# averages of the last 14 up-moves and down-moves — two integer sums and
+# one guarded double division, RSI = 100·gain/(gain+loss).  The diff
+# series comes from lag() on the same user_id exchange.
+
+_RSI_N = 14
+
+_RSI_ORACLE = f"""
+WITH diffs AS (
+  SELECT user_id,
+    CAST(floor(value * 100 + 0.5) AS BIGINT)
+      - lag(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER w AS d,
+    ROW_NUMBER() OVER (
+      PARTITION BY user_id
+      ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn_desc
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+)
+SELECT user_id,
+  CAST(SUM(greatest(d, 0)) AS BIGINT) AS gain_sum,
+  CAST(SUM(greatest(-d, 0)) AS BIGINT) AS loss_sum,
+  CAST(100 * SUM(greatest(d, 0)) AS DOUBLE)
+    / NULLIF(CAST(SUM(greatest(d, 0)) + SUM(greatest(-d, 0)) AS DOUBLE), 0)
+    AS rsi
+FROM diffs
+WHERE d IS NOT NULL AND rn_desc <= {_RSI_N}
+GROUP BY user_id
+"""
+
+
+@query("rsi_cutler", oracle=_RSI_ORACLE, tags=("indicator", "window"))
+def rsi_cutler(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    wasc = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wdesc = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    cents = F.expr("cast(floor(value * 100 + 0.5) as bigint)")
+    diffs = (
+        e.select("user_id", "ts", "event_id", cents.alias("cents"))
+        .withColumn("d", F.col("cents") - F.lag("cents").over(wasc))
+        .withColumn("rn_desc", F.row_number().over(wdesc))
+        .filter(F.col("d").isNotNull() & (F.col("rn_desc") <= _RSI_N))
+    )
+    gain = F.sum(F.greatest(F.col("d"), F.lit(0)))
+    loss = F.sum(F.greatest(-F.col("d"), F.lit(0)))
+    return diffs.groupBy("user_id").agg(
+        gain.cast("bigint").alias("gain_sum"),
+        loss.cast("bigint").alias("loss_sum"),
+        (
+            (100 * gain).cast("double")
+            / F.nullif((gain + loss).cast("double"), F.lit(0.0))
+        ).alias("rsi"),
+    )
