@@ -119,6 +119,9 @@ OPTIONAL = [
     "ewma_user_value",
     "bollinger_breakouts",
     "rsi_cutler",
+    "events_profile",
+    "fk_integrity_audit",
+    "pk_uniqueness_audit",
 ]
 
 # Deliberate experiments whose cost is a MEASUREMENT, not the engine's real

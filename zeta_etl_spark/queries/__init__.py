@@ -15,6 +15,7 @@ from zeta_etl_spark.queries import (  # noqa: E402,F401
     analytics3_q,
     analytics4_q,
     analytics_q,
+    audit_q,
     curation2_q,
     curation3_q,
     curation4_q,

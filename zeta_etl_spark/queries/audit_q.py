@@ -1,0 +1,247 @@
+"""Data-quality audit batch (the Deequ/expectations-style checks a
+production lakehouse runs on every load): per-column profiling, foreign-key
+orphan audits across the star schema, and primary-key uniqueness.
+
+The engine's pipeline runner already enforces per-node expectations
+(plans/graph.py); these queries are the WAREHOUSE-WIDE audit reports that
+feed such expectations.  Cross-engine notes: numeric min/max surface as
+scaled BIGINTs (double→string formatting differs between engines; integer
+cents/epochs are hash-stable), string min/max as plain strings.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import functions as F
+
+from zeta_etl_spark.queries.registry import T, query
+
+# --- events_profile: one-pass column profiling -------------------------------
+# n_rows / n_nulls / n_distinct plus typed min-max per column of the fact
+# table, computed in ONE scan (a single wide agg row, unpivoted to the
+# long report).  count(DISTINCT a), count(DISTINCT b), … in one agg plans
+# as Expand×columns — the standard profiling trade: one pass over 100 TB
+# with a fixed small Expand factor beats six separate scans.
+
+_PROFILE_ORACLE = """
+WITH m AS (
+  SELECT
+    COUNT(*) AS n_rows,
+    COUNT(*) - COUNT(event_id)   AS null_event_id,
+    COUNT(*) - COUNT(user_id)    AS null_user_id,
+    COUNT(*) - COUNT(event_type) AS null_event_type,
+    COUNT(*) - COUNT(value)      AS null_value,
+    COUNT(*) - COUNT(props)      AS null_props,
+    COUNT(DISTINCT event_id)   AS d_event_id,
+    COUNT(DISTINCT user_id)    AS d_user_id,
+    COUNT(DISTINCT event_type) AS d_event_type,
+    COUNT(DISTINCT value)      AS d_value,
+    COUNT(DISTINCT props)      AS d_props,
+    MIN(event_id) AS min_event_id, MAX(event_id) AS max_event_id,
+    MIN(user_id)  AS min_user_id,  MAX(user_id)  AS max_user_id,
+    CAST(floor(MIN(value) * 100 + 0.5) AS BIGINT) AS min_value_cents,
+    CAST(floor(MAX(value) * 100 + 0.5) AS BIGINT) AS max_value_cents,
+    MIN(event_type) AS min_event_type, MAX(event_type) AS max_event_type,
+    MIN(props) AS min_props, MAX(props) AS max_props
+  FROM events
+)
+SELECT col, CAST(t.n_rows AS BIGINT) AS n_rows,
+  CAST(t.n_nulls AS BIGINT) AS n_nulls,
+  CAST(t.n_distinct AS BIGINT) AS n_distinct,
+  CAST(t.min_num AS BIGINT) AS min_num, CAST(t.max_num AS BIGINT) AS max_num,
+  t.min_str, t.max_str
+FROM m, LATERAL (VALUES
+  ('event_id',   n_rows, null_event_id,   d_event_id,
+     min_event_id, max_event_id, NULL, NULL),
+  ('user_id',    n_rows, null_user_id,    d_user_id,
+     min_user_id, max_user_id, NULL, NULL),
+  ('event_type', n_rows, null_event_type, d_event_type,
+     NULL, NULL, min_event_type, max_event_type),
+  ('value',      n_rows, null_value,      d_value,
+     min_value_cents, max_value_cents, NULL, NULL),
+  ('props',      n_rows, null_props,      d_props,
+     NULL, NULL, min_props, max_props)
+) AS t(col, n_rows, n_nulls, n_distinct, min_num, max_num, min_str, max_str)
+"""
+
+
+@query("events_profile", oracle=_PROFILE_ORACLE, tags=("audit", "profiling"))
+def events_profile(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    m = e.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[
+            (F.count(F.lit(1)) - F.count(c)).alias(f"null_{c}")
+            for c in ("event_id", "user_id", "event_type", "value", "props")
+        ],
+        *[
+            F.countDistinct(c).alias(f"d_{c}")
+            for c in ("event_id", "user_id", "event_type", "value", "props")
+        ],
+        F.min("event_id").alias("min_event_id"),
+        F.max("event_id").alias("max_event_id"),
+        F.min("user_id").alias("min_user_id"),
+        F.max("user_id").alias("max_user_id"),
+        F.expr("cast(floor(min(value) * 100 + 0.5) as bigint)").alias(
+            "min_value_cents"
+        ),
+        F.expr("cast(floor(max(value) * 100 + 0.5) as bigint)").alias(
+            "max_value_cents"
+        ),
+        F.min("event_type").alias("min_event_type"),
+        F.max("event_type").alias("max_event_type"),
+        F.min("props").alias("min_props"),
+        F.max("props").alias("max_props"),
+    )
+    rows = m.selectExpr(
+        """stack(5,
+          'event_id',   n_rows, null_event_id,   d_event_id,
+             min_event_id, max_event_id,
+             cast(NULL as string), cast(NULL as string),
+          'user_id',    n_rows, null_user_id,    d_user_id,
+             min_user_id, max_user_id,
+             cast(NULL as string), cast(NULL as string),
+          'event_type', n_rows, null_event_type, d_event_type,
+             cast(NULL as bigint), cast(NULL as bigint),
+             min_event_type, max_event_type,
+          'value',      n_rows, null_value,      d_value,
+             min_value_cents, max_value_cents,
+             cast(NULL as string), cast(NULL as string),
+          'props',      n_rows, null_props,      d_props,
+             cast(NULL as bigint), cast(NULL as bigint),
+             min_props, max_props
+        ) AS (col, n_rows, n_nulls, n_distinct,
+              min_num, max_num, min_str, max_str)"""
+    )
+    return rows.select(
+        "col",
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.col("n_nulls").cast("bigint").alias("n_nulls"),
+        F.col("n_distinct").cast("bigint").alias("n_distinct"),
+        F.col("min_num").cast("bigint").alias("min_num"),
+        F.col("max_num").cast("bigint").alias("max_num"),
+        "min_str",
+        "max_str",
+    )
+
+
+# --- fk_integrity_audit: star-schema orphan census ---------------------------
+# One row per foreign-key edge with child cardinality and orphan count
+# (child keys with no parent).  Anti joins broadcast the parent side for
+# the dimension edges; the two fact-fact edges (lineitem→orders,
+# orders→customer) shuffle on their key like any fact join.  The report
+# is the warehouse-ingest gate: a nonzero orphan count fails the load.
+
+_FK_EDGES = [
+    ("orders.o_custkey->customer.c_custkey", "orders", "o_custkey",
+     "customer", "c_custkey"),
+    ("lineitem.l_orderkey->orders.o_orderkey", "lineitem", "l_orderkey",
+     "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part.p_partkey", "lineitem", "l_partkey",
+     "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier.s_suppkey", "lineitem", "l_suppkey",
+     "supplier", "s_suppkey"),
+    ("customer.c_nationkey->nation.n_nationkey", "customer", "c_nationkey",
+     "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation.n_nationkey", "supplier", "s_nationkey",
+     "nation", "n_nationkey"),
+    ("nation.n_regionkey->region.r_regionkey", "nation", "n_regionkey",
+     "region", "r_regionkey"),
+]
+
+_FK_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{edge}' AS fk_edge,
+  (SELECT COUNT(*) FROM {child}) AS n_child_rows,
+  (SELECT COUNT(*) FROM {child} c
+     WHERE NOT EXISTS (SELECT 1 FROM {parent} p
+                       WHERE p.{pkey} = c.{ckey})) AS n_orphans"""
+    for edge, child, ckey, parent, pkey in _FK_EDGES
+)
+
+
+@query("fk_integrity_audit", oracle=_FK_ORACLE, tags=("audit", "integrity"))
+def fk_integrity_audit(spark, sf_dir):
+    frames = []
+    for edge, child, ckey, parent, pkey in _FK_EDGES:
+        c = T(spark, sf_dir, child)
+        p = T(spark, sf_dir, parent)
+        # broadcast only the BOUNDED dims (nation/region); customer,
+        # supplier, part and orders all scale with SF — AQE decides those
+        pside = F.broadcast(p) if parent in ("nation", "region") else p
+        orphans = c.join(pside, c[ckey] == p[pkey], "left_anti")
+        frames.append(
+            c.agg(F.count(F.lit(1)).alias("n_child_rows")).crossJoin(
+                orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
+            ).select(
+                F.lit(edge).alias("fk_edge"), "n_child_rows", "n_orphans"
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), frames)
+
+
+# --- pk_uniqueness_audit: key-cardinality report -----------------------------
+# rows vs distinct primary keys per table (composite for lineitem) — the
+# duplicate-key gate.  Each table contributes one partial-aggregated
+# count-distinct; the union is rows-per-table sized.
+
+_PK_TABLES = [
+    ("region", "r_regionkey"),
+    ("nation", "n_nationkey"),
+    ("customer", "c_custkey"),
+    ("supplier", "s_suppkey"),
+    ("part", "p_partkey"),
+    ("orders", "o_orderkey"),
+    ("events", "event_id"),
+    ("documents", "doc_id"),
+    ("embeddings", "vec_id"),
+]
+
+_PK_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{t}' AS table_name, COUNT(*) AS n_rows,
+  COUNT(DISTINCT {k}) AS n_distinct_keys,
+  COUNT(*) - COUNT(DISTINCT {k}) AS n_duplicate_rows FROM {t}"""
+    for t, k in _PK_TABLES
+) + """
+UNION ALL
+SELECT 'lineitem' AS table_name, COUNT(*) AS n_rows,
+  COUNT(DISTINCT l_orderkey * 1000 + l_linenumber) AS n_distinct_keys,
+  COUNT(*) - COUNT(DISTINCT l_orderkey * 1000 + l_linenumber)
+    AS n_duplicate_rows
+FROM lineitem"""
+
+
+@query("pk_uniqueness_audit", oracle=_PK_ORACLE, tags=("audit", "integrity"))
+def pk_uniqueness_audit(spark, sf_dir):
+    frames = []
+    for t, k in _PK_TABLES:
+        df = T(spark, sf_dir, t)
+        frames.append(
+            df.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.countDistinct(k).alias("n_distinct_keys"),
+                (F.count(F.lit(1)) - F.countDistinct(k)).alias(
+                    "n_duplicate_rows"
+                ),
+            ).select(F.lit(t).alias("table_name"), "*")
+        )
+    li = T(spark, sf_dir, "lineitem")
+    # composite key packed to one BIGINT (linenumber < 1000) so the
+    # distinct is a single-column hash in both engines
+    ck = F.expr("l_orderkey * 1000 + l_linenumber")
+    frames.append(
+        li.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct(ck).alias("n_distinct_keys"),
+            (F.count(F.lit(1)) - F.countDistinct(ck)).alias(
+                "n_duplicate_rows"
+            ),
+        ).select(F.lit("lineitem").alias("table_name"), "*")
+    )
+    out = reduce(lambda a, b: a.unionByName(b), frames)
+    return out.select(
+        "table_name",
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.col("n_distinct_keys").cast("bigint").alias("n_distinct_keys"),
+        F.col("n_duplicate_rows").cast("bigint").alias("n_duplicate_rows"),
+    )
