@@ -122,6 +122,8 @@ OPTIONAL = [
     "events_profile",
     "fk_integrity_audit",
     "pk_uniqueness_audit",
+    "lsh_eval_metrics",
+    "cohort_ltv_curve",
 ]
 
 # Deliberate experiments whose cost is a MEASUREMENT, not the engine's real

@@ -21,6 +21,7 @@ from zeta_etl_spark.operators.dedup import (
     jaccard_verify,
     lsh_candidate_pairs,
     minhash_signatures,
+    shingle_jaccard_pairs,
     simhash,
 )
 from zeta_etl_spark.queries.registry import T, query
@@ -556,4 +557,62 @@ def normalized_exact_dedup(spark, sf_dir):
     return d.groupBy(h.alias("norm_hash")).agg(
         F.min("doc_id").alias("doc_id"),
         F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+# --- lsh_eval_metrics: self-evaluating dedup quality -------------------------
+# Precision/recall of the banded-LSH candidate generator against exact
+# ground truth at Jaccard >= 0.2, in ONE report row — the measurement a
+# production dedup pipeline publishes with every corpus build so LSH
+# parameter drift (bands x rows vs corpus density) is caught by a gate,
+# not by eyeballing.  Truth comes from the bounded inverted-index exact
+# path (shingle_jaccard_pairs — candidates only, never all-pairs); hits
+# are simply the LSH-verified pairs above the threshold, since both paths
+# share the same exact-Jaccard verifier.
+
+_EVAL_TAU = 0.2
+
+_EVAL_ORACLE = f"""
+WITH lsh AS (
+  SELECT jaccard FROM ({_minhash_oracle()}) _l
+), tru AS (
+  SELECT doc_a FROM ({_NGRAM_ORACLE.replace(">= 0.2", f">= {_EVAL_TAU}")}) _t
+)
+SELECT
+  (SELECT COUNT(*) FROM lsh) AS n_candidates,
+  (SELECT COUNT(*) FROM tru) AS n_true_pairs,
+  (SELECT COUNT(*) FROM lsh WHERE jaccard >= {_EVAL_TAU}) AS n_hits,
+  CAST((SELECT COUNT(*) FROM lsh WHERE jaccard >= {_EVAL_TAU}) AS DOUBLE)
+    / NULLIF(CAST((SELECT COUNT(*) FROM lsh) AS DOUBLE), 0) AS precision_at_tau,
+  CAST((SELECT COUNT(*) FROM lsh WHERE jaccard >= {_EVAL_TAU}) AS DOUBLE)
+    / NULLIF(CAST((SELECT COUNT(*) FROM tru) AS DOUBLE), 0) AS recall_at_tau
+"""
+
+
+@query("lsh_eval_metrics", oracle=_EVAL_ORACLE, tags=("dedup", "eval", "lsh"))
+def lsh_eval_metrics(spark, sf_dir):
+    d = T(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    sigs = minhash_signatures(d, num_perm=_NUM_PERM).cache()
+    lsh = lsh_verified_pairs(sigs, d).select("jaccard")
+    tru = shingle_jaccard_pairs(d, min_jaccard=_EVAL_TAU).select("doc_a")
+    n_cand = lsh.agg(F.count(F.lit(1)).alias("n_candidates"))
+    n_true = tru.agg(F.count(F.lit(1)).alias("n_true_pairs"))
+    n_hits = lsh.filter(F.col("jaccard") >= _EVAL_TAU).agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    out = n_cand.crossJoin(n_true).crossJoin(n_hits)
+    return out.select(
+        "n_candidates",
+        "n_true_pairs",
+        "n_hits",
+        (
+            F.col("n_hits").cast("double")
+            / F.nullif(F.col("n_candidates").cast("double"), F.lit(0.0))
+        ).alias("precision_at_tau"),
+        (
+            F.col("n_hits").cast("double")
+            / F.nullif(F.col("n_true_pairs").cast("double"), F.lit(0.0))
+        ).alias("recall_at_tau"),
     )

@@ -7,7 +7,7 @@ keyed groupings; the only doubles are final ratios of exact counts.
 
 Scale: funnels are one groupBy(user) with conditional min-timestamps (a
 single shuffle, map-side combined); cohorts are two hash aggregations keyed
-by (cohort_week, week_offset) — no windows, no joins against raw events
+by (cohort_day, week_offset) — no windows, no joins against raw events
 beyond the first-activity broadcast.
 """
 
@@ -237,4 +237,86 @@ def event_type_lift(spark, sf_dir):
                 / (F.col("n_a").cast("double") * F.col("n_b"))
             ).alias("lift"),
         )
+    )
+
+
+# --- cohort_ltv_curve: cumulative value per user by cohort age ---------------
+# The lifetime-value complement of retention_cohorts: users cohort by the
+# DAY of their FIRST event (window MIN on the same user_id exchange —
+# no join against a per-user aggregate), and each cohort's cumulative
+# event value per member is reported by age-week.  All value math is
+# integer cents; the single division by cohort size happens once per
+# output row.  Scale: one user_id exchange (window min + per-user-week
+# rollup), then everything downstream is (cohort × age)-sized.
+
+_LTV_ORACLE = """
+WITH base AS (
+  SELECT user_id,
+    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+    CAST(ts AS TIMESTAMP) AS ts,
+    CAST(MIN(CAST(ts AS TIMESTAMP))
+         OVER (PARTITION BY user_id) AS DATE) AS cohort_day
+  FROM events
+), uw AS (
+  SELECT cohort_day, user_id,
+    date_diff('day', cohort_day, CAST(ts AS DATE)) // 7 AS age_week,
+    SUM(cents) AS cents
+  FROM base GROUP BY 1, 2, 3
+), sizes AS (
+  SELECT cohort_day, COUNT(DISTINCT user_id) AS n_users FROM uw GROUP BY 1
+), weekly AS (
+  SELECT cohort_day, age_week, SUM(cents) AS week_cents FROM uw GROUP BY 1, 2
+), curve AS (
+  SELECT cohort_day, age_week, week_cents,
+    SUM(week_cents) OVER (PARTITION BY cohort_day ORDER BY age_week)
+      AS cum_cents
+  FROM weekly
+)
+SELECT c.cohort_day, CAST(c.age_week AS BIGINT) AS age_week,
+  CAST(c.week_cents AS BIGINT) AS week_cents,
+  CAST(c.cum_cents AS BIGINT) AS cum_cents,
+  CAST(s.n_users AS BIGINT) AS n_users,
+  CAST(c.cum_cents AS DOUBLE) / CAST(s.n_users AS DOUBLE) AS ltv_cents_per_user
+FROM curve c JOIN sizes s ON s.cohort_day = c.cohort_day
+"""
+
+
+@query("cohort_ltv_curve", oracle=_LTV_ORACLE, tags=("product", "cohort", "ltv"))
+def cohort_ltv_curve(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    e = T(spark, sf_dir, "events")
+    wpart = Window.partitionBy("user_id")
+    base = e.select(
+        "user_id",
+        "ts",
+        F.expr("cast(floor(value * 100 + 0.5) as bigint)").alias("cents"),
+    ).withColumn(
+        "cohort_day",
+        F.min("ts").over(wpart).cast("date"),
+    )
+    uw = base.groupBy(
+        "cohort_day",
+        "user_id",
+        F.expr(
+            "datediff(cast(ts as date), cohort_day) div 7"
+        ).alias("age_week"),
+    ).agg(F.sum("cents").alias("cents"))
+    sizes = uw.groupBy("cohort_day").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+    weekly = uw.groupBy("cohort_day", "age_week").agg(
+        F.sum("cents").alias("week_cents")
+    )
+    wcum = Window.partitionBy("cohort_day").orderBy("age_week")
+    curve = weekly.withColumn("cum_cents", F.sum("week_cents").over(wcum))
+    return curve.join(F.broadcast(sizes), "cohort_day").select(
+        "cohort_day",
+        F.col("age_week").cast("bigint").alias("age_week"),
+        F.col("week_cents").cast("bigint").alias("week_cents"),
+        F.col("cum_cents").cast("bigint").alias("cum_cents"),
+        F.col("n_users").cast("bigint").alias("n_users"),
+        (
+            F.col("cum_cents").cast("double") / F.col("n_users").cast("double")
+        ).alias("ltv_cents_per_user"),
     )
