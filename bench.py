@@ -124,6 +124,7 @@ OPTIONAL = [
     "pk_uniqueness_audit",
     "lsh_eval_metrics",
     "cohort_ltv_curve",
+    "ohlc_bars_hourly",
 ]
 
 # Deliberate experiments whose cost is a MEASUREMENT, not the engine's real

@@ -125,3 +125,51 @@ def liquidation_hourly(spark, sf_dir):
         F.countDistinct("user_id").alias("liquidatees"),
         F.max("value").alias("max_liquidation"),
     )
+
+
+# --- ohlc_bars_hourly: candlestick bars over the event-value series ----------
+# The market-data staple the reference's prices pipeline serves
+# (zetadex-prices-pipeline.py aggregates spot marks per interval): per
+# hour — open (value at the first event), high, low, close (value at the
+# last event), and tick count.  Open/close are min_by/max_by on a packed
+# BIGINT order key (epoch·10^8 + event_id — unique, so the extrema are
+# deterministic; DuckDB's arg_min/arg_max share the semantics).  One
+# hour-grain shuffle with full map-side combine: min_by/max_by partials
+# merge like min/max, making the bar builder a 100 TB-safe single agg.
+
+_OHLC_ORACLE = """
+WITH base AS (
+  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bar_hour,
+    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+    date_diff('second', TIMESTAMP '1970-01-01 00:00:00',
+              CAST(ts AS TIMESTAMP)) * 100000000 + event_id AS ord
+  FROM events
+)
+SELECT bar_hour,
+  CAST(arg_min(cents, ord) AS BIGINT) AS open_cents,
+  CAST(MAX(cents) AS BIGINT) AS high_cents,
+  CAST(MIN(cents) AS BIGINT) AS low_cents,
+  CAST(arg_max(cents, ord) AS BIGINT) AS close_cents,
+  COUNT(*) AS n_ticks
+FROM base
+GROUP BY bar_hour
+"""
+
+
+@query("ohlc_bars_hourly", oracle=_OHLC_ORACLE, tags=("market", "agg", "A4"))
+def ohlc_bars_hourly(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    base = e.select(
+        F.date_trunc("hour", "ts").alias("bar_hour"),
+        F.expr("cast(floor(value * 100 + 0.5) as bigint)").alias("cents"),
+        F.expr(
+            "unix_timestamp(ts) * 100000000 + event_id"
+        ).alias("ord"),
+    )
+    return base.groupBy("bar_hour").agg(
+        F.min_by("cents", "ord").cast("bigint").alias("open_cents"),
+        F.max("cents").cast("bigint").alias("high_cents"),
+        F.min("cents").cast("bigint").alias("low_cents"),
+        F.max_by("cents", "ord").cast("bigint").alias("close_cents"),
+        F.count(F.lit(1)).alias("n_ticks"),
+    )
