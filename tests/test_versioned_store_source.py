@@ -152,19 +152,27 @@ def test_writer_round_trip_and_atomic_republish(spark, tmp_path):
     assert spark.read.parquet(path).count() == 100
     ver1 = open(path + ".version").read().strip()
 
-    # second publish atomically supersedes: new pointer, old version dir
-    # vacuumed, no staging dirs stranded
+    # second publish atomically supersedes: new pointer; the superseded
+    # generation is RETAINED (readers that pinned it mid-commit finish
+    # their scan), no staging dirs stranded
     df2 = spark.range(0, 10).select(
         F.col("id").alias("k"), (F.col("id") * 3).alias("v")
     )
     write_versioned_store(df2, path)
     ver2 = open(path + ".version").read().strip()
     assert ver2 != ver1
-    assert not os.path.isdir(f"{path}__v{ver1}")
+    assert os.path.isdir(f"{path}__v{ver1}")  # one-generation retention
     got = {r["k"]: r["v"] for r in read_versioned_store(spark, path).collect()}
     assert got == {i: 3 * i for i in range(10)}
     parent = os.path.dirname(path)
     assert not [d for d in os.listdir(parent) if "__staging_" in d]
+
+    # third publish vacuums generations older than the previous one
+    write_versioned_store(df2, path)
+    ver3 = open(path + ".version").read().strip()
+    assert not os.path.isdir(f"{path}__v{ver1}")
+    assert os.path.isdir(f"{path}__v{ver2}")
+    assert os.path.isdir(f"{path}__v{ver3}")
 
 
 def test_writer_interops_with_streaming_store(spark, tmp_path):
@@ -194,3 +202,50 @@ def test_writer_rejects_append_mode(spark, tmp_path):
         df.write.format("versioned_store").mode("append").option(
             "path", path
         ).save()
+
+
+def test_float_predicates_not_pushed_nan_safe(spark, tmp_path):
+    """Spark orders NaN above every double; pyarrow follows IEEE.  Float
+    predicates must therefore stay Spark-side: the connector's result for
+    v >= 2.0 over a store containing NaN must equal plain-parquet Spark
+    semantics (NaN kept)."""
+    from pyspark.sql.datasource import GreaterThanOrEqual, EqualTo
+
+    from zeta_etl_spark.sources.versioned_store import write_versioned_store
+
+    path = str(tmp_path / "nanstore")
+    df = spark.createDataFrame(
+        [("a", 1.0), ("b", float("nan")), ("c", 3.0)], "k string, v double"
+    )
+    write_versioned_store(df, path)
+    got = {r["k"] for r in
+           read_versioned_store(spark, path).filter(F.col("v") >= 2.0).collect()}
+    want = {r["k"] for r in
+            spark.read.parquet(path).filter(F.col("v") >= 2.0).collect()}
+    assert got == want == {"b", "c"}  # NaN > 2.0 under Spark ordering
+
+    # unit: float comparisons are returned to Spark, non-float ones claimed
+    reader = VersionedStoreReader({"path": path})
+    remaining = list(reader.pushFilters([
+        GreaterThanOrEqual(("v",), 2.0), EqualTo(("k",), "a"),
+    ]))
+    assert len(remaining) == 1 and remaining[0].attribute == ("v",)
+    assert reader._filter_expr is not None  # the k filter was claimed
+
+
+def test_commit_heals_mirror_crash_debris(spark, tmp_path):
+    """A crash between the two mirror renames leaves __mirror_old; the next
+    commit must heal it instead of failing with ENOTEMPTY."""
+    from zeta_etl_spark.sources.versioned_store import write_versioned_store
+
+    path = str(tmp_path / "healstore")
+    df = spark.range(5).select(F.col("id").alias("k"))
+    write_versioned_store(df, path)
+    # simulate the crash window: a stranded old mirror and a stranded tmp
+    os.makedirs(path + "__mirror_old")
+    open(path + "__mirror_old/garbage", "w").write("x")
+    os.makedirs(path + "__mirror_deadbeef")
+    write_versioned_store(df, path)  # must not raise
+    assert not os.path.isdir(path + "__mirror_old")
+    assert not os.path.isdir(path + "__mirror_deadbeef")
+    assert read_versioned_store(spark, path).count() == 5

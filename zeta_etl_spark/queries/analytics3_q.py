@@ -45,8 +45,10 @@ WITH cents AS (
 )
 SELECT t.event_type, CAST(t.q AS BIGINT) AS q, t.n,
   CAST(MIN(c.bucket) AS BIGINT) AS bucket,
-  CAST(1 << (CAST(MIN(c.bucket) AS INTEGER) - 1) AS BIGINT) AS lo_cents,
-  CAST((1 << CAST(MIN(c.bucket) AS INTEGER)) - 1 AS BIGINT) AS hi_cents
+  CAST(CAST(1 AS BIGINT) << (CAST(MIN(c.bucket) AS INTEGER) - 1)
+    AS BIGINT) AS lo_cents,
+  CAST((CAST(1 AS BIGINT) << CAST(MIN(c.bucket) AS INTEGER)) - 1
+    AS BIGINT) AS hi_cents
 FROM targets t
 JOIN cum c ON c.event_type = t.event_type AND c.cum >= t.target
 GROUP BY t.event_type, t.q, t.n

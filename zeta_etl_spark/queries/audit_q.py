@@ -128,10 +128,12 @@ def events_profile(spark, sf_dir):
 
 # --- fk_integrity_audit: star-schema orphan census ---------------------------
 # One row per foreign-key edge with child cardinality and orphan count
-# (child keys with no parent).  Anti joins broadcast the parent side for
-# the dimension edges; the two fact-fact edges (lineitem→orders,
-# orders→customer) shuffle on their key like any fact join.  The report
-# is the warehouse-ingest gate: a nonzero orphan count fails the load.
+# (child keys with no parent) — computed in ONE pass per edge: a left
+# outer join whose unmatched rows carry a NULL parent key, aggregated as
+# count(*) + count(parent IS NULL).  (An anti join plus a separate total
+# count would scan each child twice — review finding.)  Bounded dims
+# broadcast; the fact-fact edges shuffle on their key.  The report is
+# the warehouse-ingest gate: a nonzero orphan count fails the load.
 
 _FK_EDGES = [
     ("orders.o_custkey->customer.c_custkey", "orders", "o_custkey",
@@ -164,15 +166,16 @@ _FK_ORACLE = "\nUNION ALL\n".join(
 def fk_integrity_audit(spark, sf_dir):
     frames = []
     for edge, child, ckey, parent, pkey in _FK_EDGES:
-        c = T(spark, sf_dir, child)
-        p = T(spark, sf_dir, parent)
+        c = T(spark, sf_dir, child).select(ckey)
+        p = T(spark, sf_dir, parent).select(pkey).distinct()
         # broadcast only the BOUNDED dims (nation/region); customer,
         # supplier, part and orders all scale with SF — AQE decides those
         pside = F.broadcast(p) if parent in ("nation", "region") else p
-        orphans = c.join(pside, c[ckey] == p[pkey], "left_anti")
+        joined = c.join(pside, c[ckey] == p[pkey], "left")
         frames.append(
-            c.agg(F.count(F.lit(1)).alias("n_child_rows")).crossJoin(
-                orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
+            joined.agg(
+                F.count(F.lit(1)).alias("n_child_rows"),
+                F.count(F.when(p[pkey].isNull(), 1)).alias("n_orphans"),
             ).select(
                 F.lit(edge).alias("fk_edge"), "n_child_rows", "n_orphans"
             )

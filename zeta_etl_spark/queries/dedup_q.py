@@ -597,12 +597,15 @@ def lsh_eval_metrics(spark, sf_dir):
     sigs = minhash_signatures(d, num_perm=_NUM_PERM).cache()
     lsh = lsh_verified_pairs(sigs, d).select("jaccard")
     tru = shingle_jaccard_pairs(d, min_jaccard=_EVAL_TAU).select("doc_a")
-    n_cand = lsh.agg(F.count(F.lit(1)).alias("n_candidates"))
-    n_true = tru.agg(F.count(F.lit(1)).alias("n_true_pairs"))
-    n_hits = lsh.filter(F.col("jaccard") >= _EVAL_TAU).agg(
-        F.count(F.lit(1)).alias("n_hits")
+    # one pass over the expensive LSH-verify lineage produces BOTH counts
+    # (a separate filtered aggregate would re-execute the candidate join +
+    # exact-Jaccard verification — review finding)
+    lsh_counts = lsh.agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.count(F.when(F.col("jaccard") >= _EVAL_TAU, 1)).alias("n_hits"),
     )
-    out = n_cand.crossJoin(n_true).crossJoin(n_hits)
+    n_true = tru.agg(F.count(F.lit(1)).alias("n_true_pairs"))
+    out = lsh_counts.crossJoin(n_true)
     return out.select(
         "n_candidates",
         "n_true_pairs",

@@ -131,18 +131,24 @@ def liquidation_hourly(spark, sf_dir):
 # The market-data staple the reference's prices pipeline serves
 # (zetadex-prices-pipeline.py aggregates spot marks per interval): per
 # hour — open (value at the first event), high, low, close (value at the
-# last event), and tick count.  Open/close are min_by/max_by on a packed
-# BIGINT order key (epoch·10^8 + event_id — unique, so the extrema are
-# deterministic; DuckDB's arg_min/arg_max share the semantics).  One
-# hour-grain shuffle with full map-side combine: min_by/max_by partials
-# merge like min/max, making the bar builder a 100 TB-safe single agg.
+# last event), and tick count.  Open/close are min_by/max_by on a
+# zero-padded string order key "%010d%019d" % (epoch, event_id):
+# lexicographic order on the padding equals numeric order on
+# (epoch, event_id) for ANY event_id magnitude (a packed BIGINT key
+# collides once event_id reaches the slot width — review finding), and
+# event_id uniqueness makes the extrema deterministic; DuckDB's
+# arg_min/arg_max share the semantics.  One hour-grain shuffle with full
+# map-side combine: min_by/max_by partials merge like min/max, making
+# the bar builder a 100 TB-safe single agg.
 
 _OHLC_ORACLE = """
 WITH base AS (
   SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bar_hour,
     CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
-    date_diff('second', TIMESTAMP '1970-01-01 00:00:00',
-              CAST(ts AS TIMESTAMP)) * 100000000 + event_id AS ord
+    printf('%010d%019d',
+           date_diff('second', TIMESTAMP '1970-01-01 00:00:00',
+                     CAST(ts AS TIMESTAMP)),
+           event_id) AS ord
   FROM events
 )
 SELECT bar_hour,
@@ -163,7 +169,7 @@ def ohlc_bars_hourly(spark, sf_dir):
         F.date_trunc("hour", "ts").alias("bar_hour"),
         F.expr("cast(floor(value * 100 + 0.5) as bigint)").alias("cents"),
         F.expr(
-            "unix_timestamp(ts) * 100000000 + event_id"
+            "format_string('%010d%019d', unix_timestamp(ts), event_id)"
         ).alias("ord"),
     )
     return base.groupBy("bar_hour").agg(

@@ -51,6 +51,9 @@ def get_spark(
         # AQE runtime-broadcasts anything that turns out small.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Python DataSource pushFilters (sources/versioned_store.py) is
+        # rejected outright by Spark unless this session-wide flag is on
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
         # local-mode single JVM: the driver IS the executor, so give it real
         # headroom (host has 128 GiB); harmless for already-running sessions

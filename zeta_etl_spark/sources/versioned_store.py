@@ -103,9 +103,13 @@ class VersionedStoreReader(DataSourceReader):
         path = options.get("path")
         if not path:
             raise ValueError("versioned_store requires .option('path', ...)")
-        # pin the committed snapshot ONCE per query plan: the file list is
-        # fixed here, so every partition reads the same version even if a
-        # writer commits (and vacuums the old dir) mid-query planning
+        # pin the committed snapshot ONCE per query plan: every partition
+        # reads the same version and a half-written dir is never visible
+        # (the pointer only ever names complete dirs).  Pinning does NOT
+        # keep files alive against a concurrent writer's vacuum — the
+        # writer therefore retains one superseded generation (see
+        # VersionedStoreWriter.commit); scans outliving TWO commits need a
+        # longer retention policy, the same seam Delta's VACUUM exposes.
         self._files = _list_parquet(_committed_dir(path))
         self._arrow_schema = (
             _normalized_arrow_schema(self._files) if self._files else None
@@ -124,11 +128,25 @@ class VersionedStoreReader(DataSourceReader):
                 claimed = expr if claimed is None else claimed & expr
         self._filter_expr = claimed
 
-    @staticmethod
-    def _arrow_expr(pc, f: Filter):
+    def _is_floating(self, name: str) -> bool:
+        import pyarrow as pa
+
+        if self._arrow_schema is None:
+            return True  # no schema → refuse, stay Spark-side
+        field = self._arrow_schema.field(name) if name in self._arrow_schema.names else None
+        return field is None or pa.types.is_floating(field.type)
+
+    def _arrow_expr(self, pc, f: Filter):
         attr = getattr(f, "attribute", None)
         if attr is None or len(attr) != 1:
             return None  # nested paths stay Spark-side
+        # NEVER claim predicates on floating-point columns: Spark orders
+        # NaN greater than every value and treats NaN = NaN as true,
+        # while pyarrow follows IEEE (NaN compares false) — claiming the
+        # filter would silently drop NaN rows Spark must keep (verified
+        # live in review).  Float predicates stay Spark-side.
+        if self._is_floating(attr[0]):
+            return None
         field = pc.field(attr[0])
         if isinstance(f, (EqualTo, EqualNullSafe)):
             return field == f.value
@@ -221,6 +239,16 @@ class VersionedStoreWriter(DataSourceArrowWriter):
         import shutil
         import uuid
 
+        base = os.path.basename(self._path)
+        parent = os.path.dirname(self._path) or "."
+        # heal crash debris from a previous commit before touching anything:
+        # a crash between the two mirror renames leaves __mirror_old (which
+        # would make os.replace below fail with ENOTEMPTY) and a crash
+        # during copytree leaves a stranded uuid __mirror_* tmp dir
+        for d in os.listdir(parent):
+            if d.startswith(f"{base}__mirror"):
+                shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
+
         staged = [m.path for m in messages if m and m.path]
         ver = f"w{uuid.uuid4().hex[:12]}"
         new_dir = f"{self._path}__v{ver}"
@@ -246,8 +274,15 @@ class VersionedStoreWriter(DataSourceArrowWriter):
         with open(tmp, "w") as fh:
             fh.write(ver)
         os.replace(tmp, ptr)  # atomic publish
-        if old_ver is not None and old_ver != ver:
-            shutil.rmtree(f"{self._path}__v{old_ver}", ignore_errors=True)
+        # retention: keep the immediately superseded generation alive so a
+        # reader that pinned it mid-commit can finish its scan; vacuum only
+        # generations older than that (reader-side contract above)
+        keep = {f"{base}__v{ver}"}
+        if old_ver is not None:
+            keep.add(f"{base}__v{old_ver}")
+        for d in os.listdir(parent):
+            if d.startswith(f"{base}__v") and d not in keep:
+                shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
 
     def abort(self, messages):
         import shutil
@@ -299,10 +334,15 @@ def read_versioned_store(
     persist in the store (so late rows cannot resurrect a deleted key) and
     are filtered only at this reader surface, NULL predicate = kept — the
     same contract the mirror applies.
+
+    SIDE EFFECT: enables ``spark.sql.python.filterPushdown.enabled``
+    SESSION-WIDE (Spark hard-errors on any reader implementing pushFilters
+    while it is off).  ``session.get_spark`` sets it at build time; this
+    runtime set covers externally created sessions (e.g. the driver
+    harness).  It changes behavior only for Python data sources that
+    implement pushFilters — the built-in file sources ignore it.
     """
     spark.dataSource.register(VersionedStoreDataSource)
-    # Python-source filter pushdown ships disabled; the reader implements
-    # pushFilters, which Spark rejects outright unless this is on
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     df = spark.read.format("versioned_store").option("path", path).load()
     if delete_predicate:
