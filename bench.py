@@ -124,6 +124,8 @@ OPTIONAL = [
     "pk_uniqueness_audit",
     "cohort_ltv_curve",
     "ohlc_bars_hourly",
+    "autocorr_lag1",
+    "benford_first_digit",
 ]
 
 # Deliberate experiments whose cost is a MEASUREMENT, not the engine's real

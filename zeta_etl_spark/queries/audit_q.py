@@ -248,3 +248,61 @@ def pk_uniqueness_audit(spark, sf_dir):
         F.col("n_distinct_keys").cast("bigint").alias("n_distinct_keys"),
         F.col("n_duplicate_rows").cast("bigint").alias("n_duplicate_rows"),
     )
+
+
+# --- benford_first_digit: first-digit distribution audit ---------------------
+# The classic fraud/synthetic-data screen: distribution of the leading
+# digit of value cents vs Benford's law.  The digit comes from the FIRST
+# CHARACTER of the BIGINT's decimal string (identical rendering in both
+# engines — no float log10); expected shares are integer ppm constants of
+# log10(1+1/d), so the whole report is counting plus one ratio.
+
+_BENFORD_PPM = {1: 301030, 2: 176091, 3: 124939, 4: 96910,
+                5: 79181, 6: 66947, 7: 57992, 8: 51153, 9: 45757}
+
+_BENFORD_ORACLE = f"""
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(floor(value * 100 + 0.5) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS BIGINT) AS d
+  FROM events
+), counts AS (
+  SELECT d, COUNT(*) AS n FROM digits GROUP BY d
+), tot AS (SELECT SUM(n) AS total FROM counts),
+expected(d, expected_ppm) AS (VALUES
+  {', '.join(f'({d}, {p})' for d, p in _BENFORD_PPM.items())})
+SELECT e.d AS first_digit,
+  CAST(COALESCE(c.n, 0) AS BIGINT) AS n_values,
+  CAST(e.expected_ppm AS BIGINT) AS expected_ppm,
+  CAST(COALESCE(c.n, 0) * 1000000 // t.total AS BIGINT) AS observed_ppm
+FROM expected e
+LEFT JOIN counts c ON c.d = e.d
+CROSS JOIN tot t
+"""
+
+
+@query("benford_first_digit", oracle=_BENFORD_ORACLE, tags=("audit", "benford"))
+def benford_first_digit(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    digits = e.select(
+        F.expr(
+            "cast(substr(cast(cast(floor(value * 100 + 0.5) as bigint)"
+            " as string), 1, 1) as bigint)"
+        ).alias("d")
+    )
+    counts = digits.groupBy("d").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(F.sum("n").alias("total"))
+    expected = T(spark, sf_dir, "events").sparkSession.createDataFrame(
+        [(d, p) for d, p in _BENFORD_PPM.items()], "d bigint, expected_ppm bigint"
+    )
+    return (
+        expected.join(F.broadcast(counts), "d", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("d").alias("first_digit"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_values"),
+            F.col("expected_ppm").cast("bigint").alias("expected_ppm"),
+            F.expr(
+                "cast(coalesce(n, 0) * 1000000 div total as bigint)"
+            ).alias("observed_ppm"),
+        )
+    )

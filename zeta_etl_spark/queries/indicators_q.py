@@ -220,3 +220,63 @@ def rsi_cutler(spark, sf_dir):
             / F.nullif((gain + loss).cast("double"), F.lit(0.0))
         ).alias("rsi"),
     )
+
+
+# --- autocorr_lag1: serial correlation of the value series -------------------
+# Pearson r between consecutive values per user — the mean-reversion /
+# momentum diagnostic.  Same exactness class as linear_trend_per_user and
+# exact_variance_per_user: all five sums over the lagged pairs are BIGINT
+# (n, Σx, Σy, Σxy, Σxx, Σyy), one sqrt of an exact double product, one
+# division — identical expression trees in both engines.  The lag and
+# the aggregation ride one user_id exchange.
+
+_AC_ORACLE = """
+WITH pairs AS (
+  SELECT user_id,
+    lag(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER w AS x,
+    CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+), sums AS (
+  SELECT user_id,
+    CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+    CAST(SUM(x * y) AS BIGINT) AS sxy,
+    CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM pairs WHERE x IS NOT NULL GROUP BY user_id
+)
+SELECT user_id, n,
+  CAST(n * sxy - sx * sy AS DOUBLE)
+    / NULLIF(sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+             * sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 0) AS autocorr_lag1
+FROM sums
+"""
+
+
+@query("autocorr_lag1", oracle=_AC_ORACLE, tags=("indicator", "stats"))
+def autocorr_lag1(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cents = F.expr("cast(floor(value * 100 + 0.5) as bigint)")
+    pairs = (
+        e.select("user_id", "ts", "event_id", cents.alias("y"))
+        .withColumn("x", F.lag("y").over(w))
+        .filter(F.col("x").isNotNull())
+    )
+    sums = pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    ) * F.sqrt(
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return sums.select(
+        "user_id", "n", (num / F.nullif(den, F.lit(0.0))).alias("autocorr_lag1")
+    )
