@@ -802,3 +802,78 @@ def test_markov_rows_sum_to_one_and_twap_bounds(spark, sf_dir):
         assert lo <= r["twap_cents"] <= hi, (uid, r["twap_cents"], lo, hi)
         checked += 1
     assert checked > 0
+
+
+@given(
+    vals=st.lists(st.integers(min_value=1, max_value=50_000),
+                  min_size=1, max_size=60)
+)
+@settings(**_SETTINGS)
+def test_cusum_closed_form_equals_recursion(spark, vals):
+    """The window identity S_i = C_i − min(0, min_{j≤i} C_j) used by
+    cusum_drift must equal the textbook recursion S_i = max(0, S_{i−1} +
+    d_i) on arbitrary integer sequences (deviation vs the integer mean,
+    exactly as the query computes it) — the 0 term is the empty prefix."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    mu = sum(vals) // len(vals)
+    # reference recursion
+    s, want = 0, []
+    for v in vals:
+        s = max(0, s + (v - mu))
+        want.append(s)
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "i long, cents long"
+    ).withColumn("mu", F.lit(mu))
+    w = Window.orderBy("i")
+    got = [
+        r["cusum"]
+        for r in (
+            df.withColumn("c", F.sum(F.col("cents") - F.col("mu")).over(w))
+            .withColumn(
+                "cusum", F.col("c") - F.least(F.lit(0), F.min("c").over(w))
+            )
+            .orderBy("i")
+            .collect()
+        )
+    ]
+    assert got == want
+
+
+@given(
+    vals=st.lists(st.integers(min_value=1, max_value=50_000),
+                  min_size=1, max_size=30)
+)
+@settings(**_SETTINGS)
+def test_dyadic_ewma_equals_naive_float_loop(spark, vals):
+    """The bigint-shift EWMA (alpha = 1/2 over the last k, newest weight
+    2^(k-1)) must equal the naive float computation exactly — dyadic
+    weights make every partial sum exactly representable, so the double
+    division result is bit-identical to the weighted mean computed in
+    Python floats."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    K = 20
+    last = vals[-K:][::-1]  # newest first
+    num = sum(v * 2.0 ** (K - 1 - j) for j, v in enumerate(last))
+    den = sum(2.0 ** (K - 1 - j) for j in range(len(last)))
+    want = num / den
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "i long, cents long"
+    )
+    w = Window.orderBy(F.col("i").desc())
+    ranked = df.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= K
+    )
+    wgt = F.expr(f"shiftleft(cast(1 as bigint), {K} - cast(rn as int))")
+    got = ranked.agg(
+        (
+            F.sum(F.col("cents") * wgt).cast("double")
+            / F.sum(wgt).cast("double")
+        ).alias("ewma")
+    ).first()["ewma"]
+    assert got == want  # exact equality, not approx

@@ -125,8 +125,11 @@ def markov_transitions(spark, sf_dir):
 
 # --- cusum_drift: change detection without recursion -------------------------
 # One-sided CUSUM S_i = max(0, S_{i-1} + d_i) looks recursive, but has the
-# closed form S_i = C_i - min_{j<=i} C_j where C is the plain cumsum of
-# deviations — two stacked window functions.  Deviations are integer:
+# closed form S_i = C_i - min(0, min_{j<=i} C_j) where C is the plain
+# cumsum of deviations — the 0 term is the EMPTY prefix (C_0 = 0), without
+# which the first deviation is swallowed (caught by the hypothesis identity
+# test vs the textbook recursion: vals=[2,1] → [1,1], not [0,0]).  Two
+# stacked window functions.  Deviations are integer:
 # d_i = cents_i - mu where mu = per-user integer mean (total div n, floor
 # in both engines) computed as an UNBOUNDED window over the SAME user_id
 # partition — mean, cumsum, running-min and the final groupBy all ride
@@ -153,8 +156,8 @@ WITH base AS (
   FROM withmu
 ), s AS (
   SELECT user_id, ep, mu,
-    c - MIN(c) OVER (
-      PARTITION BY user_id ORDER BY ep, event_id) AS cusum
+    c - LEAST(0, MIN(c) OVER (
+      PARTITION BY user_id ORDER BY ep, event_id)) AS cusum
   FROM cum
 )
 SELECT user_id,
@@ -185,7 +188,9 @@ def cusum_drift(spark, sf_dir):
             ),
         )
         .withColumn("c", F.sum(F.col("cents") - F.col("mu")).over(w))
-        .withColumn("cusum", F.col("c") - F.min("c").over(w))
+        .withColumn(
+            "cusum", F.col("c") - F.least(F.lit(0), F.min("c").over(w))
+        )
     )
     alarm = F.col("cusum") > 10 * F.col("mu")
     return cum.groupBy("user_id").agg(
