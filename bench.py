@@ -126,6 +126,9 @@ OPTIONAL = [
     "ohlc_bars_hourly",
     "autocorr_lag1",
     "benford_first_digit",
+    "max_drawdown",
+    "longest_active_streak",
+    "new_vs_returning_daily",
 ]
 
 # Deliberate experiments whose cost is a MEASUREMENT, not the engine's real

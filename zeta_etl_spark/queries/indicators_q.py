@@ -280,3 +280,72 @@ def autocorr_lag1(spark, sf_dir):
     return sums.select(
         "user_id", "n", (num / F.nullif(den, F.lit(0.0))).alias("autocorr_lag1")
     )
+
+
+# --- max_drawdown: peak-to-trough decline per user ---------------------------
+# The risk statistic paired with the CUSUM drift detector: drawdown_i =
+# runmax(cents)_i − cents_i, reported as the per-user maximum with the
+# peak level and the trough's epoch second (first trough wins ties via
+# min(ep) over the argmax rows — deterministic).  Pure integer window
+# math on one user_id exchange.
+
+_DD_ORACLE = """
+WITH base AS (
+  SELECT user_id, event_id,
+    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+    date_diff('second', TIMESTAMP '1970-01-01 00:00:00',
+              CAST(ts AS TIMESTAMP)) AS ep
+  FROM events
+), dd AS (
+  SELECT user_id, ep, cents,
+    MAX(cents) OVER (PARTITION BY user_id ORDER BY ep, event_id) AS runmax,
+    MAX(cents) OVER (PARTITION BY user_id ORDER BY ep, event_id) - cents
+      AS drawdown
+  FROM base
+), mx AS (
+  SELECT user_id, MAX(drawdown) AS max_drawdown FROM dd GROUP BY user_id
+)
+SELECT d.user_id,
+  CAST(m.max_drawdown AS BIGINT) AS max_drawdown_cents,
+  CAST(MIN(d.runmax) AS BIGINT) AS peak_cents,
+  CAST(MIN(d.ep) AS BIGINT) AS trough_ep
+FROM dd d JOIN mx m ON m.user_id = d.user_id AND d.drawdown = m.max_drawdown
+GROUP BY d.user_id, m.max_drawdown
+"""
+
+
+@query("max_drawdown", oracle=_DD_ORACLE, tags=("indicator", "risk"))
+def max_drawdown(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    base = e.select(
+        "user_id",
+        "event_id",
+        F.expr("cast(floor(value * 100 + 0.5) as bigint)").alias("cents"),
+        F.unix_timestamp("ts").alias("ep"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ep", "event_id")
+    dd = base.select(
+        "user_id",
+        "ep",
+        "cents",
+        F.max("cents").over(w).alias("runmax"),
+        (F.max("cents").over(w) - F.col("cents")).alias("drawdown"),
+    )
+    # per-user max via a second window on the SAME partition key (no join
+    # against a derived aggregate → the whole query rides one exchange)
+    wp = Window.partitionBy("user_id")
+    return (
+        dd.withColumn("max_dd", F.max("drawdown").over(wp))
+        .filter(F.col("drawdown") == F.col("max_dd"))
+        .groupBy("user_id", "max_dd")
+        .agg(
+            F.min("runmax").cast("bigint").alias("peak_cents"),
+            F.min("ep").cast("bigint").alias("trough_ep"),
+        )
+        .select(
+            "user_id",
+            F.col("max_dd").cast("bigint").alias("max_drawdown_cents"),
+            "peak_cents",
+            "trough_ep",
+        )
+    )

@@ -320,3 +320,109 @@ def cohort_ltv_curve(spark, sf_dir):
             F.col("cum_cents").cast("double") / F.col("n_users").cast("double")
         ).alias("ltv_cents_per_user"),
     )
+
+
+# --- longest_active_streak: gaps-and-islands on the day grain ----------------
+# Longest run of CONSECUTIVE active days per user — the engagement-streak
+# metric.  Classic gaps-and-islands: day − dense-rank-of-day is constant
+# within a consecutive run, so grouping on that anchor costs one exchange
+# past the distinct-day rollup.  All date arithmetic stays on DATE/BIGINT.
+
+_STREAK_ORACLE = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+), ranked AS (
+  SELECT user_id, d,
+    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS rn
+  FROM days
+), islands AS (
+  SELECT user_id, d - CAST(rn AS INTEGER) AS anchor, COUNT(*) AS streak_len,
+    MIN(d) AS streak_start
+  FROM ranked GROUP BY user_id, d - CAST(rn AS INTEGER)
+), best AS (
+  SELECT user_id, streak_len, streak_start,
+    ROW_NUMBER() OVER (
+      PARTITION BY user_id ORDER BY streak_len DESC, streak_start) AS pick
+  FROM islands
+)
+SELECT user_id, CAST(streak_len AS BIGINT) AS longest_streak_days,
+  streak_start
+FROM best WHERE pick = 1
+"""
+
+
+@query(
+    "longest_active_streak", oracle=_STREAK_ORACLE, tags=("product", "streak")
+)
+def longest_active_streak(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    e = T(spark, sf_dir, "events")
+    days = e.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    ranked = days.withColumn("rn", F.row_number().over(w))
+    islands = (
+        ranked.withColumn("anchor", F.expr("date_sub(d, rn)"))
+        .groupBy("user_id", "anchor")
+        .agg(
+            F.count(F.lit(1)).alias("streak_len"),
+            F.min("d").alias("streak_start"),
+        )
+    )
+    wbest = Window.partitionBy("user_id").orderBy(
+        F.col("streak_len").desc(), "streak_start"
+    )
+    return (
+        islands.withColumn("pick", F.row_number().over(wbest))
+        .filter(F.col("pick") == 1)
+        .select(
+            "user_id",
+            F.col("streak_len").cast("bigint").alias("longest_streak_days"),
+            "streak_start",
+        )
+    )
+
+
+# --- new_vs_returning_daily: acquisition split -------------------------------
+# Per day: users active for the FIRST time vs returning — the standard
+# acquisition report.  First-seen day via window MIN on the user exchange
+# (no self-join), then one day-grain rollup.
+
+_NVR_ORACLE = """
+WITH seen AS (
+  SELECT user_id, CAST(ts AS DATE) AS d,
+    CAST(MIN(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id) AS DATE)
+      AS first_day
+  FROM events
+), daily AS (
+  SELECT DISTINCT user_id, d, first_day FROM seen
+)
+SELECT d AS activity_day,
+  CAST(COUNT(*) FILTER (WHERE d = first_day) AS BIGINT) AS n_new_users,
+  CAST(COUNT(*) FILTER (WHERE d > first_day) AS BIGINT) AS n_returning_users
+FROM daily
+GROUP BY d
+"""
+
+
+@query(
+    "new_vs_returning_daily", oracle=_NVR_ORACLE, tags=("product", "cohort")
+)
+def new_vs_returning_daily(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    e = T(spark, sf_dir, "events")
+    wp = Window.partitionBy("user_id")
+    seen = e.select(
+        "user_id",
+        F.col("ts").cast("date").alias("d"),
+        F.min("ts").over(wp).cast("date").alias("first_day"),
+    ).distinct()
+    return seen.groupBy(F.col("d").alias("activity_day")).agg(
+        F.count(F.when(F.col("d") == F.col("first_day"), 1))
+        .cast("bigint")
+        .alias("n_new_users"),
+        F.count(F.when(F.col("d") > F.col("first_day"), 1))
+        .cast("bigint")
+        .alias("n_returning_users"),
+    )
