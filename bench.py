@@ -129,6 +129,8 @@ OPTIONAL = [
     "max_drawdown",
     "longest_active_streak",
     "new_vs_returning_daily",
+    "weekly_seasonality_matrix",
+    "pareto_value_share",
 ]
 
 # Deliberate experiments whose cost is a MEASUREMENT, not the engine's real

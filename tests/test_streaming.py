@@ -1014,3 +1014,79 @@ def test_streaming_ddsketch_maintenance_two_level(spark, tmp_path):
     )
     want = {(r["user"], r["bucket"]): r["cnt"] for r in batch.collect()}
     assert got == want
+
+
+def test_streaming_ohlc_bars_two_level(spark, tmp_path):
+    """OHLC bars are maintainable incrementally because min_by/max_by on
+    the order key merge associatively, exactly like min/max: level 1
+    keeps per-(hour, user) partial bars under the watermark, level 2
+    re-merges them — after two waves the durable bars equal the batch
+    bars over the delivered non-late rows."""
+    from zeta_etl_spark.streaming.runner import foreach_batch_two_level_agg
+
+    src = str(tmp_path / "ohlc_src")
+    out = str(tmp_path / "ohlc_l2")
+    ckpt = str(tmp_path / "ohlc_ckpt")
+
+    cents = "cast(floor(amount * 100 + 0.5) as bigint)"
+    ordk = "format_string('%010d%019d', unix_timestamp(ts), cast(0 as bigint))"
+
+    def second_level(l1):
+        return l1.groupBy("user").agg(
+            F.min_by("open_c", "open_k").alias("open_c"),
+            F.max("high_c").alias("high_c"),
+            F.min("low_c").alias("low_c"),
+            F.max_by("close_c", "close_k").alias("close_c"),
+            F.sum("n").alias("n"),
+        )
+
+    def run():
+        stream = read_json(spark, src, SCHEMA, streaming=True)
+        enriched = (
+            stream.withColumn("c", F.expr(cents)).withColumn("k", F.expr(ordk))
+        )
+        first = hourly_agg_stream(
+            enriched,
+            "ts",
+            keys=[F.col("user")],
+            aggs=[
+                F.min_by("c", "k").alias("open_c"),
+                F.min("k").alias("open_k"),
+                F.max("c").alias("high_c"),
+                F.min("c").alias("low_c"),
+                F.max_by("c", "k").alias("close_c"),
+                F.max("k").alias("close_k"),
+                F.count(F.lit(1)).alias("n"),
+            ],
+            watermark="5 minutes",
+        )
+        foreach_batch_two_level_agg(
+            first, ["hour_ts", "user"], out, ckpt, second_level, spark
+        )
+
+    _write_json(
+        src,
+        [
+            {"user": "a", "ts": "2024-01-01 00:10:00", "amount": 5.00},
+            {"user": "a", "ts": "2024-01-01 00:20:00", "amount": 1.00},
+            {"user": "a", "ts": "2024-01-01 01:10:00", "amount": 9.00},
+            {"user": "a", "ts": "2024-01-01 02:30:00", "amount": 7.00},  # open hour
+        ],
+        "w1.json",
+    )
+    run()
+    _write_json(
+        src,
+        [
+            {"user": "a", "ts": "2024-01-01 03:30:00", "amount": 2.00},  # closes h2
+        ],
+        "w2.json",
+    )
+    run()
+    got = {r["user"]: r for r in spark.read.parquet(out).collect()}
+    # closed hours 0,1,2: values 500,100 | 900 | 700 →
+    # open=500 (00:10), high=900, low=100, close=700 (02:30), n=4
+    a = got["a"]
+    assert (a["open_c"], a["high_c"], a["low_c"], a["close_c"], a["n"]) == (
+        500, 900, 100, 700, 4,
+    )

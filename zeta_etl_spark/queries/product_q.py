@@ -426,3 +426,129 @@ def new_vs_returning_daily(spark, sf_dir):
         .cast("bigint")
         .alias("n_returning_users"),
     )
+
+
+# --- weekly_seasonality_matrix: dow × hour activity profile ------------------
+# The seasonality heatmap (day-of-week × hour-of-day counts + exact ppm
+# share per event_type).  Day-of-week comes from EPOCH-DAY arithmetic —
+# (days-since-1970 + 3) % 7, Monday = 0 — because the engines' native dow
+# functions disagree on week start (Spark dayofweek: Sunday=1; DuckDB
+# dayofweek: Sunday=0); integer epoch math is convention-free.  One
+# partial-aggregated shuffle on a 7×24×|types| grid.
+
+_SEAS_ORACLE = """
+WITH base AS (
+  SELECT event_type,
+    (date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 3) % 7 AS dow,
+    CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS hr
+  FROM events
+), cells AS (
+  SELECT event_type, dow, hr, COUNT(*) AS n FROM base GROUP BY 1, 2, 3
+), tot AS (
+  SELECT event_type, SUM(n) AS total FROM cells GROUP BY 1
+)
+SELECT c.event_type, CAST(c.dow AS BIGINT) AS dow, c.hr,
+  CAST(c.n AS BIGINT) AS n_events,
+  CAST(c.n * 1000000 // t.total AS BIGINT) AS share_ppm
+FROM cells c JOIN tot t ON t.event_type = c.event_type
+"""
+
+
+@query(
+    "weekly_seasonality_matrix",
+    oracle=_SEAS_ORACLE,
+    tags=("product", "seasonality"),
+)
+def weekly_seasonality_matrix(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    e = T(spark, sf_dir, "events")
+    cells = (
+        e.select(
+            "event_type",
+            F.expr(
+                "(datediff(cast(ts as date), DATE '1970-01-01') + 3) % 7"
+            ).alias("dow"),
+            F.hour("ts").cast("bigint").alias("hr"),
+        )
+        .groupBy("event_type", "dow", "hr")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # per-type total as a window over the tiny cell grid (no re-scan)
+    wt = Window.partitionBy("event_type")
+    return cells.select(
+        "event_type",
+        F.col("dow").cast("bigint").alias("dow"),
+        "hr",
+        F.col("n").cast("bigint").alias("n_events"),
+        F.expr(
+            "cast(n * 1000000 div (sum(n) over (partition by event_type))"
+            " as bigint)"
+        ).alias("share_ppm"),
+    )
+
+
+# --- pareto_value_share: top-decile concentration ----------------------------
+# "The top 10% of users drive X% of value" — exact-rank decile assignment
+# (ceil-rank, no percentile interpolation) over per-user value totals,
+# then integer ppm shares.  Two aggregations: a user rollup on the user
+# exchange, then a 10-row decile rollup.  The global rank runs over the
+# PER-USER rollup (cardinality = users, orders of magnitude below the
+# fact table) — the same exact-rank shape as rfm_segments; entity counts
+# beyond single-node sort are where the sketch quantiles take over.
+
+_PARETO_ORACLE = """
+WITH per_user AS (
+  SELECT user_id, SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+  FROM events GROUP BY user_id
+), ranked AS (
+  SELECT cents,
+    ROW_NUMBER() OVER (ORDER BY cents DESC, user_id) AS rn,
+    COUNT(*) OVER () AS n_users
+  FROM per_user
+), deciles AS (
+  SELECT ((rn - 1) * 10) // n_users AS decile, cents FROM ranked
+), tot AS (SELECT SUM(cents) AS total FROM per_user)
+SELECT CAST(d.decile AS BIGINT) AS decile,
+  CAST(COUNT(*) AS BIGINT) AS n_users,
+  CAST(SUM(d.cents) AS BIGINT) AS decile_cents,
+  CAST(SUM(d.cents) * 1000000 // t.total AS BIGINT) AS share_ppm
+FROM deciles d CROSS JOIN tot t
+GROUP BY d.decile, t.total
+"""
+
+
+@query("pareto_value_share", oracle=_PARETO_ORACLE, tags=("product", "pareto"))
+def pareto_value_share(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    e = T(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.expr("sum(cast(floor(value * 100 + 0.5) as bigint))").alias("cents")
+    )
+    w = Window.orderBy(F.col("cents").desc(), "user_id")
+    ranked = per_user.select(
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n_users"),
+    )
+    deciles = ranked.select(
+        F.expr("((rn - 1) * 10) div n_users").alias("decile"), "cents"
+    )
+    tot = per_user.agg(F.sum("cents").alias("total"))
+    return (
+        deciles.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum("cents").cast("bigint").alias("decile_cents"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("decile").cast("bigint").alias("decile"),
+            "n_users",
+            "decile_cents",
+            F.expr("cast(decile_cents * 1000000 div total as bigint)").alias(
+                "share_ppm"
+            ),
+        )
+    )
