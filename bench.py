@@ -131,6 +131,8 @@ OPTIONAL = [
     "new_vs_returning_daily",
     "weekly_seasonality_matrix",
     "pareto_value_share",
+    "vocab_growth_curve",
+    "market_concentration_hhi",
 ]
 
 # Deliberate experiments whose cost is a MEASUREMENT, not the engine's real

@@ -131,3 +131,66 @@ def part_type_profit(spark, sf_dir):
         (revenue - cost).alias("margin"),
         F.count(F.lit(1)).alias("n_lineitems"),
     )
+
+
+# --- market_concentration_hhi: Herfindahl-Hirschman index --------------------
+# Supplier-revenue concentration per part type: HHI = Σ (share_ppm/100)²
+# scaled — the antitrust/market-structure statistic.  Shares are exact
+# integer basis points (floor), squared and summed as BIGINTs, so the
+# index is integer-exact end-to-end (10000² × suppliers fits easily).
+# Two aggregations: (type, supplier) revenue cents on one shuffle, then
+# the type rollup with a window total over the aggregated frame.
+
+_HHI_ORACLE = """
+WITH rev AS (
+  SELECT p.p_type, l.l_suppkey,
+    SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+        AS BIGINT)) AS cents
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY 1, 2
+), shares AS (
+  SELECT p_type, l_suppkey,
+    cents * 10000 // SUM(cents) OVER (PARTITION BY p_type) AS share_bp
+  FROM rev
+)
+SELECT p_type,
+  CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+  CAST(SUM(share_bp * share_bp) AS BIGINT) AS hhi_bp2,
+  CAST(MAX(share_bp) AS BIGINT) AS top_share_bp
+FROM shares
+GROUP BY p_type
+"""
+
+
+@query(
+    "market_concentration_hhi", oracle=_HHI_ORACLE, tags=("agg", "hhi", "tpch")
+)
+def market_concentration_hhi(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    li = T(spark, sf_dir, "lineitem")
+    p = T(spark, sf_dir, "part")
+    rev = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_type", "l_suppkey")
+        .agg(
+            F.expr(
+                "sum(cast(floor(l_extendedprice * (1 - l_discount) * 100"
+                " + 0.5) as bigint))"
+            ).alias("cents")
+        )
+    )
+    wt = Window.partitionBy("p_type")
+    shares = rev.select(
+        "p_type",
+        F.expr(
+            "cents * 10000 div (sum(cents) over (partition by p_type))"
+        ).alias("share_bp"),
+    )
+    return shares.groupBy("p_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+        F.sum(F.col("share_bp") * F.col("share_bp"))
+        .cast("bigint")
+        .alias("hhi_bp2"),
+        F.max("share_bp").cast("bigint").alias("top_share_bp"),
+    )

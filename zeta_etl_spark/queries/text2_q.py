@@ -485,3 +485,64 @@ def banded_cosine_pairs(spark, sf_dir):
         .select("vec_a", "vec_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= _SIM_THRESHOLD)
     )
+
+
+# --- vocab_growth_curve: Heaps'-law checkpoints ------------------------------
+# Distinct-vocabulary size as the corpus grows — the statistic behind
+# tokenizer sizing and dedup-density monitoring.  Each token contributes
+# at its FIRST document (min doc_id over the inverted postings), so the
+# growth curve is a cumulative count of first occurrences bucketed at
+# 10%-of-corpus checkpoints: one explode + one token-grain agg + a 10-row
+# rollup.  No sequential scan — first-occurrence rank IS the
+# parallel-friendly formulation of "reading the corpus in order".
+# On the base synthetic corpus the 31-token vocabulary saturates in
+# decile 0 (1 output row — verified exact); on the 10× replica each
+# clone's suffixed vocabulary lands in its own decile and the query
+# reports the full 10-step staircase (31, 60, 89, … 292).
+
+_VOCAB_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), firsts AS (
+  SELECT tok, MIN(doc_id) AS first_doc FROM toks GROUP BY tok
+), bounds AS (
+  SELECT MAX(doc_id) AS max_doc, COUNT(DISTINCT doc_id) AS n_docs
+  FROM documents
+), bucketed AS (
+  SELECT LEAST((f.first_doc * 10) // (b.max_doc + 1), 9) AS decile,
+         COUNT(*) AS new_tokens
+  FROM firsts f CROSS JOIN bounds b GROUP BY 1
+)
+SELECT CAST(decile AS BIGINT) AS corpus_decile,
+  CAST(new_tokens AS BIGINT) AS new_tokens,
+  CAST(SUM(new_tokens) OVER (ORDER BY decile) AS BIGINT) AS vocab_size
+FROM bucketed
+"""
+
+
+@query("vocab_growth_curve", oracle=_VOCAB_ORACLE, tags=("text", "vocab"))
+def vocab_growth_curve(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    d = T(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    firsts = toks.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    bounds = d.agg(F.max("doc_id").alias("max_doc"))
+    bucketed = (
+        firsts.crossJoin(F.broadcast(bounds))
+        .select(
+            F.expr("least((first_doc * 10) div (max_doc + 1), 9)").alias(
+                "decile"
+            )
+        )
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).alias("new_tokens"))
+    )
+    w = Window.orderBy("decile")  # 10-row frame — global window is free
+    return bucketed.select(
+        F.col("decile").cast("bigint").alias("corpus_decile"),
+        F.col("new_tokens").cast("bigint").alias("new_tokens"),
+        F.sum("new_tokens").over(w).cast("bigint").alias("vocab_size"),
+    )
