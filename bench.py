@@ -133,6 +133,7 @@ OPTIONAL = [
     "pareto_value_share",
     "vocab_growth_curve",
     "market_concentration_hhi",
+    "ordered_pattern_matches",
 ]
 
 # Deliberate experiments whose cost is a MEASUREMENT, not the engine's real

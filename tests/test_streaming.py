@@ -1090,3 +1090,76 @@ def test_streaming_ohlc_bars_two_level(spark, tmp_path):
     assert (a["open_c"], a["high_c"], a["low_c"], a["close_c"], a["n"]) == (
         500, 900, 100, 700, 4,
     )
+
+
+def test_streaming_cep_matches_batch_recurrence(spark, tmp_path):
+    """The stateful sequence detector must agree with the greedy-existence
+    recurrence (the batch twin's semantics) across microbatch boundaries:
+    chains split over two waves still match; gap violations don't; state
+    persists while some prefix is inside the gap window (event-time
+    timeout is watermark-driven, so wave-1 times stay tight to keep the
+    open chain alive)."""
+    from zeta_etl_spark.streaming.cep import detect_sequence_stream
+
+    src = str(tmp_path / "cep_src")
+    out = str(tmp_path / "cep_out")
+    ckpt = str(tmp_path / "cep_ckpt")
+    schema = "user_id long, ts timestamp, event_type string, event_id long"
+
+    def run():
+        stream = read_json(spark, src, schema, streaming=True)
+        matched = detect_sequence_stream(
+            stream, pattern=("view", "click", "purchase"), gap_seconds=3600
+        )
+        run_available_now(matched, out, ckpt)
+
+    # wave 1 (tight timestamps -> low watermark, u1's chain state survives):
+    # u1 view+click (chain open), u2 full chain in-gap
+    _write_json(
+        src,
+        [
+            {"user_id": 1, "ts": "2024-01-01 00:00:00", "event_type": "view", "event_id": 1},
+            {"user_id": 1, "ts": "2024-01-01 00:30:00", "event_type": "click", "event_id": 2},
+            {"user_id": 2, "ts": "2024-01-01 00:00:00", "event_type": "view", "event_id": 3},
+            {"user_id": 2, "ts": "2024-01-01 00:10:00", "event_type": "click", "event_id": 4},
+            {"user_id": 2, "ts": "2024-01-01 00:20:00", "event_type": "purchase", "event_id": 5},
+        ],
+        "w1.json",
+    )
+    run()
+    got1 = {(r["user_id"], r["match_ep"]) for r in spark.read.parquet(out).collect()}
+    assert got1 == {(2, _cep_ep("2024-01-01 00:20:00"))}
+
+    # wave 2: u1's purchase arrives within gap of its wave-1 click ->
+    # CROSS-BATCH match; u3's click comes 2h after its view (chain broken)
+    # but a later in-gap view+click+purchase matches
+    _write_json(
+        src,
+        [
+            {"user_id": 1, "ts": "2024-01-01 01:00:00", "event_type": "purchase", "event_id": 9},
+            {"user_id": 3, "ts": "2024-01-01 00:00:00", "event_type": "view", "event_id": 6},
+            {"user_id": 3, "ts": "2024-01-01 02:00:00", "event_type": "click", "event_id": 7},
+            {"user_id": 3, "ts": "2024-01-01 02:10:00", "event_type": "purchase", "event_id": 8},
+            {"user_id": 3, "ts": "2024-01-01 03:00:00", "event_type": "view", "event_id": 10},
+            {"user_id": 3, "ts": "2024-01-01 03:10:00", "event_type": "click", "event_id": 11},
+            {"user_id": 3, "ts": "2024-01-01 03:20:00", "event_type": "purchase", "event_id": 12},
+        ],
+        "w2.json",
+    )
+    run()
+    got2 = {(r["user_id"], r["match_ep"]) for r in spark.read.parquet(out).collect()}
+    assert got2 == {
+        (2, _cep_ep("2024-01-01 00:20:00")),
+        (1, _cep_ep("2024-01-01 01:00:00")),
+        (3, _cep_ep("2024-01-01 03:20:00")),
+    }
+
+
+def _cep_ep(s):
+    import datetime
+
+    return int(
+        datetime.datetime.fromisoformat(s)
+        .replace(tzinfo=datetime.timezone.utc)
+        .timestamp()
+    )

@@ -16,6 +16,7 @@ from zeta_etl_spark.queries import (  # noqa: E402,F401
     analytics4_q,
     analytics_q,
     audit_q,
+    cep_q,
     curation2_q,
     curation3_q,
     curation4_q,

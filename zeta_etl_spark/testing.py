@@ -20,6 +20,11 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for name in TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
+        # driver testdata is one file per table; Spark-written replicas
+        # (scripts/make_scaled_replica.py) are part-file DIRECTORIES —
+        # glob those so the oracle reads the same rows
+        if os.path.isdir(path):
+            path = os.path.join(path, "*.parquet")
         con.execute(
             f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path}')"
         )
