@@ -1094,11 +1094,12 @@ def test_streaming_ohlc_bars_two_level(spark, tmp_path):
 
 def test_streaming_cep_matches_batch_recurrence(spark, tmp_path):
     """The stateful sequence detector must agree with the greedy-existence
-    recurrence (the batch twin's semantics) across microbatch boundaries:
-    chains split over two waves still match; gap violations don't; state
-    persists while some prefix is inside the gap window (event-time
-    timeout is watermark-driven, so wave-1 times stay tight to keep the
-    open chain alive)."""
+    recurrence (the batch twin's semantics) across microbatch boundaries,
+    INCLUDING out-of-order arrivals inside the lateness window: events
+    buffer in state until the watermark passes, so a delayed early step
+    slots into its true position and a backward-in-time step can't chain
+    onto a later prefix.  Matches are watermark-final (the last wave's
+    tail needs a watermark-advancing event to flush)."""
     from zeta_etl_spark.streaming.cep import detect_sequence_stream
 
     src = str(tmp_path / "cep_src")
@@ -1113,8 +1114,9 @@ def test_streaming_cep_matches_batch_recurrence(spark, tmp_path):
         )
         run_available_now(matched, out, ckpt)
 
-    # wave 1 (tight timestamps -> low watermark, u1's chain state survives):
-    # u1 view+click (chain open), u2 full chain in-gap
+    # wave 1: u1 view+click (chain open), u2 full chain in-gap,
+    # u4 click BEFORE its view has arrived (the view comes in wave 2,
+    # within the 10-min lateness window)
     _write_json(
         src,
         [
@@ -1123,6 +1125,7 @@ def test_streaming_cep_matches_batch_recurrence(spark, tmp_path):
             {"user_id": 2, "ts": "2024-01-01 00:00:00", "event_type": "view", "event_id": 3},
             {"user_id": 2, "ts": "2024-01-01 00:10:00", "event_type": "click", "event_id": 4},
             {"user_id": 2, "ts": "2024-01-01 00:20:00", "event_type": "purchase", "event_id": 5},
+            {"user_id": 4, "ts": "2024-01-01 00:28:00", "event_type": "click", "event_id": 13},
         ],
         "w1.json",
     )
@@ -1131,12 +1134,16 @@ def test_streaming_cep_matches_batch_recurrence(spark, tmp_path):
     assert got1 == {(2, _cep_ep("2024-01-01 00:20:00"))}
 
     # wave 2: u1's purchase arrives within gap of its wave-1 click ->
-    # CROSS-BATCH match; u3's click comes 2h after its view (chain broken)
-    # but a later in-gap view+click+purchase matches
+    # CROSS-BATCH match; u4's view arrives LATE but in-window at 00:25
+    # (before its wave-1 click at 00:28 in event time) and the purchase
+    # completes the chain; u3's click comes 2h after its view (broken)
+    # but a later in-gap chain matches
     _write_json(
         src,
         [
             {"user_id": 1, "ts": "2024-01-01 01:00:00", "event_type": "purchase", "event_id": 9},
+            {"user_id": 4, "ts": "2024-01-01 00:25:00", "event_type": "view", "event_id": 14},
+            {"user_id": 4, "ts": "2024-01-01 00:31:00", "event_type": "purchase", "event_id": 15},
             {"user_id": 3, "ts": "2024-01-01 00:00:00", "event_type": "view", "event_id": 6},
             {"user_id": 3, "ts": "2024-01-01 02:00:00", "event_type": "click", "event_id": 7},
             {"user_id": 3, "ts": "2024-01-01 02:10:00", "event_type": "purchase", "event_id": 8},
@@ -1147,12 +1154,23 @@ def test_streaming_cep_matches_batch_recurrence(spark, tmp_path):
         "w2.json",
     )
     run()
+    # u3's 03:20 tail is not watermark-final yet (wm = 03:10)
     got2 = {(r["user_id"], r["match_ep"]) for r in spark.read.parquet(out).collect()}
     assert got2 == {
         (2, _cep_ep("2024-01-01 00:20:00")),
         (1, _cep_ep("2024-01-01 01:00:00")),
-        (3, _cep_ep("2024-01-01 03:20:00")),
+        (4, _cep_ep("2024-01-01 00:31:00")),
     }
+
+    # wave 3: a watermark-advancing event flushes u3's buffered tail
+    _write_json(
+        src,
+        [{"user_id": 99, "ts": "2024-01-01 05:00:00", "event_type": "view", "event_id": 20}],
+        "w3.json",
+    )
+    run()
+    got3 = {(r["user_id"], r["match_ep"]) for r in spark.read.parquet(out).collect()}
+    assert got3 == got2 | {(3, _cep_ep("2024-01-01 03:20:00"))}
 
 
 def _cep_ep(s):

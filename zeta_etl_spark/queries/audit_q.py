@@ -260,7 +260,10 @@ def pk_uniqueness_audit(spark, sf_dir):
 # digit of value cents vs Benford's law.  The digit comes from the FIRST
 # CHARACTER of the BIGINT's decimal string (identical rendering in both
 # engines — no float log10); expected shares are integer ppm constants of
-# log10(1+1/d), so the whole report is counting plus one ratio.
+# log10(1+1/d), so the whole report is counting plus one ratio.  The
+# observed-share denominator counts digits 1–9 ONLY (zero-cent rows land
+# in digit '0' and are not part of Benford's domain — with them in the
+# total, observed shares are deflated vs expected; review finding).
 
 _BENFORD_PPM = {1: 301030, 2: 176091, 3: 124939, 4: 96910,
                 5: 79181, 6: 66947, 7: 57992, 8: 51153, 9: 45757}
@@ -272,7 +275,7 @@ WITH digits AS (
   FROM events
 ), counts AS (
   SELECT d, COUNT(*) AS n FROM digits GROUP BY d
-), tot AS (SELECT SUM(n) AS total FROM counts),
+), tot AS (SELECT SUM(n) AS total FROM counts WHERE d BETWEEN 1 AND 9),
 expected(d, expected_ppm) AS (VALUES
   {', '.join(f'({d}, {p})' for d, p in _BENFORD_PPM.items())})
 SELECT e.d AS first_digit,
@@ -295,8 +298,10 @@ def benford_first_digit(spark, sf_dir):
         ).alias("d")
     )
     counts = digits.groupBy("d").agg(F.count(F.lit(1)).alias("n"))
-    tot = counts.agg(F.sum("n").alias("total"))
-    expected = T(spark, sf_dir, "events").sparkSession.createDataFrame(
+    tot = counts.filter(F.col("d").between(1, 9)).agg(
+        F.sum("n").alias("total")
+    )
+    expected = spark.createDataFrame(
         [(d, p) for d, p in _BENFORD_PPM.items()], "d bigint, expected_ppm bigint"
     )
     return (

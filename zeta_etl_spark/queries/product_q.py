@@ -460,8 +460,6 @@ FROM cells c JOIN tot t ON t.event_type = c.event_type
     tags=("product", "seasonality"),
 )
 def weekly_seasonality_matrix(spark, sf_dir):
-    from pyspark.sql.window import Window
-
     e = T(spark, sf_dir, "events")
     cells = (
         e.select(
@@ -475,7 +473,6 @@ def weekly_seasonality_matrix(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
     )
     # per-type total as a window over the tiny cell grid (no re-scan)
-    wt = Window.partitionBy("event_type")
     return cells.select(
         "event_type",
         F.col("dow").cast("bigint").alias("dow"),

@@ -166,8 +166,6 @@ GROUP BY p_type
     "market_concentration_hhi", oracle=_HHI_ORACLE, tags=("agg", "hhi", "tpch")
 )
 def market_concentration_hhi(spark, sf_dir):
-    from pyspark.sql.window import Window
-
     li = T(spark, sf_dir, "lineitem")
     p = T(spark, sf_dir, "part")
     rev = (
@@ -180,7 +178,6 @@ def market_concentration_hhi(spark, sf_dir):
             ).alias("cents")
         )
     )
-    wt = Window.partitionBy("p_type")
     shares = rev.select(
         "p_type",
         F.expr(

@@ -506,8 +506,7 @@ WITH toks AS (
 ), firsts AS (
   SELECT tok, MIN(doc_id) AS first_doc FROM toks GROUP BY tok
 ), bounds AS (
-  SELECT MAX(doc_id) AS max_doc, COUNT(DISTINCT doc_id) AS n_docs
-  FROM documents
+  SELECT MAX(doc_id) AS max_doc FROM documents
 ), bucketed AS (
   SELECT LEAST((f.first_doc * 10) // (b.max_doc + 1), 9) AS decile,
          COUNT(*) AS new_tokens
