@@ -134,6 +134,7 @@ OPTIONAL = [
     "vocab_growth_curve",
     "market_concentration_hhi",
     "ordered_pattern_matches",
+    "ab_test_uplift",
 ]
 
 # Deliberate experiments whose cost is a MEASUREMENT, not the engine's real

@@ -249,3 +249,37 @@ def test_commit_heals_mirror_crash_debris(spark, tmp_path):
     assert not os.path.isdir(path + "__mirror_old")
     assert not os.path.isdir(path + "__mirror_deadbeef")
     assert read_versioned_store(spark, path).count() == 5
+
+
+def test_diff_versioned_store_change_feed(spark, tmp_path):
+    """The generation diff must classify added/removed/changed keys between
+    the retained previous snapshot and the committed one, and ignore
+    unchanged keys."""
+    from zeta_etl_spark.sources.versioned_store import (
+        diff_versioned_store,
+        write_versioned_store,
+    )
+
+    path = str(tmp_path / "dstore")
+    v1 = spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0), ("c", 3.0)], "k string, v double"
+    )
+    write_versioned_store(v1, path)
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        diff_versioned_store(spark, path, keys=["k"])  # no prior generation
+
+    v2 = spark.createDataFrame(
+        [("a", 1.0), ("b", 20.0), ("d", 4.0)], "k string, v double"
+    )
+    write_versioned_store(v2, path)
+    diff = {
+        r["k"]: (r["change"], r["old_v"], r["new_v"])
+        for r in diff_versioned_store(spark, path, keys=["k"]).collect()
+    }
+    assert diff == {
+        "b": ("changed", 2.0, 20.0),
+        "c": ("removed", 3.0, None),
+        "d": ("added", None, 4.0),
+    }

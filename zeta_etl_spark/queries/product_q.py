@@ -549,3 +549,62 @@ def pareto_value_share(spark, sf_dir):
             ),
         )
     )
+
+
+# --- ab_test_uplift: deterministic experiment readout ------------------------
+# The experimentation primitive: users assigned to control/treatment by an
+# md5 bucket of user_id (the engine's standard deterministic split —
+# stable across runs/engines/partitionings, unlike randomSplit), then the
+# purchase-conversion readout with exact counts: per-arm converters,
+# conversion ppm, uplift ppm, plus the sample-ratio check (assignment
+# counts should split ~50/50; a skewed ratio invalidates the experiment
+# before any uplift reading).  All integer until the final ppm divisions.
+
+_AB_ORACLE = """
+WITH users AS (
+  SELECT user_id,
+    CASE WHEN CAST(('0x' || substr(md5('ab1:' || CAST(user_id AS VARCHAR)),
+                                   1, 8)) AS BIGINT) % 2 = 0
+         THEN 'control' ELSE 'treatment' END AS arm,
+    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY user_id
+), arms AS (
+  SELECT arm, COUNT(*) AS n_users, SUM(converted) AS n_converted
+  FROM users GROUP BY arm
+)
+SELECT a.arm, CAST(a.n_users AS BIGINT) AS n_users,
+  CAST(a.n_converted AS BIGINT) AS n_converted,
+  CAST(a.n_converted * 1000000 // a.n_users AS BIGINT) AS conversion_ppm,
+  CAST(a.n_users * 1000000 // t.total_users AS BIGINT) AS assignment_ppm
+FROM arms a CROSS JOIN (SELECT SUM(n_users) AS total_users FROM arms) t
+"""
+
+
+@query("ab_test_uplift", oracle=_AB_ORACLE, tags=("product", "experiment"))
+def ab_test_uplift(spark, sf_dir):
+    from zeta_etl_spark.functions.text import spark_hex2long
+
+    e = T(spark, sf_dir, "events")
+    h = spark_hex2long("concat('ab1:', cast(user_id as string))", digits=8)
+    arm = F.expr(f"if(({h}) % 2 = 0, 'control', 'treatment')")
+    users = e.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted")
+    ).withColumn("arm", arm)
+    arms = users.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").alias("n_converted"),
+    )
+    tot = arms.agg(F.sum("n_users").alias("total_users"))
+    return arms.crossJoin(F.broadcast(tot)).select(
+        "arm",
+        F.col("n_users").cast("bigint").alias("n_users"),
+        F.col("n_converted").cast("bigint").alias("n_converted"),
+        F.expr("cast(n_converted * 1000000 div n_users as bigint)").alias(
+            "conversion_ppm"
+        ),
+        F.expr("cast(n_users * 1000000 div total_users as bigint)").alias(
+            "assignment_ppm"
+        ),
+    )

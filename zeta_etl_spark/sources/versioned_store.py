@@ -24,6 +24,7 @@ per-row Python).
 from __future__ import annotations
 
 import os
+from collections.abc import Sequence
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -348,3 +349,70 @@ def read_versioned_store(
     if delete_predicate:
         df = df.filter(~F.coalesce(F.expr(delete_predicate), F.lit(False)))
     return df
+
+
+def _previous_dir(path: str) -> str | None:
+    """The retained superseded generation, if any (commit keeps exactly one)."""
+    base = os.path.basename(path)
+    parent = os.path.dirname(path) or "."
+    with open(path + ".version") as fh:
+        cur = fh.read().strip()
+    gens = [
+        d
+        for d in os.listdir(parent)
+        if d.startswith(f"{base}__v") and d != f"{base}__v{cur}"
+        and not d.startswith(f"{base}__staging")
+    ]
+    if not gens:
+        return None
+    if len(gens) > 1:
+        raise RuntimeError(
+            f"multiple superseded generations for {path!r}: {sorted(gens)} — "
+            "a crashed commit left debris; vacuum manually"
+        )
+    return os.path.join(parent, gens[0])
+
+
+def diff_versioned_store(
+    spark: SparkSession, path: str, keys: Sequence[str]
+) -> DataFrame:
+    """Change feed between the two retained generations of a store: one row
+    per key that was ADDED, REMOVED, or CHANGED by the latest publish
+    (``change`` column), with every non-key column carried in ``old_`` /
+    ``new_`` pairs left NULL on the missing side.
+
+    This is the generation-level CDC readout the one-generation retention
+    makes possible without a transaction log: a full outer join on the key
+    columns between the previous snapshot and the committed one — shuffles
+    both sides on the key, no driver-side state.  Raises if no previous
+    generation is retained (first publish, or debris from a crashed
+    commit).
+    """
+    prev_dir = _previous_dir(path)
+    if prev_dir is None:
+        raise FileNotFoundError(
+            f"no superseded generation retained for {path!r} (first publish?)"
+        )
+    new = read_versioned_store(spark, path)
+    old = spark.read.parquet(prev_dir)
+    val_cols = [c for c in new.columns if c not in keys]
+    o = old.select(
+        *keys, *[F.col(c).alias(f"old_{c}") for c in val_cols]
+    )
+    n = new.select(
+        *keys, *[F.col(c).alias(f"new_{c}") for c in val_cols]
+    )
+    j = o.join(n, list(keys), "full_outer")
+    old_present = F.lit(False)
+    new_present = F.lit(False)
+    changed = F.lit(False)
+    for c in val_cols:
+        old_present = old_present | F.col(f"old_{c}").isNotNull()
+        new_present = new_present | F.col(f"new_{c}").isNotNull()
+        changed = changed | ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+    change = (
+        F.when(~old_present & new_present, "added")
+        .when(old_present & ~new_present, "removed")
+        .when(changed, "changed")
+    )
+    return j.withColumn("change", change).filter(F.col("change").isNotNull())
