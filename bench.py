@@ -135,6 +135,8 @@ OPTIONAL = [
     "market_concentration_hhi",
     "ordered_pattern_matches",
     "ab_test_uplift",
+    "attribution_support_histogram",
+    "reactivation_counts",
 ]
 
 # Deliberate experiments whose cost is a MEASUREMENT, not the engine's real

@@ -608,3 +608,110 @@ def ab_test_uplift(spark, sf_dir):
             "assignment_ppm"
         ),
     )
+
+
+# --- attribution_support_histogram: multi-touch attribution shape ------------
+# For every purchase, how many clicks support it inside the 1-hour
+# lookback (the denominator linear multi-touch attribution divides credit
+# by)?  Reported as a histogram over support counts, with 0 = unattributed
+# purchases — the marketing-science readout that decides whether
+# last-touch vs linear even differ on this corpus.  The per-purchase
+# support count is a RANGE frame over epoch seconds (value-range window,
+# not rows), conditional on type — one user_id exchange, then a tiny
+# histogram rollup.
+
+_ATTR_ORACLE = """
+WITH base AS (
+  SELECT user_id, event_type,
+    date_diff('second', TIMESTAMP '1970-01-01 00:00:00',
+              CAST(ts AS TIMESTAMP)) AS ep
+  FROM events
+), support AS (
+  SELECT user_id, event_type,
+    COUNT(CASE WHEN event_type = 'click' THEN 1 END) OVER (
+      PARTITION BY user_id ORDER BY ep
+      RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS n_window_clicks,
+    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS self_click
+  FROM base
+)
+SELECT CAST(n_window_clicks - self_click AS BIGINT) AS n_supporting_clicks,
+  CAST(COUNT(*) AS BIGINT) AS n_purchases
+FROM support
+WHERE event_type = 'purchase'
+GROUP BY n_window_clicks - self_click
+"""
+
+
+@query(
+    "attribution_support_histogram",
+    oracle=_ATTR_ORACLE,
+    tags=("product", "attribution", "W2"),
+)
+def attribution_support_histogram(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    e = T(spark, sf_dir, "events")
+    base = e.select(
+        "user_id", "event_type", F.unix_timestamp("ts").alias("ep")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ep")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    support = base.select(
+        "event_type",
+        (
+            F.count(F.when(F.col("event_type") == "click", 1)).over(w)
+            - F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).alias("n_supporting_clicks"),
+    )
+    return (
+        support.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("n_supporting_clicks").cast("bigint").alias(
+            "n_supporting_clicks"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_purchases"))
+    )
+
+
+# --- reactivation_counts: returns after dormancy -----------------------------
+# How often does each user come back after ≥7 dormant days?  lag on the
+# distinct-day series, datediff ≥ 7 counts a reactivation — the
+# growth-loop metric paired with longest_active_streak (same day rollup,
+# same single exchange).
+
+_REACT_ORACLE = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+), gaps AS (
+  SELECT user_id,
+    date_diff('day', lag(d) OVER (PARTITION BY user_id ORDER BY d), d) AS gap
+  FROM days
+)
+SELECT user_id,
+  CAST(COUNT(CASE WHEN gap >= 7 THEN 1 END) AS BIGINT) AS n_reactivations,
+  CAST(MAX(gap) AS BIGINT) AS longest_dormancy_days
+FROM gaps
+GROUP BY user_id
+"""
+
+
+@query(
+    "reactivation_counts", oracle=_REACT_ORACLE, tags=("product", "retention")
+)
+def reactivation_counts(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    e = T(spark, sf_dir, "events")
+    days = e.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    gaps = days.select(
+        "user_id",
+        F.datediff(F.col("d"), F.lag("d").over(w)).alias("gap"),
+    )
+    return gaps.groupBy("user_id").agg(
+        F.count(F.when(F.col("gap") >= 7, 1))
+        .cast("bigint")
+        .alias("n_reactivations"),
+        F.max("gap").cast("bigint").alias("longest_dormancy_days"),
+    )
