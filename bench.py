@@ -137,6 +137,7 @@ OPTIONAL = [
     "ab_test_uplift",
     "attribution_support_histogram",
     "reactivation_counts",
+    "embedding_drift_ab",
 ]
 
 # Deliberate experiments whose cost is a MEASUREMENT, not the engine's real

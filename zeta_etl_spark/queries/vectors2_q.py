@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from zeta_etl_spark.operators.vectors import SCALE
 from zeta_etl_spark.queries.registry import T, query
+from zeta_etl_spark.queries.vectors_q import _DUCK_SCALED
 
 _COS_SCALE = 10**9
 
@@ -220,4 +221,72 @@ def hard_negative_candidates(spark, sf_dir):
     return (
         pairs.withColumn("neg_rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("neg_rank") <= _HN_K)
+    )
+
+
+# --- embedding_drift_ab: centroid shift between deterministic halves ---------
+# Embedding-space drift detection: per label, the squared L2 distance
+# between the centroid of the EVEN-id half and the ODD-id half — the
+# monitoring statistic for "did the encoder (or the data) move?".  On the
+# deterministic split the halves are exchangeable, so shift² ≈ 2·σ²/n per
+# dim is pure sampling noise — the baseline a real drift alarm thresholds
+# against.  All arithmetic is the registry's scaled-integer vector idiom:
+# per-dim sums are exact BIGINTs, each centroid rounds ONCE to the scaled
+# grid, and the shift is an integer sum of squared differences.  Scale:
+# explode ×64 dims, one (label, dim) partial-agg shuffle, 64·|labels|
+# rows thereafter.
+
+_DRIFT_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id % 2 AS half, label, {_DUCK_SCALED} AS sv FROM embeddings
+), per AS (
+  SELECT label, CAST(i AS BIGINT) AS dim, half,
+    CAST(floor(CAST(SUM(sv[CAST(i AS INT)]) AS DOUBLE)
+               / ({SCALE}.0 * COUNT(*)) * {SCALE} + 0.5) AS BIGINT) AS cv,
+    COUNT(*) AS n
+  FROM e CROSS JOIN range(1, 65) t(i)
+  GROUP BY label, i, half
+), wide AS (
+  SELECT label, dim,
+    MAX(CASE WHEN half = 0 THEN cv END) AS cv_even,
+    MAX(CASE WHEN half = 1 THEN cv END) AS cv_odd,
+    MAX(CASE WHEN half = 0 THEN n END) AS n_even,
+    MAX(CASE WHEN half = 1 THEN n END) AS n_odd
+  FROM per GROUP BY label, dim
+)
+SELECT CAST(label AS BIGINT) AS label,
+  CAST(MIN(n_even) AS BIGINT) AS n_even,
+  CAST(MIN(n_odd) AS BIGINT) AS n_odd,
+  CAST(SUM((cv_even - cv_odd) * (cv_even - cv_odd)) AS BIGINT) AS shift2
+FROM wide
+GROUP BY label
+"""
+
+
+@query("embedding_drift_ab", oracle=_DRIFT_ORACLE, tags=("vectors", "drift"))
+def embedding_drift_ab(spark, sf_dir):
+    from zeta_etl_spark.operators.vectors import scaled_vectors
+
+    emb = scaled_vectors(T(spark, sf_dir, "embeddings")).select(
+        (F.col("vec_id") % 2).alias("half"), "label",
+        F.posexplode("sv").alias("dim0", "v"),
+    )
+    per = emb.groupBy("label", (F.col("dim0") + 1).alias("dim"), "half").agg(
+        F.expr(
+            f"cast(floor(cast(sum(v) as double)"
+            f" / ({SCALE}.0 * count(*)) * {SCALE} + 0.5) as bigint)"
+        ).alias("cv"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    wide = per.groupBy("label", "dim").agg(
+        F.max(F.when(F.col("half") == 0, F.col("cv"))).alias("cv_even"),
+        F.max(F.when(F.col("half") == 1, F.col("cv"))).alias("cv_odd"),
+        F.max(F.when(F.col("half") == 0, F.col("n"))).alias("n_even"),
+        F.max(F.when(F.col("half") == 1, F.col("n"))).alias("n_odd"),
+    )
+    diff = F.col("cv_even") - F.col("cv_odd")
+    return wide.groupBy(F.col("label").cast("bigint").alias("label")).agg(
+        F.min("n_even").cast("bigint").alias("n_even"),
+        F.min("n_odd").cast("bigint").alias("n_odd"),
+        F.sum(diff * diff).cast("bigint").alias("shift2"),
     )
