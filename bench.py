@@ -138,6 +138,7 @@ OPTIONAL = [
     "attribution_support_histogram",
     "reactivation_counts",
     "embedding_drift_ab",
+    "time_to_conversion_curve",
 ]
 
 # Deliberate experiments whose cost is a MEASUREMENT, not the engine's real

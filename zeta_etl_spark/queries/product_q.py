@@ -715,3 +715,89 @@ def reactivation_counts(spark, sf_dir):
         .alias("n_reactivations"),
         F.max("gap").cast("bigint").alias("longest_dormancy_days"),
     )
+
+
+# --- time_to_conversion_curve: survival-style TTC distribution ---------------
+# For each day-offset k: how many users converted (first purchase) within
+# k days of their first activity, cumulatively, plus the never-converted
+# (right-censored) population — the Kaplan-Meier readout with no
+# mid-window censoring (every user is observed over the full corpus
+# window).  Pure integer day arithmetic on the per-user rollup; the
+# cumulative sum runs over the tiny offset frame.
+
+_TTC_ORACLE = """
+WITH per_user AS (
+  SELECT user_id,
+    MIN(CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        AS BIGINT)) AS first_day,
+    MIN(CASE WHEN event_type = 'purchase'
+        THEN CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+             AS BIGINT) END) AS first_purchase_day
+  FROM events GROUP BY user_id
+), offsets AS (
+  SELECT first_purchase_day - first_day AS ttc_days FROM per_user
+  WHERE first_purchase_day IS NOT NULL
+), tot AS (
+  SELECT COUNT(*) AS n_users,
+    COUNT(*) - (SELECT COUNT(*) FROM offsets) AS n_censored
+  FROM per_user
+), hist AS (
+  SELECT ttc_days, COUNT(*) AS n_converted FROM offsets GROUP BY ttc_days
+)
+SELECT CAST(h.ttc_days AS BIGINT) AS ttc_days,
+  CAST(h.n_converted AS BIGINT) AS n_converted,
+  CAST(SUM(h.n_converted) OVER (ORDER BY h.ttc_days) AS BIGINT)
+    AS cum_converted,
+  CAST(t.n_users AS BIGINT) AS n_users,
+  CAST(t.n_censored AS BIGINT) AS n_never_converted,
+  CAST(SUM(h.n_converted) OVER (ORDER BY h.ttc_days) * 1000000
+       // t.n_users AS BIGINT) AS cum_conversion_ppm
+FROM hist h CROSS JOIN tot t
+"""
+
+
+@query(
+    "time_to_conversion_curve", oracle=_TTC_ORACLE, tags=("product", "survival")
+)
+def time_to_conversion_curve(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    e = T(spark, sf_dir, "events")
+    day = F.datediff(
+        F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+    ).cast("bigint")
+    per_user = e.groupBy("user_id").agg(
+        F.min(day).alias("first_day"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", day)
+        ).alias("first_purchase_day"),
+    )
+    offsets = per_user.filter(F.col("first_purchase_day").isNotNull()).select(
+        (F.col("first_purchase_day") - F.col("first_day")).alias("ttc_days")
+    )
+    hist = offsets.groupBy("ttc_days").agg(
+        F.count(F.lit(1)).alias("n_converted")
+    )
+    tot = per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count(
+            F.when(F.col("first_purchase_day").isNull(), 1)
+        ).alias("n_never_converted"),
+    )
+    w = Window.orderBy("ttc_days")  # offset frame is tiny — global is free
+    return (
+        hist.withColumn("cum_converted", F.sum("n_converted").over(w))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("ttc_days").cast("bigint").alias("ttc_days"),
+            F.col("n_converted").cast("bigint").alias("n_converted"),
+            F.col("cum_converted").cast("bigint").alias("cum_converted"),
+            F.col("n_users").cast("bigint").alias("n_users"),
+            F.col("n_never_converted").cast("bigint").alias(
+                "n_never_converted"
+            ),
+            F.expr(
+                "cast(cum_converted * 1000000 div n_users as bigint)"
+            ).alias("cum_conversion_ppm"),
+        )
+    )
