@@ -139,6 +139,7 @@ OPTIONAL = [
     "reactivation_counts",
     "embedding_drift_ab",
     "time_to_conversion_curve",
+    "price_volume_mix",
 ]
 
 # Deliberate experiments whose cost is a MEASUREMENT, not the engine's real

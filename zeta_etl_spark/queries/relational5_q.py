@@ -191,3 +191,89 @@ def market_concentration_hhi(spark, sf_dir):
         .alias("hhi_bp2"),
         F.max("share_bp").cast("bigint").alias("top_share_bp"),
     )
+
+
+# --- price_volume_mix: revenue-bridge decomposition --------------------------
+# The BI "revenue bridge": ΔRevenue per part type between 1996 and 1997,
+# split into the volume effect (quantity change at year-1 realized price)
+# and the price/mix effect (the remainder) — volume + price ≡ ΔRevenue
+# bit-exactly by construction (the remainder is literally Δ − volume).  Determinism: period revenues are
+# exact decimal sums and quantities exact integers; the realized price is
+# ONE double division, and both effects are built from the same
+# expression tree in both engines.  Scale: the lineitem⋈orders shuffle on
+# orderkey (date filter pushed to the orders side), part broadcast, then
+# a |p_type|-sized frame.
+
+_PVM_ORACLE = """
+WITH li AS (
+  SELECT p.p_type, year(o.o_orderdate) AS yr,
+    CAST(l.l_quantity AS BIGINT) AS qty,
+    CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(32,6)) AS rev
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN part p   ON p.p_partkey = l.l_partkey
+  WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+), per AS (
+  SELECT p_type,
+    CAST(SUM(CASE WHEN yr = 1996 THEN qty ELSE 0 END) AS BIGINT) AS qty1,
+    CAST(SUM(CASE WHEN yr = 1997 THEN qty ELSE 0 END) AS BIGINT) AS qty2,
+    CAST(SUM(CASE WHEN yr = 1996 THEN rev END) AS DOUBLE) AS rev1,
+    CAST(SUM(CASE WHEN yr = 1997 THEN rev END) AS DOUBLE) AS rev2
+  FROM li GROUP BY p_type
+)
+SELECT p_type, qty1, qty2, rev1, rev2,
+  rev2 - rev1 AS delta_revenue,
+  (qty2 - qty1) * (rev1 / qty1) AS volume_effect,
+  (rev2 - rev1) - (qty2 - qty1) * (rev1 / qty1) AS price_mix_effect
+FROM per
+WHERE qty1 > 0
+"""
+
+
+@query("price_volume_mix", oracle=_PVM_ORACLE, tags=("agg", "bi", "bridge"))
+def price_volume_mix(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    p = T(spark, sf_dir, "part")
+    base = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(
+            "p_type",
+            F.year("o_orderdate").alias("yr"),
+            F.col("l_quantity").cast("bigint").alias("qty"),
+            F.expr(
+                "cast(l_extendedprice * (1 - l_discount) as decimal(32,6))"
+            ).alias("rev"),
+        )
+    )
+    per = base.groupBy("p_type").agg(
+        F.sum(F.when(F.col("yr") == 1996, F.col("qty")).otherwise(0))
+        .cast("bigint")
+        .alias("qty1"),
+        F.sum(F.when(F.col("yr") == 1997, F.col("qty")).otherwise(0))
+        .cast("bigint")
+        .alias("qty2"),
+        F.sum(F.when(F.col("yr") == 1996, F.col("rev")))
+        .cast("double")
+        .alias("rev1"),
+        F.sum(F.when(F.col("yr") == 1997, F.col("rev")))
+        .cast("double")
+        .alias("rev2"),
+    )
+    price1 = F.col("rev1") / F.col("qty1")
+    vol = (F.col("qty2") - F.col("qty1")) * price1
+    return per.filter(F.col("qty1") > 0).select(
+        "p_type",
+        "qty1",
+        "qty2",
+        "rev1",
+        "rev2",
+        (F.col("rev2") - F.col("rev1")).alias("delta_revenue"),
+        vol.alias("volume_effect"),
+        ((F.col("rev2") - F.col("rev1")) - vol).alias("price_mix_effect"),
+    )
