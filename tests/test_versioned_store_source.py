@@ -283,3 +283,34 @@ def test_diff_versioned_store_change_feed(spark, tmp_path):
         "c": ("removed", 3.0, None),
         "d": ("added", None, 4.0),
     }
+
+
+def test_diff_handles_null_rows_tombstones_and_schema_change(spark, tmp_path):
+    """Review regressions: presence comes from markers (an all-NULL row is
+    not an absent row); tombstoned keys report as removed; a column added
+    by the new generation reads as NULL on the old side."""
+    from zeta_etl_spark.sources.versioned_store import (
+        diff_versioned_store,
+        write_versioned_store,
+    )
+
+    path = str(tmp_path / "nstore")
+    v1 = spark.createDataFrame(
+        [("a", None), ("b", 2.0), ("c", 3.0)], "k string, v double"
+    )
+    write_versioned_store(v1, path)
+    # v2: 'a' (all-NULL values) removed; 'b' tombstoned; new column w added
+    v2 = spark.createDataFrame(
+        [("b", 2.0, True, 9.0), ("c", 3.0, False, 1.0)],
+        "k string, v double, deleted boolean, w double",
+    )
+    write_versioned_store(v2, path)
+    diff = {
+        r["k"]: r["change"]
+        for r in diff_versioned_store(
+            spark, path, keys=["k"], delete_predicate="deleted"
+        ).collect()
+    }
+    # 'a' existed with NULL v → its removal must be visible;
+    # 'b' is tombstoned in v2 → removed; 'c' gained columns → changed
+    assert diff == {"a": "removed", "b": "removed", "c": "changed"}

@@ -560,11 +560,12 @@ def pareto_value_share(spark, sf_dir):
 # counts should split ~50/50; a skewed ratio invalidates the experiment
 # before any uplift reading).  All integer until the final ppm divisions.
 
-_AB_ORACLE = """
+from zeta_etl_spark.functions.text import duck_hex2long as _dh
+
+_AB_ORACLE = f"""
 WITH users AS (
   SELECT user_id,
-    CASE WHEN CAST(('0x' || substr(md5('ab1:' || CAST(user_id AS VARCHAR)),
-                                   1, 8)) AS BIGINT) % 2 = 0
+    CASE WHEN {_dh("concat('ab1:', CAST(user_id AS VARCHAR))", digits=8)} % 2 = 0
          THEN 'control' ELSE 'treatment' END AS arm,
     MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
   FROM events GROUP BY user_id
@@ -630,15 +631,14 @@ WITH base AS (
   SELECT user_id, event_type,
     COUNT(CASE WHEN event_type = 'click' THEN 1 END) OVER (
       PARTITION BY user_id ORDER BY ep
-      RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS n_window_clicks,
-    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS self_click
+      RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS n_window_clicks
   FROM base
 )
-SELECT CAST(n_window_clicks - self_click AS BIGINT) AS n_supporting_clicks,
+SELECT CAST(n_window_clicks AS BIGINT) AS n_supporting_clicks,
   CAST(COUNT(*) AS BIGINT) AS n_purchases
 FROM support
 WHERE event_type = 'purchase'
-GROUP BY n_window_clicks - self_click
+GROUP BY n_window_clicks
 """
 
 
@@ -659,12 +659,13 @@ def attribution_support_histogram(spark, sf_dir):
         .orderBy("ep")
         .rangeBetween(-3600, Window.currentRow)
     )
+    # output keeps only purchase rows, where a self-click correction is
+    # identically zero — the RANGE count alone is the support count
     support = base.select(
         "event_type",
-        (
-            F.count(F.when(F.col("event_type") == "click", 1)).over(w)
-            - F.when(F.col("event_type") == "click", 1).otherwise(0)
-        ).alias("n_supporting_clicks"),
+        F.count(F.when(F.col("event_type") == "click", 1))
+        .over(w)
+        .alias("n_supporting_clicks"),
     )
     return (
         support.filter(F.col("event_type") == "purchase")

@@ -351,68 +351,100 @@ def read_versioned_store(
     return df
 
 
-def _previous_dir(path: str) -> str | None:
-    """The retained superseded generation, if any (commit keeps exactly one)."""
+def _generation_dirs(path: str) -> tuple[str, str | None]:
+    """(current_dir, previous_dir) resolved from ONE pointer read — a
+    commit landing between two separate reads could pair a fresh current
+    with a just-vacuumed previous (TOCTOU, review finding)."""
     base = os.path.basename(path)
     parent = os.path.dirname(path) or "."
     with open(path + ".version") as fh:
         cur = fh.read().strip()
+    cur_dir = os.path.join(parent, f"{base}__v{cur}")
     gens = [
         d
         for d in os.listdir(parent)
         if d.startswith(f"{base}__v") and d != f"{base}__v{cur}"
-        and not d.startswith(f"{base}__staging")
     ]
-    if not gens:
-        return None
     if len(gens) > 1:
         raise RuntimeError(
             f"multiple superseded generations for {path!r}: {sorted(gens)} — "
             "a crashed commit left debris; vacuum manually"
         )
-    return os.path.join(parent, gens[0])
+    prev_dir = os.path.join(parent, gens[0]) if gens else None
+    return cur_dir, prev_dir
 
 
 def diff_versioned_store(
-    spark: SparkSession, path: str, keys: Sequence[str]
+    spark: SparkSession,
+    path: str,
+    keys: Sequence[str],
+    delete_predicate: str | None = None,
 ) -> DataFrame:
     """Change feed between the two retained generations of a store: one row
     per key that was ADDED, REMOVED, or CHANGED by the latest publish
     (``change`` column), with every non-key column carried in ``old_`` /
     ``new_`` pairs left NULL on the missing side.
 
-    This is the generation-level CDC readout the one-generation retention
-    makes possible without a transaction log: a full outer join on the key
-    columns between the previous snapshot and the committed one — shuffles
-    both sides on the key, no driver-side state.  Raises if no previous
+    Presence is tracked with explicit marker columns, NOT value null-ness
+    (an all-NULL row and an absent row are different things), so all-key
+    stores and NULL-valued rows classify correctly.  ``delete_predicate``
+    applies the sink's tombstone contract to BOTH generations: a key
+    tombstoned by the latest publish reports as ``removed``.  Column sets
+    may differ between generations (the snapshot writer permits schema
+    change); columns missing on one side read as NULL there.
+
+    Scale: a full outer join on the key columns — shuffles both snapshot
+    sides on the key, no driver-side state.  Raises if no previous
     generation is retained (first publish, or debris from a crashed
     commit).
     """
-    prev_dir = _previous_dir(path)
+    cur_dir, prev_dir = _generation_dirs(path)
     if prev_dir is None:
         raise FileNotFoundError(
             f"no superseded generation retained for {path!r} (first publish?)"
         )
-    new = read_versioned_store(spark, path)
+    new = spark.read.parquet(cur_dir)
     old = spark.read.parquet(prev_dir)
-    val_cols = [c for c in new.columns if c not in keys]
-    o = old.select(
-        *keys, *[F.col(c).alias(f"old_{c}") for c in val_cols]
+    if delete_predicate:
+        from pyspark.errors import AnalysisException
+
+        alive = ~F.coalesce(F.expr(delete_predicate), F.lit(False))
+        # a generation written before the tombstone column existed has no
+        # tombstones — skip the filter on a side that can't resolve it
+        for name in ("new", "old"):
+            df = new if name == "new" else old
+            try:
+                df = df.filter(alive)
+            except AnalysisException:
+                continue
+            if name == "new":
+                new = df
+            else:
+                old = df
+    val_cols = sorted(
+        (set(new.columns) | set(old.columns)) - set(keys)
     )
-    n = new.select(
-        *keys, *[F.col(c).alias(f"new_{c}") for c in val_cols]
-    )
-    j = o.join(n, list(keys), "full_outer")
-    old_present = F.lit(False)
-    new_present = F.lit(False)
+
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        cols = [
+            (F.col(c) if c in df.columns else F.lit(None)).alias(f"{tag}_{c}")
+            for c in val_cols
+        ]
+        return df.select(*keys, *cols, F.lit(True).alias(f"_{tag}_present"))
+
+    j = side(old, "old").join(side(new, "new"), list(keys), "full_outer")
     changed = F.lit(False)
     for c in val_cols:
-        old_present = old_present | F.col(f"old_{c}").isNotNull()
-        new_present = new_present | F.col(f"new_{c}").isNotNull()
         changed = changed | ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+    old_p = F.coalesce(F.col("_old_present"), F.lit(False))
+    new_p = F.coalesce(F.col("_new_present"), F.lit(False))
     change = (
-        F.when(~old_present & new_present, "added")
-        .when(old_present & ~new_present, "removed")
+        F.when(~old_p & new_p, "added")
+        .when(old_p & ~new_p, "removed")
         .when(changed, "changed")
     )
-    return j.withColumn("change", change).filter(F.col("change").isNotNull())
+    return (
+        j.withColumn("change", change)
+        .filter(F.col("change").isNotNull())
+        .drop("_old_present", "_new_present")
+    )
