@@ -140,6 +140,7 @@ OPTIONAL = [
     "embedding_drift_ab",
     "time_to_conversion_curve",
     "price_volume_mix",
+    "freshness_audit",
 ]
 
 # Deliberate experiments whose cost is a MEASUREMENT, not the engine's real

@@ -316,3 +316,43 @@ def benford_first_digit(spark, sf_dir):
             ).alias("observed_ppm"),
         )
     )
+
+
+# --- freshness_audit: per-partition staleness report -------------------------
+# The data-ops freshness gate: per day-partition, the row count, the last
+# event's epoch second, and how many whole hours that partition's tail
+# lags the table's global high-water mark — the report a scheduler uses
+# to decide whether yesterday's load actually landed.  Global max via a
+# scalar cross join (one row), day rollup partial-aggregated.
+
+_FRESH_ORACLE = """
+WITH per_day AS (
+  SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n_events,
+    MAX(date_diff('second', TIMESTAMP '1970-01-01 00:00:00',
+                  CAST(ts AS TIMESTAMP))) AS last_ep
+  FROM events GROUP BY 1
+), hwm AS (SELECT MAX(last_ep) AS global_ep FROM per_day)
+SELECT p.d AS partition_day,
+  CAST(p.n_events AS BIGINT) AS n_events,
+  CAST(p.last_ep AS BIGINT) AS last_ep,
+  CAST((h.global_ep - p.last_ep) // 3600 AS BIGINT) AS hours_behind
+FROM per_day p CROSS JOIN hwm h
+"""
+
+
+@query("freshness_audit", oracle=_FRESH_ORACLE, tags=("audit", "freshness"))
+def freshness_audit(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    per_day = e.groupBy(F.col("ts").cast("date").alias("partition_day")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max(F.unix_timestamp("ts")).alias("last_ep"),
+    )
+    hwm = per_day.agg(F.max("last_ep").alias("global_ep"))
+    return per_day.crossJoin(F.broadcast(hwm)).select(
+        "partition_day",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("last_ep").cast("bigint").alias("last_ep"),
+        F.expr("cast((global_ep - last_ep) div 3600 as bigint)").alias(
+            "hours_behind"
+        ),
+    )
