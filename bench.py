@@ -141,6 +141,7 @@ OPTIONAL = [
     "time_to_conversion_curve",
     "price_volume_mix",
     "freshness_audit",
+    "cross_source_dup_matrix",
 ]
 
 # Deliberate experiments whose cost is a MEASUREMENT, not the engine's real

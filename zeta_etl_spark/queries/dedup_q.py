@@ -619,3 +619,55 @@ def lsh_eval_metrics(spark, sf_dir):
             / F.nullif(F.col("n_true_pairs").cast("double"), F.lit(0.0))
         ).alias("recall_at_tau"),
     )
+
+
+# --- cross_source_dup_matrix: inter-source contamination ---------------------
+# Near-dup pairs rolled up by SOURCE pair — the crawl-overlap /
+# cross-feed-contamination matrix a corpus owner reads before blending
+# sources.  Reuses the bounded inverted-index exact-Jaccard pair
+# generator; the source lookup joins the (small) pair frame back to the
+# doc→source projection, and the (source_a, source_b) key is canonically
+# ordered so the matrix is upper-triangular.
+
+_XSRC_ORACLE = f"""
+WITH pairs AS (
+  SELECT doc_a, doc_b FROM ({_NGRAM_ORACLE}) _p
+), lab AS (
+  SELECT p.doc_a, p.doc_b, da.source AS src_a, db.source AS src_b
+  FROM pairs p
+  JOIN documents da ON da.doc_id = p.doc_a
+  JOIN documents db ON db.doc_id = p.doc_b
+)
+SELECT LEAST(src_a, src_b) AS source_a,
+  GREATEST(src_a, src_b) AS source_b,
+  CAST(COUNT(*) AS BIGINT) AS n_dup_pairs
+FROM lab GROUP BY 1, 2
+"""
+
+
+@query(
+    "cross_source_dup_matrix", oracle=_XSRC_ORACLE, tags=("dedup", "audit")
+)
+def cross_source_dup_matrix(spark, sf_dir):
+    d = T(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    pairs = shingle_jaccard_pairs(d, min_jaccard=0.2).select("doc_a", "doc_b")
+    src = d.select("doc_id", "source")
+    lab = (
+        pairs.join(
+            src.select(
+                F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a")
+            ),
+            "doc_a",
+        ).join(
+            src.select(
+                F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b")
+            ),
+            "doc_b",
+        )
+    )
+    return lab.groupBy(
+        F.least("src_a", "src_b").alias("source_a"),
+        F.greatest("src_a", "src_b").alias("source_b"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_dup_pairs"))
