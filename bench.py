@@ -142,6 +142,7 @@ OPTIONAL = [
     "price_volume_mix",
     "freshness_audit",
     "cross_source_dup_matrix",
+    "source_signature_tokens",
 ]
 
 # Deliberate experiments whose cost is a MEASUREMENT, not the engine's real

@@ -545,3 +545,77 @@ def vocab_growth_curve(spark, sf_dir):
         F.col("new_tokens").cast("bigint").alias("new_tokens"),
         F.sum("new_tokens").over(w).cast("bigint").alias("vocab_size"),
     )
+
+
+# --- source_signature_tokens: distinctive vocabulary per source --------------
+# Which tokens over-index in each source?  lift = P(token | source) /
+# P(token) as the exact count ratio (n_st·N) / (n_s·n_t) — the
+# "characteristic vocabulary" report used to spot feed mislabeling and
+# topic drift.  One explode + one (source, token) shuffle; the lift and
+# rank run over the aggregated vocabulary×sources frame.  Top-3 per
+# source, ties broken on the token string.
+
+_SIG_ORACLE = """
+WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+), st AS (
+  SELECT source, tok, COUNT(*) AS n_st FROM toks GROUP BY 1, 2
+), s AS (
+  SELECT source, SUM(n_st) AS n_s FROM st GROUP BY 1
+), t AS (
+  SELECT tok, SUM(n_st) AS n_t FROM st GROUP BY 1
+), tot AS (SELECT SUM(n_st) AS n FROM st),
+scored AS (
+  SELECT st.source, st.tok,
+    CAST(st.n_st AS BIGINT) AS n_st,
+    CAST(st.n_st AS DOUBLE) * tot.n / (CAST(s.n_s AS DOUBLE) * t.n_t) AS lift
+  FROM st
+  JOIN s ON s.source = st.source
+  JOIN t ON t.tok = st.tok
+  CROSS JOIN tot
+)
+SELECT source, tok, n_st, lift,
+  CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY source ORDER BY lift DESC, tok) AS rnk
+  FROM scored
+) r WHERE rnk <= 3
+"""
+
+
+@query(
+    "source_signature_tokens", oracle=_SIG_ORACLE, tags=("text", "signature")
+)
+def source_signature_tokens(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    d = T(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    st = (
+        d.select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("n_st"))
+    )
+    ws = Window.partitionBy("source")
+    wt = Window.partitionBy("tok")
+    wall = Window.partitionBy()
+    scored = st.select(
+        "source",
+        "tok",
+        F.col("n_st").cast("bigint").alias("n_st"),
+        (
+            F.col("n_st").cast("double")
+            * F.sum("n_st").over(wall)
+            / (
+                F.sum("n_st").over(ws).cast("double")
+                * F.sum("n_st").over(wt)
+            )
+        ).alias("lift"),
+    )
+    wr = Window.partitionBy("source").orderBy(F.col("lift").desc(), "tok")
+    return (
+        scored.withColumn("rnk", F.row_number().over(wr).cast("bigint"))
+        .filter(F.col("rnk") <= 3)
+    )
