@@ -143,6 +143,7 @@ OPTIONAL = [
     "freshness_audit",
     "cross_source_dup_matrix",
     "source_signature_tokens",
+    "daily_anomaly_alerts",
 ]
 
 # Deliberate experiments whose cost is a MEASUREMENT, not the engine's real

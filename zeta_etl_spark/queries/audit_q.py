@@ -356,3 +356,65 @@ def freshness_audit(spark, sf_dir):
             "hours_behind"
         ),
     )
+
+
+# --- daily_anomaly_alerts: z-scores on the aggregate day series --------------
+# Ops anomaly detection on the METRIC series (not per-entity): each day's
+# total value scored against the all-days mean/std, flagging |z| > 2.
+# Exact forms: day totals are integer cents; mean and variance come from
+# the nSxx − Sx² identity over the ~30-row day frame (window over the
+# aggregated series, no second scan); sqrt is IEEE-correctly-rounded, so
+# the double z is deterministic (bollinger/autocorr precedent).
+
+_DAILYZ_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+    SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+  FROM events GROUP BY 1
+), stats AS (
+  SELECT d, cents,
+    CAST(COUNT(*) OVER () AS BIGINT) AS n,
+    CAST(SUM(cents) OVER () AS BIGINT) AS sx,
+    CAST(SUM(cents * cents) OVER () AS BIGINT) AS sxx
+  FROM daily
+)
+SELECT d AS day, CAST(cents AS BIGINT) AS cents,
+  (cents - CAST(sx AS DOUBLE) / n)
+    / NULLIF(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) / n, 0) AS z,
+  CAST(CASE WHEN abs((cents - CAST(sx AS DOUBLE) / n)
+    / NULLIF(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) / n, 0)) > 2
+    THEN 1 ELSE 0 END AS BIGINT) AS is_alert
+FROM stats
+"""
+
+
+@query("daily_anomaly_alerts", oracle=_DAILYZ_ORACLE, tags=("audit", "anomaly"))
+def daily_anomaly_alerts(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    e = T(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.expr("sum(cast(floor(value * 100 + 0.5) as bigint))").alias("cents")
+    )
+    wall = Window.partitionBy()  # ~30-row day frame — global window is free
+    stats = daily.select(
+        "day",
+        F.col("cents").cast("bigint").alias("cents"),
+        F.count(F.lit(1)).over(wall).cast("bigint").alias("n"),
+        F.sum("cents").over(wall).cast("bigint").alias("sx"),
+        F.sum(F.col("cents") * F.col("cents")).over(wall).cast("bigint").alias(
+            "sxx"
+        ),
+    )
+    sigma = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    ) / F.col("n")
+    z = (F.col("cents") - F.col("sx").cast("double") / F.col("n")) / F.nullif(
+        sigma, F.lit(0.0)
+    )
+    return stats.select(
+        "day",
+        "cents",
+        z.alias("z"),
+        F.when(F.abs(z) > 2, 1).otherwise(0).cast("bigint").alias("is_alert"),
+    )
