@@ -144,6 +144,7 @@ OPTIONAL = [
     "cross_source_dup_matrix",
     "source_signature_tokens",
     "daily_anomaly_alerts",
+    "duplicate_delivery_audit",
 ]
 
 # Deliberate experiments whose cost is a MEASUREMENT, not the engine's real

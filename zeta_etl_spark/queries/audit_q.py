@@ -418,3 +418,69 @@ def daily_anomaly_alerts(spark, sf_dir):
         z.alias("z"),
         F.when(F.abs(z) > 2, 1).otherwise(0).cast("bigint").alias("is_alert"),
     )
+
+
+# --- duplicate_delivery_audit: at-least-once redelivery screen ---------------
+# Events that look like duplicate DELIVERIES rather than organic repeats:
+# identical (user, type, payload) observed more than once inside a bounded
+# span but under different event_ids — the signature of an at-least-once
+# producer retrying.  (Exact event_id duplicates are pk_uniqueness_audit's
+# job; this catches payload-level redelivery.)  In production the payload
+# grain is the full payload hash and the span ~minutes; on the synthetic
+# corpus (no true redeliveries) the demo grain is whole dollars over a day
+# so the report is non-empty and the shape is exercised — a cents/60 s
+# parameterization returned 0 rows at every SF (the trivial-pass trap).
+# One payload-grain partial-aggregated shuffle, then a per-user rollup.
+
+_DUPDEL_ORACLE = """
+WITH g AS (
+  SELECT user_id, event_type,
+    CAST(floor(value * 100 + 0.5) AS BIGINT) // 100 AS dollars,
+    COUNT(*) AS n,
+    MAX(date_diff('second', TIMESTAMP '1970-01-01 00:00:00',
+                  CAST(ts AS TIMESTAMP)))
+      - MIN(date_diff('second', TIMESTAMP '1970-01-01 00:00:00',
+                      CAST(ts AS TIMESTAMP))) AS span_s
+  FROM events
+  GROUP BY 1, 2, 3
+  HAVING COUNT(*) > 1
+     AND MAX(date_diff('second', TIMESTAMP '1970-01-01 00:00:00',
+                       CAST(ts AS TIMESTAMP)))
+       - MIN(date_diff('second', TIMESTAMP '1970-01-01 00:00:00',
+                       CAST(ts AS TIMESTAMP))) <= 86400
+)
+SELECT user_id,
+  CAST(COUNT(*) AS BIGINT) AS n_suspect_groups,
+  CAST(SUM(n - 1) AS BIGINT) AS n_redundant_events,
+  CAST(MAX(span_s) AS BIGINT) AS widest_span_s
+FROM g
+GROUP BY user_id
+"""
+
+
+@query(
+    "duplicate_delivery_audit", oracle=_DUPDEL_ORACLE, tags=("audit", "dedup")
+)
+def duplicate_delivery_audit(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    g = (
+        e.groupBy(
+            "user_id",
+            "event_type",
+            F.expr(
+                "cast(floor(value * 100 + 0.5) as bigint) div 100"
+            ).alias("dollars"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.max(F.unix_timestamp("ts")) - F.min(F.unix_timestamp("ts"))
+            ).alias("span_s"),
+        )
+        .filter((F.col("n") > 1) & (F.col("span_s") <= 86400))
+    )
+    return g.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_suspect_groups"),
+        F.sum(F.col("n") - 1).cast("bigint").alias("n_redundant_events"),
+        F.max("span_s").cast("bigint").alias("widest_span_s"),
+    )
