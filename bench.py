@@ -145,6 +145,7 @@ OPTIONAL = [
     "source_signature_tokens",
     "daily_anomaly_alerts",
     "duplicate_delivery_audit",
+    "daily_mix_shift",
 ]
 
 # Deliberate experiments whose cost is a MEASUREMENT, not the engine's real

@@ -802,3 +802,55 @@ def time_to_conversion_curve(spark, sf_dir):
             ).alias("cum_conversion_ppm"),
         )
     )
+
+
+# --- daily_mix_shift: revenue-mix monitor ------------------------------------
+# Per (day, event_type): the type's share of that day's value in exact ppm
+# plus the day-over-day share delta (lag on the same small frame) — the
+# mix-shift monitor that catches a traffic composition change before any
+# total moves.  Day totals are integer cents; shares integer ppm; the lag
+# runs over the days×types frame.
+
+_MIX_ORACLE = """
+WITH cells AS (
+  SELECT CAST(ts AS DATE) AS d, event_type,
+    SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+  FROM events GROUP BY 1, 2
+), shares AS (
+  SELECT d, event_type, cents,
+    cents * 1000000 // SUM(cents) OVER (PARTITION BY d) AS share_ppm
+  FROM cells
+)
+SELECT d AS day, event_type,
+  CAST(cents AS BIGINT) AS cents,
+  CAST(share_ppm AS BIGINT) AS share_ppm,
+  CAST(share_ppm - lag(share_ppm) OVER (
+    PARTITION BY event_type ORDER BY d) AS BIGINT) AS share_delta_ppm
+FROM shares
+"""
+
+
+@query("daily_mix_shift", oracle=_MIX_ORACLE, tags=("product", "mix"))
+def daily_mix_shift(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    e = T(spark, sf_dir, "events")
+    cells = e.groupBy(
+        F.col("ts").cast("date").alias("day"), "event_type"
+    ).agg(
+        F.expr("sum(cast(floor(value * 100 + 0.5) as bigint))").alias("cents")
+    )
+    shares = cells.select(
+        "day",
+        "event_type",
+        F.col("cents").cast("bigint").alias("cents"),
+        F.expr(
+            "cast(cents * 1000000 div (sum(cents) over (partition by day))"
+            " as bigint)"
+        ).alias("share_ppm"),
+    )
+    wlag = Window.partitionBy("event_type").orderBy("day")
+    return shares.withColumn(
+        "share_delta_ppm",
+        (F.col("share_ppm") - F.lag("share_ppm").over(wlag)).cast("bigint"),
+    )
