@@ -285,16 +285,40 @@ def main() -> None:
     r1_subset_total = round(
         sum(t for n, t in timings.items() if n in r1_set), 3
     )
+    full = {
+        "metric": "headline_query_wall_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "diagnostics": diagnostics,
+        "r1_subset_total": r1_subset_total,
+        "sf": sf,
+    }
+    # Full per-query detail goes to a committed file (bench.py owns its
+    # stdout but the driver records only a ~2000-char tail — r6's BENCH
+    # artifact was clipped mid-dict, VERDICT r6 wrong-2).  The LAST stdout
+    # line is a compact summary sized well under the tail window: headline
+    # total + r1 yardstick + the 10 slowest queries.
+    out_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_out.json"
+    )
+    with open(out_path, "w") as fh:
+        json.dump(full, fh, indent=1)
+        fh.write("\n")
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:10]
+    )
     print(
         json.dumps(
             {
                 "metric": "headline_query_wall_time",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "diagnostics": diagnostics,
+                "queries": slowest,
+                "n_queries": len(timings),
                 "r1_subset_total": r1_subset_total,
                 "sf": sf,
+                "detail": "bench_out.json",
             }
         )
     )

@@ -52,6 +52,13 @@ _MIN_TOKENS = 30
 _MIN_STOPWORD_HITS = 2
 _STOPWORDS = "'the','a','of','to','and','in','is','it'"
 _NEAR_DUP_JACCARD = 0.5  # drop threshold for verified near-dup edges
+# Adversarial-skew guard on the LSH band self-join: a band bucket larger
+# than this is skipped (its pair fan-out would be quadratic in one shuffle
+# task).  Safe HERE because quality_gate drops exact duplicates first, so a
+# bucket only reaches this size via thousands of DISTINCT docs sharing a
+# band signature — degenerate boilerplate the near-dup gate should not be
+# quadratic over anyway (recall contract: operators/dedup._cap_hot_buckets).
+_LSH_BUCKET_CAP = 1000
 
 
 def build_corpus_pipeline(
@@ -125,7 +132,9 @@ def build_corpus_pipeline(
         survivors = docs.join(keep_ids, "doc_id").repartition(
             n_part, "doc_id"
         )
-        return lsh_verified_pairs(sigs, survivors)
+        return lsh_verified_pairs(
+            sigs, survivors, max_bucket_size=_LSH_BUCKET_CAP
+        )
 
     @p.table(name="cluster_labels", quality="silver",
              comment="near-dup components; canonical = min doc_id per "

@@ -35,6 +35,16 @@ from pyspark.sql import DataFrame, SparkSession
 from zeta_etl_spark.operators.cdc import latest_by_keys
 
 
+def _fault_injection(tag: str) -> None:
+    """Crash-injection seam for tests (no-op in production).
+
+    ``_write_overwrite_atomic`` calls this at each commit-protocol point
+    (``post_stage``, ``post_seal``, ``post_publish``) so the ACID test can
+    kill the writer at every seam and assert readers never observe a torn
+    table.  Mirrors the fault points a Delta commit protocol would have
+    (task write → commit marker → log entry)."""
+
+
 @dataclass
 class Node:
     name: str
@@ -363,10 +373,17 @@ class Pipeline:
             out = df.repartition(n_files)
         if sort_by:
             out = out.sortWithinPartitions(*sort_by)
-        tmp = path + "__compacting"
-        old = path + "__old"
-        shutil.rmtree(tmp, ignore_errors=True)
-        shutil.rmtree(old, ignore_errors=True)
+        if os.path.islink(path):
+            # generation-layout table (atomic overwrite writer): publish the
+            # rewrite as the next sealed generation and swap the pointer —
+            # fully atomic, no no-live-copy window at all
+            gen_root, nxt = self._gen_prepare(path)
+            tmp = os.path.join(gen_root, f"v{nxt:06d}__staging")
+        else:
+            tmp = path + "__compacting"
+            old = path + "__old"
+            shutil.rmtree(tmp, ignore_errors=True)
+            shutil.rmtree(old, ignore_errors=True)
         writer = out.write.mode("overwrite")
         if node.partition_by:
             writer = writer.partitionBy(*node.partition_by)
@@ -380,13 +397,19 @@ class Pipeline:
                 f"compact({name!r}): rewrite produced {rewritten} rows, "
                 f"expected {rows}; original table left untouched"
             )
-        # crash-safe swap: live → __old, __compacting → live, drop __old.
-        # A crash after the first rename leaves the full original at
-        # __old and the verified rewrite at __compacting — recoverable;
-        # never a window with NO live copy being the only state.
-        os.replace(path, old)
-        os.replace(tmp, path)
-        shutil.rmtree(old)
+        if os.path.islink(path):
+            committed = os.path.join(gen_root, f"v{nxt:06d}")
+            os.replace(tmp, committed)
+            self._swap_pointer(path, committed)
+            self._retain_generations(gen_root, nxt)
+        else:
+            # crash-safe swap: live → __old, __compacting → live, drop __old.
+            # A crash after the first rename leaves the full original at
+            # __old and the verified rewrite at __compacting — recoverable;
+            # never a window with NO live copy being the only state.
+            os.replace(path, old)
+            os.replace(tmp, path)
+            shutil.rmtree(old)
         # the pre-compaction DataFrame (and its temp view) points at the
         # deleted part files — drop the memoized frame and re-register the
         # view over the new files so later read()/SQL doesn't hit
@@ -412,6 +435,8 @@ class Pipeline:
         """
         import shutil
 
+        import re
+
         names = [name] if name else list(self.nodes)
         removed = []
         for n in names:
@@ -435,6 +460,37 @@ class Pipeline:
             for side in sides:
                 shutil.rmtree(side)
                 removed.append(side)
+            # generation-layout tables (atomic overwrite writer): heal a
+            # crash between seal and publish (pointer missing → re-link the
+            # newest sealed generation — never data loss, the generations
+            # ARE the data), then drop staging debris and generations
+            # beyond the keep-one-prior retention window
+            gen_root = self.path(n) + "__gen"
+            if os.path.isdir(gen_root):
+                gens = sorted(
+                    d
+                    for d in os.listdir(gen_root)
+                    if re.fullmatch(r"v\d{6}", d)
+                )
+                if gens and not os.path.lexists(self.path(n)):
+                    self._swap_pointer(
+                        self.path(n), os.path.join(gen_root, gens[-1])
+                    )
+                for d in os.listdir(gen_root):
+                    full = os.path.join(gen_root, d)
+                    if d.endswith("__staging") or d.startswith("_ptr__"):
+                        if os.path.islink(full) or os.path.isfile(full):
+                            os.remove(full)
+                        else:
+                            shutil.rmtree(full)
+                        removed.append(full)
+                if gens:
+                    current = int(gens[-1][1:])
+                    for d in gens[:-2]:
+                        if int(d[1:]) < current - 1:
+                            full = os.path.join(gen_root, d)
+                            shutil.rmtree(full)
+                            removed.append(full)
         return removed
 
     def describe(self, spark: SparkSession | None = None) -> list[dict]:
@@ -578,14 +634,26 @@ class Pipeline:
                         spark.conf.set(
                             "spark.sql.sources.partitionOverwriteMode", prev
                         )
+                elif mode == "overwrite":
+                    # two-phase commit: staged generation + atomic pointer
+                    # swap — readers never see a torn table (VERDICT r6
+                    # next-3; the Delta-ACID stand-in)
+                    self._write_overwrite_atomic(node, df)
                 else:
                     writer = df.write.mode(mode)
                     if node.partition_by:
                         writer = writer.partitionBy(*node.partition_by)
                     writer.parquet(self.path(name))
                 # explicit schema: an empty node (0-row day, empty source)
-                # writes no part files and schema inference would fail
-                df = spark.read.schema(df.schema).parquet(self.path(name))
+                # writes no part files and schema inference would fail.
+                # realpath: for pointer-layout tables the memoized frame and
+                # temp view pin the RESOLVED generation dir — a later
+                # publish cannot tear an in-flight plan (snapshot
+                # isolation, one generation of retention); for in-place
+                # layouts realpath is the path itself
+                df = spark.read.schema(df.schema).parquet(
+            os.path.realpath(self.path(name))
+                )
                 if obs is not None:
                     counts = obs.get  # filled by the write action above
                     self.expectation_metrics[node.name] = {
@@ -601,6 +669,111 @@ class Pipeline:
             return df
         finally:
             self._running.discard(name)
+
+    # --- two-phase-commit overwrite materialization -----------------------
+
+    def _gen_prepare(self, path: str) -> tuple[str, int]:
+        """Ensure the generation root exists, heal crash debris, and return
+        ``(gen_root, next_generation_number)``.
+
+        Single-writer contract (same as sources/versioned_store.py): healing
+        removes any ``__staging`` dir, which under concurrent writers would
+        delete another writer's in-flight work — concurrent publishes to one
+        table are unsupported."""
+        import re
+        import shutil
+
+        gen_root = path + "__gen"
+        os.makedirs(gen_root, exist_ok=True)
+        entries = os.listdir(gen_root)
+        for d in entries:
+            if d.endswith("__staging") or d.startswith("_ptr__"):
+                full = os.path.join(gen_root, d)
+                if os.path.islink(full) or os.path.isfile(full):
+                    os.remove(full)
+                else:
+                    shutil.rmtree(full, ignore_errors=True)
+        gens = sorted(
+            d for d in os.listdir(gen_root) if re.fullmatch(r"v\d{6}", d)
+        )
+        # heal a crash between generation-seal and pointer-publish (or a
+        # one-time legacy migration interrupted mid-swap): generations exist
+        # but no live pointer — restore the pointer to the newest sealed
+        # generation so readers come back without manual recovery
+        if gens and not os.path.lexists(path):
+            self._swap_pointer(path, os.path.join(gen_root, gens[-1]))
+        nxt = (int(gens[-1][1:]) + 1) if gens else 1
+        # one-time migration: adopt a pre-existing REAL directory (legacy
+        # in-place layout) as a sealed prior generation.  The rename leaves
+        # a brief no-live-path window — migration only; every subsequent
+        # overwrite is fully atomic (and _gen_prepare heals a crash inside
+        # the window by re-linking the adopted generation, above)
+        if os.path.isdir(path) and not os.path.islink(path):
+            os.replace(path, os.path.join(gen_root, f"v{nxt:06d}"))
+            self._swap_pointer(path, os.path.join(gen_root, f"v{nxt:06d}"))
+            nxt += 1
+        return gen_root, nxt
+
+    def _swap_pointer(self, path: str, committed: str) -> None:
+        """Atomically point ``path`` (a symlink) at the committed generation
+        dir.  ``os.replace`` of a symlink is atomic on POSIX: a concurrent
+        reader resolves either the old or the new generation, never a
+        partial directory."""
+        tmp_link = os.path.join(
+            os.path.dirname(committed), f"_ptr__{os.path.basename(committed)}"
+        )
+        if os.path.lexists(tmp_link):
+            os.remove(tmp_link)
+        os.symlink(os.path.abspath(committed), tmp_link)
+        os.replace(tmp_link, path)
+
+    def _retain_generations(self, gen_root: str, current: int) -> None:
+        """Keep the published generation plus one prior (a reader whose plan
+        pinned the previous generation's file listing mid-publish must be
+        able to finish — the Delta VACUUM-retention seam); drop older."""
+        import re
+        import shutil
+
+        keep = {f"v{current:06d}", f"v{current - 1:06d}"}
+        for d in os.listdir(gen_root):
+            if re.fullmatch(r"v\d{6}", d) and d not in keep:
+                shutil.rmtree(os.path.join(gen_root, d), ignore_errors=True)
+
+    def _write_overwrite_atomic(self, node: Node, df: DataFrame) -> None:
+        """Two-phase-commit overwrite: stage the full write into a fresh
+        generation dir, seal it with one rename, then atomically swap the
+        table pointer (a symlink) onto it.
+
+        This is the parquet stand-in for Delta's ACID commit (the reference
+        leans on Delta table semantics,
+        zetadex-transactions-helius-pipeline.py:286-291) — delta-spark is
+        not installable in this environment (re-checked r7), so atomicity
+        comes from the filesystem: readers of ``self.path(name)`` resolve a
+        symlink that only ever points at a COMPLETE generation.  Crash
+        points (each exercised by tests/test_pipeline_acid.py):
+
+        - during/after staged write → debris healed next run; live untouched
+        - after generation seal, before pointer swap → live untouched;
+          healed (re-pointed) next run
+        - after pointer swap → new data fully visible
+
+        Append / dynamic-partition-overwrite / streaming nodes keep their
+        in-place layouts: their idempotence comes from batch-id partition
+        replacement and checkpointed exactly-once sinks instead."""
+        path = self.path(node.name)
+        gen_root, nxt = self._gen_prepare(path)
+        staged = os.path.join(gen_root, f"v{nxt:06d}__staging")
+        writer = df.write.mode("overwrite")
+        if node.partition_by:
+            writer = writer.partitionBy(*node.partition_by)
+        writer.parquet(staged)
+        _fault_injection("post_stage")
+        committed = os.path.join(gen_root, f"v{nxt:06d}")
+        os.replace(staged, committed)  # phase 1: generation sealed
+        _fault_injection("post_seal")
+        self._swap_pointer(path, committed)  # phase 2: atomic publish
+        _fault_injection("post_publish")
+        self._retain_generations(gen_root, nxt)
 
     def _apply_expectations(self, node: Node, df: DataFrame) -> DataFrame:
         """Evaluate data-quality expectations (dlt.expect* parity).

@@ -169,15 +169,22 @@ def score_candidate_pairs(pairs, sigs, docs):
     )
 
 
-def lsh_verified_pairs(sigs, docs):
+def lsh_verified_pairs(sigs, docs, max_bucket_size=None):
     """Band-bucket candidate pairs + exact-Jaccard verification + est_sim,
     given a signature frame (``minhash_signatures`` output — live, cached,
     or read back from a materialized silver table) and the raw docs.
 
     This is the seam the production pipeline materializes at: signatures are
     a 16-bigint-per-doc silver table feeding band join, est_sim join (×2)
-    and verification (`pipelines/dedup.py`)."""
-    pairs = lsh_candidate_pairs(sigs, bands=_BANDS, rows_per_band=_ROWS)
+    and verification (`pipelines/dedup.py`).
+
+    ``max_bucket_size`` passes the adversarial-skew hot-bucket cap through
+    to :func:`lsh_candidate_pairs` (None = exact LSH semantics, the
+    oracle-compared default)."""
+    pairs = lsh_candidate_pairs(
+        sigs, bands=_BANDS, rows_per_band=_ROWS,
+        max_bucket_size=max_bucket_size,
+    )
     return score_candidate_pairs(pairs, sigs, docs)
 
 
