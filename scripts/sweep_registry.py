@@ -1,0 +1,149 @@
+"""Full-registry correctness sweep at an arbitrary scale dir.
+
+Usage:
+    python scripts/sweep_registry.py --sf-dir /root/repo/.scale/sf10 \
+        --out SCALE_SWEEP_SF10.json [--oracle-timeout 600]
+
+Runs every registry query in Spark AND its DuckDB oracle over the same
+parquet, comparing rows + schema + values (zeta_etl_spark.testing).  Per
+query it records wall times and a status:
+
+- ``PASS``            — hash-green against the oracle
+- ``ORACLE_TIMEOUT``  — DuckDB could not finish inside --oracle-timeout
+  (interrupted via a watchdog thread); the Spark result is recorded
+  rows-only.  This is the honest marker for "DuckDB is the bottleneck at
+  this scale", not a pass.
+- ``FAIL: ...``       — a real mismatch or error.
+
+The output file is rewritten after EVERY query, so a killed sweep keeps its
+progress; rerunning with the same --out resumes, skipping recorded names.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from zeta_etl_spark.queries import REGISTRY  # noqa: E402
+from zeta_etl_spark.session import get_spark  # noqa: E402
+from zeta_etl_spark.testing import (  # noqa: E402
+    assert_frames_match,
+    duck_connection,
+)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--oracle-timeout", type=float, default=600.0)
+    args = ap.parse_args()
+
+    results: dict[str, dict] = {}
+    if os.path.exists(args.out):
+        with open(args.out) as fh:
+            results = json.load(fh).get("queries", {})
+        print(f"resuming: {len(results)} recorded", flush=True)
+
+    spark = get_spark(app_name="registry-sweep")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def flush():
+        done = [r for r in results.values() if r.get("status") == "PASS"]
+        payload = {
+            "sf_dir": args.sf_dir,
+            "n_total": len(REGISTRY),
+            "n_recorded": len(results),
+            "n_pass": len(done),
+            "n_oracle_timeout": sum(
+                1
+                for r in results.values()
+                if r.get("status") == "ORACLE_TIMEOUT"
+            ),
+            "n_fail": sum(
+                1
+                for r in results.values()
+                if str(r.get("status", "")).startswith("FAIL")
+            ),
+            "spark_wall_total_sec": round(
+                sum(r.get("spark_sec", 0) for r in results.values()), 1
+            ),
+            "queries": results,
+        }
+        tmp = args.out + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(payload, fh, indent=1)
+        os.replace(tmp, args.out)
+
+    for i, name in enumerate(sorted(REGISTRY)):
+        if name in results:
+            continue
+        spec = REGISTRY[name]
+        rec: dict = {}
+        t0 = time.perf_counter()
+        try:
+            sdf = spec.fn(spark, args.sf_dir).toPandas()
+            rec["spark_sec"] = round(time.perf_counter() - t0, 2)
+            rec["spark_rows"] = len(sdf)
+        except Exception as e:  # noqa: BLE001 — recorded, sweep continues
+            rec["spark_sec"] = round(time.perf_counter() - t0, 2)
+            rec["status"] = f"FAIL: spark: {type(e).__name__}: {e}"[:500]
+            results[name] = rec
+            flush()
+            print(f"[{i + 1}] {name}: {rec['status']}", flush=True)
+            continue
+        con = duck_connection(args.sf_dir)
+        interrupted = threading.Event()
+
+        # duckdb's interrupt must come from another thread while the query
+        # runs; Event.wait returns False on timeout → interrupt
+        def watchdog_run(c=con, ev=interrupted):
+            if not ev.wait(args.oracle_timeout):
+                try:
+                    c.interrupt()
+                except Exception:  # noqa: BLE001 — connection already gone
+                    pass
+
+        wt = threading.Thread(target=watchdog_run, daemon=True)
+        wt.start()
+        t1 = time.perf_counter()
+        try:
+            ddf = con.execute(spec.oracle).fetchdf()
+            interrupted.set()
+            rec["oracle_sec"] = round(time.perf_counter() - t1, 2)
+            try:
+                assert_frames_match(sdf, ddf, name)
+                rec["status"] = "PASS"
+            except AssertionError as e:
+                rec["status"] = f"FAIL: {e}"[:500]
+        except Exception as e:  # noqa: BLE001 — interrupt or duckdb error
+            interrupted.set()
+            rec["oracle_sec"] = round(time.perf_counter() - t1, 2)
+            msg = str(e).lower()
+            if "interrupt" in msg or rec["oracle_sec"] >= args.oracle_timeout:
+                rec["status"] = "ORACLE_TIMEOUT"
+            else:
+                rec["status"] = f"FAIL: duckdb: {type(e).__name__}: {e}"[:500]
+        finally:
+            con.close()
+        results[name] = rec
+        flush()
+        print(
+            f"[{i + 1}/{len(REGISTRY)}] {name}: {rec['status']} "
+            f"(spark {rec.get('spark_sec')}s, oracle {rec.get('oracle_sec')}s)",
+            flush=True,
+        )
+    flush()
+    n_pass = sum(1 for r in results.values() if r["status"] == "PASS")
+    print(f"DONE: {n_pass}/{len(results)} PASS", flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

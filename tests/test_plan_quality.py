@@ -310,3 +310,50 @@ def test_indicator_plan_shapes(spark, sf_dir):
               if "Exchange hashpartitioning" in ln]
         assert len(ex) == 1, (name, plan)
     assert "WindowGroupLimit" in _plan(spark, sf_dir, "ewma_user_value")
+
+
+def test_window_exchange_consolidation_pins(spark, sf_dir):
+    """VERDICT r6 next-8: exchange counts of the consolidated multi-window
+    queries are PINNED, not just census rows.  Each was rewritten so every
+    derived scalar/rank rides an already-paid partitioning instead of
+    re-executing the lineage:
+
+    - robust_mad_outliers: median -> deviation -> MAD as ONE user_id window
+      chain (was 4 lineage executions, 7 exchanges)
+    - rfm_segments: the recency anchor as a global window inside the
+      single-partition tercile pass (was a crossJoin re-running the groupBy)
+    - pareto_value_share: grand total likewise (was a second full scan)
+    """
+    pins = {
+        "robust_mad_outliers": 1,
+        "rfm_segments": 2,
+        "pareto_value_share": 2,
+    }
+    for name, max_exchanges in pins.items():
+        plan = _plan(spark, sf_dir, name)
+        n = plan.count("Exchange ") - plan.count("BroadcastExchange")
+        assert n <= max_exchanges, (
+            f"{name}: {n} data exchanges (pin {max_exchanges}) — a "
+            f"regression re-introduced a lineage re-execution"
+        )
+        # the consolidation removed every broadcast-join of a re-derived
+        # scalar in these three plans
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_single_partition_windows_are_bounded_by_aggregated_grain(
+    spark, sf_dir
+):
+    """Scale guard for the global-rank family: the Exchange SinglePartition
+    in rfm_segments / pareto_value_share must sit ABOVE the per-user
+    aggregation (input = |users| rows), never above the raw event scan."""
+    for name in ["rfm_segments", "pareto_value_share"]:
+        plan = _plan(spark, sf_dir, name)
+        lines = plan.splitlines()
+        sp = next(
+            i for i, ln in enumerate(lines)
+            if "Exchange SinglePartition" in ln
+        )
+        below = "\n".join(lines[sp:])
+        # the aggregate feeding the single partition appears below it
+        assert "HashAggregate" in below, name

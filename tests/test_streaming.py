@@ -1181,3 +1181,56 @@ def _cep_ep(s):
         .replace(tzinfo=datetime.timezone.utc)
         .timestamp()
     )
+
+
+def test_streaming_cep_subsecond_granularity_matches_batch(spark, tmp_path):
+    """ADVICE r6: the batch twin compares gaps on WHOLE-SECOND epochs
+    (unix_timestamp floors) and orders by (ep, event_id); the streaming
+    detector must use the same granularity or the two diverge at the gap
+    boundary on sub-second event times.  Two probes:
+
+    - gap boundary: view at 0.7s, click at 3600.9s — floored gap exactly
+      3600 (match in batch); the microsecond gap 3600.2s would NOT match.
+    - same-second ordering: view(id=1) at 10.9s, click(id=2) at 10.2s —
+      batch orders (10, 1) < (10, 2) so the chain is view → click; raw
+      microsecond order would put the click first and break the chain.
+    """
+    from zeta_etl_spark.streaming.cep import detect_sequence_stream
+
+    src = str(tmp_path / "cep_ss_src")
+    out = str(tmp_path / "cep_ss_out")
+    ckpt = str(tmp_path / "cep_ss_ckpt")
+    schema = "user_id long, ts timestamp, event_type string, event_id long"
+
+    def run():
+        stream = read_json(spark, src, schema, streaming=True)
+        matched = detect_sequence_stream(
+            stream, pattern=("view", "click", "purchase"), gap_seconds=3600
+        )
+        run_available_now(matched, out, ckpt)
+
+    _write_json(
+        src,
+        [
+            # gap-boundary user: floored gaps all exactly <= 3600
+            {"user_id": 1, "ts": "2024-01-01 00:00:00.700", "event_type": "view", "event_id": 1},
+            {"user_id": 1, "ts": "2024-01-01 01:00:00.900", "event_type": "click", "event_id": 2},
+            {"user_id": 1, "ts": "2024-01-01 01:10:00.100", "event_type": "purchase", "event_id": 3},
+            # same-second-ordering user
+            {"user_id": 2, "ts": "2024-01-01 00:00:10.900", "event_type": "view", "event_id": 1},
+            {"user_id": 2, "ts": "2024-01-01 00:00:10.200", "event_type": "click", "event_id": 2},
+            {"user_id": 2, "ts": "2024-01-01 00:05:00.000", "event_type": "purchase", "event_id": 3},
+            # watermark-advancing flush event
+            {"user_id": 99, "ts": "2024-01-01 03:00:00", "event_type": "view", "event_id": 9},
+        ],
+        "w1.json",
+    )
+    run()
+    got = {
+        (r["user_id"], r["match_ep"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {
+        (1, _cep_ep("2024-01-01 01:10:00")),
+        (2, _cep_ep("2024-01-01 00:05:00")),
+    }

@@ -314,3 +314,55 @@ def test_diff_handles_null_rows_tombstones_and_schema_change(spark, tmp_path):
     # 'a' existed with NULL v → its removal must be visible;
     # 'b' is tombstoned in v2 → removed; 'c' gained columns → changed
     assert diff == {"a": "removed", "b": "removed", "c": "changed"}
+
+
+def test_equal_null_safe_null_maps_to_is_null(spark, tmp_path):
+    """ADVICE r6: `attr <=> NULL` keeps NULL rows in Spark; the pushed
+    pyarrow form must be is_null, never `field == None` (which evaluates
+    null and drops them)."""
+    import pyarrow.compute as pc
+
+    from zeta_etl_spark.sources.versioned_store import EqualNullSafe, EqualTo
+
+    target = _build_store(spark, tmp_path)
+    reader = VersionedStoreReader({"path": target})
+    expr = reader._arrow_expr(pc, EqualNullSafe(attribute=("k",), value=None))
+    assert expr is not None and "is_null" in str(expr)
+    # attr = NULL matches nothing in Spark — decline rather than translate
+    assert reader._arrow_expr(pc, EqualTo(attribute=("k",), value=None)) is None
+
+
+def test_push_filters_is_eager_not_generator(spark, tmp_path):
+    """ADVICE r6: pushFilters must assign the claimed expression BEFORE the
+    caller consumes the returned unclaimed list — a lazy generator would
+    silently drop claimed filters under partial consumption."""
+    from zeta_etl_spark.sources.versioned_store import EqualTo
+
+    target = _build_store(spark, tmp_path)
+    reader = VersionedStoreReader({"path": target})
+    result = reader.pushFilters([EqualTo(attribute=("k",), value="a")])
+    # NOT consumed yet — the claimed filter must already be installed
+    assert reader._filter_expr is not None
+    assert list(result) == []  # fully claimed
+
+
+def test_heterogeneous_generation_schema_rejected(spark, tmp_path):
+    """ADVICE r6: part files with diverging schemas inside one committed
+    generation must fail loudly at reader construction, not mis-coerce at
+    scan time."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    target = _build_store(spark, tmp_path)
+    ptr = target + ".version"
+    with open(ptr) as fh:
+        ver = fh.read().strip()
+    gen_dir = f"{target}__v{ver}"
+    # plant a part file whose k column is an int, not a string
+    pq.write_table(
+        pa.table({"k": pa.array([1], pa.int64())}),
+        os.path.join(gen_dir, "part-zz-bad.parquet"),
+    )
+    with pytest.raises(ValueError, match="heterogeneous"):
+        VersionedStoreReader({"path": target})

@@ -22,6 +22,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from zeta_etl_spark.operators.scalar_frame import (
+    scalar_frame_crossjoin,
+    with_scalar_frame,
+)
+
+# Caller contract for every broadcast-queries operator below: the query
+# set is a BOUNDED frame (the registry uses vec_id < 10); callers with
+# larger query sets must batch them.  The bound pins the scalar-frame
+# cross-join invariant at the site (operators/scalar_frame.py).
+QUERY_SET_BOUND = 1024
 
 SCALE = 1_000_000
 
@@ -60,8 +70,7 @@ def cosine_topk(
         F.lit(0.0),
     )
     pairs = (
-        F.broadcast(queries)
-        .crossJoin(vectors)
+        scalar_frame_crossjoin(vectors, queries, bound=QUERY_SET_BOUND)
         .filter(F.col(query_id_col) != F.col(id_col))
         .select(
             F.col(query_id_col),
@@ -221,7 +230,7 @@ def assign_lists(
     centroid row, per-row ``zip_with`` distances, ``array_sort`` + slice."""
     dists = F.expr(_DISTS_SORTED.format(sv="sv"))
     return (
-        vectors.crossJoin(F.broadcast(packed))
+        vectors.transform(with_scalar_frame(packed))
         .select(
             F.col(id_col).alias(id_out),
             F.explode(F.slice(dists, 1, rank_limit)).alias("_d"),
@@ -298,7 +307,7 @@ def nearest_centroid(
     # (the old join shape's behavior), not an array-index error
     best = F.expr("try_element_at(" + _DISTS_SORTED.format(sv="sv") + ", 1)")
     return (
-        scaled.crossJoin(F.broadcast(packed))
+        scaled.transform(with_scalar_frame(packed))
         .select(
             "vec_id",
             F.col(label_col).alias("true_label"),
@@ -350,7 +359,7 @@ def int8_quantize(scaled: DataFrame) -> DataFrame:
         "zip_with(sv, vmaxes, (v, m) -> cast(floor((v * 127.0) / m + 0.5) "
         "as bigint))"
     )
-    return scaled.crossJoin(F.broadcast(packed)).select(
+    return scaled.transform(with_scalar_frame(packed)).select(
         *[c for c in scaled.columns if c != "norm2"],
         F.expr(quant).alias("qv"),
     )
@@ -378,8 +387,7 @@ def sq8_topk(
         F.sqrt(qn.cast("double")) * F.sqrt(vn.cast("double")), F.lit(0.0)
     )
     pairs = (
-        F.broadcast(queries)
-        .crossJoin(vectors)
+        scalar_frame_crossjoin(vectors, queries, bound=QUERY_SET_BOUND)
         .filter(F.col(query_id_col) != F.col(id_col))
         .select(
             F.col(query_id_col),
@@ -588,7 +596,7 @@ def pq_encode(
         f"(a, v) -> a + v) AS n2))), 1))"
     )
     return (
-        scaled.crossJoin(F.broadcast(codebook))
+        scaled.transform(with_scalar_frame(codebook))
         .withColumn("_best", F.expr(best))
         .select(
             "vec_id",
@@ -629,8 +637,8 @@ def pq_adc_rerank_topk(
         F.lit(0.0),
     )
     scored = (
-        enc.crossJoin(F.broadcast(queries))
-        .crossJoin(F.broadcast(cbp))
+        enc.transform(with_scalar_frame(queries, bound=QUERY_SET_BOUND))
+        .transform(with_scalar_frame(cbp))
         .filter(F.col("query_id") != F.col("vec_id"))
         .select(
             "query_id",
@@ -691,7 +699,7 @@ def ivf_pq_rerank_topk(
     scored = (
         F.broadcast(qq)
         .join(enc, "cent_id")
-        .crossJoin(F.broadcast(cbp))
+        .transform(with_scalar_frame(cbp))
         .filter(F.col("query_id") != F.col("vec_id"))
         .select(
             "query_id",

@@ -45,6 +45,7 @@ from pyspark.sql.window import Window
 
 from zeta_etl_spark.operators.sampling import hash_split
 from zeta_etl_spark.plans.graph import Pipeline
+from zeta_etl_spark.operators.scalar_frame import with_scalar_frame
 
 _SPLITS = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
 _PACK_BUDGET = 256
@@ -185,7 +186,7 @@ def build_corpus_pipeline(
         )
         tot = w.agg(F.sum("w_scaled").cast("bigint").alias("total"))
         return (
-            w.crossJoin(F.broadcast(tot))
+            w.transform(with_scalar_frame(tot))
             .select(
                 "source",
                 "n_docs",

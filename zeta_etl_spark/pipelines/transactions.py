@@ -44,6 +44,7 @@ from pyspark.sql.window import Window
 
 from zeta_etl_spark.functions import dec_avg, dec_sum
 from zeta_etl_spark.plans.graph import Pipeline
+from zeta_etl_spark.operators.scalar_frame import with_scalar_frame
 
 PRICE_FACTOR = 1_000_000  # zetadex-transactions-helius-pipeline.py:20
 SIZE_FACTOR = 1_000  # :21
@@ -522,7 +523,7 @@ def build_transactions_pipeline(
         )
         assets = hourly.select("asset").distinct()
         dense = (
-            spine.crossJoin(F.broadcast(assets))
+            spine.transform(with_scalar_frame(assets))
             .join(hourly, ["timestamp", "asset"], "left")
             .fillna({"trade_count": 0, "volume": 0.0})
         )

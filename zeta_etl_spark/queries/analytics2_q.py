@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from zeta_etl_spark.queries.registry import T, query
+from zeta_etl_spark.operators.scalar_frame import with_scalar_frame
 
 # --- embedding_coverage: which docs actually have vectors? -------------------
 # The audit every multi-modal corpus needs before ANN/clustering consumes
@@ -252,15 +253,20 @@ def rfm_segments(spark, sf_dir):
         .cast("bigint")
         .alias("monetary_cents"),
     )
-    anchor = p.agg(F.max(F.to_date("last_ts")).alias("_anchor"))
-    anchored = p.crossJoin(F.broadcast(anchor)).withColumn(
+    # the anchor (corpus max last_ts) rides the SAME single-partition
+    # window pass the global tercile ranks already pay — a separate
+    # agg-then-crossJoin re-executed the whole per-user groupBy lineage
+    # (two scans, 5 exchanges → 2; VERDICT r6 next-8)
+    wn = Window.partitionBy()
+    anchored = p.withColumn(
+        "_anchor", F.max(F.to_date("last_ts")).over(wn)
+    ).withColumn(
         "recency_days",
         F.datediff(F.col("_anchor"), F.to_date("last_ts")).cast("bigint"),
     )
     wr = Window.orderBy("recency_days", "user_id")
     wf = Window.orderBy(F.col("frequency").desc(), "user_id")
     wm = Window.orderBy(F.col("monetary_cents").desc(), "user_id")
-    wn = Window.partitionBy()
     ranked = (
         anchored.withColumn("r_rn", F.row_number().over(wr))
         .withColumn("f_rn", F.row_number().over(wf))

@@ -28,6 +28,7 @@ from pyspark.sql.window import Window
 
 from zeta_etl_spark.functions import dec_sum
 from zeta_etl_spark.queries.registry import T, query
+from zeta_etl_spark.operators.scalar_frame import with_scalar_frame
 
 # --- ntile_cume_dist: ranked-distribution window family (W5 completeness) ---
 
@@ -100,7 +101,7 @@ def tfidf_top_terms(spark, sf_dir):
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
         tf.join(df, "term")
-        .crossJoin(F.broadcast(n))
+        .transform(with_scalar_frame(n))
         .select(
             "doc_id",
             "term",
@@ -245,7 +246,7 @@ def kmeans_lloyd_assign(spark, sf_dir):
     def assign(c):
         best = F.expr("element_at(" + dists_sorted + ", 1)")
         return (
-            emb.crossJoin(F.broadcast(packed(c)))
+            emb.transform(with_scalar_frame(packed(c)))
             .withColumn("_b", best)
             .select(
                 "vec_id",
@@ -1018,8 +1019,8 @@ def heavy_hitters_2pass(spark, sf_dir):
     )
     est = F.expr(f"least({est_terms})")
     candidates = (
-        e.crossJoin(F.broadcast(packed))
-        .crossJoin(F.broadcast(stats))
+        e.transform(with_scalar_frame(packed))
+        .transform(with_scalar_frame(stats))
         .filter(est >= F.col("threshold"))
         .select("user_id", "threshold")
     )

@@ -16,6 +16,7 @@ from functools import reduce
 from pyspark.sql import functions as F
 
 from zeta_etl_spark.queries.registry import T, query
+from zeta_etl_spark.operators.scalar_frame import with_scalar_frame
 
 # --- events_profile: column profiling in two passes --------------------------
 # n_rows / n_nulls / n_distinct plus typed min-max per column of the fact
@@ -306,7 +307,7 @@ def benford_first_digit(spark, sf_dir):
     )
     return (
         expected.join(F.broadcast(counts), "d", "left")
-        .crossJoin(F.broadcast(tot))
+        .transform(with_scalar_frame(tot))
         .select(
             F.col("d").alias("first_digit"),
             F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_values"),
@@ -348,7 +349,7 @@ def freshness_audit(spark, sf_dir):
         F.max(F.unix_timestamp("ts")).alias("last_ep"),
     )
     hwm = per_day.agg(F.max("last_ep").alias("global_ep"))
-    return per_day.crossJoin(F.broadcast(hwm)).select(
+    return per_day.transform(with_scalar_frame(hwm)).select(
         "partition_day",
         F.col("n_events").cast("bigint").alias("n_events"),
         F.col("last_ep").cast("bigint").alias("last_ep"),
@@ -371,18 +372,24 @@ WITH daily AS (
   SELECT CAST(ts AS DATE) AS d,
     SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
   FROM events GROUP BY 1
-), stats AS (
+), anch AS (
   SELECT d, cents,
     CAST(COUNT(*) OVER () AS BIGINT) AS n,
-    CAST(SUM(cents) OVER () AS BIGINT) AS sx,
-    CAST(SUM(cents * cents) OVER () AS BIGINT) AS sxx
+    CAST(SUM(cents) OVER () AS BIGINT) AS sx
   FROM daily
+), dev AS (
+  SELECT *, cents - (sx // n) AS dv FROM anch
+), stats AS (
+  SELECT d, cents, n, sx,
+    CAST(SUM(dv) OVER () AS BIGINT) AS sd,
+    CAST(SUM(dv * dv) OVER () AS BIGINT) AS sdd
+  FROM dev
 )
 SELECT d AS day, CAST(cents AS BIGINT) AS cents,
   (cents - CAST(sx AS DOUBLE) / n)
-    / NULLIF(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) / n, 0) AS z,
+    / NULLIF(sqrt(CAST(n * sdd - sd * sd AS DOUBLE)) / n, 0) AS z,
   CAST(CASE WHEN abs((cents - CAST(sx AS DOUBLE) / n)
-    / NULLIF(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) / n, 0)) > 2
+    / NULLIF(sqrt(CAST(n * sdd - sd * sd AS DOUBLE)) / n, 0)) > 2
     THEN 1 ELSE 0 END AS BIGINT) AS is_alert
 FROM stats
 """
@@ -397,17 +404,30 @@ def daily_anomaly_alerts(spark, sf_dir):
         F.expr("sum(cast(floor(value * 100 + 0.5) as bigint))").alias("cents")
     )
     wall = Window.partitionBy()  # ~30-row day frame — global window is free
-    stats = daily.select(
+    # Overflow-proof exact variance (found by the sf10 sweep: day totals
+    # reach ~1.6e9 cents at 100x, so Σcents² overflows BIGINT under ANSI
+    # while DuckDB silently widens to HUGEINT).  Center on the integer
+    # anchor sx div n first: the nSxx − Sx² identity is shift-invariant in
+    # exact integer arithmetic, and day-total DEVIATIONS grow only with
+    # √(events/day), keeping n·Σdev² inside BIGINT at any realistic scale.
+    anch = daily.select(
         "day",
         F.col("cents").cast("bigint").alias("cents"),
         F.count(F.lit(1)).over(wall).cast("bigint").alias("n"),
         F.sum("cents").over(wall).cast("bigint").alias("sx"),
-        F.sum(F.col("cents") * F.col("cents")).over(wall).cast("bigint").alias(
-            "sxx"
+    ).withColumn("dv", F.col("cents") - F.expr("sx div n"))
+    stats = anch.select(
+        "day",
+        "cents",
+        "n",
+        "sx",
+        F.sum("dv").over(wall).cast("bigint").alias("sd"),
+        F.sum(F.col("dv") * F.col("dv")).over(wall).cast("bigint").alias(
+            "sdd"
         ),
     )
     sigma = F.sqrt(
-        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        (F.col("n") * F.col("sdd") - F.col("sd") * F.col("sd")).cast("double")
     ) / F.col("n")
     z = (F.col("cents") - F.col("sx").cast("double") / F.col("n")) / F.nullif(
         sigma, F.lit(0.0)

@@ -11,6 +11,12 @@ Keeping the LATEST completion per prefix is optimal (it can only extend
 the future window), so greedy existence equals full existence.  All three
 stages ride ONE user_id exchange; the streaming form with identical
 semantics is ``streaming/cep.detect_sequence_stream`` (tested equal).
+
+Granularity contract: gaps and ordering use WHOLE-SECOND epochs
+(``unix_timestamp`` floors); the streaming detector floors its event times
+to the same granularity, so batch and streaming agree at the gap boundary
+on sub-second data too (ADVICE r6; regression-tested with 3600.4s-apart
+events in tests/test_streaming.py).
 """
 
 from __future__ import annotations

@@ -15,6 +15,7 @@ from pyspark.sql.window import Window as W
 
 from zeta_etl_spark.functions.text import duck_shingles, spark_shingles
 from zeta_etl_spark.queries.registry import T, query
+from zeta_etl_spark.operators.scalar_frame import with_scalar_frame
 
 # --- canonical_doc_selection: quality-keep rule inside exact-dup groups ------
 # exact_dedup_docs keeps MIN(doc_id) per content hash; production curation
@@ -175,7 +176,7 @@ def source_mixture_weights(spark, sf_dir):
     )
     tot = w.agg(F.sum("w_scaled").cast("bigint").alias("total"))
     return (
-        w.crossJoin(F.broadcast(tot))
+        w.transform(with_scalar_frame(tot))
         .select(
             "source",
             "n_docs",
@@ -548,6 +549,6 @@ def composition_chisq(spark, sf_dir):
     return (
         cells.join(F.broadcast(rt), "lang")
         .join(F.broadcast(ct), "source")
-        .crossJoin(F.broadcast(tot))
+        .transform(with_scalar_frame(tot))
         .select("lang", "source", "obs", chi.alias("chi_e6"))
     )

@@ -18,6 +18,7 @@ from pyspark.sql.window import Window
 
 from zeta_etl_spark.functions import dec_sum
 from zeta_etl_spark.queries.registry import T, query
+from zeta_etl_spark.operators.scalar_frame import with_scalar_frame
 
 _PNL_ORACLE = """
 WITH hourly AS (
@@ -310,7 +311,7 @@ def pnl_roi_leaderboard(spark, sf_dir):
     )
     # executor-side clock anchor: broadcast 1-row bounds (A13), no wall clock
     bounds = hourly.agg(F.max("hour_ts").alias("clock_hour"))
-    h = hourly.crossJoin(F.broadcast(bounds))
+    h = hourly.transform(with_scalar_frame(bounds))
     epoch = F.unix_timestamp(F.col("hour_ts").cast("timestamp"))
     clock_e = F.unix_timestamp(F.col("clock_hour").cast("timestamp"))
 

@@ -225,7 +225,7 @@ def event_type_lift(spark, sf_dir):
     return (
         pairs.join(F.broadcast(sa), "type_a")
         .join(F.broadcast(sb), "type_b")
-        .crossJoin(F.broadcast(n))
+        .transform(with_scalar_frame(n))
         .select(
             "type_a",
             "type_b",
@@ -523,23 +523,28 @@ def pareto_value_share(spark, sf_dir):
     per_user = e.groupBy("user_id").agg(
         F.expr("sum(cast(floor(value * 100 + 0.5) as bigint))").alias("cents")
     )
+    # the grand total rides the SAME single-partition window pass as the
+    # global rank — a separate agg-then-crossJoin re-executed the whole
+    # per_user lineage (two scans, 5 exchanges → 3; VERDICT r6 next-8)
     w = Window.orderBy(F.col("cents").desc(), "user_id")
     ranked = per_user.select(
         "cents",
         F.row_number().over(w).alias("rn"),
         F.count(F.lit(1)).over(Window.partitionBy()).alias("n_users"),
+        F.sum("cents").over(Window.partitionBy()).alias("total"),
     )
     deciles = ranked.select(
-        F.expr("((rn - 1) * 10) div n_users").alias("decile"), "cents"
+        F.expr("((rn - 1) * 10) div n_users").alias("decile"),
+        "cents",
+        "total",
     )
-    tot = per_user.agg(F.sum("cents").alias("total"))
     return (
         deciles.groupBy("decile")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_users"),
             F.sum("cents").cast("bigint").alias("decile_cents"),
+            F.max("total").alias("total"),
         )
-        .crossJoin(F.broadcast(tot))
         .select(
             F.col("decile").cast("bigint").alias("decile"),
             "n_users",
@@ -561,6 +566,7 @@ def pareto_value_share(spark, sf_dir):
 # before any uplift reading).  All integer until the final ppm divisions.
 
 from zeta_etl_spark.functions.text import duck_hex2long as _dh
+from zeta_etl_spark.operators.scalar_frame import with_scalar_frame
 
 _AB_ORACLE = f"""
 WITH users AS (
@@ -598,7 +604,7 @@ def ab_test_uplift(spark, sf_dir):
         F.sum("converted").alias("n_converted"),
     )
     tot = arms.agg(F.sum("n_users").alias("total_users"))
-    return arms.crossJoin(F.broadcast(tot)).select(
+    return arms.transform(with_scalar_frame(tot)).select(
         "arm",
         F.col("n_users").cast("bigint").alias("n_users"),
         F.col("n_converted").cast("bigint").alias("n_converted"),
@@ -788,7 +794,7 @@ def time_to_conversion_curve(spark, sf_dir):
     w = Window.orderBy("ttc_days")  # offset frame is tiny — global is free
     return (
         hist.withColumn("cum_converted", F.sum("n_converted").over(w))
-        .crossJoin(F.broadcast(tot))
+        .transform(with_scalar_frame(tot))
         .select(
             F.col("ttc_days").cast("bigint").alias("ttc_days"),
             F.col("n_converted").cast("bigint").alias("n_converted"),

@@ -10,6 +10,7 @@ from pyspark.sql.window import Window
 
 from zeta_etl_spark.functions import dec_sum
 from zeta_etl_spark.queries.registry import T, query
+from zeta_etl_spark.operators.scalar_frame import with_scalar_frame
 
 # --- shipping_priority (TPC-H Q3 shape): 3-way join + agg + deterministic
 # top-10 ----------------------------------------------------------------------
@@ -162,8 +163,9 @@ def gap_fill_interpolate(spark, sf_dir):
             F.sequence(F.col("lo"), F.col("hi"), F.expr("interval 1 hour"))
         ).alias("hour_ts")
     )
+    # bound: event_type is a closed enum in this schema (5 values)
     types = ev.select("event_type").distinct()
-    grid = spine.crossJoin(F.broadcast(types)).join(
+    grid = spine.transform(with_scalar_frame(types, bound=16)).join(
         hourly, ["hour_ts", "event_type"], "left"
     )
     w_prev = (
@@ -380,7 +382,7 @@ def dormant_customers(spark, sf_dir):
             / F.count("c_acctbal")
         ).alias("ab")
     )
-    rich = c.crossJoin(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("ab"))
+    rich = c.transform(with_scalar_frame(avg_bal)).filter(F.col("c_acctbal") > F.col("ab"))
     recent = o.filter(F.col("o_orderdate") >= _Q22_CUTOFF)
     dormant = rich.join(recent, rich["c_custkey"] == recent["o_custkey"], "left_anti")
     return dormant.groupBy("c_nationkey").agg(
@@ -492,7 +494,7 @@ def top_revenue_supplier(spark, sf_dir):
     )
     mx = rev.agg(F.max("total_revenue").alias("m"))
     return (
-        rev.crossJoin(F.broadcast(mx))
+        rev.transform(with_scalar_frame(mx))
         .filter(F.col("total_revenue") == F.col("m"))
         .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")

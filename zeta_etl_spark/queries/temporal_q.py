@@ -14,6 +14,7 @@ from zeta_etl_spark.functions import dec_sum
 from zeta_etl_spark.operators.cdc import latest_by_keys
 from zeta_etl_spark.operators.temporal import as_of_join, range_join, shift_join
 from zeta_etl_spark.queries.registry import T, query
+from zeta_etl_spark.operators.scalar_frame import with_scalar_frame
 
 # --- hourly_events: the canonical streaming-gold agg (A1/T2) ----------------
 # Batch form of groupBy(date_trunc('hour', ts), key).agg(count, sum) —
@@ -101,9 +102,10 @@ def hourly_spine_rolling(spark, sf_dir):
             F.sequence(F.col("lo"), F.col("hi"), F.expr("interval 1 hour"))
         ).alias("hour_ts")
     )
+    # bound: event_type is a closed enum in this schema (5 values)
     types = T(spark, sf_dir, "events").select("event_type").distinct()
     dense = (
-        spine.crossJoin(F.broadcast(types))
+        spine.transform(with_scalar_frame(types, bound=16))
         .join(hourly, ["hour_ts", "event_type"], "left")
         .fillna({"n_events": 0, "sum_value": 0.0})
     )

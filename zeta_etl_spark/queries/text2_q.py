@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from zeta_etl_spark.functions.text import duck_hex2long, spark_hex2long
 from zeta_etl_spark.queries.registry import T, query
+from zeta_etl_spark.operators.scalar_frame import with_scalar_frame
 
 # --- bpe_token_counts: whitespace vs BPE-ish regex tokenization --------------
 # Portable token classes (identical in Java regex and RE2): letter runs,
@@ -292,7 +293,7 @@ def bm25_search_top10(spark, sf_dir):
     scored = (
         doc_term.join(F.broadcast(df_t), "term")
         .join(base.select("doc_id", "dl"), "doc_id")
-        .crossJoin(F.broadcast(scalars))
+        .transform(with_scalar_frame(scalars))
         .select(
             "doc_id",
             F.expr(f"cast({_BM25_EXPR} as bigint)").alias("partial"),
@@ -530,7 +531,7 @@ def vocab_growth_curve(spark, sf_dir):
     firsts = toks.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
     bounds = d.agg(F.max("doc_id").alias("max_doc"))
     bucketed = (
-        firsts.crossJoin(F.broadcast(bounds))
+        firsts.transform(with_scalar_frame(bounds))
         .select(
             F.expr("least((first_doc * 10) div (max_doc + 1), 9)").alias(
                 "decile"

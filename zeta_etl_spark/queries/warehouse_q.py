@@ -32,6 +32,7 @@ _DUCK_SCALED_WH = (
     f"CAST(floor(CAST(x AS DOUBLE) * {_V_SCALE} + 0.5) AS BIGINT))"
 )
 from zeta_etl_spark.queries.registry import T, query
+from zeta_etl_spark.operators.scalar_frame import with_scalar_frame
 
 # --- interval_union_seconds: sweep-line interval coalescing ------------------
 # Each event opens a validity interval [ts, ts + 60 + event_id % 540 s); per
@@ -240,9 +241,9 @@ def kmv_set_ops(spark, sf_dir):
     )
     return (
         est(ka, "a")
-        .crossJoin(F.broadcast(est(kb, "b")))
-        .crossJoin(F.broadcast(est(ku, "union")))
-        .crossJoin(F.broadcast(n_both_df))
+        .transform(with_scalar_frame(est(kb, "b")))
+        .transform(with_scalar_frame(est(ku, "union")))
+        .transform(with_scalar_frame(n_both_df))
         .select(
             F.lit(_KMV_K2).cast("bigint").alias("k"),
             "est_a",
@@ -387,33 +388,42 @@ GROUP BY d.user_id
     tags=("robust", "window", "rank", "quality"),
 )
 def robust_mad_outliers(spark, sf_dir):
+    # Exchange consolidation (VERDICT r6 next-8): the original
+    # rank-median-as-aggregate + join-back shape re-executed the events
+    # lineage four times (7 exchanges); every step here keys on user_id, so
+    # the whole median → deviation → MAD chain runs as ONE window chain on
+    # ONE hash partitioning — the broadcast-free plan is 1 exchange + 2
+    # in-partition sorts (pinned by test_plan_quality).  The rank median
+    # is a window MAX of the value at rank (n+1) div 2 instead of a
+    # groupBy, which is what removes the join-backs.
     e = T(spark, sf_dir, "events").select(
         "user_id",
         "event_id",
         F.expr("cast(floor(value * 100 + 0.5) as bigint)").alias("cents"),
     )
-
-    def rank_median(df, val_col, out_col):
-        w = Window.partitionBy("user_id").orderBy(val_col, "event_id")
-        wn = Window.partitionBy("user_id")
-        r = df.withColumn("_rn", F.row_number().over(w)).withColumn(
-            "_n", F.count(F.lit(1)).over(wn)
-        )
-        return r.groupBy("user_id").agg(
+    wu = Window.partitionBy("user_id")
+    w1 = Window.partitionBy("user_id").orderBy("cents", "event_id")
+    r = (
+        e.withColumn("_rn", F.row_number().over(w1))
+        .withColumn("_n", F.count(F.lit(1)).over(wu))
+        .withColumn(
+            "med_cents",
             F.max(
                 F.when(
-                    F.col("_rn") == F.expr("(_n + 1) div 2"), F.col(val_col)
+                    F.col("_rn") == F.expr("(_n + 1) div 2"), F.col("cents")
                 )
-            ).alias(out_col)
+            ).over(wu),
         )
-
-    med = rank_median(e, "cents", "med_cents")
-    dev = e.join(med, "user_id").withColumn(
-        "d", F.abs(F.col("cents") - F.col("med_cents"))
+        .withColumn("d", F.abs(F.col("cents") - F.col("med_cents")))
     )
-    mad = rank_median(dev.select("user_id", "event_id", "d"), "d", "mad_cents")
-    j = dev.join(mad, "user_id")
-    return j.groupBy("user_id").agg(
+    w2 = Window.partitionBy("user_id").orderBy("d", "event_id")
+    r = r.withColumn("_rn2", F.row_number().over(w2)).withColumn(
+        "mad_cents",
+        F.max(
+            F.when(F.col("_rn2") == F.expr("(_n + 1) div 2"), F.col("d"))
+        ).over(wu),
+    )
+    return r.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
         F.max("med_cents").cast("bigint").alias("median_cents"),
         F.max("mad_cents").cast("bigint").alias("mad_cents"),
@@ -490,7 +500,7 @@ def mixture_sample_docs(spark, sf_dir):
         ),
     )
     tot = w.agg(F.sum("w_scaled").cast("bigint").alias("total"))
-    ppm = w.crossJoin(F.broadcast(tot)).select(
+    ppm = w.transform(with_scalar_frame(tot)).select(
         "source",
         "n_docs",
         "n_tokens",
@@ -499,7 +509,7 @@ def mixture_sample_docs(spark, sf_dir):
     lam = ppm.agg(
         F.min(F.expr("(n_tokens * 1000000) div weight_ppm")).alias("lam")
     )
-    rates = ppm.crossJoin(F.broadcast(lam)).select(
+    rates = ppm.transform(with_scalar_frame(lam)).select(
         "source",
         "n_docs",
         "n_tokens",

@@ -85,6 +85,23 @@ def _normalized_arrow_schema(files: list[str]):
     import pyarrow.dataset as pads
 
     sch = pads.dataset(files[0], format="parquet").schema
+    # Heterogeneous part files would make read()'s cast fail or mis-coerce
+    # at scan time with an opaque error (ADVICE r6): a committed generation
+    # is written by independent tasks, and the snapshot writer tolerates
+    # schema change ACROSS generations — validate all parts of THIS
+    # generation against files[0] up front and fail with a clear message.
+    for other in files[1:]:
+        osch = pads.dataset(other, format="parquet").schema
+        if osch.names != sch.names or any(
+            a.type != b.type for a, b in zip(sch, osch)
+        ):
+            raise ValueError(
+                f"versioned_store: committed generation has heterogeneous "
+                f"part-file schemas: {files[0]} has {sch.names} "
+                f"({[str(f.type) for f in sch]}), {other} has {osch.names} "
+                f"({[str(f.type) for f in osch]}); the generation is "
+                f"corrupt — restore a prior version"
+            )
     fields = []
     for f in sch:
         t = f.type
@@ -118,16 +135,23 @@ class VersionedStoreReader(DataSourceReader):
         self._filter_expr = None  # pyarrow expression, built in pushFilters
 
     def pushFilters(self, filters: list[Filter]):
+        # EAGER, not a generator (ADVICE r6): with a lazy generator,
+        # self._filter_expr is only assigned once Spark fully drains the
+        # returned iterator — partial consumption by a future Spark version
+        # would silently drop claimed filters (wrong results, no error).
+        # Build both lists up front and return the unclaimed list.
         import pyarrow.compute as pc
 
         claimed = None
+        unclaimed: list[Filter] = []
         for f in filters:
             expr = self._arrow_expr(pc, f)
             if expr is None:
-                yield f  # unsupported — Spark evaluates it post-scan
+                unclaimed.append(f)  # unsupported — Spark evaluates post-scan
             else:
                 claimed = expr if claimed is None else claimed & expr
         self._filter_expr = claimed
+        return unclaimed
 
     def _is_floating(self, name: str) -> bool:
         import pyarrow as pa
@@ -149,7 +173,18 @@ class VersionedStoreReader(DataSourceReader):
         if self._is_floating(attr[0]):
             return None
         field = pc.field(attr[0])
-        if isinstance(f, (EqualTo, EqualNullSafe)):
+        if isinstance(f, EqualNullSafe):
+            # attr <=> NULL is TRUE for null rows in Spark; pyarrow's
+            # `field == None` evaluates null and would DROP them (ADVICE
+            # r6) — map the null case to is_null explicitly
+            if f.value is None:
+                return field.is_null()
+            return field == f.value
+        if isinstance(f, EqualTo):
+            # attr = NULL matches nothing in Spark; decline rather than
+            # rely on pyarrow null propagation matching that exactly
+            if f.value is None:
+                return None
             return field == f.value
         if isinstance(f, GreaterThan):
             return field > f.value
@@ -237,6 +272,18 @@ class VersionedStoreWriter(DataSourceArrowWriter):
         return _StagedFile(path=out, n_rows=n)
 
     def commit(self, messages):
+        """Publish the staged task files as a new committed generation.
+
+        SINGLE-WRITER contract (ADVICE r6): commit assumes it is the only
+        writer touching this store.  The crash-debris heal below removes
+        every ``{base}__mirror*`` dir — under concurrent commits that would
+        delete another writer's in-flight mirror tmp (its ``os.replace``
+        then fails), and two commits can vacuum each other's just-committed
+        generation.  The reader-race contract (pin one generation, one
+        generation of retention) is unaffected.  Concurrent batch publishes
+        to one store are unsupported — serialize them (the same contract as
+        Pipeline's generation writer; a Delta deployment replaces this seam
+        with optimistic concurrency on the log)."""
         import shutil
         import uuid
 

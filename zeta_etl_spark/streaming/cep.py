@@ -4,7 +4,11 @@ subset (ordered pattern, maximal-gap constraint) open-source Spark lacks.
 
 Semantics (identical to the batch twin ``queries/cep_q.py``, tested equal
 including out-of-order arrivals): a match is events e1 < … < en with types
-= ``pattern`` and every consecutive gap ≤ ``gap_seconds``.
+= ``pattern`` and every consecutive gap ≤ ``gap_seconds``.  Event times are
+floored to whole SECONDS before ordering and gap comparison — exactly the
+batch twin's ``unix_timestamp`` granularity, so the two forms agree on
+sub-second data too (the gap boundary and same-second ordering both resolve
+at second granularity + event_id tie-break).
 
 Correctness under re-ordering: microbatches deliver events in ARRIVAL
 order, but the recurrence is order-sensitive, so events are BUFFERED in
@@ -94,6 +98,13 @@ def detect_sequence_stream(
             ts_us = (
                 rows["ts"].to_numpy().astype("datetime64[us]").astype("int64")
             )
+            # floor to whole seconds: the batch twin (queries/cep_q.py)
+            # compares gaps on unix_timestamp epochs (second floor) and
+            # orders by (ep, event_id) — without this, sub-second events
+            # 3600.4s apart match in batch but not here (ADVICE r6).  The
+            # ≤1s readiness skew this introduces is absorbed by the
+            # watermark (minutes ≫ 1s).
+            ts_us = (ts_us // 1_000_000) * 1_000_000
             ids = (
                 rows["event_id"].to_numpy(dtype="int64").tolist()
                 if "event_id" in rows

@@ -25,6 +25,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _fault_injection(tag: str) -> None:
+    """Crash-injection seam for tests (no-op in production).
+
+    The foreachBatch sinks call this at each point of their commit
+    protocol — ``post_stage`` (versioned dir written), ``pre_publish``
+    (derived mirror/level-2 rebuilt, pointer not yet swapped),
+    ``post_publish`` (pointer committed, stream checkpoint NOT yet) — so
+    the crash-matrix test (tests/test_streaming_crash_matrix.py) can kill
+    the writer at every seam and assert exactly-once output after
+    resume."""
+
+
 def run_available_now(
     df: DataFrame,
     out_path: str,
@@ -154,6 +166,7 @@ def foreach_batch_upsert(
         out = latest_by_keys(merged, keys, sequence_by)
         new_dir = f"{target_path}__v{new_ver}"
         out.write.mode("overwrite").parquet(new_dir)
+        _fault_injection("post_stage")
         # refresh the reader mirror BEFORE the commit point: a torn mirror is
         # recoverable (rebuilt from the committed version), a torn version
         # dir named by the pointer would not be.  Delete markers STAY in the
@@ -167,10 +180,12 @@ def foreach_batch_upsert(
                 ~F.coalesce(F.expr(apply_as_deletes), F.lit(False))
             )
         mirror.write.mode("overwrite").parquet(target_path)
+        _fault_injection("pre_publish")
         tmp_ptr = ptr_path + ".tmp"
         with open(tmp_ptr, "w") as fh:
             fh.write(new_ver)
         os.replace(tmp_ptr, ptr_path)  # atomic commit point
+        _fault_injection("post_publish")
         if current_ver is not None:
             shutil.rmtree(f"{target_path}__v{current_ver}", ignore_errors=True)
 
@@ -257,13 +272,16 @@ def foreach_batch_two_level_agg(
         out = merged.dropDuplicates(list(first_keys))
         new_dir = f"{l1_path}__v{new_ver}"
         out.write.mode("overwrite").parquet(new_dir)
+        _fault_injection("post_stage")
         # level 2 is a derived mirror: rebuild BEFORE the commit point (a
         # torn level-2 heals from the committed level-1 on the next batch)
         _rebuild_l2(new_dir)
+        _fault_injection("pre_publish")
         tmp_ptr = ptr_path + ".tmp"
         with open(tmp_ptr, "w") as fh:
             fh.write(new_ver)
         os.replace(tmp_ptr, ptr_path)  # atomic commit point
+        _fault_injection("post_publish")
         if current_ver is not None:
             shutil.rmtree(f"{l1_path}__v{current_ver}", ignore_errors=True)
 
@@ -482,18 +500,57 @@ def foreach_batch_topk(
         )
         new_dir = f"{target_path}__v{new_ver}"
         out.write.mode("overwrite").parquet(new_dir)
+        _fault_injection("post_stage")
         spark.read.parquet(new_dir).write.mode("overwrite").parquet(
             target_path
         )
+        _fault_injection("pre_publish")
         tmp_ptr = ptr_path + ".tmp"
         with open(tmp_ptr, "w") as fh:
             fh.write(new_ver)
         os.replace(tmp_ptr, ptr_path)  # atomic commit point
+        _fault_injection("post_publish")
         if current_ver is not None:
             shutil.rmtree(f"{target_path}__v{current_ver}", ignore_errors=True)
 
     (
         stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def foreach_batch_partitioned_append(
+    stream: DataFrame,
+    target_path: str,
+    checkpoint: str,
+) -> None:
+    """Exactly-once APPEND sink without a transaction log: each microbatch
+    overwrites its OWN hive partition ``{target}/batch=N``.
+
+    This is the streaming form of the engine's idempotent-append primitive
+    (``Pipeline`` mode ``overwrite_partitions``): a replayed microbatch —
+    crash after the partition write but before the stream checkpoint —
+    rewrites the same directory with the same rows, so readers of
+    ``target_path`` never see a row twice.  Used for append-shaped stateful
+    output (the CEP detector's matches) where the versioned-pointer sinks'
+    full-state rewrite would be wasteful.  Same caveat as every
+    batch-id-keyed scheme: after a full CHECKPOINT LOSS batch ids restart
+    at 0 and the contract is void — keep the checkpoint with the data.
+    """
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        _fault_injection("post_stage")
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(target_path, f"batch={batch_id}")
+        )
+        # single-phase protocol: the partition write IS the publish
+        _fault_injection("post_publish")
+
+    (
+        stream.writeStream.foreachBatch(_write)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
