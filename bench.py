@@ -146,6 +146,8 @@ OPTIONAL = [
     "daily_anomaly_alerts",
     "duplicate_delivery_audit",
     "daily_mix_shift",
+    # round-7 additions
+    "global_event_rank",
 ]
 
 # Deliberate experiments whose cost is a MEASUREMENT, not the engine's real

@@ -242,3 +242,45 @@ def test_describe_and_temp_view_work_through_pointer(spark, tmp_path):
     assert info["tbl"]["files"] > 0 and info["tbl"]["bytes"] > 0
     assert spark.sql("SELECT count(*) AS n FROM acid__tbl").first().n == 2
     shutil.rmtree(base)
+
+
+def test_time_travel_read_version(spark, tmp_path):
+    """Delta VERSION-AS-OF stand-in: each retained generation is a full
+    snapshot; read_version reads it, table_versions lists the window, and
+    a vacuumed version raises with the available range."""
+    base = str(tmp_path / "p")
+    holder = {"rows": OLD}
+    p = Pipeline("acid", base, retain_generations=2)
+
+    @p.table(name="tbl")
+    def tbl(pl):
+        return pl._spark.createDataFrame(holder["rows"], "k int, v string")
+
+    p.run(spark)
+    holder["rows"] = NEW
+    p.run(spark)
+    holder["rows"] = [(9, "z")]
+    p.run(spark)
+
+    assert p.table_versions("tbl") == [1, 2, 3]
+    assert sorted(
+        (r.k, r.v) for r in p.read_version(spark, "tbl", 1).collect()
+    ) == sorted(OLD)
+    assert sorted(
+        (r.k, r.v) for r in p.read_version(spark, "tbl", 2).collect()
+    ) == sorted(NEW)
+
+    holder["rows"] = [(10, "w")]
+    p.run(spark)  # generation 4: generation 1 leaves the retain window
+    assert p.table_versions("tbl") == [2, 3, 4]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="available: \\[2, 3, 4\\]"):
+        p.read_version(spark, "tbl", 1)
+
+
+def test_retain_generations_validated(tmp_path):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="retain_generations"):
+        Pipeline("p", str(tmp_path), retain_generations=0)

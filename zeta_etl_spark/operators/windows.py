@@ -133,3 +133,61 @@ def rank_change(
         -lookback_rows, Window.currentRow
     )
     return df.withColumn(alias, -(F.col(rank_col) - F.first(rank_col).over(w)))
+
+
+def global_row_number(
+    df: DataFrame,
+    order_by: Sequence[str],
+    out_col: str = "rn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed exact global row_number — the scale path for
+    ``Window.orderBy(...)`` (which Spark plans as an Exchange
+    SinglePartition: ONE task sorts the whole frame).
+
+    Two-phase construction (the DataFrame form of RDD zipWithIndex):
+
+    1. ``repartitionByRange`` on the order key — disjoint ORDERED ranges,
+       each partition sorted locally by a per-partition window (parallel,
+       spill-safe).
+    2. per-partition row counts (``num_partitions`` rows, bounded by
+       cluster parallelism, never by data) → exclusive prefix sums →
+       broadcast-joined back as offsets; global rank = offset + local rank.
+
+    The output is EXACTLY ``row_number() OVER (ORDER BY order_by)``
+    regardless of where the sampled range boundaries fall, because offsets
+    are computed from actual partition counts — boundary placement shifts
+    work between partitions, never rank values.  ``order_by`` must be a
+    total order (append a unique tie-break column, as every deterministic
+    rank in this repo already does); ties ACROSS a range boundary would
+    otherwise rank nondeterministically.
+
+    Plan shape (pinned by tests/test_global_rank.py): one range exchange +
+    one hash exchange on the partition id (both balanced) + a
+    single-partition pass over the ``num_partitions``-row count frame — no
+    data-sized single-task sort anywhere.  Use when the ranked grain is too
+    large for one task (raw events, full corpora); the aggregated-grain
+    global windows (rfm_segments' |users| terciles) stay fine as-is.
+    """
+    order_cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n, *order_cols).withColumn(
+        "_gpid", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("_gpid").orderBy(*order_cols)
+    local = ranged.withColumn("_lrn", F.row_number().over(w_local))
+    counts = local.groupBy("_gpid").agg(F.count(F.lit(1)).alias("_c"))
+    w_off = (
+        Window.orderBy("_gpid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "_gpid",
+        F.coalesce(F.sum("_c").over(w_off), F.lit(0)).alias("_off"),
+    )
+    return (
+        local.join(F.broadcast(offsets), "_gpid")
+        .withColumn(out_col, (F.col("_off") + F.col("_lrn")).cast("bigint"))
+        .drop("_gpid", "_lrn", "_off")
+    )

@@ -521,9 +521,11 @@ def build_transactions_pipeline(
                 F.sequence(F.col("lo"), F.col("hi"), F.expr("interval 1 hour"))
             ).alias("timestamp")
         )
+        # bound: asset is the exchange's listed-market enum (dozens, not
+        # data-sized) — the closed domain the whole pipeline keys on
         assets = hourly.select("asset").distinct()
         dense = (
-            spine.transform(with_scalar_frame(assets))
+            spine.transform(with_scalar_frame(assets, bound=256))
             .join(hourly, ["timestamp", "asset"], "left")
             .fillna({"trade_count": 0, "volume": 0.0})
         )

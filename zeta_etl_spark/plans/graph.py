@@ -69,7 +69,18 @@ class Node:
 class Pipeline:
     """A named DAG of DataFrame-producing nodes with parquet materialization."""
 
-    def __init__(self, name: str, base_path: str):
+    def __init__(
+        self, name: str, base_path: str, retain_generations: int = 1
+    ):
+        """``retain_generations`` = how many PRIOR sealed generations each
+        overwrite table keeps next to the published one (the Delta
+        VACUUM-retention knob): 1 (default) guarantees a reader that pinned
+        the previous generation mid-publish can finish; larger values
+        extend the :meth:`read_version` time-travel window at the cost of
+        storage."""
+        if retain_generations < 1:
+            raise ValueError("retain_generations must be >= 1")
+        self.retain_generations = retain_generations
         self.name = name
         self.base_path = base_path
         self.nodes: dict[str, Node] = {}
@@ -486,8 +497,8 @@ class Pipeline:
                         removed.append(full)
                 if gens:
                     current = int(gens[-1][1:])
-                    for d in gens[:-2]:
-                        if int(d[1:]) < current - 1:
+                    for d in gens:
+                        if int(d[1:]) < current - self.retain_generations:
                             full = os.path.join(gen_root, d)
                             shutil.rmtree(full)
                             removed.append(full)
@@ -728,16 +739,54 @@ class Pipeline:
         os.replace(tmp_link, path)
 
     def _retain_generations(self, gen_root: str, current: int) -> None:
-        """Keep the published generation plus one prior (a reader whose plan
-        pinned the previous generation's file listing mid-publish must be
-        able to finish — the Delta VACUUM-retention seam); drop older."""
+        """Keep the published generation plus ``retain_generations`` prior
+        ones (a reader whose plan pinned the previous generation's file
+        listing mid-publish must be able to finish, and
+        :meth:`read_version` time-travels within this window — the Delta
+        VACUUM-retention seam); drop older."""
         import re
         import shutil
 
-        keep = {f"v{current:06d}", f"v{current - 1:06d}"}
+        keep = {
+            f"v{current - i:06d}"
+            for i in range(self.retain_generations + 1)
+        }
         for d in os.listdir(gen_root):
             if re.fullmatch(r"v\d{6}", d) and d not in keep:
                 shutil.rmtree(os.path.join(gen_root, d), ignore_errors=True)
+
+    def table_versions(self, name: str) -> list[int]:
+        """Sealed generation numbers currently on disk for an overwrite
+        table, ascending (empty for in-place-layout tables)."""
+        import re
+
+        gen_root = self.path(name) + "__gen"
+        if not os.path.isdir(gen_root):
+            return []
+        return sorted(
+            int(d[1:])
+            for d in os.listdir(gen_root)
+            if re.fullmatch(r"v\d{6}", d)
+        )
+
+    def read_version(
+        self, spark: SparkSession, name: str, version: int
+    ) -> DataFrame:
+        """Time-travel read of a sealed generation — the stand-in for
+        Delta's ``VERSION AS OF`` (the reference's tables get this from the
+        Delta log; here each retained generation IS a full snapshot).  The
+        window is bounded by ``retain_generations``; a vacuumed version
+        raises with the available range."""
+        gens = self.table_versions(name)
+        if version not in gens:
+            raise ValueError(
+                f"read_version({name!r}, {version}): generation not on "
+                f"disk (available: {gens}); it predates the "
+                f"retain_generations={self.retain_generations} window"
+            )
+        return spark.read.parquet(
+            os.path.join(self.path(name) + "__gen", f"v{version:06d}")
+        )
 
     def _write_overwrite_atomic(self, node: Node, df: DataFrame) -> None:
         """Two-phase-commit overwrite: stage the full write into a fresh

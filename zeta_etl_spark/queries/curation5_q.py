@@ -185,3 +185,136 @@ def tokenizer_shard_manifest(spark, sf_dir):
         .cast("bigint")
         .alias("n_spill_docs"),
     )
+
+
+# --- corpus_shuffle_shards: deterministic global training-order shuffle ------
+# The step between curation and shard export a training loader depends on:
+# a SEEDED pseudorandom global permutation of the corpus (md5 order — the
+# repo's engine-portable randomness), realized as exact global positions
+# via operators/windows.global_row_number (no single-task sort of the
+# corpus), then cut into fixed-size shards.  Output is the per-shard
+# manifest: doc count, position range, boundary docs, and a pmod-reduced
+# order checksum that pins the ENTIRE permutation (any transposition
+# changes it) while keeping the compared result one row per shard at any
+# scale.
+
+_SHARD_SIZE = 100
+_CKP = 2147483647  # 2^31 - 1: pmod(a,P)*pmod(b,P) < P^2 < BIGINT max
+
+_SHUFFLE_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hk FROM documents
+), p AS (
+  SELECT doc_id,
+    CAST(ROW_NUMBER() OVER (ORDER BY hk, doc_id) AS BIGINT) AS pos
+  FROM h
+), s AS (
+  SELECT doc_id, pos, (pos - 1) // {_SHARD_SIZE} AS shard FROM p
+)
+SELECT CAST(shard AS BIGINT) AS shard,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(MIN(pos) AS BIGINT) AS first_pos,
+  CAST(MAX(pos) AS BIGINT) AS last_pos,
+  CAST(MIN(CASE WHEN pos = first_pos_w THEN doc_id END) AS BIGINT)
+    AS first_doc,
+  CAST(SUM((doc_id % {_CKP}) * (pos % {_CKP}) % {_CKP}) AS BIGINT)
+    AS order_checksum
+FROM (
+  SELECT *, MIN(pos) OVER (PARTITION BY shard) AS first_pos_w FROM s
+)
+GROUP BY shard
+"""
+
+
+@query(
+    "corpus_shuffle_shards",
+    oracle=_SHUFFLE_ORACLE,
+    tags=("curation", "shuffle", "scale"),
+)
+def corpus_shuffle_shards(spark, sf_dir):
+    from zeta_etl_spark.operators.windows import global_row_number
+    from pyspark.sql.window import Window
+
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.col("doc_id").cast("string")).alias("hk")
+    )
+    pos = global_row_number(
+        d, [F.col("hk").asc(), F.col("doc_id").asc()], out_col="pos"
+    ).select("doc_id", "pos")
+    s = pos.withColumn("shard", F.expr(f"(pos - 1) div {_SHARD_SIZE}"))
+    w = Window.partitionBy("shard")
+    s = s.withColumn("first_pos_w", F.min("pos").over(w))
+    return s.groupBy(F.col("shard").cast("bigint").alias("shard")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.min("pos").cast("bigint").alias("first_pos"),
+        F.max("pos").cast("bigint").alias("last_pos"),
+        F.min(F.when(F.col("pos") == F.col("first_pos_w"), F.col("doc_id")))
+        .cast("bigint")
+        .alias("first_doc"),
+        F.sum(
+            F.expr(f"pmod(pmod(doc_id, {_CKP}) * pmod(pos, {_CKP}), {_CKP})")
+        )
+        .cast("bigint")
+        .alias("order_checksum"),
+    )
+
+
+# --- exact_stratified_split: floor-exact per-stratum val/test carve-out ------
+# hash_split gives split sizes correct IN EXPECTATION (each doc rolls an
+# independent md5 bucket); evaluation protocols often require EXACT counts
+# per stratum — floor(p·n) val and test docs from every source, no
+# variance.  Realized as a per-stratum md5 rank (plain partitioned window,
+# distributed by source) cut at exact thresholds.  Output per (source,
+# split): exact count + membership checksum, bounded rows at any scale.
+
+_STRAT_ORACLE = f"""
+WITH r AS (
+  SELECT source, doc_id,
+    CAST(ROW_NUMBER() OVER (
+      PARTITION BY source
+      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rn,
+    CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n
+  FROM documents
+), lab AS (
+  SELECT source, doc_id,
+    CASE WHEN rn <= n // 10 THEN 'val'
+         WHEN rn <= 2 * (n // 10) THEN 'test'
+         ELSE 'train' END AS split
+  FROM r
+)
+SELECT source, split,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(doc_id % {_CKP}) AS BIGINT) AS member_checksum
+FROM lab GROUP BY source, split
+"""
+
+
+@query(
+    "exact_stratified_split",
+    oracle=_STRAT_ORACLE,
+    tags=("curation", "split", "sampling"),
+)
+def exact_stratified_split(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    d = T(spark, sf_dir, "documents").select(
+        "source", "doc_id",
+        F.md5(F.col("doc_id").cast("string")).alias("hk"),
+    )
+    wr = Window.partitionBy("source").orderBy("hk", "doc_id")
+    wn = Window.partitionBy("source")
+    r = d.withColumn("rn", F.row_number().over(wr)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    lab = r.withColumn(
+        "split",
+        F.when(F.expr("rn <= n div 10"), "val")
+        .when(F.expr("rn <= 2 * (n div 10)"), "test")
+        .otherwise("train"),
+    )
+    return lab.groupBy("source", "split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.expr(f"doc_id % {_CKP}")).cast("bigint").alias(
+            "member_checksum"
+        ),
+    )

@@ -244,3 +244,47 @@ def exclusive_window_sums(spark, sf_dir):
             F.lit(0.0),
         ).alias("volume_before_now"),
     )
+
+
+# --- global_event_rank: distributed exact global row_number ------------------
+# The scale path for Window.orderBy() (whose plan is a single-task sort of
+# the whole frame): operators/windows.global_row_number ranks via ordered
+# range partitions + per-partition offsets — identical output, no
+# data-sized SinglePartition exchange.  The query ranks EVERY event (the
+# full frame must flow through the ranking, proving the operator at the
+# raw-event grain the one-task form cannot hold at 100 TB) and emits a
+# deterministic 1-in-97 rank sample so the compared output stays bounded
+# at any SF.
+
+_GLOBAL_RANK_ORACLE = """
+WITH c AS (
+  SELECT event_id,
+    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+), r AS (
+  SELECT event_id, cents,
+    CAST(ROW_NUMBER() OVER (ORDER BY cents DESC, event_id) AS BIGINT) AS rn
+  FROM c
+)
+SELECT event_id, cents, rn FROM r WHERE rn % 97 = 0
+"""
+
+
+@query(
+    "global_event_rank",
+    oracle=_GLOBAL_RANK_ORACLE,
+    tags=("window", "rank", "scale"),
+)
+def global_event_rank(spark, sf_dir):
+    from zeta_etl_spark.operators.windows import global_row_number
+
+    e = T(spark, sf_dir, "events").select(
+        "event_id",
+        F.expr("cast(floor(value * 100 + 0.5) as bigint)").alias("cents"),
+    )
+    ranked = global_row_number(
+        e, [F.col("cents").desc(), F.col("event_id").asc()], out_col="rn"
+    )
+    return ranked.filter(F.col("rn") % 97 == 0).select(
+        "event_id", "cents", "rn"
+    )
