@@ -284,3 +284,104 @@ def test_retain_generations_validated(tmp_path):
 
     with _pytest.raises(ValueError, match="retain_generations"):
         Pipeline("p", str(tmp_path), retain_generations=0)
+
+
+def test_history_records_commits(spark, tmp_path):
+    """DESCRIBE HISTORY stand-in: every sealed generation carries its
+    commit record (operation, pipeline, timestamp) plus on-disk stats."""
+    base = str(tmp_path / "p")
+    holder = {"rows": OLD}
+    p = _make_pipeline(base, holder)
+    p.run(spark)
+    holder["rows"] = NEW
+    p.run(spark)
+    hist = p.history("tbl")
+    assert [h["version"] for h in hist] == [1, 2]
+    assert all(h["operation"] == "overwrite" for h in hist)
+    assert all(h["files"] > 0 and h["bytes"] > 0 for h in hist)
+    assert [h["is_current"] for h in hist] == [False, True]
+    p.compact(spark, "tbl", target_rows_per_file=1000)
+    hist = p.history("tbl")
+    assert hist[-1]["operation"] == "compact" and hist[-1]["is_current"]
+
+
+def test_schema_evolution_across_generations(spark, tmp_path):
+    """An overwrite that changes the schema publishes atomically like any
+    other; the live pointer serves the NEW schema while a pinned reader of
+    the prior generation keeps the OLD one (full-snapshot semantics — no
+    Delta-style column mapping needed)."""
+    base = str(tmp_path / "p")
+    p = Pipeline("acid", base)
+    state = {"wide": False}
+
+    @p.table(name="tbl")
+    def tbl(pl):
+        if state["wide"]:
+            return pl._spark.createDataFrame(
+                [(1, "a", 10.0)], "k int, v string, w double"
+            )
+        return pl._spark.createDataFrame([(1, "a")], "k int, v string")
+
+    p.run(spark)
+    path = p.path("tbl")
+    pinned = spark.read.parquet(os.path.realpath(path))
+    state["wide"] = True
+    p.run(spark)
+    assert spark.read.parquet(path).columns == ["k", "v", "w"]
+    assert pinned.columns == ["k", "v"]
+    assert pinned.count() == 1  # old snapshot fully readable post-publish
+
+
+def test_concurrent_reader_never_torn_under_live_publishes(spark, tmp_path):
+    """Stress the atomicity claim with a LIVE reader following the reader
+    contract (``Pipeline.read_table``: resolve the pointer once per read)
+    while the writer publishes 8 generations with growing row counts.
+    Every read must observe one of the exact published row multisets —
+    never a partial directory, never a mix, never ENOENT.  (A reader that
+    instead re-resolves the raw symlink per file access can straddle a
+    swap — that is exactly what read_table exists to prevent, and its
+    docstring documents the contract.)"""
+    import threading
+
+    base = str(tmp_path / "p")
+    holder = {"rows": [(i, "g0") for i in range(10)]}
+    p = Pipeline("acid", base, retain_generations=2)
+
+    @p.table(name="tbl")
+    def tbl(pl):
+        return pl._spark.createDataFrame(holder["rows"], "k int, v string")
+
+    p.run(spark)
+
+    published = [tuple(sorted(holder["rows"]))]
+    seen: list = []
+    errors: list = []
+    stop = threading.Event()
+
+    def reader():
+        while not stop.is_set():
+            try:
+                rows = tuple(
+                    sorted(
+                        (r.k, r.v)
+                        for r in p.read_table(spark, "tbl").collect()
+                    )
+                )
+                seen.append(rows)
+            except Exception as e:  # noqa: BLE001 — any error = torn read
+                errors.append(repr(e))
+                return
+
+    t = threading.Thread(target=reader, daemon=True)
+    t.start()
+    for g in range(1, 9):
+        holder["rows"] = [(i, f"g{g}") for i in range(10 + g)]
+        published.append(tuple(sorted(holder["rows"])))
+        p.run(spark)
+    stop.set()
+    t.join(timeout=60)
+    assert not errors, f"reader saw a torn/missing table: {errors[:3]}"
+    assert seen, "reader never completed a read — vacuous"
+    valid = set(published)
+    torn = [s for s in seen if s not in valid]
+    assert not torn, f"reader observed non-published states: {torn[:2]}"

@@ -409,6 +409,7 @@ class Pipeline:
                 f"expected {rows}; original table left untouched"
             )
         if os.path.islink(path):
+            self._seal_commit_meta(tmp, "compact")
             committed = os.path.join(gen_root, f"v{nxt:06d}")
             os.replace(tmp, committed)
             self._swap_pointer(path, committed)
@@ -788,6 +789,77 @@ class Pipeline:
             os.path.join(self.path(name) + "__gen", f"v{version:06d}")
         )
 
+    def read_table(self, spark: SparkSession, name: str) -> DataFrame:
+        """Snapshot-isolated read of a materialized table: resolves the
+        generation pointer ONCE, so the returned frame keeps reading its
+        complete snapshot even if publishes happen while the plan runs
+        (protected for ``retain_generations`` further publishes).
+
+        This is the reader contract for pointer-layout tables — plans built
+        directly on the un-resolved ``self.path(name)`` re-resolve the
+        symlink on every file access, so a long-running plan can straddle a
+        concurrent publish and hit vanished part files.  ``read()`` inside
+        a pipeline run and the registered temp views already follow this
+        contract; use this for ad-hoc external readers."""
+        return spark.read.parquet(os.path.realpath(self.path(name)))
+
+    def history(self, name: str) -> list[dict]:
+        """Per-generation commit metadata for an overwrite table, oldest
+        first — the DESCRIBE HISTORY stand-in (Delta reads this from its
+        log; here each sealed generation carries a ``_commit.json`` written
+        at seal time).  Generations sealed before this feature report
+        ``operation: "unknown"`` from their on-disk footprint."""
+        import json
+
+        out = []
+        gen_root = self.path(name) + "__gen"
+        current = None
+        if os.path.islink(self.path(name)):
+            current = os.path.basename(os.readlink(self.path(name)))
+        for v in self.table_versions(name):
+            gen_dir = os.path.join(gen_root, f"v{v:06d}")
+            meta_path = os.path.join(gen_dir, "_commit.json")
+            if os.path.exists(meta_path):
+                with open(meta_path) as fh:
+                    meta = json.load(fh)
+            else:
+                meta = {"operation": "unknown"}
+            n_files = n_bytes = 0
+            for root, _dirs, files in os.walk(gen_dir):
+                for f in files:
+                    if f.startswith((".", "_")):
+                        continue
+                    n_files += 1
+                    n_bytes += os.path.getsize(os.path.join(root, f))
+            out.append(
+                {
+                    "version": v,
+                    "is_current": f"v{v:06d}" == current,
+                    "files": n_files,
+                    "bytes": n_bytes,
+                    **meta,
+                }
+            )
+        return out
+
+    def _seal_commit_meta(self, staged: str, operation: str) -> None:
+        """Stamp the staged generation with commit metadata BEFORE the seal
+        rename, so a sealed generation always carries its record."""
+        import json
+        import time
+
+        with open(os.path.join(staged, "_commit.json"), "w") as fh:
+            json.dump(
+                {
+                    "operation": operation,
+                    "pipeline": self.name,
+                    "committed_at": time.strftime(
+                        "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+                    ),
+                },
+                fh,
+            )
+
     def _write_overwrite_atomic(self, node: Node, df: DataFrame) -> None:
         """Two-phase-commit overwrite: stage the full write into a fresh
         generation dir, seal it with one rename, then atomically swap the
@@ -817,6 +889,7 @@ class Pipeline:
             writer = writer.partitionBy(*node.partition_by)
         writer.parquet(staged)
         _fault_injection("post_stage")
+        self._seal_commit_meta(staged, "overwrite")
         committed = os.path.join(gen_root, f"v{nxt:06d}")
         os.replace(staged, committed)  # phase 1: generation sealed
         _fault_injection("post_seal")
