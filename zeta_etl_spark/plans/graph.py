@@ -432,6 +432,316 @@ class Pipeline:
             self._done[name] = df_new
         return n_files
 
+    def merge_into(
+        self,
+        spark: SparkSession,
+        name: str,
+        source: DataFrame,
+        on: Sequence[str],
+        when_matched_update: str | dict[str, str] | None = None,
+        update_condition: str | None = None,
+        when_matched_delete: bool = False,
+        delete_condition: str | None = None,
+        when_not_matched_insert: str | dict[str, str] | None = None,
+        insert_condition: str | None = None,
+        collect_metrics: bool = True,
+    ) -> dict:
+        """Batch ``MERGE INTO`` on a materialized overwrite table — the
+        engine's stand-in for Delta's MERGE (the reference's CDC targets are
+        Delta tables maintained by apply_changes, zetaflex-pipeline.py:146-151;
+        ad-hoc upserts there would be ``MERGE INTO``, unavailable here because
+        delta-spark is not installable — re-checked r7).
+
+        Semantics (Delta-shaped):
+
+        - ``on`` — equi-join key columns (present in both target and source).
+          NULL keys never match (standard equi-join), so a NULL-keyed source
+          row is insert-only.
+        - ``when_matched_delete`` (+ optional ``delete_condition``) is
+          evaluated FIRST on matched pairs; then ``when_matched_update``
+          (``"*"`` = replace row with source columns, or a dict
+          ``{target_col: sql_expr}``) gated by ``update_condition``.
+          Matched rows claimed by neither clause are copied unchanged.
+        - ``when_not_matched_insert`` — ``"*"`` or ``{target_col: sql_expr}``
+          (unlisted columns become NULL), gated by ``insert_condition``.
+          Without an insert clause unmatched source rows are ignored.
+        - Condition / expression SQL references target columns as ``t.col``
+          and source columns as ``s.col``.
+        - More than one source row matching a single target row is an ERROR
+          (same runtime guard Delta raises — the merge result would be
+          nondeterministic).
+
+        Scale design: when the table is hive-partitioned and every partition
+        column is a join key, only TOUCHED partitions (the source's distinct
+        partition tuples) are read and rewritten; every untouched partition
+        directory is HARD-LINKED from the previous generation into the new
+        one — the parquet-layout analogue of Delta re-listing untouched files
+        in the new commit.  Merge cost is then proportional to touched data,
+        not table size: a 100 TB day-partitioned table takes an upsert of one
+        day at the cost of one day.  (The driver-side ``distinct().collect()``
+        of touched tuples is bounded by the touched-partition count, not rows.)
+        Otherwise the whole table is read and rewritten (same as Delta when
+        files cannot be pruned).
+
+        Atomicity: the merged generation is staged, sealed with a ``merge``
+        commit record, and published by the same atomic pointer swap as
+        overwrite materialization — a crash at any seam leaves readers on a
+        complete snapshot (crash-matrix in tests/test_merge_into.py), and
+        ``read_version`` time-travels to the pre-merge generation.
+        """
+        from functools import reduce
+
+        from pyspark.sql import functions as F
+
+        node = self.nodes[name]
+        if node.kind not in ("table", "cdc") or node.extra.get("incremental"):
+            raise ValueError(f"merge_into({name!r}): not a batch table node")
+        if node.extra.get("mode", "overwrite") != "overwrite":
+            raise ValueError(
+                f"merge_into({name!r}): requires the generation layout "
+                "(mode='overwrite'); append/dynamic tables are in-place"
+            )
+        if (
+            when_matched_update is None
+            and not when_matched_delete
+            and when_not_matched_insert is None
+        ):
+            raise ValueError("merge_into: no WHEN clause given")
+        path = self.path(name)
+        if not os.path.lexists(path):
+            raise ValueError(f"merge_into({name!r}): table not materialized")
+        cur = os.path.realpath(path)
+        on = list(on)
+        pcols = list(node.partition_by)
+
+        target = spark.read.parquet(cur)
+        tcols = target.columns
+        tfields = {f.name: f.dataType for f in target.schema.fields}
+
+        # Delta's multiple-source-rows-match guard: one aggregate job over
+        # the source (usually the small side of a merge).
+        if not (
+            source.groupBy(*on)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") > 1)
+            .isEmpty()
+        ):
+            raise ValueError(
+                "merge_into: multiple source rows match the same target key "
+                f"(duplicate {on} in source) — result would be nondeterministic"
+            )
+
+        prunable = bool(pcols) and set(pcols) <= set(on)
+        touched: list[tuple] | None = None
+        if prunable:
+            touched = [
+                tuple(r[c] for c in pcols)
+                for r in source.select(*pcols).distinct().collect()
+            ]
+            pred = reduce(
+                lambda a, b: a | b,
+                [
+                    reduce(
+                        lambda a, b: a & b,
+                        [
+                            F.col(c).isNull()
+                            if v is None
+                            else (F.col(c) == F.lit(v))
+                            for c, v in zip(pcols, tup)
+                        ],
+                    )
+                    for tup in touched
+                ],
+                F.lit(False),
+            )
+            target = target.where(pred)  # partition-pruned scan
+
+        tj = target.select(F.struct(*[F.col(c) for c in tcols]).alias("t"))
+        sj = source.select(
+            F.struct(*[F.col(c) for c in source.columns]).alias("s")
+        )
+        joined = tj.join(
+            sj,
+            reduce(
+                lambda a, b: a & b,
+                [tj["t"][k] == sj["s"][k] for k in on],
+            ),
+            "full_outer",
+        )
+        matched = F.col("t").isNotNull() & F.col("s").isNotNull()
+        upd_gate = (
+            matched & F.expr(update_condition or "true")
+            if when_matched_update is not None
+            else F.lit(False)
+        )
+        del_gate = (
+            matched & F.expr(delete_condition or "true")
+            if when_matched_delete
+            else F.lit(False)
+        )
+        # clause order: delete first, then update on the remainder
+        upd_gate = upd_gate & ~del_gate
+        ins_gate = (
+            F.col("t").isNull() & F.expr(insert_condition or "true")
+            if when_not_matched_insert is not None
+            else F.lit(False)
+        )
+
+        metrics: dict = {}
+        if collect_metrics:
+            row = joined.agg(
+                F.sum(del_gate.cast("bigint")).alias("deleted"),
+                F.sum(upd_gate.cast("bigint")).alias("updated"),
+                F.sum(ins_gate.cast("bigint")).alias("inserted"),
+                F.sum(
+                    (matched & ~del_gate & ~upd_gate).cast("bigint")
+                ).alias("matched_copied"),
+            ).first()
+            metrics = {
+                "rows_deleted": row["deleted"] or 0,
+                "rows_updated": row["updated"] or 0,
+                "rows_inserted": row["inserted"] or 0,
+                "rows_matched_copied": row["matched_copied"] or 0,
+            }
+
+        out_cols = []
+        for c in tcols:
+            if when_matched_update is not None:
+                if when_matched_update == "*":
+                    upd = F.expr(f"s.{c}")
+                else:
+                    sql = when_matched_update.get(c)
+                    upd = F.expr(sql) if sql is not None else F.expr(f"t.{c}")
+                col = F.when(upd_gate, upd)
+                col = col.when(F.col("t").isNotNull(), F.expr(f"t.{c}"))
+            else:
+                col = F.when(F.col("t").isNotNull(), F.expr(f"t.{c}"))
+            if when_not_matched_insert is not None:
+                if when_not_matched_insert == "*":
+                    ins = F.expr(f"s.{c}")
+                else:
+                    sql = when_not_matched_insert.get(c)
+                    ins = F.expr(sql) if sql is not None else F.lit(None)
+                col = col.otherwise(ins)
+            out_cols.append(col.cast(tfields[c]).alias(c))
+
+        survives = (matched & ~del_gate) | (
+            F.col("t").isNotNull() & F.col("s").isNull()
+        ) | ins_gate
+        merged = joined.where(survives).select(*out_cols)
+        if node.sort_within_partitions:
+            merged = merged.sortWithinPartitions(*node.sort_within_partitions)
+
+        gen_root, nxt = self._gen_prepare(path)
+        staged = os.path.join(gen_root, f"v{nxt:06d}__staging")
+        writer = merged.write.mode("overwrite")
+        if pcols:
+            writer = writer.partitionBy(*pcols)
+        writer.parquet(staged)
+        n_linked = 0
+        if prunable:
+            n_linked = self._link_untouched_partitions(
+                cur, staged, pcols, touched
+            )
+        _fault_injection("post_stage")
+        self._seal_commit_meta(staged, "merge")
+        committed = os.path.join(gen_root, f"v{nxt:06d}")
+        os.replace(staged, committed)
+        _fault_injection("post_seal")
+        self._swap_pointer(path, committed)
+        _fault_injection("post_publish")
+        self._retain_generations(gen_root, nxt)
+        # drop the memoized frame — it pins the pre-merge generation
+        if name in self._done:
+            df_new = spark.read.parquet(os.path.realpath(path))
+            df_new.createOrReplaceTempView(f"{self.name}__{name}")
+            self._done[name] = df_new
+        metrics.update(
+            generation=nxt,
+            partition_pruned=prunable,
+            touched_partitions=len(touched) if touched is not None else None,
+            linked_partitions=n_linked,
+        )
+        return metrics
+
+    @staticmethod
+    def _link_untouched_partitions(
+        prev_gen: str,
+        staged: str,
+        pcols: list[str],
+        touched: list[tuple],
+    ) -> int:
+        """Hard-link every partition directory of ``prev_gen`` whose value
+        tuple is NOT in ``touched`` into ``staged``.
+
+        Parquet part files are immutable and generation cleanup uses
+        ``rmtree`` (unlink), so hard links are safe: vacuuming the old
+        generation drops its directory names while the shared inodes live on
+        under the new generation.  Comparison happens on UNESCAPED values
+        (hive dirs %-escape specials; ``__HIVE_DEFAULT_PARTITION__`` is the
+        NULL sentinel) so we never have to reproduce Spark's exact escaping —
+        a parse failure raises rather than risking double data.
+        """
+        from urllib.parse import unquote
+
+        def canon(v) -> str | None:
+            if v is None:
+                return None
+            if isinstance(v, bool):
+                return "true" if v else "false"
+            return str(v)
+
+        touched_keys = {tuple(canon(v) for v in tup) for tup in touched}
+
+        def parse_seg(seg: str, col: str) -> str | None:
+            pre = f"{col}="
+            if not seg.startswith(pre):
+                raise ValueError(
+                    f"unexpected dir {seg!r} in partitioned table (wanted "
+                    f"{col}=...)"
+                )
+            raw = seg[len(pre):]
+            if raw == "__HIVE_DEFAULT_PARTITION__":
+                return None
+            return unquote(raw)
+
+        n_linked = 0
+
+        def link_tree(src: str, dst: str) -> None:
+            os.makedirs(dst, exist_ok=True)
+            for entry in os.listdir(src):
+                s, d = os.path.join(src, entry), os.path.join(dst, entry)
+                if os.path.isdir(s):
+                    link_tree(s, d)
+                else:
+                    os.link(s, d)
+
+        def rec(cur_dir: str, vals: tuple, depth: int) -> None:
+            nonlocal n_linked
+            if depth == len(pcols):
+                key = tuple(canon(v) for v in vals)
+                if key in touched_keys:
+                    return
+                rel = os.path.relpath(cur_dir, prev_gen)
+                dst = os.path.join(staged, rel)
+                if os.path.exists(dst):
+                    raise RuntimeError(
+                        f"merge link target already staged: {rel} — partition "
+                        "classification bug, aborting before double data"
+                    )
+                link_tree(cur_dir, dst)
+                n_linked += 1
+                return
+            for entry in sorted(os.listdir(cur_dir)):
+                full = os.path.join(cur_dir, entry)
+                if not os.path.isdir(full):
+                    continue  # _SUCCESS / _commit.json at the root level
+                v = parse_seg(entry, pcols[depth])
+                rec(full, vals + (v,), depth + 1)
+
+        rec(prev_gen, (), 0)
+        return n_linked
+
     def vacuum(self, name: str | None = None) -> list[str]:
         """Remove orphan maintenance directories — the engine's VACUUM
         stand-in.  Crash-safe operations (``compact``) stage their work in
