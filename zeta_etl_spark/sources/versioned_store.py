@@ -111,6 +111,89 @@ def _normalized_arrow_schema(files: list[str]):
     return pa.schema(fields)
 
 
+def _collect_file_stats(path: str) -> dict:
+    """Per-column min/max/null-count for one part file, read from the
+    parquet footer (no data scan).  Only top-level integer and string
+    columns are recorded — the two types whose values round-trip JSON with
+    ordering intact; floats (NaN ordering), timestamps, and binaries stay
+    unrecorded and therefore never pruned on.  A column missing statistics
+    in ANY row group is dropped (pruning on partial stats is unsound)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    per_col: dict[str, dict] = {}
+    dropped: set[str] = set()
+    for g in range(md.num_row_groups):
+        rg = md.row_group(g)
+        for ci in range(rg.num_columns):
+            col = rg.column(ci)
+            name = col.path_in_schema
+            if "." in name or name in dropped:
+                continue  # nested leaves stay unpruned
+            st = col.statistics
+            if st is None or not st.has_null_count:
+                dropped.add(name)
+                per_col.pop(name, None)
+                continue
+            mn = st.min if st.has_min_max else None
+            mx = st.max if st.has_min_max else None
+            ok = (mn is None and mx is None) or (
+                type(mn) in (int, str) and type(mx) in (int, str)
+            )
+            if not ok:
+                dropped.add(name)
+                per_col.pop(name, None)
+                continue
+            cur = per_col.setdefault(
+                name, {"min": None, "max": None, "nulls": 0}
+            )
+            cur["nulls"] += st.null_count
+            if mn is not None:
+                cur["min"] = mn if cur["min"] is None else min(cur["min"], mn)
+                cur["max"] = mx if cur["max"] is None else max(cur["max"], mx)
+    return {"rows": md.num_rows, "columns": per_col}
+
+
+def _stats_exclude_file(f, stats: dict) -> bool:
+    """True iff the claimed filter ``f`` provably matches NO row of a file
+    with footer ``stats`` — the file-level data-skipping predicate (what
+    Delta/Iceberg evaluate against per-file stats before scheduling a scan
+    task).  Conservative: any doubt (missing column, cross-type compare)
+    keeps the file."""
+    attr = getattr(f, "attribute", None)
+    if attr is None or len(attr) != 1:
+        return False
+    cs = stats["columns"].get(attr[0])
+    if cs is None:
+        return False
+    mn, mx, nulls, rows = cs["min"], cs["max"], cs["nulls"], stats["rows"]
+    try:
+        if isinstance(f, IsNull):
+            return nulls == 0
+        if isinstance(f, IsNotNull):
+            return nulls == rows
+        if isinstance(f, EqualNullSafe) and f.value is None:
+            return nulls == 0
+        if mn is None or mx is None:
+            return False  # all-null column: only null-ness is decidable
+        if isinstance(f, (EqualTo, EqualNullSafe)):
+            return f.value < mn or f.value > mx
+        if isinstance(f, GreaterThan):
+            return mx <= f.value
+        if isinstance(f, GreaterThanOrEqual):
+            return mx < f.value
+        if isinstance(f, LessThan):
+            return mn >= f.value
+        if isinstance(f, LessThanOrEqual):
+            return mn > f.value
+        if isinstance(f, In):
+            vals = [v for v in f.value if v is not None]
+            return all(v < mn or v > mx for v in vals)
+    except TypeError:
+        return False  # JSON value type ≠ filter value type — keep the file
+    return False
+
+
 @dataclass
 class _FilePartition(InputPartition):
     path: str
@@ -128,11 +211,25 @@ class VersionedStoreReader(DataSourceReader):
         # writer therefore retains one superseded generation (see
         # VersionedStoreWriter.commit); scans outliving TWO commits need a
         # longer retention policy, the same seam Delta's VACUUM exposes.
-        self._files = _list_parquet(_committed_dir(path))
+        vdir = _committed_dir(path)
+        self._files = _list_parquet(vdir)
         self._arrow_schema = (
             _normalized_arrow_schema(self._files) if self._files else None
         )
         self._filter_expr = None  # pyarrow expression, built in pushFilters
+        self._claimed: list[Filter] = []  # for file-level stats pruning
+        # footer-stats sidecar written at commit ({file → min/max/nulls});
+        # stores committed before the sidecar existed simply never prune
+        self._file_stats: dict[str, dict] = {}
+        stats_path = os.path.join(vdir, "_stats.json")
+        if os.path.exists(stats_path):
+            import json
+
+            try:
+                with open(stats_path) as fh:
+                    self._file_stats = json.load(fh)
+            except (OSError, ValueError):
+                self._file_stats = {}
 
     def pushFilters(self, filters: list[Filter]):
         # EAGER, not a generator (ADVICE r6): with a lazy generator,
@@ -150,6 +247,7 @@ class VersionedStoreReader(DataSourceReader):
                 unclaimed.append(f)  # unsupported — Spark evaluates post-scan
             else:
                 claimed = expr if claimed is None else claimed & expr
+                self._claimed.append(f)
         self._filter_expr = claimed
         return unclaimed
 
@@ -205,7 +303,26 @@ class VersionedStoreReader(DataSourceReader):
     def partitions(self):
         if not self._files:
             return [_FilePartition("")]  # one empty split keeps read() simple
-        return [_FilePartition(p) for p in self._files]
+        # file-level data skipping: drop whole part files whose footer
+        # stats prove no row can match the claimed filters — the task is
+        # never scheduled, the footer is never even opened executor-side
+        # (Delta/Iceberg data skipping; at 100 TB this is the difference
+        # between "scan the key range's files" and "open every footer")
+        files = self._files
+        if self._claimed and self._file_stats:
+            files = [
+                p
+                for p in files
+                if not any(
+                    _stats_exclude_file(f, st)
+                    for st in (self._file_stats.get(os.path.basename(p)),)
+                    if st is not None
+                    for f in self._claimed
+                )
+            ]
+        if not files:
+            return [_FilePartition("")]
+        return [_FilePartition(p) for p in files]
 
     def read(self, partition: _FilePartition):
         if not partition.path:
@@ -221,6 +338,7 @@ class VersionedStoreReader(DataSourceReader):
 class _StagedFile(WriterCommitMessage):
     path: str
     n_rows: int
+    stats: dict | None = None
 
 
 class VersionedStoreWriter(DataSourceArrowWriter):
@@ -269,7 +387,10 @@ class VersionedStoreWriter(DataSourceArrowWriter):
         if writer is None:
             return _StagedFile(path="", n_rows=0)  # empty task, nothing staged
         writer.close()
-        return _StagedFile(path=out, n_rows=n)
+        # footer stats ride the commit message task→driver (a metadata-only
+        # read of the file this task just wrote) and become the generation's
+        # _stats.json — the reader's file-skipping index
+        return _StagedFile(path=out, n_rows=n, stats=_collect_file_stats(out))
 
     def commit(self, messages):
         """Publish the staged task files as a new committed generation.
@@ -297,12 +418,21 @@ class VersionedStoreWriter(DataSourceArrowWriter):
             if d.startswith(f"{base}__mirror"):
                 shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
 
-        staged = [m.path for m in messages if m and m.path]
+        staged = {m.path: m.stats for m in messages if m and m.path}
         ver = f"w{uuid.uuid4().hex[:12]}"
         new_dir = f"{self._path}__v{ver}"
         os.makedirs(new_dir, exist_ok=True)
+        stats_map: dict[str, dict] = {}
         for i, src in enumerate(sorted(staged)):
-            os.replace(src, os.path.join(new_dir, f"part-{i:05d}.parquet"))
+            final = f"part-{i:05d}.parquet"
+            os.replace(src, os.path.join(new_dir, final))
+            if staged[src] is not None:
+                stats_map[final] = staged[src]
+        if stats_map:
+            import json
+
+            with open(os.path.join(new_dir, "_stats.json"), "w") as fh:
+                json.dump(stats_map, fh)
         shutil.rmtree(self._staging, ignore_errors=True)
         # mirror before pointer: a torn mirror is recoverable from the
         # committed version, a torn version dir named by the pointer is not
@@ -389,6 +519,19 @@ def read_versioned_store(
     runtime set covers externally created sessions (e.g. the driver
     harness).  It changes behavior only for Python data sources that
     implement pushFilters — the built-in file sources ignore it.
+
+    ONE-FRAME-PER-QUERY contract (found live in r7, pinned by
+    tests/test_versioned_store_source.py::test_upstream_scan_cache_hazard):
+    Spark's python-data-source planner caches the planned scan on the
+    loaded relation and REUSES it for a later query on the same DataFrame
+    when that query pushes no filters — including the previous query's
+    claimed filters and pruned file list baked into the cache.  A reused
+    frame answering ``df.where("k = 5")`` and then ``df.count()`` returns
+    a filtered count.  Queries that carry any filter re-plan from a fresh
+    reader and are unaffected.  This function builds a fresh relation per
+    call, so the safe pattern is simply to call it per query (what every
+    engine surface does); it cannot be fixed reader-side because the
+    stale-reuse path never re-enters Python.
     """
     spark.dataSource.register(VersionedStoreDataSource)
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
