@@ -78,3 +78,76 @@ def bucketed_join(
     """Join two identically-bucketed tables — plans as SortMergeJoin with no
     Exchange on either side (verify with .explain())."""
     return spark.table(left_table).join(spark.table(right_table), list(keys), how)
+
+
+def bloom_prefilter_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    keys: Sequence[str],
+    m_bits: int = 65536,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi join with a Bloom semi-join reduction: build a k=4, ``m_bits``
+    Bloom bitmap over the dim side's join keys (one aggregate), broadcast
+    it as a single map row, and filter the fact side BEFORE the join.
+
+    This is the third point on the join-reduction spectrum the engine
+    offers: broadcast-semi (dim fits in memory raw), bloom-prefilter (dim
+    too big to broadcast raw, its bitmap isn't — a 10⁸-key dim is a
+    ~8 MB bitmap at 1 bit/16 keys FP≈2%), shuffle join (nothing fits).
+    At 100 TB the win is shuffle volume: only fact rows that *probably*
+    match ship to the join exchange; false positives (bounded by the m/n
+    ratio) are eliminated by the exact join that follows, so the RESULT is
+    identical to the plain join — the bitmap only prunes.
+
+    Spark's own runtime bloom (spark.sql.optimizer.runtime.bloomFilter.*)
+    does this adaptively for built-in sources; this operator is the
+    deterministic, engine-controlled form that also works on Python data
+    sources and inside foreachBatch bodies where runtime filters don't
+    reach.  Hashing: 4 disjoint 32-bit slices of ONE md5 per key (the
+    engine's cross-engine hashing rule — one digest per row, k positions).
+
+    ``how`` is restricted to inner/left_semi: outer joins need unmatched
+    fact rows, which the prefilter would drop.
+    """
+    if how not in ("inner", "left_semi"):
+        raise ValueError(
+            f"bloom_prefilter_join: how={how!r} unsupported — outer joins "
+            "keep unmatched fact rows, which the bloom prefilter drops"
+        )
+    if m_bits % 64 != 0:
+        raise ValueError("m_bits must be a multiple of 64")
+    from zeta_etl_spark.operators.scalar_frame import scalar_frame_crossjoin
+
+    key_sql = "concat_ws('\\u001f', " + ", ".join(
+        f"cast({k} as string)" for k in keys
+    ) + ")"
+    dig = f"md5({key_sql})"
+    pos_exprs = [
+        f"cast(conv(substr({dig}, {1 + 8 * i}, 8), 16, 10) as bigint) "
+        f"% {m_bits}"
+        for i in range(4)
+    ]
+
+    words = (
+        dim.select(
+            F.explode(F.array(*[F.expr(p) for p in pos_exprs])).alias("pos")
+        )
+        .groupBy((F.col("pos") / 64).cast("int").alias("w"))
+        .agg(
+            F.expr("bit_or(shiftleft(1L, cast(pos % 64 as int)))").alias("b")
+        )
+    )
+    bloom = words.agg(
+        F.map_from_arrays(
+            F.collect_list("w"), F.collect_list("b")
+        ).alias("_bloom")
+    )
+
+    hit = " AND ".join(
+        f"(coalesce(element_at(_bloom, cast(({p}) div 64 as int)), 0L) "
+        f"& shiftleft(1L, cast(({p}) % 64 as int))) != 0"
+        for p in pos_exprs
+    )
+    pruned = scalar_frame_crossjoin(fact, bloom).where(hit).drop("_bloom")
+    return pruned.join(dim, list(keys), how)

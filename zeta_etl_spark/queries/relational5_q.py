@@ -277,3 +277,44 @@ def price_volume_mix(spark, sf_dir):
         vol.alias("volume_effect"),
         ((F.col("rev2") - F.col("rev1")) - vol).alias("price_mix_effect"),
     )
+
+
+# --- bloom_join_reduction: Bloom semi-join reduction before the fact join ----
+# The third join-reduction strategy (operators/scale.bloom_prefilter_join):
+# the dim side's join keys become a broadcast Bloom bitmap that prunes the
+# fact scan BEFORE the join shuffle.  The oracle is the PLAIN join — bloom
+# has no false negatives and the exact join removes false positives, so the
+# result must be bit-identical to an unprefiltered join.
+
+_BLOOMJOIN_ORACLE = """
+SELECT o.o_orderpriority AS priority,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(SUM(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+    AS total_cents
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY 1
+"""
+
+
+@query(
+    "bloom_join_reduction",
+    oracle=_BLOOMJOIN_ORACLE,
+    tags=("join", "bloom", "scale"),
+)
+def bloom_join_reduction(spark, sf_dir):
+    from zeta_etl_spark.operators.scale import bloom_prefilter_join
+
+    o = T(spark, sf_dir, "orders")
+    c = (
+        T(spark, sf_dir, "customer")
+        .where("c_mktsegment = 'BUILDING'")
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+    joined = bloom_prefilter_join(o, c, ["o_custkey"], how="left_semi")
+    return joined.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.expr("sum(cast(floor(o_totalprice * 100 + 0.5) as bigint))")
+        .cast("bigint")
+        .alias("total_cents"),
+    )
