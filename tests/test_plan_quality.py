@@ -357,3 +357,51 @@ def test_single_partition_windows_are_bounded_by_aggregated_grain(
         below = "\n".join(lines[sp:])
         # the aggregate feeding the single partition appears below it
         assert "HashAggregate" in below, name
+
+
+def test_window_family_exchange_pins(spark, sf_dir):
+    """r7 window-audit pins (VERDICT r6 next-8): every multi-window query
+    in the window/analytics families holds its audited data-exchange
+    budget.  The budget counts non-reused Exchange nodes of any kind; a
+    regression that re-executes a lineage or splits a shared partitioning
+    shows up as a count bump here before it shows up in bench."""
+    budgets = {
+        # one window family riding a single partitioning
+        "ewma_user_value": 1,
+        "rsi_cutler": 1,
+        "max_drawdown": 1,
+        "cusum_drift": 1,
+        "top3_purchases_per_user": 1,
+        "reservoir_sample_per_source": 1,
+        # groupBy + window families (audited minimal for their lineage)
+        "session_funnel": 2,
+        "rfm_segments": 2,
+        "session_paths_topk": 2,
+        "markov_transitions": 3,
+        "winsorized_user_stats": 3,
+        "user_leaderboard": 3,
+        "rank_change_24h": 3,
+        "zscore_leaderboard": 3,
+        # user → hour → user ping-pong is a true data dependency
+        "pnl_leaderboard": 4,
+        "pnl_roi_leaderboard": 5,
+        # tf from one explode, df as a window over tf (was 7 with a
+        # second explode + broadcast join)
+        "tfidf_top_terms": 5,
+        # range-partition + broadcast-offset global rank
+        "global_event_rank": 6,
+    }
+    from zeta_etl_spark.queries import REGISTRY
+
+    over = {}
+    for name, budget in budgets.items():
+        df = REGISTRY[name].fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        n = sum(
+            1
+            for ln in plan.splitlines()
+            if "Exchange " in ln and "Reused" not in ln
+        )
+        if n > budget:
+            over[name] = (n, budget)
+    assert not over, f"exchange budget exceeded: {over}"

@@ -97,10 +97,16 @@ def tfidf_top_terms(spark, sf_dir):
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
     )
     tf = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = tokens.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # df as a WINDOW over tf, not a join against a second token explode:
+    # tf rows are unique per (doc, term), so count-over-term == count
+    # (DISTINCT doc_id).  The tokenize+explode (the CPU-dominant stage at
+    # corpus scale) runs once, and the join+broadcast disappears — 7 → 5
+    # exchanges, 2 → 1 explodes (r7 window audit; exchange reuse alone
+    # couldn't do it: column pruning de-canonicalizes the shared subtree)
+    df_w = F.count(F.lit(1)).over(Window.partitionBy("term")).alias("df")
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(df, "term")
+        tf.select("doc_id", "term", "tf", df_w)
         .transform(with_scalar_frame(n))
         .select(
             "doc_id",
