@@ -385,3 +385,103 @@ def test_concurrent_reader_never_torn_under_live_publishes(spark, tmp_path):
     valid = set(published)
     torn = [s for s in seen if s not in valid]
     assert not torn, f"reader observed non-published states: {torn[:2]}"
+
+
+# --- OPTIMIZE ... ZORDER BY (compact zorder_by=) -----------------------------
+
+
+def test_compact_zorder_clusters_both_dimensions(spark, tmp_path):
+    """Z-order compaction: every output file covers a small rectangle of
+    the 2-D key space — per-file spans of BOTH columns shrink vs a linear
+    sort, which leaves the second column full-range in every file."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    N, FILES = 40_000, 16
+    p = Pipeline("zo", str(tmp_path / "p"))
+
+    @p.table(name="tbl")
+    def tbl(pl):
+        # two independent uniform dimensions (decorrelated via md5-ish mix)
+        return (
+            spark.range(N)
+            .select(
+                (F.col("id") % 200).alias("x"),
+                ((F.col("id") * 48271) % 200).alias("y"),
+                F.col("id").alias("payload"),
+            )
+        )
+
+    p.run(spark, targets=["tbl"])
+
+    def file_spans(path):
+        real = os.path.realpath(path)
+        spans = []
+        for f in sorted(os.listdir(real)):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(real, f)).metadata
+            cols = {
+                md.schema.column(i).path: i for i in range(md.num_columns)
+            }
+            mins, maxs = {}, {}
+            for g in range(md.num_row_groups):
+                for cname in ("x", "y"):
+                    stc = md.row_group(g).column(cols[cname]).statistics
+                    mins[cname] = min(mins.get(cname, stc.min), stc.min)
+                    maxs[cname] = max(maxs.get(cname, stc.max), stc.max)
+            spans.append(
+                (maxs["x"] - mins["x"] + 1, maxs["y"] - mins["y"] + 1)
+            )
+        return spans
+
+    before = sorted((r.x, r.y, r.payload) for r in p.read_table(spark, "tbl").collect())
+
+    # linear sort baseline: x is clustered, y is full-range in every file
+    p.compact(spark, "tbl", target_rows_per_file=N // FILES, sort_by=["x"])
+    linear = file_spans(p.path("tbl"))
+    assert all(sy >= 150 for _sx, sy in linear)  # y unclustered
+
+    n_files = p.compact(
+        spark, "tbl", target_rows_per_file=N // FILES, zorder_by=("x", "y")
+    )
+    assert n_files == FILES
+    after = sorted((r.x, r.y, r.payload) for r in p.read_table(spark, "tbl").collect())
+    assert after == before  # rewrite-only, no row changes
+
+    zspans = file_spans(p.path("tbl"))
+    assert len(zspans) == FILES
+    # the discriminator is the PER-DIMENSION span: linear sort leaves y
+    # full-range (~200) in every file; z-order bounds BOTH dimensions on
+    # average.  (Per-file area is not asserted: a file whose z-range
+    # straddles a major quadrant boundary legitimately spans wide in one
+    # dimension — inherent to slicing any space-filling curve.)
+    avg_sx = sum(sx for sx, _ in zspans) / len(zspans)
+    avg_sy = sum(sy for _, sy in zspans) / len(zspans)
+    assert avg_sx <= 120, avg_sx
+    assert avg_sy <= 120, avg_sy
+    linear_avg_sy = sum(sy for _, sy in linear) / len(linear)
+    assert linear_avg_sy >= 150  # vs the stripe layout it replaces
+
+
+def test_compact_zorder_guards(spark, tmp_path):
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    p = Pipeline("zg", str(tmp_path / "p"))
+
+    @p.table(name="tbl")
+    def tbl(pl):
+        return spark.range(100).select(
+            F.col("id").alias("x"), F.col("id").alias("y")
+        )
+
+    p.run(spark, targets=["tbl"])
+    with _pytest.raises(ValueError, match="mutually exclusive"):
+        p.compact(spark, "tbl", sort_by=["x"], zorder_by=("x", "y"))
+    with _pytest.raises(ValueError, match="exactly two"):
+        p.compact(spark, "tbl", zorder_by=("x",))
