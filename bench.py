@@ -148,6 +148,9 @@ OPTIONAL = [
     "daily_mix_shift",
     # round-7 additions
     "global_event_rank",
+    "corpus_shuffle_shards",
+    "exact_stratified_split",
+    "bloom_join_reduction",
 ]
 
 # Deliberate experiments whose cost is a MEASUREMENT, not the engine's real
