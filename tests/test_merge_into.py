@@ -336,3 +336,93 @@ def test_merge_equals_duckdb_reference(spark, tmp_path):
         ).fetchall()
     )
     assert got == want
+
+
+# --- property test: merge_into vs a Python reference model -------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["d1", "d2", "d3"]),          # day (partition)
+        st.integers(min_value=0, max_value=12),       # k (key)
+        st.integers(min_value=-50, max_value=50),     # v
+    ),
+    max_size=12,
+)
+
+
+def _model_merge(target, source, upd_cond, del_cond, ins_cond):
+    """Reference semantics: delete first, then update, unmatched-source
+    insert; matched rows claimed by no clause copy through."""
+    src_by_key = {k: (day, k, v) for day, k, v in source}
+    out = []
+    for day, k, v in target:
+        if k in src_by_key:
+            sday, sk, sv = src_by_key[k]
+            if del_cond(v, sv):
+                continue
+            if upd_cond(v, sv):
+                out.append((sday, sk, sv))
+            else:
+                out.append((day, k, v))
+        else:
+            out.append((day, k, v))
+    tkeys = {k for _d, k, _v in target}
+    for k, (sday, sk, sv) in src_by_key.items():
+        if k not in tkeys and ins_cond(sv):
+            out.append((sday, sk, sv))
+    return sorted(out)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(target=_rows, source=_rows)
+def test_merge_matches_reference_model(spark, tmp_path_factory, target, source):
+    # de-dup keys (target PK; source must be key-unique by contract)
+    target = list({k: (d, k, v) for d, k, v in target}.values())
+    source = list({k: (d, k, v) for d, k, v in source}.values())
+    if not target:
+        target = [("d1", 99, 0)]
+
+    base = str(tmp_path_factory.mktemp("merge_prop"))
+    p = _mk(base, spark, target)
+    src = spark.createDataFrame(
+        source, "day string, k int, v int"
+    ) if source else spark.createDataFrame([], "day string, k int, v int")
+
+    m = p.merge_into(
+        spark,
+        "tbl",
+        src,
+        on=["k"],
+        when_matched_delete=True,
+        delete_condition="s.v < -25",
+        when_matched_update="*",
+        update_condition="s.v >= t.v",
+        when_not_matched_insert="*",
+        insert_condition="s.v % 2 = 0",
+    )
+    got = _rows_list = sorted(
+        (r.day, r.k, r.v)
+        for r in spark.read.parquet(
+            os.path.realpath(p.path("tbl"))
+        ).collect()
+    )
+    want = _model_merge(
+        target,
+        source,
+        upd_cond=lambda tv, sv: sv >= tv,
+        del_cond=lambda tv, sv: sv < -25,
+        ins_cond=lambda sv: sv % 2 == 0,
+    )
+    assert got == want
+    assert m["rows_inserted"] == sum(
+        1
+        for _d, k, v in source
+        if k not in {k2 for _d2, k2, _v2 in target} and v % 2 == 0
+    )
