@@ -43,6 +43,14 @@ def main() -> None:
     ap.add_argument("--sf-dir", required=True)
     ap.add_argument("--out", required=True)
     ap.add_argument("--oracle-timeout", type=float, default=600.0)
+    ap.add_argument(
+        "--max-compare-rows",
+        type=int,
+        default=2_000_000,
+        help="results larger than this are compared by row count only "
+        "(status PASS_ROWS_ONLY) — full hashing is a driver-side harness "
+        "cost, not an engine property",
+    )
     args = ap.parse_args()
 
     results: dict[str, dict] = {}
@@ -61,6 +69,11 @@ def main() -> None:
             "n_total": len(REGISTRY),
             "n_recorded": len(results),
             "n_pass": len(done),
+            "n_pass_rows_only": sum(
+                1
+                for r in results.values()
+                if r.get("status") == "PASS_ROWS_ONLY"
+            ),
             "n_oracle_timeout": sum(
                 1
                 for r in results.values()
@@ -88,9 +101,18 @@ def main() -> None:
         rec: dict = {}
         t0 = time.perf_counter()
         try:
-            sdf = spec.fn(spark, args.sf_dir).toPandas()
+            # count first: the result-set size decides the comparison mode
+            # (a query can be scale-correct yet produce a result too large
+            # to hash driver-side — simhash_near_pairs emits 87M pairs at
+            # sf10; collecting that is a HARNESS limit, not an engine one)
+            n_spark = spec.fn(spark, args.sf_dir).count()
             rec["spark_sec"] = round(time.perf_counter() - t0, 2)
-            rec["spark_rows"] = len(sdf)
+            rec["spark_rows"] = n_spark
+            sdf = (
+                spec.fn(spark, args.sf_dir).toPandas()
+                if n_spark <= args.max_compare_rows
+                else None
+            )
         except Exception as e:  # noqa: BLE001 — recorded, sweep continues
             rec["spark_sec"] = round(time.perf_counter() - t0, 2)
             rec["status"] = f"FAIL: spark: {type(e).__name__}: {e}"[:500]
@@ -114,14 +136,31 @@ def main() -> None:
         wt.start()
         t1 = time.perf_counter()
         try:
-            ddf = con.execute(spec.oracle).fetchdf()
-            interrupted.set()
-            rec["oracle_sec"] = round(time.perf_counter() - t1, 2)
-            try:
-                assert_frames_match(sdf, ddf, name)
-                rec["status"] = "PASS"
-            except AssertionError as e:
-                rec["status"] = f"FAIL: {e}"[:500]
+            if sdf is None:
+                # rows-only mode: full-result hashing is infeasible at this
+                # size; compare cardinalities (the honest weaker check,
+                # marked distinctly so the artifact shows which)
+                n_oracle = con.execute(
+                    f"SELECT COUNT(*) FROM ({spec.oracle})"
+                ).fetchone()[0]
+                interrupted.set()
+                rec["oracle_sec"] = round(time.perf_counter() - t1, 2)
+                rec["oracle_rows"] = n_oracle
+                rec["status"] = (
+                    "PASS_ROWS_ONLY"
+                    if n_oracle == rec["spark_rows"]
+                    else f"FAIL: rows {rec['spark_rows']} != {n_oracle} "
+                    "(rows-only mode)"
+                )
+            else:
+                ddf = con.execute(spec.oracle).fetchdf()
+                interrupted.set()
+                rec["oracle_sec"] = round(time.perf_counter() - t1, 2)
+                try:
+                    assert_frames_match(sdf, ddf, name)
+                    rec["status"] = "PASS"
+                except AssertionError as e:
+                    rec["status"] = f"FAIL: {e}"[:500]
         except Exception as e:  # noqa: BLE001 — interrupt or duckdb error
             interrupted.set()
             rec["oracle_sec"] = round(time.perf_counter() - t1, 2)
@@ -132,6 +171,17 @@ def main() -> None:
                 rec["status"] = f"FAIL: duckdb: {type(e).__name__}: {e}"[:500]
         finally:
             con.close()
+        # cap driver RSS growth across 200 queries (a late-sweep
+        # duck_connection died on allocation once the big-pairs results
+        # had been through pandas — release eagerly)
+        import gc
+
+        sdf = None
+        try:
+            del ddf
+        except NameError:
+            pass
+        gc.collect()
         results[name] = rec
         flush()
         print(
