@@ -483,5 +483,59 @@ def test_compact_zorder_guards(spark, tmp_path):
     p.run(spark, targets=["tbl"])
     with _pytest.raises(ValueError, match="mutually exclusive"):
         p.compact(spark, "tbl", sort_by=["x"], zorder_by=("x", "y"))
-    with _pytest.raises(ValueError, match="exactly two"):
+    with _pytest.raises(ValueError, match="2-4 columns"):
         p.compact(spark, "tbl", zorder_by=("x",))
+
+
+def test_compact_zorder_three_columns(spark, tmp_path):
+    """3-D Morton: the rewrite is a pure relayout (row multiset preserved)
+    and every file bounds ALL THREE dimensions on average."""
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    N, FILES = 32_000, 16
+    p = Pipeline("z3", str(tmp_path / "p"))
+
+    @p.table(name="tbl")
+    def tbl(pl):
+        return spark.range(N).select(
+            (F.col("id") % 128).alias("x"),
+            ((F.col("id") * 48271) % 128).alias("y"),
+            ((F.col("id") * 69621) % 128).alias("z"),
+        )
+
+    p.run(spark, targets=["tbl"])
+    before = sorted(
+        (r.x, r.y, r.z) for r in p.read_table(spark, "tbl").collect()
+    )
+    n_files = p.compact(
+        spark, "tbl", target_rows_per_file=N // FILES,
+        zorder_by=("x", "y", "z"),
+    )
+    assert n_files == FILES
+    after = sorted(
+        (r.x, r.y, r.z) for r in p.read_table(spark, "tbl").collect()
+    )
+    assert after == before
+
+    real = os.path.realpath(p.path("tbl"))
+    spans = {c: [] for c in ("x", "y", "z")}
+    for f in sorted(os.listdir(real)):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(real, f)).metadata
+        cols = {md.schema.column(i).path: i for i in range(md.num_columns)}
+        for cname in spans:
+            mn = mx = None
+            for g in range(md.num_row_groups):
+                stc = md.row_group(g).column(cols[cname]).statistics
+                mn = stc.min if mn is None else min(mn, stc.min)
+                mx = stc.max if mx is None else max(mx, stc.max)
+            spans[cname].append(mx - mn + 1)
+    # 16 files over a 128^3 cube: ideal per-file span ~ 128/16^(1/3) ~ 51;
+    # allow boundary-straddling slack, but each dim must stay well under
+    # the full range a 1-D sort would leave on the other two
+    for cname, ss in spans.items():
+        avg = sum(ss) / len(ss)
+        assert avg <= 100, (cname, avg)

@@ -72,22 +72,40 @@ def timestamps_to_unix(df: DataFrame) -> DataFrame:
     return out
 
 
+def morton_code_sql_n(cols: list[str], bits: int | None = None) -> str:
+    """Spark SQL expression interleaving the low ``bits`` of N non-negative
+    integer columns into a Z-order (Morton) code: bit ``i`` of column ``j``
+    lands at position ``i*N + j``.  ``bits`` defaults to the largest
+    per-column width that keeps the code inside a signed 64-bit long
+    (16 for 2 cols, 20→capped 16 for 3, 15 for 4).  Pure bit arithmetic —
+    whole-stage codegen in Spark, identical semantics in DuckDB."""
+    n = len(cols)
+    if n < 2:
+        raise ValueError("morton_code_sql_n needs at least two columns")
+    if bits is None:
+        bits = min(16, 62 // n)
+    if bits * n > 62:
+        raise ValueError(
+            f"{bits} bits x {n} cols = {bits * n} interleaved bits; "
+            "must fit a signed 64-bit long (<= 62)"
+        )
+    terms = [
+        f"(((({col}) >> {i}) & 1) << {i * n + j})"
+        for i in range(bits)
+        for j, col in enumerate(cols)
+    ]
+    return "cast(" + " + ".join(terms) + " as bigint)"
+
+
 def morton_code_sql(col_a: str, col_b: str, bits: int = 16) -> str:
-    """Spark SQL expression interleaving the low ``bits`` of two non-negative
-    integer columns into a Z-order (Morton) code — a REAL space-filling
+    """Two-column Z-order (Morton) code — a REAL space-filling
     curve for the reference's ``pipelines.autoOptimize.zOrderCols`` table
     property (zetadex-transactions-helius-pipeline.py:285), not just the
     lexicographic ``sortWithinPartitions`` stand-in: sorting by the
     interleaved code clusters rows that are close in EITHER dimension, so
     parquet row-group min/max pruning stays effective for filters on both
-    columns.  Pure bit arithmetic (whole-stage codegen, identical in
-    DuckDB)."""
-    terms = [
-        f"(((({col_a}) >> {i}) & 1) << {2 * i}) + "
-        f"(((({col_b}) >> {i}) & 1) << {2 * i + 1})"
-        for i in range(bits)
-    ]
-    return "cast(" + " + ".join(terms) + " as bigint)"
+    columns.  Delegates to :func:`morton_code_sql_n`."""
+    return morton_code_sql_n([col_a, col_b], bits)
 
 
 def duck_morton_code_sql(col_a: str, col_b: str, bits: int = 16) -> str:

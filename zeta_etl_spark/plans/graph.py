@@ -337,27 +337,28 @@ class Pipeline:
         range-partitions + sorts on the code — every output file covers a
         small RECTANGLE of the (a, b) space instead of a thin full-width
         stripe, so parquet row-group/file min-max pruning works for
-        filters on EITHER column.  Exactly two numeric columns (cast
-        dates/timestamps to epoch first); mutually exclusive with
-        ``sort_by``.  NULLs in either column sort into the leading files.
+        filters on EITHER column.  2-4 numeric columns (cast
+        dates/timestamps to epoch first; bit width per dimension shrinks
+        as 62//n); mutually exclusive with ``sort_by``.  NULLs in any
+        column sort into the leading files.
         """
         import math
         import shutil
 
         from pyspark.sql import functions as F
 
-        from zeta_etl_spark.operators.reshape import morton_code_sql
+        from zeta_etl_spark.operators.reshape import morton_code_sql_n
 
         if zorder_by and sort_by:
             raise ValueError(
                 f"compact({name!r}): sort_by and zorder_by are mutually "
                 "exclusive (both dictate the intra-file order)"
             )
-        if zorder_by and len(zorder_by) != 2:
+        if zorder_by and not 2 <= len(zorder_by) <= 4:
             raise ValueError(
-                f"compact({name!r}): zorder_by takes exactly two columns "
-                "(the Morton interleave is pairwise; chain compactions or "
-                "pre-combine columns for higher dimensions)"
+                f"compact({name!r}): zorder_by takes 2-4 columns (beyond 4 "
+                "the interleave gives <16 bits per dimension and clustering "
+                "quality degrades below what plain sorting provides)"
             )
         node = self.nodes[name]
         if node.extra.get("incremental"):
@@ -369,28 +370,31 @@ class Pipeline:
         path = self.path(name)
         df = spark.read.parquet(path)
         if zorder_by:
-            a, b = zorder_by
-            st = df.agg(
-                F.count(F.lit(1)).alias("n"),
-                F.min(F.col(a).cast("double")).alias("amn"),
-                F.max(F.col(a).cast("double")).alias("amx"),
-                F.min(F.col(b).cast("double")).alias("bmn"),
-                F.max(F.col(b).cast("double")).alias("bmx"),
-            ).first()
+            zcols = list(zorder_by)
+            aggs = [F.count(F.lit(1)).alias("n")]
+            for j, c in enumerate(zcols):
+                aggs.append(F.min(F.col(c).cast("double")).alias(f"mn{j}"))
+                aggs.append(F.max(F.col(c).cast("double")).alias(f"mx{j}"))
+            st = df.agg(*aggs).first()
             rows = st["n"] or 0
             n_files = max(1, math.ceil(rows / target_rows_per_file))
+            zbits = min(16, 62 // len(zcols))
+            top = float(2**zbits - 1)
 
             def _scaled(col: str, mn, mx) -> str:
                 if mn is None or mx is None or mx == mn:
                     return "0"
                 return (
                     f"cast(floor((cast({col} as double) - {mn!r}) / "
-                    f"{mx - mn!r} * 65535.0) as bigint)"
+                    f"{mx - mn!r} * {top!r}) as bigint)"
                 )
 
-            code = morton_code_sql(
-                _scaled(a, st["amn"], st["amx"]),
-                _scaled(b, st["bmn"], st["bmx"]),
+            code = morton_code_sql_n(
+                [
+                    _scaled(c, st[f"mn{j}"], st[f"mx{j}"])
+                    for j, c in enumerate(zcols)
+                ],
+                zbits,
             )
             keys = [*node.partition_by, "__zcode"]
             out = (
