@@ -598,8 +598,13 @@ def value_hour_correlation(spark, sf_dir):
     r = (nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")) / (
         F.sqrt(vx) * F.sqrt(vy)
     )
-    zero = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") == 0) | (
-        F.col("n") * F.col("syy") - F.col("sy") * F.col("sy") == 0
+    # the zero-variance guard must be EXACT integer arithmetic, but BIGINT
+    # overflows at 100x (n·syy ≈ 4e22 at sf10 — found by the sf10 sweep);
+    # DuckDB widens SUM/products to HUGEINT silently, Spark needs
+    # DECIMAL(38,0) (exact to 1e38, overflow-checked under ANSI)
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    zero = (d38("n") * d38("sxx") - d38("sx") * d38("sx") == 0) | (
+        d38("n") * d38("syy") - d38("sy") * d38("sy") == 0
     )
     return s.select(
         "event_type",
