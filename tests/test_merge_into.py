@@ -343,7 +343,7 @@ def test_merge_equals_duckdb_reference(spark, tmp_path):
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
-_rows = st.lists(
+_row_lists = st.lists(
     st.tuples(
         st.sampled_from(["d1", "d2", "d3"]),          # day (partition)
         st.integers(min_value=0, max_value=12),       # k (key)
@@ -381,7 +381,7 @@ def _model_merge(target, source, upd_cond, del_cond, ins_cond):
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
-@given(target=_rows, source=_rows)
+@given(target=_row_lists, source=_row_lists)
 def test_merge_matches_reference_model(spark, tmp_path_factory, target, source):
     # de-dup keys (target PK; source must be key-unique by contract)
     target = list({k: (d, k, v) for d, k, v in target}.values())
