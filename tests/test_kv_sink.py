@@ -49,3 +49,77 @@ def test_kv_export_shape(spark, tmp_path):
     assert spark.read.parquet(
         os.path.join(str(tmp_path), "hourly_trades")
     ).count() == 2
+
+
+# --- KVReader: the DynamoDB-shaped read surface ------------------------------
+
+
+def _serve_table(spark, tmp_path):
+    from zeta_etl_spark.sinks.kv_sink import KVReader
+
+    df = spark.createDataFrame(
+        [
+            Row(timestamp=datetime(2024, 3, 1, h, 0, 0), asset=a,
+                trade_count=h * 10 + i, total_volume=float(h))
+            for i, a in enumerate(["SOL", "BTC"])
+            for h in (10, 11, 12)
+        ]
+    )
+    spec = KVTableSpec(
+        table_name="serve",
+        partition_key=["asset"],
+        sort_key=["timestamp"],
+        global_secondary_indexes={"byHour": ["timestamp", "asset"]},
+        ttl="interval 1 hour",
+        ttl_anchor="timestamp",
+    )
+    export_to_kv(df, spec, str(tmp_path))
+    return KVReader(spark, str(tmp_path), "serve")
+
+
+def test_kv_get_item_point_read(spark, tmp_path):
+    r = _serve_table(spark, tmp_path)
+    ts = int(datetime(2024, 3, 1, 11, 0, 0).timestamp())
+    item = r.get_item("SOL", sk=ts)
+    assert item["tradeCount"] == 110
+    assert r.get_item("DOGE") is None
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="multiple items"):
+        r.get_item("SOL")  # 3 items share the pk, sk required
+
+
+def test_kv_query_sort_key_semantics(spark, tmp_path):
+    r = _serve_table(spark, tmp_path)
+    t10 = int(datetime(2024, 3, 1, 10, 0, 0).timestamp())
+    t11 = int(datetime(2024, 3, 1, 11, 0, 0).timestamp())
+    items = r.query("SOL")
+    assert [i["timestamp"] for i in items] == sorted(
+        i["timestamp"] for i in items
+    )
+    assert len(items) == 3
+    # ScanIndexForward=false + Limit: latest first
+    latest = r.query("SOL", ascending=False, limit=1)
+    assert latest[0]["tradeCount"] == 120
+    # BETWEEN on the sk
+    mid = r.query("SOL", between=(t10, t11))
+    assert [i["tradeCount"] for i in mid] == [100, 110]
+    # begins_with
+    assert len(r.query("SOL", begins_with=str(t10)[:5])) == 3
+
+
+def test_kv_query_index_and_lazy_ttl(spark, tmp_path):
+    r = _serve_table(spark, tmp_path)
+    t11 = int(datetime(2024, 3, 1, 11, 0, 0).timestamp())
+    by_hour = r.query_index("byHour", t11)
+    assert sorted(i["asset"] for i in by_hour) == ["BTC", "SOL"]
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError, match="not declared"):
+        r.query_index("nope", 1)
+    # lazy TTL: expiry = ts + 1h; at now = t11 + 1h + 1s the 10:00 and
+    # 11:00 items are expired, 12:00 survives
+    now = t11 + 3600 + 1
+    live = r.query("SOL", now_epoch=now)
+    assert [i["tradeCount"] for i in live] == [120]
+    assert r.get_item("SOL", sk=t11, now_epoch=now) is None
