@@ -1,0 +1,162 @@
+"""Bucketed merge-based streaming CDC upsert: per-batch cost ∝ touched
+key-buckets, latest-wins semantics, replay idempotence, tombstone reads."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from zeta_etl_spark.sources.json_source import read_json
+from zeta_etl_spark.streaming.runner import (
+    foreach_batch_merge_upsert,
+    read_merge_upsert_table,
+)
+
+SCHEMA = "k bigint, ts timestamp, v double, deleted boolean"
+
+
+def _write_json(path, rows, name):
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, name), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def _run(spark, src, base, ckpt, metrics, n_buckets=16):
+    stream = read_json(spark, src, SCHEMA, streaming=True)
+    foreach_batch_merge_upsert(
+        stream,
+        base,
+        "state",
+        ckpt,
+        keys=["k"],
+        sequence_by=["ts"],
+        spark=spark,
+        n_buckets=n_buckets,
+        metrics_out=metrics,
+    )
+
+
+def _state(spark, base):
+    return {
+        r.k: (r.v, r.deleted)
+        for r in read_merge_upsert_table(spark, base, "state").collect()
+    }
+
+
+def test_merge_upsert_latest_wins_and_bucket_pruning(spark, tmp_path):
+    src = str(tmp_path / "src")
+    base = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    metrics: list = []
+
+    _write_json(
+        src,
+        [
+            {"k": i, "ts": "2024-01-01 00:00:00", "v": float(i),
+             "deleted": False}
+            for i in range(200)
+        ],
+        "w1.json",
+    )
+    _run(spark, src, base, ckpt, metrics)
+    assert metrics[-1]["initial_load"] is True
+    assert len(_state(spark, base)) == 200
+
+    # small second batch: 3 keys → at most 3 of 16 buckets rewritten,
+    # the rest hard-linked (cost ∝ batch, not store)
+    _write_json(
+        src,
+        [
+            {"k": 5, "ts": "2024-01-02 00:00:00", "v": 555.0,
+             "deleted": False},
+            {"k": 7, "ts": "2024-01-02 00:00:00", "v": 777.0,
+             "deleted": False},
+            {"k": 999, "ts": "2024-01-02 00:00:00", "v": 9.0,
+             "deleted": False},
+        ],
+        "w2.json",
+    )
+    _run(spark, src, base, ckpt, metrics)
+    m = metrics[-1]
+    assert m["partition_pruned"] is True
+    assert m["touched_partitions"] <= 3
+    assert m["linked_partitions"] >= 13
+    assert m["rows_updated"] == 2 and m["rows_inserted"] == 1
+
+    st = _state(spark, base)
+    assert len(st) == 201
+    assert st[5] == (555.0, False) and st[999] == (9.0, False)
+    assert st[6] == (6.0, False)  # untouched bucket content intact
+
+
+def test_merge_upsert_stale_rows_lose_and_replay_idempotent(
+    spark, tmp_path
+):
+    src = str(tmp_path / "src")
+    base = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    metrics: list = []
+
+    _write_json(
+        src,
+        [{"k": 1, "ts": "2024-01-05 00:00:00", "v": 1.0, "deleted": False}],
+        "w1.json",
+    )
+    _run(spark, src, base, ckpt, metrics)
+    # older sequence value must NOT overwrite
+    _write_json(
+        src,
+        [{"k": 1, "ts": "2024-01-01 00:00:00", "v": 99.0, "deleted": False}],
+        "w2.json",
+    )
+    _run(spark, src, base, ckpt, metrics)
+    assert _state(spark, base)[1] == (1.0, False)
+    assert metrics[-1]["rows_updated"] == 0
+    assert metrics[-1]["rows_matched_copied"] == 1
+
+    # checkpoint loss → the whole input replays; the >= condition makes
+    # the re-merge idempotent (same rows, same result)
+    shutil.rmtree(ckpt)
+    before = _state(spark, base)
+    _run(spark, src, base, ckpt, metrics)
+    assert _state(spark, base) == before
+
+
+def test_merge_upsert_tombstones_filtered_at_read(spark, tmp_path):
+    src = str(tmp_path / "src")
+    base = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write_json(
+        src,
+        [
+            {"k": 1, "ts": "2024-01-01 00:00:00", "v": 1.0, "deleted": False},
+            {"k": 2, "ts": "2024-01-01 00:00:00", "v": 2.0, "deleted": False},
+        ],
+        "w1.json",
+    )
+    _run(spark, src, base, ckpt, [])
+    _write_json(
+        src,
+        [{"k": 2, "ts": "2024-01-02 00:00:00", "v": 0.0, "deleted": True}],
+        "w2.json",
+    )
+    _run(spark, src, base, ckpt, [])
+
+    # tombstone persists in the store (blocks late rows)…
+    assert _state(spark, base)[2] == (0.0, True)
+    # …and the reader surface filters it
+    live = read_merge_upsert_table(
+        spark, base, "state", delete_predicate="deleted"
+    )
+    assert [r.k for r in live.collect()] == [1]
+    # a late row OLDER than the delete cannot resurrect the key
+    _write_json(
+        src,
+        [{"k": 2, "ts": "2024-01-01 12:00:00", "v": 22.0, "deleted": False}],
+        "w3.json",
+    )
+    _run(spark, src, base, ckpt, [])
+    assert _state(spark, base)[2] == (0.0, True)

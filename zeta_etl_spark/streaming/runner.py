@@ -556,3 +556,119 @@ def foreach_batch_partitioned_append(
         .start()
         .awaitTermination()
     )
+
+
+def foreach_batch_merge_upsert(
+    stream: DataFrame,
+    target_base: str,
+    table_name: str,
+    checkpoint: str,
+    keys: Sequence[str],
+    sequence_by: Sequence[str],
+    spark: SparkSession,
+    n_buckets: int = 64,
+    metrics_out: list | None = None,
+) -> None:
+    """Streaming CDC upsert whose per-batch cost is proportional to the
+    BATCH, not the store — the scale successor to
+    :func:`foreach_batch_upsert` (which unions the full store with every
+    microbatch and rewrites it).
+
+    Layout: a generation-layout table hive-partitioned by
+    ``_kb = pmod(xxhash64(keys), n_buckets)``.  Because ``_kb`` is a pure
+    function of the merge keys, ``Pipeline.merge_into`` prunes to touched
+    buckets and hard-links the rest — a microbatch carrying k distinct keys
+    rewrites at most min(k, n_buckets) buckets.  Size ``n_buckets`` so a
+    typical batch touches a small fraction (store_rows / bucket should be
+    ≫ batch_rows / touched_buckets; more buckets = finer pruning but more
+    small files — pair with ``compact``).
+
+    Semantics match foreach_batch_upsert: latest row per key wins, ordered
+    by ``sequence_by`` (the batch is pre-deduped with latest_by_keys, which
+    also satisfies merge's unique-source-key contract); the matched-update
+    fires only when the source sequence is >= the target's, so replayed
+    batches (crash between the atomic merge publish and the stream
+    checkpoint) re-merge idempotently.  Delete markers are regular rows
+    here too — tombstones stay in the store and readers filter them
+    (the DLT apply_as_deletes contract lives at the read surface).
+
+    ``metrics_out``: optional list collecting per-batch merge metrics
+    (rows_updated / rows_inserted / touched vs linked partitions) — the
+    observability a Delta MERGE emits as operationMetrics.
+    """
+    from zeta_etl_spark.operators.cdc import latest_by_keys
+    from zeta_etl_spark.plans.graph import Pipeline
+
+    p = Pipeline(f"cdc_merge_{table_name}", target_base)
+
+    @p.table(name=table_name, partition_by=("_kb",))
+    def _node(pl):  # materialized through merge, never through run()
+        raise RuntimeError(
+            "merge-upsert table is maintained by foreach_batch_merge_upsert"
+        )
+
+    # lexicographic "source sequence >= target sequence": strict > on each
+    # prefix-equal level, >= only on the last column
+    last = len(sequence_by) - 1
+    seq_newer = " OR ".join(
+        "("
+        + " AND ".join(f"s.{c} = t.{c}" for c in sequence_by[:i])
+        + (" AND " if i else "")
+        + f"s.{sequence_by[i]} {'>=' if i == last else '>'} "
+        + f"t.{sequence_by[i]})"
+        for i in range(len(sequence_by))
+    )
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        b = latest_by_keys(batch_df, keys, sequence_by).withColumn(
+            "_kb",
+            F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets))
+            .cast("int"),
+        )
+        path = p.path(table_name)
+        if not os.path.lexists(path):
+            p._write_overwrite_atomic(p.nodes[table_name], b)
+            if metrics_out is not None:
+                metrics_out.append(
+                    {"batch_id": batch_id, "initial_load": True}
+                )
+            return
+        m = p.merge_into(
+            spark,
+            table_name,
+            b,
+            on=["_kb", *keys],
+            when_matched_update="*",
+            update_condition=seq_newer,
+            when_not_matched_insert="*",
+        )
+        if metrics_out is not None:
+            metrics_out.append({"batch_id": batch_id, **m})
+
+    (
+        stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def read_merge_upsert_table(
+    spark: SparkSession,
+    target_base: str,
+    table_name: str,
+    delete_predicate: str | None = None,
+) -> DataFrame:
+    """Reader for a :func:`foreach_batch_merge_upsert` table: resolves the
+    committed generation once (snapshot isolation), drops the internal
+    ``_kb`` bucket column, and filters tombstones at the read surface
+    (NULL predicate = kept — the same contract as read_versioned_store)."""
+    df = spark.read.parquet(
+        os.path.realpath(os.path.join(target_base, table_name))
+    ).drop("_kb")
+    if delete_predicate:
+        df = df.filter(
+            ~F.coalesce(F.expr(delete_predicate), F.lit(False))
+        )
+    return df
