@@ -426,3 +426,70 @@ def test_merge_matches_reference_model(spark, tmp_path_factory, target, source):
         for _d, k, v in source
         if k not in {k2 for _d2, k2, _v2 in target} and v % 2 == 0
     )
+
+
+def test_schema_evolution_adds_source_columns(spark, tmp_path):
+    """Delta autoMerge stand-in: source-only columns widen the target;
+    pre-existing rows read NULL, updated/inserted rows carry the value,
+    and a later non-evolving merge works on the widened table."""
+    p = _mk(str(tmp_path / "t"), spark, TARGET)
+    src = spark.createDataFrame(
+        [("d1", 1, 111, "alpha"), ("dX", 9, 90, "new")],
+        "day string, k int, v int, tag string",
+    )
+    m = p.merge_into(
+        spark,
+        "tbl",
+        src,
+        on=["k"],
+        when_matched_update="*",
+        when_not_matched_insert="*",
+        schema_evolution=True,
+    )
+    assert m["evolved_columns"] == ["tag"]
+    assert m["partition_pruned"] is False
+    df = spark.read.parquet(os.path.realpath(p.path("tbl")))
+    assert df.columns == ["day", "k", "v", "tag"]
+    got = {r.k: (r.v, r.tag) for r in df.collect()}
+    assert got[1] == (111, "alpha")   # updated row takes the new value
+    assert got[9] == (90, "new")      # inserted row carries it
+    assert got[2] == (20, None)       # untouched row reads NULL
+
+    # follow-up merge without evolution on the widened schema
+    src2 = spark.createDataFrame(
+        [("d2", 3, 333, "beta")], "day string, k int, v int, tag string"
+    )
+    p.merge_into(spark, "tbl", src2, on=["k"], when_matched_update="*")
+    got = {
+        r.k: (r.v, r.tag)
+        for r in spark.read.parquet(
+            os.path.realpath(p.path("tbl"))
+        ).collect()
+    }
+    assert got[3] == (333, "beta")
+
+
+def test_schema_evolution_without_flag_ignores_extra_columns(spark, tmp_path):
+    p = _mk(str(tmp_path / "t"), spark, TARGET)
+    src = spark.createDataFrame(
+        [("d1", 1, 111, "alpha")], "day string, k int, v int, tag string"
+    )
+    p.merge_into(spark, "tbl", src, on=["k"], when_matched_update="*")
+    df = spark.read.parquet(os.path.realpath(p.path("tbl")))
+    assert df.columns == ["day", "k", "v"]  # Delta without autoMerge
+
+
+def test_schema_evolution_rejects_dict_clauses(spark, tmp_path):
+    p = _mk(str(tmp_path / "t"), spark, TARGET)
+    src = spark.createDataFrame(
+        [("d1", 1, 111, "alpha")], "day string, k int, v int, tag string"
+    )
+    with pytest.raises(ValueError, match="schema_evolution supports only"):
+        p.merge_into(
+            spark,
+            "tbl",
+            src,
+            on=["k"],
+            when_matched_update={"v": "s.v"},
+            schema_evolution=True,
+        )

@@ -509,6 +509,7 @@ class Pipeline:
         when_not_matched_insert: str | dict[str, str] | None = None,
         insert_condition: str | None = None,
         collect_metrics: bool = True,
+        schema_evolution: bool = False,
     ) -> dict:
         """Batch ``MERGE INTO`` on a materialized overwrite table — the
         engine's stand-in for Delta's MERGE (the reference's CDC targets are
@@ -595,7 +596,29 @@ class Pipeline:
                 f"(duplicate {on} in source) — result would be nondeterministic"
             )
 
-        prunable = bool(pcols) and set(pcols) <= set(on)
+        # schema evolution (Delta autoMerge stand-in): source-only columns
+        # extend the target schema; pre-existing rows read NULL.  Only the
+        # "*" clause forms (the evolved columns' values are unambiguous),
+        # and always a FULL rewrite — without a transaction log, hard-linked
+        # old-schema partition files cannot serve the widened schema.
+        new_cols: list[str] = []
+        if schema_evolution:
+            new_cols = [c for c in source.columns if c not in tcols]
+        if new_cols:
+            if when_matched_update not in (None, "*") or (
+                when_not_matched_insert not in (None, "*")
+            ):
+                raise ValueError(
+                    "merge_into: schema_evolution supports only '*' "
+                    "update/insert clauses (dict clauses make the evolved "
+                    "columns' values ambiguous)"
+                )
+            sfields = {f.name: f.dataType for f in source.schema.fields}
+            tfields.update({c: sfields[c] for c in new_cols})
+
+        prunable = (
+            bool(pcols) and set(pcols) <= set(on) and not new_cols
+        )
         touched: list[tuple] | None = None
         if prunable:
             touched = [
@@ -688,6 +711,12 @@ class Pipeline:
                     ins = F.expr(sql) if sql is not None else F.lit(None)
                 col = col.otherwise(ins)
             out_cols.append(col.cast(tfields[c]).alias(c))
+        for c in new_cols:  # appended after the existing schema
+            col = F.when(upd_gate, F.expr(f"s.{c}"))
+            col = col.when(F.col("t").isNotNull(), F.lit(None))
+            if when_not_matched_insert is not None:
+                col = col.otherwise(F.expr(f"s.{c}"))
+            out_cols.append(col.cast(tfields[c]).alias(c))
 
         survives = (matched & ~del_gate) | (
             F.col("t").isNotNull() & F.col("s").isNull()
@@ -725,6 +754,7 @@ class Pipeline:
             partition_pruned=prunable,
             touched_partitions=len(touched) if touched is not None else None,
             linked_partitions=n_linked,
+            evolved_columns=new_cols,
         )
         return metrics
 
