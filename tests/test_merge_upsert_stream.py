@@ -160,3 +160,29 @@ def test_merge_upsert_tombstones_filtered_at_read(spark, tmp_path):
     )
     _run(spark, src, base, ckpt, [])
     assert _state(spark, base)[2] == (0.0, True)
+
+
+def test_merge_upsert_bucket_config_pinned(spark, tmp_path):
+    """n_buckets is table identity: a key's bucket is pmod(hash, n); a
+    different count on a later run would re-bucket source keys and
+    duplicate them on merge — must hard-error, not corrupt."""
+    import pytest as _pytest
+
+    src = str(tmp_path / "src")
+    base = str(tmp_path / "t")
+    _write_json(
+        src,
+        [{"k": 1, "ts": "2024-01-01 00:00:00", "v": 1.0, "deleted": False}],
+        "w1.json",
+    )
+    _run(spark, src, base, str(tmp_path / "ck1"), [], n_buckets=16)
+    _write_json(
+        src,
+        [{"k": 1, "ts": "2024-01-02 00:00:00", "v": 2.0, "deleted": False}],
+        "w2.json",
+    )
+    with _pytest.raises(Exception, match="layout config changed"):
+        _run(spark, src, base, str(tmp_path / "ck2"), [], n_buckets=8)
+    # unchanged config proceeds
+    _run(spark, src, base, str(tmp_path / "ck3"), [], n_buckets=16)
+    assert _state(spark, base)[1] == (2.0, False)

@@ -596,8 +596,34 @@ def foreach_batch_merge_upsert(
     (rows_updated / rows_inserted / touched vs linked partitions) — the
     observability a Delta MERGE emits as operationMetrics.
     """
+    import json
+
     from zeta_etl_spark.operators.cdc import latest_by_keys
     from zeta_etl_spark.plans.graph import Pipeline
+
+    # n_buckets is part of the table's IDENTITY: a key lives in
+    # pmod(hash, n_buckets), so merging with a different bucket count would
+    # compute different _kb values for existing keys — the (_kb, keys)
+    # merge then misses the match and INSERTS a duplicate.  Pin the layout
+    # config on first use and hard-error on mismatch (Delta pins the
+    # analogous partitioning in its log).
+    os.makedirs(target_base, exist_ok=True)
+    cfg_path = os.path.join(target_base, f"{table_name}__merge_upsert.json")
+    cfg = {"n_buckets": n_buckets, "keys": list(keys)}
+    if os.path.exists(cfg_path):
+        with open(cfg_path) as fh:
+            existing = json.load(fh)
+        if existing != cfg:
+            raise ValueError(
+                f"foreach_batch_merge_upsert({table_name!r}): layout "
+                f"config changed ({existing} -> {cfg}); bucket ids are a "
+                "function of (keys, n_buckets), so merging under a new "
+                "config would duplicate existing keys — migrate by "
+                "rewriting the table instead"
+            )
+    else:
+        with open(cfg_path, "w") as fh:
+            json.dump(cfg, fh)
 
     p = Pipeline(f"cdc_merge_{table_name}", target_base)
 
