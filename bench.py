@@ -151,6 +151,11 @@ OPTIONAL = [
     "corpus_shuffle_shards",
     "exact_stratified_split",
     "bloom_join_reduction",
+    # round-7 session-3 frontier batch
+    "skyline_orders",
+    "theil_sen_trend",
+    "maxsim_late_interaction",
+    "paragraph_dedup_fraction",
 ]
 
 # Deliberate experiments whose cost is a MEASUREMENT, not the engine's real

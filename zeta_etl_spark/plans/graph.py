@@ -532,9 +532,13 @@ class Pipeline:
           Without an insert clause unmatched source rows are ignored.
         - Condition / expression SQL references target columns as ``t.col``
           and source columns as ``s.col``.
-        - More than one source row matching a single target row is an ERROR
-          (same runtime guard Delta raises — the merge result would be
-          nondeterministic).
+        - Duplicate ``on``-keys in the SOURCE are an ERROR.  This is
+          strictly stronger than Delta's runtime guard (Delta only errors
+          when duplicate source rows MATCH a target row; duplicate
+          unmatched rows insert twice) — duplicate keys here would make the
+          result nondeterministic on the next merge anyway, so they are
+          rejected up front.  Note NULL key components compare equal for
+          this guard (GROUP BY semantics) even though they never MATCH.
 
         Scale design: when the table is hive-partitioned and every partition
         column is a join key, only TOUCHED partitions (the source's distinct
@@ -1246,7 +1250,184 @@ class Pipeline:
             )
         return out
 
-    def _seal_commit_meta(self, staged: str, operation: str) -> None:
+    def restore(self, spark: SparkSession, name: str, version: int) -> dict:
+        """``RESTORE TABLE ... TO VERSION AS OF`` — roll an overwrite table
+        back to a retained generation by publishing a NEW generation with the
+        old content (Delta's RESTORE is likewise a new commit referencing the
+        old files, so history moves forward and the restore itself can be
+        time-traveled past).
+
+        The restored generation HARD-LINKS every data file of the source
+        generation — a restore is metadata-cost only, never a data copy —
+        and is sealed with a ``restore`` commit record carrying the source
+        version.  The same atomic stage→seal→publish protocol as every
+        other writer applies: a crash at any seam leaves readers on a
+        complete snapshot.
+        """
+        node = self.nodes[name]
+        if node.extra.get("mode", "overwrite") != "overwrite":
+            raise ValueError(
+                f"restore({name!r}): requires the generation layout "
+                "(mode='overwrite')"
+            )
+        gens = self.table_versions(name)
+        if version not in gens:
+            raise ValueError(
+                f"restore({name!r}, {version}): generation not on disk "
+                f"(available: {gens}); it predates the "
+                f"retain_generations={self.retain_generations} window"
+            )
+        path = self.path(name)
+        gen_root, nxt = self._gen_prepare(path)
+        src = os.path.join(gen_root, f"v{version:06d}")
+        staged = os.path.join(gen_root, f"v{nxt:06d}__staging")
+
+        def link_tree(s: str, d: str) -> None:
+            os.makedirs(d, exist_ok=True)
+            for entry in os.listdir(s):
+                sp, dp = os.path.join(s, entry), os.path.join(d, entry)
+                if os.path.isdir(sp):
+                    link_tree(sp, dp)
+                elif entry != "_commit.json":  # gets a fresh restore record
+                    os.link(sp, dp)
+
+        link_tree(src, staged)
+        _fault_injection("post_stage")
+        self._seal_commit_meta(staged, "restore", restored_from=version)
+        committed = os.path.join(gen_root, f"v{nxt:06d}")
+        os.replace(staged, committed)
+        _fault_injection("post_seal")
+        self._swap_pointer(path, committed)
+        _fault_injection("post_publish")
+        self._retain_generations(gen_root, nxt)
+        if name in self._done:
+            df_new = spark.read.parquet(os.path.realpath(path))
+            df_new.createOrReplaceTempView(f"{self.name}__{name}")
+            self._done[name] = df_new
+        return {"generation": nxt, "restored_from": version}
+
+    def table_changes(
+        self,
+        spark: SparkSession,
+        name: str,
+        from_version: int,
+        to_version: int,
+        keys: Sequence[str],
+        check_unique: bool = True,
+    ) -> DataFrame:
+        """Row-level change feed between two retained generations — the
+        stand-in for Delta's ``table_changes(...)`` CDF read (the reference
+        consumes CDF implicitly through DLT's apply_changes flows).  Delta
+        derives changes from per-commit file actions; without a transaction
+        log the diff is computed relationally: a key-keyed full outer join
+        of the two snapshots, emitting
+
+        - ``insert`` rows (key only in ``to_version``),
+        - ``delete`` rows (key only in ``from_version``, with the OLD image),
+        - ``update_preimage`` + ``update_postimage`` row PAIRS for keys whose
+          non-key columns differ (null-safe comparison).
+
+        Columns present in only one generation (merge schema evolution)
+        read NULL on the other side.  ``keys`` must uniquely identify rows
+        in both snapshots (checked with one aggregate per side unless
+        ``check_unique=False``); change feeds over non-keyed tables are not
+        expressible relationally.  Scale shape: one shuffle per side on the
+        key columns; identical rows are dropped before the union, so the
+        output is proportional to the CHANGE volume, not the table.
+        """
+        from functools import reduce
+
+        from pyspark.sql import functions as F
+
+        keys = list(keys)
+        old = self.read_version(spark, name, from_version)
+        new = self.read_version(spark, name, to_version)
+        all_cols = list(old.columns) + [
+            c for c in new.columns if c not in old.columns
+        ]
+        if not set(keys) <= set(all_cols):
+            raise ValueError(f"table_changes: keys {keys} not in {all_cols}")
+
+        def widen(df: DataFrame) -> DataFrame:
+            missing = [c for c in all_cols if c not in df.columns]
+            for c in missing:
+                other = new if c in new.columns else old
+                dt = dict(other.dtypes)[c]
+                df = df.withColumn(c, F.lit(None).cast(dt))
+            return df.select(*all_cols)
+
+        old, new = widen(old), widen(new)
+        if check_unique:
+            for side, df in (("from", old), ("to", new)):
+                if not (
+                    df.groupBy(*keys)
+                    .agg(F.count(F.lit(1)).alias("__n"))
+                    .where(F.col("__n") > 1)
+                    .isEmpty()
+                ):
+                    raise ValueError(
+                        f"table_changes({name!r}): keys {keys} are not "
+                        f"unique in the {side}-version snapshot — the "
+                        "relational change feed is undefined"
+                    )
+        o = old.select(F.struct(*all_cols).alias("o"))
+        n = new.select(F.struct(*all_cols).alias("n"))
+        joined = o.join(
+            n,
+            reduce(
+                lambda a, b: a & b,
+                [o["o"][k].eqNullSafe(n["n"][k]) for k in keys],
+            ),
+            "full_outer",
+        )
+        value_cols = [c for c in all_cols if c not in keys]
+        changed = (
+            reduce(
+                lambda a, b: a | b,
+                [
+                    ~F.col("o")[c].eqNullSafe(F.col("n")[c])
+                    for c in value_cols
+                ],
+                F.lit(False),
+            )
+            if value_cols
+            else F.lit(False)
+        )
+
+        tagged = joined.withColumn(
+            "__emit",
+            F.when(F.col("o").isNull(), F.lit("n:insert"))
+            .when(F.col("n").isNull(), F.lit("o:delete"))
+            .when(changed, F.lit("update"))
+            .otherwise(F.lit("same")),
+        )
+        pre = tagged.where(F.col("__emit") == "update").select(
+            *[F.col("o")[c].alias(c) for c in all_cols],
+            F.lit("update_preimage").alias("_change_type"),
+        )
+        post = tagged.where(F.col("__emit") == "update").select(
+            *[F.col("n")[c].alias(c) for c in all_cols],
+            F.lit("update_postimage").alias("_change_type"),
+        )
+        ins = tagged.where(F.col("__emit") == "n:insert").select(
+            *[F.col("n")[c].alias(c) for c in all_cols],
+            F.lit("insert").alias("_change_type"),
+        )
+        del_ = tagged.where(F.col("__emit") == "o:delete").select(
+            *[F.col("o")[c].alias(c) for c in all_cols],
+            F.lit("delete").alias("_change_type"),
+        )
+        return (
+            ins.unionByName(del_)
+            .unionByName(pre)
+            .unionByName(post)
+            .withColumn("_from_version", F.lit(from_version).cast("int"))
+            .withColumn("_to_version", F.lit(to_version).cast("int"))
+        )
+
+    def _seal_commit_meta(
+        self, staged: str, operation: str, **extra
+    ) -> None:
         """Stamp the staged generation with commit metadata BEFORE the seal
         rename, so a sealed generation always carries its record."""
         import json
@@ -1260,6 +1441,7 @@ class Pipeline:
                     "committed_at": time.strftime(
                         "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
                     ),
+                    **extra,
                 },
                 fh,
             )

@@ -1,0 +1,407 @@
+"""Frontier batch (round 7, session 3): four operator families the engine
+did not yet cover —
+
+- ``skyline_orders``: the SKYLINE (Pareto-frontier) operator, the classic
+  preference-query primitive.  2-D strict dominance compiles to ONE range-
+  frame window — no self-join, no all-pairs.
+- ``theil_sen_trend``: robust per-key trend (median of pairwise slopes,
+  Theil–Sen estimator) with the quadratic pair grid built ARRAY-side over a
+  bounded per-key prefix — one shuffle total.
+- ``maxsim_late_interaction``: ColBERT-style multi-vector retrieval — per
+  query token, max cosine over document tokens, summed.  Token cosines are
+  integer-scaled so the MaxSim sum is an order-independent BIGINT.
+- ``paragraph_dedup_fraction``: C4/Dolma-style paragraph-level exact dedup
+  accounting (global first occurrence wins), skew-safe: first-occurrence is
+  a map-side-combinable ``min(struct)`` aggregate, not a hot-key window.
+
+All follow the repo determinism rules (SURVEY §5): BIGINT integer math,
+md5-only hashing, single trailing double divisions, no libm
+transcendentals except correctly-rounded sqrt/division.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from zeta_etl_spark.operators.scalar_frame import scalar_frame_crossjoin
+from zeta_etl_spark.operators.vectors import scaled_vectors
+from zeta_etl_spark.queries.registry import T, query
+
+# --- skyline_orders: 2-D Pareto skyline --------------------------------------
+# "Orders not dominated by any later, strictly more expensive order in the
+# same priority class" — the skyline/Pareto operator (Börzsönyi et al.,
+# ICDE'01).  The naive formulation is an all-pairs NOT EXISTS self-join
+# (quadratic); for 2-D strict dominance it reduces to one window: a row is
+# dominated iff max(price over STRICTLY LATER rows) exceeds its price, and
+# "strictly later" is a RANGE frame (1 FOLLOWING, UNBOUNDED FOLLOWING) on
+# integer day numbers.  Scale shape: one shuffle on the partition key, one
+# sort — survives any fact size; the skyline output is tiny (~log n per
+# partition on independent dimensions).  Dates are day-granular in this
+# corpus (verified 00:00:00), so +1 day == strictly later.
+
+_SKYLINE_ORACLE = """
+WITH base AS (
+  SELECT o_orderpriority, o_orderkey,
+    CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+      AS BIGINT) AS date_days,
+    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+  FROM orders
+), flagged AS (
+  SELECT *,
+    MAX(price_cents) OVER (
+      PARTITION BY o_orderpriority ORDER BY date_days
+      RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS later_max
+  FROM base
+)
+SELECT o_orderpriority, o_orderkey, date_days, price_cents
+FROM flagged
+WHERE later_max IS NULL OR later_max <= price_cents
+"""
+
+
+@query("skyline_orders", oracle=_SKYLINE_ORACLE, tags=("window", "skyline", "pareto"))
+def skyline_orders(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+        )
+        .cast("bigint")
+        .alias("date_days"),
+        F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)").alias(
+            "price_cents"
+        ),
+    )
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("date_days")
+        .rangeBetween(1, Window.unboundedFollowing)
+    )
+    return (
+        base.withColumn("later_max", F.max("price_cents").over(w))
+        # keep iff NOT dominated: no strictly-later row has strictly higher
+        # price (empty later-frame -> NULL -> kept)
+        .filter(
+            F.coalesce(
+                F.col("later_max") <= F.col("price_cents"), F.lit(True)
+            )
+        )
+        .select("o_orderpriority", "o_orderkey", "date_days", "price_cents")
+    )
+
+
+# --- theil_sen_trend: robust median-slope trend ------------------------------
+# Theil–Sen: the median over all pairwise slopes (v_j - v_i)/(t_j - t_i) —
+# the standard robust alternative to OLS (linear_trend_per_user is the OLS
+# twin).  The estimator is inherently quadratic in the series length, so the
+# series is BOUNDED first: the earliest 20 events per user (deterministic
+# (ts, event_id) prefix), giving <= 190 pairs per key.  The pair grid is
+# built ARRAY-side with nested HOFs over the collected prefix — the whole
+# query is ONE shuffle (the groupBy), no self-join, no window over pairs;
+# per-key work is constant, so the plan scales with user count only.
+# Determinism: cents/seconds are exact BIGINTs, each slope is ONE double
+# division (IEEE-exact both engines), the median is the VALUE at rank
+# (n+1)//2 of the ascending sort — value-at-rank is well-defined under ties.
+# Equal-timestamp pairs (slope undefined) are excluded on both sides.
+
+_TSEN_N = 20
+
+_TSEN_ORACLE = f"""
+WITH ranked AS (
+  SELECT user_id,
+    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+    date_diff('second', TIMESTAMP '1970-01-01', CAST(ts AS TIMESTAMP)) AS sec,
+    ROW_NUMBER() OVER (PARTITION BY user_id
+                       ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+  FROM events
+), lim AS (
+  SELECT * FROM ranked WHERE rn <= {_TSEN_N}
+), pairs AS (
+  SELECT a.user_id,
+    (CAST(b.cents AS DOUBLE) - CAST(a.cents AS DOUBLE))
+      / CAST(b.sec - a.sec AS DOUBLE) AS slope
+  FROM lim a JOIN lim b
+    ON a.user_id = b.user_id AND a.rn < b.rn AND a.sec <> b.sec
+), med AS (
+  SELECT user_id, slope,
+    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY slope) AS srn,
+    COUNT(*) OVER (PARTITION BY user_id) AS n_pairs
+  FROM pairs
+)
+SELECT user_id, CAST(n_pairs AS BIGINT) AS n_pairs, slope AS median_slope
+FROM med WHERE srn = (n_pairs + 1) // 2
+"""
+
+
+@query("theil_sen_trend", oracle=_TSEN_ORACLE, tags=("stats", "robust", "trend"))
+def theil_sen_trend(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = (
+        e.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.expr("cast(floor(value * 100 + 0.5) as bigint)").alias("cents"),
+            F.unix_timestamp(F.col("ts").cast("timestamp")).alias("sec"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TSEN_N)
+    )
+    arr = ranked.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("rn", "sec", "cents"))).alias(
+            "arr"
+        )
+    )
+    slopes = F.expr(
+        """
+        filter(
+          flatten(transform(sequence(1, size(arr) - 1), i ->
+            transform(sequence(i + 1, size(arr)), j ->
+              CASE WHEN element_at(arr, j).sec <> element_at(arr, i).sec
+              THEN (cast(element_at(arr, j).cents as double)
+                    - cast(element_at(arr, i).cents as double))
+                   / cast(element_at(arr, j).sec
+                          - element_at(arr, i).sec as double)
+              END))),
+          x -> x is not null)
+        """
+    )
+    return (
+        arr.filter(F.size("arr") >= 2)
+        .withColumn("slopes", F.array_sort(slopes))
+        .filter(F.size("slopes") >= 1)
+        .select(
+            "user_id",
+            F.size("slopes").cast("bigint").alias("n_pairs"),
+            F.expr(
+                "element_at(slopes, cast((size(slopes) + 1) div 2 as int))"
+            ).alias("median_slope"),
+        )
+    )
+
+
+# --- maxsim_late_interaction: ColBERT-style multi-vector retrieval -----------
+# Late-interaction scoring: each embedding is treated as 4 token vectors
+# (16-dim slices of the 64-dim embedding — the driver corpus carries one
+# vector per doc, so the token axis is a deterministic reshape); the score
+# of doc D for query Q is sum over Q-tokens of the MAX cosine against any
+# D-token (MaxSim, Khattab & Zaharia, SIGIR'20).  Per-token cosines are
+# integer-scaled (floor(cos*1e9+0.5)) so the 4-term MaxSim sum is an
+# order-independent BIGINT — no float-sum order dependence.  Scale shape:
+# the query set is a bounded broadcast frame (scalar_frame_crossjoin pin);
+# the corpus side is a narrow scan — same plan as knn_cosine_top5, with
+# 16x smaller dot products x 16 pairs.  An IVF/LSH bucket pre-filter
+# composes in front exactly as in ivf_cosine_top3 for corpus-scale use.
+
+_MAXSIM_SCALE = 1_000_000_000
+
+_MAXSIM_ORACLE = f"""
+WITH sv AS (
+  SELECT vec_id,
+    list_transform(embedding, x ->
+      CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS sv
+  FROM embeddings
+), tok AS (
+  SELECT vec_id,
+    list_transform(range(0, 4), t ->
+      list_slice(sv, t * 16 + 1, t * 16 + 16)) AS toks
+  FROM sv
+), tn AS (
+  SELECT vec_id, toks,
+    list_transform(toks, tk ->
+      list_sum(list_transform(tk, x -> x * x))) AS tnorms
+  FROM tok
+), q AS (
+  SELECT vec_id AS query_id, toks AS qtoks, tnorms AS qnorms
+  FROM tn WHERE vec_id < 5
+), d AS (
+  SELECT * FROM tn WHERE vec_id >= 5
+), scored AS (
+  SELECT q.query_id, d.vec_id AS neighbor_id,
+    CAST(list_sum(list_transform(range(1, 5), i ->
+      list_max(list_transform(range(1, 5), j ->
+        CASE WHEN q.qnorms[i] = 0 OR d.tnorms[j] = 0 THEN CAST(0 AS BIGINT)
+        ELSE CAST(floor(
+          CAST(list_sum(list_transform(range(1, 17),
+                 k -> q.qtoks[i][k] * d.toks[j][k])) AS DOUBLE)
+          / (sqrt(CAST(q.qnorms[i] AS DOUBLE))
+             * sqrt(CAST(d.tnorms[j] AS DOUBLE)))
+          * {_MAXSIM_SCALE} + 0.5) AS BIGINT) END)))) AS BIGINT)
+      AS maxsim_scaled
+  FROM q, d
+)
+SELECT query_id, neighbor_id, maxsim_scaled,
+  CAST(maxsim_scaled AS DOUBLE) / {_MAXSIM_SCALE} AS maxsim,
+  CAST(rn AS BIGINT) AS maxsim_rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      ORDER BY maxsim_scaled DESC, neighbor_id) AS rn
+  FROM scored
+) t WHERE rn <= 5
+"""
+
+
+@query(
+    "maxsim_late_interaction",
+    oracle=_MAXSIM_ORACLE,
+    tags=("vectors", "retrieval", "colbert"),
+)
+def maxsim_late_interaction(spark, sf_dir):
+    base = scaled_vectors(T(spark, sf_dir, "embeddings")).select("vec_id", "sv")
+    docs = base.withColumn(
+        "toks",
+        F.expr("transform(sequence(0, 3), t -> slice(sv, t * 16 + 1, 16))"),
+    ).withColumn(
+        "tnorms",
+        F.expr(
+            "transform(toks, tk -> "
+            "aggregate(zip_with(tk, tk, (x, y) -> x * y), 0L, (a, v) -> a + v))"
+        ),
+    ).select("vec_id", "toks", "tnorms")
+    q = (
+        docs.filter(F.col("vec_id") < 5)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("toks").alias("qtoks"),
+            F.col("tnorms").alias("qnorms"),
+        )
+    )
+    d = docs.filter(F.col("vec_id") >= 5)
+    score = F.expr(
+        f"""
+        aggregate(transform(sequence(1, 4), i ->
+          array_max(zip_with(toks, tnorms, (dt, dn) ->
+            CASE WHEN element_at(qnorms, i) = 0L OR dn = 0L THEN 0L
+            ELSE cast(floor(
+              cast(aggregate(zip_with(element_at(qtoks, i), dt,
+                     (x, y) -> x * y), 0L, (a, v) -> a + v) as double)
+              / (sqrt(cast(element_at(qnorms, i) as double))
+                 * sqrt(cast(dn as double)))
+              * {_MAXSIM_SCALE} + 0.5) as bigint) END))),
+          0L, (a, v) -> a + v)
+        """
+    )
+    scored = scalar_frame_crossjoin(d, q, bound=5).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        score.alias("maxsim_scaled"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("maxsim_scaled").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("maxsim_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("maxsim_rank") <= 5)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "maxsim_scaled",
+            (F.col("maxsim_scaled").cast("double") / _MAXSIM_SCALE).alias(
+                "maxsim"
+            ),
+            "maxsim_rank",
+        )
+    )
+
+
+# --- paragraph_dedup_fraction: C4/Dolma paragraph-level dedup accounting -----
+# Web-corpus pipelines dedup at PARAGRAPH granularity before document
+# granularity (C4 keeps the first occurrence of every 3-sentence span;
+# Dolma's dedupe tool works per paragraph).  This corpus has no newlines,
+# so "paragraph" = non-overlapping 10-token block (the same grid as
+# chunk_docs with stride == size).  A paragraph occurrence is a duplicate
+# iff it is not the GLOBAL first occurrence, ordered by (doc_id, pidx).
+#
+# Skew design (the reason this is not a window): the natural
+# row_number-over-hash formulation funnels every occurrence of a hot
+# paragraph (boilerplate repeated 1e6 times in a web crawl) into ONE task's
+# sort.  Instead the first occurrence is min(struct(doc_id, pidx)) — a
+# map-side-combinable aggregate (partial min per partition, tiny shuffle) —
+# joined back on the hash, which AQE skew-splits if needed.  Two shuffles,
+# both skew-tolerant; output is one row per document.
+
+_PARA = 10
+
+_PARA_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+    len(string_split(text, ' ')) AS n
+  FROM documents
+), paras AS (
+  SELECT doc_id,
+    CAST(UNNEST(range((n + {_PARA} - 1) // {_PARA})) AS BIGINT) AS pidx,
+    toks
+  FROM base
+), hashed AS (
+  SELECT doc_id, pidx,
+    md5(array_to_string(list_slice(toks, pidx * {_PARA} + 1,
+                                   pidx * {_PARA} + {_PARA}), ' '))
+      AS para_hash
+  FROM paras
+), flagged AS (
+  SELECT doc_id,
+    ROW_NUMBER() OVER (PARTITION BY para_hash ORDER BY doc_id, pidx) AS rn
+  FROM hashed
+)
+SELECT doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_paras,
+  CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_paras,
+  CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+    / CAST(COUNT(*) AS DOUBLE) AS dup_fraction
+FROM flagged GROUP BY doc_id
+"""
+
+
+@query(
+    "paragraph_dedup_fraction",
+    oracle=_PARA_ORACLE,
+    tags=("dedup", "curation", "paragraph"),
+)
+def paragraph_dedup_fraction(spark, sf_dir):
+    docs = T(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.split("text", " ").alias("toks"),
+        F.size(F.split("text", " ")).alias("n"),
+    )
+    paras = base.withColumn(
+        "pidx",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("bigint"),
+                F.expr(f"(n + {_PARA} - 1) div {_PARA} - 1"),
+            )
+        ),
+    ).select(
+        "doc_id",
+        F.col("pidx").cast("bigint").alias("pidx"),
+        F.md5(
+            F.array_join(
+                F.slice(F.col("toks"), F.col("pidx") * _PARA + 1, _PARA), " "
+            )
+        ).alias("para_hash"),
+    )
+    firsts = paras.groupBy("para_hash").agg(
+        F.min(F.struct("doc_id", "pidx")).alias("first")
+    )
+    flagged = paras.join(firsts, "para_hash").withColumn(
+        "is_dup",
+        ~(
+            (F.col("doc_id") == F.col("first.doc_id"))
+            & (F.col("pidx") == F.col("first.pidx"))
+        ),
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_paras"),
+        F.sum(F.col("is_dup").cast("bigint")).cast("bigint").alias(
+            "n_dup_paras"
+        ),
+        (
+            F.sum(F.col("is_dup").cast("bigint")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("dup_fraction"),
+    )
