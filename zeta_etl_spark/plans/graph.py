@@ -510,6 +510,7 @@ class Pipeline:
         insert_condition: str | None = None,
         collect_metrics: bool = True,
         schema_evolution: bool = False,
+        null_safe_on: bool = False,
     ) -> dict:
         """Batch ``MERGE INTO`` on a materialized overwrite table — the
         engine's stand-in for Delta's MERGE (the reference's CDC targets are
@@ -521,7 +522,12 @@ class Pipeline:
 
         - ``on`` — equi-join key columns (present in both target and source).
           NULL keys never match (standard equi-join), so a NULL-keyed source
-          row is insert-only.
+          row is insert-only.  ``null_safe_on=True`` switches the match to
+          ``<=>`` (Delta supports the same in its merge condition) — needed
+          when keys are GROUP-BY-derived and NULL is a real group (the IVM
+          views in ``plans/ivm.py`` use this).  Note: with null-safe keys a
+          NULL-keyed partition tuple still prunes correctly (the touched-
+          tuple predicate uses IS NULL).
         - ``when_matched_delete`` (+ optional ``delete_condition``) is
           evaluated FIRST on matched pairs; then ``when_matched_update``
           (``"*"`` = replace row with source columns, or a dict
@@ -655,7 +661,12 @@ class Pipeline:
             sj,
             reduce(
                 lambda a, b: a & b,
-                [tj["t"][k] == sj["s"][k] for k in on],
+                [
+                    tj["t"][k].eqNullSafe(sj["s"][k])
+                    if null_safe_on
+                    else (tj["t"][k] == sj["s"][k])
+                    for k in on
+                ],
             ),
             "full_outer",
         )
