@@ -156,6 +156,8 @@ OPTIONAL = [
     "theil_sen_trend",
     "maxsim_late_interaction",
     "paragraph_dedup_fraction",
+    "mann_whitney_u",
+    "bpe_merge_step",
 ]
 
 # Deliberate experiments whose cost is a MEASUREMENT, not the engine's real

@@ -405,3 +405,221 @@ def paragraph_dedup_fraction(spark, sf_dir):
             / F.count(F.lit(1)).cast("double")
         ).alias("dup_fraction"),
     )
+
+
+# --- mann_whitney_u: rank-sum test with exact tie handling -------------------
+# The nonparametric two-sample test (Mann–Whitney U / Wilcoxon rank-sum) —
+# the robust-statistics twin of ab_test_uplift's mean-based comparison.
+# Everything through the U statistic is EXACT integer math: work on the
+# per-distinct-value tie-block table (one groupBy + one tiny window over
+# distinct values, never a rank per row), midranks doubled to stay
+# integral (midrank2 = 2*cum_before + n + 1), R2 = Σ na*midrank2 and
+# U2 = R2 - nA*(nA+1) are BIGINTs.  The tie-corrected normal z is the only
+# float: tie cubes are summed in DECIMAL(38,0) (n³ per hot value can pass
+# 2^63 at 100×) and enter one fixed-order double expression — every step a
+# correctly-rounded IEEE op, so cross-engine identical.  Scale shape: one
+# shuffle on value, a distinct-values window, a bounded scalar frame.
+
+_MW_A, _MW_B = "purchase", "click"
+
+_MW_ORACLE = f"""
+WITH vals AS (
+  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+    CAST(SUM(CASE WHEN event_type = '{_MW_A}' THEN 1 ELSE 0 END) AS BIGINT)
+      AS na,
+    CAST(SUM(CASE WHEN event_type = '{_MW_B}' THEN 1 ELSE 0 END) AS BIGINT)
+      AS nb,
+    CAST(COUNT(*) AS BIGINT) AS n
+  FROM events WHERE event_type IN ('{_MW_A}', '{_MW_B}')
+  GROUP BY 1
+), ranked AS (
+  SELECT *,
+    COALESCE(SUM(n) OVER (ORDER BY cents
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM vals
+), agg AS (
+  SELECT
+    CAST(SUM(na) AS BIGINT) AS n_a,
+    CAST(SUM(nb) AS BIGINT) AS n_b,
+    CAST(SUM(na + nb) AS BIGINT) AS n_all,
+    CAST(SUM(na * (2 * cum_before + n + 1)) AS BIGINT) AS r2_a,
+    CAST(SUM(CAST(n AS DECIMAL(38,0)) * n * n - n) AS DECIMAL(38,0))
+      AS tie_cubes
+  FROM ranked
+)
+SELECT n_a, n_b,
+  CAST(r2_a - n_a * (n_a + 1) AS BIGINT) AS u2_a,
+  (CAST(r2_a - n_a * (n_a + 1) AS DOUBLE) / 2
+     - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2)
+  / sqrt(
+      (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12)
+      * ((CAST(n_all AS DOUBLE) + 1)
+         - CAST(tie_cubes AS DOUBLE)
+           / (CAST(n_all AS DOUBLE) * (CAST(n_all AS DOUBLE) - 1))))
+    AS z_tie_corrected
+FROM agg
+"""
+
+
+@query("mann_whitney_u", oracle=_MW_ORACLE, tags=("stats", "robust", "abtest"))
+def mann_whitney_u(spark, sf_dir):
+    e = T(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(_MW_A, _MW_B)
+    )
+    vals = e.groupBy(
+        F.expr("cast(floor(value * 100 + 0.5) as bigint)").alias("cents")
+    ).agg(
+        F.sum((F.col("event_type") == _MW_A).cast("bigint"))
+        .cast("bigint")
+        .alias("na"),
+        F.sum((F.col("event_type") == _MW_B).cast("bigint"))
+        .cast("bigint")
+        .alias("nb"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = vals.withColumn(
+        "cum_before", F.coalesce(F.sum("n").over(w), F.lit(0).cast("bigint"))
+    )
+    agg = ranked.agg(
+        F.sum("na").cast("bigint").alias("n_a"),
+        F.sum("nb").cast("bigint").alias("n_b"),
+        F.sum(F.col("na") + F.col("nb")).cast("bigint").alias("n_all"),
+        F.sum(
+            F.col("na") * (F.lit(2) * F.col("cum_before") + F.col("n") + 1)
+        )
+        .cast("bigint")
+        .alias("r2_a"),
+        F.sum(
+            F.expr(
+                "cast(n as decimal(38,0)) * n * n - n"
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("tie_cubes"),
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        (F.col("r2_a") - F.col("n_a") * (F.col("n_a") + 1))
+        .cast("bigint")
+        .alias("u2_a"),
+        F.expr(
+            """
+            (cast(r2_a - n_a * (n_a + 1) as double) / 2
+               - cast(n_a as double) * cast(n_b as double) / 2)
+            / sqrt(
+                (cast(n_a as double) * cast(n_b as double) / 12)
+                * ((cast(n_all as double) + 1)
+                   - cast(tie_cubes as double)
+                     / (cast(n_all as double) * (cast(n_all as double) - 1))))
+            """
+        ).alias("z_tie_corrected"),
+    )
+
+
+# --- bpe_merge_step: two rounds of byte-pair-encoding merge selection --------
+# The inner loop of BPE tokenizer training (Sennrich et al. 2016): count
+# adjacent symbol pairs over the WORD-FREQUENCY table (the classic training
+# representation — corpus-size work happens once in the word count; the
+# merge loop then runs on the vocabulary, which grows sub-linearly), pick
+# the most frequent pair, apply the merge, recount.  Two rounds unrolled
+# (same pattern as kmeans_lloyd_assign); merged pairs are rewritten to the
+# single placeholder symbols 'A'/'B', which cannot occur in the lowercase
+# corpus.  Pair score counts every occurrence position (SentencePiece-style
+# grid count); n_replacements counts the non-overlapping left-to-right
+# merges actually applied, derived EXACTLY as freq·(len_before − len_after)
+# since each merge shrinks the word by one symbol.  Ties break
+# lexicographically.  All integer math.
+
+_BPE_ORACLE = """
+WITH words AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT UNNEST(string_split(text, ' ')) AS word FROM documents) t
+  GROUP BY word
+), g1 AS (
+  SELECT word, freq, CAST(UNNEST(range(1, len(word))) AS INTEGER) AS i
+  FROM words WHERE len(word) >= 2
+), p1 AS (
+  SELECT substring(word, i, 2) AS pair, CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM g1 GROUP BY 1
+), t1 AS (
+  SELECT pair, cnt FROM p1 ORDER BY cnt DESC, pair LIMIT 1
+), w2 AS (
+  SELECT replace(w.word, t1.pair, 'A') AS word, w.freq,
+    w.freq * (len(w.word) - len(replace(w.word, t1.pair, 'A'))) AS reps
+  FROM words w, t1
+), r1 AS (
+  SELECT CAST(1 AS BIGINT) AS round, t1.pair, t1.cnt AS pair_score,
+    CAST((SELECT SUM(reps) FROM w2) AS BIGINT) AS n_replacements
+  FROM t1
+), g2 AS (
+  SELECT word, freq, CAST(UNNEST(range(1, len(word))) AS INTEGER) AS i
+  FROM w2 WHERE len(word) >= 2
+), p2 AS (
+  SELECT substring(word, i, 2) AS pair, CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM g2 GROUP BY 1
+), t2 AS (
+  SELECT pair, cnt FROM p2 ORDER BY cnt DESC, pair LIMIT 1
+), w3 AS (
+  SELECT replace(w.word, t2.pair, 'B') AS word, w.freq,
+    w.freq * (len(w.word) - len(replace(w.word, t2.pair, 'B'))) AS reps
+  FROM w2 w, t2
+), r2 AS (
+  SELECT CAST(2 AS BIGINT) AS round, t2.pair, t2.cnt AS pair_score,
+    CAST((SELECT SUM(reps) FROM w3) AS BIGINT) AS n_replacements
+  FROM t2
+)
+SELECT * FROM r1 UNION ALL SELECT * FROM r2
+"""
+
+
+def _bpe_round(words, marker: str, rnd: int):
+    """One BPE merge round over a (word, freq) frame.  Returns
+    (merged_words_frame, one_row_stats_frame)."""
+    pairs = (
+        words.filter(F.length("word") >= 2)
+        .select(
+            "word",
+            "freq",
+            F.explode(
+                F.sequence(F.lit(1), F.length("word") - 1)
+            ).alias("i"),
+        )
+        .select(F.expr("substring(word, i, 2)").alias("pair"), "freq")
+        .groupBy("pair")
+        .agg(F.sum("freq").cast("bigint").alias("cnt"))
+    )
+    top = pairs.orderBy(F.col("cnt").desc(), F.col("pair")).limit(1)
+    merged = scalar_frame_crossjoin(words, top, bound=1).select(
+        F.expr(f"replace(word, pair, '{marker}')").alias("word"),
+        "freq",
+        (
+            F.col("freq")
+            * (
+                F.length("word")
+                - F.length(F.expr(f"replace(word, pair, '{marker}')"))
+            )
+        ).alias("reps"),
+    )
+    total = merged.agg(F.sum("reps").cast("bigint").alias("n_replacements"))
+    stats = scalar_frame_crossjoin(top, total).select(
+        F.lit(rnd).cast("bigint").alias("round"),
+        "pair",
+        F.col("cnt").alias("pair_score"),
+        "n_replacements",
+    )
+    return merged.select("word", "freq"), stats
+
+
+@query("bpe_merge_step", oracle=_BPE_ORACLE, tags=("text", "tokenizer", "bpe"))
+def bpe_merge_step(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    w2, r1 = _bpe_round(words, "A", 1)
+    _w3, r2 = _bpe_round(w2, "B", 2)
+    return r1.unionByName(r2)
