@@ -511,6 +511,7 @@ class Pipeline:
         collect_metrics: bool = True,
         schema_evolution: bool = False,
         null_safe_on: bool = False,
+        commit_extra: dict | None = None,
     ) -> dict:
         """Batch ``MERGE INTO`` on a materialized overwrite table — the
         engine's stand-in for Delta's MERGE (the reference's CDC targets are
@@ -752,7 +753,7 @@ class Pipeline:
                 cur, staged, pcols, touched
             )
         _fault_injection("post_stage")
-        self._seal_commit_meta(staged, "merge")
+        self._seal_commit_meta(staged, "merge", **(commit_extra or {}))
         committed = os.path.join(gen_root, f"v{nxt:06d}")
         os.replace(staged, committed)
         _fault_injection("post_seal")
@@ -1288,9 +1289,26 @@ class Pipeline:
                 f"(available: {gens}); it predates the "
                 f"retain_generations={self.retain_generations} window"
             )
+        nxt = self._publish_linked_generation(
+            name, version, "restore", restored_from=version
+        )
+        if name in self._done:
+            path = self.path(name)
+            df_new = spark.read.parquet(os.path.realpath(path))
+            df_new.createOrReplaceTempView(f"{self.name}__{name}")
+            self._done[name] = df_new
+        return {"generation": nxt, "restored_from": version}
+
+    def _publish_linked_generation(
+        self, name: str, src_version: int, operation: str, **extra
+    ) -> int:
+        """Publish a NEW generation whose data files are hard links of
+        ``src_version``'s (metadata-cost only), sealed with a fresh commit
+        record.  Shared by ``restore`` and the IVM no-op version stamp
+        (plans/ivm.py) — any 'same data, new commit metadata' publish."""
         path = self.path(name)
         gen_root, nxt = self._gen_prepare(path)
-        src = os.path.join(gen_root, f"v{version:06d}")
+        src = os.path.join(gen_root, f"v{src_version:06d}")
         staged = os.path.join(gen_root, f"v{nxt:06d}__staging")
 
         def link_tree(s: str, d: str) -> None:
@@ -1299,23 +1317,19 @@ class Pipeline:
                 sp, dp = os.path.join(s, entry), os.path.join(d, entry)
                 if os.path.isdir(sp):
                     link_tree(sp, dp)
-                elif entry != "_commit.json":  # gets a fresh restore record
+                elif entry != "_commit.json":  # gets a fresh record
                     os.link(sp, dp)
 
         link_tree(src, staged)
         _fault_injection("post_stage")
-        self._seal_commit_meta(staged, "restore", restored_from=version)
+        self._seal_commit_meta(staged, operation, **extra)
         committed = os.path.join(gen_root, f"v{nxt:06d}")
         os.replace(staged, committed)
         _fault_injection("post_seal")
         self._swap_pointer(path, committed)
         _fault_injection("post_publish")
         self._retain_generations(gen_root, nxt)
-        if name in self._done:
-            df_new = spark.read.parquet(os.path.realpath(path))
-            df_new.createOrReplaceTempView(f"{self.name}__{name}")
-            self._done[name] = df_new
-        return {"generation": nxt, "restored_from": version}
+        return nxt
 
     def table_changes(
         self,
@@ -1457,7 +1471,9 @@ class Pipeline:
                 fh,
             )
 
-    def _write_overwrite_atomic(self, node: Node, df: DataFrame) -> None:
+    def _write_overwrite_atomic(
+        self, node: Node, df: DataFrame, commit_extra: dict | None = None
+    ) -> None:
         """Two-phase-commit overwrite: stage the full write into a fresh
         generation dir, seal it with one rename, then atomically swap the
         table pointer (a symlink) onto it.
@@ -1486,7 +1502,7 @@ class Pipeline:
             writer = writer.partitionBy(*node.partition_by)
         writer.parquet(staged)
         _fault_injection("post_stage")
-        self._seal_commit_meta(staged, "overwrite")
+        self._seal_commit_meta(staged, "overwrite", **(commit_extra or {}))
         committed = os.path.join(gen_root, f"v{nxt:06d}")
         os.replace(staged, committed)  # phase 1: generation sealed
         _fault_injection("post_seal")

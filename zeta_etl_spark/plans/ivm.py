@@ -35,6 +35,7 @@ for an empty group).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -137,6 +138,7 @@ def maintain_agg_view(
     cdf: DataFrame,
     group_cols: Sequence[str],
     measures: Sequence[str],
+    commit_extra: dict | None = None,
 ) -> dict:
     """Apply one change-feed batch to a materialized aggregate view.
 
@@ -187,4 +189,159 @@ def maintain_agg_view(
         # a freshly inserted group with zero net rows (e.g. a CDF slice
         # that inserts and deletes the same new-group row) must not appear
         insert_condition="s._n_delta > 0",
+        commit_extra=commit_extra,
     )
+
+
+def _current_version(pipeline: Pipeline, name: str) -> int:
+    """Generation the live pointer serves (vNNNNNN → int)."""
+    real = os.path.realpath(pipeline.path(name))
+    return int(os.path.basename(real)[1:])
+
+
+def _commit_meta(pipeline: Pipeline, name: str, version: int) -> dict:
+    import json
+
+    path = os.path.join(
+        pipeline.path(name) + "__gen", f"v{version:06d}", "_commit.json"
+    )
+    if not os.path.exists(path):
+        return {}
+    with open(path) as fh:
+        return json.load(fh)
+
+
+def _not_deleted(df: DataFrame, delete_predicate: str | None) -> DataFrame:
+    """Same tombstone contract as the CDC read surfaces: rows where the
+    predicate is TRUE are excluded, NULL kept."""
+    if delete_predicate is None:
+        return df
+    return df.filter(~F.coalesce(F.expr(delete_predicate), F.lit(False)))
+
+
+def seed_agg_view(
+    spark: SparkSession,
+    pipeline: Pipeline,
+    view_name: str,
+    base_name: str,
+    group_cols: Sequence[str],
+    measures: Sequence[str],
+    delete_predicate: str | None = None,
+) -> dict:
+    """Materialize the view as a full recompute over the base table's
+    CURRENT generation, stamping that generation into the view's commit
+    record — the anchor :func:`sync_agg_view` advances from."""
+    base_ver = _current_version(pipeline, base_name)
+    base = _not_deleted(
+        pipeline.read_version(spark, base_name, base_ver), delete_predicate
+    )
+    view = full_agg(base, group_cols, list(measures))
+    pipeline._write_overwrite_atomic(
+        pipeline.nodes[view_name],
+        view,
+        commit_extra={"base_table": base_name, "base_version": base_ver},
+    )
+    return {"status": "seeded", "base_version": base_ver}
+
+
+def sync_agg_view(
+    spark: SparkSession,
+    pipeline: Pipeline,
+    view_name: str,
+    base_name: str,
+    keys: Sequence[str],
+    group_cols: Sequence[str],
+    measures: Sequence[str],
+    delete_predicate: str | None = None,
+    check_unique: bool = True,
+) -> dict:
+    """Bring an aggregate view up to the base table's current generation —
+    the maintenance driver composing the whole IVM stack:
+
+        base version gap → Pipeline.table_changes → delta fold → MERGE
+
+    The view's commit record carries the base generation it reflects, which
+    makes the operation EXACTLY-ONCE under crashes anywhere in a
+    base-publish → view-sync sequence:
+
+    - crash after base publish, before view sync → the version gap is
+      still visible; the next sync replays it (spanning multiple base
+      generations in one CDF if several publishes landed);
+    - crash after view publish → the recorded version equals the base's
+      and the next sync is a no-op;
+    - an EMPTY gap diff advances the stamp via a hard-linked republish
+      (no data rewrite), so repeated idempotent base replays do not push
+      the anchor out of the retention window;
+    - a gap older than the base's retained generations cannot be replayed
+      relationally → honest fallback to a full reseed (widen
+      ``retain_generations`` on the base to bound how often that happens).
+
+    ``delete_predicate`` applies the CDC tombstone contract to the view
+    definition: the view aggregates the LIVE relation only.  Filtering the
+    CDF's image rows by the same predicate is exactly the change feed of
+    the filtered relation (a row whose post-image becomes deleted folds to
+    a retraction), so tombstones need no special casing in the algebra.
+
+    Not yet seeded (view table missing) → seeds at the current base
+    generation.
+    """
+    if not os.path.lexists(pipeline.path(view_name)):
+        return seed_agg_view(
+            spark,
+            pipeline,
+            view_name,
+            base_name,
+            group_cols,
+            measures,
+            delete_predicate,
+        )
+    base_cur = _current_version(pipeline, base_name)
+    view_cur = _current_version(pipeline, view_name)
+    meta = _commit_meta(pipeline, view_name, view_cur)
+    anchor = meta.get("base_version")
+    if anchor is None:
+        raise ValueError(
+            f"sync_agg_view({view_name!r}): view exists but carries no "
+            "base_version anchor — it was not seeded via seed_agg_view; "
+            "reseed it explicitly"
+        )
+    if anchor == base_cur:
+        return {"status": "noop", "base_version": base_cur}
+    if anchor not in pipeline.table_versions(base_name):
+        out = seed_agg_view(
+            spark,
+            pipeline,
+            view_name,
+            base_name,
+            group_cols,
+            measures,
+            delete_predicate,
+        )
+        return {**out, "status": "reseeded_gap_vacuumed"}
+    cdf = _not_deleted(
+        pipeline.table_changes(
+            spark,
+            base_name,
+            anchor,
+            base_cur,
+            keys=keys,
+            check_unique=check_unique,
+        ),
+        delete_predicate,
+    )
+    extra = {"base_table": base_name, "base_version": base_cur}
+    if cdf.isEmpty():
+        pipeline._publish_linked_generation(
+            view_name, view_cur, "ivm_sync_noop", **extra
+        )
+        return {"status": "advanced_empty_gap", "base_version": base_cur}
+    m = maintain_agg_view(
+        spark,
+        pipeline,
+        view_name,
+        cdf,
+        group_cols,
+        measures,
+        commit_extra=extra,
+    )
+    return {**m, "status": "synced", "base_version": base_cur}

@@ -568,6 +568,7 @@ def foreach_batch_merge_upsert(
     spark: SparkSession,
     n_buckets: int = 64,
     metrics_out: list | None = None,
+    views: Sequence[dict] | None = None,
 ) -> None:
     """Streaming CDC upsert whose per-batch cost is proportional to the
     BATCH, not the store — the scale successor to
@@ -595,11 +596,24 @@ def foreach_batch_merge_upsert(
     ``metrics_out``: optional list collecting per-batch merge metrics
     (rows_updated / rows_inserted / touched vs linked partitions) — the
     observability a Delta MERGE emits as operationMetrics.
+
+    ``views``: optional incrementally-maintained aggregate views over the
+    upsert table (plans/ivm.py) — each ``{"name": ..., "group_cols": [...],
+    "measures": [...], "delete_predicate": ...}`` is brought up to the
+    base's new generation after every merge via ``sync_agg_view``.  The
+    view's commit record anchors the base generation it reflects, so a
+    crash anywhere between the base merge publish and the last view's
+    publish heals on replay (the version-gap CDF is replayed; an
+    already-synced view no-ops), and the streaming checkpoint only ever
+    confirms batches whose downstream views CAN be brought current.  The
+    gold rollups the reference recomputes per trigger become
+    change-volume-cost maintenance.
     """
     import json
 
     from zeta_etl_spark.operators.cdc import latest_by_keys
     from zeta_etl_spark.plans.graph import Pipeline
+    from zeta_etl_spark.plans.ivm import sync_agg_view
 
     # n_buckets is part of the table's IDENTITY: a key lives in
     # pmod(hash, n_buckets), so merging with a different bucket count would
@@ -633,6 +647,34 @@ def foreach_batch_merge_upsert(
             "merge-upsert table is maintained by foreach_batch_merge_upsert"
         )
 
+    for v in views or ():
+        def _view_node(pl):  # materialized through sync_agg_view only
+            raise RuntimeError(
+                "ivm view is maintained by foreach_batch_merge_upsert"
+            )
+
+        p.table(name=v["name"])(_view_node)
+
+    def _sync_views(batch_id: int) -> None:
+        for v in views or ():
+            s = sync_agg_view(
+                spark,
+                p,
+                v["name"],
+                table_name,
+                keys=list(keys),
+                group_cols=v["group_cols"],
+                measures=v["measures"],
+                delete_predicate=v.get("delete_predicate"),
+                # the merge's duplicate-source guard already enforces key
+                # uniqueness in the base; skip the per-batch recheck jobs
+                check_unique=False,
+            )
+            if metrics_out is not None:
+                metrics_out.append(
+                    {"batch_id": batch_id, "view": v["name"], **s}
+                )
+
     # lexicographic "source sequence >= target sequence": strict > on each
     # prefix-equal level, >= only on the last column
     last = len(sequence_by) - 1
@@ -658,6 +700,7 @@ def foreach_batch_merge_upsert(
                 metrics_out.append(
                     {"batch_id": batch_id, "initial_load": True}
                 )
+            _sync_views(batch_id)
             return
         m = p.merge_into(
             spark,
@@ -670,6 +713,7 @@ def foreach_batch_merge_upsert(
         )
         if metrics_out is not None:
             metrics_out.append({"batch_id": batch_id, **m})
+        _sync_views(batch_id)
 
     (
         stream.writeStream.foreachBatch(_merge)
