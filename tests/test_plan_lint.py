@@ -111,3 +111,42 @@ def test_full_registry_has_no_lint_errors(spark, sf_dir):
         if errs:
             errors[name] = [f.code for f in errs]
     assert not errors, errors
+
+
+def test_shrinking_frame_warns_running_frame_does_not(spark):
+    # the pre-r8 skyline_orders shape: (1 FOLLOWING, UNBOUNDED FOLLOWING)
+    # range frame — Spark recomputes the MAX per row, O(n^2) per partition
+    df = spark.range(100).select(
+        (F.col("id") % 5).alias("k"), F.col("id").alias("d"), F.col("id").alias("v")
+    )
+    bad = df.withColumn(
+        "later_max",
+        F.max("v").over(
+            Window.partitionBy("k")
+            .orderBy("d")
+            .rangeBetween(1, Window.unboundedFollowing)
+        ),
+    )
+    assert "unbounded-following-frame" in _codes(lint_plan(bad), "warn")
+
+    # the O(n) rewrite: descending running frame — must NOT warn
+    good = df.withColumn(
+        "later_max",
+        F.max("v").over(
+            Window.partitionBy("k")
+            .orderBy(F.col("d").desc())
+            .rowsBetween(Window.unboundedPreceding, -1)
+        ),
+    )
+    assert "unbounded-following-frame" not in _codes(lint_plan(good))
+
+    # whole-partition frame is computed once — must NOT warn
+    whole = df.withColumn(
+        "t",
+        F.sum("v").over(
+            Window.partitionBy("k").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ),
+    )
+    assert "unbounded-following-frame" not in _codes(lint_plan(whole))

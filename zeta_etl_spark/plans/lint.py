@@ -27,6 +27,16 @@ Checks (each corresponds to a rule in SCALE.md "four rules"):
 - ``row-python-udf`` (error): BatchEvalPython = row-at-a-time Python in
   the plan; the engine rule is Arrow seams only (ArrowEvalPython /
   MapInPandas / FlatMapGroupsInPandas report as info).
+- ``unbounded-following-frame`` (warn): a window frame whose UPPER bound
+  is unboundedFollowing but whose lower bound is not unboundedPreceding
+  (i.e. a shrinking frame).  Spark has no reverse running-aggregate: it
+  recomputes the aggregate from scratch per row — O(n^2) per partition
+  (this exact shape made skyline_orders 20.8 s at sf0.1 in round 7).
+  Rewrite as a DESCENDING-order running frame
+  ``rowsBetween(unboundedPreceding, -1)`` (O(n)), pre-aggregating to the
+  frame's grain first if the original frame was RANGE-based.
+  Whole-partition frames (unboundedPreceding, unboundedFollowing) are
+  computed once and are fine.
 - ``exchange-count`` (info): non-reused exchange count, the shuffle
   budget a reviewer compares against the query's partitioning story.
 """
@@ -69,6 +79,13 @@ def _subtree(lines: list[str], i: int) -> list[str]:
         out.append(ln)
     return out
 
+
+# specifiedwindowframe(RangeFrame, 1, unboundedfollowing$()) et al. — a
+# frame whose upper bound is unboundedFollowing; group(2) is the lower bound
+_SHRINKING_FRAME = re.compile(
+    r"specifiedwindowframe\((RangeFrame|RowFrame),\s*([^,]+),\s*"
+    r"unboundedfollowing\$\(\)\)"
+)
 
 _BOUNDED_BUILD = re.compile(
     r"HashAggregate\(keys=\[\]|SortAggregate\(key=\[\]|LocalTableScan|"
@@ -135,6 +152,24 @@ def lint_plan(df: DataFrame) -> list[Finding]:
                 )
             )
             break
+
+    for m in _SHRINKING_FRAME.finditer(plan):
+        lower = m.group(2)
+        if "unboundedpreceding" in lower:
+            continue  # whole-partition frame: computed once, O(n)
+        findings.append(
+            Finding(
+                "warn",
+                "unbounded-following-frame",
+                f"window frame ({m.group(1)}, lower={lower.strip()}, upper="
+                "unboundedFollowing) is a SHRINKING frame: Spark recomputes "
+                "the aggregate from scratch per row — O(n^2) per partition. "
+                "Rewrite as a descending-order running frame "
+                "rowsBetween(unboundedPreceding, -1) (pre-aggregate to the "
+                "frame grain first if this was a RANGE frame)",
+            )
+        )
+        break
 
     if "BatchEvalPython" in plan:
         findings.append(

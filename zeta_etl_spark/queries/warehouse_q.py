@@ -454,7 +454,8 @@ WITH s AS (
   FROM s
 ), ppm AS (
   SELECT source, n_docs, n_tokens,
-    (1000000 * w_scaled) // (SELECT SUM(w_scaled) FROM w) AS weight_ppm
+    (1000000 * w_scaled)
+      // (SELECT CAST(SUM(w_scaled) AS BIGINT) FROM w) AS weight_ppm
   FROM w
 ), lam AS (
   SELECT MIN((n_tokens * 1000000) // weight_ppm) AS lam FROM ppm

@@ -59,6 +59,22 @@ def assert_frames_match(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: s
     )
     for c in a.columns:
         av, bv = a[c], b[c]
+        # The driver hashes value RENDERINGS, so spark BIGINT 53286 vs duck
+        # DOUBLE 53286.0 is a red row even when every value is equal (DuckDB
+        # promotes `//` with a HUGEINT SUM operand to DOUBLE).  Fail loudly on
+        # integral-vs-float dtype drift instead of silently coercing.  Nulls
+        # promote both engines' integer columns to float64 identically, so a
+        # one-sided float dtype means a genuine oracle/query type difference.
+        a_int = pd.api.types.is_integer_dtype(av.dtype)
+        b_int = pd.api.types.is_integer_dtype(bv.dtype)
+        a_flt = pd.api.types.is_float_dtype(av.dtype)
+        b_flt = pd.api.types.is_float_dtype(bv.dtype)
+        if (a_int and b_flt) or (a_flt and b_int):
+            raise AssertionError(
+                f"{name}: column {c} dtype drift spark={av.dtype} "
+                f"duck={bv.dtype} — driver hashes renderings; CAST the "
+                f"oracle (or Spark) side so both are integral or both float"
+            )
         if pd.api.types.is_float_dtype(av.dtype) or pd.api.types.is_float_dtype(
             bv.dtype
         ):
