@@ -139,7 +139,9 @@ def test_ivm_rejects_unknown_change_type(spark):
     cdf = spark.createDataFrame(
         [(1, "a", 1, "truncate")], "k int, grp string, qty int, _change_type string"
     )
-    with pytest.raises(ValueError, match="unknown _change_type"):
+    # the guard rides inside the fold (no separate validation job), so it
+    # surfaces lazily as a Spark runtime error at execution
+    with pytest.raises(Exception, match="unknown _change_type"):
         delta_from_changes(cdf, ["grp"], ["qty"]).collect()
 
 

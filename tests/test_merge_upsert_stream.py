@@ -186,3 +186,102 @@ def test_merge_upsert_bucket_config_pinned(spark, tmp_path):
     # unchanged config proceeds
     _run(spark, src, base, str(tmp_path / "ck3"), [], n_buckets=16)
     assert _state(spark, base)[1] == (2.0, False)
+
+
+def test_merge_upsert_views_incremental_partitioned(spark, tmp_path):
+    """views= spec: the IVM view tracks a full recompute across batches,
+    its partition_by flows through to merge pruning (ADVICE r7), and the
+    base retains 2 generations so a crash-replay publish cannot vacuum
+    the view's anchor."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from zeta_etl_spark.plans.ivm import full_agg
+
+    src = str(tmp_path / "src")
+    base = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    metrics: list = []
+    schema = "k bigint, g bigint, ts timestamp, v bigint, deleted boolean"
+    views = [
+        {
+            "name": "agg",
+            "group_cols": ["g"],
+            "measures": ["v"],
+            "delete_predicate": "deleted",
+            "partition_by": ["g"],
+        }
+    ]
+
+    def run():
+        stream = read_json(spark, src, schema, streaming=True)
+        foreach_batch_merge_upsert(
+            stream,
+            base,
+            "state",
+            ckpt,
+            keys=["k"],
+            sequence_by=["ts"],
+            spark=spark,
+            n_buckets=8,
+            metrics_out=metrics,
+            views=views,
+        )
+
+    def view_rows():
+        import os as _os
+
+        df = spark.read.parquet(_os.path.realpath(_os.path.join(base, "agg")))
+        return {(r.g): (r._n, r.v_sum, r.v_n) for r in df.collect()}
+
+    def recompute_rows():
+        live = read_merge_upsert_table(
+            spark, base, "state", delete_predicate="deleted"
+        )
+        return {
+            (r.g): (r._n, r.v_sum, r.v_n)
+            for r in full_agg(live, ["g"], ["v"]).collect()
+        }
+
+    _write_json(
+        src,
+        [
+            {"k": i, "g": i % 4, "ts": "2024-01-01 00:00:00", "v": i,
+             "deleted": False}
+            for i in range(100)
+        ],
+        "w1.json",
+    )
+    run()
+    assert view_rows() == recompute_rows()
+
+    # small batch touching ONE group: the view merge must prune on g
+    _write_json(
+        src,
+        [
+            {"k": 2, "g": 2, "ts": "2024-01-02 00:00:00", "v": 2222,
+             "deleted": False},
+            {"k": 6, "g": 2, "ts": "2024-01-02 00:00:00", "v": 6666,
+             "deleted": True},
+        ],
+        "w2.json",
+    )
+    run()
+    assert view_rows() == recompute_rows()
+    vm = [m for m in metrics if m.get("view") == "agg"][-1]
+    assert vm["status"] == "synced"
+    assert vm["partition_pruned"] is True
+    assert vm["touched_partitions"] == 1
+
+    # third publish: retain_generations=2 keeps current + 2 priors
+    _write_json(
+        src,
+        [{"k": 500, "g": 1, "ts": "2024-01-03 00:00:00", "v": 7,
+          "deleted": False}],
+        "w3.json",
+    )
+    run()
+    assert view_rows() == recompute_rows()
+    gens = sorted(glob.glob(os.path.join(base, "state__gen", "v*")))
+    assert len(gens) == 3, gens

@@ -36,6 +36,7 @@ for an empty group).
 from __future__ import annotations
 
 import os
+import re
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -84,16 +85,22 @@ def delta_from_changes(
     special casing.  One shuffle, map-side combinable.
     """
     _check_exact(cdf, measures)
+    # the unknown-change-type guard rides INSIDE the fold (ADVICE r7): a
+    # CaseWhen short-circuits, so raise_error fires only on rows neither
+    # branch matched — no separate validation job re-evaluating the CDF
     w = (
         F.when(F.col("_change_type").isin(*_ADD), F.lit(1))
         .when(F.col("_change_type").isin(*_RETRACT), F.lit(-1))
-        .otherwise(F.lit(None))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("ivm: unknown _change_type value: "),
+                    F.coalesce(F.col("_change_type"), F.lit("NULL")),
+                )
+            ).cast("int")
+        )
     )
     signed = cdf.withColumn("_w", w)
-    bad = signed.where(F.col("_w").isNull())
-    if not bad.isEmpty():
-        types = [r[0] for r in bad.select("_change_type").distinct().collect()]
-        raise ValueError(f"ivm: unknown _change_type values {types}")
     aggs = [F.sum("_w").cast("bigint").alias("_n_delta")]
     for m in measures:
         aggs.append(F.sum(F.col(m) * F.col("_w")).alias(f"{m}_sum_delta"))
@@ -194,9 +201,27 @@ def maintain_agg_view(
 
 
 def _current_version(pipeline: Pipeline, name: str) -> int:
-    """Generation the live pointer serves (vNNNNNN → int)."""
-    real = os.path.realpath(pipeline.path(name))
-    return int(os.path.basename(real)[1:])
+    """Generation the live pointer serves (vNNNNNN → int).
+
+    Raises a descriptive error when the table has never been materialized
+    or its pointer is corrupt (ADVICE r7: a bare realpath of a missing
+    pointer resolves to the table path itself and int('events') is
+    opaque)."""
+    p = pipeline.path(name)
+    if not os.path.lexists(p):
+        raise ValueError(
+            f"ivm: table {name!r} is not materialized — no committed "
+            f"pointer at {p}; run the pipeline (or seed the view) first"
+        )
+    real = os.path.realpath(p)
+    base = os.path.basename(real)
+    if not re.fullmatch(r"v\d{6}", base):
+        raise ValueError(
+            f"ivm: table {name!r} pointer resolves to {real}, not a "
+            "committed vNNNNNN generation — the table was never published "
+            "or its pointer is corrupt"
+        )
+    return int(base[1:])
 
 
 def _commit_meta(pipeline: Pipeline, name: str, version: int) -> dict:
@@ -329,6 +354,13 @@ def sync_agg_view(
         ),
         delete_predicate,
     )
+    # the CDF plan is a full-outer join of two base snapshots, and it is
+    # consumed several times downstream (isEmpty here, the delta fold,
+    # merge_into's duplicate-source guard + metrics + write).  Evaluate it
+    # ONCE (ADVICE r7): localCheckpoint materializes the change rows —
+    # sized by change volume, not view size — and truncates the join
+    # lineage so every consumer reads the materialized partitions.
+    cdf = cdf.localCheckpoint(eager=True)
     extra = {"base_table": base_name, "base_version": base_cur}
     if cdf.isEmpty():
         pipeline._publish_linked_generation(

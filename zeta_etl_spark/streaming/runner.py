@@ -639,7 +639,18 @@ def foreach_batch_merge_upsert(
         with open(cfg_path, "w") as fh:
             json.dump(cfg, fh)
 
-    p = Pipeline(f"cdc_merge_{table_name}", target_base)
+    # retain >= 2 base generations when views ride the stream (ADVICE r7):
+    # a crash between the base merge publish and the view sync makes the
+    # replayed batch publish ANOTHER base generation — with retention 1
+    # that vacuums the view's anchor and the sync silently degrades to a
+    # full reseed (status reseeded_gap_vacuumed) instead of the
+    # incremental heal.  2 tolerates one crash-replay generation; each
+    # extra tolerated replay costs one more retained generation.
+    p = Pipeline(
+        f"cdc_merge_{table_name}",
+        target_base,
+        retain_generations=2 if views else 1,
+    )
 
     @p.table(name=table_name, partition_by=("_kb",))
     def _node(pl):  # materialized through merge, never through run()
@@ -653,7 +664,14 @@ def foreach_batch_merge_upsert(
                 "ivm view is maintained by foreach_batch_merge_upsert"
             )
 
-        p.table(name=v["name"])(_view_node)
+        # partition_by flows through so merge_into can prune untouched
+        # view partitions (ADVICE r7: without it every sync rewrites the
+        # whole view and maintain_agg_view's "cost ∝ changed groups"
+        # design is unreachable from the streaming path) — partition the
+        # view by a leading group column
+        p.table(name=v["name"], partition_by=tuple(v.get("partition_by", ())))(
+            _view_node
+        )
 
     def _sync_views(batch_id: int) -> None:
         for v in views or ():
