@@ -85,7 +85,7 @@ def test_crash_matrix_reader_never_torn(
     assert _read_rows(spark, path) == sorted(NEW)
     gen_root = path + "__gen"
     assert not any(
-        d.endswith("__staging") or d.startswith("_ptr__")
+        "__staging" in d or d.startswith("_ptr__")
         for d in os.listdir(gen_root)
     ), "crash debris must be healed by the next publish"
 

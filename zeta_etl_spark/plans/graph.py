@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import os
 from collections.abc import Callable, Sequence
+from contextlib import contextmanager as _contextmanager
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -43,6 +44,24 @@ def _fault_injection(tag: str) -> None:
     kill the writer at every seam and assert readers never observe a torn
     table.  Mirrors the fault points a Delta commit protocol would have
     (task write → commit marker → log entry)."""
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Optimistic-concurrency conflict: the table advanced past the version
+    this writer read before it could commit (Delta's
+    ConcurrentModificationException family).  The loser's staged files are
+    removed; retry by re-reading the current snapshot and re-deriving the
+    write."""
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True  # exists, owned by someone else
+    return True
 
 
 @dataclass
@@ -452,32 +471,33 @@ class Pipeline:
             # generation-layout table (atomic overwrite writer): publish the
             # rewrite as the next sealed generation and swap the pointer —
             # fully atomic, no no-live-copy window at all
-            gen_root, nxt = self._gen_prepare(path)
-            tmp = os.path.join(gen_root, f"v{nxt:06d}__staging")
+            gen_root, _ = self._gen_prepare(path)
+            tmp = self._stage_path(gen_root)
         else:
             tmp = path + "__compacting"
             old = path + "__old"
             shutil.rmtree(tmp, ignore_errors=True)
             shutil.rmtree(old, ignore_errors=True)
-        writer = out.write.mode("overwrite")
-        if node.partition_by:
-            writer = writer.partitionBy(*node.partition_by)
-        writer.parquet(tmp)
-        # verify the rewrite before touching the live table — an explicit
-        # raise, not assert, so python -O cannot strip the safety gate
-        rewritten = spark.read.parquet(tmp).count()
-        if rewritten != rows:
-            shutil.rmtree(tmp, ignore_errors=True)
-            raise RuntimeError(
-                f"compact({name!r}): rewrite produced {rewritten} rows, "
-                f"expected {rows}; original table left untouched"
-            )
+        try:
+            writer = out.write.mode("overwrite")
+            if node.partition_by:
+                writer = writer.partitionBy(*node.partition_by)
+            writer.parquet(tmp)
+            # verify the rewrite before touching the live table — an
+            # explicit raise, not assert, so python -O cannot strip the
+            # safety gate
+            rewritten = spark.read.parquet(tmp).count()
+            if rewritten != rows:
+                raise RuntimeError(
+                    f"compact({name!r}): rewrite produced {rewritten} rows, "
+                    f"expected {rows}; original table left untouched"
+                )
+        except BaseException:
+            shutil.rmtree(tmp, ignore_errors=True)  # clean own staging
+            raise
         if os.path.islink(path):
             self._seal_commit_meta(tmp, "compact")
-            committed = os.path.join(gen_root, f"v{nxt:06d}")
-            os.replace(tmp, committed)
-            self._swap_pointer(path, committed)
-            self._retain_generations(gen_root, nxt)
+            self._seal_and_publish(path, gen_root, tmp)
         else:
             # crash-safe swap: live → __old, __compacting → live, drop __old.
             # A crash after the first rename leaves the full original at
@@ -741,25 +761,31 @@ class Pipeline:
         if node.sort_within_partitions:
             merged = merged.sortWithinPartitions(*node.sort_within_partitions)
 
-        gen_root, nxt = self._gen_prepare(path)
-        staged = os.path.join(gen_root, f"v{nxt:06d}__staging")
-        writer = merged.write.mode("overwrite")
-        if pcols:
-            writer = writer.partitionBy(*pcols)
-        writer.parquet(staged)
-        n_linked = 0
-        if prunable:
-            n_linked = self._link_untouched_partitions(
-                cur, staged, pcols, touched
+        gen_root, _ = self._gen_prepare(path)
+        with self._staging(gen_root) as staged:
+            writer = merged.write.mode("overwrite")
+            if pcols:
+                writer = writer.partitionBy(*pcols)
+            writer.parquet(staged)
+            n_linked = 0
+            if prunable:
+                n_linked = self._link_untouched_partitions(
+                    cur, staged, pcols, touched
+                )
+            _fault_injection("post_stage")
+            self._seal_commit_meta(staged, "merge", **(commit_extra or {}))
+            # MERGE is read-modify-write: commit with CAS on the generation
+            # the merge READ (`cur`, pinned before the join was planned) —
+            # a concurrent commit in between means this result is stale, so
+            # the loser aborts (ConcurrentWriteError) instead of silently
+            # losing the winner's update
+            read_base = os.path.basename(cur)
+            read_ver = (
+                int(read_base[1:]) if read_base.startswith("v") else None
             )
-        _fault_injection("post_stage")
-        self._seal_commit_meta(staged, "merge", **(commit_extra or {}))
-        committed = os.path.join(gen_root, f"v{nxt:06d}")
-        os.replace(staged, committed)
-        _fault_injection("post_seal")
-        self._swap_pointer(path, committed)
-        _fault_injection("post_publish")
-        self._retain_generations(gen_root, nxt)
+            nxt = self._seal_and_publish(
+                path, gen_root, staged, expect_version=read_ver
+            )
         # drop the memoized frame — it pins the pre-merge generation
         if name in self._done:
             df_new = spark.read.parquet(os.path.realpath(path))
@@ -910,7 +936,14 @@ class Pipeline:
                     )
                 for d in os.listdir(gen_root):
                     full = os.path.join(gen_root, d)
-                    if d.endswith("__staging") or d.startswith("_ptr__"):
+                    # explicit VACUUM removes ALL staging debris (even a
+                    # live writer's — same contract as Delta VACUUM with
+                    # writers in flight: don't)
+                    if (
+                        d.endswith("__staging")
+                        or "__staging_" in d
+                        or d.startswith("_ptr__")
+                    ):
                         if os.path.islink(full) or os.path.isfile(full):
                             os.remove(full)
                         else:
@@ -1106,12 +1139,17 @@ class Pipeline:
 
     def _gen_prepare(self, path: str) -> tuple[str, int]:
         """Ensure the generation root exists, heal crash debris, and return
-        ``(gen_root, next_generation_number)``.
+        ``(gen_root, advisory_next_generation_number)``.
 
-        Single-writer contract (same as sources/versioned_store.py): healing
-        removes any ``__staging`` dir, which under concurrent writers would
-        delete another writer's in-flight work — concurrent publishes to one
-        table are unsupported."""
+        Multi-writer safe (r8): staging dirs are writer-private
+        (``__staging_{pid}_{uuid}``) and healing removes only debris whose
+        owning PROCESS is dead — a live concurrent writer's in-flight work
+        is never touched.  The returned generation number is ADVISORY (for
+        metrics/debug): the authoritative number is claimed atomically
+        inside :meth:`_seal_and_publish`'s commit critical section.
+        Cross-host writers would need lease files instead of pid liveness —
+        that is the seam a shared-object-store deployment replaces with a
+        Delta/Iceberg transaction log."""
         import re
         import shutil
 
@@ -1119,7 +1157,15 @@ class Pipeline:
         os.makedirs(gen_root, exist_ok=True)
         entries = os.listdir(gen_root)
         for d in entries:
-            if d.endswith("__staging") or d.startswith("_ptr__"):
+            heal = False
+            if d.startswith("_ptr__"):
+                heal = True  # tmp pointer links: re-created under the lock
+            elif d.endswith("__staging"):
+                heal = True  # legacy pre-r8 staging name: no owner encoded
+            elif "__staging_" in d:
+                m = re.search(r"__staging_(\d+)_", d)
+                heal = m is not None and not _pid_alive(int(m.group(1)))
+            if heal:
                 full = os.path.join(gen_root, d)
                 if os.path.islink(full) or os.path.isfile(full):
                     os.remove(full)
@@ -1146,6 +1192,102 @@ class Pipeline:
             nxt += 1
         return gen_root, nxt
 
+    @staticmethod
+    def _stage_path(gen_root: str) -> str:
+        """Writer-private staging dir: pid (liveness-checked by healing) +
+        uuid (several stagings per process)."""
+        import uuid
+
+        return os.path.join(
+            gen_root, f"__staging_{os.getpid()}_{uuid.uuid4().hex[:8]}"
+        )
+
+    @staticmethod
+    @_contextmanager
+    def _staging(gen_root: str):
+        """Yield a writer-private staging path; on ANY in-process failure
+        remove it (a failed writer cleans its own debris — pid-liveness
+        healing only covers true process death).  On success the dir has
+        been renamed away by the seal, so the cleanup is a no-op."""
+        import shutil
+
+        staged = Pipeline._stage_path(gen_root)
+        try:
+            yield staged
+        except BaseException:
+            shutil.rmtree(staged, ignore_errors=True)
+            raise
+
+    @staticmethod
+    def _live_version(path: str) -> int | None:
+        """Version the live pointer currently serves, or None if absent /
+        not a sealed generation."""
+        import re
+
+        if not os.path.lexists(path):
+            return None
+        base = os.path.basename(os.path.realpath(path))
+        return int(base[1:]) if re.fullmatch(r"v\d{6}", base) else None
+
+    def _seal_and_publish(
+        self,
+        path: str,
+        gen_root: str,
+        staged: str,
+        expect_version: int | None = None,
+    ) -> int:
+        """Commit critical section — the optimistic-concurrency analogue of
+        Delta's log-entry CAS.  The expensive data write into ``staged``
+        happened OUTSIDE any lock; this section is metadata-only:
+
+        1. take an exclusive flock on ``{gen_root}/_commit.lock`` (released
+           automatically if the process dies mid-commit);
+        2. if ``expect_version`` is given (read-modify-write commits: MERGE,
+           IVM sync), verify the live pointer still serves that version —
+           otherwise remove the staged dir and raise
+           :class:`ConcurrentWriteError` (the loser aborts cleanly, the
+           winner's publish is untouched);
+        3. claim the next generation number from the CURRENT listing and
+           seal with one rename — number claims cannot collide because they
+           happen under the lock;
+        4. swap the pointer (ours is necessarily the newest seal) and
+           vacuum strictly-older-than-retention generations.
+
+        Blind overwrites (no ``expect_version``) serialize on the same lock
+        with last-writer-wins pointer semantics — both publishes remain on
+        disk as history inside the retention window."""
+        import fcntl
+        import re
+        import shutil
+
+        lock_path = os.path.join(gen_root, "_commit.lock")
+        with open(lock_path, "w") as lk:
+            fcntl.flock(lk, fcntl.LOCK_EX)
+            if expect_version is not None:
+                live = self._live_version(path)
+                if live != expect_version:
+                    shutil.rmtree(staged, ignore_errors=True)
+                    raise ConcurrentWriteError(
+                        f"{path}: expected to commit over v{expect_version:06d} "
+                        f"but the live table is now "
+                        f"{'v%06d' % live if live is not None else 'absent'} — "
+                        "another writer committed first; re-read the current "
+                        "snapshot and retry the merge"
+                    )
+            gens = [
+                int(d[1:])
+                for d in os.listdir(gen_root)
+                if re.fullmatch(r"v\d{6}", d)
+            ]
+            nxt = (max(gens) + 1) if gens else 1
+            committed = os.path.join(gen_root, f"v{nxt:06d}")
+            os.replace(staged, committed)  # phase 1: generation sealed
+            _fault_injection("post_seal")
+            self._swap_pointer(path, committed)  # phase 2: atomic publish
+            _fault_injection("post_publish")
+            self._retain_generations(gen_root, nxt)
+        return nxt
+
     def _swap_pointer(self, path: str, committed: str) -> None:
         """Atomically point ``path`` (a symlink) at the committed generation
         dir.  ``os.replace`` of a symlink is atomic on POSIX: a concurrent
@@ -1168,12 +1310,14 @@ class Pipeline:
         import re
         import shutil
 
-        keep = {
-            f"v{current - i:06d}"
-            for i in range(self.retain_generations + 1)
-        }
         for d in os.listdir(gen_root):
-            if re.fullmatch(r"v\d{6}", d) and d not in keep:
+            # drop strictly-older-than-retention only — never a generation
+            # NEWER than `current` (defense in depth for the multi-writer
+            # protocol; under the commit lock `current` is always the max)
+            if (
+                re.fullmatch(r"v\d{6}", d)
+                and int(d[1:]) < current - self.retain_generations
+            ):
                 shutil.rmtree(os.path.join(gen_root, d), ignore_errors=True)
 
     def table_versions(self, name: str) -> list[int]:
@@ -1307,9 +1451,8 @@ class Pipeline:
         record.  Shared by ``restore`` and the IVM no-op version stamp
         (plans/ivm.py) — any 'same data, new commit metadata' publish."""
         path = self.path(name)
-        gen_root, nxt = self._gen_prepare(path)
+        gen_root, _ = self._gen_prepare(path)
         src = os.path.join(gen_root, f"v{src_version:06d}")
-        staged = os.path.join(gen_root, f"v{nxt:06d}__staging")
 
         def link_tree(s: str, d: str) -> None:
             os.makedirs(d, exist_ok=True)
@@ -1320,16 +1463,11 @@ class Pipeline:
                 elif entry != "_commit.json":  # gets a fresh record
                     os.link(sp, dp)
 
-        link_tree(src, staged)
-        _fault_injection("post_stage")
-        self._seal_commit_meta(staged, operation, **extra)
-        committed = os.path.join(gen_root, f"v{nxt:06d}")
-        os.replace(staged, committed)
-        _fault_injection("post_seal")
-        self._swap_pointer(path, committed)
-        _fault_injection("post_publish")
-        self._retain_generations(gen_root, nxt)
-        return nxt
+        with self._staging(gen_root) as staged:
+            link_tree(src, staged)
+            _fault_injection("post_stage")
+            self._seal_commit_meta(staged, operation, **extra)
+            return self._seal_and_publish(path, gen_root, staged)
 
     def table_changes(
         self,
@@ -1495,20 +1633,15 @@ class Pipeline:
         in-place layouts: their idempotence comes from batch-id partition
         replacement and checkpointed exactly-once sinks instead."""
         path = self.path(node.name)
-        gen_root, nxt = self._gen_prepare(path)
-        staged = os.path.join(gen_root, f"v{nxt:06d}__staging")
-        writer = df.write.mode("overwrite")
-        if node.partition_by:
-            writer = writer.partitionBy(*node.partition_by)
-        writer.parquet(staged)
-        _fault_injection("post_stage")
-        self._seal_commit_meta(staged, "overwrite", **(commit_extra or {}))
-        committed = os.path.join(gen_root, f"v{nxt:06d}")
-        os.replace(staged, committed)  # phase 1: generation sealed
-        _fault_injection("post_seal")
-        self._swap_pointer(path, committed)  # phase 2: atomic publish
-        _fault_injection("post_publish")
-        self._retain_generations(gen_root, nxt)
+        gen_root, _ = self._gen_prepare(path)
+        with self._staging(gen_root) as staged:
+            writer = df.write.mode("overwrite")
+            if node.partition_by:
+                writer = writer.partitionBy(*node.partition_by)
+            writer.parquet(staged)
+            _fault_injection("post_stage")
+            self._seal_commit_meta(staged, "overwrite", **(commit_extra or {}))
+            self._seal_and_publish(path, gen_root, staged)
 
     def _apply_expectations(self, node: Node, df: DataFrame) -> DataFrame:
         """Evaluate data-quality expectations (dlt.expect* parity).

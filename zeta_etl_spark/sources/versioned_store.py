@@ -395,25 +395,36 @@ class VersionedStoreWriter(DataSourceArrowWriter):
     def commit(self, messages):
         """Publish the staged task files as a new committed generation.
 
-        SINGLE-WRITER contract (ADVICE r6): commit assumes it is the only
-        writer touching this store.  The crash-debris heal below removes
-        every ``{base}__mirror*`` dir — under concurrent commits that would
-        delete another writer's in-flight mirror tmp (its ``os.replace``
-        then fails), and two commits can vacuum each other's just-committed
-        generation.  The reader-race contract (pin one generation, one
-        generation of retention) is unaffected.  Concurrent batch publishes
-        to one store are unsupported — serialize them (the same contract as
-        Pipeline's generation writer; a Delta deployment replaces this seam
-        with optimistic concurrency on the log)."""
+        MULTI-WRITER safe (r8, closing the ADVICE r6 single-writer
+        contract): the whole publish — debris heal, generation promote,
+        mirror rebuild, pointer replace, vacuum — runs under an exclusive
+        ``flock`` on ``{path}.commitlock``, the same serialization the
+        Pipeline generation writer uses.  Task-side data writes (the
+        expensive part) stay unlocked and job-private; the critical section
+        is metadata + one mirror copy.  Concurrent commits serialize:
+        last-committer-wins on the pointer (snapshot publishes carry no
+        read dependency, so there is nothing to CAS against), each
+        writer's generation survives at least one subsequent commit
+        (reader-pin retention), and the lock dies with its process.
+        Cross-host deployments replace this seam with a transaction log
+        (Delta/Iceberg) — documented, same as Pipeline._seal_and_publish."""
+        import fcntl
         import shutil
         import uuid
 
         base = os.path.basename(self._path)
         parent = os.path.dirname(self._path) or "."
+        with open(self._path + ".commitlock", "w") as lk:
+            fcntl.flock(lk, fcntl.LOCK_EX)
+            self._commit_locked(messages, base, parent, shutil, uuid)
+
+    def _commit_locked(self, messages, base, parent, shutil, uuid):
         # heal crash debris from a previous commit before touching anything:
         # a crash between the two mirror renames leaves __mirror_old (which
         # would make os.replace below fail with ENOTEMPTY) and a crash
-        # during copytree leaves a stranded uuid __mirror_* tmp dir
+        # during copytree leaves a stranded uuid __mirror_* tmp dir.  Safe
+        # under concurrency: commits are serialized by the flock, so no
+        # OTHER writer can be inside its mirror window now.
         for d in os.listdir(parent):
             if d.startswith(f"{base}__mirror"):
                 shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
