@@ -166,6 +166,10 @@ OPTIONAL = [
     "grid_density_clusters",
     "hits_hub_authority",
     "binseg_changepoint",
+    "seasonal_decompose_daily",
+    "sparse_cosine_pairs",
+    "ols2_normal_equations",
+    "quantile_normalize_sources",
 ]
 
 # Deliberate experiments whose cost is a MEASUREMENT, not the engine's real

@@ -1353,6 +1353,45 @@ class Pipeline:
             os.path.join(self.path(name) + "__gen", f"v{version:06d}")
         )
 
+    def read_as_of(
+        self, spark: SparkSession, name: str, timestamp: str
+    ) -> DataFrame:
+        """``TIMESTAMP AS OF`` time travel — the timestamp sibling of
+        :meth:`read_version` (Delta resolves a timestamp against its log;
+        here against each retained generation's ``_commit.json``).
+
+        Resolution is Delta's rule: the LATEST retained generation whose
+        ``committed_at`` is <= the requested timestamp (ties within the
+        1-second commit-stamp granularity resolve to the highest
+        generation number — the later commit).  A timestamp earlier than
+        the oldest retained commit raises with the available range, as
+        does one on a table with no stamped generations.
+
+        ``timestamp`` is an ISO-8601 UTC string (``YYYY-MM-DDTHH:MM:SSZ``
+        or any prefix-comparable form; a trailing ``Z`` is normalized).
+        """
+        ts = timestamp.strip().replace(" ", "T")
+        if not ts.endswith("Z"):
+            ts += "Z"
+        candidates: list[tuple[str, int]] = []
+        stamps: list[str] = []
+        for h in self.history(name):
+            at = h.get("committed_at")
+            if at is None:
+                continue
+            stamps.append(at)
+            if at <= ts:
+                candidates.append((at, h["version"]))
+        if not candidates:
+            raise ValueError(
+                f"read_as_of({name!r}, {timestamp!r}): no retained "
+                f"generation committed at or before that time "
+                f"(available commit stamps: {sorted(stamps)}); earlier "
+                "history was vacuumed or never existed"
+            )
+        version = max(candidates)[1]
+        return self.read_version(spark, name, version)
+
     def read_table(self, spark: SparkSession, name: str) -> DataFrame:
         """Snapshot-isolated read of a materialized table: resolves the
         generation pointer ONCE, so the returned frame keeps reading its
