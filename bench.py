@@ -170,6 +170,10 @@ OPTIONAL = [
     "sparse_cosine_pairs",
     "ols2_normal_equations",
     "quantile_normalize_sources",
+    "lm_likelihood_score",
+    "markov_removal_attribution",
+    "autocorr_best_lag",
+    "entity_linkage_parts",
 ]
 
 # Deliberate experiments whose cost is a MEASUREMENT, not the engine's real
