@@ -174,6 +174,8 @@ OPTIONAL = [
     "markov_removal_attribution",
     "autocorr_best_lag",
     "entity_linkage_parts",
+    "point_in_time_features",
+    "negative_sampling_recs",
 ]
 
 # Deliberate experiments whose cost is a MEASUREMENT, not the engine's real
