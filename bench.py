@@ -176,6 +176,12 @@ OPTIONAL = [
     "entity_linkage_parts",
     "point_in_time_features",
     "negative_sampling_recs",
+    # round-8 session-2 batch
+    "cusum_changepoint",
+    "survival_km_curve",
+    "source_token_drift",
+    "benford_digit_audit",
+    "kmeans_update_step",
 ]
 
 # Deliberate experiments whose cost is a MEASUREMENT, not the engine's real
