@@ -51,7 +51,18 @@ def main() -> None:
         "(status PASS_ROWS_ONLY) — full hashing is a driver-side harness "
         "cost, not an engine property",
     )
+    ap.add_argument(
+        "--shard",
+        default=None,
+        help="'K/N' — run only registry names whose sorted index %% N == K; "
+        "shard out-files are merged by scripts/merge_sweep_shards.py",
+    )
     args = ap.parse_args()
+    shard_k, shard_n = (
+        (int(args.shard.split("/")[0]), int(args.shard.split("/")[1]))
+        if args.shard
+        else (0, 1)
+    )
 
     results: dict[str, dict] = {}
     if os.path.exists(args.out):
@@ -95,7 +106,7 @@ def main() -> None:
         os.replace(tmp, args.out)
 
     for i, name in enumerate(sorted(REGISTRY)):
-        if name in results:
+        if i % shard_n != shard_k or name in results:
             continue
         spec = REGISTRY[name]
         rec: dict = {}
