@@ -405,3 +405,31 @@ def test_window_family_exchange_pins(spark, sf_dir):
         if n > budget:
             over[name] = (n, budget)
     assert not over, f"exchange budget exceeded: {over}"
+
+
+def test_round8_frontier6_plan_shapes(spark, sf_dir):
+    """Frontier batch 5 keeps its claimed scale shapes: CUSUM and the KM
+    life table pre-aggregate to the day/duration grain before any window
+    (their single-partition sorts are bounded-grain, never data-sized);
+    the k-means step assigns via ONE broadcast packed-seed row (zip_with
+    argmin inside codegen — no K-way row multiply, no per-dim explode
+    before assignment) so the only data-sized exchange is the final
+    (cluster, dim) agg; the drift and Benford queries never go cartesian."""
+    for name in ("cusum_changepoint", "survival_km_curve",
+                 "source_token_drift", "benford_digit_audit",
+                 "kmeans_update_step"):
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+
+    # cusum: the fact table shuffles once (the day rollup); the running
+    # frames ride the aggregated day grain
+    plan = _plan(spark, sf_dir, "cusum_changepoint")
+    ex = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
+    assert len(ex) <= 1, plan
+
+    # kmeans: assignment is exchange-free up to the posexplode — every
+    # hashpartitioning exchange in the plan carries the (cluster, dim)
+    # agg key, none carries vec_id
+    plan = _plan(spark, sf_dir, "kmeans_update_step")
+    assert "Exchange hashpartitioning(vec_id" not in plan, plan

@@ -93,6 +93,9 @@ def cusum_changepoint(spark, sf_dir):
             .alias("cents")
         )
     )
+    # day-grain frame (tiny at any fact size) feeds both the scalar mean
+    # and the main branch — materialize once so the fact scans ONCE
+    daily = daily.localCheckpoint()
     mu = daily.agg(
         F.expr(
             "cast(sum(cents) as bigint) div cast(count(*) as bigint)"
@@ -190,7 +193,12 @@ def survival_km_curve(spark, sf_dir):
         F.sum("ev").cast("bigint").alias("d_i"),
         F.sum(1 - F.col("ev")).cast("bigint").alias("c_i"),
     )
-    total = d.agg(F.count(F.lit(1)).cast("bigint").alias("total"))
+    # duration-grain frame (tiny) feeds both the total and the life table;
+    # total = sum(d_i + c_i) over it, so the fact scans ONCE
+    g = g.localCheckpoint()
+    total = g.agg(
+        F.sum(F.col("d_i") + F.col("c_i")).cast("bigint").alias("total")
+    )
     prior = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
     run = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)
     # duration-day grain: |rows| independent of fact size — safe to sort
@@ -379,6 +387,7 @@ def benford_digit_audit(spark, sf_dir):
     g = c.groupBy("digit").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_orders")
     )
+    g = g.localCheckpoint()  # 9-row digit frame; fact scans once
     t = g.agg(F.sum("n_orders").cast("bigint").alias("total"))
     exp_col = f"cast(case digit {_BENFORD_CASE_SQL} end as bigint)"
     return scalar_frame_crossjoin(g, t).select(
