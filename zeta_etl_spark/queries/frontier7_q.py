@@ -1,0 +1,464 @@
+"""Frontier batch 6 (round 8, session 3): evaluation / robust-statistics
+operators a training-data pipeline runs over its own outputs —
+
+- ``wilson_ci_ranking``: rank suppliers by non-return rate with the Wilson
+  score lower bound (the "sort by lower confidence bound, not by raw
+  ratio" rule every ranking pipeline needs).  sqrt is the only libm call
+  and IEEE-754 REQUIRES correctly-rounded sqrt, so the double expression
+  tree is bit-identical across engines as long as both sides share the
+  same parenthesization (they do, by construction).
+- ``classifier_eval_kappa``: confusion matrix, precision/recall/F1 and
+  Cohen's kappa between two label rules over documents — the
+  inter-annotator-agreement / weak-supervision-eval step.  Expected
+  agreement is computed from ppm-scaled marginals so nothing exceeds
+  ~1e12 regardless of corpus size (the naive (tp+fp)(tp+fn) cross term
+  overflows BIGINT at ~5M docs).
+- ``retrieval_eval_ndcg``: ranking-quality metrics (precision@5, MRR,
+  NDCG@5) of exact cosine top-5 retrieval against label-match relevance.
+  The log2 discount table is Python-precomputed ppm literals — neither
+  engine evaluates a log (libm results are not IEEE-pinned; only
+  +,-,*,/,sqrt are allowed on doubles).
+- ``geometric_median_step``: one Weiszfeld iteration toward the per-label
+  geometric median of the embedding cloud (the robust centroid that
+  resists poisoned/outlier vectors).  Per-point contributions are
+  integer-scaled BEFORE the sum so the aggregate is an exact BIGINT —
+  float accumulation order never matters.
+
+Scale notes: wilson/kappa are single hash-agg passes over the fact table;
+retrieval_eval broadcasts 10 query vectors against the corpus scan (the
+same shape as knn_cosine_top5); geometric_median is one centroid agg +
+one broadcast join + one (label, dim) agg — nothing quadratic anywhere.
+
+Reference surface: ranking/eval analytics of the reference's analytics
+tier (SURVEY.md §2.4 aggregations, §2.8 scalar families); the retrieval
+metrics grade the ANN operators of operators/vectors.py the way the
+reference's own eval harness grades its index (BASELINE.json ann ops).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from zeta_etl_spark.operators.vectors import SCALE, cosine_topk, scaled_vectors
+from zeta_etl_spark.queries.registry import T, query
+
+# --- wilson_ci_ranking -------------------------------------------------------
+# Per supplier: n = lineitem trials, s = non-returned lines.  Wilson lower
+# bound at z=1.96.  phat, and every other double, derives from exact
+# BIGINTs through the SAME expression tree in both engines; output is
+# ppm-floored so the driver hashes an integer rendering.
+
+_Z = "1.96"
+_Z2 = "3.8416"
+
+_WILSON_EXPR_SQL = (
+    "((phat + {z2} / (2.0 * n) - {z} * sqrt("
+    "(phat * (1.0 - phat) + {z2} / (4.0 * n * n)) / n)) "
+    "/ (1.0 + {z2} / n))"
+).format(z=_Z, z2=_Z2)
+
+_WILSON_ORACLE = f"""
+WITH s AS (
+  SELECT l_suppkey,
+    CAST(COUNT(*) AS BIGINT) AS n_trials,
+    CAST(SUM(CASE WHEN l_returnflag <> 'R' THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_ok
+  FROM lineitem GROUP BY 1
+), p AS (
+  SELECT l_suppkey, n_trials, n_ok,
+    CAST(n_ok AS DOUBLE) / CAST(n_trials AS DOUBLE) AS phat,
+    CAST(n_trials AS DOUBLE) AS n
+  FROM s WHERE n_trials >= 20
+), w AS (
+  SELECT l_suppkey, n_trials, n_ok,
+    CAST(floor(phat * 1000000 + 0.5) AS BIGINT) AS phat_ppm,
+    CAST(floor({_WILSON_EXPR_SQL} * 1000000 + 0.5) AS BIGINT) AS wilson_ppm
+  FROM p
+)
+SELECT l_suppkey, n_trials, n_ok, phat_ppm, wilson_ppm,
+  CAST(ROW_NUMBER() OVER (ORDER BY wilson_ppm DESC, l_suppkey) AS BIGINT)
+    AS wilson_rank
+FROM w
+ORDER BY wilson_rank
+LIMIT 25
+"""
+
+
+@query(
+    "wilson_ci_ranking",
+    oracle=_WILSON_ORACLE,
+    tags=("ranking", "statistics", "confidence"),
+)
+def wilson_ci_ranking(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    s = li.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_trials"),
+        F.sum(F.when(F.col("l_returnflag") != "R", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_ok"),
+    )
+    p = s.filter(F.col("n_trials") >= 20).select(
+        "l_suppkey",
+        "n_trials",
+        "n_ok",
+        F.expr("cast(n_ok as double) / cast(n_trials as double)").alias("phat"),
+        F.expr("cast(n_trials as double)").alias("n"),
+    )
+    w = p.select(
+        "l_suppkey",
+        "n_trials",
+        "n_ok",
+        F.expr("cast(floor(phat * 1000000 + 0.5) as bigint)").alias("phat_ppm"),
+        F.expr(
+            f"cast(floor({_WILSON_EXPR_SQL} * 1000000 + 0.5) as bigint)"
+        ).alias("wilson_ppm"),
+    )
+    # top-25 total order: |suppliers| rows after the agg — the global sort
+    # runs on a dim-sized frame, never the fact table
+    ranked = w.select(
+        "*",
+        F.expr(
+            "cast(row_number() over (order by wilson_ppm desc, l_suppkey) "
+            "as bigint)"
+        ).alias("wilson_rank"),
+    )
+    return ranked.orderBy("wilson_rank").limit(25)
+
+
+# --- classifier_eval_kappa ---------------------------------------------------
+# Rule A (prediction): n_chars >= 300.  Rule B (reference): >= 28 distinct
+# whitespace tokens.  One scan, one global agg; kappa from ppm marginals.
+
+_KAPPA_ORACLE = """
+WITH lab AS (
+  SELECT
+    CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS pred,
+    CASE WHEN len(list_distinct(string_split(text, ' '))) >= 28
+         THEN 1 ELSE 0 END AS ref
+  FROM documents
+), c AS (
+  SELECT
+    CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(pred * ref) AS BIGINT) AS tp,
+    CAST(SUM(pred * (1 - ref)) AS BIGINT) AS fp,
+    CAST(SUM((1 - pred) * ref) AS BIGINT) AS fn,
+    CAST(SUM((1 - pred) * (1 - ref)) AS BIGINT) AS tn
+  FROM lab
+), m AS (
+  SELECT n, tp, fp, fn, tn,
+    ((tp + tn) * 1000000) // n AS po_ppm,
+    ((tp + fp) * 1000000) // n AS a1_ppm,
+    ((tp + fn) * 1000000) // n AS b1_ppm
+  FROM c
+), k AS (
+  SELECT n, tp, fp, fn, tn, po_ppm,
+    (a1_ppm * b1_ppm + (1000000 - a1_ppm) * (1000000 - b1_ppm)) // 1000000
+      AS pe_ppm
+  FROM m
+)
+SELECT n AS n_docs, tp, fp, fn, tn,
+  po_ppm AS accuracy_ppm,
+  (tp * 1000000) // (tp + fp) AS precision_ppm,
+  (tp * 1000000) // (tp + fn) AS recall_ppm,
+  (2 * tp * 1000000) // (2 * tp + fp + fn) AS f1_ppm,
+  ((po_ppm - pe_ppm) * 1000000) // (1000000 - pe_ppm) AS kappa_ppm
+FROM k
+"""
+
+
+@query(
+    "classifier_eval_kappa",
+    oracle=_KAPPA_ORACLE,
+    tags=("evaluation", "agreement", "text"),
+)
+def classifier_eval_kappa(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    lab = d.select(
+        F.when(F.col("n_chars") >= 300, 1).otherwise(0).alias("pred"),
+        F.when(
+            F.expr("size(array_distinct(split(text, ' ')))") >= 28, 1
+        )
+        .otherwise(0)
+        .alias("ref"),
+    )
+    c = lab.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("pred") * F.col("ref")).cast("bigint").alias("tp"),
+        F.sum(F.col("pred") * (1 - F.col("ref"))).cast("bigint").alias("fp"),
+        F.sum((1 - F.col("pred")) * F.col("ref")).cast("bigint").alias("fn"),
+        F.sum((1 - F.col("pred")) * (1 - F.col("ref")))
+        .cast("bigint")
+        .alias("tn"),
+    )
+    m = c.select(
+        "*",
+        F.expr("((tp + tn) * 1000000) div n").alias("po_ppm"),
+        F.expr("((tp + fp) * 1000000) div n").alias("a1_ppm"),
+        F.expr("((tp + fn) * 1000000) div n").alias("b1_ppm"),
+    )
+    k = m.select(
+        "*",
+        F.expr(
+            "(a1_ppm * b1_ppm + (1000000 - a1_ppm) * (1000000 - b1_ppm)) "
+            "div 1000000"
+        ).alias("pe_ppm"),
+    )
+    return k.select(
+        F.col("n").alias("n_docs"),
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.col("po_ppm").alias("accuracy_ppm"),
+        F.expr("(tp * 1000000) div (tp + fp)").alias("precision_ppm"),
+        F.expr("(tp * 1000000) div (tp + fn)").alias("recall_ppm"),
+        F.expr("(2 * tp * 1000000) div (2 * tp + fp + fn)").alias("f1_ppm"),
+        F.expr(
+            "((po_ppm - pe_ppm) * 1000000) div (1000000 - pe_ppm)"
+        ).alias("kappa_ppm"),
+    )
+
+
+# --- retrieval_eval_ndcg -----------------------------------------------------
+# Exact cosine top-5 for query vectors vec_id < 10 (the knn_cosine_top5
+# shape: broadcast queries x one corpus scan); relevance = neighbor label
+# == query label.  DCG discounts 1/log2(rank+1) are ppm literals.
+
+_NDCG_W = [int(math.floor(1_000_000 / math.log2(i + 1) + 0.5)) for i in range(1, 6)]
+
+_DUCK_SCALED = (
+    f"list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {SCALE} + 0.5) "
+    "AS BIGINT))"
+)
+
+
+def _ndcg_oracle() -> str:
+    w_cases = " ".join(
+        f"WHEN {i + 1} THEN {w}" for i, w in enumerate(_NDCG_W)
+    )
+    idcg_cases = " ".join(
+        f"WHEN {i + 1} THEN {sum(_NDCG_W[: i + 1])}" for i in range(5)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, label, {_DUCK_SCALED} AS sv FROM embeddings
+), n AS (
+  SELECT vec_id, label, sv,
+         list_sum(list_transform(sv, x -> x * x)) AS norm2 FROM e
+), q AS (
+  SELECT vec_id AS query_id, label AS qlabel, sv AS qv, norm2 AS qn
+  FROM n WHERE vec_id < 10
+), p AS (
+  SELECT q.query_id, q.qlabel, n.vec_id AS neighbor_id, n.label AS nlabel,
+    CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
+                                 i -> q.qv[i] * n.sv[i])) AS DOUBLE)
+      / NULLIF(sqrt(CAST(q.qn AS DOUBLE)) * sqrt(CAST(n.norm2 AS DOUBLE)), 0.0)
+      AS cosine
+  FROM q JOIN n ON n.vec_id != q.query_id
+), top AS (
+  SELECT query_id,
+    CAST(CASE WHEN qlabel = nlabel THEN 1 ELSE 0 END AS BIGINT) AS rel,
+    CAST(rn AS BIGINT) AS rk
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) AS rn
+    FROM p
+  ) t WHERE rn <= 5
+), m AS (
+  SELECT query_id,
+    CAST(SUM(rel) AS BIGINT) AS n_rel,
+    CAST(SUM(rel * CASE rk {w_cases} END) AS BIGINT) AS dcg,
+    CAST(COALESCE(MIN(CASE WHEN rel = 1 THEN rk END), 0) AS BIGINT)
+      AS first_rel_rank
+  FROM top GROUP BY query_id
+)
+SELECT query_id, n_rel,
+  (n_rel * 1000000) // 5 AS precision5_ppm,
+  CASE WHEN first_rel_rank = 0 THEN CAST(0 AS BIGINT)
+       ELSE 1000000 // first_rel_rank END AS mrr_ppm,
+  CASE WHEN n_rel = 0 THEN CAST(0 AS BIGINT)
+       ELSE (dcg * 1000000) // (CASE n_rel {idcg_cases} END) END AS ndcg5_ppm
+FROM m
+"""
+
+
+@query(
+    "retrieval_eval_ndcg",
+    oracle=_ndcg_oracle(),
+    tags=("vectors", "evaluation", "ndcg"),
+)
+def retrieval_eval_ndcg(spark, sf_dir):
+    emb = T(spark, sf_dir, "embeddings")
+    labels = emb.select("vec_id", "label")
+    sv = scaled_vectors(emb.drop("label"))
+    queries = sv.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("sv").alias("qv"),
+        F.col("norm2").alias("qn"),
+    )
+    top = cosine_topk(sv, queries, k=5)
+    # label lookups: both joins broadcast a (vec_id, label) dim projection
+    top = (
+        top.join(
+            F.broadcast(
+                labels.select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("label").alias("qlabel"),
+                )
+            ),
+            "query_id",
+        )
+        .join(
+            F.broadcast(
+                labels.select(
+                    F.col("vec_id").alias("neighbor_id"),
+                    F.col("label").alias("nlabel"),
+                )
+            ),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            F.when(F.col("qlabel") == F.col("nlabel"), 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("rel"),
+            F.col("knn_rank").cast("bigint").alias("rk"),
+        )
+    )
+    w_arr = F.array(*[F.lit(w) for w in _NDCG_W])
+    idcg_arr = F.array(
+        *[F.lit(sum(_NDCG_W[: i + 1])) for i in range(5)]
+    )
+    m = top.groupBy("query_id").agg(
+        F.sum("rel").cast("bigint").alias("n_rel"),
+        F.sum(F.col("rel") * F.element_at(w_arr, F.col("rk").cast("int")))
+        .cast("bigint")
+        .alias("dcg"),
+        F.coalesce(
+            F.min(F.when(F.col("rel") == 1, F.col("rk"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("first_rel_rank"),
+    )
+    return m.select(
+        "query_id",
+        "n_rel",
+        F.expr("(n_rel * 1000000) div 5").alias("precision5_ppm"),
+        F.when(F.col("first_rel_rank") == 0, F.lit(0).cast("bigint"))
+        .otherwise(F.expr("1000000 div first_rel_rank"))
+        .alias("mrr_ppm"),
+        F.when(F.col("n_rel") == 0, F.lit(0).cast("bigint"))
+        .otherwise(
+            F.expr("dcg * 1000000")
+            / F.element_at(idcg_arr, F.col("n_rel").cast("int"))
+        )
+        .cast("bigint")
+        .alias("ndcg5_ppm"),
+    )
+
+
+# --- geometric_median_step ---------------------------------------------------
+# One Weiszfeld iteration from the per-label integer mean centroid:
+# x' = sum_j(v_j / d_j) / sum_j(1 / d_j), d_j = ||v_j - c||, zero-distance
+# points excluded (the standard Weiszfeld guard).  Per-point per-dim
+# contributions are ppm-floored BIGINTs BEFORE aggregation, so the sums
+# are exact and order-independent; d_j itself is sqrt of an exact BIGINT.
+
+_GEOMED_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, label, {_DUCK_SCALED} AS sv FROM embeddings
+), cm AS (
+  SELECT label, CAST(i AS BIGINT) AS dim,
+    CAST(SUM(sv[CAST(i AS INT)]) AS BIGINT) // CAST(COUNT(*) AS BIGINT)
+      AS cm
+  FROM e CROSS JOIN range(1, 65) t(i)
+  GROUP BY label, i
+), carr AS (
+  SELECT label, list(cm ORDER BY dim) AS cv FROM cm GROUP BY label
+), d AS (
+  SELECT e.vec_id, e.label, e.sv,
+    sqrt(CAST(list_sum(list_transform(range(1, 65),
+      i -> (e.sv[i] - carr.cv[i]) * (e.sv[i] - carr.cv[i]))) AS DOUBLE))
+      AS dist
+  FROM e JOIN carr ON e.label = carr.label
+), contrib AS (
+  SELECT label, CAST(i AS BIGINT) AS dim,
+    CAST(floor(CAST(sv[CAST(i AS INT)] AS DOUBLE) * 1000000 / dist + 0.5)
+      AS BIGINT) AS wnum,
+    CAST(floor(1000000000000.0 / dist + 0.5) AS BIGINT) AS wden
+  FROM d CROSS JOIN range(1, 65) t(i)
+  WHERE dist > 0
+)
+SELECT label, dim,
+  CAST(SUM(wnum) AS BIGINT) AS num_scaled,
+  CAST(SUM(wden) AS BIGINT) AS den_scaled,
+  (CAST(SUM(wnum) AS BIGINT) * 1000000) // CAST(SUM(wden) AS BIGINT)
+    AS median_ppm,
+  CAST(COUNT(*) AS BIGINT) AS n_points
+FROM contrib
+GROUP BY label, dim
+"""
+
+
+@query(
+    "geometric_median_step",
+    oracle=_GEOMED_ORACLE,
+    tags=("vectors", "robust", "weiszfeld"),
+)
+def geometric_median_step(spark, sf_dir):
+    emb = scaled_vectors(T(spark, sf_dir, "embeddings"))
+    # per-label integer mean centroid as a 64-array: one dim-exploded agg,
+    # result is |labels| x 64 — broadcastable at any corpus size
+    cm = (
+        emb.select(
+            "label", F.posexplode("sv").alias("dim0", "v")
+        )
+        .groupBy("label", "dim0")
+        .agg(
+            F.expr(
+                "cast(sum(v) as bigint) div cast(count(*) as bigint)"
+            ).alias("cm")
+        )
+    )
+    carr = cm.groupBy("label").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(dim0, cm))), s -> s.cm)"
+        ).alias("cv")
+    )
+    d = emb.join(F.broadcast(carr), "label").select(
+        "label",
+        "sv",
+        F.expr(
+            "sqrt(cast(aggregate(zip_with(sv, cv, (a, b) -> (a - b) * (a - b)), "
+            "0L, (acc, x) -> acc + x) as double))"
+        ).alias("dist"),
+    )
+    contrib = (
+        d.filter(F.col("dist") > 0)
+        .select(
+            "label",
+            F.posexplode("sv").alias("dim0", "v"),
+            "dist",
+        )
+        .select(
+            "label",
+            (F.col("dim0") + 1).cast("bigint").alias("dim"),
+            F.expr(
+                "cast(floor(cast(v as double) * 1000000 / dist + 0.5) as bigint)"
+            ).alias("wnum"),
+            F.expr(
+                "cast(floor(1000000000000.0 / dist + 0.5) as bigint)"
+            ).alias("wden"),
+        )
+    )
+    return contrib.groupBy("label", "dim").agg(
+        F.sum("wnum").cast("bigint").alias("num_scaled"),
+        F.sum("wden").cast("bigint").alias("den_scaled"),
+        F.expr(
+            "(cast(sum(wnum) as bigint) * 1000000) div cast(sum(wden) as bigint)"
+        ).alias("median_ppm"),
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+    )
