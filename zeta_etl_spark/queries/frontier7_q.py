@@ -462,3 +462,506 @@ def geometric_median_step(spark, sf_dir):
         ).alias("median_ppm"),
         F.count(F.lit(1)).cast("bigint").alias("n_points"),
     )
+
+
+# --- kcore_peeling -----------------------------------------------------------
+# 4-round k-core peel of the part co-purchase graph (edges = part pairs
+# co-bought in >= 2 orders; pair generation is a within-order self-join,
+# work = sum(|basket|^2), never |parts|^2).  k is the LOWER MEDIAN of the
+# initial degree distribution — a data-relative threshold, so the query
+# stays non-degenerate at every scale (a fixed k trivially saturates as
+# density grows).  The round count is BOUNDED (4), which pins the exact
+# semantics "4 peeling rounds", not iterate-to-fixpoint — both engines
+# unroll identically; each round is a dim-sized semi-join + degree agg.
+
+_KCORE_ROUNDS = 4
+
+
+def _kcore_oracle() -> str:
+    rounds = []
+    prev = "a0"
+    for r in range(1, _KCORE_ROUNDS + 1):
+        rounds.append(f"""
+, d{r} AS MATERIALIZED (
+  SELECT x, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+    SELECT e.u AS x FROM e
+      JOIN {prev} au ON au.v = e.u JOIN {prev} av ON av.v = e.v
+    UNION ALL
+    SELECT e.v AS x FROM e
+      JOIN {prev} au ON au.v = e.u JOIN {prev} av ON av.v = e.v
+  ) t GROUP BY x
+), a{r} AS MATERIALIZED (
+  SELECT d{r}.x AS v FROM d{r} CROSS JOIN kk WHERE d{r}.deg >= kk.k
+)""")
+        prev = f"a{r}"
+    return f"""
+WITH i AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), e AS MATERIALIZED (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM i a JOIN i b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+), d0 AS MATERIALIZED (
+  SELECT x, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+    SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e
+  ) t GROUP BY x
+), kk AS MATERIALIZED (
+  SELECT deg AS k FROM (
+    SELECT deg, ROW_NUMBER() OVER (ORDER BY deg, x) AS rn,
+           COUNT(*) OVER () AS n
+    FROM d0
+  ) t WHERE rn = (n + 1) // 2
+), a0 AS (
+  SELECT x AS v FROM d0
+){''.join(rounds)}
+SELECT d0.x AS part_key, d0.deg AS deg_initial, d{_KCORE_ROUNDS}.deg AS deg_final,
+  kk.k AS k_threshold
+FROM a{_KCORE_ROUNDS} s
+JOIN d0 ON d0.x = s.v
+JOIN d{_KCORE_ROUNDS} ON d{_KCORE_ROUNDS}.x = s.v
+CROSS JOIN kk
+"""
+
+
+@query(
+    "kcore_peeling",
+    oracle=_kcore_oracle(),
+    tags=("graph", "kcore", "basket"),
+)
+def kcore_peeling(spark, sf_dir):
+    from zeta_etl_spark.operators.scalar_frame import scalar_frame_crossjoin
+
+    li = T(spark, sf_dir, "lineitem")
+    i = li.select("l_orderkey", "l_partkey").distinct()
+    e = (
+        i.alias("a")
+        .join(
+            i.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+        .select("u", "v")
+    )
+    # the edge table is re-scanned 2x per round: materialize it ONCE so the
+    # basket self-join never replays
+    e = e.localCheckpoint()
+
+    def degrees(edges, alive=None):
+        if alive is not None:
+            edges = edges.join(
+                alive.select(F.col("v").alias("u")), "u", "left_semi"
+            ).join(alive, "v", "left_semi")
+        ends = edges.select(F.col("u").alias("x")).unionAll(
+            edges.select(F.col("v").alias("x"))
+        )
+        return ends.groupBy("x").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+
+    d0 = degrees(e).localCheckpoint()
+    kk = (
+        d0.select(
+            "deg",
+            F.expr("row_number() over (order by deg, x)").alias("rn"),
+            F.expr("count(*) over ()").alias("n"),
+        )
+        .filter(F.expr("rn = (n + 1) div 2"))
+        .select(F.col("deg").alias("k"))
+    )
+    alive = d0.select(F.col("x").alias("v"))
+    dr = d0
+    for _ in range(_KCORE_ROUNDS):
+        dr = degrees(e, alive)
+        alive = (
+            scalar_frame_crossjoin(dr, kk, bound=1)
+            .filter(F.col("deg") >= F.col("k"))
+            .select(F.col("x").alias("v"))
+        )
+        # bounded vertex frame per round; checkpoint keeps the 4-round plan
+        # from nesting 8 joins deep
+        alive = alive.localCheckpoint()
+    surv = alive
+    out = (
+        surv.join(d0.withColumnRenamed("deg", "deg_initial"), surv.v == d0.x)
+        .join(
+            dr.withColumnRenamed("deg", "deg_final").withColumnRenamed(
+                "x", "xf"
+            ),
+            surv.v == F.col("xf"),
+        )
+        .select(
+            F.col("v").alias("part_key"),
+            "deg_initial",
+            "deg_final",
+        )
+    )
+    return scalar_frame_crossjoin(out, kk, bound=1).select(
+        "part_key", "deg_initial", "deg_final", F.col("k").alias("k_threshold")
+    )
+
+
+# --- isotonic_pav_fit --------------------------------------------------------
+# Nondecreasing L2-isotonic fit of daily order revenue per priority over
+# the most recent 48 days, via the minimax closed form
+# fitted[t] = max_{j<=t} min_{k>=t} avg(y[j..k]) — no sequential PAV
+# loop, so the whole fit is two nested bounded HOFs over a 48-element
+# array (O(48^3) scalar ops per key, constant at any fact size).  avg is
+# an exact-integer prefix-sum difference over one IEEE-exact division;
+# both engines evaluate the identical expression tree.
+
+_ISO_ORACLE = """
+WITH daily AS (
+  SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS day,
+    CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      AS cents
+  FROM orders GROUP BY 1, 2
+), recent AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY priority ORDER BY day DESC)
+      AS rn
+    FROM daily
+  ) t WHERE rn <= 48
+), arr AS (
+  SELECT priority,
+    list(day ORDER BY day) AS ds,
+    list(cents ORDER BY day) AS ys
+  FROM recent GROUP BY priority
+), fit AS (
+  SELECT priority, ds, ys, len(ys) AS n,
+    list_prepend(CAST(0 AS BIGINT),
+      list_transform(range(1, len(ys) + 1),
+        i -> CAST(list_sum(ys[1:i]) AS BIGINT))) AS p
+  FROM arr
+), ft AS (
+  SELECT priority, ds, ys, n,
+    list_transform(range(0, n), t ->
+      list_max(list_transform(range(0, t + 1), j ->
+        list_min(list_transform(range(t, n), k ->
+          CAST(p[k + 2] - p[j + 1] AS DOUBLE) / (k - j + 1.0)))))) AS f
+  FROM fit
+)
+SELECT priority, CAST(ds[CAST(i AS INT)] AS DATE) AS day,
+  ys[CAST(i AS INT)] AS observed_cents,
+  CAST(floor(f[CAST(i AS INT)] + 0.5) AS BIGINT) AS fitted_cents
+FROM ft CROSS JOIN range(1, 100) t(i)
+WHERE i <= n
+"""
+
+
+@query(
+    "isotonic_pav_fit",
+    oracle=_ISO_ORACLE,
+    tags=("regression", "isotonic", "statistics"),
+)
+def isotonic_pav_fit(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").cast("date").alias("day"),
+    ).agg(
+        F.sum(F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    recent = daily.select(
+        "*",
+        F.expr(
+            "row_number() over (partition by priority order by day desc)"
+        ).alias("rn"),
+    ).filter(F.col("rn") <= 48)
+    arr = recent.groupBy("priority").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(day, cents))), s -> s.day)"
+        ).alias("ds"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(day, cents))), s -> s.cents)"
+        ).alias("ys"),
+    )
+    fit = arr.select(
+        "priority",
+        "ds",
+        "ys",
+        F.expr("size(ys)").alias("n"),
+        F.expr(
+            "concat(array(0L), transform(sequence(1, size(ys)), "
+            "i -> aggregate(slice(ys, 1, i), 0L, (a, x) -> a + x)))"
+        ).alias("p"),
+    )
+    ft = fit.select(
+        "priority",
+        "ds",
+        "ys",
+        "n",
+        F.expr(
+            "transform(sequence(0, n - 1), t -> "
+            "array_max(transform(sequence(0, t), j -> "
+            "array_min(transform(sequence(t, n - 1), k -> "
+            "cast(element_at(p, k + 2) - element_at(p, j + 1) as double) "
+            "/ (k - j + 1.0))))))"
+        ).alias("f"),
+    )
+    return ft.select(
+        "priority", F.posexplode(F.expr("arrays_zip(ds, ys, f)")).alias("i0", "z")
+    ).select(
+        "priority",
+        F.col("z.ds").alias("day"),
+        F.col("z.ys").alias("observed_cents"),
+        F.expr("cast(floor(z.f + 0.5) as bigint)").alias("fitted_cents"),
+    )
+
+
+# --- mmr_diverse_rerank ------------------------------------------------------
+# Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR'98) re-rank of
+# the exact-cosine top-8 candidates per query: 3 unrolled greedy rounds of
+# select argmax(rel_ppm - max_sim_to_selected_ppm), lambda = 0.5 (order-
+# equivalent to (rel - maxsim)/2).  The diversity-aware sampling step of a
+# training-data curation pipeline.  Candidate pools are bounded (8/query),
+# so the pairwise-sim frame is |queries| x 64 — never corpus-quadratic;
+# each greedy round is one bounded groupBy.  Argmax ties break on the
+# lower candidate id via min(struct(-score, cand)).
+
+def _mmr_oracle() -> str:
+    return f"""
+WITH e AS MATERIALIZED (
+  SELECT vec_id, {_DUCK_SCALED} AS sv FROM embeddings
+), n AS MATERIALIZED (
+  SELECT vec_id, sv,
+         list_sum(list_transform(sv, x -> x * x)) AS norm2 FROM e
+), q AS (
+  SELECT vec_id AS query_id, sv AS qv, norm2 AS qn FROM n WHERE vec_id < 10
+), cand AS MATERIALIZED (
+  SELECT query_id, neighbor_id,
+    CAST(floor(cosine * 1000000 + 0.5) AS BIGINT) AS rel_ppm,
+    CAST(rn AS BIGINT) AS knn_rank
+  FROM (
+    SELECT q.query_id, nn.vec_id AS neighbor_id,
+      CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
+                                   i -> q.qv[i] * nn.sv[i])) AS DOUBLE)
+        / NULLIF(sqrt(CAST(q.qn AS DOUBLE)) * sqrt(CAST(nn.norm2 AS DOUBLE)),
+                 0.0) AS cosine,
+      ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+        CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
+                                     i -> q.qv[i] * nn.sv[i])) AS DOUBLE)
+          / NULLIF(sqrt(CAST(q.qn AS DOUBLE)) * sqrt(CAST(nn.norm2 AS DOUBLE)),
+                   0.0) DESC, nn.vec_id) AS rn
+    FROM q JOIN n nn ON nn.vec_id != q.query_id
+  ) t WHERE rn <= 8
+), ps AS MATERIALIZED (
+  SELECT a.query_id, a.neighbor_id AS ca, b.neighbor_id AS cb,
+    CAST(floor(
+      CAST(list_sum(list_transform(range(1, len(na.sv) + 1),
+                                   i -> na.sv[i] * nb.sv[i])) AS DOUBLE)
+      / NULLIF(sqrt(CAST(na.norm2 AS DOUBLE)) * sqrt(CAST(nb.norm2 AS DOUBLE)),
+               0.0) * 1000000 + 0.5) AS BIGINT) AS sim_ppm
+  FROM cand a JOIN cand b
+    ON a.query_id = b.query_id AND a.neighbor_id != b.neighbor_id
+  JOIN n na ON na.vec_id = a.neighbor_id
+  JOIN n nb ON nb.vec_id = b.neighbor_id
+), s1 AS MATERIALIZED (
+  SELECT query_id, neighbor_id AS sel, rel_ppm AS score_ppm
+  FROM cand WHERE knn_rank = 1
+), r2 AS MATERIALIZED (
+  SELECT c.query_id,
+    MIN(struct_pack(negs := -(c.rel_ppm - ps.sim_ppm),
+                    cand := c.neighbor_id)) AS pick
+  FROM cand c
+  JOIN s1 ON s1.query_id = c.query_id AND c.neighbor_id != s1.sel
+  JOIN ps ON ps.query_id = c.query_id AND ps.ca = c.neighbor_id
+         AND ps.cb = s1.sel
+  GROUP BY c.query_id
+), s2 AS MATERIALIZED (
+  SELECT query_id, CAST(pick['cand'] AS BIGINT) AS sel,
+    CAST(-pick['negs'] AS BIGINT) AS score_ppm
+  FROM r2
+), r3 AS MATERIALIZED (
+  SELECT c.query_id,
+    MIN(struct_pack(negs := -(c.rel_ppm - GREATEST(p1.sim_ppm, p2.sim_ppm)),
+                    cand := c.neighbor_id)) AS pick
+  FROM cand c
+  JOIN s1 ON s1.query_id = c.query_id AND c.neighbor_id != s1.sel
+  JOIN s2 ON s2.query_id = c.query_id AND c.neighbor_id != s2.sel
+  JOIN ps p1 ON p1.query_id = c.query_id AND p1.ca = c.neighbor_id
+            AND p1.cb = s1.sel
+  JOIN ps p2 ON p2.query_id = c.query_id AND p2.ca = c.neighbor_id
+            AND p2.cb = s2.sel
+  GROUP BY c.query_id
+), s3 AS (
+  SELECT query_id, CAST(pick['cand'] AS BIGINT) AS sel,
+    CAST(-pick['negs'] AS BIGINT) AS score_ppm
+  FROM r3
+)
+SELECT query_id, CAST(1 AS BIGINT) AS mmr_round, sel AS selected_id,
+  score_ppm FROM s1
+UNION ALL
+SELECT query_id, CAST(2 AS BIGINT), sel, score_ppm FROM s2
+UNION ALL
+SELECT query_id, CAST(3 AS BIGINT), sel, score_ppm FROM s3
+"""
+
+
+@query(
+    "mmr_diverse_rerank",
+    oracle=_mmr_oracle(),
+    tags=("vectors", "diversity", "curation"),
+)
+def mmr_diverse_rerank(spark, sf_dir):
+    emb = scaled_vectors(T(spark, sf_dir, "embeddings").drop("label"))
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("sv").alias("qv"),
+        F.col("norm2").alias("qn"),
+    )
+    cand = cosine_topk(emb, queries, k=8).select(
+        "query_id",
+        "neighbor_id",
+        F.expr("cast(floor(cosine * 1000000 + 0.5) as bigint)").alias(
+            "rel_ppm"
+        ),
+        F.col("knn_rank").cast("bigint").alias("knn_rank"),
+    )
+    # the candidate frame is |queries| x 8 — bounded; materialize once, every
+    # greedy round re-reads it
+    cand = cand.localCheckpoint()
+    vecs = emb.select("vec_id", "sv", "norm2")
+    ca = cand.select("query_id", F.col("neighbor_id").alias("ca"))
+    cb = cand.select("query_id", F.col("neighbor_id").alias("cb"))
+    ps = (
+        ca.join(cb, "query_id")
+        .filter(F.col("ca") != F.col("cb"))
+        .join(
+            vecs.select(
+                F.col("vec_id").alias("ca"),
+                F.col("sv").alias("sva"),
+                F.col("norm2").alias("na"),
+            ),
+            "ca",
+        )
+        .join(
+            vecs.select(
+                F.col("vec_id").alias("cb"),
+                F.col("sv").alias("svb"),
+                F.col("norm2").alias("nb"),
+            ),
+            "cb",
+        )
+        .select(
+            "query_id",
+            "ca",
+            "cb",
+            F.expr(
+                "cast(floor(cast(aggregate(zip_with(sva, svb, (a, b) -> a * b), "
+                "0L, (acc, x) -> acc + x) as double) "
+                "/ nullif(sqrt(cast(na as double)) * sqrt(cast(nb as double)), "
+                "0.0) * 1000000 + 0.5) as bigint)"
+            ).alias("sim_ppm"),
+        )
+    )
+    ps = ps.localCheckpoint()
+    s1 = cand.filter(F.col("knn_rank") == 1).select(
+        "query_id",
+        F.col("neighbor_id").alias("sel"),
+        F.col("rel_ppm").alias("score_ppm"),
+    )
+    def pick(scored):
+        g = scored.groupBy("query_id").agg(
+            F.min(
+                F.struct(
+                    (-F.col("score")).alias("negs"),
+                    F.col("neighbor_id").alias("cand"),
+                )
+            ).alias("pick")
+        )
+        return g.select(
+            "query_id",
+            F.expr("cast(pick.cand as bigint)").alias("sel"),
+            F.expr("cast(-pick.negs as bigint)").alias("score_ppm"),
+        )
+
+    r2_scored = (
+        cand.join(
+            s1.select("query_id", F.col("sel").alias("sel1")), "query_id"
+        )
+        .filter(F.col("neighbor_id") != F.col("sel1"))
+        .join(
+            ps.select(
+                "query_id",
+                F.col("ca").alias("neighbor_id"),
+                F.col("cb").alias("sel1"),
+                "sim_ppm",
+            ),
+            ["query_id", "neighbor_id", "sel1"],
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.col("rel_ppm") - F.col("sim_ppm")).alias("score"),
+        )
+    )
+    s2 = pick(r2_scored)
+    r3_scored = (
+        cand.join(
+            s1.select("query_id", F.col("sel").alias("sel1")), "query_id"
+        )
+        .join(
+            s2.select("query_id", F.col("sel").alias("sel2")), "query_id"
+        )
+        .filter(
+            (F.col("neighbor_id") != F.col("sel1"))
+            & (F.col("neighbor_id") != F.col("sel2"))
+        )
+        .join(
+            ps.select(
+                "query_id",
+                F.col("ca").alias("neighbor_id"),
+                F.col("cb").alias("sel1"),
+                F.col("sim_ppm").alias("sim1"),
+            ),
+            ["query_id", "neighbor_id", "sel1"],
+        )
+        .join(
+            ps.select(
+                "query_id",
+                F.col("ca").alias("neighbor_id"),
+                F.col("cb").alias("sel2"),
+                F.col("sim_ppm").alias("sim2"),
+            ),
+            ["query_id", "neighbor_id", "sel2"],
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                F.col("rel_ppm") - F.greatest(F.col("sim1"), F.col("sim2"))
+            ).alias("score"),
+        )
+    )
+    s3 = pick(r3_scored)
+    out = (
+        s1.select(
+            "query_id",
+            F.lit(1).cast("bigint").alias("mmr_round"),
+            F.col("sel").alias("selected_id"),
+            "score_ppm",
+        )
+        .unionAll(
+            s2.select(
+                "query_id",
+                F.lit(2).cast("bigint").alias("mmr_round"),
+                F.col("sel").alias("selected_id"),
+                "score_ppm",
+            )
+        )
+        .unionAll(
+            s3.select(
+                "query_id",
+                F.lit(3).cast("bigint").alias("mmr_round"),
+                F.col("sel").alias("selected_id"),
+                "score_ppm",
+            )
+        )
+    )
+    return out
