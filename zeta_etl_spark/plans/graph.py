@@ -89,17 +89,31 @@ class Pipeline:
     """A named DAG of DataFrame-producing nodes with parquet materialization."""
 
     def __init__(
-        self, name: str, base_path: str, retain_generations: int = 1
+        self,
+        name: str,
+        base_path: str,
+        retain_generations: int = 1,
+        log_checkpoint_every: int = 10,
     ):
         """``retain_generations`` = how many PRIOR sealed generations each
         overwrite table keeps next to the published one (the Delta
         VACUUM-retention knob): 1 (default) guarantees a reader that pinned
         the previous generation mid-publish can finish; larger values
         extend the :meth:`read_version` time-travel window at the cost of
-        storage."""
+        storage.
+
+        ``log_checkpoint_every`` = commit-log checkpoint cadence (the Delta
+        ``delta.checkpointInterval`` knob): every N commits the per-commit
+        log entries accumulated so far are folded into one checkpoint file
+        and the consumed entry files deleted, so :meth:`commit_log` reads
+        O(1 checkpoint + tail) files no matter how many commits the table
+        has ever seen."""
         if retain_generations < 1:
             raise ValueError("retain_generations must be >= 1")
+        if log_checkpoint_every < 1:
+            raise ValueError("log_checkpoint_every must be >= 1")
         self.retain_generations = retain_generations
+        self.log_checkpoint_every = log_checkpoint_every
         self.name = name
         self.base_path = base_path
         self.nodes: dict[str, Node] = {}
@@ -1286,7 +1300,154 @@ class Pipeline:
             self._swap_pointer(path, committed)  # phase 2: atomic publish
             _fault_injection("post_publish")
             self._retain_generations(gen_root, nxt)
+            _fault_injection("post_retain")
+            # phase 3: durable commit log — outlives vacuumed generations
+            # (Delta's _delta_log).  A crash between publish and this append
+            # leaves a gap that the NEXT writer's append backfills.
+            self._log_append(gen_root, nxt, committed)
         return nxt
+
+    # --- durable commit log (checkpointed) ---------------------------------
+
+    @staticmethod
+    def _log_dir(gen_root: str) -> str:
+        return os.path.join(gen_root, "_log")
+
+    @classmethod
+    def _log_read_raw(cls, gen_root: str) -> tuple[list[dict], int]:
+        """Load the full logged history: latest checkpoint entries + tail
+        entry files after it.  Returns (entries ascending, version of the
+        latest checkpoint or 0).  Cost: one checkpoint file + the tail —
+        never O(all commits ever)."""
+        import json
+        import re
+
+        log_dir = cls._log_dir(gen_root)
+        if not os.path.isdir(log_dir):
+            return [], 0
+        names = os.listdir(log_dir)
+        ckpts = sorted(
+            int(m.group(1))
+            for n in names
+            if (m := re.fullmatch(r"_checkpoint_(\d{6})\.json", n))
+        )
+        entries: list[dict] = []
+        ckpt_ver = 0
+        if ckpts:
+            ckpt_ver = ckpts[-1]
+            with open(
+                os.path.join(log_dir, f"_checkpoint_{ckpt_ver:06d}.json")
+            ) as fh:
+                entries = json.load(fh)["entries"]
+        tail_vers = sorted(
+            int(m.group(1))
+            for n in names
+            if (m := re.fullmatch(r"(\d{6})\.json", n))
+            and int(m.group(1)) > ckpt_ver
+        )
+        for v in tail_vers:
+            with open(os.path.join(log_dir, f"{v:06d}.json")) as fh:
+                entries.append(json.load(fh))
+        return entries, ckpt_ver
+
+    def _log_append(self, gen_root: str, version: int, committed: str) -> None:
+        """Append this commit's log entry (called INSIDE the commit lock),
+        backfilling entries for any sealed generation a crashed writer
+        published but never logged, then checkpoint + compact the tail when
+        the cadence hits."""
+        import json
+        import re
+        import time
+
+        log_dir = self._log_dir(gen_root)
+        os.makedirs(log_dir, exist_ok=True)
+        entries, ckpt_ver = self._log_read_raw(gen_root)
+        logged = {e["version"] for e in entries}
+
+        def entry_for(v: int) -> dict:
+            gen_dir = os.path.join(gen_root, f"v{v:06d}")
+            meta_path = os.path.join(gen_dir, "_commit.json")
+            meta = {"operation": "unknown"}
+            if os.path.exists(meta_path):
+                with open(meta_path) as fh:
+                    meta = json.load(fh)
+            n_files = n_bytes = 0
+            for root, _dirs, files in os.walk(gen_dir):
+                for f in files:
+                    if f.startswith((".", "_")):
+                        continue
+                    n_files += 1
+                    n_bytes += os.path.getsize(os.path.join(root, f))
+            return {
+                "version": v,
+                "logged_at": time.strftime(
+                    "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+                ),
+                "files": n_files,
+                "bytes": n_bytes,
+                **meta,
+            }
+
+        # backfill: sealed-but-unlogged generations from crashed writers
+        # (only ones still on disk — a vacuumed unlogged gen is gone for
+        # good, the same data loss window Delta closes by writing the log
+        # entry BEFORE the commit is visible; our pointer swap IS the
+        # visibility point, so the log trails it by design)
+        on_disk = sorted(
+            int(d[1:])
+            for d in os.listdir(gen_root)
+            if re.fullmatch(r"v\d{6}", d)
+        )
+        for v in on_disk:
+            if v not in logged and v != version:
+                entries.append(entry_for(v))
+        entries.append(entry_for(version))
+        entries.sort(key=lambda e: e["version"])
+        tmp = os.path.join(log_dir, f"_tmp_{version:06d}.json")
+        if version % self.log_checkpoint_every == 0:
+            # fold everything into one checkpoint, then compact: delete
+            # consumed entry files and superseded checkpoints
+            with open(tmp, "w") as fh:
+                json.dump({"entries": entries}, fh)
+            os.replace(
+                tmp, os.path.join(log_dir, f"_checkpoint_{version:06d}.json")
+            )
+            for n in os.listdir(log_dir):
+                m = re.fullmatch(r"(\d{6})\.json", n)
+                if m and int(m.group(1)) <= version:
+                    os.remove(os.path.join(log_dir, n))
+                mc = re.fullmatch(r"_checkpoint_(\d{6})\.json", n)
+                if mc and int(mc.group(1)) < version:
+                    os.remove(os.path.join(log_dir, n))
+        else:
+            new = [e for e in entries if e["version"] not in logged]
+            for e in new:
+                with open(tmp, "w") as fh:
+                    json.dump(e, fh)
+                os.replace(
+                    tmp, os.path.join(log_dir, f"{e['version']:06d}.json")
+                )
+
+    def commit_log(self, name: str) -> list[dict]:
+        """Full durable commit history of an overwrite table, oldest first —
+        the ``DESCRIBE HISTORY`` that SURVIVES vacuum (:meth:`history` walks
+        retained generation dirs, so its window is ``retain_generations``;
+        this reads the checkpointed log).  Each entry carries
+        ``retained``/``is_current`` so callers can tell which versions
+        :meth:`read_version` can still serve."""
+        path = self.path(name)
+        gen_root = path + "__gen"
+        entries, _ = self._log_read_raw(gen_root)
+        retained = set(self.table_versions(name))
+        current = self._live_version(path)
+        return [
+            {
+                **e,
+                "retained": e["version"] in retained,
+                "is_current": e["version"] == current,
+            }
+            for e in entries
+        ]
 
     def _swap_pointer(self, path: str, committed: str) -> None:
         """Atomically point ``path`` (a symlink) at the committed generation
