@@ -182,6 +182,24 @@ OPTIONAL = [
     "source_token_drift",
     "benford_digit_audit",
     "kmeans_update_step",
+    # round-8 session-3 batches
+    "wilson_ci_ranking",
+    "classifier_eval_kappa",
+    "retrieval_eval_ndcg",
+    "geometric_median_step",
+    "kcore_peeling",
+    "isotonic_pav_fit",
+    "mmr_diverse_rerank",
+    "welch_t_test",
+    "ks_test_two_sample",
+    "simpson_diversity_sources",
+    "gini_impurity_split",
+    "pca_power_iteration",
+    "randomized_response_counts",
+    "mcnemar_test",
+    "cramers_v",
+    "calibration_bins",
+    "degree_assortativity",
 ]
 
 # Deliberate experiments whose cost is a MEASUREMENT, not the engine's real

@@ -30,6 +30,7 @@ from zeta_etl_spark.queries import (  # noqa: E402,F401
     frontier6_q,
     frontier7_q,
     frontier8_q,
+    frontier9_q,
     frontier_q,
     graph_q,
     indicators_q,
