@@ -200,6 +200,10 @@ OPTIONAL = [
     "cramers_v",
     "calibration_bins",
     "degree_assortativity",
+    "weighted_median_order_value",
+    "systematic_weighted_sample",
+    "hoeffding_rate_gate",
+    "jaccard_event_type_overlap",
 ]
 
 # Deliberate experiments whose cost is a MEASUREMENT, not the engine's real

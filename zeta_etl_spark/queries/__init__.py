@@ -31,6 +31,7 @@ from zeta_etl_spark.queries import (  # noqa: E402,F401
     frontier7_q,
     frontier8_q,
     frontier9_q,
+    frontier10_q,
     frontier_q,
     graph_q,
     indicators_q,
