@@ -25,8 +25,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _never_driver_sampled_first(names: list[str]) -> list[str]:
-    """Order registry names so queries with no CORRECTNESS_r*.json row yet
-    come first (driver samples a prefix-biased 50-of-N rotation).
+    """Order registry names so that (1) queries with no CORRECTNESS_r*.json
+    row yet come first, then (2) queries whose LATEST driver row was red —
+    so a fixed query gets its green row the very next round instead of
+    waiting out the rotation (r7's mixture_sample_docs oracle-dtype fix
+    would otherwise sit at position ~237 of 253, unsampled) — then the
+    green-evidenced rest.  (Driver samples a prefix-biased 50-of-N.)
 
     Correction of a round-6 process defect (VERDICT r6 "what's wrong" #1):
     the r6 comment claimed every query had been driver-sampled in r1–r5;
@@ -37,15 +41,26 @@ def _never_driver_sampled_first(names: list[str]) -> list[str]:
     import json
 
     here = os.path.dirname(os.path.abspath(__file__))
-    sampled: set[str] = set()
+    latest: dict[str, bool] = {}  # name -> latest sampled row was green
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as fh:
-                sampled |= set(json.load(fh).keys())
+                rows = json.load(fh)
         except (OSError, ValueError):
             continue
-    never = [n for n in names if n not in sampled]
-    return never + [n for n in names if n in sampled]
+        for name, row in rows.items():
+            green = bool(
+                isinstance(row, dict)
+                and row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match", True)  # rows-only checks lack it
+                and not row.get("err")
+            )
+            latest[name] = green  # files sorted by round: last write wins
+    never = [n for n in names if n not in latest]
+    red = [n for n in names if n in latest and not latest[n]]
+    green = [n for n in names if latest.get(n)]
+    return never + red + green
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
