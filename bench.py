@@ -204,6 +204,14 @@ OPTIONAL = [
     "systematic_weighted_sample",
     "hoeffding_rate_gate",
     "jaccard_event_type_overlap",
+    # round-8 session-4 batch
+    "spearman_value_corr",
+    "kendall_tau_daily",
+    "clustering_agreement_ari",
+    "ams_f2_sketch",
+    "link_prediction_suppliers",
+    "centroid_silhouette",
+    "temperature_mixture_weights",
 ]
 
 # Deliberate experiments whose cost is a MEASUREMENT, not the engine's real
