@@ -132,6 +132,15 @@ def main() -> None:
             print(f"[{i + 1}] {name}: {rec['status']}", flush=True)
             continue
         con = duck_connection(args.sf_dir)
+        # The host OOM-killer is the real timeout at sf10: one unbounded
+        # oracle (observed 48 GB RSS) takes down every concurrent Spark
+        # driver on the box.  Cap the oracle's memory and give it a spill
+        # dir — a too-slow spilling oracle is then caught honestly by the
+        # watchdog as ORACLE_TIMEOUT instead of killing the sweep.
+        con.execute(
+            f"SET memory_limit='{os.environ.get('SWEEP_DUCK_MEM', '20GB')}'"
+        )
+        con.execute("SET temp_directory='/tmp/duck_spill'")
         interrupted = threading.Event()
 
         # duckdb's interrupt must come from another thread while the query
