@@ -212,6 +212,13 @@ OPTIONAL = [
     "link_prediction_suppliers",
     "centroid_silhouette",
     "temperature_mixture_weights",
+    "bootstrap_mean_ci",
+    "permutation_test_diff",
+    "chao1_vocab_richness",
+    "good_turing_discounts",
+    "rolling_origin_backtest",
+    "dispersion_fano_index",
+    "cuped_adjusted_uplift",
 ]
 
 # Deliberate experiments whose cost is a MEASUREMENT, not the engine's real

@@ -33,6 +33,7 @@ from zeta_etl_spark.queries import (  # noqa: E402,F401
     frontier9_q,
     frontier10_q,
     frontier11_q,
+    frontier12_q,
     frontier_q,
     graph_q,
     indicators_q,
