@@ -219,6 +219,11 @@ OPTIONAL = [
     "rolling_origin_backtest",
     "dispersion_fano_index",
     "cuped_adjusted_uplift",
+    "brand_triple_support",
+    "difference_in_differences",
+    "group_sequential_monitor",
+    "item_item_cf_topk",
+    "eb_shrunken_rates",
 ]
 
 # Deliberate experiments whose cost is a MEASUREMENT, not the engine's real
