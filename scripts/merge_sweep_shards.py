@@ -43,6 +43,11 @@ def main() -> None:
         "n_oracle_timeout": sum(
             1 for r in results.values() if r.get("status") == "ORACLE_TIMEOUT"
         ),
+        "n_oracle_resource": sum(
+            1
+            for r in results.values()
+            if r.get("status") == "ORACLE_RESOURCE"
+        ),
         "n_fail": sum(
             1
             for r in results.values()

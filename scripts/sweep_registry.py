@@ -187,6 +187,12 @@ def main() -> None:
             msg = str(e).lower()
             if "interrupt" in msg or rec["oracle_sec"] >= args.oracle_timeout:
                 rec["status"] = "ORACLE_TIMEOUT"
+            elif "out of memory" in msg or "no space left" in msg:
+                # the ORACLE exhausted its memory cap / spill disk — the
+                # Spark side finished; same honest weaker-marker class as
+                # ORACLE_TIMEOUT, distinct from a value mismatch
+                rec["status"] = "ORACLE_RESOURCE"
+                rec["oracle_err"] = str(e)[:200]
             else:
                 rec["status"] = f"FAIL: duckdb: {type(e).__name__}: {e}"[:500]
         finally:
