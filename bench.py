@@ -224,6 +224,11 @@ OPTIONAL = [
     "group_sequential_monitor",
     "item_item_cf_topk",
     "eb_shrunken_rates",
+    "label_propagation_step",
+    "kcenter_coreset_step",
+    "conformal_interval_width",
+    "uncertainty_margin_acquisition",
+    "ips_policy_value",
 ]
 
 # Deliberate experiments whose cost is a MEASUREMENT, not the engine's real

@@ -35,6 +35,7 @@ from zeta_etl_spark.queries import (  # noqa: E402,F401
     frontier11_q,
     frontier12_q,
     frontier13_q,
+    frontier14_q,
     frontier_q,
     graph_q,
     indicators_q,
