@@ -244,7 +244,9 @@ def cramers_v(spark, sf_dir):
         F.countDistinct("seg").cast("bigint").alias("r"),
         F.countDistinct("pri").cast("bigint").alias("c"),
     )
-    chi = marg.crossJoin(F.broadcast(tot)).agg(
+    from zeta_etl_spark.operators.scalar_frame import scalar_frame_crossjoin
+
+    chi = scalar_frame_crossjoin(marg, tot).agg(
         F.sum(
             F.expr(
                 "(cast(cnt as double) - cast(row_tot as double) "
