@@ -53,18 +53,27 @@ from zeta_etl_spark.queries.registry import T, query
 
 _TRI_TOPN = 30
 
+# Oracle note: the naive 3-way self-join form exhausted DuckDB's memory
+# cap at sf10 (three big hash joins); the basket-local lateral-unnest
+# enumeration below is value-identical and per-row bounded (|basket|^3),
+# so the oracle stays light at any scale — same device the Spark side
+# gets from the within-order join grouping.
 _TRI_ORACLE = f"""
 WITH i AS (
   SELECT DISTINCT l.l_orderkey, p.p_brand
   FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
 ), n AS (
   SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM i
+), bk AS (
+  SELECT l_orderkey, list_sort(list(p_brand)) AS bs FROM i GROUP BY 1
 ), t AS (
-  SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, c.p_brand AS brand_c,
+  SELECT t1.a AS brand_a, t2.bb AS brand_b, t3.c AS brand_c,
     CAST(COUNT(*) AS BIGINT) AS support
-  FROM i a
-  JOIN i b ON b.l_orderkey = a.l_orderkey AND a.p_brand < b.p_brand
-  JOIN i c ON c.l_orderkey = a.l_orderkey AND b.p_brand < c.p_brand
+  FROM bk
+  CROSS JOIN UNNEST(bs) AS t1(a)
+  CROSS JOIN UNNEST(bs) AS t2(bb)
+  CROSS JOIN UNNEST(bs) AS t3(c)
+  WHERE t1.a < t2.bb AND t2.bb < t3.c
   GROUP BY 1, 2, 3
 )
 SELECT brand_a, brand_b, brand_c, support,
