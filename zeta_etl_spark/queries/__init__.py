@@ -36,6 +36,7 @@ from zeta_etl_spark.queries import (  # noqa: E402,F401
     frontier12_q,
     frontier13_q,
     frontier14_q,
+    frontier15_q,
     frontier_q,
     graph_q,
     indicators_q,
