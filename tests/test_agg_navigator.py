@@ -115,9 +115,35 @@ def test_non_key_filter_has_no_view(nav):
         )
 
 
-def test_min_max_not_derivable(nav):
-    with pytest.raises(NoMatchingView, match="MIN/MAX"):
+def test_min_max_needs_a_minmax_view(nav):
+    # the registered views maintain only (sum, n) — no view can answer
+    # MIN/MAX, and the navigator must refuse rather than guess
+    with pytest.raises(NoMatchingView, match="no view answers"):
         nav.answer(["user_id"], {"m": ("min", "v")})
+
+
+def test_min_max_from_minmax_view(base):
+    fine = full_agg(
+        base, ["user_id", "event_type"], ["v"], minmax=["v"]
+    ).localCheckpoint()
+    nav2 = AggNavigator(
+        {"g_mm": fine}.__getitem__,
+        [ViewDef("g_mm", ("user_id", "event_type"), ("v",), ("v",))],
+    )
+    got, prov = nav2.answer(
+        ["user_id"],
+        {"min_v": ("min", "v"), "max_v": ("max", "v"), "n_rows": ("count_rows", None)},
+    )
+    assert prov == "view:g_mm"
+    direct = base.groupBy("user_id").agg(
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    )
+    assert _rows(got) == _rows(direct)
+    # the all-NULL group's extrema stay NULL through the rewrite
+    row = {r["user_id"]: r for r in got.collect()}
+    assert row[3]["min_v"] is None and row[3]["max_v"] is None
 
 
 def test_unmaintained_measure_has_no_view(nav):

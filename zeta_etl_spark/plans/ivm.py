@@ -11,10 +11,14 @@ input.  This module is that capability on the engine's own primitives:
         →  Pipeline.merge_into (null-safe keyed upsert of group rows)
 
 Supported aggregates are the self-maintainable additive ones: COUNT(*),
-per-measure SUM and non-null COUNT (from which AVG derives).  MIN/MAX are
-deliberately NOT supported — they are not self-maintainable under deletes
-(a retracted maximum requires re-scanning the group), which is the same
-line every IVM engine draws for its "fully incremental" tier.
+per-measure SUM and non-null COUNT (from which AVG derives).  MIN/MAX —
+not self-maintainable under deletes (a retracted maximum requires
+re-scanning its group, the line every IVM engine draws for its "fully
+incremental" tier) — are supported as a HYBRID via ``minmax=``:
+insert-only groups merge with least/greatest (pure delta cost), and
+retraction-touched groups recompute their extrema from the current base
+snapshot through a semi join (cost ∝ those groups' base rows, never view
+or base size).  Views that never see deletes pay nothing for it.
 
 Determinism: measures must be exact types (integral or DECIMAL).  Floating
 measures are REJECTED — incremental float sums drift from recomputed ones
@@ -26,6 +30,7 @@ View schema, for group columns G and measures m1..mk:
 
     G..., _n BIGINT,                    -- COUNT(*) of live base rows
     <m>_sum <exact type>, <m>_n BIGINT  -- SUM(m), COUNT(m) per measure
+    <m>_min, <m>_max                    -- per minmax= measure (hybrid)
 
 ``SUM`` of zero non-null inputs is NULL in SQL; the pair (sum, n) preserves
 that: expose ``CASE WHEN <m>_n = 0 THEN NULL ELSE <m>_sum END``.  Groups
@@ -61,20 +66,36 @@ def _check_exact(df: DataFrame, measures: Sequence[str]) -> None:
 
 
 def full_agg(
-    base: DataFrame, group_cols: Sequence[str], measures: Sequence[str]
+    base: DataFrame,
+    group_cols: Sequence[str],
+    measures: Sequence[str],
+    minmax: Sequence[str] = (),
 ) -> DataFrame:
     """The view DEFINITION: a plain GROUP BY over a base snapshot.  Used to
-    seed the view and as the recompute oracle in tests."""
+    seed the view and as the recompute oracle in tests.
+
+    ``minmax`` measures additionally maintain ``<m>_min``/``<m>_max``.
+    They are exempt from the exact-type rule (MIN/MAX never accumulate —
+    floats, strings, and timestamps order exactly), but they are NOT
+    self-maintainable under retractions; maintenance recomputes min/max
+    for retraction-touched groups from the base snapshot (cost ∝ changed
+    groups' base rows, never view or base size)."""
     _check_exact(base, measures)
     aggs = [F.count(F.lit(1)).alias("_n")]
     for m in measures:
         aggs.append(F.sum(m).alias(f"{m}_sum"))
         aggs.append(F.count(m).alias(f"{m}_n"))
+    for m in minmax:
+        aggs.append(F.min(m).alias(f"{m}_min"))
+        aggs.append(F.max(m).alias(f"{m}_max"))
     return base.groupBy(*group_cols).agg(*aggs)
 
 
 def delta_from_changes(
-    cdf: DataFrame, group_cols: Sequence[str], measures: Sequence[str]
+    cdf: DataFrame,
+    group_cols: Sequence[str],
+    measures: Sequence[str],
+    minmax: Sequence[str] = (),
 ) -> DataFrame:
     """Fold a change feed into per-group signed deltas.
 
@@ -83,6 +104,12 @@ def delta_from_changes(
     to sum-of-value-diffs within the group, and an update that MOVED a row
     across groups folds to -1 in the old group and +1 in the new — no
     special casing.  One shuffle, map-side combinable.
+
+    With ``minmax``, the fold also carries per-group ``<m>_min_ins``/
+    ``<m>_max_ins`` over the ADDED rows plus ``_retracts`` (count of
+    retraction rows) — the inputs :func:`maintain_agg_view` needs to
+    decide between the cheap least/greatest merge (insert-only group) and
+    the bounded per-group recompute (retraction-touched group).
     """
     _check_exact(cdf, measures)
     # the unknown-change-type guard rides INSIDE the fold (ADVICE r7): a
@@ -113,11 +140,27 @@ def delta_from_changes(
             .cast("bigint")
             .alias(f"{m}_n_delta")
         )
+    for m in minmax:
+        aggs.append(
+            F.min(F.when(F.col("_w") == 1, F.col(m))).alias(f"{m}_min_ins")
+        )
+        aggs.append(
+            F.max(F.when(F.col("_w") == 1, F.col(m))).alias(f"{m}_max_ins")
+        )
+    if minmax:
+        aggs.append(
+            F.coalesce(F.sum(F.when(F.col("_w") == -1, F.lit(1))), F.lit(0))
+            .cast("bigint")
+            .alias("_retracts")
+        )
     return signed.groupBy(*group_cols).agg(*aggs)
 
 
 def expose_view(
-    view: DataFrame, group_cols: Sequence[str], measures: Sequence[str]
+    view: DataFrame,
+    group_cols: Sequence[str],
+    measures: Sequence[str],
+    minmax: Sequence[str] = (),
 ) -> DataFrame:
     """SQL-semantics read surface over the maintained state: COUNT(*),
     SUM (NULL when the group has zero non-null inputs) and derived AVG per
@@ -135,7 +178,18 @@ def expose_view(
                 / F.col(f"{m}_n").cast("double"),
             ).alias(f"{m}_avg")
         )
+    for m in minmax:
+        cols.append(F.col(f"{m}_min"))
+        cols.append(F.col(f"{m}_max"))
     return view.select(*cols)
+
+
+def _null_safe_cond(left, right, cols: Sequence[str]):
+    cond = None
+    for c in cols:
+        term = left[c].eqNullSafe(right[c])
+        cond = term if cond is None else (cond & term)
+    return cond
 
 
 def maintain_agg_view(
@@ -146,6 +200,8 @@ def maintain_agg_view(
     group_cols: Sequence[str],
     measures: Sequence[str],
     commit_extra: dict | None = None,
+    minmax: Sequence[str] = (),
+    base_current: DataFrame | None = None,
 ) -> dict:
     """Apply one change-feed batch to a materialized aggregate view.
 
@@ -168,7 +224,52 @@ def maintain_agg_view(
     ``maintain_agg_view(view(v1), table_changes(v1, v2)) == full_agg(v2)``.
     """
     group_cols = list(group_cols)
-    delta = delta_from_changes(cdf, group_cols, measures)
+    minmax = list(minmax)
+    delta = delta_from_changes(cdf, group_cols, measures, minmax)
+    if minmax:
+        # MIN/MAX are not self-maintainable under retractions: a deleted
+        # row may BE the group extremum.  Insert-only groups merge with
+        # least/greatest (O(delta)); retraction-touched groups recompute
+        # from the CURRENT base snapshot, bounded by those groups' base
+        # rows via a semi join — never view or base size.
+        delta = delta.localCheckpoint(eager=True)  # probe + joins + merge
+        has_retr = bool(delta.filter(F.col("_retracts") > 0).head(1))
+        if has_retr and base_current is None:
+            raise ValueError(
+                "maintain_agg_view: the change batch retracts rows and the "
+                "view maintains MIN/MAX — pass base_current (the base "
+                "table's post-change snapshot) so touched groups can be "
+                "recomputed"
+            )
+        if has_retr:
+            touched = delta.filter(F.col("_retracts") > 0).select(*group_cols)
+            rc_aggs = []
+            for m in minmax:
+                rc_aggs.append(F.min(m).alias(f"{m}_min_rc"))
+                rc_aggs.append(F.max(m).alias(f"{m}_max_rc"))
+            rc = (
+                base_current.join(
+                    touched,
+                    _null_safe_cond(base_current, touched, group_cols),
+                    "left_semi",
+                )
+                .groupBy(*group_cols)
+                .agg(*rc_aggs)
+            )
+            d, r = delta.alias("d"), rc.alias("r")
+            sel = [d[c] for c in delta.columns] + [
+                r[f"{m}_{mm}_rc"] for m in minmax for mm in ("min", "max")
+            ]
+            delta = d.join(
+                r, _null_safe_cond(d, r, group_cols), "left"
+            ).select(*sel)
+        else:
+            for m in minmax:
+                delta = delta.withColumn(
+                    f"{m}_min_rc", F.lit(None).cast(dict(delta.dtypes)[f"{m}_min_ins"])
+                ).withColumn(
+                    f"{m}_max_rc", F.lit(None).cast(dict(delta.dtypes)[f"{m}_max_ins"])
+                )
     upd: dict[str, str] = {"_n": "t._n + s._n_delta"}
     ins: dict[str, str] = {
         **{g: f"s.{g}" for g in group_cols},
@@ -183,6 +284,27 @@ def maintain_agg_view(
         upd[f"{m}_n"] = f"t.{m}_n + s.{m}_n_delta"
         ins[f"{m}_sum"] = f"s.{m}_sum_delta"
         ins[f"{m}_n"] = f"coalesce(s.{m}_n_delta, 0)"
+    for m in minmax:
+        # least/greatest skip NULLs in Spark SQL, so an all-NULL insert
+        # batch leaves the stored extremum untouched
+        upd[f"{m}_min"] = (
+            f"CASE WHEN s._retracts > 0 THEN s.{m}_min_rc "
+            f"ELSE least(t.{m}_min, s.{m}_min_ins) END"
+        )
+        upd[f"{m}_max"] = (
+            f"CASE WHEN s._retracts > 0 THEN s.{m}_max_rc "
+            f"ELSE greatest(t.{m}_max, s.{m}_max_ins) END"
+        )
+        # a retraction-touched group can be NEW to the view (hand-fed CDFs
+        # — a snapshot diff never produces one): recompute wins there too
+        ins[f"{m}_min"] = (
+            f"CASE WHEN s._retracts > 0 THEN s.{m}_min_rc "
+            f"ELSE s.{m}_min_ins END"
+        )
+        ins[f"{m}_max"] = (
+            f"CASE WHEN s._retracts > 0 THEN s.{m}_max_rc "
+            f"ELSE s.{m}_max_ins END"
+        )
     return pipeline.merge_into(
         spark,
         view_name,
@@ -252,6 +374,7 @@ def seed_agg_view(
     group_cols: Sequence[str],
     measures: Sequence[str],
     delete_predicate: str | None = None,
+    minmax: Sequence[str] = (),
 ) -> dict:
     """Materialize the view as a full recompute over the base table's
     CURRENT generation, stamping that generation into the view's commit
@@ -260,7 +383,7 @@ def seed_agg_view(
     base = _not_deleted(
         pipeline.read_version(spark, base_name, base_ver), delete_predicate
     )
-    view = full_agg(base, group_cols, list(measures))
+    view = full_agg(base, group_cols, list(measures), minmax=minmax)
     pipeline._write_overwrite_atomic(
         pipeline.nodes[view_name],
         view,
@@ -279,6 +402,7 @@ def sync_agg_view(
     measures: Sequence[str],
     delete_predicate: str | None = None,
     check_unique: bool = True,
+    minmax: Sequence[str] = (),
 ) -> dict:
     """Bring an aggregate view up to the base table's current generation —
     the maintenance driver composing the whole IVM stack:
@@ -319,6 +443,7 @@ def sync_agg_view(
             group_cols,
             measures,
             delete_predicate,
+            minmax=minmax,
         )
     base_cur = _current_version(pipeline, base_name)
     view_cur = _current_version(pipeline, view_name)
@@ -341,6 +466,7 @@ def sync_agg_view(
             group_cols,
             measures,
             delete_predicate,
+            minmax=minmax,
         )
         return {**out, "status": "reseeded_gap_vacuumed"}
     cdf = _not_deleted(
@@ -367,6 +493,14 @@ def sync_agg_view(
             view_name, view_cur, "ivm_sync_noop", **extra
         )
         return {"status": "advanced_empty_gap", "base_version": base_cur}
+    base_cur_df = (
+        _not_deleted(
+            pipeline.read_version(spark, base_name, base_cur),
+            delete_predicate,
+        )
+        if minmax
+        else None
+    )
     m = maintain_agg_view(
         spark,
         pipeline,
@@ -375,5 +509,7 @@ def sync_agg_view(
         group_cols,
         measures,
         commit_extra=extra,
+        minmax=minmax,
+        base_current=base_cur_df,
     )
     return {**m, "status": "synced", "base_version": base_cur}

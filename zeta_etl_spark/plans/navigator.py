@@ -18,10 +18,13 @@ Supported request aggregates and their derivations from the view:
     count(m)        -> SUM(m_n)
     avg(m)          -> CAST(sum AS DOUBLE) / count   (NULL when count = 0)
 
-MIN/MAX are rejected — the IVM tier deliberately does not maintain them
-(not self-maintainable under deletes), so no view can answer them; the
-navigator surfaces that as "no matching view" rather than silently
-recomputing a wrong rollup.
+    min(m) / max(m)  -> MIN(m_min) / MAX(m_max)   (extrema of group
+                        extrema — exact for any partition of the rows),
+                        ONLY from views that declare the measure in
+                        ``minmax_measures`` (ivm ``minmax=`` views);
+                        requests against views without maintained extrema
+                        surface as "no matching view" rather than
+                        silently recomputing a wrong rollup.
 
 Matching rule: a view answers a request iff the request's group keys AND
 every filter column are a subset of the view's keys (filters on view key
@@ -44,7 +47,7 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-_SUPPORTED = ("count_rows", "sum", "count", "avg")
+_SUPPORTED = ("count_rows", "sum", "count", "avg", "min", "max")
 
 
 @dataclass(frozen=True)
@@ -59,6 +62,7 @@ class ViewDef:
     table: str
     keys: tuple[str, ...]
     measures: tuple[str, ...]
+    minmax_measures: tuple[str, ...] = ()
 
 
 class NoMatchingView(LookupError):
@@ -72,7 +76,6 @@ def _check_request(aggs: Mapping[str, tuple[str, str | None]]) -> None:
             raise NoMatchingView(
                 f"aggregate {fn!r} (output {out!r}) is not derivable from "
                 "an IVM view — supported: " + ", ".join(_SUPPORTED)
-                + "; MIN/MAX need a base recompute by design"
             )
         if fn == "count_rows" and col is not None:
             raise ValueError("count_rows takes no column")
@@ -89,8 +92,16 @@ def _matches(
     need_keys = set(keys) | set(filter_cols)
     if not need_keys <= set(view.keys):
         return False
-    need_measures = {c for (fn, c) in aggs.values() if c is not None}
-    return need_measures <= set(view.measures)
+    need_sums = {
+        c for (fn, c) in aggs.values()
+        if c is not None and fn in ("sum", "count", "avg")
+    }
+    need_minmax = {
+        c for (fn, c) in aggs.values() if fn in ("min", "max")
+    }
+    return need_sums <= set(view.measures) and need_minmax <= set(
+        view.minmax_measures
+    )
 
 
 def rollup_from_view(
@@ -118,6 +129,10 @@ def rollup_from_view(
                     F.sum(f"{col}_n") == 0, F.lit(None)
                 ).otherwise(F.sum(f"{col}_sum")).alias(out)
             )
+        elif fn == "min":
+            exprs.append(F.min(f"{col}_min").alias(out))
+        elif fn == "max":
+            exprs.append(F.max(f"{col}_max").alias(out))
         else:  # avg
             exprs.append(
                 (

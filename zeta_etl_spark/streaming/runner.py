@@ -599,7 +599,8 @@ def foreach_batch_merge_upsert(
 
     ``views``: optional incrementally-maintained aggregate views over the
     upsert table (plans/ivm.py) — each ``{"name": ..., "group_cols": [...],
-    "measures": [...], "delete_predicate": ...}`` is brought up to the
+    "measures": [...], "minmax": [...], "delete_predicate": ...}`` is
+    brought up to the
     base's new generation after every merge via ``sync_agg_view``.  The
     view's commit record anchors the base generation it reflects, so a
     crash anywhere between the base merge publish and the last view's
@@ -684,6 +685,7 @@ def foreach_batch_merge_upsert(
                 group_cols=v["group_cols"],
                 measures=v["measures"],
                 delete_predicate=v.get("delete_predicate"),
+                minmax=tuple(v.get("minmax", ())),
                 # the merge's duplicate-source guard already enforces key
                 # uniqueness in the base; skip the per-batch recheck jobs
                 check_unique=False,
