@@ -229,6 +229,18 @@ OPTIONAL = [
     "conformal_interval_width",
     "uncertainty_margin_acquisition",
     "ips_policy_value",
+    # round-8 session-5 batches
+    "cms_join_size_estimate",
+    "bfs_seed_distances",
+    "zipf_octave_profile",
+    "set_cover_source_picks",
+    "loo_source_influence",
+    "psm_matched_pairs",
+    "brand_clustering_coefficient",
+    "als_user_factor_step",
+    "haar_wavelet_daily",
+    "k_anonymity_audit",
+    "median_of_means_value",
 ]
 
 # Deliberate experiments whose cost is a MEASUREMENT, not the engine's real

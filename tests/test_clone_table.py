@@ -1,0 +1,91 @@
+"""SHALLOW CLONE: a clone publishes hard links of the source generation
+(zero data copy), reads identically, then evolves independently — and
+either table's vacuum only drops link references, never shared bytes."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from zeta_etl_spark.plans.graph import Pipeline
+
+
+@pytest.fixture()
+def pipe(spark, tmp_path):
+    p = Pipeline("cl", str(tmp_path / "t"))
+
+    @p.table(name="base")
+    def base(pl):
+        return spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, "b", 30)], "k int, g string, v int"
+        )
+
+    p.run(spark, targets=["base"])
+    return p
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _data_files(root):
+    out = []
+    for d, _, fs in os.walk(os.path.realpath(root)):
+        out += [os.path.join(d, f) for f in fs if f.endswith(".parquet")]
+    return sorted(out)
+
+
+def test_clone_reads_identically_with_zero_copy(spark, pipe):
+    m = pipe.clone_table("base", "base_dev")
+    assert m["clone_source"] == "base" and m["clone_source_version"] == 1
+    src = pipe.read_table(spark, "base")
+    dst = pipe.read_table(spark, "base_dev")
+    assert _rows(src) == _rows(dst)
+    # zero copy: every clone data file is a hard link of a source file
+    src_inodes = {os.stat(f).st_ino for f in _data_files(pipe.path("base"))}
+    for f in _data_files(pipe.path("base_dev")):
+        assert os.stat(f).st_ino in src_inodes, f"{f} was copied, not linked"
+
+
+def test_clone_evolves_independently(spark, pipe):
+    pipe.clone_table("base", "base_dev")
+    pipe._write_overwrite_atomic(
+        pipe.nodes["base_dev"],
+        spark.createDataFrame([(9, "z", 90)], "k int, g string, v int"),
+    )
+    assert _rows(pipe.read_table(spark, "base")) != _rows(
+        pipe.read_table(spark, "base_dev")
+    )
+    # the source still reads its full original snapshot
+    assert len(pipe.read_table(spark, "base").collect()) == 3
+
+
+def test_source_rewrite_and_vacuum_keep_clone_alive(spark, pipe):
+    pipe.clone_table("base", "base_dev")
+    # rewrite the source enough times to vacuum the cloned generation
+    for i in range(3):
+        pipe._write_overwrite_atomic(
+            pipe.nodes["base"],
+            spark.createDataFrame([(100 + i, "q", i)], "k int, g string, v int"),
+        )
+    pipe.vacuum("base")
+    got = _rows(pipe.read_table(spark, "base_dev"))
+    assert got == sorted([(1, "a", 10), (2, "b", 20), (3, "b", 30)])
+
+
+def test_time_travel_clone(spark, pipe):
+    pipe._write_overwrite_atomic(
+        pipe.nodes["base"],
+        spark.createDataFrame([(9, "z", 90)], "k int, g string, v int"),
+    )
+    m = pipe.clone_table("base", "base_v1", version=1)
+    assert m["clone_source_version"] == 1
+    assert len(pipe.read_table(spark, "base_v1").collect()) == 3
+
+
+def test_clone_rejects_unknown_and_vacuumed(spark, pipe):
+    with pytest.raises(KeyError, match="unknown source"):
+        pipe.clone_table("ghost", "x")
+    with pytest.raises(ValueError, match="not\\b.*on disk|predates"):
+        pipe.clone_table("base", "x", version=99)

@@ -1643,6 +1643,18 @@ class Pipeline:
             self._done[name] = df_new
         return {"generation": nxt, "restored_from": version}
 
+    @staticmethod
+    def _link_tree(s: str, d: str) -> None:
+        """Hard-link every data file of a sealed generation into ``d``
+        (``_commit.json`` excluded — the destination seals its own)."""
+        os.makedirs(d, exist_ok=True)
+        for entry in os.listdir(s):
+            sp, dp = os.path.join(s, entry), os.path.join(d, entry)
+            if os.path.isdir(sp):
+                Pipeline._link_tree(sp, dp)
+            elif entry != "_commit.json":  # gets a fresh record
+                os.link(sp, dp)
+
     def _publish_linked_generation(
         self, name: str, src_version: int, operation: str, **extra
     ) -> int:
@@ -1654,20 +1666,77 @@ class Pipeline:
         gen_root, _ = self._gen_prepare(path)
         src = os.path.join(gen_root, f"v{src_version:06d}")
 
-        def link_tree(s: str, d: str) -> None:
-            os.makedirs(d, exist_ok=True)
-            for entry in os.listdir(s):
-                sp, dp = os.path.join(s, entry), os.path.join(d, entry)
-                if os.path.isdir(sp):
-                    link_tree(sp, dp)
-                elif entry != "_commit.json":  # gets a fresh record
-                    os.link(sp, dp)
-
         with self._staging(gen_root) as staged:
-            link_tree(src, staged)
+            self._link_tree(src, staged)
             _fault_injection("post_stage")
             self._seal_commit_meta(staged, operation, **extra)
             return self._seal_and_publish(path, gen_root, staged)
+
+    def clone_table(
+        self,
+        src: str,
+        dst: str,
+        version: int | None = None,
+        partition_by: Sequence[str] = (),
+    ) -> dict:
+        """SHALLOW CLONE: publish ``dst`` as a generation whose data files
+        are hard links of ``src``'s committed generation — zero data copy,
+        metadata cost only (Delta's ``CREATE TABLE ... SHALLOW CLONE``;
+        the reference's dev/test-from-prod workflow on Delta tables).
+
+        ``version`` clones a retained historical generation (time-travel
+        clone); default is the live pointer.  The clone is an independent
+        table afterwards: it evolves, compacts, and vacuums on its own,
+        and hard links mean neither table's retention pass can corrupt the
+        other — unlink only drops a reference, never shared bytes.  The
+        clone's commit record carries ``clone_source``/
+        ``clone_source_version`` provenance for lineage audits.
+        """
+        if src not in self.nodes:
+            raise KeyError(f"clone_table: unknown source table {src!r}")
+        gens = self.table_versions(src)
+        if not gens:
+            raise ValueError(
+                f"clone_table({src!r}): source has no committed generations"
+            )
+        if version is None:
+            real = os.path.basename(os.path.realpath(self.path(src)))
+            version = int(real[1:])
+        if version not in gens:
+            raise ValueError(
+                f"clone_table({src!r}, version={version}): generation not "
+                f"on disk (available: {gens}); it predates the "
+                f"retain_generations={self.retain_generations} window"
+            )
+        if dst not in self.nodes:
+
+            def _node(pl):  # materialized only through clone_table
+                raise RuntimeError(
+                    f"table {dst!r} is a clone — rewrite it via clone_table "
+                    "or regular writers, not run()"
+                )
+
+            self.table(name=dst, partition_by=tuple(partition_by))(_node)
+        src_gen = os.path.join(
+            self.path(src) + "__gen", f"v{version:06d}"
+        )
+        dst_path = self.path(dst)
+        gen_root, _ = self._gen_prepare(dst_path)
+        with self._staging(gen_root) as staged:
+            self._link_tree(src_gen, staged)
+            _fault_injection("post_stage")
+            self._seal_commit_meta(
+                staged,
+                "clone",
+                clone_source=src,
+                clone_source_version=version,
+            )
+            new_gen = self._seal_and_publish(dst_path, gen_root, staged)
+        return {
+            "generation": new_gen,
+            "clone_source": src,
+            "clone_source_version": version,
+        }
 
     def table_changes(
         self,
