@@ -136,6 +136,7 @@ class Pipeline:
         mode: str = "overwrite",
         incremental: bool = False,
         expectations: dict[str, tuple[str, str]] | None = None,
+        schema_mode: str = "none",
     ):
         """``mode='append'`` gives the S7 append-save sink semantics
         (zetadex-mm-uptime-pipeline-v3.sql:157 saves each epoch run with
@@ -171,6 +172,13 @@ class Pipeline:
                     "partition_by (it replaces only the output's hive "
                     "partitions)"
                 )
+            if schema_mode not in ("none", "enforce", "merge"):
+                raise ValueError(
+                    f"table {n!r}: schema_mode must be 'none' (no check), "
+                    "'enforce' (reject any drift vs the live generation) or "
+                    "'merge' (additive columns only) — got "
+                    f"{schema_mode!r}"
+                )
             self._register(
                 Node(
                     name=n,
@@ -181,7 +189,11 @@ class Pipeline:
                     comment=comment,
                     sort_within_partitions=tuple(sort_within_partitions),
                     expectations=dict(expectations or {}),
-                    extra={"mode": mode, "incremental": incremental},
+                    extra={
+                        "mode": mode,
+                        "incremental": incremental,
+                        "schema_mode": schema_mode,
+                    },
                 )
             )
             return fn
@@ -1902,6 +1914,7 @@ class Pipeline:
         in-place layouts: their idempotence comes from batch-id partition
         replacement and checkpointed exactly-once sinks instead."""
         path = self.path(node.name)
+        self._check_schema_mode(node, df)
         gen_root, _ = self._gen_prepare(path)
         with self._staging(gen_root) as staged:
             writer = df.write.mode("overwrite")
@@ -1911,6 +1924,54 @@ class Pipeline:
             _fault_injection("post_stage")
             self._seal_commit_meta(staged, "overwrite", **(commit_extra or {}))
             self._seal_and_publish(path, gen_root, staged)
+
+    def _check_schema_mode(self, node: Node, df: DataFrame) -> None:
+        """Delta-style schema governance on publish (schema_mode=):
+
+        - ``enforce``: the write's (name → type) set must EQUAL the live
+          generation's — a silently dropped, added, or retyped column is
+          an upstream bug, not an evolution (Delta's default enforcement);
+        - ``merge``: every existing column must survive with its type; new
+          columns may be ADDED (Delta's mergeSchema);
+        - ``none`` (default): current behavior, the write defines the
+          schema.
+
+        Comparison ignores nullability (writers legitimately tighten it)
+        and column order (parquet reads are by name)."""
+        mode = node.extra.get("schema_mode", "none") if node.extra else "none"
+        if mode == "none":
+            return
+        path = self.path(node.name)
+        if not os.path.lexists(path):
+            return  # first publish defines the schema
+        spark = df.sparkSession
+        prev = {
+            f.name: f.dataType.simpleString()
+            for f in spark.read.parquet(os.path.realpath(path)).schema.fields
+        }
+        new = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        missing = sorted(set(prev) - set(new))
+        added = sorted(set(new) - set(prev))
+        retyped = sorted(
+            c for c in set(prev) & set(new) if prev[c] != new[c]
+        )
+        problems = []
+        if missing:
+            problems.append(f"drops columns {missing}")
+        if retyped:
+            problems.append(
+                "retypes "
+                + ", ".join(f"{c}: {prev[c]} -> {new[c]}" for c in retyped)
+            )
+        if added and mode == "enforce":
+            problems.append(f"adds columns {added}")
+        if problems:
+            raise ValueError(
+                f"schema_mode={mode!r} rejected the write to "
+                f"{node.name!r}: " + "; ".join(problems) + " — pass "
+                "schema_mode='merge' for additive evolution, or rewrite "
+                "the table deliberately with schema_mode='none'"
+            )
 
     def _apply_expectations(self, node: Node, df: DataFrame) -> DataFrame:
         """Evaluate data-quality expectations (dlt.expect* parity).
