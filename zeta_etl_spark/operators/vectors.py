@@ -747,15 +747,19 @@ def duck_hyperplane_bucket_sql(planes: list[list[int]]) -> str:
     twin of the hyperplane bucketing, shared by every LSH-bucketed query's
     oracle (a drifted copy would silently break that query's oracle
     equality)."""
-    dim = len(planes[0]) if planes else 0
     terms = []
     for b, plane in enumerate(planes):
         lit = "[" + ",".join(str(w) for w in plane) + "]"
-        dot = (
-            f"list_sum(list_transform(range(1, {dim + 1}), "
-            f"i -> sv[CAST(i AS INT)] * "
-            f"({lit})[CAST(i AS INT)]))"
-        )
+        # list_dot_product is DuckDB's vectorized C++ kernel — measured
+        # ~500x faster than the per-element lambda form at sf10 (112 s ->
+        # 0.2 s per pass over 200k x 64), which had every LSH oracle's
+        # bucket pass dominating its wall (DuckDB also re-evaluates a CTE
+        # per scalar-subquery reference even under AS MATERIALIZED, so the
+        # per-pass cost multiplies).  It returns DOUBLE, but the dot of
+        # BIGINT-scaled vectors stays far below 2^53, so the value — and
+        # therefore the sign bit — is exactly representable; A/B-verified
+        # bit-identical to the integer lambda form on every scale dir.
+        dot = f"list_dot_product(sv, {lit})"
         terms.append(
             f"(CASE WHEN ({dot}) > 0 THEN CAST({1 << b} AS BIGINT) "
             "ELSE CAST(0 AS BIGINT) END)"
