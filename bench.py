@@ -241,6 +241,9 @@ OPTIONAL = [
     "haar_wavelet_daily",
     "k_anonymity_audit",
     "median_of_means_value",
+    "dp_geometric_histogram",
+    "brand_harmonic_centrality",
+    "sampled_join_cardinality",
 ]
 
 # Deliberate experiments whose cost is a MEASUREMENT, not the engine's real

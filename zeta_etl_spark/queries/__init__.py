@@ -38,6 +38,7 @@ from zeta_etl_spark.queries import (  # noqa: E402,F401
     frontier14_q,
     frontier15_q,
     frontier16_q,
+    frontier17_q,
     frontier_q,
     graph_q,
     indicators_q,

@@ -1,0 +1,250 @@
+"""Frontier batch 16 (round 8, session 5): differential privacy via the
+geometric mechanism, bounded-graph harmonic centrality, and sampled join
+cardinality estimation —
+
+- ``dp_geometric_histogram``: the discrete/geometric mechanism (Ghosh,
+  Roughgarden & Sundararajan'09) over the event-type histogram —
+  two-sided geometric noise Z = G1 − G2 with G ~ Geom(1/2) (ε = ln 2
+  for a count query of sensitivity 1), each G drawn by comparing a
+  60-bit md5 uniform against PRE-COMPUTED integer CDF thresholds
+  (Python literals — neither engine evaluates a log or a power at query
+  time, the Poisson-bootstrap device).  Emits true count, noise, noisy
+  count, and absolute error per type.  Complements the local-DP
+  randomized_response_counts with the central-DP release primitive.
+- ``brand_harmonic_centrality``: harmonic centrality (Boldi & Vigna's
+  recommended closeness variant — sums 1/d, handles disconnection) on
+  the top-40-edge brand co-purchase graph, BFS radius 3 unrolled.
+  1/d contributions are ppm literals (1000000, 500000, 333333) so the
+  score is pure BIGINT.  The one expensive step is the basket-pair
+  aggregate; the BFS runs on a ≤ 25-node edge list.
+- ``sampled_join_cardinality``: join-size estimation by key sampling
+  (the optimizer's "sample the build side" trick): customers whose
+  md5 lands in a 1-in-20 bucket contribute their order count × 20 —
+  an unbiased Horvitz-Thompson estimate of |customer ⋈ orders|,
+  reported against the exact answer with signed error ppm.  Pairs with
+  cms_join_size_estimate as the sampling-vs-sketch comparison.
+
+Scale notes: the DP histogram rides the bounded event-type alphabet;
+the centrality graph is a fixed-size edge list; the sampled join prunes
+19/20 of the probe side BEFORE the join (the filter pushes to the scan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from zeta_etl_spark.functions.text import duck_hex2long, spark_hex2long
+from zeta_etl_spark.operators.scalar_frame import with_scalar_frame
+from zeta_etl_spark.queries.registry import T, query
+
+# --- dp_geometric_histogram ---------------------------------------------------
+
+_TWO60 = 1 << 60
+# CDF(k) = 1 - (1/2)^(k+1) for k = 0..19, scaled to the 60-bit hash space;
+# G = #{thresholds <= u} (P(G > 19) < 1e-6, truncated — both engines
+# compare the same integers, so the draw is exact and identical)
+_GEO_T = []
+_c = 0.0
+for _k in range(20):
+    _c += 0.5 ** (_k + 1)
+    _GEO_T.append(int(_c * _TWO60))
+
+
+def _geo_draw_sql(hex2long, tag: str, cast_str: str) -> str:
+    u = hex2long(f"md5(concat('{tag}:', {cast_str}))")
+    return (
+        "("
+        + " + ".join(f"CASE WHEN {u} >= {t} THEN 1 ELSE 0 END" for t in _GEO_T)
+        + ")"
+    )
+
+
+def _dp_oracle() -> str:
+    g1 = _geo_draw_sql(duck_hex2long, "dpg1", "event_type")
+    g2 = _geo_draw_sql(duck_hex2long, "dpg2", "event_type")
+    return f"""
+WITH h AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1
+)
+SELECT event_type, n,
+  CAST({g1} - {g2} AS BIGINT) AS noise,
+  CAST(n + {g1} - {g2} AS BIGINT) AS noisy_n,
+  CAST(abs({g1} - {g2}) AS BIGINT) AS abs_err
+FROM h
+"""
+
+
+@query(
+    "dp_geometric_histogram",
+    oracle=_dp_oracle(),
+    tags=("privacy", "dp", "statistics"),
+)
+def dp_geometric_histogram(spark, sf_dir):
+    g1 = _geo_draw_sql(spark_hex2long, "dpg1", "event_type")
+    g2 = _geo_draw_sql(spark_hex2long, "dpg2", "event_type")
+    h = (
+        T(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    return h.select(
+        "event_type",
+        "n",
+        F.expr(f"cast({g1} - {g2} as bigint)").alias("noise"),
+        F.expr(f"cast(n + {g1} - {g2} as bigint)").alias("noisy_n"),
+        F.expr(f"cast(abs({g1} - {g2}) as bigint)").alias("abs_err"),
+    )
+
+
+# --- brand_harmonic_centrality ------------------------------------------------
+
+_HC_EDGES = 40
+
+_HC_ORACLE = f"""
+WITH i AS MATERIALIZED (
+  SELECT DISTINCT l.l_orderkey, p.p_brand
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+), pairs AS MATERIALIZED (
+  SELECT a.p_brand AS ba, b.p_brand AS bb, CAST(COUNT(*) AS BIGINT) AS support
+  FROM i a JOIN i b
+    ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+  GROUP BY 1, 2
+), edges AS MATERIALIZED (
+  SELECT ba, bb FROM pairs ORDER BY support DESC, ba, bb LIMIT {_HC_EDGES}
+), nbr AS MATERIALIZED (
+  SELECT ba AS b, bb AS n FROM edges UNION ALL SELECT bb, ba FROM edges
+), d1 AS MATERIALIZED (
+  SELECT DISTINCT b AS src, n AS dst FROM nbr
+), d2 AS MATERIALIZED (
+  SELECT DISTINCT d1.src, nbr.n AS dst
+  FROM d1 JOIN nbr ON nbr.b = d1.dst
+  WHERE nbr.n <> d1.src
+    AND NOT EXISTS (SELECT 1 FROM d1 x WHERE x.src = d1.src AND x.dst = nbr.n)
+), d3 AS MATERIALIZED (
+  SELECT DISTINCT d2.src, nbr.n AS dst
+  FROM d2 JOIN nbr ON nbr.b = d2.dst
+  WHERE nbr.n <> d2.src
+    AND NOT EXISTS (SELECT 1 FROM d1 x WHERE x.src = d2.src AND x.dst = nbr.n)
+    AND NOT EXISTS (SELECT 1 FROM d2 x WHERE x.src = d2.src AND x.dst = nbr.n)
+), sc AS (
+  SELECT src, CAST(1000000 AS BIGINT) AS w FROM d1
+  UNION ALL SELECT src, 500000 FROM d2
+  UNION ALL SELECT src, 333333 FROM d3
+)
+SELECT src AS brand,
+  CAST(COUNT(*) AS BIGINT) AS n_reached_3,
+  CAST(SUM(w) AS BIGINT) AS harmonic_ppm
+FROM sc GROUP BY 1
+"""
+
+
+@query(
+    "brand_harmonic_centrality",
+    oracle=_HC_ORACLE,
+    tags=("graph", "centrality", "basket"),
+)
+def brand_harmonic_centrality(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pt = T(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    i = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    a, b = i.alias("a"), i.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_brand") < F.col("b.p_brand")),
+        )
+        .groupBy(
+            F.col("a.p_brand").alias("ba"), F.col("b.p_brand").alias("bb")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+    )
+    edges = (
+        pairs.orderBy(F.col("support").desc(), "ba", "bb")
+        .limit(_HC_EDGES)
+        .select("ba", "bb")
+    )
+    edges = edges.localCheckpoint()  # ≤ 40-row frame drives the BFS algebra
+    nbr = edges.select(
+        F.col("ba").alias("b"), F.col("bb").alias("n")
+    ).union(edges.select(F.col("bb").alias("b"), F.col("ba").alias("n")))
+    d1 = nbr.select(F.col("b").alias("src"), F.col("n").alias("dst")).distinct()
+    d1 = d1.localCheckpoint()
+
+    def expand(frontier, *seen):
+        nxt = (
+            frontier.join(nbr, frontier.dst == nbr.b)
+            .filter(F.col("n") != F.col("src"))
+            .select("src", F.col("n").alias("dst"))
+            .distinct()
+        )
+        for s in seen:
+            nxt = nxt.join(s, ["src", "dst"], "left_anti")
+        return nxt.localCheckpoint()
+
+    d2 = expand(d1, d1)
+    d3 = expand(d2, d1, d2)
+    sc = (
+        d1.select("src", F.lit(1000000).cast("bigint").alias("w"))
+        .union(d2.select("src", F.lit(500000).cast("bigint").alias("w")))
+        .union(d3.select("src", F.lit(333333).cast("bigint").alias("w")))
+    )
+    return sc.groupBy(F.col("src").alias("brand")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_reached_3"),
+        F.sum("w").cast("bigint").alias("harmonic_ppm"),
+    )
+
+
+# --- sampled_join_cardinality ---------------------------------------------------
+
+_SJ_RATE = 20  # 1-in-20 key sample
+
+_SJ_ORACLE = f"""
+WITH exact AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS exact_rows
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+), est AS (
+  SELECT CAST(COUNT(*) * {_SJ_RATE} AS BIGINT) AS est_rows
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  WHERE {duck_hex2long("md5(concat('sj:', CAST(c.c_custkey AS VARCHAR)))")}
+    % {_SJ_RATE} = 0
+)
+SELECT exact_rows, est_rows,
+  CAST((est_rows - exact_rows) * 1000000 // exact_rows AS BIGINT)
+    AS err_ppm
+FROM exact CROSS JOIN est
+"""
+
+
+@query(
+    "sampled_join_cardinality",
+    oracle=_SJ_ORACLE,
+    tags=("statistics", "sampling", "join"),
+)
+def sampled_join_cardinality(spark, sf_dir):
+    h = spark_hex2long("md5(concat('sj:', cast(c_custkey as string)))")
+    o = T(spark, sf_dir, "orders").select("o_custkey")
+    c = T(spark, sf_dir, "customer").select("c_custkey")
+    exact = o.join(c, o.o_custkey == c.c_custkey).agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_rows")
+    )
+    cs = c.filter(F.expr(f"{h} % {_SJ_RATE} = 0"))
+    est = o.join(cs, o.o_custkey == cs.c_custkey).agg(
+        (F.count(F.lit(1)) * _SJ_RATE).cast("bigint").alias("est_rows")
+    )
+    return (
+        exact.transform(with_scalar_frame(est))
+        .select(
+            "exact_rows",
+            "est_rows",
+            F.expr(
+                "cast((est_rows - exact_rows) * 1000000 div exact_rows"
+                " as bigint)"
+            ).alias("err_ppm"),
+        )
+    )
