@@ -285,3 +285,89 @@ def test_merge_upsert_views_incremental_partitioned(spark, tmp_path):
     assert view_rows() == recompute_rows()
     gens = sorted(glob.glob(os.path.join(base, "state__gen", "v*")))
     assert len(gens) == 3, gens
+
+
+def test_merge_upsert_views_minmax_through_stream(spark, tmp_path):
+    """views= spec with minmax=: the streaming-maintained view tracks a
+    full recompute INCLUDING min/max across insert-only batches (cheap
+    least/greatest merge) and a batch that deletes a group's extremum
+    (the bounded per-group recompute path)."""
+    from zeta_etl_spark.plans.ivm import full_agg
+
+    src = str(tmp_path / "src")
+    base = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "k bigint, g bigint, ts timestamp, v bigint, deleted boolean"
+    views = [
+        {
+            "name": "agg",
+            "group_cols": ["g"],
+            "measures": ["v"],
+            "minmax": ["v"],
+            "delete_predicate": "deleted",
+            "partition_by": ["g"],
+        }
+    ]
+
+    def run():
+        stream = read_json(spark, src, schema, streaming=True)
+        foreach_batch_merge_upsert(
+            stream,
+            base,
+            "state",
+            ckpt,
+            keys=["k"],
+            sequence_by=["ts"],
+            spark=spark,
+            n_buckets=8,
+            views=views,
+        )
+
+    def view_rows():
+        df = spark.read.parquet(os.path.realpath(os.path.join(base, "agg")))
+        return {r.g: (r._n, r.v_sum, r.v_min, r.v_max) for r in df.collect()}
+
+    def recompute_rows():
+        live = read_merge_upsert_table(
+            spark, base, "state", delete_predicate="deleted"
+        )
+        return {
+            r.g: (r._n, r.v_sum, r.v_min, r.v_max)
+            for r in full_agg(live, ["g"], ["v"], minmax=["v"]).collect()
+        }
+
+    # batch 1: inserts only — max of group 0 is k=96 (v=96)
+    _write_json(
+        src,
+        [
+            {"k": i, "g": i % 4, "ts": "2024-01-01 00:00:00", "v": i,
+             "deleted": False}
+            for i in range(100)
+        ],
+        "w1.json",
+    )
+    run()
+    assert view_rows() == recompute_rows()
+
+    # batch 2: insert-only growth — new max for group 1 via least/greatest
+    _write_json(
+        src,
+        [{"k": 501, "g": 1, "ts": "2024-01-02 00:00:00", "v": 9999,
+          "deleted": False}],
+        "w2.json",
+    )
+    run()
+    assert view_rows() == recompute_rows()
+    assert view_rows()[1][3] == 9999
+
+    # batch 3: DELETE group 0's maximum (k=96) — recompute path must find
+    # the runner-up (92), not keep the stale extremum
+    _write_json(
+        src,
+        [{"k": 96, "g": 0, "ts": "2024-01-03 00:00:00", "v": 96,
+          "deleted": True}],
+        "w3.json",
+    )
+    run()
+    assert view_rows() == recompute_rows()
+    assert view_rows()[0][3] == 92
