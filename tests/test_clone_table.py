@@ -89,3 +89,28 @@ def test_clone_rejects_unknown_and_vacuumed(spark, pipe):
         pipe.clone_table("ghost", "x")
     with pytest.raises(ValueError, match="not\\b.*on disk|predates"):
         pipe.clone_table("base", "x", version=99)
+
+
+def test_clone_skipped_by_full_dag_run(spark, pipe):
+    pipe.clone_table("base", "base_dev")
+    out = pipe.run(spark)  # default all-nodes run must skip the clone
+    assert "base_dev" not in out and "base" in out
+
+
+def test_clone_resolves_live_pointer_with_guard(spark, pipe):
+    import os
+
+    # dangle the pointer: the guarded resolver must name the table, not
+    # raise an opaque int() ValueError
+    p = pipe.path("base")
+    real = os.path.realpath(p)
+    os.unlink(p)
+    os.symlink(real + "_gone", p)
+    try:
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="pointer"):
+            pipe.clone_table("base", "x")
+    finally:
+        os.unlink(p)
+        os.symlink(real, p)

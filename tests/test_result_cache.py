@@ -106,3 +106,34 @@ def test_unmaterialized_input_raises(spark, pipe):
 
     with pytest.raises(ValueError, match="not materialized"):
         cached_result(spark, pipe, "g", ["ghost"], lambda: None)
+
+
+def test_empty_result_caches_cleanly(spark, pipe):
+    """A legitimately 0-row result must serve hits, not brick the key:
+    the entry reads back with the RECORDED schema (an empty generation
+    has no part files for inference)."""
+    calls = []
+
+    def compute():
+        calls.append(1)
+        return (
+            pipe.read_table(spark, "base")
+            .filter("v > 999999")
+            .select("g", "v")
+        )
+
+    r1, prov1 = cached_result(spark, pipe, "empty", ["base"], compute)
+    assert prov1 == "miss" and r1.count() == 0
+    assert r1.columns == ["g", "v"]
+    r2, prov2 = cached_result(spark, pipe, "empty", ["base"], compute)
+    assert prov2 == "hit" and len(calls) == 1
+    assert r2.count() == 0 and r2.columns == ["g", "v"]
+
+
+def test_cache_entries_skipped_by_full_dag_run(spark, pipe):
+    cached_result(
+        spark, pipe, "agg_g", ["base"],
+        lambda: pipe.read_table(spark, "base").groupBy("g").count(),
+    )
+    out = pipe.run(spark)  # default all-nodes run must skip the sentinel
+    assert "__rc_agg_g" not in out and "base" in out

@@ -74,3 +74,24 @@ def test_bad_schema_mode_rejected(spark, tmp_path):
         @p.table(name="tb", schema_mode="strict")
         def tb(pl):
             raise AssertionError("unreachable")
+
+
+def test_schema_mode_rejected_for_non_overwrite_modes(spark, tmp_path):
+    p = Pipeline("sm4", str(tmp_path / "t"))
+    with pytest.raises(ValueError, match="publish seam"):
+
+        @p.table(name="tb", mode="append", schema_mode="enforce")
+        def tb(pl):
+            raise AssertionError("unreachable")
+
+
+def test_enforce_survives_empty_generation(spark, tmp_path):
+    """An empty (0-part-file) publish must not break later governed
+    writes — the comparison reads the commit record, not file inference."""
+    p = _pipe(spark, tmp_path, "enforce")
+    empty = spark.createDataFrame([], "k int, g string")
+    p._write_overwrite_atomic(p.nodes["tb"], empty)
+    _write(spark, p, "k int, g string", [(7, "z")])  # same schema: accepted
+    assert p.read_table(spark, "tb").count() == 1
+    with pytest.raises(ValueError, match="drops columns"):
+        _write(spark, p, "k int", [(1,)])

@@ -179,6 +179,15 @@ class Pipeline:
                     "'merge' (additive columns only) — got "
                     f"{schema_mode!r}"
                 )
+            if schema_mode != "none" and (
+                mode != "overwrite" or incremental
+            ):
+                raise ValueError(
+                    f"table {n!r}: schema_mode={schema_mode!r} is enforced "
+                    "at the atomic-overwrite publish seam only — append / "
+                    "overwrite_partitions / incremental writers bypass it, "
+                    "so accepting it there would be silent no-op governance"
+                )
             self._register(
                 Node(
                     name=n,
@@ -1038,12 +1047,24 @@ class Pipeline:
     def run(
         self, spark: SparkSession, targets: Sequence[str] | None = None
     ) -> dict[str, DataFrame]:
-        """Execute the DAG (all nodes or the closure of ``targets``)."""
+        """Execute the DAG (all nodes or the closure of ``targets``).
+
+        Nodes maintained by external writers (clone_table targets,
+        result-cache entries, merge-upsert state, IVM views — registered
+        with ``extra["external_writer"]``) are EXCLUDED from the default
+        all-nodes run: their sentinel fns exist only to hold table layout
+        metadata, and materializing one through run() is an error.  Name
+        one explicitly in ``targets`` to get that error on purpose."""
         self._spark = spark
         self._done = {}
         self._running = set()
         out: dict[str, DataFrame] = {}
-        for name in targets or list(self.nodes):
+        default = [
+            n
+            for n, node in self.nodes.items()
+            if not (node.extra or {}).get("external_writer")
+        ]
+        for name in targets or default:
             out[name] = self._materialize(name)
         return out
 
@@ -1712,8 +1733,7 @@ class Pipeline:
                 f"clone_table({src!r}): source has no committed generations"
             )
         if version is None:
-            real = os.path.basename(os.path.realpath(self.path(src)))
-            version = int(real[1:])
+            version = self.live_version(src)
         if version not in gens:
             raise ValueError(
                 f"clone_table({src!r}, version={version}): generation not "
@@ -1729,6 +1749,7 @@ class Pipeline:
                 )
 
             self.table(name=dst, partition_by=tuple(partition_by))(_node)
+            self.nodes[dst].extra["external_writer"] = True
         src_gen = os.path.join(
             self.path(src) + "__gen", f"v{version:06d}"
         )
@@ -1915,6 +1936,14 @@ class Pipeline:
         replacement and checkpointed exactly-once sinks instead."""
         path = self.path(node.name)
         self._check_schema_mode(node, df)
+        extra = dict(commit_extra or {})
+        if (node.extra or {}).get("schema_mode", "none") != "none":
+            # the governed schema is the one the WRITER declared — file
+            # re-inference fails on empty generations and value-types hive
+            # partition dirs (see _check_schema_mode)
+            extra["schema"] = {
+                f.name: f.dataType.simpleString() for f in df.schema.fields
+            }
         gen_root, _ = self._gen_prepare(path)
         with self._staging(gen_root) as staged:
             writer = df.write.mode("overwrite")
@@ -1922,7 +1951,7 @@ class Pipeline:
                 writer = writer.partitionBy(*node.partition_by)
             writer.parquet(staged)
             _fault_injection("post_stage")
-            self._seal_commit_meta(staged, "overwrite", **(commit_extra or {}))
+            self._seal_commit_meta(staged, "overwrite", **extra)
             self._seal_and_publish(path, gen_root, staged)
 
     def _check_schema_mode(self, node: Node, df: DataFrame) -> None:
@@ -1944,11 +1973,16 @@ class Pipeline:
         path = self.path(node.name)
         if not os.path.lexists(path):
             return  # first publish defines the schema
-        spark = df.sparkSession
-        prev = {
-            f.name: f.dataType.simpleString()
-            for f in spark.read.parquet(os.path.realpath(path)).schema.fields
-        }
+        # compare against the schema RECORDED at the previous publish (the
+        # commit record), not a re-inference from files: file inference
+        # fails on a legitimately empty (0-part-file) generation and types
+        # hive partition directories by VALUE (a string band '1' reads
+        # back as int), both of which would spuriously reject identical
+        # rewrites.  Generations sealed before this feature lack the
+        # record → that publish defines the schema going forward.
+        prev = self._live_commit_meta(node.name).get("schema")
+        if prev is None:
+            return
         new = {f.name: f.dataType.simpleString() for f in df.schema.fields}
         missing = sorted(set(prev) - set(new))
         added = sorted(set(new) - set(prev))
@@ -1972,6 +2006,44 @@ class Pipeline:
                 "schema_mode='merge' for additive evolution, or rewrite "
                 "the table deliberately with schema_mode='none'"
             )
+
+    def _live_commit_meta(self, name: str) -> dict:
+        """Commit record of the generation the live pointer serves
+        (empty dict when unreadable)."""
+        import json as _json
+
+        try:
+            ver = self.live_version(name)
+        except ValueError:
+            return {}
+        p = os.path.join(
+            self.path(name) + "__gen", f"v{ver:06d}", "_commit.json"
+        )
+        if not os.path.exists(p):
+            return {}
+        with open(p) as fh:
+            return _json.load(fh)
+
+    def live_version(self, name: str) -> int:
+        """Generation the live pointer serves (vNNNNNN → int), with the
+        corrupt/missing-pointer guard (an unresolved pointer realpaths to
+        the table path itself and int('events') is opaque)."""
+        import re
+
+        p = self.path(name)
+        if not os.path.lexists(p):
+            raise ValueError(
+                f"table {name!r} is not materialized — no committed "
+                f"pointer at {p}"
+            )
+        base = os.path.basename(os.path.realpath(p))
+        if not re.fullmatch(r"v\d{6}", base):
+            raise ValueError(
+                f"table {name!r} pointer resolves to {base!r}, not a "
+                "committed vNNNNNN generation — never published or the "
+                "pointer is corrupt"
+            )
+        return int(base[1:])
 
     def _apply_expectations(self, node: Node, df: DataFrame) -> DataFrame:
         """Evaluate data-quality expectations (dlt.expect* parity).

@@ -70,6 +70,8 @@ def cached_result(
             "cached_result needs the input table names — freshness is "
             "defined as 'every input still at the cached generation'"
         )
+    from pyspark.sql.types import StructType
+
     name = _entry_name(key)
     fp = _fingerprint(pipeline, inputs)
     if name not in pipeline.nodes:
@@ -80,15 +82,30 @@ def cached_result(
             )
 
         pipeline.table(name=name)(_node)
+        # a full-DAG pipeline.run() must skip this sentinel, not crash on it
+        pipeline.nodes[name].extra["external_writer"] = True
+
+    def _read(schema_json: str) -> DataFrame:
+        # read with the RECORDED schema: a legitimately empty result writes
+        # a generation with no part files, where schema inference fails —
+        # without this, one empty result would brick its key (the hit path
+        # would crash on every later call)
+        return spark.read.schema(StructType.fromJson(schema_json)).parquet(
+            os.path.realpath(pipeline.path(name))
+        )
+
     if os.path.lexists(pipeline.path(name)):
         meta = _commit_meta(pipeline, name, _current_version(pipeline, name))
-        if meta.get("rc_fingerprint") == fp:
-            return pipeline.read_table(spark, name), "hit"
+        if meta.get("rc_fingerprint") == fp and "rc_schema" in meta:
+            return _read(meta["rc_schema"]), "hit"
     df = compute()
+    schema_json = df.schema.jsonValue()
     pipeline._write_overwrite_atomic(
-        pipeline.nodes[name], df, commit_extra={"rc_fingerprint": fp}
+        pipeline.nodes[name],
+        df,
+        commit_extra={"rc_fingerprint": fp, "rc_schema": schema_json},
     )
-    return pipeline.read_table(spark, name), "miss"
+    return _read(schema_json), "miss"
 
 
 def invalidate(pipeline: Pipeline, key: str) -> bool:

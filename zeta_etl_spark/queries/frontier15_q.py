@@ -70,7 +70,7 @@ _CMS_KEY_S = "concat('cms', cast(d as string), ':', cast(l_suppkey as string))"
 
 
 def _cms_oracle() -> str:
-    h = duck_hex2long(f"md5({_CMS_KEY_D})", digits=15)
+    h = duck_hex2long(_CMS_KEY_D, digits=15)
     return f"""
 WITH k AS (
   SELECT l_suppkey,
@@ -117,7 +117,7 @@ def cms_join_size_estimate(spark, sf_dir):
         k.withColumn("d", F.explode(F.expr("array(0, 1, 2, 3)")))
         .withColumn(
             "bucket",
-            F.expr(spark_hex2long(f"md5({_CMS_KEY_S})")) % _CMS_W,
+            F.expr(spark_hex2long(_CMS_KEY_S)) % _CMS_W,
         )
         .groupBy("d", "bucket")
         .agg(
@@ -422,6 +422,11 @@ def set_cover_source_picks(spark, sf_dir):
         p1.select(F.lit(1).alias("round"), "source", "gain")
         .union(p2.select(F.lit(2).alias("round"), "source", "gain"))
         .union(p3.select(F.lit(3).alias("round"), "source", "gain"))
+        # a round with NO remaining candidates (fewer than 3 sources, or
+        # full coverage reached early): the global min(struct) aggregate
+        # still emits one all-NULL row where the oracle's LIMIT-over-empty
+        # emits none — drop it so both engines skip the exhausted round
+        .filter(F.col("source").isNotNull())
     )
     w = Window.orderBy("round")  # 3-row frame
     return (

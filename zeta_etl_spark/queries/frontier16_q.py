@@ -51,19 +51,13 @@ from zeta_etl_spark.queries.registry import T, query
 
 _BCC_EDGES = 40
 
+from zeta_etl_spark.functions.basket import (  # noqa: E402
+    duck_brand_edges_cte,
+    spark_brand_edges,
+)
+
 _BCC_ORACLE = f"""
-WITH i AS MATERIALIZED (
-  SELECT DISTINCT l.l_orderkey, p.p_brand
-  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
-), pairs AS MATERIALIZED (
-  SELECT a.p_brand AS ba, b.p_brand AS bb, CAST(COUNT(*) AS BIGINT) AS support
-  FROM i a JOIN i b
-    ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
-  GROUP BY 1, 2
-), edges AS MATERIALIZED (
-  SELECT ba, bb FROM pairs
-  ORDER BY support DESC, ba, bb LIMIT {_BCC_EDGES}
-), nbr AS MATERIALIZED (
+WITH {duck_brand_edges_cte(_BCC_EDGES)}, nbr AS MATERIALIZED (
   SELECT ba AS b, bb AS n FROM edges UNION ALL SELECT bb, ba FROM edges
 ), deg AS (
   SELECT b, CAST(COUNT(*) AS BIGINT) AS deg FROM nbr GROUP BY 1
@@ -88,31 +82,7 @@ FROM deg d LEFT JOIN tri t ON t.b = d.b
     tags=("graph", "basket", "structure"),
 )
 def brand_clustering_coefficient(spark, sf_dir):
-    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    pt = T(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    i = (
-        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
-        .select("l_orderkey", "p_brand")
-        .distinct()
-    )
-    a, b = i.alias("a"), i.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.p_brand") < F.col("b.p_brand")),
-        )
-        .groupBy(
-            F.col("a.p_brand").alias("ba"), F.col("b.p_brand").alias("bb")
-        )
-        .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
-    )
-    edges = (
-        pairs.orderBy(F.col("support").desc(), "ba", "bb")
-        .limit(_BCC_EDGES)
-        .select("ba", "bb")
-    )
-    edges = edges.localCheckpoint()  # 40-row frame drives all graph algebra
+    edges = spark_brand_edges(spark, sf_dir, _BCC_EDGES)
     nbr = edges.select(
         F.col("ba").alias("b"), F.col("bb").alias("n")
     ).union(edges.select(F.col("bb").alias("b"), F.col("ba").alias("n")))
@@ -381,7 +351,7 @@ _MOM_KEY_S = "concat('mom:', cast(event_id as string))"
 
 
 def _mom_oracle() -> str:
-    h = duck_hex2long(f"md5({_MOM_KEY_D})", digits=15)
+    h = duck_hex2long(_MOM_KEY_D, digits=15)
     return f"""
 WITH b AS (
   SELECT {h} % {_MOM_B} AS bucket,
@@ -415,7 +385,7 @@ def median_of_means_value(spark, sf_dir):
     b = (
         T(spark, sf_dir, "events")
         .groupBy(
-            (F.expr(spark_hex2long(f"md5({_MOM_KEY_S})")) % _MOM_B).alias(
+            (F.expr(spark_hex2long(_MOM_KEY_S)) % _MOM_B).alias(
                 "bucket"
             )
         )

@@ -51,7 +51,7 @@ for _k in range(20):
 
 
 def _geo_draw_sql(hex2long, tag: str, cast_str: str) -> str:
-    u = hex2long(f"md5(concat('{tag}:', {cast_str}))")
+    u = hex2long(f"concat('{tag}:', {cast_str})")
     return (
         "("
         + " + ".join(f"CASE WHEN {u} >= {t} THEN 1 ELSE 0 END" for t in _GEO_T)
@@ -100,18 +100,13 @@ def dp_geometric_histogram(spark, sf_dir):
 
 _HC_EDGES = 40
 
+from zeta_etl_spark.functions.basket import (  # noqa: E402
+    duck_brand_edges_cte,
+    spark_brand_edges,
+)
+
 _HC_ORACLE = f"""
-WITH i AS MATERIALIZED (
-  SELECT DISTINCT l.l_orderkey, p.p_brand
-  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
-), pairs AS MATERIALIZED (
-  SELECT a.p_brand AS ba, b.p_brand AS bb, CAST(COUNT(*) AS BIGINT) AS support
-  FROM i a JOIN i b
-    ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
-  GROUP BY 1, 2
-), edges AS MATERIALIZED (
-  SELECT ba, bb FROM pairs ORDER BY support DESC, ba, bb LIMIT {_HC_EDGES}
-), nbr AS MATERIALIZED (
+WITH {duck_brand_edges_cte(_HC_EDGES)}, nbr AS MATERIALIZED (
   SELECT ba AS b, bb AS n FROM edges UNION ALL SELECT bb, ba FROM edges
 ), d1 AS MATERIALIZED (
   SELECT DISTINCT b AS src, n AS dst FROM nbr
@@ -144,31 +139,7 @@ FROM sc GROUP BY 1
     tags=("graph", "centrality", "basket"),
 )
 def brand_harmonic_centrality(spark, sf_dir):
-    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    pt = T(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    i = (
-        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
-        .select("l_orderkey", "p_brand")
-        .distinct()
-    )
-    a, b = i.alias("a"), i.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.p_brand") < F.col("b.p_brand")),
-        )
-        .groupBy(
-            F.col("a.p_brand").alias("ba"), F.col("b.p_brand").alias("bb")
-        )
-        .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
-    )
-    edges = (
-        pairs.orderBy(F.col("support").desc(), "ba", "bb")
-        .limit(_HC_EDGES)
-        .select("ba", "bb")
-    )
-    edges = edges.localCheckpoint()  # ≤ 40-row frame drives the BFS algebra
+    edges = spark_brand_edges(spark, sf_dir, _HC_EDGES)
     nbr = edges.select(
         F.col("ba").alias("b"), F.col("bb").alias("n")
     ).union(edges.select(F.col("bb").alias("b"), F.col("ba").alias("n")))
@@ -211,7 +182,7 @@ WITH exact AS (
   SELECT CAST(COUNT(*) * {_SJ_RATE} AS BIGINT) AS est_rows
   FROM orders o
   JOIN customer c ON c.c_custkey = o.o_custkey
-  WHERE {duck_hex2long("md5(concat('sj:', CAST(c.c_custkey AS VARCHAR)))")}
+  WHERE {duck_hex2long("concat('sj:', CAST(c.c_custkey AS VARCHAR))")}
     % {_SJ_RATE} = 0
 )
 SELECT exact_rows, est_rows,
@@ -227,7 +198,7 @@ FROM exact CROSS JOIN est
     tags=("statistics", "sampling", "join"),
 )
 def sampled_join_cardinality(spark, sf_dir):
-    h = spark_hex2long("md5(concat('sj:', cast(c_custkey as string)))")
+    h = spark_hex2long("concat('sj:', cast(c_custkey as string))")
     o = T(spark, sf_dir, "orders").select("o_custkey")
     c = T(spark, sf_dir, "customer").select("c_custkey")
     exact = o.join(c, o.o_custkey == c.c_custkey).agg(
