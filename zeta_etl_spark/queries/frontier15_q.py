@@ -90,8 +90,12 @@ WITH k AS (
   )
 )
 SELECT exact_pairs, cms_estimate,
-  CAST((cms_estimate - exact_pairs) * 1000000
-    // NULLIF(exact_pairs, 0) AS BIGINT) AS overestimate_ppm
+  -- staged division: (d // e)*1M + (d % e)*1M // e == d*1M // e exactly
+  -- for d >= 0, but the left form never materializes d*1M (est-exact can
+  -- pass 9.2e12 around sf100, where the direct product overflows BIGINT)
+  CAST((cms_estimate - exact_pairs) // NULLIF(exact_pairs, 0) * 1000000
+    + (cms_estimate - exact_pairs) % NULLIF(exact_pairs, 0) * 1000000
+      // NULLIF(exact_pairs, 0) AS BIGINT) AS overestimate_ppm
 FROM exact CROSS JOIN est
 """
 
@@ -135,8 +139,10 @@ def cms_join_size_estimate(spark, sf_dir):
         .withColumn(
             "overestimate_ppm",
             F.expr(
-                "cast((cms_estimate - exact_pairs) * 1000000"
-                " div nullif(exact_pairs, 0) as bigint)"
+                "cast((cms_estimate - exact_pairs)"
+                " div nullif(exact_pairs, 0) * 1000000"
+                " + (cms_estimate - exact_pairs) % nullif(exact_pairs, 0)"
+                " * 1000000 div nullif(exact_pairs, 0) as bigint)"
             ),
         )
         .select("exact_pairs", "cms_estimate", "overestimate_ppm")
