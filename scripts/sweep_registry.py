@@ -140,7 +140,13 @@ def main() -> None:
         con.execute(
             f"SET memory_limit='{os.environ.get('SWEEP_DUCK_MEM', '20GB')}'"
         )
-        con.execute("SET temp_directory='/tmp/duck_spill'")
+        # per-PROCESS spill dir: concurrent shard sweeps sharing one
+        # temp_directory collide on DuckDB's generic temp file names
+        # (observed: "Could not read enough bytes from duckdb_temp_storage-
+        # 2.tmp" corrupting an innocent oracle)
+        spill = f"/tmp/duck_spill_{os.getpid()}"
+        os.makedirs(spill, exist_ok=True)
+        con.execute(f"SET temp_directory='{spill}'")
         interrupted = threading.Event()
 
         # duckdb's interrupt must come from another thread while the query
@@ -187,7 +193,12 @@ def main() -> None:
             msg = str(e).lower()
             if "interrupt" in msg or rec["oracle_sec"] >= args.oracle_timeout:
                 rec["status"] = "ORACLE_TIMEOUT"
-            elif "out of memory" in msg or "no space left" in msg:
+            elif (
+                "out of memory" in msg
+                or "no space left" in msg
+                or "could not read enough bytes" in msg
+                or "temp_storage" in msg
+            ):
                 # the ORACLE exhausted its memory cap / spill disk — the
                 # Spark side finished; same honest weaker-marker class as
                 # ORACLE_TIMEOUT, distinct from a value mismatch
