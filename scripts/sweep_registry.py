@@ -52,6 +52,12 @@ def main() -> None:
         "cost, not an engine property",
     )
     ap.add_argument(
+        "--skip",
+        default="",
+        help="comma-separated query names to leave unrecorded this run "
+        "(e.g. one whose oracle needs a dedicated high-memory pass)",
+    )
+    ap.add_argument(
         "--shard",
         default=None,
         help="'K/N' — run only registry names whose sorted index %% N == K; "
@@ -105,8 +111,9 @@ def main() -> None:
             json.dump(payload, fh, indent=1)
         os.replace(tmp, args.out)
 
+    skip = {n for n in args.skip.split(",") if n}
     for i, name in enumerate(sorted(REGISTRY)):
-        if i % shard_n != shard_k or name in results:
+        if i % shard_n != shard_k or name in results or name in skip:
             continue
         spec = REGISTRY[name]
         rec: dict = {}
@@ -125,6 +132,21 @@ def main() -> None:
                 else None
             )
         except Exception as e:  # noqa: BLE001 — recorded, sweep continues
+            msg = str(e)
+            if (
+                "SparkContext was shut down" in msg
+                or "stopped SparkContext" in msg
+            ):
+                # the JVM died (host OOM pressure): every later query would
+                # cascade into the same FAIL — abort the RUN and let the
+                # resume loop restart with a fresh context instead of
+                # flushing garbage rows over real results
+                print(
+                    f"[{i + 1}] {name}: SparkContext dead — aborting run "
+                    "for clean restart",
+                    flush=True,
+                )
+                sys.exit(3)
             rec["spark_sec"] = round(time.perf_counter() - t0, 2)
             rec["status"] = f"FAIL: spark: {type(e).__name__}: {e}"[:500]
             results[name] = rec
