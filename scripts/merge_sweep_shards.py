@@ -17,6 +17,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from zeta_etl_spark.queries import REGISTRY  # noqa: E402
 
+_STATUS_RANK = {
+    "PASS": 3,
+    "PASS_ROWS_ONLY": 2,
+    "ORACLE_TIMEOUT": 1,
+    "ORACLE_RESOURCE": 1,
+}
+
+
+def _strength(rec: dict) -> int:
+    return _STATUS_RANK.get(str(rec.get("status", "")), 0)
+
 
 def main() -> None:
     ap = argparse.ArgumentParser()
@@ -24,13 +35,30 @@ def main() -> None:
     ap.add_argument("shards", nargs="+")
     args = ap.parse_args()
 
+    # ONE WRITER PER FILE includes the merger (r8 incident: the merged
+    # dict got written back over every per-shard file, destroying shard
+    # provenance — three byte-identical "shards").  The merge target must
+    # never be one of its inputs.
+    out_real = os.path.realpath(args.out)
+    for path in args.shards:
+        if os.path.realpath(path) == out_real:
+            sys.exit(
+                f"refusing to merge: --out {args.out} is also a shard "
+                "input; shard files are read-only to the merger"
+            )
+
     results: dict[str, dict] = {}
     sf_dir = None
     for path in args.shards:
         with open(path) as fh:
             d = json.load(fh)
         sf_dir = sf_dir or d.get("sf_dir")
-        results.update(d.get("queries", {}))
+        for name, rec in d.get("queries", {}).items():
+            prev = results.get(name)
+            # duplicate rows across shards (registry drift shifted parity):
+            # keep the stronger status, then the more recent record
+            if prev is None or _strength(rec) >= _strength(prev):
+                results[name] = rec
 
     payload = {
         "sf_dir": sf_dir,

@@ -22,6 +22,7 @@ progress; rerunning with the same --out resumes, skipping recorded names.
 from __future__ import annotations
 
 import argparse
+import hashlib
 import json
 import os
 import sys
@@ -70,11 +71,35 @@ def main() -> None:
         else (0, 1)
     )
 
+    def oracle_md5(spec) -> str | None:
+        return (
+            hashlib.md5(spec.oracle.encode()).hexdigest()
+            if spec.oracle
+            else None
+        )
+
     results: dict[str, dict] = {}
     if os.path.exists(args.out):
         with open(args.out) as fh:
             results = json.load(fh).get("queries", {})
-        print(f"resuming: {len(results)} recorded", flush=True)
+        # STALENESS GATE (r8 lesson: manually "marked stale, re-run later"
+        # silently didn't happen): a recorded row is only trusted if its
+        # stored oracle_md5 matches the CURRENT oracle SQL.  Rows written
+        # before this field existed, or whose oracle has since changed,
+        # are dropped here and re-run.
+        stale = [
+            n
+            for n, r in results.items()
+            if n not in REGISTRY
+            or r.get("oracle_md5") != oracle_md5(REGISTRY[n])
+        ]
+        for n in stale:
+            del results[n]
+        print(
+            f"resuming: {len(results)} recorded"
+            + (f" ({len(stale)} stale rows invalidated)" if stale else ""),
+            flush=True,
+        )
 
     spark = get_spark(app_name="registry-sweep")
     spark.sparkContext.setLogLevel("ERROR")
@@ -96,6 +121,11 @@ def main() -> None:
                 for r in results.values()
                 if r.get("status") == "ORACLE_TIMEOUT"
             ),
+            "n_oracle_resource": sum(
+                1
+                for r in results.values()
+                if r.get("status") == "ORACLE_RESOURCE"
+            ),
             "n_fail": sum(
                 1
                 for r in results.values()
@@ -116,7 +146,7 @@ def main() -> None:
         if i % shard_n != shard_k or name in results or name in skip:
             continue
         spec = REGISTRY[name]
-        rec: dict = {}
+        rec: dict = {"oracle_md5": oracle_md5(spec)}
         t0 = time.perf_counter()
         try:
             # count first: the result-set size decides the comparison mode

@@ -191,3 +191,68 @@ def global_row_number(
         .withColumn(out_col, (F.col("_off") + F.col("_lrn")).cast("bigint"))
         .drop("_gpid", "_lrn", "_off")
     )
+
+
+def global_last_before(
+    df: DataFrame,
+    order_by: Sequence[str | Column],
+    value: Column,
+    out_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed exact ``last_value(value IGNORE NULLS) OVER (ORDER BY
+    order_by ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)`` — the
+    scale path for the sorted-merge fill device (psm_matched_pairs'
+    1-NN matching), same two-phase construction as
+    :func:`global_row_number`:
+
+    1. ``repartitionByRange`` on the order key → disjoint ordered
+       ranges; each partition computes its local EXCLUSIVE running fill
+       and its own last non-null value (one extra unbounded window pass,
+       both parallel and spill-safe).
+    2. the ``num_partitions``-row per-partition summary gets an
+       exclusive running fill by partition id (tiny frame) → broadcast
+       back as each partition's carry-in; the global fill is
+       ``coalesce(local_fill, carry_in)``.
+
+    ``order_by`` must be a total order (unique tie-break column), and may
+    contain ``.desc()`` columns — ``repartitionByRange`` and the local
+    windows honor the direction, so a descending fill is the same call
+    with reversed sort keys.  Output values are identical to the
+    single-task ``Window.orderBy`` form regardless of where range
+    boundaries fall.
+    """
+    order_cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n, *order_cols).withColumn(
+        "_gpid", F.spark_partition_id()
+    )
+    w_excl = (
+        Window.partitionBy("_gpid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = (
+        Window.partitionBy("_gpid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    local = ranged.withColumn(
+        "_lfill", F.last(value, ignorenulls=True).over(w_excl)
+    ).withColumn("_plast", F.last(value, ignorenulls=True).over(w_all))
+    # _plast is constant per partition; first() in agg is deterministic here
+    psum = local.groupBy("_gpid").agg(F.first("_plast").alias("_plast"))
+    w_carry = (
+        Window.orderBy("_gpid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = psum.select(
+        "_gpid",
+        F.last("_plast", ignorenulls=True).over(w_carry).alias("_carry"),
+    )
+    return (
+        local.join(F.broadcast(carry), "_gpid")
+        .withColumn(out_col, F.coalesce("_lfill", "_carry"))
+        .drop("_gpid", "_lfill", "_plast", "_carry")
+    )

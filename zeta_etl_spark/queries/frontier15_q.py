@@ -578,7 +578,7 @@ FROM matched WHERE m IS NOT NULL
     tags=("experiment", "causal", "matching"),
 )
 def psm_matched_pairs(spark, sf_dir):
-    from pyspark.sql import Window
+    from zeta_etl_spark.operators.windows import global_last_before
 
     e = T(spark, sf_dir, "events")
     d0 = e.agg(F.expr(f"min({_PSM_DAY_SPARK})").alias("d0"))
@@ -627,17 +627,19 @@ def psm_matched_pairs(spark, sf_dir):
             F.col("outcome_cents").alias("co"),
         ),
     )
-    w_asc = (
-        Window.orderBy("score", "user_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    # both fills ride the range-partitioned global_last_before device
+    # (the module docstring's promise): no Exchange SinglePartition over
+    # the user grain — each direction is one balanced range shuffle +
+    # local windows + a broadcast carry join.
+    filled = global_last_before(
+        u, ["score", "user_id"], cs, "prev_c"
     )
-    w_desc = (
-        Window.orderBy(F.col("score").desc(), F.col("user_id").desc())
-        .rowsBetween(Window.unboundedPreceding, -1)
+    filled = global_last_before(
+        filled,
+        [F.col("score").desc(), F.col("user_id").desc()],
+        cs,
+        "next_c",
     )
-    filled = u.withColumn(
-        "prev_c", F.last(cs, ignorenulls=True).over(w_asc)
-    ).withColumn("next_c", F.last(cs, ignorenulls=True).over(w_desc))
     m = F.when(F.col("prev_c").isNull(), F.col("next_c")).otherwise(
         F.when(F.col("next_c").isNull(), F.col("prev_c")).otherwise(
             F.when(

@@ -214,7 +214,6 @@ def markov_removal_attribution(spark, sf_dir):
     counts = pairs.unionByName(starts).groupBy("src", "dst").agg(
         F.count(F.lit(1)).cast("bigint").alias("c")
     )
-    wsrc = Window.partitionBy("src")
     trans = counts.select(
         "src",
         "dst",
@@ -222,33 +221,34 @@ def markov_removal_attribution(spark, sf_dir):
             "(c * 1000000) div cast(sum(c) over "
             "(partition by src) as bigint)"
         ).alias("p_ppm"),
-    ).localCheckpoint()  # chain frame is |event_types|^2 — tiny, reused 5x
+    )
+    # ONE data-sized job: sessionize + pair-count + ppm; the chain frame
+    # is |event_types + 1|^2 rows — collect it and run the 5 scenarios x
+    # K removal rounds in driver Python with the SAME integer semantics
+    # as the oracle's unrolled CTEs (sum of mass*p_ppm products per dst,
+    # then ONE floor div per entry per round).  The previous form ran 30
+    # localCheckpoint'ed micro-jobs + a .first() per round against this
+    # tens-of-rows frame — 6.7 s of pure job overhead at sf0.1.
+    edges = [
+        (r["src"], r["dst"], int(r["p_ppm"])) for r in trans.collect()
+    ]
 
     def reach(removed: str | None) -> int:
-        t = trans
-        if removed is not None:
-            t = t.where(
-                (F.col("src") != removed) & (F.col("dst") != removed)
-            )
-        rows = [("__START__", 1_000_000)]
-        mass = spark.createDataFrame(rows, "node string, mass bigint")
+        mass = {"__START__": 1_000_000}
         total = 0
         for _ in range(_MARKOV_K):
-            stepped = (
-                mass.where(F.col("node") != _CONV)
-                .join(t, mass["node"] == t["src"])
-                .groupBy(F.col("dst").alias("node"))
-                .agg(
-                    F.expr(
-                        "cast(sum(mass * p_ppm) as bigint) div 1000000"
-                    ).alias("mass")
-                )
-            )
-            mass = stepped.localCheckpoint()
-            hit = mass.where(F.col("node") == _CONV).agg(
-                F.coalesce(F.sum("mass"), F.lit(0)).alias("m")
-            ).first()["m"]
-            total += int(hit)
+            nxt: dict[str, int] = {}
+            for src, dst, p_ppm in edges:
+                if removed is not None and (
+                    src == removed or dst == removed
+                ):
+                    continue
+                m = mass.get(src)
+                if m is None or src == _CONV:
+                    continue
+                nxt[dst] = nxt.get(dst, 0) + m * p_ppm
+            mass = {d: v // 1_000_000 for d, v in nxt.items()}
+            total += mass.get(_CONV, 0)
         return total
 
     full = reach(None)
