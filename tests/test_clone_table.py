@@ -114,3 +114,40 @@ def test_clone_resolves_live_pointer_with_guard(spark, pipe):
     finally:
         os.unlink(p)
         os.symlink(real, p)
+
+
+def test_clone_partition_by_follows_source_and_conflicts_raise(
+    spark, tmp_path
+):
+    """ADVICE r8: the clone's declared partition_by must match the
+    hard-linked on-disk layout — defaulted from the source, explicit
+    conflicts raise (silently ignoring them let a later regular
+    overwrite of the clone change layout)."""
+    import pytest
+
+    from zeta_etl_spark.plans.graph import Pipeline
+
+    p = Pipeline("clp", str(tmp_path / "t"))
+
+    @p.table(name="src_p", partition_by=("g",))
+    def src_p(pl):
+        return spark.createDataFrame(
+            [(1, "a"), (2, "b")], "k int, g string"
+        )
+
+    p.run(spark, targets=["src_p"])
+    p.clone_table("src_p", "dst_p")
+    # inherited layout, not ()
+    assert tuple(p.nodes["dst_p"].partition_by) == ("g",)
+    # matching explicit layout is fine (re-clone over existing dst)
+    p.clone_table("src_p", "dst_p", partition_by=("g",))
+    with pytest.raises(ValueError, match="conflicts with the source"):
+        p.clone_table("src_p", "dst_other", partition_by=("k",))
+
+    # existing destination with a divergent declaration also raises
+    @p.table(name="dst_flat")
+    def dst_flat(pl):
+        return spark.createDataFrame([(1, "a")], "k int, g string")
+
+    with pytest.raises(ValueError, match="existing destination"):
+        p.clone_table("src_p", "dst_flat")

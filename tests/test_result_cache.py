@@ -137,3 +137,39 @@ def test_cache_entries_skipped_by_full_dag_run(spark, pipe):
     )
     out = pipe.run(spark)  # default all-nodes run must skip the sentinel
     assert "__rc_agg_g" not in out and "base" in out
+
+
+def test_mid_compute_publish_withdraws_entry(spark, pipe):
+    """ADVICE r8 race: an input publishing while compute() runs must not
+    leave the (newer-generation) result stored under the OLDER
+    generation's fingerprint — a later restore of the input to that
+    generation would serve the mismatched entry as a hit."""
+    old_ver = pipe.live_version("base")
+    calls = []
+
+    def compute():
+        calls.append(1)
+        # simulate a concurrent writer landing mid-compute
+        pipe._write_overwrite_atomic(
+            pipe.nodes["base"],
+            spark.createDataFrame(
+                [(9, "z", 99)], "k int, g string, v int"
+            ),
+        )
+        return (
+            pipe.read_table(spark, "base")
+            .groupBy("g")
+            .agg(F.sum("v").cast("bigint").alias("sv"))
+        )
+
+    r, prov = cached_result(spark, pipe, "racy", ["base"], compute)
+    assert prov == "miss"
+    r.collect()  # the returned materialized result stays readable
+    # restore the input to the generation the stale fingerprint named
+    pipe.restore(spark, "base", old_ver)
+    r2, prov2 = cached_result(
+        spark, pipe, "racy", ["base"], _agg(spark, pipe, calls)
+    )
+    # the racy entry must NOT serve: recompute against the restored gen
+    assert prov2 == "miss" and len(calls) == 2
+    assert dict((g, s) for g, s in r2.collect()) == {"a": 30, "b": 5}

@@ -1740,6 +1740,20 @@ class Pipeline:
                 f"on disk (available: {gens}); it predates the "
                 f"retain_generations={self.retain_generations} window"
             )
+        # the clone's on-disk layout IS the source generation's (hard
+        # links) — its declared partition_by must match, or a later
+        # regular overwrite of the clone would silently change layout
+        # (ADVICE r8).  Default to the source's declaration; raise on an
+        # explicit conflict rather than ignore it.
+        src_layout = tuple(self.nodes[src].partition_by)
+        if partition_by and tuple(partition_by) != src_layout:
+            raise ValueError(
+                f"clone_table({src!r} -> {dst!r}): partition_by="
+                f"{tuple(partition_by)} conflicts with the source's hive "
+                f"layout {src_layout} — a shallow clone hard-links the "
+                "source's files, so the clone's layout is the source's; "
+                "re-layout with a regular partitioned write instead"
+            )
         if dst not in self.nodes:
 
             def _node(pl):  # materialized only through clone_table
@@ -1748,8 +1762,14 @@ class Pipeline:
                     "or regular writers, not run()"
                 )
 
-            self.table(name=dst, partition_by=tuple(partition_by))(_node)
+            self.table(name=dst, partition_by=src_layout)(_node)
             self.nodes[dst].extra["external_writer"] = True
+        elif tuple(self.nodes[dst].partition_by) != src_layout:
+            raise ValueError(
+                f"clone_table({src!r} -> {dst!r}): existing destination "
+                f"declares partition_by={tuple(self.nodes[dst].partition_by)}"
+                f" but the cloned generation's layout is {src_layout}"
+            )
         src_gen = os.path.join(
             self.path(src) + "__gen", f"v{version:06d}"
         )
@@ -2010,14 +2030,22 @@ class Pipeline:
     def _live_commit_meta(self, name: str) -> dict:
         """Commit record of the generation the live pointer serves
         (empty dict when unreadable)."""
-        import json as _json
-
         try:
             ver = self.live_version(name)
         except ValueError:
             return {}
+        return self.commit_meta_at(name, ver)
+
+    def commit_meta_at(self, name: str, version: int) -> dict:
+        """Commit record of an explicit generation (empty dict when the
+        generation has no readable ``_commit.json``).  This is the ONE
+        place the commit-record path layout is known; ivm.py and
+        result_cache.py delegate here (ADVICE r8: three drift-prone
+        copies of the generation-resolution logic)."""
+        import json as _json
+
         p = os.path.join(
-            self.path(name) + "__gen", f"v{ver:06d}", "_commit.json"
+            self.path(name) + "__gen", f"v{version:06d}", "_commit.json"
         )
         if not os.path.exists(p):
             return {}

@@ -41,7 +41,6 @@ for an empty group).
 from __future__ import annotations
 
 import os
-import re
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -323,39 +322,16 @@ def maintain_agg_view(
 
 
 def _current_version(pipeline: Pipeline, name: str) -> int:
-    """Generation the live pointer serves (vNNNNNN → int).
-
-    Raises a descriptive error when the table has never been materialized
-    or its pointer is corrupt (ADVICE r7: a bare realpath of a missing
-    pointer resolves to the table path itself and int('events') is
-    opaque)."""
-    p = pipeline.path(name)
-    if not os.path.lexists(p):
-        raise ValueError(
-            f"ivm: table {name!r} is not materialized — no committed "
-            f"pointer at {p}; run the pipeline (or seed the view) first"
-        )
-    real = os.path.realpath(p)
-    base = os.path.basename(real)
-    if not re.fullmatch(r"v\d{6}", base):
-        raise ValueError(
-            f"ivm: table {name!r} pointer resolves to {real}, not a "
-            "committed vNNNNNN generation — the table was never published "
-            "or its pointer is corrupt"
-        )
-    return int(base[1:])
+    """Generation the live pointer serves — delegates to the canonical
+    :meth:`Pipeline.live_version` (ADVICE r8: this used to be a second
+    copy of the pointer-guard regex + realpath logic)."""
+    return pipeline.live_version(name)
 
 
 def _commit_meta(pipeline: Pipeline, name: str, version: int) -> dict:
-    import json
-
-    path = os.path.join(
-        pipeline.path(name) + "__gen", f"v{version:06d}", "_commit.json"
-    )
-    if not os.path.exists(path):
-        return {}
-    with open(path) as fh:
-        return json.load(fh)
+    """Commit record of an explicit generation — delegates to the
+    canonical :meth:`Pipeline.commit_meta_at`."""
+    return pipeline.commit_meta_at(name, version)
 
 
 def _not_deleted(df: DataFrame, delete_predicate: str | None) -> DataFrame:

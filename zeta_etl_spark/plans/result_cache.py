@@ -105,7 +105,20 @@ def cached_result(
         df,
         commit_extra={"rc_fingerprint": fp, "rc_schema": schema_json},
     )
-    return _read(schema_json), "miss"
+    out = _read(schema_json)  # binds the concrete generation dir now
+    # RACE GUARD (ADVICE r8): compute() is lazy — its input scans resolve
+    # generation pointers while the write above runs.  If an input
+    # published mid-compute, the stored result may belong to the NEWER
+    # generation while the recorded fingerprint names the OLDER one; a
+    # later restore_table of that input would then serve the mismatched
+    # entry as a hit.  Bracket check: if any input's generation moved
+    # between the fingerprint and the end of the write, drop the entry's
+    # pointer (the caller still gets the materialized result — only the
+    # CACHING under the stale fingerprint is withdrawn; generation files
+    # stay on disk for `out`'s reads until the next retention pass).
+    if _fingerprint(pipeline, inputs) != fp:
+        invalidate(pipeline, key)
+    return out, "miss"
 
 
 def invalidate(pipeline: Pipeline, key: str) -> bool:
