@@ -261,6 +261,22 @@ DIAGNOSTICS = [
 ]
 
 
+def _sentinel(spark) -> None:
+    """Fixed host-speed yardstick (VERDICT r8 next-7): a data-independent,
+    registry-independent job — 20M-row hash + groupBy — timed once per rep
+    pass.  FROZEN as of round 9: any change breaks cross-round
+    comparability of the normalized fields.  ``total / sentinel_sec``
+    divides host noise out of cross-round totals as the registry grows."""
+    n = (
+        spark.range(0, 20_000_000)
+        .selectExpr("id % 1000 AS k", "xxhash64(id) AS h")
+        .groupBy("k")
+        .agg({"h": "sum"})
+        .count()
+    )
+    assert n == 1000
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -344,7 +360,11 @@ def main() -> None:
         # `spread` (max/min per query) quantifies residual noise.
         reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
         rep_times: dict[str, list[float]] = {n: [] for n in names}
+        sentinel_times: list[float] = []
         for _rep in range(reps):
+            t0 = time.perf_counter()
+            _sentinel(spark)
+            sentinel_times.append(time.perf_counter() - t0)
             for name in names:
                 t0 = time.perf_counter()
                 if name == "minhash_lsh_pairs":
@@ -404,6 +424,14 @@ def main() -> None:
         "p90_maxmin_ratio": spread_vals[int(len(spread_vals) * 0.9)],
         "per_query_maxmin_ratio": spread,
     }
+    # fixed-sentinel normalization: sentinel_sec is the median of the
+    # frozen host-speed job (one run per rep pass, interleaved like the
+    # queries); dividing totals by it makes cross-round comparisons
+    # host-noise-invariant (the registry grows every round, so raw totals
+    # alone stop being comparable)
+    sentinel_sec = round(
+        sorted(sentinel_times)[len(sentinel_times) // 2], 3
+    )
     full = {
         "metric": "headline_query_wall_time",
         "value": total,
@@ -411,6 +439,9 @@ def main() -> None:
         "queries": timings,
         "diagnostics": diagnostics,
         "r1_subset_total": r1_subset_total,
+        "sentinel_sec": sentinel_sec,
+        "total_per_sentinel": round(total / sentinel_sec, 2),
+        "r1_subset_per_sentinel": round(r1_subset_total / sentinel_sec, 2),
         "variance": variance,
         "sf": sf,
     }
@@ -437,6 +468,9 @@ def main() -> None:
                 "queries": slowest,
                 "n_queries": len(timings),
                 "r1_subset_total": r1_subset_total,
+                "sentinel_sec": sentinel_sec,
+                "total_per_sentinel": full["total_per_sentinel"],
+                "r1_subset_per_sentinel": full["r1_subset_per_sentinel"],
                 "reps": reps,
                 "median_maxmin_ratio": variance["median_maxmin_ratio"],
                 "p90_maxmin_ratio": variance["p90_maxmin_ratio"],

@@ -20,6 +20,10 @@ TIMEOUT="${3:-900}"
 cd "$(dirname "$0")/.." || exit 1
 export MALLOC_ARENA_MAX=2
 export SWEEP_DUCK_MEM="${SWEEP_DUCK_MEM:-24GB}"
+# localCheckpoint blocks from ~300 queries accumulate in executor storage
+# faster than the async ContextCleaner drains them; 16g (the default) hit
+# a task heap OOM mid-sweep at sf10 where the query itself was innocent
+export SPARK_DRIVER_MEMORY="${SPARK_DRIVER_MEMORY:-48g}"
 
 check_done() {
   python - "$OUT" <<'EOF'
@@ -40,7 +44,7 @@ EOF
 
 for attempt in $(seq 1 40); do
   stdbuf -oL python scripts/sweep_registry.py \
-    --sf-dir "$SF" --out "$OUT" --oracle-timeout "$TIMEOUT"
+    --sf-dir "$SF" --out "$OUT" --oracle-timeout "$TIMEOUT" --retry-failed
   rc=$?
   if [ "$(check_done)" = "1" ]; then
     echo "SWEEP COMPLETE after attempt $attempt"

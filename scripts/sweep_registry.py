@@ -64,6 +64,14 @@ def main() -> None:
         help="'K/N' — run only registry names whose sorted index %% N == K; "
         "shard out-files are merged by scripts/merge_sweep_shards.py",
     )
+    ap.add_argument(
+        "--retry-failed",
+        action="store_true",
+        help="invalidate recorded FAIL rows at resume so they re-run — "
+        "environmental failures (a task OOM in a heap-pressured JVM) "
+        "should not be permanent records; genuine failures simply "
+        "re-fail and stay recorded",
+    )
     args = ap.parse_args()
     shard_k, shard_n = (
         (int(args.shard.split("/")[0]), int(args.shard.split("/")[1]))
@@ -92,6 +100,10 @@ def main() -> None:
             for n, r in results.items()
             if n not in REGISTRY
             or r.get("oracle_md5") != oracle_md5(REGISTRY[n])
+            or (
+                args.retry_failed
+                and str(r.get("status", "")).startswith("FAIL")
+            )
         ]
         for n in stale:
             del results[n]
