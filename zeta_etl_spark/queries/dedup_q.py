@@ -319,12 +319,12 @@ def simhash_near_pairs(spark, sf_dir):
 # ngram_jaccard_pairs), a deterministic non-empty graph on the test corpus.
 
 _CLUSTER_ORACLE = f"""
-WITH RECURSIVE pairs AS (
+WITH RECURSIVE pairs AS MATERIALIZED (
   SELECT doc_a, doc_b FROM ({_NGRAM_ORACLE}) _np
-), edges AS (
+), edges AS MATERIALIZED (
   SELECT doc_a AS src, doc_b AS dst FROM pairs
   UNION ALL SELECT doc_b, doc_a FROM pairs
-), nodes AS (
+), nodes AS MATERIALIZED (
   SELECT DISTINCT src AS doc_id FROM edges
 ), reach AS (
   SELECT doc_id, doc_id AS peer FROM nodes

@@ -498,16 +498,21 @@ def ams_f2_sketch(spark, sf_dir):
 _LINK_FANOUT = 8
 _LINK_TOPN = 20
 
+# Oracle scale note (r9, sf10 sweep): DuckDB re-evaluates a CTE per
+# reference — ``e`` (the fact-sized join-agg) feeds deg AND top, and deg
+# is joined twice; un-materialized this re-ran the 60M-row aggregate 4x
+# and hit the memory cap (r8: ORACLE_RESOURCE).  MATERIALIZED pins one
+# evaluation each; values unchanged.
 _LINK_ORACLE = f"""
-WITH e AS (
+WITH e AS MATERIALIZED (
   SELECT o.o_custkey AS cust, l.l_suppkey AS supp,
     CAST(SUM(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT))
       AS BIGINT) AS cents
   FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
   GROUP BY 1, 2
-), deg AS (
+), deg AS MATERIALIZED (
   SELECT cust, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY 1
-), top AS (
+), top AS MATERIALIZED (
   SELECT cust, supp FROM (
     SELECT cust, supp,
       ROW_NUMBER() OVER (PARTITION BY supp

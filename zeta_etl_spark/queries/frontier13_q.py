@@ -53,11 +53,16 @@ from zeta_etl_spark.queries.registry import T, query
 
 _TRI_TOPN = 30
 
-# Oracle note: the naive 3-way self-join form exhausted DuckDB's memory
-# cap at sf10 (three big hash joins); the basket-local lateral-unnest
-# enumeration below is value-identical and per-row bounded (|basket|^3),
-# so the oracle stays light at any scale — same device the Spark side
-# gets from the within-order join grouping.
+# Scale device (r9, after the sf10 sweep caught both earlier forms):
+# the naive 3-way self-join exhausted DuckDB's memory cap and the
+# per-ORDER lateral-unnest enumeration ground past the 900 s oracle
+# watchdog (15M baskets × |basket|³ pre-filter rows).  Collapse baskets
+# to the COMPOSITION grain first: identical sorted brand-sets group to
+# one row with a count, so the triple enumeration runs over the
+# distinct-composition space (bounded by Σ C(25,k) — the 25-brand
+# alphabet — NOT by order count), and support(a,b,c) = Σ cnt over
+# compositions containing the triple.  Value-identical by distributivity
+# of the sum; both engines get the same reduction.
 _TRI_ORACLE = f"""
 WITH i AS (
   SELECT DISTINCT l.l_orderkey, p.p_brand
@@ -66,10 +71,12 @@ WITH i AS (
   SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM i
 ), bk AS (
   SELECT l_orderkey, list_sort(list(p_brand)) AS bs FROM i GROUP BY 1
+), comp AS (
+  SELECT bs, CAST(COUNT(*) AS BIGINT) AS cnt FROM bk GROUP BY bs
 ), t AS (
   SELECT t1.a AS brand_a, t2.bb AS brand_b, t3.c AS brand_c,
-    CAST(COUNT(*) AS BIGINT) AS support
-  FROM bk
+    CAST(SUM(cnt) AS BIGINT) AS support
+  FROM comp
   CROSS JOIN UNNEST(bs) AS t1(a)
   CROSS JOIN UNNEST(bs) AS t2(bb)
   CROSS JOIN UNNEST(bs) AS t3(c)
@@ -100,28 +107,32 @@ def brand_triple_support(spark, sf_dir):
         .select("l_orderkey", "p_brand")
         .distinct()
     )
-    items = items.localCheckpoint()  # feeds n_orders + the basket join
-    n = items.agg(
-        F.countDistinct("l_orderkey").cast("bigint").alias("n_orders")
+    # composition grain: one shuffle to baskets, one to distinct
+    # compositions (≤ Σ C(25,k) rows); the |basket|³ triple enumeration
+    # then explodes a FRAME BOUNDED BY THE BRAND ALPHABET, never by
+    # order count — the fact table is touched exactly twice.
+    bk = items.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_list("p_brand")).alias("bs")
     )
-    a, b, c = items.alias("a"), items.alias("b"), items.alias("c")
-    t = (
-        a.join(
-            b,
-            (F.col("b.l_orderkey") == F.col("a.l_orderkey"))
-            & (F.col("a.p_brand") < F.col("b.p_brand")),
-        )
-        .join(
-            c,
-            (F.col("c.l_orderkey") == F.col("a.l_orderkey"))
-            & (F.col("b.p_brand") < F.col("c.p_brand")),
-        )
-        .groupBy(
-            F.col("a.p_brand").alias("brand_a"),
-            F.col("b.p_brand").alias("brand_b"),
-            F.col("c.p_brand").alias("brand_c"),
-        )
-        .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+    comp = bk.groupBy("bs").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    comp = comp.localCheckpoint()  # feeds n_orders + the enumeration
+    n = comp.agg(F.sum("cnt").cast("bigint").alias("n_orders"))
+    # bs is sorted + element-distinct, so position order IS value order
+    x = comp.select(
+        "bs", "cnt", F.posexplode("bs").alias("i", "brand_a")
+    )
+    y = x.select(
+        "bs", "cnt", "i", "brand_a",
+        F.posexplode("bs").alias("j", "brand_b"),
+    ).where(F.col("j") > F.col("i"))
+    z = y.select(
+        "cnt", "j", "brand_a", "brand_b",
+        F.posexplode("bs").alias("k", "brand_c"),
+    ).where(F.col("k") > F.col("j"))
+    t = z.groupBy("brand_a", "brand_b", "brand_c").agg(
+        F.sum("cnt").cast("bigint").alias("support")
     )
     return (
         scalar_frame_crossjoin(t, n)

@@ -590,6 +590,13 @@ _HITS_FANOUT = 5
 
 
 def _hits_oracle() -> str:
+    # Oracle scale note (r9, sf10 sweep): DuckDB re-evaluates a CTE per
+    # reference, and ``edges`` is referenced 4x with two more scalar
+    # subqueries per renorm — at 10M events the un-materialized form
+    # spilled past the 24 GB cap (r8: ORACLE_RESOURCE).  Fixes that keep
+    # values bit-identical: ``edges AS MATERIALIZED`` (one evaluation),
+    # and renorm via ``MAX(...) OVER ()`` — a single-pass window instead
+    # of a scalar subquery that re-runs the upstream CTE.
     offs = ", ".join(str(i) for i in range(1, _HITS_FANOUT + 1))
     return f"""
 WITH hourly AS (
@@ -600,7 +607,7 @@ WITH hourly AS (
       ORDER BY SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) DESC, user_id
     ) AS rnk
   FROM events GROUP BY user_id, date_trunc('hour', CAST(ts AS TIMESTAMP))
-), edges AS (
+), edges AS MATERIALIZED (
   SELECT DISTINCT a.user_id AS src, b.user_id AS dst
   FROM hourly a
   JOIN (SELECT unnest(ARRAY[{offs}]) AS o) offs ON true
@@ -609,27 +616,24 @@ WITH hourly AS (
 ), a0 AS (
   SELECT DISTINCT dst AS user_id, CAST({_HITS_SCALE} AS BIGINT) AS a
   FROM edges
-), h1r AS (
-  SELECT e.src AS user_id, CAST(SUM(a.a) AS BIGINT) AS h
-  FROM edges e JOIN a0 a ON a.user_id = e.dst GROUP BY 1
 ), h1 AS (
-  SELECT user_id,
-    (h * {_HITS_SCALE}) // (SELECT CAST(MAX(h) AS BIGINT) FROM h1r) AS h
-  FROM h1r
-), a1r AS (
-  SELECT e.dst AS user_id, CAST(SUM(h.h) AS BIGINT) AS a
-  FROM edges e JOIN h1 h ON h.user_id = e.src GROUP BY 1
-), a1 AS (
-  SELECT user_id,
-    (a * {_HITS_SCALE}) // (SELECT CAST(MAX(a) AS BIGINT) FROM a1r) AS a
-  FROM a1r
-), h2r AS (
-  SELECT e.src AS user_id, CAST(SUM(a.a) AS BIGINT) AS h
-  FROM edges e JOIN a1 a ON a.user_id = e.dst GROUP BY 1
+  SELECT user_id, (h * {_HITS_SCALE}) // (MAX(h) OVER ()) AS h
+  FROM (
+    SELECT e.src AS user_id, CAST(SUM(a.a) AS BIGINT) AS h
+    FROM edges e JOIN a0 a ON a.user_id = e.dst GROUP BY 1
+  )
+), a1 AS MATERIALIZED (
+  SELECT user_id, (a * {_HITS_SCALE}) // (MAX(a) OVER ()) AS a
+  FROM (
+    SELECT e.dst AS user_id, CAST(SUM(h.h) AS BIGINT) AS a
+    FROM edges e JOIN h1 h ON h.user_id = e.src GROUP BY 1
+  )
 ), h2 AS (
-  SELECT user_id,
-    (h * {_HITS_SCALE}) // (SELECT CAST(MAX(h) AS BIGINT) FROM h2r) AS h
-  FROM h2r
+  SELECT user_id, (h * {_HITS_SCALE}) // (MAX(h) OVER ()) AS h
+  FROM (
+    SELECT e.src AS user_id, CAST(SUM(a.a) AS BIGINT) AS h
+    FROM edges e JOIN a1 a ON a.user_id = e.dst GROUP BY 1
+  )
 )
 SELECT COALESCE(h.user_id, a.user_id) AS user_id,
   COALESCE(h.h, 0) AS hub_scaled,
