@@ -108,18 +108,22 @@ def _minhash_oracle() -> str:
         + f"AS DOUBLE) / {_NUM_PERM}"
     )
     shingle_hash = duck_hex2long("s", digits=8)
+    # r9 sf10 sweep: DuckDB re-evaluates a CTE per reference — ``sig``
+    # (16 minhash perms over every shingle list) is referenced by all
+    # 16 band selects plus two scoring joins; MATERIALIZED pins one
+    # evaluation per CTE, values unchanged.
     return f"""
-WITH sh AS (
+WITH sh AS MATERIALIZED (
   SELECT doc_id, {duck_shingles()} AS shingles FROM documents
 ), sigsrc AS (
   SELECT doc_id, shingles,
          list_transform(shingles, s -> {shingle_hash}) AS hs FROM sh
-), sig AS (
+), sig AS MATERIALIZED (
   SELECT doc_id, len(shingles) AS n_shingles, [{sig_items}] AS signature
   FROM sigsrc
-), bands AS (
+), bands AS MATERIALIZED (
   {bands_sql}
-), cand AS (
+), cand AS MATERIALIZED (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a
   JOIN bands b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
@@ -579,20 +583,33 @@ def normalized_exact_dedup(spark, sf_dir):
 
 _EVAL_TAU = 0.2
 
+# Oracle scale note (r9, sf10 sweep): the previous form used five scalar
+# subqueries over the lsh/tru CTEs, and DuckDB re-evaluates a CTE per
+# scalar-subquery reference EVEN UNDER AS MATERIALIZED (the r8 session-5
+# finding) — five evaluations of the minhash/ngram pair joins ground past
+# the watchdog.  One aggregate per CTE + a one-row cross join computes
+# the identical values with one evaluation each.
 _EVAL_ORACLE = f"""
 WITH lsh AS (
   SELECT jaccard FROM ({_minhash_oracle()}) _l
 ), tru AS (
   SELECT doc_a FROM ({_NGRAM_ORACLE.replace(">= 0.2", f">= {_EVAL_TAU}")}) _t
+), l AS (
+  SELECT COUNT(*) AS n_candidates,
+    COUNT(*) FILTER (WHERE jaccard >= {_EVAL_TAU}) AS n_hits
+  FROM lsh
+), t AS (
+  SELECT COUNT(*) AS n_true_pairs FROM tru
 )
 SELECT
-  (SELECT COUNT(*) FROM lsh) AS n_candidates,
-  (SELECT COUNT(*) FROM tru) AS n_true_pairs,
-  (SELECT COUNT(*) FROM lsh WHERE jaccard >= {_EVAL_TAU}) AS n_hits,
-  CAST((SELECT COUNT(*) FROM lsh WHERE jaccard >= {_EVAL_TAU}) AS DOUBLE)
-    / NULLIF(CAST((SELECT COUNT(*) FROM lsh) AS DOUBLE), 0) AS precision_at_tau,
-  CAST((SELECT COUNT(*) FROM lsh WHERE jaccard >= {_EVAL_TAU}) AS DOUBLE)
-    / NULLIF(CAST((SELECT COUNT(*) FROM tru) AS DOUBLE), 0) AS recall_at_tau
+  l.n_candidates,
+  t.n_true_pairs,
+  l.n_hits,
+  CAST(l.n_hits AS DOUBLE)
+    / NULLIF(CAST(l.n_candidates AS DOUBLE), 0) AS precision_at_tau,
+  CAST(l.n_hits AS DOUBLE)
+    / NULLIF(CAST(t.n_true_pairs AS DOUBLE), 0) AS recall_at_tau
+FROM l CROSS JOIN t
 """
 
 

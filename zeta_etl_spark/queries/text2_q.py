@@ -130,14 +130,13 @@ def _near_dup_oracle(threshold: float = _NEAR_THRESHOLD) -> str:
     return f"""
 WITH e AS (
   SELECT vec_id, {scaled} AS sv FROM embeddings
-), n AS (
+), n AS MATERIALIZED (
   SELECT vec_id, sv, list_sum(list_transform(sv, x -> x * x)) AS norm2,
          {bucket} AS bucket
   FROM e
 ), p AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-    CAST(list_sum(list_transform(range(1, 65),
-                  i -> a.sv[CAST(i AS INT)] * b.sv[CAST(i AS INT)])) AS DOUBLE)
+    list_dot_product(a.sv, b.sv)
       / NULLIF(sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(b.norm2 AS DOUBLE)),
                0.0) AS cosine
   FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
@@ -324,12 +323,12 @@ _SIM_THRESHOLD = 0.35
 
 def _semantic_cluster_oracle() -> str:
     return f"""
-WITH RECURSIVE pairs AS (
+WITH RECURSIVE pairs AS MATERIALIZED (
   SELECT vec_a, vec_b FROM ({_near_dup_oracle(_SIM_THRESHOLD)}) _nd
-), edges AS (
+), edges AS MATERIALIZED (
   SELECT vec_a AS src, vec_b AS dst FROM pairs
   UNION ALL SELECT vec_b, vec_a FROM pairs
-), nodes AS (
+), nodes AS MATERIALIZED (
   SELECT DISTINCT src AS vec_id FROM edges
 ), reach AS (
   SELECT vec_id, vec_id AS peer FROM nodes
@@ -406,12 +405,12 @@ def _banded_oracle() -> str:
     return f"""
 WITH e AS (
   SELECT vec_id, {scaled} AS sv FROM embeddings
-), n AS (
+), n AS MATERIALIZED (
   SELECT vec_id, sv, list_sum(list_transform(sv, x -> x * x)) AS norm2,
          {_banded_bucket_sql(_BANDED_TABLES[0])} AS b1,
          {_banded_bucket_sql(_BANDED_TABLES[1])} AS b2
   FROM e
-), cand AS (
+), cand AS MATERIALIZED (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
   FROM n a JOIN n b ON a.b1 = b.b1 AND a.vec_id < b.vec_id
   UNION
@@ -419,8 +418,7 @@ WITH e AS (
   FROM n a JOIN n b ON a.b2 = b.b2 AND a.vec_id < b.vec_id
 ), p AS (
   SELECT c.vec_a, c.vec_b,
-    CAST(list_sum(list_transform(range(1, 65),
-                  i -> a.sv[CAST(i AS INT)] * b.sv[CAST(i AS INT)])) AS DOUBLE)
+    list_dot_product(a.sv, b.sv)
       / NULLIF(sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(b.norm2 AS DOUBLE)),
                0.0) AS cosine
   FROM cand c
