@@ -244,6 +244,9 @@ OPTIONAL = [
     "dp_geometric_histogram",
     "brand_harmonic_centrality",
     "sampled_join_cardinality",
+    # round-9 additions
+    "mv_rewrite_daily_rollup",
+    "mv_rewrite_filtered_type",
 ]
 
 # Deliberate experiments whose cost is a MEASUREMENT, not the engine's real
