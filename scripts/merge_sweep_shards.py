@@ -18,7 +18,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from zeta_etl_spark.queries import REGISTRY  # noqa: E402
 
 _STATUS_RANK = {
-    "PASS": 3,
+    "PASS": 4,
+    "PASS_CHECKSUM": 3,
     "PASS_ROWS_ONLY": 2,
     "ORACLE_TIMEOUT": 1,
     "ORACLE_RESOURCE": 1,

@@ -39,6 +39,44 @@ from zeta_etl_spark.testing import (  # noqa: E402
 )
 
 
+# Order-independent full-value checksum for results too large to hash
+# driver-side (r9): both engines render each row as a canonical string
+# (sorted column order, exact integer/string/timestamp rendering), hash it
+# to a 60-bit md5 prefix (the repo's standard cross-engine hash device),
+# and SUM the hashes exactly (DECIMAL(38,0) vs HUGEINT) — two scalars
+# compare instead of 10M collected rows.  Only types whose rendering is
+# provably identical cross-engine participate; anything else (DOUBLE,
+# DECIMAL) falls back to the honest rows-only check.
+_CS_TYPES_INT = {"bigint", "int", "integer", "smallint", "tinyint"}
+
+
+def _checksum_exprs(fields: list[tuple[str, str]]):
+    """(spark_row_expr, duck_row_expr) or None if any column type is not
+    exactly renderable cross-engine.  ``fields`` = sorted (name, type)."""
+    sp_parts, du_parts = [], []
+    for name, t in fields:
+        if t in _CS_TYPES_INT or t in ("boolean", "date"):
+            sp = f"cast(`{name}` as string)"
+            du = f'CAST("{name}" AS VARCHAR)'
+        elif t == "string":
+            sp = f"`{name}`"
+            du = f'"{name}"'
+        elif t in ("timestamp", "timestamp_ntz"):
+            # micros epoch: exact BIGINT on both engines (oracles emit
+            # TIMESTAMP per the repo contract; session TZ pinned UTC)
+            sp = f"cast(unix_micros(cast(`{name}` as timestamp)) as string)"
+            du = f'CAST(epoch_us(CAST("{name}" AS TIMESTAMP)) AS VARCHAR)'
+        else:
+            return None
+        # chr(2) null marker (DuckDB strings cannot hold chr(0));
+        # concat_ws SKIPS nulls on both engines, so nulls must be rendered
+        sp_parts.append(f"coalesce({sp}, chr(2))")
+        du_parts.append(f"COALESCE({du}, chr(2))")
+    sp_row = "concat_ws(chr(31), " + ", ".join(sp_parts) + ")"
+    du_row = "concat_ws(chr(31), " + ", ".join(du_parts) + ")"
+    return sp_row, du_row
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", required=True)
@@ -127,6 +165,11 @@ def main() -> None:
                 1
                 for r in results.values()
                 if r.get("status") == "PASS_ROWS_ONLY"
+            ),
+            "n_pass_checksum": sum(
+                1
+                for r in results.values()
+                if r.get("status") == "PASS_CHECKSUM"
             ),
             "n_oracle_timeout": sum(
                 1
@@ -227,21 +270,67 @@ def main() -> None:
         t1 = time.perf_counter()
         try:
             if sdf is None:
-                # rows-only mode: full-result hashing is infeasible at this
-                # size; compare cardinalities (the honest weaker check,
-                # marked distinctly so the artifact shows which)
-                n_oracle = con.execute(
-                    f"SELECT COUNT(*) FROM ({spec.oracle})"
-                ).fetchone()[0]
-                interrupted.set()
-                rec["oracle_sec"] = round(time.perf_counter() - t1, 2)
-                rec["oracle_rows"] = n_oracle
-                rec["status"] = (
-                    "PASS_ROWS_ONLY"
-                    if n_oracle == rec["spark_rows"]
-                    else f"FAIL: rows {rec['spark_rows']} != {n_oracle} "
-                    "(rows-only mode)"
+                cs = _checksum_exprs(
+                    sorted(
+                        (f.name, f.dataType.simpleString())
+                        for f in spec.fn(spark, args.sf_dir).schema.fields
+                    )
                 )
+                if cs is not None:
+                    # full-value order-independent checksum: exact on both
+                    # engines, never collects the result
+                    sp_row, du_row = cs
+                    srow = (
+                        spec.fn(spark, args.sf_dir)
+                        .selectExpr(f"{sp_row} AS _r")
+                        .selectExpr(
+                            "cast(sum(cast(conv(substr(md5(_r), 1, 15), "
+                            "16, 10) as decimal(38, 0))) as string) AS cs"
+                        )
+                        .first()
+                    )
+                    drow = con.execute(
+                        "SELECT COUNT(*), CAST(SUM(('0x' || "
+                        "substr(md5(_r), 1, 15))::BIGINT) AS VARCHAR) "
+                        f"FROM (SELECT {du_row} AS _r FROM ({spec.oracle}))"
+                    ).fetchone()
+                    interrupted.set()
+                    rec["oracle_sec"] = round(time.perf_counter() - t1, 2)
+                    rec["oracle_rows"] = drow[0]
+                    ok_rows = drow[0] == rec["spark_rows"]
+                    ok_cs = (
+                        srow["cs"] is not None
+                        and drow[1] is not None
+                        and int(srow["cs"]) == int(drow[1])
+                    ) or (srow["cs"] is None and drow[1] is None)
+                    rec["status"] = (
+                        "PASS_CHECKSUM"
+                        if ok_rows and ok_cs
+                        else "FAIL: "
+                        + (
+                            f"rows {rec['spark_rows']} != {drow[0]} "
+                            if not ok_rows
+                            else f"checksum {srow['cs']} != {drow[1]} "
+                        )
+                        + "(checksum mode)"
+                    )
+                else:
+                    # rows-only mode: the schema has types whose rendering
+                    # is not provably identical cross-engine (DOUBLE/
+                    # DECIMAL); compare cardinalities (the honest weaker
+                    # check, marked distinctly so the artifact shows which)
+                    n_oracle = con.execute(
+                        f"SELECT COUNT(*) FROM ({spec.oracle})"
+                    ).fetchone()[0]
+                    interrupted.set()
+                    rec["oracle_sec"] = round(time.perf_counter() - t1, 2)
+                    rec["oracle_rows"] = n_oracle
+                    rec["status"] = (
+                        "PASS_ROWS_ONLY"
+                        if n_oracle == rec["spark_rows"]
+                        else f"FAIL: rows {rec['spark_rows']} != {n_oracle} "
+                        "(rows-only mode)"
+                    )
             else:
                 ddf = con.execute(spec.oracle).fetchdf()
                 interrupted.set()
