@@ -244,6 +244,11 @@ def asof_nearest_event(spark, sf_dir):
 # coordinates are (microseconds, cents); anchor = floor-div average;
 # |2*area| fits BIGINT (us-span ~2.6e9 * cents ~1e7).  Tie → earliest
 # (ts, event_id).
+# Oracle r9: the per-bucket argmax is scalar MAX/MIN aggregates + joins,
+# NOT MIN(struct_pack(...)) — DuckDB's struct-aggregate state is not
+# tracked by the memory limit and reached 117 GB RSS at sf10 (host OOM);
+# IS NOT DISTINCT FROM keeps all-NULL buckets on the earliest-(x,e)
+# branch, value-identical to the struct form.
 
 _LTTB_BUCKETS = 10
 
@@ -257,33 +262,37 @@ WITH base AS (
                        ORDER BY CAST(ts AS TIMESTAMP), event_id) - 1 AS rn,
     COUNT(*) OVER (PARTITION BY user_id) AS n
   FROM events
-), bkt AS (
+), bkt AS MATERIALIZED (
   SELECT *, (rn * {_LTTB_BUCKETS}) // n AS b FROM base
 ), avgs AS (
   SELECT user_id, b, SUM(x) AS sx, SUM(y) AS sy,
     CAST(COUNT(*) AS BIGINT) AS c
   FROM bkt GROUP BY 1, 2
-), anch AS (
+), anch AS MATERIALIZED (
   SELECT user_id, b,
     LAG(sx) OVER w // LAG(c) OVER w AS ax0,
     LAG(sy) OVER w // LAG(c) OVER w AS ay0,
     LEAD(sx) OVER w // LEAD(c) OVER w AS ax2,
     LEAD(sy) OVER w // LEAD(c) OVER w AS ay2
   FROM avgs WINDOW w AS (PARTITION BY user_id ORDER BY b)
-), area AS (
+), area AS MATERIALIZED (
   SELECT p.user_id, p.b, p.event_id, p.x, p.y,
     CASE WHEN a.ax0 IS NULL OR a.ax2 IS NULL THEN NULL
       ELSE abs((a.ax0 - p.x) * (a.ay2 - p.y) - (a.ax2 - p.x) * (a.ay0 - p.y))
     END AS area2
   FROM bkt p JOIN anch a ON a.user_id = p.user_id AND a.b = p.b
+), w1 AS MATERIALIZED (
+  SELECT user_id, b, MAX(area2) AS ma FROM area GROUP BY 1, 2
+), c1 AS MATERIALIZED (
+  SELECT a.user_id, a.b, a.x, a.event_id
+  FROM area a JOIN w1 ON w1.user_id = a.user_id AND w1.b = a.b
+    AND a.area2 IS NOT DISTINCT FROM w1.ma
+), w2 AS (
+  SELECT user_id, b, MIN(x) AS mx FROM c1 GROUP BY 1, 2
 )
-SELECT user_id, b AS bucket,
-  CASE
-    WHEN MIN(area2) IS NULL
-      THEN MIN(struct_pack(x := x, e := event_id))['e']
-    ELSE MIN(struct_pack(na := -area2, x := x, e := event_id))['e']
-  END AS event_id
-FROM area GROUP BY 1, 2
+SELECT c.user_id, c.b AS bucket, MIN(c.event_id) AS event_id
+FROM c1 c JOIN w2 ON w2.user_id = c.user_id AND w2.b = c.b AND c.x = w2.mx
+GROUP BY 1, 2
 """
 
 
