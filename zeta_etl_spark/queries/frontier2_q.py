@@ -46,11 +46,11 @@ from zeta_etl_spark.queries.registry import T, query
 # BIGANTs; the final top-50 is a total order (cnt desc, part_a, part_b).
 
 _BASKET_ORACLE = """
-WITH i AS (
+WITH i AS MATERIALIZED (
   SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
 ), n AS (
   SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM i
-), ic AS (
+), ic AS MATERIALIZED (
   SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS item_cnt FROM i GROUP BY 1
 ), pc AS (
   SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
@@ -58,18 +58,24 @@ WITH i AS (
   FROM i a JOIN i b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
   GROUP BY 1, 2
+), top AS MATERIALIZED (
+  -- the output order is a function of pc alone and the ic/n joins are
+  -- 1:1 with no filter, so the top-50 commutes with them: take it FIRST
+  -- (r9 sf10: joining the 119.6M-row pair grain to ic twice before the
+  -- LIMIT ground past the 900 s oracle watchdog)
+  SELECT * FROM pc WHERE pair_cnt >= 3
+  ORDER BY pair_cnt DESC, part_a, part_b
+  LIMIT 50
 )
 SELECT p.part_a, p.part_b, p.pair_cnt,
   (p.pair_cnt * 1000000) // ca.item_cnt AS confidence_ppm,
   (p.pair_cnt * n.n_orders * 1000000) // (ca.item_cnt * cb.item_cnt)
     AS lift_ppm
-FROM pc p
+FROM top p
 JOIN ic ca ON ca.l_partkey = p.part_a
 JOIN ic cb ON cb.l_partkey = p.part_b
 CROSS JOIN n
-WHERE p.pair_cnt >= 3
 ORDER BY p.pair_cnt DESC, p.part_a, p.part_b
-LIMIT 50
 """
 
 
@@ -102,10 +108,20 @@ def market_basket_pairs(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("bigint").alias("pair_cnt"))
         .where(F.col("pair_cnt") >= 3)
     )
+    # top-50 commutes with the 1:1 ic/n joins (order is a function of pc
+    # alone): take it on the pair grain FIRST, then enrich 50 rows — the
+    # pair frame is ~120M rows at sf10 and never needs to reach the joins
+    top = pc.orderBy(F.desc("pair_cnt"), "part_a", "part_b").limit(50)
+    # ic is PART-grain (data-sized, never broadcast); the 50-row top
+    # frame is the broadcast side of both enrichment joins
     out = (
-        pc.join(ic.withColumnRenamed("l_partkey", "part_a"), "part_a")
+        ic.withColumnRenamed("l_partkey", "part_a")
+        .join(F.broadcast(top), "part_a")
         .withColumnRenamed("item_cnt", "cnt_a")
-        .join(ic.withColumnRenamed("l_partkey", "part_b"), "part_b")
+    )
+    out = (
+        ic.withColumnRenamed("l_partkey", "part_b")
+        .join(F.broadcast(out), "part_b")
         .withColumnRenamed("item_cnt", "cnt_b")
     )
     out = scalar_frame_crossjoin(out, n)
@@ -120,7 +136,6 @@ def market_basket_pairs(spark, sf_dir):
             ).alias("lift_ppm"),
         )
         .orderBy(F.desc("pair_cnt"), "part_a", "part_b")
-        .limit(50)
     )
 
 
