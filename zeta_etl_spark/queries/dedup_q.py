@@ -496,7 +496,7 @@ def edit_distance_pairs(spark, sf_dir):
 # applies unchanged (edges already flow low→high doc_id).
 
 _TRIANGLE_ORACLE = f"""
-WITH pairs AS (
+WITH pairs AS MATERIALIZED (
   SELECT doc_a, doc_b FROM ({_NGRAM_ORACLE}) _np
 ), tri AS (
   SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c

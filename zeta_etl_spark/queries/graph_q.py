@@ -50,12 +50,12 @@ def _pagerank_oracle() -> str:
         prev = f"r{i}"
     chain = ", ".join(iters)
     return f"""
-WITH pairs AS (
+WITH pairs AS MATERIALIZED (
   SELECT vec_a, vec_b FROM ({_near_dup_oracle(_SIM_THRESHOLD)}) _e
-), edges AS (
+), edges AS MATERIALIZED (
   SELECT vec_a AS src, vec_b AS dst FROM pairs
   UNION ALL SELECT vec_b, vec_a FROM pairs
-), deg AS (
+), deg AS MATERIALIZED (
   SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src
 ), r0 AS (
   SELECT src AS vec_id, CAST({_PR_SCALE} AS BIGINT) AS pr FROM deg

@@ -168,8 +168,8 @@ def _reach_oracle() -> str:
     from zeta_etl_spark.queries.dedup_q import _NGRAM_ORACLE
 
     return f"""
-WITH RECURSIVE pairs AS ({_NGRAM_ORACLE}),
-edges AS (
+WITH RECURSIVE pairs AS MATERIALIZED ({_NGRAM_ORACLE}),
+edges AS MATERIALIZED (
   SELECT doc_a AS src, doc_b AS dst FROM pairs
   UNION ALL
   SELECT doc_b AS src, doc_a AS dst FROM pairs
