@@ -17,17 +17,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from zeta_etl_spark.queries import REGISTRY  # noqa: E402
 
-_STATUS_RANK = {
-    "PASS": 4,
-    "PASS_CHECKSUM": 3,
-    "PASS_ROWS_ONLY": 2,
-    "ORACLE_TIMEOUT": 1,
-    "ORACLE_RESOURCE": 1,
-}
-
-
-def _strength(rec: dict) -> int:
-    return _STATUS_RANK.get(str(rec.get("status", "")), 0)
+def _is_pass(rec: dict) -> bool:
+    return str(rec.get("status", "")).startswith("PASS")
 
 
 def main() -> None:
@@ -56,9 +47,23 @@ def main() -> None:
         sf_dir = sf_dir or d.get("sf_dir")
         for name, rec in d.get("queries", {}).items():
             prev = results.get(name)
+            if prev is None:
+                results[name] = rec
+                continue
             # duplicate rows across shards (registry drift shifted parity):
-            # keep the stronger status, then the more recent record
-            if prev is None or _strength(rec) >= _strength(prev):
+            # keep the LATER record by recorded_at — never "the stronger
+            # status" (r9 advisor: an early PASS must not mask a later
+            # genuine FAIL).  Rows predating the timestamp field rank
+            # earliest.  A PASS/FAIL disagreement is surfaced loudly.
+            if _is_pass(rec) != _is_pass(prev):
+                print(
+                    f"WARNING: conflicting records for {name!r}: "
+                    f"{prev.get('status')} (at {prev.get('recorded_at')}) "
+                    f"vs {rec.get('status')} (at {rec.get('recorded_at')}) "
+                    "— keeping the later; investigate the shard runs",
+                    file=sys.stderr,
+                )
+            if rec.get("recorded_at", 0) >= prev.get("recorded_at", 0):
                 results[name] = rec
 
     payload = {
@@ -68,6 +73,9 @@ def main() -> None:
         "n_pass": sum(1 for r in results.values() if r.get("status") == "PASS"),
         "n_pass_rows_only": sum(
             1 for r in results.values() if r.get("status") == "PASS_ROWS_ONLY"
+        ),
+        "n_pass_checksum": sum(
+            1 for r in results.values() if r.get("status") == "PASS_CHECKSUM"
         ),
         "n_oracle_timeout": sum(
             1 for r in results.values() if r.get("status") == "ORACLE_TIMEOUT"
@@ -94,8 +102,10 @@ def main() -> None:
     print(
         f"merged {len(args.shards)} shards: {payload['n_recorded']}/"
         f"{payload['n_total']} recorded, {payload['n_pass']} pass, "
+        f"{payload['n_pass_checksum']} checksum, "
         f"{payload['n_pass_rows_only']} rows-only, "
         f"{payload['n_oracle_timeout']} oracle-timeout, "
+        f"{payload['n_oracle_resource']} oracle-resource, "
         f"{payload['n_fail']} fail"
     )
 

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import argparse
 import hashlib
+import inspect
 import json
 import os
 import sys
@@ -44,28 +45,76 @@ from zeta_etl_spark.testing import (  # noqa: E402
 # (sorted column order, exact integer/string/timestamp rendering), hash it
 # to a 60-bit md5 prefix (the repo's standard cross-engine hash device),
 # and SUM the hashes exactly (DECIMAL(38,0) vs HUGEINT) — two scalars
-# compare instead of 10M collected rows.  Only types whose rendering is
-# provably identical cross-engine participate; anything else (DOUBLE,
-# DECIMAL) falls back to the honest rows-only check.
+# compare instead of 10M collected rows.
+#
+# Rendering rules (r10):
+# - strings are md5-hashed PER FIELD before concatenation (fixed-length
+#   lowercase hex on both engines) — raw strings containing the 0x1f
+#   separator or the 0x02 null marker could otherwise make distinct rows
+#   render identically (separator injection / marker collision);
+# - doubles/floats render QUANTIZED: floor(x * 1e6 + 0.5) as an exact
+#   integer (round-half-up at 1e-6 — values differing by < 5e-7 compare
+#   equal by design; this is the documented tolerance, matching the repo's
+#   floor(x*1e6+0.5) scaling discipline).  NaN renders 'Fnan' on both
+#   engines; infinities and |x| > 9e12 fall back to each engine's native
+#   double→string rendering, which differs cross-engine — a conservative
+#   false MISMATCH, never a false pass.  Rows using this path are marked
+#   checksum_mode='quantized_1e6' in the artifact.
 _CS_TYPES_INT = {"bigint", "int", "integer", "smallint", "tinyint"}
 
 
+def _quantized_double(sp_col: str, du_col: str) -> tuple[str, str]:
+    """Cross-engine rendering of a double at 1e-6 quantization.
+
+    Spark floor(double) returns BIGINT (overflow-unsafe in non-ANSI mode);
+    DuckDB floor returns DOUBLE and CAST(double AS BIGINT) rounds — both
+    agree only because the guarded input is already integer-valued and
+    |x*1e6 + 0.5| <= 9.0000005e18 < Long.MAX.  NULL propagates through
+    both CASEs to the caller's chr(2) marker.
+    """
+    sp = (
+        f"case when isnan({sp_col}) then 'Fnan' "
+        f"when abs({sp_col}) > 9.0E12 then "
+        f"concat('F', lower(cast({sp_col} as string))) "
+        f"else cast(floor({sp_col} * 1.0E6 + cast(0.5 as double)) "
+        "as string) end"
+    )
+    du = (
+        f"CASE WHEN isnan({du_col}) THEN 'Fnan' "
+        f"WHEN abs({du_col}) > 9.0E12 THEN "
+        f"'F' || lower(CAST({du_col} AS VARCHAR)) "
+        f"ELSE CAST(CAST(floor({du_col} * 1.0E6 + 0.5) AS BIGINT) "
+        "AS VARCHAR) END"
+    )
+    return sp, du
+
+
 def _checksum_exprs(fields: list[tuple[str, str]]):
-    """(spark_row_expr, duck_row_expr) or None if any column type is not
-    exactly renderable cross-engine.  ``fields`` = sorted (name, type)."""
+    """(spark_row_expr, duck_row_expr, quantized) or None if any column
+    type has no cross-engine rendering.  ``fields`` = sorted (name, type).
+    ``quantized`` is True when any double/float column participates (the
+    1e-6-tolerance rendering, marked distinctly in the artifact)."""
     sp_parts, du_parts = [], []
+    quantized = False
     for name, t in fields:
         if t in _CS_TYPES_INT or t in ("boolean", "date"):
             sp = f"cast(`{name}` as string)"
             du = f'CAST("{name}" AS VARCHAR)'
         elif t == "string":
-            sp = f"`{name}`"
-            du = f'"{name}"'
+            # per-field md5: fixed-length hex — no separator injection,
+            # and the chr(2) null marker cannot collide with hex output
+            sp = f"md5(`{name}`)"
+            du = f'md5("{name}")'
         elif t in ("timestamp", "timestamp_ntz"):
             # micros epoch: exact BIGINT on both engines (oracles emit
             # TIMESTAMP per the repo contract; session TZ pinned UTC)
             sp = f"cast(unix_micros(cast(`{name}` as timestamp)) as string)"
             du = f'CAST(epoch_us(CAST("{name}" AS TIMESTAMP)) AS VARCHAR)'
+        elif t in ("double", "float"):
+            sp, du = _quantized_double(
+                f"cast(`{name}` as double)", f'CAST("{name}" AS DOUBLE)'
+            )
+            quantized = True
         else:
             return None
         # chr(2) null marker (DuckDB strings cannot hold chr(0));
@@ -74,7 +123,7 @@ def _checksum_exprs(fields: list[tuple[str, str]]):
         du_parts.append(f"COALESCE({du}, chr(2))")
     sp_row = "concat_ws(chr(31), " + ", ".join(sp_parts) + ")"
     du_row = "concat_ws(chr(31), " + ", ".join(du_parts) + ")"
-    return sp_row, du_row
+    return sp_row, du_row, quantized
 
 
 def main() -> None:
@@ -124,20 +173,32 @@ def main() -> None:
             else None
         )
 
+    def fn_src_md5(spec) -> str | None:
+        # r9 advisor: the oracle hash alone lets a row recorded against an
+        # OLD Spark implementation survive resume when only the Spark side
+        # changed — hash the query function's source too.  (Helper/operator
+        # edits still evade this; the per-round driver sample is the
+        # backstop for those.)
+        try:
+            return hashlib.md5(inspect.getsource(spec.fn).encode()).hexdigest()
+        except (OSError, TypeError):
+            return None
+
     results: dict[str, dict] = {}
     if os.path.exists(args.out):
         with open(args.out) as fh:
             results = json.load(fh).get("queries", {})
         # STALENESS GATE (r8 lesson: manually "marked stale, re-run later"
         # silently didn't happen): a recorded row is only trusted if its
-        # stored oracle_md5 matches the CURRENT oracle SQL.  Rows written
-        # before this field existed, or whose oracle has since changed,
-        # are dropped here and re-run.
+        # stored oracle_md5 AND fn_src_md5 match the CURRENT code.  Rows
+        # written before these fields existed, or whose oracle or Spark
+        # implementation has since changed, are dropped here and re-run.
         stale = [
             n
             for n, r in results.items()
             if n not in REGISTRY
             or r.get("oracle_md5") != oracle_md5(REGISTRY[n])
+            or r.get("fn_src_md5") != fn_src_md5(REGISTRY[n])
             or (
                 args.retry_failed
                 and str(r.get("status", "")).startswith("FAIL")
@@ -201,8 +262,13 @@ def main() -> None:
         if i % shard_n != shard_k or name in results or name in skip:
             continue
         spec = REGISTRY[name]
-        rec: dict = {"oracle_md5": oracle_md5(spec)}
+        rec: dict = {
+            "oracle_md5": oracle_md5(spec),
+            "fn_src_md5": fn_src_md5(spec),
+        }
         t0 = time.perf_counter()
+        cs = None
+        srow_cs = None
         try:
             # count first: the result-set size decides the comparison mode
             # (a query can be scale-correct yet produce a result too large
@@ -216,6 +282,28 @@ def main() -> None:
                 if n_spark <= args.max_compare_rows
                 else None
             )
+            if sdf is None:
+                # r9 advisor: the Spark-side checksum must run OUTSIDE the
+                # oracle watchdog/try — it is ENGINE work; running it after
+                # the watchdog starts eats the oracle's timeout budget and
+                # an engine OOM would masquerade as ORACLE_RESOURCE
+                cs = _checksum_exprs(
+                    sorted(
+                        (f.name, f.dataType.simpleString())
+                        for f in spec.fn(spark, args.sf_dir).schema.fields
+                    )
+                )
+                if cs is not None:
+                    sp_row = cs[0]
+                    srow_cs = (
+                        spec.fn(spark, args.sf_dir)
+                        .selectExpr(f"{sp_row} AS _r")
+                        .selectExpr(
+                            "cast(sum(cast(conv(substr(md5(_r), 1, 15), "
+                            "16, 10) as decimal(38, 0))) as string) AS cs"
+                        )
+                        .first()["cs"]
+                    )
         except Exception as e:  # noqa: BLE001 — recorded, sweep continues
             msg = str(e)
             if (
@@ -270,25 +358,11 @@ def main() -> None:
         t1 = time.perf_counter()
         try:
             if sdf is None:
-                cs = _checksum_exprs(
-                    sorted(
-                        (f.name, f.dataType.simpleString())
-                        for f in spec.fn(spark, args.sf_dir).schema.fields
-                    )
-                )
                 if cs is not None:
-                    # full-value order-independent checksum: exact on both
-                    # engines, never collects the result
-                    sp_row, du_row = cs
-                    srow = (
-                        spec.fn(spark, args.sf_dir)
-                        .selectExpr(f"{sp_row} AS _r")
-                        .selectExpr(
-                            "cast(sum(cast(conv(substr(md5(_r), 1, 15), "
-                            "16, 10) as decimal(38, 0))) as string) AS cs"
-                        )
-                        .first()
-                    )
+                    # full-value order-independent checksum: the Spark-side
+                    # scalar (srow_cs) was computed in the engine phase
+                    # above; only the ORACLE runs under the watchdog here
+                    du_row = cs[1]
                     drow = con.execute(
                         "SELECT COUNT(*), CAST(SUM(('0x' || "
                         "substr(md5(_r), 1, 15))::BIGINT) AS VARCHAR) "
@@ -297,12 +371,14 @@ def main() -> None:
                     interrupted.set()
                     rec["oracle_sec"] = round(time.perf_counter() - t1, 2)
                     rec["oracle_rows"] = drow[0]
+                    if cs[2]:
+                        rec["checksum_mode"] = "quantized_1e6"
                     ok_rows = drow[0] == rec["spark_rows"]
                     ok_cs = (
-                        srow["cs"] is not None
+                        srow_cs is not None
                         and drow[1] is not None
-                        and int(srow["cs"]) == int(drow[1])
-                    ) or (srow["cs"] is None and drow[1] is None)
+                        and int(srow_cs) == int(drow[1])
+                    ) or (srow_cs is None and drow[1] is None)
                     rec["status"] = (
                         "PASS_CHECKSUM"
                         if ok_rows and ok_cs
@@ -310,14 +386,14 @@ def main() -> None:
                         + (
                             f"rows {rec['spark_rows']} != {drow[0]} "
                             if not ok_rows
-                            else f"checksum {srow['cs']} != {drow[1]} "
+                            else f"checksum {srow_cs} != {drow[1]} "
                         )
                         + "(checksum mode)"
                     )
                 else:
-                    # rows-only mode: the schema has types whose rendering
-                    # is not provably identical cross-engine (DOUBLE/
-                    # DECIMAL); compare cardinalities (the honest weaker
+                    # rows-only mode: the schema has types with no
+                    # cross-engine rendering at all (DECIMAL, arrays,
+                    # structs); compare cardinalities (the honest weaker
                     # check, marked distinctly so the artifact shows which)
                     n_oracle = con.execute(
                         f"SELECT COUNT(*) FROM ({spec.oracle})"
@@ -372,6 +448,7 @@ def main() -> None:
         except NameError:
             pass
         gc.collect()
+        rec["recorded_at"] = round(time.time(), 2)
         results[name] = rec
         flush()
         print(

@@ -165,3 +165,127 @@ def test_stats_measure_the_composition(spark, sp):
         sp.request(["day"], AGGS)
     assert sp.stats.misses == 1 and sp.stats.hits == 3
     assert sp.stats.syncs == {"mv_type_day": 1, "mv_day": 1}
+
+
+# --- streaming ingest edge (r9 verdict ask #6) -------------------------------
+# The reference's actual topology is a STREAMING bronze (SURVEY §2.9 T1/T5);
+# these cases prove the same serving contract when the ingest stage is
+# foreach_batch_merge_upsert microbatches: each batch CDC-merges the base,
+# the views ride the stream incrementally, the view generation (freshness
+# anchor) advances, the next request recomputes (miss) and its repeat hits.
+
+STREAM_SCHEMA = (
+    "event_id bigint, event_type string, day bigint, cents bigint, "
+    "ts timestamp"
+)
+B1 = [
+    {"event_id": 1, "event_type": "click", "day": 1, "cents": 100,
+     "ts": "2024-01-01 00:00:00"},
+    {"event_id": 2, "event_type": "click", "day": 1, "cents": 50,
+     "ts": "2024-01-01 00:00:00"},
+    {"event_id": 3, "event_type": "view", "day": 1, "cents": None,
+     "ts": "2024-01-01 00:00:00"},
+    {"event_id": 4, "event_type": "click", "day": 2, "cents": 30,
+     "ts": "2024-01-01 00:00:00"},
+]
+B2 = [
+    {"event_id": 4, "event_type": "click", "day": 2, "cents": 35,
+     "ts": "2024-01-02 00:00:00"},  # update in place (later sequence)
+    {"event_id": 5, "event_type": "purchase", "day": 3, "cents": 900,
+     "ts": "2024-01-02 00:00:00"},  # insert, new day
+]
+
+
+def _write_jsonl(path, rows, name):
+    import json
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, name), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def _stream_sp(spark, tmp_path):
+    return ServingPath(
+        spark,
+        str(tmp_path / "serve"),
+        keys=["event_id"],
+        views=[ViewSpec("mv_day", ("day",), ("cents",))],
+    )
+
+
+def _drain(spark, sp, src, ckpt):
+    from zeta_etl_spark.sources.json_source import read_json
+
+    return sp.ingest_stream(
+        read_json(spark, src, STREAM_SCHEMA, streaming=True),
+        ckpt,
+        sequence_by=["ts"],
+    )
+
+
+def test_streaming_ingest_advances_anchor_and_cache_follows(spark, tmp_path):
+    sp = _stream_sp(spark, tmp_path)
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+
+    _write_jsonl(src, B1, "b1.json")
+    _drain(spark, sp, src, ckpt)
+    want1 = _rows(
+        _direct(
+            spark.createDataFrame(
+                [(r["event_id"], r["event_type"], r["day"], r["cents"])
+                 for r in B1],
+                "event_id long, event_type string, day long, cents long",
+            ),
+            ["day"],
+        )
+    )
+    r1, prov1 = sp.request(["day"], AGGS)
+    assert prov1 == "cache-miss+view:mv_day"
+    assert _rows(r1) == want1
+    _, prov2 = sp.request(["day"], AGGS)
+    assert prov2 == "cache-hit+view:mv_day"
+
+    # second microbatch: update + insert through the SAME checkpoint —
+    # the view generation moves inside the stream, so the cached result's
+    # fingerprint is stale and the request recomputes fresh values
+    _write_jsonl(src, B2, "b2.json")
+    _drain(spark, sp, src, ckpt)
+    merged = {r["event_id"]: r for r in B1}
+    merged.update({r["event_id"]: r for r in B2})
+    want2 = _rows(
+        _direct(
+            spark.createDataFrame(
+                [(r["event_id"], r["event_type"], r["day"], r["cents"])
+                 for r in merged.values()],
+                "event_id long, event_type string, day long, cents long",
+            ),
+            ["day"],
+        )
+    )
+    assert want2 != want1  # the update/insert actually changed the rollup
+    r3, prov3 = sp.request(["day"], AGGS)
+    assert prov3 == "cache-miss+view:mv_day"
+    assert _rows(r3) == want2
+    r4, prov4 = sp.request(["day"], AGGS)
+    assert prov4 == "cache-hit+view:mv_day"
+    assert _rows(r4) == want2
+    # provenance counters measured the streaming composition: one view
+    # sync per microbatch, 2 misses + 2 hits
+    assert sp.stats.syncs == {"mv_day": 2}
+    assert sp.stats.misses == 2 and sp.stats.hits == 2
+
+
+def test_streaming_and_snapshot_ingest_do_not_mix(spark, tmp_path):
+    sp = _stream_sp(spark, tmp_path)
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    _write_jsonl(src, B1, "b1.json")
+    _drain(spark, sp, src, ckpt)
+    with pytest.raises(RuntimeError, match="streaming-ingested"):
+        sp.ingest(spark.createDataFrame(V1, SCHEMA))
+
+    sp2 = _stream_sp(spark, tmp_path / "other")
+    sp2.ingest(spark.createDataFrame(V1, SCHEMA))
+    with pytest.raises(RuntimeError, match="snapshot-ingested"):
+        _drain(spark, sp2, src, str(tmp_path / "ckpt2"))

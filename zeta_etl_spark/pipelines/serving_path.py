@@ -53,6 +53,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import os
 from collections.abc import Mapping, Sequence
 from dataclasses import dataclass, field
 
@@ -131,10 +132,88 @@ class ServingPath:
         generations is derived relationally by ``keys`` at sync time —
         the path every reference pipeline whose upstream re-delivers
         whole tables takes.)"""
+        if os.path.exists(self._merge_cfg_path()):
+            raise RuntimeError(
+                "this base is streaming-ingested (ingest_stream): a "
+                "snapshot overwrite would drop the merge bucket layout "
+                "and later microbatches would duplicate keys"
+            )
         self.pipeline._write_overwrite_atomic(
             self.pipeline.nodes["base"], snapshot
         )
         return self.pipeline.live_version("base")
+
+    def ingest_stream(
+        self,
+        stream: DataFrame,
+        checkpoint: str,
+        sequence_by: Sequence[str],
+        n_buckets: int = 16,
+        delete_predicate: str | None = None,
+    ) -> int:
+        """Streaming bronze ingest: the reference's actual topology (the
+        bronze table is fed by a stream, SURVEY §2.9 T1/T5).  Each
+        microbatch CDC-merges into the base generation table
+        (``streaming.runner.foreach_batch_merge_upsert`` — per-batch cost
+        ∝ batch, bucket-pruned) and brings every registered view to the
+        new base generation incrementally BEFORE the stream checkpoint
+        confirms the batch, so the serving contract is identical to the
+        batch path: the view generation is the freshness anchor, a
+        request after the stream is a cache miss recomputed from the
+        fresh view, and its repeat is a hit.
+
+        A streaming-ingested base cannot be mixed with snapshot
+        ``ingest()`` (the merge layout pins ``(keys, n_buckets)`` and a
+        ``_kb`` bucket column a snapshot overwrite would drop).  Returns
+        the base generation after the stream drains."""
+        from zeta_etl_spark.streaming.runner import (
+            foreach_batch_merge_upsert,
+        )
+
+        if (
+            not os.path.exists(self._merge_cfg_path())
+            and os.path.lexists(self.pipeline.path("base"))
+        ):
+            raise RuntimeError(
+                "this base was snapshot-ingested (ingest()): its rows "
+                "carry no _kb bucket column, so a streaming merge would "
+                "miss every existing key — rebuild the serving path "
+                "streaming-first instead"
+            )
+        metrics: list[dict] = []
+        foreach_batch_merge_upsert(
+            stream,
+            self.pipeline.base_path,
+            "base",
+            checkpoint,
+            keys=self.keys,
+            sequence_by=list(sequence_by),
+            spark=self.spark,
+            n_buckets=n_buckets,
+            metrics_out=metrics,
+            views=[
+                {
+                    "name": v.name,
+                    "group_cols": list(v.group_cols),
+                    "measures": list(v.measures),
+                    "minmax": tuple(v.minmax),
+                    "delete_predicate": delete_predicate,
+                }
+                for v in self.views
+            ],
+        )
+        for m in metrics:
+            if "view" in m:
+                self.stats.syncs[m["view"]] = (
+                    self.stats.syncs.get(m["view"], 0) + 1
+                )
+        return self.pipeline.live_version("base")
+
+    def _merge_cfg_path(self) -> str:
+        # written by foreach_batch_merge_upsert as the layout pin
+        return os.path.join(
+            self.pipeline.base_path, "base__merge_upsert.json"
+        )
 
     def sync(self) -> dict[str, dict]:
         """Advance every view to the base's current generation
@@ -170,7 +249,11 @@ class ServingPath:
         ``cache-{hit|miss}+view:<name>``.  A ``filter`` needs
         ``filter_slug`` — a caller-stable identifier of the predicate
         (Column expressions have no canonical string), which becomes part
-        of the cache key.
+        of the cache key.  The slug must be BIJECTIVE with the predicate:
+        two different predicates may never share a slug (the cache would
+        alias them and serve a wrong-predicate result as a hit).
+        ``filter_cols`` is also folded into the key — the same predicate
+        with different filter_cols can route to a different view.
         """
         if filter is not None and filter_slug is None:
             raise ValueError(
@@ -181,7 +264,7 @@ class ServingPath:
             keys, aggs, filter=filter, filter_cols=filter_cols
         )
         view_name = view_prov.split(":", 1)[1]
-        key = self._cache_key(keys, aggs, filter_slug)
+        key = self._cache_key(keys, aggs, filter_slug, filter_cols)
         result, prov = cached_result(
             self.spark,
             self.pipeline,
@@ -205,12 +288,14 @@ class ServingPath:
         keys: Sequence[str],
         aggs: Mapping[str, tuple[str, str | None]],
         filter_slug: str | None,
+        filter_cols: Sequence[str] = (),
     ) -> str:
         canon = json.dumps(
             {
                 "keys": sorted(keys),
                 "aggs": {k: list(v) for k, v in sorted(aggs.items())},
                 "filter": filter_slug,
+                "filter_cols": sorted(filter_cols),
             },
             sort_keys=True,
         )

@@ -321,23 +321,59 @@ def bm25_search_top10(spark, sf_dir):
 _SIM_THRESHOLD = 0.35
 
 
-def _semantic_cluster_oracle() -> str:
+# Oracle CC strategy (r10): the r9 recursive-CTE transitive closure
+# (`reach`) keeps one state row per (node, reachable peer) — Σ size² over
+# components.  Fine for the sparse text-dedup graph (dedup_clusters, 18 s
+# at sf10), fatal here: at the loose 0.35 cut nearly all 200K sf10 vectors
+# cluster, so the closure is ~10^10 rows — the recorded 8 GiB DuckDB OOM
+# is the algorithm, not the engine.  Replacement: UNROLLED min-label
+# rounds, each = neighbor-min (one edges scan, two |nodes|-build joins)
+# followed by a pointer jump m(v) := min(m(v), m(m(v))) — state stays one
+# row per node, distance covered grows ~2^k, so _CC_ROUNDS=18 converges
+# for any graph up to diameter ~2^18.  An unconverged label would differ
+# from Spark's fixpoint CC and FAIL the compare — never a false pass.
+_CC_ROUNDS = 18
+
+
+def _unrolled_cc_sql(edges_sql: str) -> str:
+    """Min-label connected components over ``edges_sql`` (columns
+    vec_a/vec_b) as plain unrolled CTEs; emits (vec_id, cluster_id,
+    cluster_size)."""
+    rounds = []
+    prev = "l0"
+    for k in range(1, _CC_ROUNDS + 1):
+        rounds.append(
+            f"""n{k} AS MATERIALIZED (
+  SELECT e.src AS v, LEAST(MIN(ls.m), MIN(ln.m)) AS m
+  FROM edges e
+  JOIN {prev} ls ON ls.v = e.src
+  JOIN {prev} ln ON ln.v = e.dst
+  GROUP BY e.src
+), l{k} AS MATERIALIZED (
+  SELECT a.v, LEAST(a.m, b.m) AS m
+  FROM n{k} a JOIN n{k} b ON b.v = a.m
+)"""
+        )
+        prev = f"l{k}"
+    body = ",\n".join(rounds)
     return f"""
-WITH RECURSIVE pairs AS MATERIALIZED (
-  SELECT vec_a, vec_b FROM ({_near_dup_oracle(_SIM_THRESHOLD)}) _nd
+WITH pairs AS MATERIALIZED (
+  SELECT vec_a, vec_b FROM ({edges_sql}) _nd
 ), edges AS MATERIALIZED (
   SELECT vec_a AS src, vec_b AS dst FROM pairs
   UNION ALL SELECT vec_b, vec_a FROM pairs
-), nodes AS MATERIALIZED (
-  SELECT DISTINCT src AS vec_id FROM edges
-), reach AS (
-  SELECT vec_id, vec_id AS peer FROM nodes
-  UNION
-  SELECT r.vec_id, e.dst FROM reach r JOIN edges e ON r.peer = e.src
-)
-SELECT vec_id, MIN(peer) AS cluster_id, COUNT(*) AS cluster_size
-FROM reach GROUP BY vec_id
+), l0 AS MATERIALIZED (
+  SELECT src AS v, LEAST(src, MIN(dst)) AS m FROM edges GROUP BY src
+),
+{body}
+SELECT v AS vec_id, m AS cluster_id,
+  COUNT(*) OVER (PARTITION BY m) AS cluster_size
+FROM {prev}
 """
+
+
+def _semantic_cluster_oracle() -> str:
+    return _unrolled_cc_sql(_near_dup_oracle(_SIM_THRESHOLD))
 
 
 @query(
