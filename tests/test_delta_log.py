@@ -1,0 +1,145 @@
+"""Delta Lake on-disk format (sinks/delta_log.py): spec-shape of the
+transaction log, round-trips, append/overwrite, time travel, partitioned
+layout with pruning, OCC retry, and the generation-store export bridge."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from zeta_etl_spark.sinks.delta_log import (
+    DeltaUnsupported,
+    delta_history,
+    export_table_to_delta,
+    latest_version,
+    read_delta,
+    write_delta,
+)
+
+SCHEMA = "k bigint, cat string, v double, ok boolean"
+ROWS1 = [(1, "a", 1.5, True), (2, "b", 2.5, False), (3, "a", None, None)]
+ROWS2 = [(4, "c", 4.0, True)]
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def test_roundtrip_preserves_rows_and_schema(spark, tmp_path):
+    t = str(tmp_path / "t")
+    v = write_delta(_df(spark, ROWS1), t, mode="overwrite")
+    assert v == 0
+    back = read_delta(spark, t)
+    assert back.schema == _df(spark, ROWS1).schema
+    assert _rows(back) == _rows(_df(spark, ROWS1))
+
+
+def test_log_matches_public_protocol_shape(spark, tmp_path):
+    t = str(tmp_path / "t")
+    write_delta(_df(spark, ROWS1), t)
+    log = os.path.join(t, "_delta_log", f"{0:020d}.json")
+    actions = [json.loads(line) for line in open(log)]
+    protocol = next(a["protocol"] for a in actions if "protocol" in a)
+    assert protocol == {"minReaderVersion": 1, "minWriterVersion": 2}
+    meta = next(a["metaData"] for a in actions if "metaData" in a)
+    # schemaString is the Spark StructType JSON the spec prescribes
+    assert StructType.fromJson(json.loads(meta["schemaString"])) == _df(
+        spark, ROWS1
+    ).schema
+    assert meta["format"] == {"provider": "parquet", "options": {}}
+    adds = [a["add"] for a in actions if "add" in a]
+    assert adds, "commit 0 must add data files"
+    for add in adds:
+        assert not add["path"].startswith("/")  # relative, per spec
+        assert add["dataChange"] is True
+        assert add["size"] > 0
+        assert "numRecords" in json.loads(add["stats"])
+    assert sum(
+        json.loads(a["stats"])["numRecords"] for a in adds
+    ) == len(ROWS1)
+
+
+def test_append_accumulates_and_time_travel_reads_history(spark, tmp_path):
+    t = str(tmp_path / "t")
+    write_delta(_df(spark, ROWS1), t)
+    v1 = write_delta(_df(spark, ROWS2), t, mode="append")
+    assert v1 == 1 and latest_version(t) == 1
+    assert _rows(read_delta(spark, t)) == _rows(_df(spark, ROWS1 + ROWS2))
+    assert _rows(read_delta(spark, t, version=0)) == _rows(_df(spark, ROWS1))
+
+
+def test_overwrite_replaces_live_set_and_history_survives(spark, tmp_path):
+    t = str(tmp_path / "t")
+    write_delta(_df(spark, ROWS1), t)
+    write_delta(_df(spark, ROWS2), t, mode="overwrite")
+    assert _rows(read_delta(spark, t)) == _rows(_df(spark, ROWS2))
+    assert _rows(read_delta(spark, t, version=0)) == _rows(_df(spark, ROWS1))
+    hist = delta_history(t)
+    assert [h["version"] for h in hist] == [1, 0]
+    assert hist[0]["operationParameters"]["mode"] == "OVERWRITE"
+
+
+def test_append_schema_mismatch_rejected(spark, tmp_path):
+    t = str(tmp_path / "t")
+    write_delta(_df(spark, ROWS1), t)
+    other = spark.createDataFrame([(1, "x")], "k bigint, extra string")
+    with pytest.raises(DeltaUnsupported, match="schema"):
+        write_delta(other, t, mode="append")
+
+
+def test_partitioned_layout_types_and_pruning(spark, tmp_path):
+    t = str(tmp_path / "t")
+    write_delta(_df(spark, ROWS1), t, partition_by=("cat",))
+    # hive layout on disk, partition column stripped from data files
+    assert os.path.isdir(os.path.join(t, "cat=a"))
+    back = read_delta(spark, t)
+    assert back.schema == _df(spark, ROWS1).schema  # cat is string again
+    assert _rows(back) == _rows(_df(spark, ROWS1))
+    # partition pruning reaches the scan
+    plan = (
+        back.filter(F.col("cat") == "a")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan
+    # partitioning is table identity: a mismatched write is refused
+    with pytest.raises(DeltaUnsupported, match="partitioning"):
+        write_delta(_df(spark, ROWS2), t, mode="append")
+
+
+def test_occ_lost_race_retries_to_next_version(spark, tmp_path):
+    t = str(tmp_path / "t")
+    write_delta(_df(spark, ROWS1), t)
+    # another writer takes version 1 between our read and our commit
+    squatter = os.path.join(t, "_delta_log", f"{1:020d}.json")
+    with open(squatter, "w") as fh:
+        fh.write(json.dumps({"commitInfo": {"operation": "NOOP"}}) + "\n")
+    v = write_delta(_df(spark, ROWS2), t, mode="append")
+    assert v == 2
+    assert _rows(read_delta(spark, t)) == _rows(_df(spark, ROWS1 + ROWS2))
+
+
+def test_export_bridge_from_generation_store(spark, tmp_path):
+    from zeta_etl_spark.plans.graph import Pipeline
+
+    p = Pipeline("exp", str(tmp_path / "gen"))
+
+    @p.table(name="gold")
+    def gold(pl):
+        return _df(spark, ROWS1)
+
+    p.run(spark)
+    v = export_table_to_delta(spark, p, "gold", str(tmp_path / "delta"))
+    assert v == 0
+    assert _rows(read_delta(spark, str(tmp_path / "delta"))) == _rows(
+        _df(spark, ROWS1)
+    )
