@@ -128,6 +128,48 @@ def test_occ_lost_race_retries_to_next_version(spark, tmp_path):
     assert _rows(read_delta(spark, t)) == _rows(_df(spark, ROWS1 + ROWS2))
 
 
+def test_txn_action_recorded_and_reconciled(spark, tmp_path):
+    from zeta_etl_spark.sinks.delta_log import last_txn_version
+
+    t = str(tmp_path / "t")
+    assert last_txn_version(t, "app1") is None  # not a table yet
+    write_delta(_df(spark, ROWS1), t, txn=("app1", 0))
+    write_delta(_df(spark, ROWS2), t, mode="append", txn=("app1", 1))
+    assert last_txn_version(t, "app1") == 1  # latest per appId wins
+    assert last_txn_version(t, "other") is None
+
+
+def test_streaming_append_is_exactly_once_across_replay(spark, tmp_path):
+    import shutil
+
+    from zeta_etl_spark.sinks.delta_log import foreach_batch_delta_append
+    from zeta_etl_spark.sources.json_source import read_json
+
+    src = str(tmp_path / "src")
+    t = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    with open(os.path.join(src, "b1.json"), "w") as fh:
+        for k in range(5):
+            fh.write(json.dumps({"k": k, "v": float(k)}) + "\n")
+
+    def _drain():
+        foreach_batch_delta_append(
+            read_json(spark, src, "k bigint, v double", streaming=True),
+            t,
+            ckpt,
+            app_id="stream1",
+        )
+
+    _drain()
+    assert read_delta(spark, t).count() == 5
+    # crash-replay: the stream checkpoint is lost, the SAME batch is
+    # re-delivered as batch 0 — the table's own txn log detects it
+    shutil.rmtree(ckpt)
+    _drain()
+    assert read_delta(spark, t).count() == 5  # not 10
+
+
 def test_export_bridge_from_generation_store(spark, tmp_path):
     from zeta_etl_spark.plans.graph import Pipeline
 

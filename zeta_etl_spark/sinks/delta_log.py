@@ -112,8 +112,10 @@ def _write_commit_atomic(table: str, version: int, actions: list[dict]) -> bool:
 
 
 def _replay(table: str, version: int | None = None):
-    """Replay the action log; returns (protocol, metaData, live) where
-    ``live`` maps relative file path -> its add action."""
+    """Replay the action log; returns (protocol, metaData, live, txns)
+    where ``live`` maps relative file path -> its add action and ``txns``
+    maps appId -> latest streaming transaction version (the spec's ``txn``
+    action reconciliation: last writer per appId wins)."""
     versions = _list_versions(table)
     if not versions:
         raise FileNotFoundError(f"not a Delta table (no {_LOG_DIR}): {table}")
@@ -125,6 +127,7 @@ def _replay(table: str, version: int | None = None):
         versions = [v for v in versions if v <= version]
     protocol, meta = None, None
     live: dict[str, dict] = {}
+    txns: dict[str, int] = {}
     for v in versions:
         with open(_log_path(table, v)) as fh:
             for line in fh:
@@ -145,9 +148,11 @@ def _replay(table: str, version: int | None = None):
                     live[action["add"]["path"]] = action["add"]
                 elif "remove" in action:
                     live.pop(action["remove"]["path"], None)
+                elif "txn" in action:
+                    txns[action["txn"]["appId"]] = action["txn"]["version"]
     if meta is None:
         raise DeltaUnsupported(f"log has no metaData action: {table}")
-    return protocol, meta, live
+    return protocol, meta, live, txns
 
 
 def _stage_data_files(
@@ -223,11 +228,19 @@ def write_delta(
     mode: str = "append",
     partition_by: Sequence[str] = (),
     max_retries: int = 20,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """Write ``df`` to ``table`` in Delta format; returns the committed
     version.  ``mode``: 'append' or 'overwrite' (replaces the live file
     set).  Appends to an existing table must match its schema and
-    partitioning exactly (schema evolution is outside the subset)."""
+    partitioning exactly (schema evolution is outside the subset).
+
+    ``txn=(appId, version)`` records the spec's streaming-transaction
+    action with the commit: a stream that crash-replays a microbatch
+    checks :func:`last_txn_version` first and skips versions already
+    committed — exactly-once appends without any engine-private state.
+    Per spec, each appId has a single writer; the check-then-commit pair
+    is not atomic across rogue concurrent same-appId writers."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     partition_by = list(partition_by)
@@ -235,7 +248,7 @@ def write_delta(
 
     existing = _list_versions(table)
     if existing:
-        _, meta, _ = _replay(table)
+        _, meta, _, _ = _replay(table)
         if meta["partitionColumns"] != partition_by:
             raise DeltaUnsupported(
                 f"partitioning mismatch: table has "
@@ -264,6 +277,16 @@ def write_delta(
         versions = _list_versions(table)
         version = (versions[-1] + 1) if versions else 0
         actions: list[dict] = [commit_info]
+        if txn is not None:
+            actions.append(
+                {
+                    "txn": {
+                        "appId": txn[0],
+                        "version": txn[1],
+                        "lastUpdated": int(time.time() * 1000),
+                    }
+                }
+            )
         if version == 0:
             actions.append({"protocol": dict(_PROTOCOL)})
             actions.append(
@@ -281,7 +304,7 @@ def write_delta(
         elif mode == "overwrite":
             # remove-set computed against the CURRENT snapshot each retry
             # (a lost race means someone else's files are now live)
-            _, _, live = _replay(table)
+            _, _, live, _ = _replay(table)
             ts = int(time.time() * 1000)
             actions.extend(
                 {
@@ -307,7 +330,7 @@ def read_delta(
     """Snapshot (or time-travel) read.  One distributed parquet scan over
     the live file set; columns selected and cast to the table schema, so
     hive-inferred partition column types match ``schemaString`` exactly."""
-    _, meta, live = _replay(table, version)
+    _, meta, live, _ = _replay(table, version)
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     if not live:
         return spark.createDataFrame([], schema)
@@ -345,6 +368,53 @@ def latest_version(table: str) -> int:
     if not versions:
         raise FileNotFoundError(f"not a Delta table: {table}")
     return versions[-1]
+
+
+def last_txn_version(table: str, app_id: str) -> int | None:
+    """Latest streaming-transaction version committed for ``app_id``
+    (the spec's txn-action reconciliation), or None if never seen."""
+    try:
+        _, _, _, txns = _replay(table)
+    except FileNotFoundError:
+        return None
+    return txns.get(app_id)
+
+
+def foreach_batch_delta_append(
+    stream: DataFrame,
+    table: str,
+    checkpoint: str,
+    app_id: str,
+    partition_by: Sequence[str] = (),
+) -> None:
+    """Streaming append sink in the Delta format: each microbatch commits
+    an append carrying the spec's ``txn(appId, batch_id)`` action.  A
+    crash between the log commit and the stream checkpoint re-delivers
+    the batch; the replay is detected from the TABLE's own log
+    (``last_txn_version``) and skipped — exactly-once appends with the
+    idempotence state living in the public format, not in engine-private
+    files.  (This is how spec-conforming streaming writers achieve
+    idempotent Delta appends.)"""
+
+    def _append(batch_df: DataFrame, batch_id: int) -> None:
+        seen = last_txn_version(table, app_id)
+        if seen is not None and batch_id <= seen:
+            return  # crash-replayed microbatch: already committed
+        write_delta(
+            batch_df,
+            table,
+            mode="append",
+            partition_by=partition_by,
+            txn=(app_id, batch_id),
+        )
+
+    (
+        stream.writeStream.foreachBatch(_append)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
 
 
 def export_table_to_delta(
