@@ -185,3 +185,56 @@ def test_export_bridge_from_generation_store(spark, tmp_path):
     assert _rows(read_delta(spark, str(tmp_path / "delta"))) == _rows(
         _df(spark, ROWS1)
     )
+
+
+def test_vacuum_deletes_only_aged_unreferenced_files(spark, tmp_path):
+    from zeta_etl_spark.sinks.delta_log import vacuum
+
+    t = str(tmp_path / "t")
+    write_delta(_df(spark, ROWS1), t)
+    write_delta(_df(spark, ROWS2), t, mode="overwrite")  # ROWS1 files dead
+    # inside retention: nothing deleted (in-flight reader/writer guard)
+    assert vacuum(t, retention_ms=3_600_000) == []
+    dry = vacuum(t, retention_ms=0, dry_run=True)
+    assert dry and all(p.endswith(".parquet") for p in dry)
+    gone = vacuum(t, retention_ms=0)
+    assert gone == dry
+    # table still reads correctly; time travel to v0 is now impossible
+    assert _rows(read_delta(spark, t)) == _rows(_df(spark, ROWS2))
+    with pytest.raises(Exception):
+        read_delta(spark, t, version=0).collect()
+
+
+def test_convert_parquet_to_delta_claims_files_in_place(spark, tmp_path):
+    from zeta_etl_spark.sinks.delta_log import (
+        convert_parquet_to_delta,
+        vacuum,
+    )
+
+    # plain hive-partitioned parquet written by anyone
+    p = str(tmp_path / "plain")
+    _df(spark, ROWS1).write.partitionBy("cat").parquet(p)
+    before = {
+        os.path.join(r, f)
+        for r, _, fs in os.walk(p)
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    assert convert_parquet_to_delta(spark, p, partition_by=("cat",)) == 0
+    after = {
+        os.path.join(r, f)
+        for r, _, fs in os.walk(p)
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    assert before == after  # zero data movement
+    back = read_delta(spark, p)
+    assert _rows(back.select(*_df(spark, ROWS1).columns)) == _rows(
+        _df(spark, ROWS1)
+    )
+    assert vacuum(p, retention_ms=0) == []  # every file is referenced
+    # appends keep working on the converted table
+    write_delta(_df(spark, ROWS2), p, mode="append", partition_by=("cat",))
+    assert read_delta(spark, p).count() == len(ROWS1) + len(ROWS2)
+    with pytest.raises(Exception, match="already a Delta table"):
+        convert_parquet_to_delta(spark, p, partition_by=("cat",))

@@ -254,11 +254,27 @@ def write_delta(
                 f"partitioning mismatch: table has "
                 f"{meta['partitionColumns']}, write asked {partition_by}"
             )
-        if mode == "append" and meta["schemaString"] != schema_string:
-            raise DeltaUnsupported(
-                "append schema differs from table schema (schema "
-                "evolution is outside the implemented subset)"
+        if mode == "append":
+            # match by (name, type) — column ORDER and nullability are
+            # not identity (a CONVERTed table's inferred schema lists
+            # partition columns last); the frame is reordered to the
+            # table schema so data files stay layout-uniform.  Any
+            # name/type difference is still a hard error (schema
+            # evolution is outside the implemented subset).
+            tbl_schema = StructType.fromJson(
+                json.loads(meta["schemaString"])
             )
+            tbl_sig = {(f.name, f.dataType.json()) for f in tbl_schema}
+            df_sig = {(f.name, f.dataType.json()) for f in df.schema}
+            if tbl_sig != df_sig:
+                raise DeltaUnsupported(
+                    "append schema differs from table schema (schema "
+                    f"evolution is outside the implemented subset): "
+                    f"table-only={sorted(n for n, _ in tbl_sig - df_sig)} "
+                    f"df-only={sorted(n for n, _ in df_sig - tbl_sig)}"
+                )
+            df = df.select(*[f.name for f in tbl_schema])
+            schema_string = meta["schemaString"]
 
     adds = _stage_data_files(df, table, partition_by)
     commit_info = {
@@ -432,3 +448,129 @@ def export_table_to_delta(
         mode="overwrite",
         partition_by=partition_by,
     )
+
+
+def vacuum(
+    table: str, retention_ms: int, dry_run: bool = False
+) -> list[str]:
+    """Delete data files no longer referenced by the CURRENT snapshot and
+    older than ``retention_ms`` (Delta VACUUM).  The retention window is
+    the correctness guard, exactly as in Delta: files a concurrent writer
+    has staged but not yet committed, and files still served to readers
+    pinned at an older version, are both protected only by their age —
+    callers set retention longer than any reader/writer in flight (Delta
+    defaults to 7 days).  Returns the deleted (or would-delete) paths."""
+    _, _, live, _ = _replay(table)
+    keep = {os.path.normpath(urllib.parse.unquote(p)) for p in live}
+    cutoff = time.time() - retention_ms / 1000.0
+    victims: list[str] = []
+    for root, dirs, files in os.walk(table):
+        dirs[:] = [d for d in dirs if d != _LOG_DIR]
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue
+            full = os.path.join(root, f)
+            rel = os.path.normpath(os.path.relpath(full, table))
+            if rel in keep or os.path.getmtime(full) >= cutoff:
+                continue
+            victims.append(rel)
+            if not dry_run:
+                os.unlink(full)
+    if not dry_run:
+        # prune now-empty partition directories
+        for root, dirs, files in os.walk(table, topdown=False):
+            if root != table and not dirs and not files:
+                os.rmdir(root)
+    return sorted(victims)
+
+
+def convert_parquet_to_delta(
+    spark: SparkSession, path: str, partition_by: Sequence[str] = ()
+) -> int:
+    """CONVERT TO DELTA: commit version 0 over parquet files already in
+    place — ZERO data movement, the log simply claims the existing files
+    (hive ``col=val`` directories become partitionValues).  Refuses a
+    directory that is already a Delta table."""
+    import pyarrow.parquet as pq
+
+    if _list_versions(path):
+        raise DeltaUnsupported(f"already a Delta table: {path}")
+    partition_by = list(partition_by)
+    rels: list[str] = []
+    for root, _dirs, files in os.walk(path):
+        rels.extend(
+            os.path.relpath(os.path.join(root, f), path)
+            for f in files
+            if f.endswith(".parquet")
+        )
+    if not rels:
+        raise FileNotFoundError(f"no parquet files under {path}")
+    reader = spark.read
+    if partition_by:
+        reader = reader.option("basePath", path)
+    schema_string = reader.parquet(
+        *[os.path.join(path, r) for r in rels]
+    ).schema.json()
+    now_ms = int(time.time() * 1000)
+    adds = []
+    for rel in sorted(rels):
+        pvals = {}
+        for seg in os.path.dirname(rel).split(os.sep):
+            if "=" in seg:
+                k, _, raw = seg.partition("=")
+                pvals[k] = (
+                    None
+                    if raw == "__HIVE_DEFAULT_PARTITION__"
+                    else urllib.parse.unquote(raw)
+                )
+        if set(pvals) != set(partition_by):
+            raise DeltaUnsupported(
+                f"file {rel!r} has partition dirs {sorted(pvals)} but "
+                f"partition_by={partition_by}"
+            )
+        full = os.path.join(path, rel)
+        adds.append(
+            {
+                "add": {
+                    "path": urllib.parse.quote(rel, safe="/="),
+                    "partitionValues": pvals,
+                    "size": os.path.getsize(full),
+                    "modificationTime": now_ms,
+                    "dataChange": True,
+                    "stats": json.dumps(
+                        {
+                            "numRecords": pq.ParquetFile(
+                                full
+                            ).metadata.num_rows
+                        }
+                    ),
+                }
+            }
+        )
+    actions = [
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "CONVERT",
+                "operationParameters": {
+                    "partitionBy": json.dumps(partition_by)
+                },
+                "engineInfo": "zeta-etl-spark delta_log",
+            }
+        },
+        {"protocol": dict(_PROTOCOL)},
+        {
+            "metaData": {
+                "id": uuid.uuid4().hex,
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema_string,
+                "partitionColumns": partition_by,
+                "configuration": {},
+                "createdTime": now_ms,
+            }
+        },
+        *adds,
+    ]
+    if not _write_commit_atomic(path, 0, actions):
+        raise DeltaConcurrentModification(f"lost the CONVERT race: {path}")
+    return 0
