@@ -128,6 +128,28 @@ def test_occ_lost_race_retries_to_next_version(spark, tmp_path):
     assert _rows(read_delta(spark, t)) == _rows(_df(spark, ROWS1 + ROWS2))
 
 
+def test_time_travel_by_timestamp(spark, tmp_path):
+    import time as _time
+
+    from zeta_etl_spark.sinks.delta_log import version_at_timestamp
+
+    t = str(tmp_path / "t")
+    write_delta(_df(spark, ROWS1), t)
+    t0_ms = int(_time.time() * 1000)
+    _time.sleep(1.1)  # commitInfo timestamps are millis; separate them
+    write_delta(_df(spark, ROWS2), t, mode="overwrite")
+    assert version_at_timestamp(t, t0_ms) == 0
+    assert _rows(read_delta(spark, t, timestamp_ms=t0_ms)) == _rows(
+        _df(spark, ROWS1)
+    )
+    now = int(_time.time() * 1000)
+    assert version_at_timestamp(t, now) == 1
+    with pytest.raises(ValueError, match="no commit"):
+        version_at_timestamp(t, 1)  # epoch 1970: before the table existed
+    with pytest.raises(ValueError, match="not both"):
+        read_delta(spark, t, version=0, timestamp_ms=now)
+
+
 def test_txn_action_recorded_and_reconciled(spark, tmp_path):
     from zeta_etl_spark.sinks.delta_log import last_txn_version
 

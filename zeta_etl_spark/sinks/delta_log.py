@@ -340,12 +340,45 @@ def write_delta(
     )
 
 
+def version_at_timestamp(table: str, timestamp_ms: int) -> int:
+    """Delta ``timestampAsOf`` resolution: the latest version whose commit
+    timestamp is <= the given epoch-millis (per spec, from commitInfo;
+    falls back to the log file's mtime when a commit carries none)."""
+    best = None
+    for v in _list_versions(table):
+        ts = None
+        with open(_log_path(table, v)) as fh:
+            for line in fh:
+                if line.strip():
+                    action = json.loads(line)
+                    if "commitInfo" in action:
+                        ts = action["commitInfo"].get("timestamp")
+                        break
+        if ts is None:
+            ts = int(os.path.getmtime(_log_path(table, v)) * 1000)
+        if ts <= timestamp_ms:
+            best = v
+    if best is None:
+        raise ValueError(
+            f"no commit at or before {timestamp_ms} in {table}"
+        )
+    return best
+
+
 def read_delta(
-    spark: SparkSession, table: str, version: int | None = None
+    spark: SparkSession,
+    table: str,
+    version: int | None = None,
+    timestamp_ms: int | None = None,
 ) -> DataFrame:
     """Snapshot (or time-travel) read.  One distributed parquet scan over
     the live file set; columns selected and cast to the table schema, so
-    hive-inferred partition column types match ``schemaString`` exactly."""
+    hive-inferred partition column types match ``schemaString`` exactly.
+    Time travel by ``version`` or ``timestamp_ms`` (mutually exclusive)."""
+    if version is not None and timestamp_ms is not None:
+        raise ValueError("pass version OR timestamp_ms, not both")
+    if timestamp_ms is not None:
+        version = version_at_timestamp(table, timestamp_ms)
     _, meta, live, _ = _replay(table, version)
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     if not live:
