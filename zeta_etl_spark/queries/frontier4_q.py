@@ -115,6 +115,18 @@ _CONV = "purchase"
 
 
 def _markov_oracle_literal(channels: list[str]) -> str:
+    # r10 rescue (sf10 genuinely filled a 76 GB /tmp with spill — not the
+    # dead-spill-dir incident r9 assumed): ``trans`` is a ~25-row frame
+    # computed from TWO windowed scans over all events, and the unrolled
+    # rounds reference it 30× — DuckDB 1.0 re-evaluates a non-MATERIALIZED
+    # CTE per reference (r9 playbook #1), and the old reach SCALAR
+    # subqueries re-evaluate their CTE chain even under MATERIALIZED
+    # (playbook #2).  Fixes: trans and every round frame AS MATERIALIZED
+    # (all broadcast-sized), reach as an aggregate over a UNION ALL of the
+    # round frames (no scalar subqueries), final assembly by joining a
+    # VALUES tag list against one materialized reach table.  Integer
+    # semantics unchanged — SUM(empty) IS NULL → COALESCE 0 matches the
+    # old per-round COALESCE chain exactly.
     base = f"""
 WITH seq AS (
   SELECT user_id, event_type,
@@ -132,29 +144,30 @@ WITH seq AS (
   SELECT event_type AS src, nxt AS dst FROM seq WHERE nxt IS NOT NULL
   UNION ALL
   SELECT '__START__' AS src, event_type AS dst FROM firsts
-), trans AS (
+), trans AS MATERIALIZED (
   SELECT src, dst,
     (CAST(COUNT(*) AS BIGINT) * 1000000)
       // CAST(SUM(COUNT(*)) OVER (PARTITION BY src) AS BIGINT) AS p_ppm
   FROM pairs GROUP BY src, dst
 )"""
-    ctes, selects = [], []
-    for tag, removed in [("full", None)] + [
+    ctes = []
+    scenarios = [("full", None)] + [
         (f"c{i}", ch) for i, ch in enumerate(channels)
-    ]:
+    ]
+    for tag, removed in scenarios:
         guard = (
             f"AND t.src <> '{removed}' AND t.dst <> '{removed}'"
             if removed is not None
             else ""
         )
         ctes.append(
-            f"""r0{tag}(node, mass) AS (
+            f"""r0{tag}(node, mass) AS MATERIALIZED (
   SELECT '__START__', CAST(1000000 AS BIGINT)
 )"""
         )
         for i in range(_MARKOV_K):
             ctes.append(
-                f"""r{i + 1}{tag} AS (
+                f"""r{i + 1}{tag} AS MATERIALIZED (
   SELECT t.dst AS node,
     CAST(SUM(r.mass * t.p_ppm) AS BIGINT) // 1000000 AS mass
   FROM r{i}{tag} r
@@ -162,27 +175,32 @@ WITH seq AS (
   GROUP BY t.dst
 )"""
             )
-        reach = " + ".join(
-            f"COALESCE((SELECT mass FROM r{i + 1}{tag} "
-            f"WHERE node = '{_CONV}'), 0)"
+        conv_rounds = " UNION ALL ".join(
+            f"SELECT mass FROM r{i + 1}{tag} WHERE node = '{_CONV}'"
             for i in range(_MARKOV_K)
         )
         ctes.append(
-            f"reach_{tag} AS (SELECT CAST({reach} AS BIGINT) AS reach)"
+            f"""reach_{tag} AS MATERIALIZED (
+  SELECT COALESCE(CAST(SUM(mass) AS BIGINT), 0) AS reach
+  FROM ({conv_rounds})
+)"""
         )
-        if removed is not None:
-            selects.append(
-                f"SELECT '{removed}' AS channel, "
-                f"(SELECT reach FROM reach_full) AS reach_full, "
-                f"(SELECT reach FROM reach_{tag}) AS reach_without"
-            )
-    body = " UNION ALL ".join(selects)
+    reach_union = " UNION ALL ".join(
+        f"SELECT '{tag}' AS tag, reach FROM reach_{tag}"
+        for tag, _ in scenarios
+    )
+    ctes.append(f"allreach AS MATERIALIZED ({reach_union})")
+    tag_values = ", ".join(
+        f"('{ch}', 'c{i}')" for i, ch in enumerate(channels)
+    )
     return f"""{base},
 {", ".join(ctes)}
-SELECT channel, reach_full, reach_without,
-  ((reach_full - reach_without) * 1000000) // reach_full AS removal_ppm
-FROM ({body})
-WHERE reach_full > 0
+SELECT ch.channel, f.reach AS reach_full, w.reach AS reach_without,
+  ((f.reach - w.reach) * 1000000) // f.reach AS removal_ppm
+FROM (VALUES {tag_values}) ch(channel, tag)
+JOIN allreach f ON f.tag = 'full'
+JOIN allreach w ON w.tag = ch.tag
+WHERE f.reach > 0
 """
 
 
