@@ -318,3 +318,125 @@ def exact_stratified_split(spark, sf_dir):
             "member_checksum"
         ),
     )
+
+
+# --- pii_scrub_audit: the pre-release PII sweep over a text corpus ----------
+# Training-data pipelines audit (and then scrub) personally-identifiable
+# spans before release; the operator is regex extraction + per-source
+# accounting.  The synthetic corpus contains no natural PII, so a
+# deterministic augmentation (doc_id-derived emails / IPv4s / phone
+# numbers on residue classes 7/11/13) is applied IDENTICALLY on both
+# engines — the graded artifact is the audit machinery (pattern
+# extraction counts, per-source rollup, at-risk ppm), exercised with
+# guaranteed-nonzero matches at every scale factor.  Patterns stay in
+# the Java-regex ∩ RE2 common subset (no lookarounds, non-capturing
+# groups, explicit group 0) so Spark and DuckDB agree byte-for-byte.
+# Scale shape: one projection + one hash agg on the bounded source
+# grain; the regex runs inside whole-stage codegen, never in Python.
+
+_PII_EMAIL = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+_PII_IPV4 = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+_PII_PHONE = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+
+_PII_ORACLE = f"""
+WITH aug AS (
+  SELECT source,
+    text
+      || CASE WHEN doc_id % 7 = 0 THEN ' contact user'
+           || CAST(doc_id AS VARCHAR) || '@mail.example.com now'
+         ELSE '' END
+      || CASE WHEN doc_id % 11 = 0 THEN ' from 10.'
+           || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+           || CAST(doc_id % 200 AS VARCHAR) || ' logged'
+         ELSE '' END
+      || CASE WHEN doc_id % 13 = 0 THEN ' call '
+           || CAST(100 + doc_id % 900 AS VARCHAR) || '-'
+           || CAST(100 + doc_id % 890 AS VARCHAR) || '-'
+           || CAST(1000 + doc_id % 9000 AS VARCHAR)
+         ELSE '' END AS t
+  FROM documents
+), per_doc AS (
+  SELECT source,
+    CAST(len(regexp_extract_all(t, '{_PII_EMAIL}', 0)) AS BIGINT) AS e,
+    CAST(len(regexp_extract_all(t, '{_PII_IPV4}', 0)) AS BIGINT) AS i,
+    CAST(len(regexp_extract_all(t, '{_PII_PHONE}', 0)) AS BIGINT) AS p
+  FROM aug
+)
+SELECT source,
+  COUNT(*) AS n_docs,
+  CAST(COUNT(*) FILTER (WHERE e + i + p > 0) AS BIGINT) AS docs_with_pii,
+  CAST(SUM(e) AS BIGINT) AS emails,
+  CAST(SUM(i) AS BIGINT) AS ipv4s,
+  CAST(SUM(p) AS BIGINT) AS phones,
+  (CAST(COUNT(*) FILTER (WHERE e + i + p > 0) AS BIGINT) * 1000000)
+    // COUNT(*) AS pii_doc_ppm
+FROM per_doc GROUP BY source
+"""
+
+
+@query(
+    "pii_scrub_audit",
+    oracle=_PII_ORACLE,
+    tags=("curation", "privacy", "text"),
+)
+def pii_scrub_audit(spark, sf_dir):
+    d = T(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    aug = d.select(
+        "source",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@mail.example.com now"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(
+                    F.lit(" from 10."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".0."),
+                    (F.col("doc_id") % 200).cast("string"),
+                    F.lit(" logged"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 13 == 0,
+                F.concat(
+                    F.lit(" call "),
+                    (100 + F.col("doc_id") % 900).cast("string"),
+                    F.lit("-"),
+                    (100 + F.col("doc_id") % 890).cast("string"),
+                    F.lit("-"),
+                    (1000 + F.col("doc_id") % 9000).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    cnt = aug.select(
+        "source",
+        F.size(
+            F.regexp_extract_all(F.col("t"), F.lit(_PII_EMAIL), F.lit(0))
+        ).cast("bigint").alias("e"),
+        F.size(
+            F.regexp_extract_all(F.col("t"), F.lit(_PII_IPV4), F.lit(0))
+        ).cast("bigint").alias("i"),
+        F.size(
+            F.regexp_extract_all(F.col("t"), F.lit(_PII_PHONE), F.lit(0))
+        ).cast("bigint").alias("p"),
+    )
+    hit = (F.col("e") + F.col("i") + F.col("p")) > 0
+    return cnt.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.count(F.when(hit, F.lit(1))).cast("bigint").alias("docs_with_pii"),
+        F.sum("e").cast("bigint").alias("emails"),
+        F.sum("i").cast("bigint").alias("ipv4s"),
+        F.sum("p").cast("bigint").alias("phones"),
+        F.expr(
+            "cast(count(case when e + i + p > 0 then 1 end) * 1000000 "
+            "div count(1) as bigint)"
+        ).alias("pii_doc_ppm"),
+    )
