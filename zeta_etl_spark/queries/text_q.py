@@ -152,8 +152,10 @@ LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON doc.doc_id = b.doc_id
 """
 
 
-@query("doc_language_id", oracle=_LANGID_ORACLE, tags=("text", "langid"))
-def doc_language_id(spark, sf_dir):
+def _langid_predictions(spark, sf_dir):
+    """Shared prediction frame (doc_id, lang, predicted_lang, score,
+    is_correct) — the lang-ID query itself plus the r10 eval queries
+    (confusion PRF, Cohen's kappa) all read this one plan."""
     d = T(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id", "lang", F.explode(F.expr(spark_tokens())).alias("token")
@@ -202,6 +204,175 @@ def doc_language_id(spark, sf_dir):
             .otherwise(0)
             .cast("bigint")
             .alias("is_correct"),
+        )
+    )
+
+
+@query("doc_language_id", oracle=_LANGID_ORACLE, tags=("text", "langid"))
+def doc_language_id(spark, sf_dir):
+    return _langid_predictions(spark, sf_dir)
+
+
+# --- langid_confusion_prf / langid_cohens_kappa: classifier evaluation -------
+# The eval half of any model-in-the-loop curation step: per-class
+# precision/recall/F1 and chance-corrected agreement (Cohen's kappa) of
+# the engine's language-ID predictions against the labeled lang column.
+# All metrics are integer ppm (p = tp*1e6 // (tp+fp), f1 = 2pr // (p+r),
+# kappa = (po-pe)*1e6 // (1e6-pe)) — bit-exact cross-engine, no doubles.
+# Scale shape: both ride the lang-ID prediction plan (one explode + two
+# bounded-profile joins) and collapse to the bounded class grain; kappa's
+# pe is a |classes|² product join.  BIGINT headroom: Σ row·col ≤ N², and
+# N²·1e6 < 2^63 up to N ≈ 3B docs.
+
+_PRED_CTE = f"pred AS MATERIALIZED (SELECT * FROM ({_LANGID_ORACLE}) _p)"
+
+_CONFUSION_ORACLE = f"""
+WITH {_PRED_CTE},
+classes AS (SELECT DISTINCT lang FROM pred),
+tp AS (
+  SELECT lang, CAST(COUNT(*) FILTER (WHERE predicted_lang = lang) AS BIGINT)
+    AS tp,
+    CAST(COUNT(*) FILTER (WHERE predicted_lang <> lang) AS BIGINT) AS fn
+  FROM pred GROUP BY lang
+), fp AS (
+  SELECT predicted_lang AS lang, CAST(COUNT(*) AS BIGINT) AS fp
+  FROM pred WHERE predicted_lang <> lang GROUP BY predicted_lang
+), m AS (
+  SELECT c.lang, COALESCE(t.tp, 0) AS tp, COALESCE(t.fn, 0) AS fn,
+    COALESCE(f.fp, 0) AS fp
+  FROM classes c
+  LEFT JOIN tp t ON t.lang = c.lang
+  LEFT JOIN fp f ON f.lang = c.lang
+), prf AS (
+  SELECT lang, tp, fp, fn,
+    CASE WHEN tp + fp = 0 THEN 0
+         ELSE (tp * 1000000) // (tp + fp) END AS precision_ppm,
+    CASE WHEN tp + fn = 0 THEN 0
+         ELSE (tp * 1000000) // (tp + fn) END AS recall_ppm
+  FROM m
+)
+SELECT lang, tp, fp, fn, precision_ppm, recall_ppm,
+  CASE WHEN precision_ppm + recall_ppm = 0 THEN 0
+       ELSE (2 * precision_ppm * recall_ppm)
+         // (precision_ppm + recall_ppm) END AS f1_ppm
+FROM prf
+"""
+
+_KAPPA_ORACLE = f"""
+WITH {_PRED_CTE},
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(COUNT(*) FILTER (WHERE predicted_lang = lang) AS BIGINT) AS agree
+  FROM pred),
+rowsum AS (SELECT lang AS cls, CAST(COUNT(*) AS BIGINT) AS r
+  FROM pred GROUP BY lang),
+colsum AS (SELECT predicted_lang AS cls, CAST(COUNT(*) AS BIGINT) AS c
+  FROM pred GROUP BY predicted_lang),
+pe AS (SELECT CAST(SUM(r.r * c.c) AS BIGINT) AS rc
+  FROM rowsum r JOIN colsum c ON r.cls = c.cls)
+SELECT n.n, (n.agree * 1000000) // n.n AS po_ppm,
+  (pe.rc * 1000000) // (n.n * n.n) AS pe_ppm,
+  (((n.agree * 1000000) // n.n - (pe.rc * 1000000) // (n.n * n.n))
+    * 1000000)
+    // (1000000 - (pe.rc * 1000000) // (n.n * n.n)) AS kappa_ppm
+FROM n, pe
+"""
+
+
+@query(
+    "langid_confusion_prf",
+    oracle=_CONFUSION_ORACLE,
+    tags=("text", "langid", "eval"),
+)
+def langid_confusion_prf(spark, sf_dir):
+    pred = _langid_predictions(spark, sf_dir)
+    tp_fn = pred.groupBy("lang").agg(
+        F.count(F.when(F.col("predicted_lang") == F.col("lang"), 1))
+        .cast("bigint")
+        .alias("tp"),
+        F.count(F.when(F.col("predicted_lang") != F.col("lang"), 1))
+        .cast("bigint")
+        .alias("fn"),
+    )
+    fp = (
+        pred.filter(F.col("predicted_lang") != F.col("lang"))
+        .groupBy(F.col("predicted_lang").alias("lang"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("fp"))
+    )
+    m = (
+        tp_fn.join(fp, "lang", "left")
+        .fillna(0, subset=["fp"])
+        .select(
+            "lang",
+            "tp",
+            F.col("fp").cast("bigint").alias("fp"),
+            "fn",
+        )
+    )
+    p = F.when(F.col("tp") + F.col("fp") == 0, F.lit(0)).otherwise(
+        F.expr("(tp * 1000000) div (tp + fp)")
+    )
+    r = F.when(F.col("tp") + F.col("fn") == 0, F.lit(0)).otherwise(
+        F.expr("(tp * 1000000) div (tp + fn)")
+    )
+    prf = m.select(
+        "lang",
+        "tp",
+        "fp",
+        "fn",
+        p.cast("bigint").alias("precision_ppm"),
+        r.cast("bigint").alias("recall_ppm"),
+    )
+    f1 = F.when(
+        F.col("precision_ppm") + F.col("recall_ppm") == 0, F.lit(0)
+    ).otherwise(
+        F.expr(
+            "(2 * precision_ppm * recall_ppm) "
+            "div (precision_ppm + recall_ppm)"
+        )
+    )
+    return prf.withColumn("f1_ppm", f1.cast("bigint"))
+
+
+@query(
+    "langid_cohens_kappa",
+    oracle=_KAPPA_ORACLE,
+    tags=("text", "langid", "eval"),
+)
+def langid_cohens_kappa(spark, sf_dir):
+    from zeta_etl_spark.operators.scalar_frame import with_scalar_frame
+
+    pred = _langid_predictions(spark, sf_dir)
+    n = pred.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.count(F.when(F.col("predicted_lang") == F.col("lang"), 1))
+        .cast("bigint")
+        .alias("agree"),
+    )
+    rowsum = pred.groupBy(F.col("lang").alias("cls")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("r")
+    )
+    colsum = pred.groupBy(F.col("predicted_lang").alias("cls")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    pe = (
+        rowsum.join(F.broadcast(colsum), "cls")
+        .agg(F.sum(F.col("r") * F.col("c")).cast("bigint").alias("rc"))
+    )
+    return (
+        n.transform(with_scalar_frame(pe))
+        .selectExpr(
+            "n",
+            "(agree * 1000000) div n AS po_ppm",
+            "(rc * 1000000) div (n * n) AS pe_ppm",
+            "(((agree * 1000000) div n - (rc * 1000000) div (n * n)) "
+            "* 1000000) div (1000000 - (rc * 1000000) div (n * n)) "
+            "AS kappa_ppm",
+        )
+        .selectExpr(
+            "cast(n as bigint) AS n",
+            "cast(po_ppm as bigint) AS po_ppm",
+            "cast(pe_ppm as bigint) AS pe_ppm",
+            "cast(kappa_ppm as bigint) AS kappa_ppm",
         )
     )
 
