@@ -44,6 +44,12 @@ OPTIONAL = [
     "minhash_lsh_pairs",
     "doc_quality",
     "doc_language_id",
+    # r10 additions (delta_roundtrip_rollup intentionally absent: it is a
+    # write-path e2e job, not a query; its wall is recorded in the sweep)
+    "pii_scrub_audit",
+    "langid_confusion_prf",
+    "langid_cohens_kappa",
+    "fdr_bh_rejections",
     "knn_cosine_top5",
     "ann_lsh_top5",
     "nearest_centroid_assign",
