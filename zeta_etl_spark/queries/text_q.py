@@ -17,6 +17,7 @@ from zeta_etl_spark.functions.text import (
     spark_hex2long,
     spark_tokens,
 )
+from zeta_etl_spark.operators.scalar_frame import with_scalar_frame
 from zeta_etl_spark.queries.registry import T, query
 
 _STOPWORDS = ("the", "a")
@@ -278,28 +279,46 @@ FROM n, pe
 """
 
 
+def _confusion_matrix(spark, sf_dir):
+    """ONE data-sized aggregation of the prediction frame to the bounded
+    (lang, predicted_lang) confusion-matrix grain (≤ |classes|·(|classes|+1)
+    rows) — every eval metric derives from this tiny frame.  The
+    localCheckpoint pins the bounded result so downstream metric branches
+    (tp/fn vs fp, rowsums vs colsums) read 36 rows instead of each
+    re-executing the explode + profile-join lineage (the same
+    bounded-frame checkpoint device as the CC operator)."""
+    return (
+        _langid_predictions(spark, sf_dir)
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .localCheckpoint()
+    )
+
+
 @query(
     "langid_confusion_prf",
     oracle=_CONFUSION_ORACLE,
     tags=("text", "langid", "eval"),
 )
 def langid_confusion_prf(spark, sf_dir):
-    pred = _langid_predictions(spark, sf_dir)
-    tp_fn = pred.groupBy("lang").agg(
-        F.count(F.when(F.col("predicted_lang") == F.col("lang"), 1))
-        .cast("bigint")
-        .alias("tp"),
-        F.count(F.when(F.col("predicted_lang") != F.col("lang"), 1))
-        .cast("bigint")
-        .alias("fn"),
+    cm = _confusion_matrix(spark, sf_dir)
+    tp_fn = cm.groupBy("lang").agg(
+        F.sum(
+            F.when(F.col("predicted_lang") == F.col("lang"), F.col("cnt"))
+            .otherwise(F.lit(0))
+        ).cast("bigint").alias("tp"),
+        F.sum(
+            F.when(F.col("predicted_lang") != F.col("lang"), F.col("cnt"))
+            .otherwise(F.lit(0))
+        ).cast("bigint").alias("fn"),
     )
     fp = (
-        pred.filter(F.col("predicted_lang") != F.col("lang"))
+        cm.filter(F.col("predicted_lang") != F.col("lang"))
         .groupBy(F.col("predicted_lang").alias("lang"))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("fp"))
+        .agg(F.sum("cnt").cast("bigint").alias("fp"))
     )
     m = (
-        tp_fn.join(fp, "lang", "left")
+        tp_fn.join(F.broadcast(fp), "lang", "left")
         .fillna(0, subset=["fp"])
         .select(
             "lang",
@@ -339,20 +358,22 @@ def langid_confusion_prf(spark, sf_dir):
     tags=("text", "langid", "eval"),
 )
 def langid_cohens_kappa(spark, sf_dir):
-    from zeta_etl_spark.operators.scalar_frame import with_scalar_frame
-
-    pred = _langid_predictions(spark, sf_dir)
-    n = pred.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.count(F.when(F.col("predicted_lang") == F.col("lang"), 1))
-        .cast("bigint")
-        .alias("agree"),
+    # all four scalars (n, agree, pe's row·col product sum) fold from the
+    # one checkpointed confusion matrix: its lineage runs once, the rest
+    # is algebra on ≤36 rows
+    cm = _confusion_matrix(spark, sf_dir)
+    n = cm.agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.sum(
+            F.when(F.col("predicted_lang") == F.col("lang"), F.col("cnt"))
+            .otherwise(F.lit(0))
+        ).cast("bigint").alias("agree"),
     )
-    rowsum = pred.groupBy(F.col("lang").alias("cls")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("r")
+    rowsum = cm.groupBy(F.col("lang").alias("cls")).agg(
+        F.sum("cnt").cast("bigint").alias("r")
     )
-    colsum = pred.groupBy(F.col("predicted_lang").alias("cls")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("c")
+    colsum = cm.groupBy(F.col("predicted_lang").alias("cls")).agg(
+        F.sum("cnt").cast("bigint").alias("c")
     )
     pe = (
         rowsum.join(F.broadcast(colsum), "cls")
