@@ -29,23 +29,46 @@ Implemented subset (spec-true where implemented, strict where not):
   merge; an overwrite retries its remove-set against the new snapshot
   (last-overwrite-wins, Delta's WriteSerializable outcome for
   non-conflicting transactions).
-- reads: full log replay (no checkpoint files — ``_last_checkpoint``
-  absent is valid per spec), snapshot or time-travel ``version=``.
-  Data files are scanned in ONE ``spark.read.parquet(*live_files)`` with
-  ``basePath`` so hive-layout partition columns reconstitute and
-  partition pruning still works — never a per-file union.
+- reads: log replay from the newest checkpoint (or version 0 when none
+  exists — ``_last_checkpoint`` absent is valid per spec), snapshot or
+  time-travel ``version=``.  Data files are scanned in ONE
+  ``spark.read.parquet(*live_files)`` with ``basePath`` so hive-layout
+  partition columns reconstitute and partition pruning still works —
+  never a per-file union.
 - partitioned tables: hive directory layout, partition columns stripped
   from data files (as the spec requires), ``partitionValues`` recorded
   from the directory names.
+- checkpoints: classic single-file ``<v>.checkpoint.parquet`` +
+  ``_last_checkpoint`` pointer (:func:`write_checkpoint`), consumed by
+  ``_replay`` so snapshot construction is O(checkpoint + JSON tail), not
+  O(all commits); :func:`cleanup_log` then deletes JSON commits the
+  checkpoint covers (the spec's log retention) — time travel to a
+  cleaned-up version fails loudly instead of replaying a hole.
+- file statistics + data skipping: every ``add`` carries
+  ``minValues/maxValues/nullCount`` for top-level leaf columns (read
+  from the parquet footers the write already produced — no extra scan),
+  and :func:`read_delta` takes a ``predicate`` that prunes files whose
+  stats/partitionValues prove no row can match; the predicate is ALSO
+  applied as a real filter, so skipping is purely an I/O optimization
+  and never a correctness dependency.
+- OPTIMIZE: :func:`optimize` bin-packs small files (optionally Z-ORDER
+  clustering on numeric columns via true bit-interleaved Z-values built
+  as JVM expressions) and commits ``remove``+``add`` with
+  ``dataChange: false`` — readers see identical rows, history and time
+  travel survive, and data skipping gets tight per-file ranges.
+- schema evolution on append: ``write_delta(..., merge_schema=True)``
+  widens the table schema with the frame's new columns (a new
+  ``metaData`` action in the same commit); reads use an explicit read
+  schema so pre-evolution files surface the new columns as NULL.
 - NOT implemented (rejected loudly, never silently misread): column
-  mapping, deletion vectors, checkpoint parquet files, generated
-  columns, schema evolution on append (appends must match the table
-  schema exactly).
+  mapping, deletion vectors, v2/multi-part checkpoints, generated
+  columns.
 
-At 100 TB: the log is O(commits) JSON lines and the reader materializes
-only the live-file LIST driver-side (the same thing every Delta reader
-holds); data stays distributed — one parquet scan over the live set with
-partition pruning intact.
+At 100 TB: the log is O(commits) JSON lines bounded by checkpointing +
+cleanup, and the reader materializes only the live-file LIST driver-side
+(the same thing every Delta reader holds); data stays distributed — one
+parquet scan over the live set with partition pruning intact, further
+thinned by stats-based file skipping before the scan starts.
 """
 
 from __future__ import annotations
@@ -64,6 +87,7 @@ from pyspark.sql.types import StructType
 
 _LOG_DIR = "_delta_log"
 _VERSION_RE = re.compile(r"^(\d{20})\.json$")
+_CHECKPOINT_RE = re.compile(r"^(\d{20})\.checkpoint\.parquet$")
 _PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
 
 
@@ -111,37 +135,118 @@ def _write_commit_atomic(table: str, version: int, actions: list[dict]) -> bool:
         os.unlink(tmp)
 
 
-def _replay(table: str, version: int | None = None):
-    """Replay the action log; returns (protocol, metaData, live, txns)
-    where ``live`` maps relative file path -> its add action and ``txns``
-    maps appId -> latest streaming transaction version (the spec's ``txn``
-    action reconciliation: last writer per appId wins)."""
-    versions = _list_versions(table)
-    if not versions:
-        raise FileNotFoundError(f"not a Delta table (no {_LOG_DIR}): {table}")
-    if version is not None:
-        if version not in versions:
-            raise ValueError(
-                f"version {version} not in table history {versions[:5]}..."
-            )
-        versions = [v for v in versions if v <= version]
+def _list_checkpoints(table: str) -> list[int]:
+    log = os.path.join(table, _LOG_DIR)
+    if not os.path.isdir(log):
+        return []
+    return sorted(
+        int(m.group(1))
+        for f in os.listdir(log)
+        if (m := _CHECKPOINT_RE.match(f))
+    )
+
+
+def _checkpoint_path(table: str, version: int) -> str:
+    return os.path.join(
+        table, _LOG_DIR, f"{version:020d}.checkpoint.parquet"
+    )
+
+
+def _apply_protocol(action_protocol: dict) -> dict:
+    if action_protocol.get("minReaderVersion", 1) > 1:
+        raise DeltaUnsupported(
+            f"reader version {action_protocol} needs features "
+            "(column mapping / deletion vectors) outside the "
+            "implemented subset"
+        )
+    return action_protocol
+
+
+def _load_checkpoint(table: str, version: int):
+    """Reconstitute (protocol, meta, live, txns) from a classic
+    single-file checkpoint parquet.  Driver-side pyarrow read — the
+    checkpoint IS the driver-side live-file list every reader holds."""
+    import pyarrow.parquet as pq
+
+    def _maps_to_dicts(v):
+        # pyarrow map columns surface as list-of-(k, v) pairs in to_pylist
+        if isinstance(v, list) and all(
+            isinstance(e, tuple) and len(e) == 2 for e in v
+        ):
+            return dict(v)
+        if isinstance(v, dict):
+            return {k: _maps_to_dicts(x) for k, x in v.items()}
+        return v
+
     protocol, meta = None, None
     live: dict[str, dict] = {}
     txns: dict[str, int] = {}
-    for v in versions:
+    for row in pq.read_table(_checkpoint_path(table, version)).to_pylist():
+        if row.get("protocol") is not None:
+            protocol = _apply_protocol(dict(row["protocol"]))
+        elif row.get("metaData") is not None:
+            meta = _maps_to_dicts(dict(row["metaData"]))
+        elif row.get("add") is not None:
+            a = _maps_to_dicts(dict(row["add"]))
+            live[a["path"]] = a
+        elif row.get("txn") is not None:
+            t = row["txn"]
+            txns[t["appId"]] = t["version"]
+    if meta is None or protocol is None:
+        raise DeltaUnsupported(
+            f"checkpoint {version} lacks protocol/metaData: {table}"
+        )
+    return protocol, meta, live, txns
+
+
+def _replay(table: str, version: int | None = None):
+    """Reconstitute the snapshot at ``version`` (default: latest);
+    returns (protocol, metaData, live, txns) where ``live`` maps relative
+    file path -> its add action and ``txns`` maps appId -> latest
+    streaming transaction version (the spec's ``txn`` action
+    reconciliation: last writer per appId wins).
+
+    Replay starts from the newest checkpoint <= target when one exists
+    (O(checkpoint + JSON tail)); otherwise from version 0.  A JSON gap —
+    commits deleted by :func:`cleanup_log` below the oldest usable
+    checkpoint — is a loud error, never a silent partial snapshot."""
+    versions = _list_versions(table)
+    checkpoints = _list_checkpoints(table)
+    if not versions and not checkpoints:
+        raise FileNotFoundError(f"not a Delta table (no {_LOG_DIR}): {table}")
+    newest = max(versions[-1] if versions else -1,
+                 checkpoints[-1] if checkpoints else -1)
+    target = newest if version is None else version
+    if target > newest:
+        raise ValueError(
+            f"version {target} not in table history (latest {newest})"
+        )
+
+    base = max((c for c in checkpoints if c <= target), default=None)
+    if base is not None:
+        protocol, meta, live, txns = _load_checkpoint(table, base)
+        tail = [v for v in versions if base < v <= target]
+        expect = range(base + 1, target + 1)
+    else:
+        protocol, meta = None, None
+        live, txns = {}, {}
+        tail = [v for v in versions if v <= target]
+        expect = range(0, target + 1)
+    if list(expect) != tail:
+        raise ValueError(
+            f"cannot reconstruct version {target}: log versions "
+            f"{tail} do not cover {expect.start}..{expect.stop - 1} "
+            "(commits cleaned up past the nearest checkpoint)"
+        )
+
+    for v in tail:
         with open(_log_path(table, v)) as fh:
             for line in fh:
                 if not line.strip():
                     continue
                 action = json.loads(line)
                 if "protocol" in action:
-                    protocol = action["protocol"]
-                    if protocol.get("minReaderVersion", 1) > 1:
-                        raise DeltaUnsupported(
-                            f"reader version {protocol} needs features "
-                            "(column mapping / deletion vectors) outside "
-                            "the implemented subset"
-                        )
+                    protocol = _apply_protocol(action["protocol"])
                 elif "metaData" in action:
                     meta = action["metaData"]
                 elif "add" in action:
@@ -155,15 +260,89 @@ def _replay(table: str, version: int | None = None):
     return protocol, meta, live, txns
 
 
+def _stats_json(parquet_path: str) -> str:
+    """Per-file stats for the ``add`` action: numRecords plus
+    minValues / maxValues / nullCount for top-level leaf columns, read
+    from the parquet footer the write already produced (no data scan).
+    Spec-conforming conservatisms: a column whose row-group stats are
+    missing (or whose doubles may hide NaN ordering issues) is simply
+    omitted from min/max — readers must treat absent stats as
+    unprunable, so omission is always safe."""
+    import datetime
+    import math
+
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(parquet_path).metadata
+    arrow_schema = pq.read_schema(parquet_path)
+    top_level = {f.name for f in arrow_schema}
+
+    def _render(v):
+        if isinstance(v, bytes):
+            try:
+                return v.decode("utf-8")
+            except UnicodeDecodeError:
+                return None
+        if isinstance(v, datetime.datetime):
+            return v.isoformat()
+        if isinstance(v, (datetime.date,)):
+            return v.isoformat()
+        if isinstance(v, float) and (math.isnan(v) or math.isinf(v)):
+            return None
+        if isinstance(v, (int, float, str, bool)):
+            return v
+        return None
+
+    mins: dict[str, object] = {}
+    maxs: dict[str, object] = {}
+    nulls: dict[str, int] = {}
+    droppable: set[str] = set()
+    for rg in range(md.num_row_groups):
+        group = md.row_group(rg)
+        for ci in range(group.num_columns):
+            col = group.column(ci)
+            name = col.path_in_schema
+            if name not in top_level:
+                continue  # nested leaves: outside the stats subset
+            st = col.statistics
+            if st is None or not st.has_null_count:
+                droppable.add(name)
+                continue
+            nulls[name] = nulls.get(name, 0) + st.null_count
+            if not st.has_min_max:
+                droppable.add(name)
+                continue
+            lo, hi = _render(st.min), _render(st.max)
+            if lo is None or hi is None:
+                droppable.add(name)
+                continue
+            mins[name] = lo if name not in mins else min(mins[name], lo)
+            maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+    for name in droppable:
+        mins.pop(name, None)
+        maxs.pop(name, None)
+        nulls.pop(name, None)
+    return json.dumps(
+        {
+            "numRecords": md.num_rows,
+            "minValues": mins,
+            "maxValues": maxs,
+            "nullCount": nulls,
+        },
+        default=str,
+    )
+
+
 def _stage_data_files(
-    df: DataFrame, table: str, partition_by: Sequence[str]
+    df: DataFrame,
+    table: str,
+    partition_by: Sequence[str],
+    data_change: bool = True,
 ) -> list[dict]:
     """Write ``df`` as parquet into the table directory (hive layout when
     partitioned) via a staging dir, returning one add action per file.
     File names keep Spark's task-unique part names, so concurrent writers
     never collide on data files — only on the log commit."""
-    import pyarrow.parquet as pq
-
     stage = os.path.join(table, f".stage-{uuid.uuid4().hex}")
     writer = df.write.mode("overwrite")
     if partition_by:
@@ -201,14 +380,8 @@ def _stage_data_files(
                         "partitionValues": pvals,
                         "size": os.path.getsize(dst),
                         "modificationTime": now_ms,
-                        "dataChange": True,
-                        "stats": json.dumps(
-                            {
-                                "numRecords": pq.ParquetFile(
-                                    dst
-                                ).metadata.num_rows
-                            }
-                        ),
+                        "dataChange": data_change,
+                        "stats": _stats_json(dst),
                     }
                 }
             )
@@ -229,11 +402,17 @@ def write_delta(
     partition_by: Sequence[str] = (),
     max_retries: int = 20,
     txn: tuple[str, int] | None = None,
+    merge_schema: bool = False,
 ) -> int:
     """Write ``df`` to ``table`` in Delta format; returns the committed
     version.  ``mode``: 'append' or 'overwrite' (replaces the live file
     set).  Appends to an existing table must match its schema and
-    partitioning exactly (schema evolution is outside the subset).
+    partitioning exactly unless ``merge_schema=True``, which widens the
+    table schema with the frame's NEW columns (Delta's mergeSchema: a
+    fresh ``metaData`` action rides the same commit; pre-evolution data
+    files surface the new columns as NULL via the explicit read schema).
+    A same-name column with a DIFFERENT type is always a hard error —
+    type changes are not evolution, they are corruption.
 
     ``txn=(appId, version)`` records the spec's streaming-transaction
     action with the commit: a stream that crash-replays a microbatch
@@ -245,6 +424,7 @@ def write_delta(
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     partition_by = list(partition_by)
     schema_string = df.schema.json()
+    evolved_meta: dict | None = None
 
     existing = _list_versions(table)
     if existing:
@@ -258,23 +438,58 @@ def write_delta(
             # match by (name, type) — column ORDER and nullability are
             # not identity (a CONVERTed table's inferred schema lists
             # partition columns last); the frame is reordered to the
-            # table schema so data files stay layout-uniform.  Any
-            # name/type difference is still a hard error (schema
-            # evolution is outside the implemented subset).
+            # table schema so data files stay layout-uniform.
             tbl_schema = StructType.fromJson(
                 json.loads(meta["schemaString"])
             )
-            tbl_sig = {(f.name, f.dataType.json()) for f in tbl_schema}
-            df_sig = {(f.name, f.dataType.json()) for f in df.schema}
-            if tbl_sig != df_sig:
+            tbl_types = {f.name: f.dataType for f in tbl_schema}
+            df_types = {f.name: f.dataType for f in df.schema}
+            conflicts = sorted(
+                n for n, t in df_types.items()
+                if n in tbl_types and tbl_types[n] != t
+            )
+            if conflicts:
                 raise DeltaUnsupported(
-                    "append schema differs from table schema (schema "
-                    f"evolution is outside the implemented subset): "
-                    f"table-only={sorted(n for n, _ in tbl_sig - df_sig)} "
-                    f"df-only={sorted(n for n, _ in df_sig - tbl_sig)}"
+                    f"append changes column types {conflicts} — type "
+                    "changes are outside the implemented subset"
                 )
-            df = df.select(*[f.name for f in tbl_schema])
-            schema_string = meta["schemaString"]
+            new_cols = [f for f in df.schema if f.name not in tbl_types]
+            missing = [f for f in tbl_schema if f.name not in df_types]
+            if (new_cols or missing) and not merge_schema:
+                raise DeltaUnsupported(
+                    "append schema differs from table schema (pass "
+                    "merge_schema=True to evolve): "
+                    f"table-only={sorted(f.name for f in missing)} "
+                    f"df-only={sorted(f.name for f in new_cols)}"
+                )
+            if new_cols or missing:
+                # evolved schema = table fields then new fields; the
+                # frame is padded with typed NULLs for absent table
+                # columns so every data file carries the full layout
+                evolved = StructType(list(tbl_schema) + new_cols)
+                df = df.select(
+                    *[
+                        F.col(f.name)
+                        if f.name in df_types
+                        else F.lit(None).cast(f.dataType).alias(f.name)
+                        for f in evolved
+                    ]
+                )
+                schema_string = df.schema.json()
+                if new_cols:
+                    evolved_meta = {
+                        **meta,
+                        "schemaString": schema_string,
+                    }
+            else:
+                df = df.select(*[f.name for f in tbl_schema])
+                schema_string = meta["schemaString"]
+        elif schema_string != meta["schemaString"]:
+            # overwrite replaces the data AND the schema (Delta's
+            # overwriteSchema outcome): without a fresh metaData action
+            # the table would advertise a schema its live files no
+            # longer have
+            evolved_meta = {**meta, "schemaString": schema_string}
 
     adds = _stage_data_files(df, table, partition_by)
     commit_info = {
@@ -317,7 +532,9 @@ def write_delta(
                     }
                 }
             )
-        elif mode == "overwrite":
+        elif evolved_meta is not None:
+            actions.append({"metaData": evolved_meta})
+        if version != 0 and mode == "overwrite":
             # remove-set computed against the CURRENT snapshot each retry
             # (a lost race means someone else's files are now live)
             _, _, live, _ = _replay(table)
@@ -365,33 +582,322 @@ def version_at_timestamp(table: str, timestamp_ms: int) -> int:
     return best
 
 
+_PRED_OPS = ("=", "<", "<=", ">", ">=")
+
+
+def _coerce_for_compare(raw, literal):
+    """Coerce a stats/partition value to the literal's comparison domain.
+    Returns None when the coercion fails — callers treat that file as
+    unprunable (skipping must never be load-bearing)."""
+    import datetime
+
+    try:
+        if isinstance(literal, bool):
+            return raw if isinstance(raw, bool) else str(raw) == "true"
+        if isinstance(literal, datetime.datetime):
+            v = (
+                datetime.datetime.fromisoformat(str(raw).replace(" ", "T"))
+                if not isinstance(raw, datetime.datetime)
+                else raw
+            )
+            utc = datetime.timezone.utc
+            lit = literal if literal.tzinfo else literal.replace(tzinfo=utc)
+            v = v if v.tzinfo else v.replace(tzinfo=utc)
+            return v, lit
+        if isinstance(literal, datetime.date):
+            v = (
+                datetime.date.fromisoformat(str(raw)[:10])
+                if not isinstance(raw, datetime.date)
+                else raw
+            )
+            return v, literal
+        if isinstance(literal, (int, float)):
+            return float(raw), float(literal)
+        if isinstance(literal, str):
+            return str(raw), literal
+    except (ValueError, TypeError):
+        return None
+    return None
+
+
+def _file_may_match(add: dict, partition_cols: set[str],
+                    predicate: Sequence[tuple]) -> bool:
+    """True unless the file's partitionValues/stats PROVE no row can
+    satisfy every conjunct.  Absent or uncoercible stats keep the file —
+    pruning is an I/O optimization, never a correctness dependency."""
+    stats = json.loads(add.get("stats") or "{}") if add.get("stats") else {}
+    mins = stats.get("minValues") or {}
+    maxs = stats.get("maxValues") or {}
+    nulls = stats.get("nullCount") or {}
+    nrec = stats.get("numRecords")
+
+    for col, op, literal in predicate:
+        if col in partition_cols:
+            raw = (add.get("partitionValues") or {}).get(col)
+            if raw is None:
+                return False  # NULL partition: comparison is never true
+            pair = _coerce_for_compare(raw, literal)
+            if pair is None:
+                continue
+            if isinstance(pair, bool):
+                lo = hi = pair
+                lit = literal
+            else:
+                lo = hi = pair[0]
+                lit = pair[1]
+        else:
+            if nrec is not None and nulls.get(col) == nrec:
+                return False  # every value NULL: never satisfies a compare
+            if col not in mins or col not in maxs:
+                continue
+            lo_pair = _coerce_for_compare(mins[col], literal)
+            hi_pair = _coerce_for_compare(maxs[col], literal)
+            if lo_pair is None or hi_pair is None:
+                continue
+            if isinstance(lo_pair, bool):
+                lo, hi, lit = lo_pair, hi_pair, literal
+            else:
+                lo, lit = lo_pair
+                hi, _ = hi_pair
+        if op == "=" and not (lo <= lit <= hi):
+            return False
+        if op == "<" and not (lo < lit):
+            return False
+        if op == "<=" and not (lo <= lit):
+            return False
+        if op == ">" and not (hi > lit):
+            return False
+        if op == ">=" and not (hi >= lit):
+            return False
+    return True
+
+
 def read_delta(
     spark: SparkSession,
     table: str,
     version: int | None = None,
     timestamp_ms: int | None = None,
+    predicate: Sequence[tuple] | None = None,
 ) -> DataFrame:
     """Snapshot (or time-travel) read.  One distributed parquet scan over
-    the live file set; columns selected and cast to the table schema, so
-    hive-inferred partition column types match ``schemaString`` exactly.
-    Time travel by ``version`` or ``timestamp_ms`` (mutually exclusive)."""
+    the live file set with an EXPLICIT read schema (the table's
+    ``schemaString``), so hive partition columns come back typed and
+    pre-evolution files surface later-added columns as NULL.
+    Time travel by ``version`` or ``timestamp_ms`` (mutually exclusive).
+
+    ``predicate`` — a conjunction of ``(column, op, literal)`` with op in
+    ``= < <= > >=`` — enables Delta data skipping: files whose
+    partitionValues / per-file min-max stats prove no row can match are
+    dropped from the scan BEFORE Spark sees them, and the same predicate
+    is applied as a real filter, so the result is exactly
+    ``read().filter(...)`` with less I/O.  At 100 TB this is the
+    difference between scanning a table and scanning the handful of
+    files a selective query touches."""
     if version is not None and timestamp_ms is not None:
         raise ValueError("pass version OR timestamp_ms, not both")
     if timestamp_ms is not None:
         version = version_at_timestamp(table, timestamp_ms)
     _, meta, live, _ = _replay(table, version)
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
+
+    def _with_filters(df: DataFrame) -> DataFrame:
+        for col, op, lit in predicate or ():
+            if op not in _PRED_OPS:
+                raise ValueError(f"op must be one of {_PRED_OPS}: {op!r}")
+            c = F.col(col)
+            df = df.filter(
+                {
+                    "=": c == F.lit(lit),
+                    "<": c < F.lit(lit),
+                    "<=": c <= F.lit(lit),
+                    ">": c > F.lit(lit),
+                    ">=": c >= F.lit(lit),
+                }[op]
+            )
+        return df
+
+    if predicate:
+        pcols = set(meta["partitionColumns"])
+        live = {
+            p: a
+            for p, a in live.items()
+            if _file_may_match(a, pcols, predicate)
+        }
     if not live:
-        return spark.createDataFrame([], schema)
+        return _with_filters(spark.createDataFrame([], schema))
     files = [
         os.path.join(table, urllib.parse.unquote(p)) for p in sorted(live)
     ]
-    reader = spark.read
+    reader = spark.read.schema(schema)
     if meta["partitionColumns"]:
         reader = reader.option("basePath", table)
-    df = reader.parquet(*files)
-    return df.select(
-        *[F.col(f.name).cast(f.dataType) for f in schema.fields]
+    df = reader.parquet(*files).select(*[f.name for f in schema.fields])
+    return _with_filters(df)
+
+
+_Z_BITS = 16
+_Z_TYPES = {"int", "bigint", "smallint", "tinyint", "float", "double",
+            "date", "timestamp", "timestamp_ntz"}
+
+
+def _zvalue_expr(df: DataFrame, zorder_by: Sequence[str]):
+    """A true Z-curve value: each column is scaled to a 16-bit bucket on
+    its [min, max] range (two scalars collected driver-side — the same
+    tiny agg every range partitioner does), and the buckets' bits are
+    interleaved with shift/mask expressions.  Pure JVM column arithmetic
+    (whole-stage codegen), no UDF.  NULLs sort to bucket 0."""
+    k = len(zorder_by)
+    aggs = []
+    for c in zorder_by:
+        aggs += [F.min(F.col(c).cast("double")),
+                 F.max(F.col(c).cast("double"))]
+    row = df.agg(*aggs).first()
+    top = (1 << _Z_BITS) - 1
+    buckets = []
+    for i in range(k):
+        lo, hi = row[2 * i], row[2 * i + 1]
+        col = F.col(zorder_by[i]).cast("double")
+        if lo is None or hi is None or hi == lo:
+            buckets.append(F.lit(0).cast("long"))
+            continue
+        b = F.floor((col - F.lit(lo)) / F.lit(hi - lo) * F.lit(float(top)))
+        b = F.when(col.isNull(), F.lit(0)).otherwise(
+            F.least(F.greatest(b, F.lit(0)), F.lit(top))
+        )
+        buckets.append(b.cast("long"))
+    z = F.lit(0).cast("long")
+    for bit in range(_Z_BITS):
+        for ci, v in enumerate(buckets):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(v, bit).bitwiseAND(F.lit(1)),
+                    bit * k + ci,
+                )
+            )
+    return z
+
+
+def optimize(
+    spark: SparkSession,
+    table: str,
+    zorder_by: Sequence[str] = (),
+    target_file_rows: int = 4_000_000,
+    max_retries: int = 5,
+) -> int:
+    """Delta OPTIMIZE: rewrite the current live file set into
+    ~``ceil(rows / target_file_rows)`` bin-packed files, committing
+    ``remove`` + ``add`` with ``dataChange: false`` — the snapshot's rows
+    are untouched, so readers (and CDF consumers) see no data change,
+    history and time travel keep working, and small-file pressure is
+    gone.  With ``zorder_by`` (numeric/date/timestamp columns) the
+    rewrite range-partitions and sorts on a bit-interleaved Z-value, so
+    every output file covers a tight hyper-rectangle of the z-ordered
+    space — per-file min/max stats become selective and
+    :func:`read_delta`'s data skipping prunes hard on EVERY z-ordered
+    column, not just the leading sort key.
+
+    OCC: if another writer commits while the rewrite runs, the staged
+    files are discarded and the whole rewrite re-runs against the new
+    snapshot (an OPTIMIZE must only remove files it actually read).
+    Returns the committed version."""
+    zorder_by = list(zorder_by)
+    for _ in range(max_retries):
+        _, meta, live, _ = _replay(table)
+        base_version = latest_version(table)
+        if not live:
+            return base_version
+        schema = StructType.fromJson(json.loads(meta["schemaString"]))
+        if zorder_by:
+            types = {f.name: f.dataType.simpleString() for f in schema}
+            bad = [
+                c for c in zorder_by
+                if types.get(c) not in _Z_TYPES
+                and not (types.get(c) or "").startswith("decimal(")
+            ]
+            if bad:
+                raise DeltaUnsupported(
+                    f"zorder_by supports numeric/date/timestamp columns; "
+                    f"got {bad} of types "
+                    f"{[types.get(c) for c in bad]}"
+                )
+        pcols = meta["partitionColumns"]
+        snapshot_paths = sorted(live)
+        files = [
+            os.path.join(table, urllib.parse.unquote(p))
+            for p in snapshot_paths
+        ]
+        reader = spark.read.schema(schema)
+        if pcols:
+            reader = reader.option("basePath", table)
+        df = reader.parquet(*files).select(*[f.name for f in schema.fields])
+
+        total = 0
+        for p in snapshot_paths:
+            st = live[p].get("stats")
+            total += (json.loads(st).get("numRecords") or 0) if st else 0
+        n_files = max(1, -(-total // target_file_rows)) if total else 1
+
+        if zorder_by:
+            keys = [F.col(c) for c in pcols] + [F.col("__z")]
+            out = (
+                df.withColumn("__z", _zvalue_expr(df, zorder_by))
+                .repartitionByRange(n_files, *keys)
+                .sortWithinPartitions(*keys)
+                .drop("__z")
+            )
+        elif pcols:
+            # one task (=> one file) per hive partition value set
+            out = df.repartition(n_files, *[F.col(c) for c in pcols])
+        else:
+            out = df.repartition(n_files)
+
+        adds = _stage_data_files(out, table, pcols, data_change=False)
+        _, _, live_now, _ = _replay(table)
+        if sorted(live_now) != snapshot_paths:
+            # someone committed mid-rewrite: discard the staged files
+            # (they are unreferenced; VACUUM would also collect them)
+            for a in adds:
+                staged = os.path.join(
+                    table, urllib.parse.unquote(a["add"]["path"])
+                )
+                if os.path.exists(staged):
+                    os.unlink(staged)
+            continue
+        ts = int(time.time() * 1000)
+        actions: list[dict] = [
+            {
+                "commitInfo": {
+                    "timestamp": ts,
+                    "operation": "OPTIMIZE",
+                    "operationParameters": {
+                        "zOrderBy": json.dumps(zorder_by),
+                        "targetFileRows": target_file_rows,
+                    },
+                    "engineInfo": "zeta-etl-spark delta_log",
+                }
+            }
+        ]
+        actions.extend(
+            {
+                "remove": {
+                    "path": p,
+                    "deletionTimestamp": ts,
+                    "dataChange": False,
+                }
+            }
+            for p in snapshot_paths
+        )
+        actions.extend(adds)
+        if _write_commit_atomic(table, base_version + 1, actions):
+            return base_version + 1
+        for a in adds:
+            staged = os.path.join(
+                table, urllib.parse.unquote(a["add"]["path"])
+            )
+            if os.path.exists(staged):
+                os.unlink(staged)
+    raise DeltaConcurrentModification(
+        f"OPTIMIZE lost the rewrite race {max_retries} times: {table}"
     )
 
 
@@ -414,9 +920,138 @@ def delta_history(table: str) -> list[dict]:
 
 def latest_version(table: str) -> int:
     versions = _list_versions(table)
-    if not versions:
+    checkpoints = _list_checkpoints(table)
+    if not versions and not checkpoints:
         raise FileNotFoundError(f"not a Delta table: {table}")
-    return versions[-1]
+    return max(versions[-1] if versions else -1,
+               checkpoints[-1] if checkpoints else -1)
+
+
+def write_checkpoint(table: str, version: int | None = None) -> int:
+    """Write a classic single-file checkpoint
+    (``_delta_log/<v>.checkpoint.parquet``) summarizing the snapshot at
+    ``version`` (default latest), plus the ``_last_checkpoint`` pointer.
+    One parquet row per action with the spec's top-level ``protocol`` /
+    ``metaData`` / ``add`` / ``txn`` struct columns.  ``remove``
+    tombstones are not carried: this module's VACUUM discovers dead files
+    by directory walk, not tombstone replay, so a checkpoint here is
+    purely the reconciled live state.  Returns the checkpointed version.
+
+    At 100 TB this is the feature that keeps the log readable: replay
+    cost is O(live files + commits since last checkpoint) instead of
+    O(all commits ever)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if version is None:
+        version = latest_version(table)
+    protocol, meta, live, txns = _replay(table, version)
+
+    str_map = pa.map_(pa.string(), pa.string())
+    schema = pa.schema(
+        [
+            pa.field(
+                "protocol",
+                pa.struct(
+                    [
+                        ("minReaderVersion", pa.int32()),
+                        ("minWriterVersion", pa.int32()),
+                    ]
+                ),
+            ),
+            pa.field(
+                "metaData",
+                pa.struct(
+                    [
+                        ("id", pa.string()),
+                        (
+                            "format",
+                            pa.struct(
+                                [
+                                    ("provider", pa.string()),
+                                    ("options", str_map),
+                                ]
+                            ),
+                        ),
+                        ("schemaString", pa.string()),
+                        ("partitionColumns", pa.list_(pa.string())),
+                        ("configuration", str_map),
+                        ("createdTime", pa.int64()),
+                    ]
+                ),
+            ),
+            pa.field(
+                "add",
+                pa.struct(
+                    [
+                        ("path", pa.string()),
+                        ("partitionValues", str_map),
+                        ("size", pa.int64()),
+                        ("modificationTime", pa.int64()),
+                        ("dataChange", pa.bool_()),
+                        ("stats", pa.string()),
+                    ]
+                ),
+            ),
+            pa.field(
+                "txn",
+                pa.struct(
+                    [
+                        ("appId", pa.string()),
+                        ("version", pa.int64()),
+                        ("lastUpdated", pa.int64()),
+                    ]
+                ),
+            ),
+        ]
+    )
+    rows: list[dict] = [
+        {"protocol": protocol},
+        {"metaData": {k: meta.get(k) for k in (
+            "id", "format", "schemaString", "partitionColumns",
+            "configuration", "createdTime")}},
+    ]
+    rows.extend(
+        {"txn": {"appId": app, "version": v, "lastUpdated": None}}
+        for app, v in sorted(txns.items())
+    )
+    rows.extend(
+        {"add": {k: a.get(k) for k in (
+            "path", "partitionValues", "size", "modificationTime",
+            "dataChange", "stats")}}
+        for _, a in sorted(live.items())
+    )
+    target = _checkpoint_path(table, version)
+    tmp = target + f".tmp-{uuid.uuid4().hex}"
+    pq.write_table(pa.Table.from_pylist(rows, schema=schema), tmp)
+    os.replace(tmp, target)
+    # _last_checkpoint is overwritten in place per spec (atomic rename)
+    lc = os.path.join(table, _LOG_DIR, "_last_checkpoint")
+    lc_tmp = lc + f".tmp-{uuid.uuid4().hex}"
+    with open(lc_tmp, "w") as fh:
+        json.dump({"version": version, "size": len(rows)}, fh)
+    os.replace(lc_tmp, lc)
+    return version
+
+
+def cleanup_log(table: str) -> list[int]:
+    """Delete JSON commits strictly below the newest checkpoint (the
+    spec's log retention, applied immediately).  The checkpoint version's
+    own JSON is kept so ``_list_versions`` stays non-empty and OCC's
+    next-version computation never consults the checkpoint list.  Time
+    travel below the oldest surviving checkpoint becomes a loud
+    ``ValueError`` in ``_replay`` — matching Delta, where history is
+    bounded by log retention.  Returns the deleted versions."""
+    checkpoints = _list_checkpoints(table)
+    if not checkpoints:
+        return []
+    cutoff = checkpoints[-1]
+    gone = []
+    for v in _list_versions(table):
+        if v < cutoff:
+            os.unlink(_log_path(table, v))
+            gone.append(v)
+    return gone
 
 
 def last_txn_version(table: str, app_id: str) -> int | None:
@@ -524,8 +1159,6 @@ def convert_parquet_to_delta(
     place — ZERO data movement, the log simply claims the existing files
     (hive ``col=val`` directories become partitionValues).  Refuses a
     directory that is already a Delta table."""
-    import pyarrow.parquet as pq
-
     if _list_versions(path):
         raise DeltaUnsupported(f"already a Delta table: {path}")
     partition_by = list(partition_by)
@@ -570,13 +1203,7 @@ def convert_parquet_to_delta(
                     "size": os.path.getsize(full),
                     "modificationTime": now_ms,
                     "dataChange": True,
-                    "stats": json.dumps(
-                        {
-                            "numRecords": pq.ParquetFile(
-                                full
-                            ).metadata.num_rows
-                        }
-                    ),
+                    "stats": _stats_json(full),
                 }
             }
         )
