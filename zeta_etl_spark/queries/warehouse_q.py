@@ -748,3 +748,90 @@ def delta_roundtrip_rollup(spark, sf_dir):
         F.min("ts").alias("first_ts"),
         F.max("ts").alias("last_ts"),
     )
+
+
+# --- delta_zorder_pruned_rollup: checkpoint replay + OPTIMIZE/Z-order +
+# stats-based data skipping, all inside the correctness gate.  The write
+# lands three appends (three+ files with arrival-order user_id ranges),
+# OPTIMIZE rewrites them Z-ordered on (user_id, value) as a
+# dataChange:false commit, a checkpoint is written and the JSON commits
+# it covers are cleaned up (so the read MUST replay through the
+# checkpoint parquet — there is no JSON path left to fall back to), and
+# the final read carries a predicate that read_delta turns into per-file
+# stats pruning plus a real filter.  The rollup over the
+# checkpoint-replayed, optimized, pruned table must hash-match the
+# oracle computed directly on the source slice: if any stage dropped or
+# duplicated a row — a wrong remove-set in OPTIMIZE, a checkpoint that
+# lost an add action, a pruning decision that was load-bearing instead
+# of conservative — the hash breaks.
+# Scale shape: identical to delta_roundtrip_rollup (bounded pushdown
+# slice, one distributed scan of the live set) plus one OPTIMIZE
+# rewrite of that slice; the checkpoint is O(live files) driver-side.
+
+_DELTA_ZO_ORACLE = f"""
+SELECT event_type,
+  COUNT(*) AS n_events,
+  COUNT(DISTINCT user_id) AS n_users,
+  {dec_sum_expr("value")} AS sum_value,
+  min(user_id) AS min_user,
+  max(user_id) AS max_user
+FROM events WHERE user_id >= 5 AND user_id < 90
+GROUP BY event_type
+"""
+
+
+@query(
+    "delta_zorder_pruned_rollup",
+    oracle=_DELTA_ZO_ORACLE,
+    tags=("delta", "sink", "S6", "format", "optimize", "skipping"),
+)
+def delta_zorder_pruned_rollup(spark, sf_dir):
+    import hashlib
+    import os
+    import tempfile
+
+    from zeta_etl_spark.sinks.delta_log import (
+        cleanup_log,
+        optimize,
+        read_delta,
+        write_checkpoint,
+        write_delta,
+    )
+
+    ev = T(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", "ts"
+    )
+    dest = os.path.join(
+        tempfile.gettempdir(),
+        "zeta_delta_zo_"
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}_{os.getpid()}",
+    )
+    # arrival-order files: disjoint user_id bands (overwrite resets the
+    # live set, so repeated calls in one process stay idempotent)
+    write_delta(
+        ev.filter(F.col("user_id") < 40), dest, mode="overwrite"
+    )
+    for lo, hi in ((40, 80), (80, 120)):
+        write_delta(
+            ev.filter((F.col("user_id") >= lo) & (F.col("user_id") < hi)),
+            dest,
+            mode="append",
+        )
+    optimize(
+        spark, dest, zorder_by=("user_id", "value"), target_file_rows=2000
+    )
+    v = write_checkpoint(dest)
+    cleanup_log(dest)
+    back = read_delta(
+        spark,
+        dest,
+        version=v,
+        predicate=[("user_id", ">=", 5), ("user_id", "<", 90)],
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        dec_sum("value", "sum_value"),
+        F.min("user_id").alias("min_user"),
+        F.max("user_id").alias("max_user"),
+    )

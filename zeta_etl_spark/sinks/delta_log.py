@@ -168,15 +168,13 @@ def _load_checkpoint(table: str, version: int):
     checkpoint IS the driver-side live-file list every reader holds."""
     import pyarrow.parquet as pq
 
-    def _maps_to_dicts(v):
-        # pyarrow map columns surface as list-of-(k, v) pairs in to_pylist
-        if isinstance(v, list) and all(
-            isinstance(e, tuple) and len(e) == 2 for e in v
-        ):
-            return dict(v)
-        if isinstance(v, dict):
-            return {k: _maps_to_dicts(x) for k, x in v.items()}
-        return v
+    def _as_map(v):
+        # pyarrow map columns surface as list-of-(k, v) pairs in to_pylist;
+        # conversion is by SCHEMA position (never by value shape: an empty
+        # list and an empty map are indistinguishable)
+        if v is None:
+            return {}
+        return v if isinstance(v, dict) else dict(v)
 
     protocol, meta = None, None
     live: dict[str, dict] = {}
@@ -185,9 +183,16 @@ def _load_checkpoint(table: str, version: int):
         if row.get("protocol") is not None:
             protocol = _apply_protocol(dict(row["protocol"]))
         elif row.get("metaData") is not None:
-            meta = _maps_to_dicts(dict(row["metaData"]))
+            m = dict(row["metaData"])
+            m["configuration"] = _as_map(m.get("configuration"))
+            m["partitionColumns"] = list(m.get("partitionColumns") or [])
+            fmt = dict(m.get("format") or {})
+            fmt["options"] = _as_map(fmt.get("options"))
+            m["format"] = fmt
+            meta = m
         elif row.get("add") is not None:
-            a = _maps_to_dicts(dict(row["add"]))
+            a = dict(row["add"])
+            a["partitionValues"] = _as_map(a.get("partitionValues"))
             live[a["path"]] = a
         elif row.get("txn") is not None:
             t = row["txn"]
