@@ -740,46 +740,46 @@ def read_delta(
     return _with_filters(df)
 
 
-_Z_BITS = 16
 _Z_TYPES = {"int", "bigint", "smallint", "tinyint", "float", "double",
             "date", "timestamp", "timestamp_ntz"}
 
 
 def _zvalue_expr(df: DataFrame, zorder_by: Sequence[str]):
-    """A true Z-curve value: each column is scaled to a 16-bit bucket on
-    its [min, max] range (two scalars collected driver-side — the same
-    tiny agg every range partitioner does), and the buckets' bits are
-    interleaved with shift/mask expressions.  Pure JVM column arithmetic
-    (whole-stage codegen), no UDF.  NULLs sort to bucket 0."""
+    """A true Z-curve value: each column is scaled to a bucket on its
+    [min, max] range (two scalars collected driver-side — the same tiny
+    agg every range partitioner does) and the buckets' bits are Morton-
+    interleaved via the shared :func:`morton_code_sql_n` builder (the
+    same code path as ``Pipeline.compact(zorder_by=...)``).  Pure JVM
+    column arithmetic (whole-stage codegen), no UDF.  NULLs sort to
+    bucket 0."""
+    from zeta_etl_spark.operators.reshape import morton_code_sql_n
+
     k = len(zorder_by)
+    bits = min(16, 62 // k)
     aggs = []
     for c in zorder_by:
         aggs += [F.min(F.col(c).cast("double")),
                  F.max(F.col(c).cast("double"))]
     row = df.agg(*aggs).first()
-    top = (1 << _Z_BITS) - 1
-    buckets = []
-    for i in range(k):
-        lo, hi = row[2 * i], row[2 * i + 1]
-        col = F.col(zorder_by[i]).cast("double")
+    top = float((1 << bits) - 1)
+
+    def _scaled(col: str, lo, hi) -> str:
         if lo is None or hi is None or hi == lo:
-            buckets.append(F.lit(0).cast("long"))
-            continue
-        b = F.floor((col - F.lit(lo)) / F.lit(hi - lo) * F.lit(float(top)))
-        b = F.when(col.isNull(), F.lit(0)).otherwise(
-            F.least(F.greatest(b, F.lit(0)), F.lit(top))
+            return "0"
+        return (
+            f"coalesce(least(greatest(cast(floor((cast({col} as double) "
+            f"- {lo!r}) / {hi - lo!r} * {top!r}) as bigint), 0), "
+            f"{int(top)}), 0)"
         )
-        buckets.append(b.cast("long"))
-    z = F.lit(0).cast("long")
-    for bit in range(_Z_BITS):
-        for ci, v in enumerate(buckets):
-            z = z.bitwiseOR(
-                F.shiftleft(
-                    F.shiftright(v, bit).bitwiseAND(F.lit(1)),
-                    bit * k + ci,
-                )
-            )
-    return z
+
+    code = morton_code_sql_n(
+        [
+            _scaled(zorder_by[i], row[2 * i], row[2 * i + 1])
+            for i in range(k)
+        ],
+        bits,
+    )
+    return F.expr(code)
 
 
 def optimize(
@@ -843,9 +843,16 @@ def optimize(
         n_files = max(1, -(-total // target_file_rows)) if total else 1
 
         if zorder_by:
+            # one column needs no interleave: a plain range sort IS the
+            # optimal clustering for a single dimension
+            zcol = (
+                F.col(zorder_by[0])
+                if len(zorder_by) == 1
+                else _zvalue_expr(df, zorder_by)
+            )
             keys = [F.col(c) for c in pcols] + [F.col("__z")]
             out = (
-                df.withColumn("__z", _zvalue_expr(df, zorder_by))
+                df.withColumn("__z", zcol)
                 .repartitionByRange(n_files, *keys)
                 .sortWithinPartitions(*keys)
                 .drop("__z")
