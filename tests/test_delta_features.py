@@ -71,6 +71,20 @@ def test_checkpoint_roundtrips_snapshot_and_survives_cleanup(spark, tmp_path):
         read_delta(spark, t, version=1)
 
 
+def test_periodic_checkpoint_policy(spark, tmp_path):
+    from zeta_etl_spark.sinks.delta_log import _list_checkpoints
+
+    t = str(tmp_path / "t")
+    for i in range(12):
+        write_delta(
+            _range_df(spark, i, i + 1), t, mode="append",
+            checkpoint_interval=5,
+        )
+    # commits 0..11: checkpoints landed at versions 5 and 10
+    assert _list_checkpoints(t) == [5, 10]
+    assert _rows(read_delta(spark, t)) == _rows(_range_df(spark, 0, 12))
+
+
 def test_checkpoint_carries_txn_state(spark, tmp_path):
     from zeta_etl_spark.sinks.delta_log import last_txn_version
 

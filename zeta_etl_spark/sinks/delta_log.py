@@ -408,6 +408,7 @@ def write_delta(
     max_retries: int = 20,
     txn: tuple[str, int] | None = None,
     merge_schema: bool = False,
+    checkpoint_interval: int | None = None,
 ) -> int:
     """Write ``df`` to ``table`` in Delta format; returns the committed
     version.  ``mode``: 'append' or 'overwrite' (replaces the live file
@@ -418,6 +419,12 @@ def write_delta(
     files surface the new columns as NULL via the explicit read schema).
     A same-name column with a DIFFERENT type is always a hard error —
     type changes are not evolution, they are corruption.
+
+    ``checkpoint_interval=N`` applies the spec's periodic-checkpoint
+    policy: after committing a version divisible by N, a classic
+    checkpoint parquet is written so replay cost stays O(N + live files)
+    no matter how many commits accumulate (Delta's own default is every
+    10 commits).
 
     ``txn=(appId, version)`` records the spec's streaming-transaction
     action with the commit: a stream that crash-replays a microbatch
@@ -556,6 +563,14 @@ def write_delta(
             )
         actions.extend(adds)
         if _write_commit_atomic(table, version, actions):
+            # the spec's periodic checkpoint policy (delta defaults to
+            # every 10 commits): keeps log replay O(interval) for
+            # long-lived append streams.  Skipping versions between
+            # interval marks is fine — the NEWEST checkpoint wins.
+            if checkpoint_interval and version > 0 and (
+                version % checkpoint_interval == 0
+            ):
+                write_checkpoint(table, version)
             return version
     raise DeltaConcurrentModification(
         f"lost the commit race {max_retries} times: {table}"
@@ -1082,6 +1097,7 @@ def foreach_batch_delta_append(
     checkpoint: str,
     app_id: str,
     partition_by: Sequence[str] = (),
+    checkpoint_interval: int | None = 10,
 ) -> None:
     """Streaming append sink in the Delta format: each microbatch commits
     an append carrying the spec's ``txn(appId, batch_id)`` action.  A
@@ -1090,7 +1106,12 @@ def foreach_batch_delta_append(
     (``last_txn_version``) and skipped — exactly-once appends with the
     idempotence state living in the public format, not in engine-private
     files.  (This is how spec-conforming streaming writers achieve
-    idempotent Delta appends.)"""
+    idempotent Delta appends.)
+
+    A stream is exactly the writer that accumulates commits without
+    bound, so the periodic-checkpoint policy defaults ON here
+    (``checkpoint_interval=10``, Delta's own default): snapshot replay
+    stays O(10 + live files) forever."""
 
     def _append(batch_df: DataFrame, batch_id: int) -> None:
         seen = last_txn_version(table, app_id)
@@ -1102,6 +1123,7 @@ def foreach_batch_delta_append(
             mode="append",
             partition_by=partition_by,
             txn=(app_id, batch_id),
+            checkpoint_interval=checkpoint_interval,
         )
 
     (
