@@ -123,3 +123,78 @@ def test_kv_query_index_and_lazy_ttl(spark, tmp_path):
     live = r.query("SOL", now_epoch=now)
     assert [i["tradeCount"] for i in live] == [120]
     assert r.get_item("SOL", sk=t11, now_epoch=now) is None
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(
+        rows, "asset string, period string, volume double"
+    )
+
+
+def _spec():
+    return KVTableSpec(
+        table_name="metrics", partition_key=["asset"], sort_key=["period"]
+    )
+
+
+def test_put_mode_merges_per_key_like_dynamodb(spark, tmp_path):
+    from zeta_etl_spark.sinks.kv_sink import KVReader
+
+    t = str(tmp_path)
+    export_to_kv(
+        _mk(spark, [("SOL", "24h", 10.0), ("BTC", "24h", 5.0)]), _spec(), t
+    )
+    # second export: overwrites SOL#24h, adds ETH, leaves BTC intact
+    export_to_kv(
+        _mk(spark, [("SOL", "24h", 99.0), ("ETH", "24h", 7.0)]), _spec(), t
+    )
+    r = KVReader(spark, t, "metrics")
+    assert r.get_item("SOL", "24h")["volume"] == 99.0
+    assert r.get_item("BTC", "24h")["volume"] == 5.0  # survived the put
+    assert r.get_item("ETH", "24h")["volume"] == 7.0
+    # recreate truncates: BTC is gone
+    export_to_kv(
+        _mk(spark, [("SOL", "24h", 1.0)]), _spec(), t, mode="recreate"
+    )
+    assert KVReader(spark, t, "metrics").get_item("BTC", "24h") is None
+
+
+def test_batch_get_items_and_100_key_cap(spark, tmp_path):
+    import pytest
+
+    from zeta_etl_spark.sinks.kv_sink import KVReader
+
+    t = str(tmp_path)
+    export_to_kv(
+        _mk(
+            spark,
+            [("A", "1h", 1.0), ("A", "24h", 2.0), ("B", "24h", 3.0)],
+        ),
+        _spec(),
+        t,
+    )
+    r = KVReader(spark, t, "metrics")
+    got = r.batch_get_items([("A", "24h"), ("B", "24h"), ("C", "24h")])
+    assert sorted((x["pk"], x["volume"]) for x in got) == [
+        ("A", 2.0), ("B", 3.0),
+    ]  # missing keys simply absent, like BatchGetItem
+    with pytest.raises(ValueError, match="100"):
+        r.batch_get_items([("A", str(i)) for i in range(101)])
+
+
+def test_estimate_write_plan_accounts_batches_and_wcu(spark):
+    from zeta_etl_spark.sinks.kv_sink import build_export_frame, estimate_write_plan
+
+    spec = _spec()  # batch size 25
+    rows = [("A", str(i), float(i)) for i in range(60)] + [
+        ("B", str(i), float(i)) for i in range(10)
+    ]
+    export = build_export_frame(_mk(spark, rows), spec)
+    plan = estimate_write_plan(export, spec)
+    assert plan["n_items"] == 70
+    # per-pk chunks of 25: A=60 -> 3 batches, B=10 -> 1
+    assert plan["n_batches"] == 4
+    # every item is tiny (<1 KB) -> exactly 1 WCU each
+    assert plan["total_wcu"] == 70
+    assert plan["n_oversize_items"] == 0
+    assert plan["est_seconds_at_provisioned"] == 70 / spec.throughput

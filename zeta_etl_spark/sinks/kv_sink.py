@@ -87,15 +87,56 @@ class KeyValueSink:
 
 
 class ParquetKVSink(KeyValueSink):
-    """Default backend: parquet + key-design sidecar, repartitioned by pk."""
+    """Default backend: parquet + key-design sidecar, repartitioned by pk.
 
-    def write(self, export_df: DataFrame, spec: KVTableSpec, target: str) -> None:
+    ``mode="put"`` (default) reproduces DynamoDB's actual write semantic:
+    PutItem overwrites PER KEY, so a repeated serving export MERGES into
+    the existing table — incoming items replace same-key items, all other
+    items survive (the reference re-exports gold slices on a schedule,
+    dfs-serving/zetadex-serving.py:224-232; on DynamoDB that accumulates
+    by key, it does not truncate the table).  ``mode="recreate"`` is the
+    explicit delete-table-and-rewrite path.
+
+    The merge is one left-anti join of the existing table against the
+    incoming keys plus a union — at serving scale (bounded gold exports)
+    the incoming side broadcasts; the table side never shuffles."""
+
+    def write(
+        self,
+        export_df: DataFrame,
+        spec: KVTableSpec,
+        target: str,
+        mode: str = "put",
+    ) -> None:
+        if mode not in ("put", "recreate"):
+            raise ValueError(f"mode must be put|recreate, got {mode!r}")
         path = os.path.join(target, spec.table_name)
+        keys = ["pk"] + (["sk"] if spec.sort_key else [])
+        out = export_df
+        if mode == "put" and os.path.exists(
+            os.path.join(path, "_kv_table_spec.json")
+        ):
+            spark = export_df.sparkSession
+            existing = spark.read.parquet(path)
+            survivors = existing.join(
+                F.broadcast(export_df.select(*keys).distinct()),
+                on=keys,
+                how="left_anti",
+            )
+            out = survivors.unionByName(export_df, allowMissingColumns=False)
+        # rewrite via a side directory: the source scan (existing) reads
+        # the live path, so writing over it in place would clobber inputs
+        tmp = path + "__putting"
         (
-            export_df.repartition(F.col("pk"))
+            out.repartition(F.col("pk"))
             .write.mode("overwrite")
-            .parquet(path)
+            .parquet(tmp)
         )
+        import shutil
+
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.replace(tmp, path)
         meta = {
             "table_name": spec.table_name,
             "partition_key": list(spec.partition_key),
@@ -110,14 +151,83 @@ class ParquetKVSink(KeyValueSink):
             json.dump(meta, f, indent=2)
 
 
+def estimate_write_plan(export_df: DataFrame, spec: KVTableSpec) -> dict:
+    """Distributed write-plan accounting for a real DynamoDB backend —
+    the numbers a boto3 ``foreachPartition`` writer needs BEFORE it
+    starts, computed Spark-side (one aggregation, nothing collected but
+    the scalars):
+
+    - ``wcu_per_item`` = ceil(item_bytes / 1024) (DynamoDB writes bill
+      1 WCU per 1 KB; item size estimated as the JSON rendering of the
+      full attribute map — the same order of magnitude the wire format
+      bills);
+    - ``n_batches`` = per-pk-partition chunks of ``write_batch_size``
+      (BatchWriteItem takes at most 25 items, and the export frame is
+      pk-repartitioned so batches are key-local);
+    - ``est_seconds_at_provisioned`` = total_wcu / throughput — the
+      floor any throttling-respecting writer pays at the table's
+      provisioned write capacity.
+
+    Items over DynamoDB's 400 KB hard cap are counted in
+    ``n_oversize_items`` — a real backend must reject them, so a
+    non-zero count here fails the export before any network call."""
+    bs = spec.write_batch_size
+    sized = export_df.select(
+        F.col("pk"),
+        F.length(
+            F.to_json(F.struct(*[F.col(c) for c in export_df.columns]))
+        ).alias("item_bytes"),
+    )
+    row = (
+        sized.groupBy("pk")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.ceil(F.col("item_bytes") / 1024.0)).alias("wcu"),
+            F.sum(
+                F.when(F.col("item_bytes") > 400 * 1024, 1).otherwise(0)
+            ).alias("oversize"),
+            F.max("item_bytes").alias("max_bytes"),
+        )
+        .agg(
+            F.sum("n").alias("n_items"),
+            F.sum(F.ceil(F.col("n") / float(bs))).alias("n_batches"),
+            F.sum("wcu").alias("total_wcu"),
+            F.sum("oversize").alias("n_oversize_items"),
+            F.max("max_bytes").alias("max_item_bytes"),
+        )
+        .first()
+    )
+    total_wcu = int(row["total_wcu"] or 0)
+    return {
+        "n_items": int(row["n_items"] or 0),
+        "n_batches": int(row["n_batches"] or 0),
+        "total_wcu": total_wcu,
+        "max_item_bytes": int(row["max_item_bytes"] or 0),
+        "n_oversize_items": int(row["n_oversize_items"] or 0),
+        "write_batch_size": bs,
+        "provisioned_throughput": spec.throughput,
+        "est_seconds_at_provisioned": total_wcu / float(spec.throughput),
+    }
+
+
 def export_to_kv(
     df: DataFrame,
     spec: KVTableSpec,
     target: str,
     sink: KeyValueSink | None = None,
+    mode: str = "put",
 ) -> DataFrame:
+    """Reshape and write.  ``mode`` reaches backends that support it
+    (the parquet backend's per-key put-merge vs recreate); custom seams
+    with the bare ``write(df, spec, target)`` signature still work."""
+    import inspect
+
     export_df = build_export_frame(df, spec)
-    (sink or ParquetKVSink()).write(export_df, spec, target)
+    chosen = sink or ParquetKVSink()
+    if "mode" in inspect.signature(chosen.write).parameters:
+        chosen.write(export_df, spec, target, mode=mode)
+    else:
+        chosen.write(export_df, spec, target)
     return export_df
 
 
@@ -209,6 +319,37 @@ class KVReader:
         if limit is not None:
             df = df.limit(limit)
         return [r.asDict() for r in df.collect()]
+
+    def batch_get_items(
+        self, keys: Sequence, now_epoch: int | None = None
+    ) -> list[dict]:
+        """BatchGetItem: point multi-read.  ``keys`` is a sequence of pk
+        values, or of ``(pk, sk)`` pairs when the table has a sort key.
+        DynamoDB caps a BatchGetItem call at 100 keys — same hard error
+        here, so callers chunk exactly as they would against the real
+        API.  One scan with an IN predicate over the composite keys (the
+        predicate pushes down to the pk-partitioned parquet), never one
+        job per key."""
+        if len(keys) > 100:
+            raise ValueError(
+                f"BatchGetItem takes at most 100 keys, got {len(keys)} — "
+                "chunk the request"
+            )
+        has_sk = bool(self.spec.get("sort_key"))
+        if has_sk:
+            pairs = [
+                (self._composite(pk), self._composite(sk)) for pk, sk in keys
+            ]
+            df = self._df().where(
+                F.concat_ws(chr(1), F.col("pk"), F.col("sk")).isin(
+                    [p + chr(1) + s for p, s in pairs]
+                )
+            )
+        else:
+            df = self._df().where(
+                F.col("pk").isin([self._composite(k) for k in keys])
+            )
+        return [r.asDict() for r in self._ttl_filter(df, now_epoch).collect()]
 
     def query_index(
         self,
