@@ -261,3 +261,49 @@ def test_overwrite_replaces_schema_with_fresh_metadata(spark, tmp_path):
     assert _rows(back) == [(1, 2.0)]
     # old snapshot still reads with the OLD schema (metaData replay)
     assert read_delta(spark, t, version=0).columns == ["k", "cat", "v"]
+
+
+# ----------------------------------------------------------------------- CDF
+
+def test_table_changes_derives_inserts_deletes_and_skips_optimize(
+    spark, tmp_path
+):
+    from zeta_etl_spark.sinks.delta_log import table_changes
+
+    t = str(tmp_path / "t")
+    write_delta(_range_df(spark, 0, 5), t)                      # v0 insert
+    write_delta(_range_df(spark, 5, 8), t, mode="append")       # v1 insert
+    v_opt = optimize(spark, t)                                  # v2 no change
+    write_delta(_range_df(spark, 100, 102), t, mode="overwrite")  # v3 del+ins
+
+    cdf = table_changes(spark, t, 0)
+    by = {
+        (r["_commit_version"], r["_change_type"], r["k"])
+        for r in cdf.collect()
+    }
+    assert {(0, "insert", k) for k in range(5)} <= by
+    assert {(1, "insert", k) for k in range(5, 8)} <= by
+    # OPTIMIZE contributes nothing
+    assert not any(v == v_opt for v, _, _ in by)
+    # the overwrite deletes the optimized file's rows and inserts the new
+    assert {(3, "delete", k) for k in range(8)} <= by
+    assert {(3, "insert", k) for k in (100, 101)} <= by
+    # range filtering: only the overwrite commit
+    only3 = table_changes(spark, t, 3, 3)
+    assert only3.count() == 8 + 2
+    assert set(only3.select("_change_type").distinct().toPandas()["_change_type"]) == {
+        "insert", "delete",
+    }
+    with pytest.raises(ValueError, match="no log commits"):
+        table_changes(spark, t, 99)
+
+
+def test_table_changes_after_vacuum_is_loud(spark, tmp_path):
+    from zeta_etl_spark.sinks.delta_log import table_changes, vacuum
+
+    t = str(tmp_path / "t")
+    write_delta(_range_df(spark, 0, 5), t)
+    write_delta(_range_df(spark, 5, 6), t, mode="overwrite")
+    vacuum(t, retention_ms=0)
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        table_changes(spark, t, 0).collect()
