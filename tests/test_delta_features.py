@@ -307,3 +307,41 @@ def test_table_changes_after_vacuum_is_loud(spark, tmp_path):
     vacuum(t, retention_ms=0)
     with pytest.raises(FileNotFoundError, match="vacuumed"):
         table_changes(spark, t, 0).collect()
+
+
+# ----------------------------------------------------------------- OCC races
+
+def test_concurrent_appends_all_land_with_contiguous_versions(spark, tmp_path):
+    """8 threads race 2 appends each through the put-if-absent commit
+    protocol: every append must land exactly once, versions must be
+    contiguous (no holes, no double-claims), and the final snapshot must
+    hold every writer's rows."""
+    import threading
+
+    from zeta_etl_spark.sinks.delta_log import _list_versions
+
+    t = str(tmp_path / "t")
+    write_delta(_range_df(spark, 0, 1), t)  # v0 creates the table
+    errors: list[Exception] = []
+
+    def _writer(wid: int) -> None:
+        try:
+            for j in range(2):
+                lo = 100 + wid * 10 + j
+                write_delta(
+                    _range_df(spark, lo, lo + 1), t, mode="append"
+                )
+        except Exception as e:  # pragma: no cover - failure path
+            errors.append(e)
+
+    threads = [threading.Thread(target=_writer, args=(w,)) for w in range(8)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors
+    assert _list_versions(t) == list(range(17))  # v0 + 16 appends
+    ks = sorted(r["k"] for r in read_delta(spark, t).collect())
+    assert ks == [0] + sorted(
+        100 + w * 10 + j for w in range(8) for j in range(2)
+    )
