@@ -345,3 +345,41 @@ def test_concurrent_appends_all_land_with_contiguous_versions(spark, tmp_path):
     assert ks == [0] + sorted(
         100 + w * 10 + j for w in range(8) for j in range(2)
     )
+
+
+# -------------------------------------------------------- pipeline publish
+
+def test_pipeline_publish_delta_mirrors_runs(spark, tmp_path):
+    from zeta_etl_spark.plans.graph import Pipeline
+    from zeta_etl_spark.sinks.delta_log import delta_history, latest_version
+
+    state = {"hi": 3}
+    p = Pipeline("pub", str(tmp_path / "gen"))
+
+    @p.table(name="gold", publish_delta=True, partition_by=("cat",))
+    def gold(pl):
+        return _range_df(spark, 0, state["hi"])
+
+    p.run(spark)
+    d = p.delta_path("gold")
+    assert read_delta(spark, d).count() == 3
+    state["hi"] = 5
+    p.run(spark)
+    assert read_delta(spark, d).count() == 5
+    # run-level time travel through the Delta log
+    assert read_delta(spark, d, version=0).count() == 3
+    assert latest_version(d) == 1
+    assert delta_history(d)[0]["operationParameters"]["mode"] == "OVERWRITE"
+    # partitioned mirror: hive layout under the delta root
+    assert os.path.isdir(os.path.join(d, "cat=a"))
+
+
+def test_pipeline_publish_delta_rejects_incremental(spark, tmp_path):
+    from zeta_etl_spark.plans.graph import Pipeline
+
+    p = Pipeline("pub2", str(tmp_path / "gen"))
+    with pytest.raises(ValueError, match="publish_delta"):
+
+        @p.table(name="s", publish_delta=True, incremental=True)
+        def s(pl):  # pragma: no cover - declaration must fail
+            raise AssertionError

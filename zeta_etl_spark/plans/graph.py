@@ -137,6 +137,7 @@ class Pipeline:
         incremental: bool = False,
         expectations: dict[str, tuple[str, str]] | None = None,
         schema_mode: str = "none",
+        publish_delta: bool = False,
     ):
         """``mode='append'`` gives the S7 append-save sink semantics
         (zetadex-mm-uptime-pipeline-v3.sql:157 saves each epoch run with
@@ -162,7 +163,17 @@ class Pipeline:
         CONSTRAINT (same as DLT): a ``read_stream`` upstream must be
         append-only — an incremental node or an external append-only file
         feed.  Streaming over an overwrite-mode table re-processes every
-        rewrite (file-stream sources track files, not rows)."""
+        rewrite (file-stream sources track files, not rows).
+
+        ``publish_delta=True`` mirrors the table's published state into a
+        real Delta table at :meth:`delta_path` after every run — one
+        overwrite commit per run, so the Delta log accumulates run-level
+        time travel and any spec-conforming reader can consume the table
+        (the reference's @dlt.table IS a managed Delta table;
+        zetadex-transactions-helius-pipeline.py:286-287).  Incremental
+        nodes are rejected — a streaming node publishes to Delta through
+        ``sinks.delta_log.foreach_batch_delta_append`` instead, which
+        gives exactly-once appends rather than per-run mirrors."""
 
         def deco(fn):
             n = name or fn.__name__
@@ -188,6 +199,13 @@ class Pipeline:
                     "overwrite_partitions / incremental writers bypass it, "
                     "so accepting it there would be silent no-op governance"
                 )
+            if publish_delta and incremental:
+                raise ValueError(
+                    f"table {n!r}: publish_delta mirrors the published "
+                    "BATCH state; a streaming node publishes to Delta via "
+                    "sinks.delta_log.foreach_batch_delta_append "
+                    "(exactly-once appends), not per-run mirrors"
+                )
             self._register(
                 Node(
                     name=n,
@@ -202,6 +220,7 @@ class Pipeline:
                         "mode": mode,
                         "incremental": incremental,
                         "schema_mode": schema_mode,
+                        "publish_delta": publish_delta,
                     },
                 )
             )
@@ -258,6 +277,13 @@ class Pipeline:
 
     def path(self, name: str) -> str:
         return os.path.join(self.base_path, name)
+
+    def delta_path(self, name: str) -> str:
+        """Destination of the ``publish_delta=True`` mirror: a real Delta
+        table (sinks/delta_log.py) next to the generation store — kept
+        outside the table's own directory so generation globbing and the
+        Delta log never see each other's files."""
+        return os.path.join(self.base_path, "_delta", name)
 
     def read(self, name: str) -> DataFrame:
         """Dependency edge: returns the named node's DataFrame, executing it
@@ -1166,6 +1192,16 @@ class Pipeline:
                 df = spark.read.schema(df.schema).parquet(
             os.path.realpath(self.path(name))
                 )
+                if node.extra.get("publish_delta"):
+                    from zeta_etl_spark.sinks.delta_log import write_delta
+
+                    write_delta(
+                        df,
+                        self.delta_path(name),
+                        mode="overwrite",
+                        partition_by=node.partition_by,
+                        checkpoint_interval=self.log_checkpoint_every,
+                    )
                 if obs is not None:
                     counts = obs.get  # filled by the write action above
                     self.expectation_metrics[node.name] = {
