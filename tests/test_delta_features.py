@@ -383,3 +383,34 @@ def test_pipeline_publish_delta_rejects_incremental(spark, tmp_path):
         @p.table(name="s", publish_delta=True, incremental=True)
         def s(pl):  # pragma: no cover - declaration must fail
             raise AssertionError
+
+
+# -------------------------------------------------- incremental consumption
+
+def test_incremental_reader_consumes_appends_once(spark, tmp_path):
+    from zeta_etl_spark.sinks.delta_log import (
+        DeltaUnsupported,
+        read_delta_incremental,
+    )
+
+    t = str(tmp_path / "t")
+    cur = str(tmp_path / "cursor.json")
+    write_delta(_range_df(spark, 0, 3), t)
+    df, v = read_delta_incremental(spark, t, cur)
+    assert v == 0 and sorted(r["k"] for r in df.collect()) == [0, 1, 2]
+    # caught up: nothing new
+    df2, v2 = read_delta_incremental(spark, t, cur)
+    assert df2 is None and v2 == 0
+    # two more appends arrive; one pull covers both commits
+    write_delta(_range_df(spark, 3, 5), t, mode="append")
+    write_delta(_range_df(spark, 5, 6), t, mode="append")
+    df3, v3 = read_delta_incremental(spark, t, cur)
+    assert v3 == 2 and sorted(r["k"] for r in df3.collect()) == [3, 4, 5]
+    assert {r["_commit_version"] for r in df3.collect()} == {1, 2}
+    # a second consumer has its own cursor and sees everything
+    dfb, _ = read_delta_incremental(spark, t, cur, consumer_id="other")
+    assert dfb.count() == 6
+    # an overwrite poisons the range: loud, not silent inserts
+    write_delta(_range_df(spark, 9, 10), t, mode="overwrite")
+    with pytest.raises(DeltaUnsupported, match="deletes"):
+        read_delta_incremental(spark, t, cur)

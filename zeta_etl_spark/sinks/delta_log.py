@@ -1023,6 +1023,54 @@ def table_changes(
     return out
 
 
+def read_delta_incremental(
+    spark: SparkSession,
+    table: str,
+    cursor_path: str,
+    consumer_id: str = "default",
+) -> tuple[DataFrame | None, int]:
+    """Delta-as-a-streaming-source at batch granularity: each call
+    returns (new_rows, latest_version) where ``new_rows`` holds the rows
+    INSERTED by commits after the consumer's cursor (None when caught
+    up), then advances the durable cursor at ``cursor_path``.  This is
+    the availableNow contract of Delta's streaming source: appends are
+    consumed exactly once per consumer; a commit carrying deletes inside
+    the consumed range (overwrite, row-level change) is a loud error —
+    same as Delta's streaming source without ``skipChangeCommits``.
+
+    The cursor is a tiny JSON (per ``consumer_id``), written atomically
+    AFTER the caller's read plan is constructed; a crash before the
+    caller persists its output re-delivers the same range on the next
+    call — at-least-once for the caller, exactly-once when the caller's
+    sink is idempotent (e.g. ``write_delta(txn=...)``)."""
+    latest = latest_version(table)
+    state: dict[str, int] = {}
+    if os.path.exists(cursor_path):
+        with open(cursor_path) as fh:
+            state = json.load(fh)
+    since = state.get(consumer_id, -1)
+    if latest <= since:
+        return None, latest
+    changes = table_changes(spark, table, since + 1, latest)
+    # a delete inside the consumed range means the table was not
+    # append-only — refuse rather than silently emit inserts
+    deletes = changes.filter(F.col("_change_type") == "delete")
+    if deletes.limit(1).count() > 0:
+        raise DeltaUnsupported(
+            f"commits {since + 1}..{latest} of {table} contain deletes; "
+            "the incremental reader consumes append-only tables "
+            "(overwrites/row changes need a full re-read)"
+        )
+    out = changes.drop("_change_type", "_commit_timestamp")
+    state[consumer_id] = latest
+    tmp = cursor_path + f".tmp-{uuid.uuid4().hex}"
+    os.makedirs(os.path.dirname(cursor_path) or ".", exist_ok=True)
+    with open(tmp, "w") as fh:
+        json.dump(state, fh)
+    os.replace(tmp, cursor_path)
+    return out, latest
+
+
 def delta_history(table: str) -> list[dict]:
     """commitInfo per version, newest first (DESCRIBE HISTORY shape)."""
     out = []
