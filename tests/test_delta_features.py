@@ -414,3 +414,27 @@ def test_incremental_reader_consumes_appends_once(spark, tmp_path):
     write_delta(_range_df(spark, 9, 10), t, mode="overwrite")
     with pytest.raises(DeltaUnsupported, match="deletes"):
         read_delta_incremental(spark, t, cur)
+
+
+def test_incremental_reader_initial_snapshot_and_cleaned_log(spark, tmp_path):
+    from zeta_etl_spark.sinks.delta_log import (
+        read_delta_incremental,
+        table_changes,
+    )
+
+    t = str(tmp_path / "t")
+    cur = str(tmp_path / "c.json")
+    for lo in range(0, 6, 2):
+        write_delta(_range_df(spark, lo, lo + 2), t, mode="append")
+    write_checkpoint(t)
+    cleanup_log(t)  # commits 0 and 1 are gone
+    # CDF over the cleaned range is loud
+    with pytest.raises(ValueError, match="cleaned up"):
+        table_changes(spark, t, 0)
+    # ...but a new consumer bootstraps from the initial snapshot
+    df, v = read_delta_incremental(spark, t, cur)
+    assert v == 2 and df.count() == 6
+    # and continues incrementally from there
+    write_delta(_range_df(spark, 6, 7), t, mode="append")
+    df2, v2 = read_delta_incremental(spark, t, cur)
+    assert v2 == 3 and [r["k"] for r in df2.collect()] == [6]

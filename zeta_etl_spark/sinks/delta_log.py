@@ -953,8 +953,9 @@ def table_changes(
 
     One distributed scan per (commit, change-type) group — bounded by
     the version range a consumer asks for, never per-file unions."""
+    all_versions = _list_versions(table)
     versions = [
-        v for v in _list_versions(table)
+        v for v in all_versions
         if v >= starting_version
         and (ending_version is None or v <= ending_version)
     ]
@@ -962,6 +963,17 @@ def table_changes(
         raise ValueError(
             f"no log commits in [{starting_version}, {ending_version}] "
             f"for {table} (cleaned up or never written)"
+        )
+    # a cleaned log must not silently swallow early commits: the range is
+    # only readable if it starts at the table's first commit (version 0)
+    # or at a version whose JSON still exists
+    if versions[0] != starting_version and not (
+        starting_version <= 0 and versions[0] == 0
+    ):
+        raise ValueError(
+            f"commits {starting_version}..{versions[0] - 1} of {table} "
+            "were cleaned up past a checkpoint — CDF cannot reconstruct "
+            "them; take a full snapshot read instead"
         )
     _, meta, _, _ = _replay(table)
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
@@ -1033,10 +1045,13 @@ def read_delta_incremental(
     returns (new_rows, latest_version) where ``new_rows`` holds the rows
     INSERTED by commits after the consumer's cursor (None when caught
     up), then advances the durable cursor at ``cursor_path``.  This is
-    the availableNow contract of Delta's streaming source: appends are
-    consumed exactly once per consumer; a commit carrying deletes inside
-    the consumed range (overwrite, row-level change) is a loud error —
-    same as Delta's streaming source without ``skipChangeCommits``.
+    the availableNow contract of Delta's streaming source: a NEW consumer
+    gets the INITIAL SNAPSHOT (the full current table — also the only
+    correct start on a log-cleaned table, where CDF cannot reconstruct
+    early commits); afterwards appends are consumed exactly once per
+    consumer, and a commit carrying deletes inside the consumed range
+    (overwrite, row-level change) is a loud error — same as Delta's
+    streaming source without ``skipChangeCommits``.
 
     The cursor is a tiny JSON (per ``consumer_id``), written atomically
     AFTER the caller's read plan is constructed; a crash before the
@@ -1051,6 +1066,21 @@ def read_delta_incremental(
     since = state.get(consumer_id, -1)
     if latest <= since:
         return None, latest
+    if since < 0:
+        # new consumer: INITIAL SNAPSHOT (Delta's streaming-source
+        # bootstrap) — the full current table, then incremental.  This is
+        # also the only correct start on a log-cleaned table, where CDF
+        # cannot reconstruct the early commits.
+        out = read_delta(spark, table, version=latest).withColumn(
+            "_commit_version", F.lit(latest).cast("bigint")
+        )
+        state[consumer_id] = latest
+        tmp = cursor_path + f".tmp-{uuid.uuid4().hex}"
+        os.makedirs(os.path.dirname(cursor_path) or ".", exist_ok=True)
+        with open(tmp, "w") as fh:
+            json.dump(state, fh)
+        os.replace(tmp, cursor_path)
+        return out, latest
     changes = table_changes(spark, table, since + 1, latest)
     # a delete inside the consumed range means the table was not
     # append-only — refuse rather than silently emit inserts
