@@ -39,6 +39,21 @@ HEADLINE = [
     "user_sessions",
 ]
 # scale-path operators registered later in the round are benchmarked when present
+# the exact 10 OPTIONAL members of the round-1 bench (commit 9231c76) —
+# the cross-round comparability basket, by name, never by list position
+R1_OPTIONAL_10 = [
+    "exact_dedup_docs",
+    "minhash_lsh_pairs",
+    "doc_quality",
+    "doc_language_id",
+    "knn_cosine_top5",
+    "ann_lsh_top5",
+    "nearest_centroid_assign",
+    "ivf_cosine_top3",
+    "corpus_curation",
+    "winnowing_fingerprints",
+]
+
 OPTIONAL = [
     "exact_dedup_docs",
     "minhash_lsh_pairs",
@@ -50,6 +65,7 @@ OPTIONAL = [
     "langid_confusion_prf",
     "langid_cohens_kappa",
     "fdr_bh_rejections",
+    "hybrid_rrf_top10",
     "knn_cosine_top5",
     "ann_lsh_top5",
     "nearest_centroid_assign",
@@ -419,10 +435,15 @@ def main() -> None:
     finally:
         shutil.rmtree(mh_dir, ignore_errors=True)
     total = round(sum(timings.values()), 3)
-    # cross-round yardstick: the 26 queries benchmarked since round 1
-    # (HEADLINE + the first 10 OPTIONAL), unchanged across rounds — the
-    # judge compares this subtotal against r1's 21.3 s baseline
-    r1_set = HEADLINE + OPTIONAL[:10]
+    # cross-round yardstick: the 26 queries benchmarked since round 1,
+    # PINNED BY NAME — the judge compares this subtotal against r1's
+    # 21.3 s baseline.  (It was OPTIONAL[:10] by POSITION until r10:
+    # mid-list insertions that round silently swapped 4 members into the
+    # basket, so the two r10 session artifacts' r1_subset_total values
+    # measured a different set than every earlier round's.  Name-pinning
+    # makes the basket immune to list edits; the r10 artifacts were
+    # re-run after the fix.)
+    r1_set = HEADLINE + R1_OPTIONAL_10
     r1_subset_total = round(
         sum(t for n, t in timings.items() if n in r1_set), 3
     )

@@ -654,3 +654,204 @@ def source_signature_tokens(spark, sf_dir):
         scored.withColumn("rnk", F.row_number().over(wr).cast("bigint"))
         .filter(F.col("rnk") <= 3)
     )
+
+
+# --- hybrid_rrf_top10: BM25 x vector-cosine rank fusion ----------------------
+# Hybrid retrieval, the standard modern search stack: the SAME corpus is
+# ranked lexically (BM25 over the query terms, the arithmetic above) and
+# semantically (cosine of each embedding against the query vector — the
+# vec_id 0 embedding; documents and embeddings share the id domain), and
+# the two rankings are fused with Reciprocal Rank Fusion
+# (Cormack/Clarke/Buettcher, public method):
+#   rrf(d) = sum over lanes of 1 / (K + rank_lane(d)),  K = 60.
+# Engine-portability devices: the cosine is quantized to BIGINT with the
+# proven floor(x*1e12 + 0.5) pair BEFORE ranking (identical IEEE
+# expression trees on both engines, so ranks can never diverge on a
+# stray ulp), and each lane's reciprocal contribution is
+# floor(1e9 / (K + rank)) — an exact BIGINT, so the fused score is
+# integer-deterministic.  A document present in only one lane gets the
+# other lane's contribution as 0 (full outer join), exactly RRF's
+# missing-rank convention.
+# Scale shape: the BM25 lane explodes tokens once and filters to the
+# query terms BEFORE the shuffle; the cosine lane broadcasts ONE query
+# row against the corpus scan; each lane keeps top-30 (two
+# TakeOrderedAndProject), and the fusion joins two 30-row frames —
+# driver-sized, broadcast by AQE.
+
+_RRF_K = 60
+_RRF_SCALE = 1_000_000_000
+_RRF_DEPTH = 30
+_COS_Q = 1_000_000_000_000
+
+
+def _rrf_contrib(rank_col: str) -> str:
+    # identical text parses in Spark SQL and DuckDB
+    return (
+        f"coalesce(cast(floor({_RRF_SCALE}.0 / ({_RRF_K} + {rank_col})) "
+        "as bigint), 0)"
+    )
+
+
+def _rrf_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    from zeta_etl_spark.operators.vectors import SCALE
+
+    duck_scaled = (
+        f"list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * "
+        f"{SCALE} + 0.5) AS BIGINT))"
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+  FROM documents
+), scalars AS (
+  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM base
+), doc_term AS (
+  SELECT doc_id, token AS term, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS token FROM base) u
+  WHERE token IN ({terms})
+  GROUP BY doc_id, token
+), df_t AS (
+  SELECT term, COUNT(*) AS df FROM doc_term GROUP BY term
+), scored AS (
+  SELECT dt.doc_id, CAST({_BM25_EXPR} AS BIGINT) AS partial
+  FROM doc_term dt
+  JOIN df_t ON df_t.term = dt.term
+  JOIN base b ON b.doc_id = dt.doc_id
+  CROSS JOIN scalars
+), bm AS (
+  SELECT doc_id, CAST(rn AS BIGINT) AS bm25_rank FROM (
+    SELECT doc_id,
+      ROW_NUMBER() OVER (ORDER BY SUM(partial) DESC, doc_id) AS rn
+    FROM scored GROUP BY doc_id
+  ) t WHERE rn <= {_RRF_DEPTH}
+), e AS (
+  SELECT vec_id, {duck_scaled} AS sv FROM embeddings
+), n AS (
+  SELECT vec_id, sv,
+         list_sum(list_transform(sv, x -> x * x)) AS norm2 FROM e
+), q AS (
+  SELECT sv AS qv, norm2 AS qn FROM n WHERE vec_id = 0
+), p AS (
+  SELECT n.vec_id,
+    CAST(floor(
+      CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
+                                   i -> q.qv[i] * n.sv[i])) AS DOUBLE)
+      / NULLIF(sqrt(CAST(q.qn AS DOUBLE)) * sqrt(CAST(n.norm2 AS DOUBLE)),
+               0.0)
+      * {_COS_Q} + 0.5) AS BIGINT) AS qcos
+  FROM n CROSS JOIN q WHERE n.vec_id != 0
+), cr AS (
+  SELECT doc_id, CAST(rn AS BIGINT) AS cos_rank FROM (
+    SELECT vec_id AS doc_id,
+      ROW_NUMBER() OVER (ORDER BY qcos DESC, vec_id) AS rn
+    FROM p
+  ) t WHERE rn <= {_RRF_DEPTH}
+), fused AS (
+  SELECT doc_id, bm25_rank, cos_rank,
+    {_rrf_contrib("bm25_rank")} + {_rrf_contrib("cos_rank")} AS rrf_score
+  FROM bm FULL OUTER JOIN cr USING (doc_id)
+)
+SELECT doc_id, rrf_score, bm25_rank, cos_rank, CAST(rn AS BIGINT) AS rrf_rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id) AS rn
+  FROM fused
+) t WHERE rn <= 10
+"""
+
+
+@query(
+    "hybrid_rrf_top10",
+    oracle=_rrf_oracle(),
+    tags=("text", "vectors", "search", "fusion", "rrf"),
+)
+def hybrid_rrf_top10(spark, sf_dir):
+    from pyspark.sql.window import Window as W
+
+    from zeta_etl_spark.operators.vectors import scaled_vectors
+
+    # ----- BM25 lane (same arithmetic as bm25_search_top10) -----
+    d = T(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    terms_sql = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    base = d.select(
+        "doc_id",
+        F.expr("split(text, ' ')").alias("toks"),
+        F.expr("cast(size(split(text, ' ')) as bigint)").alias("dl"),
+    )
+    scalars = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    doc_term = (
+        base.select("doc_id", F.explode("toks").alias("term"))
+        .filter(F.expr(f"term IN ({terms_sql})"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = doc_term.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        doc_term.join(F.broadcast(df_t), "term")
+        .join(base.select("doc_id", "dl"), "doc_id")
+        .transform(with_scalar_frame(scalars))
+        .select(
+            "doc_id",
+            F.expr(f"cast({_BM25_EXPR} as bigint)").alias("partial"),
+        )
+    )
+    wb = W.orderBy(F.col("bm25_score").desc(), F.col("doc_id"))
+    bm = (
+        scored.groupBy("doc_id")
+        .agg(F.sum("partial").cast("bigint").alias("bm25_score"))
+        .withColumn("bm25_rank", F.row_number().over(wb).cast("bigint"))
+        .filter(F.col("bm25_rank") <= _RRF_DEPTH)
+        .select("doc_id", "bm25_rank")
+    )
+
+    # ----- cosine lane (query vector = vec_id 0) -----
+    emb = scaled_vectors(T(spark, sf_dir, "embeddings").drop("label"))
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("sv").alias("qv"), F.col("norm2").alias("qn")
+    )
+    dot = F.expr(
+        "aggregate(zip_with(qv, sv, (x, y) -> x * y), 0L, (a, v) -> a + v)"
+    )
+    cos = dot.cast("double") / F.nullif(
+        F.sqrt(F.col("qn").cast("double"))
+        * F.sqrt(F.col("norm2").cast("double")),
+        F.lit(0.0),
+    )
+    wc = W.orderBy(F.col("qcos").desc(), F.col("vec_id"))
+    cr = (
+        emb.filter(F.col("vec_id") != 0)
+        .transform(with_scalar_frame(q, bound=1))
+        .select(
+            "vec_id",
+            F.floor(cos * F.lit(_COS_Q) + F.lit(0.5))
+            .cast("bigint")
+            .alias("qcos"),
+        )
+        .withColumn("cos_rank", F.row_number().over(wc).cast("bigint"))
+        .filter(F.col("cos_rank") <= _RRF_DEPTH)
+        .select(F.col("vec_id").alias("doc_id"), "cos_rank")
+    )
+
+    # ----- fusion -----
+    fused = bm.join(cr, "doc_id", "full_outer").select(
+        "doc_id",
+        "bm25_rank",
+        "cos_rank",
+        (
+            F.expr(_rrf_contrib("bm25_rank"))
+            + F.expr(_rrf_contrib("cos_rank"))
+        ).alias("rrf_score"),
+    )
+    wf = W.orderBy(F.col("rrf_score").desc(), F.col("doc_id"))
+    return (
+        fused.withColumn("rrf_rank", F.row_number().over(wf).cast("bigint"))
+        .filter(F.col("rrf_rank") <= 10)
+        .select("doc_id", "rrf_score", "bm25_rank", "cos_rank", "rrf_rank")
+    )
