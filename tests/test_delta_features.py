@@ -497,3 +497,51 @@ def test_skipping_never_load_bearing_property(spark, tmp_path):
         assert render(pruned) == render(expected)
 
     check()
+
+
+# ------------------------------------------------------------------- restore
+
+def test_restore_is_metadata_only_and_preserves_history(spark, tmp_path):
+    from zeta_etl_spark.sinks.delta_log import restore_table
+
+    t = str(tmp_path / "t")
+    write_delta(_range_df(spark, 0, 5), t)                 # v0
+    write_delta(_range_df(spark, 5, 8), t, mode="append")  # v1
+    wide = spark.createDataFrame([(99, "z", 0.0, "n")], SCHEMA + ", note string")
+    write_delta(wide, t, mode="append", merge_schema=True)  # v2 (evolved)
+    v = restore_table(t, 0)
+    assert v == 3
+    back = read_delta(spark, t)
+    assert back.columns == ["k", "cat", "v"]  # schema restored too
+    assert _rows(back) == _rows(_range_df(spark, 0, 5))
+    # history preserved: the pre-restore state is still time-travelable
+    assert read_delta(spark, t, version=2).count() == 9
+    assert delta_history(t)[0]["operation"] == "RESTORE"
+    # restoring after vacuum killed the old files is loud
+    write_delta(_range_df(spark, 50, 51), t, mode="overwrite")
+    from zeta_etl_spark.sinks.delta_log import vacuum
+
+    vacuum(t, retention_ms=0)
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        restore_table(t, 0)
+
+
+def test_optimize_where_scopes_to_partition(spark, tmp_path):
+    t = str(tmp_path / "t")
+    for lo in range(0, 40, 10):
+        write_delta(
+            _range_df(spark, lo, lo + 10), t, mode="append",
+            partition_by=("cat",),
+        )
+    before = read_delta(spark, t)
+    a_files_before = [f for f in before.inputFiles() if "cat=a" in f]
+    b_files_before = sorted(f for f in before.inputFiles() if "cat=b" in f)
+    optimize(spark, t, where={"cat": "a"})
+    after = read_delta(spark, t)
+    a_files_after = [f for f in after.inputFiles() if "cat=a" in f]
+    b_files_after = sorted(f for f in after.inputFiles() if "cat=b" in f)
+    assert len(a_files_after) < len(a_files_before)  # a compacted
+    assert b_files_after == b_files_before           # b untouched
+    assert _rows(after) == _rows(before)
+    with pytest.raises(DeltaUnsupported, match="partition columns"):
+        optimize(spark, t, where={"k": "1"})

@@ -803,6 +803,7 @@ def optimize(
     zorder_by: Sequence[str] = (),
     target_file_rows: int = 4_000_000,
     max_retries: int = 5,
+    where: dict[str, str] | None = None,
 ) -> int:
     """Delta OPTIMIZE: rewrite the current live file set into
     ~``ceil(rows / target_file_rows)`` bin-packed files, committing
@@ -816,10 +817,16 @@ def optimize(
     :func:`read_delta`'s data skipping prunes hard on EVERY z-ordered
     column, not just the leading sort key.
 
-    OCC: if another writer commits while the rewrite runs, the staged
-    files are discarded and the whole rewrite re-runs against the new
-    snapshot (an OPTIMIZE must only remove files it actually read).
-    Returns the committed version."""
+    ``where={partition_col: value, ...}`` scopes the rewrite to the
+    matching hive partitions (Delta's ``OPTIMIZE ... WHERE`` — partition
+    predicates only): untouched partitions keep their files, and a
+    concurrent commit to an UNRELATED partition does not force a
+    re-rewrite.
+
+    OCC: if another writer commits to the optimized scope while the
+    rewrite runs, the staged files are discarded and the whole rewrite
+    re-runs against the new snapshot (an OPTIMIZE must only remove files
+    it actually read).  Returns the committed version."""
     zorder_by = list(zorder_by)
     for _ in range(max_retries):
         _, meta, live, _ = _replay(table)
@@ -841,6 +848,23 @@ def optimize(
                     f"{[types.get(c) for c in bad]}"
                 )
         pcols = meta["partitionColumns"]
+        if where:
+            bad_keys = sorted(set(where) - set(pcols))
+            if bad_keys:
+                raise DeltaUnsupported(
+                    f"OPTIMIZE where= takes partition columns only; "
+                    f"{bad_keys} are not in partitionColumns {pcols}"
+                )
+            live = {
+                p: a
+                for p, a in live.items()
+                if all(
+                    (a.get("partitionValues") or {}).get(k) == str(v)
+                    for k, v in where.items()
+                )
+            }
+            if not live:
+                return base_version
         snapshot_paths = sorted(live)
         files = [
             os.path.join(table, urllib.parse.unquote(p))
@@ -880,6 +904,15 @@ def optimize(
 
         adds = _stage_data_files(out, table, pcols, data_change=False)
         _, _, live_now, _ = _replay(table)
+        if where:
+            live_now = {
+                p: a
+                for p, a in live_now.items()
+                if all(
+                    (a.get("partitionValues") or {}).get(k) == str(v)
+                    for k, v in where.items()
+                )
+            }
         if sorted(live_now) != snapshot_paths:
             # someone committed mid-rewrite: discard the staged files
             # (they are unreferenced; VACUUM would also collect them)
@@ -899,6 +932,7 @@ def optimize(
                     "operationParameters": {
                         "zOrderBy": json.dumps(zorder_by),
                         "targetFileRows": target_file_rows,
+                        "where": json.dumps(where or {}),
                     },
                     "engineInfo": "zeta-etl-spark delta_log",
                 }
@@ -1033,6 +1067,55 @@ def table_changes(
     for p in pieces[1:]:
         out = out.unionByName(p)
     return out
+
+
+def restore_table(table: str, version: int) -> int:
+    """Delta ``RESTORE TABLE ... TO VERSION AS OF v``: a metadata-only
+    commit that makes the CURRENT snapshot equal the snapshot at
+    ``version`` — removes for files live now but not then, re-adds for
+    files live then but not now (their original add actions, stats
+    included), plus the old metaData when the schema changed since.  No
+    data moves; restored files must still exist on disk (VACUUM past
+    them makes the restore a loud error, exactly as in Delta).  History
+    is preserved: the restore is a NEW version on top."""
+    _, meta_now, live_now, _ = _replay(table)
+    _, meta_then, live_then, _ = _replay(table, version)
+    ts = int(time.time() * 1000)
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": ts,
+                "operation": "RESTORE",
+                "operationParameters": {"version": version},
+                "engineInfo": "zeta-etl-spark delta_log",
+            }
+        }
+    ]
+    if meta_then["schemaString"] != meta_now["schemaString"]:
+        actions.append({"metaData": meta_then})
+    for p in sorted(set(live_now) - set(live_then)):
+        actions.append(
+            {
+                "remove": {
+                    "path": p,
+                    "deletionTimestamp": ts,
+                    "dataChange": True,
+                }
+            }
+        )
+    for p in sorted(set(live_then) - set(live_now)):
+        full = os.path.join(table, urllib.parse.unquote(p))
+        if not os.path.exists(full):
+            raise FileNotFoundError(
+                f"RESTORE to {version} needs {p!r} but it was vacuumed"
+            )
+        actions.append({"add": {**live_then[p], "dataChange": True}})
+    new_version = latest_version(table) + 1
+    if not _write_commit_atomic(table, new_version, actions):
+        raise DeltaConcurrentModification(
+            f"lost the RESTORE commit race: {table}"
+        )
+    return new_version
 
 
 def read_delta_incremental(
