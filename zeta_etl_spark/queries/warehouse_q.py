@@ -835,3 +835,74 @@ def delta_zorder_pruned_rollup(spark, sf_dir):
         F.min("user_id").alias("min_user"),
         F.max("user_id").alias("max_user"),
     )
+
+
+# --- delta_restore_cdf_audit: RESTORE + Change Data Feed on the graded
+# surface.  Three commits — overwrite (band A), append (band B), RESTORE
+# back to version 0 — then table_changes(0, 2) must reconstruct the full
+# row-level story from the log alone: band A inserted at v0, band B
+# inserted at v1, band B deleted again by the restore at v2 (a restore's
+# remove actions are dataChange:true, unlike OPTIMIZE's).  The audit
+# aggregates the feed by (change_type, commit_version) and must
+# hash-match an oracle that knows nothing about Delta — just the two
+# user-id bands of the source — so a wrong remove-set, a CDF row read
+# from the wrong file, or a restore that moved data instead of metadata
+# all break the hash.  Versions are PINNED at 0..2, so repeated calls in
+# one process (which append new commit triples) stay deterministic.
+
+_DELTA_CDF_ORACLE = f"""
+SELECT 'insert' AS change_type, CAST(0 AS BIGINT) AS commit_version,
+  COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users,
+  {dec_sum_expr("value")} AS sum_value
+FROM events WHERE user_id < 8
+UNION ALL
+SELECT 'insert', CAST(1 AS BIGINT), COUNT(*), COUNT(DISTINCT user_id),
+  {dec_sum_expr("value")}
+FROM events WHERE user_id >= 8 AND user_id < 12
+UNION ALL
+SELECT 'delete', CAST(2 AS BIGINT), COUNT(*), COUNT(DISTINCT user_id),
+  {dec_sum_expr("value")}
+FROM events WHERE user_id >= 8 AND user_id < 12
+"""
+
+
+@query(
+    "delta_restore_cdf_audit",
+    oracle=_DELTA_CDF_ORACLE,
+    tags=("delta", "sink", "S6", "format", "cdf", "restore"),
+)
+def delta_restore_cdf_audit(spark, sf_dir):
+    import hashlib
+    import os
+    import tempfile
+
+    from zeta_etl_spark.sinks.delta_log import (
+        restore_table,
+        table_changes,
+        write_delta,
+    )
+
+    ev = T(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", "ts"
+    )
+    dest = os.path.join(
+        tempfile.gettempdir(),
+        "zeta_delta_cdf_"
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}_{os.getpid()}",
+    )
+    write_delta(ev.filter(F.col("user_id") < 8), dest, mode="overwrite")
+    write_delta(
+        ev.filter((F.col("user_id") >= 8) & (F.col("user_id") < 12)),
+        dest,
+        mode="append",
+    )
+    restore_table(dest, 0)
+    feed = table_changes(spark, dest, 0, 2)
+    return feed.groupBy(
+        F.col("_change_type").alias("change_type"),
+        F.col("_commit_version").alias("commit_version"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        dec_sum("value", "sum_value"),
+    )
