@@ -1367,7 +1367,14 @@ def foreach_batch_delta_append(
     A stream is exactly the writer that accumulates commits without
     bound, so the periodic-checkpoint policy defaults ON here
     (``checkpoint_interval=10``, Delta's own default): snapshot replay
-    stays O(10 + live files) forever."""
+    stays O(10 + live files) forever.
+
+    OPERATIONAL HAZARD (spec-consistent with Delta's txnAppId dedup):
+    after a stream-checkpoint RESET, the source re-lists everything as
+    batch 0 — if new files landed before the post-reset drain, they ride
+    that replayed batch and are skipped with it.  Drain before new data
+    arrives, or switch ``app_id`` (accepting that the old batches then
+    re-commit)."""
 
     def _append(batch_df: DataFrame, batch_id: int) -> None:
         seen = last_txn_version(table, app_id)
