@@ -66,6 +66,7 @@ OPTIONAL = [
     "langid_cohens_kappa",
     "fdr_bh_rejections",
     "hybrid_rrf_top10",
+    "prf_rocchio_top10",
     "knn_cosine_top5",
     "ann_lsh_top5",
     "nearest_centroid_assign",

@@ -855,3 +855,167 @@ def hybrid_rrf_top10(spark, sf_dir):
         .filter(F.col("rrf_rank") <= 10)
         .select("doc_id", "rrf_score", "bm25_rank", "cos_rank", "rrf_rank")
     )
+
+
+# --- prf_rocchio_top10: pseudo-relevance-feedback retrieval ------------------
+# Rocchio-style PRF (public method, SMART system lineage): round 1 ranks
+# the corpus by BM25 over the literal query terms and takes the top-5
+# docs as the FEEDBACK SET; the 3 most frequent long tokens of that set
+# (df within the feedback docs, excluding the original terms,
+# len(token) > 3, ties by term) become EXPANSION terms; round 2 re-ranks
+# the corpus with integer weights — original terms x2, expansion terms
+# x1 — over the same floor-scaled BM25 partials, so the fused score
+# stays an exact BIGINT.  The interesting engine property: round 2's
+# term set is DATA-DEPENDENT, so the token filter is a broadcast join
+# against a <=7-row terms frame instead of a literal IN — tokens explode
+# once and meet the terms frame right after the explode (same shuffle
+# shape as the literal filter, no driver round-trip, no collected
+# intermediate).
+
+_PRF_DEPTH_FB = 5
+_PRF_N_EXP = 3
+
+
+def _prf_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return f"""
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+  FROM documents
+), scalars AS (
+  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM base
+), tok AS (
+  SELECT doc_id, unnest(toks) AS term FROM base
+), dt1 AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok
+  WHERE term IN ({terms}) GROUP BY doc_id, term
+), df1 AS (
+  SELECT term, COUNT(*) AS df FROM dt1 GROUP BY term
+), r1 AS (
+  SELECT dt1.doc_id, SUM(CAST({_BM25_EXPR} AS BIGINT)) AS s
+  FROM dt1 JOIN df1 ON df1.term = dt1.term
+  JOIN base b ON b.doc_id = dt1.doc_id CROSS JOIN scalars
+  GROUP BY dt1.doc_id
+), fb AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS rn
+    FROM r1
+  ) t WHERE rn <= {_PRF_DEPTH_FB}
+), exp_terms AS (
+  SELECT term, CAST(1 AS BIGINT) AS w FROM (
+    SELECT tok.term,
+      ROW_NUMBER() OVER (ORDER BY COUNT(DISTINCT tok.doc_id) DESC,
+                         tok.term) AS rn
+    FROM tok JOIN fb ON fb.doc_id = tok.doc_id
+    WHERE len(tok.term) > 3 AND tok.term NOT IN ({terms})
+    GROUP BY tok.term
+  ) t WHERE rn <= {_PRF_N_EXP}
+), qterms AS (
+  SELECT term, CAST(2 AS BIGINT) AS w
+  FROM (SELECT unnest([{terms}]) AS term)
+  UNION ALL SELECT term, w FROM exp_terms
+), dt2 AS (
+  SELECT tok.doc_id, tok.term, q.w, COUNT(*) AS tf
+  FROM tok JOIN qterms q ON q.term = tok.term
+  GROUP BY tok.doc_id, tok.term, q.w
+), df2 AS (
+  SELECT term, COUNT(*) AS df FROM dt2 GROUP BY term
+), r2 AS (
+  SELECT dt2.doc_id,
+    SUM(dt2.w * CAST({_BM25_EXPR} AS BIGINT)) AS prf_score
+  FROM dt2 JOIN df2 ON df2.term = dt2.term
+  JOIN base b ON b.doc_id = dt2.doc_id CROSS JOIN scalars
+  GROUP BY dt2.doc_id
+)
+SELECT doc_id, CAST(prf_score AS BIGINT) AS prf_score,
+  CAST(rn AS BIGINT) AS prf_rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY prf_score DESC, doc_id) AS rn
+  FROM r2
+) t WHERE rn <= 10
+"""
+
+
+@query(
+    "prf_rocchio_top10",
+    oracle=_prf_oracle(),
+    tags=("text", "search", "bm25", "prf"),
+)
+def prf_rocchio_top10(spark, sf_dir):
+    from pyspark.sql.window import Window as W
+
+    d = T(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    terms_sql = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    base = d.select(
+        "doc_id",
+        F.expr("split(text, ' ')").alias("toks"),
+        F.expr("cast(size(split(text, ' ')) as bigint)").alias("dl"),
+    )
+    scalars = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tok = base.select("doc_id", F.explode("toks").alias("term"))
+
+    def _score(doc_term, score_col):
+        # BM25 partials for a (doc_id, term, w, tf) frame; returns
+        # (doc_id, score_col) with the weighted integer sum
+        df_t = doc_term.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        return (
+            doc_term.join(F.broadcast(df_t), "term")
+            .join(base.select("doc_id", "dl"), "doc_id")
+            .transform(with_scalar_frame(scalars))
+            .select(
+                "doc_id",
+                (
+                    F.col("w") * F.expr(f"cast({_BM25_EXPR} as bigint)")
+                ).alias("partial"),
+            )
+            .groupBy("doc_id")
+            .agg(F.sum("partial").cast("bigint").alias(score_col))
+        )
+
+    dt1 = (
+        tok.filter(F.expr(f"term IN ({terms_sql})"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("w", F.lit(1).cast("bigint"))
+    )
+    w1 = W.orderBy(F.col("s").desc(), F.col("doc_id"))
+    fb = (
+        _score(dt1, "s")
+        .withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= _PRF_DEPTH_FB)
+        .select("doc_id")
+    )
+    wexp = W.orderBy(F.col("dfb").desc(), F.col("term"))
+    exp_terms = (
+        tok.join(F.broadcast(fb), "doc_id")
+        .filter(
+            (F.length("term") > 3) & ~F.expr(f"term IN ({terms_sql})")
+        )
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("dfb"))
+        .withColumn("rn", F.row_number().over(wexp))
+        .filter(F.col("rn") <= _PRF_N_EXP)
+        .select("term", F.lit(1).cast("bigint").alias("w"))
+    )
+    orig = spark.createDataFrame(
+        [(t, 2) for t in _BM25_TERMS], "term string, w bigint"
+    )
+    qterms = orig.unionByName(exp_terms)
+    dt2 = (
+        tok.join(F.broadcast(qterms), "term")
+        .groupBy("doc_id", "term", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    wf = W.orderBy(F.col("prf_score").desc(), F.col("doc_id"))
+    return (
+        _score(dt2, "prf_score")
+        .withColumn("prf_rank", F.row_number().over(wf).cast("bigint"))
+        .filter(F.col("prf_rank") <= 10)
+    )
