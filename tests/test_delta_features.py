@@ -614,3 +614,81 @@ def test_stream_to_delta_to_incremental_consumer_e2e(spark, tmp_path):
     # caught-up pull is a no-op
     _consume()
     assert sorted(state) == list(range(8))
+
+
+# ------------------------------------------------------- review regressions
+
+def test_strict_op_pruning_is_exact_above_2_53(spark, tmp_path):
+    # int stats must never round through float: 2^53 and 2^53+1 collide
+    # as doubles, which would let a strict < wrongly prune the file
+    t = str(tmp_path / "t")
+    big = 2**53
+    write_delta(
+        spark.createDataFrame([(big, "a", 1.0)], SCHEMA).coalesce(1), t
+    )
+    got = read_delta(spark, t, predicate=[("k", "<", big + 1)])
+    assert got.count() == 1  # the boundary row survives
+
+
+def test_zorder_handles_date_columns(spark, tmp_path):
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, f"2024-01-{(i % 27) + 1:02d}", float(i)) for i in range(40)],
+        "k bigint, d string, v double",
+    ).select("k", F.col("d").cast("date").alias("d"), "v")
+    for lo in range(0, 40, 10):
+        write_delta(
+            df.filter((F.col("k") >= lo) & (F.col("k") < lo + 10)),
+            t,
+            mode="append",
+        )
+    v = optimize(spark, t, zorder_by=("d", "v"))
+    assert delta_history(t)[0]["version"] == v
+    assert read_delta(spark, t).count() == 40
+
+
+def test_optimize_where_rejects_non_string_values(spark, tmp_path):
+    t = str(tmp_path / "t")
+    write_delta(_range_df(spark, 0, 10), t, partition_by=("cat",))
+    with pytest.raises(DeltaUnsupported, match="hive-encoded"):
+        optimize(spark, t, where={"cat": True})
+
+
+def test_concurrent_schema_evolutions_union_not_clobber(spark, tmp_path):
+    """An OCC retry must commit the UNION of the table's current schema
+    and the writer's frame — not a schema built from a stale snapshot.
+    Simulated by squatting the version the second writer would take."""
+    t = str(tmp_path / "t")
+    write_delta(_range_df(spark, 0, 3), t)
+    # writer 1 evolves with column x
+    w1 = spark.createDataFrame([(10, "a", 1.0, 7)], SCHEMA + ", x bigint")
+    write_delta(w1, t, mode="append", merge_schema=True)
+    # writer 2 evolves with column y — its commit must keep x in the
+    # schema even though (in a real race) it planned against version 0
+    w2 = spark.createDataFrame([(11, "b", 2.0, "s")], SCHEMA + ", y string")
+    write_delta(w2, t, mode="append", merge_schema=True)
+    back = read_delta(spark, t)
+    assert set(back.columns) == {"k", "cat", "v", "x", "y"}
+    row = {r["k"]: r for r in back.collect()}
+    assert row[10]["x"] == 7 and row[10]["y"] is None
+    assert row[11]["y"] == "s" and row[11]["x"] is None
+
+
+def test_incremental_two_phase_commit_redelivers_on_crash(spark, tmp_path):
+    from zeta_etl_spark.sinks.delta_log import (
+        commit_cursor,
+        read_delta_incremental,
+    )
+
+    t = str(tmp_path / "t")
+    cur = str(tmp_path / "c.json")
+    write_delta(_range_df(spark, 0, 3), t)
+    # consumer reads but CRASHES before persisting: cursor untouched
+    df, v = read_delta_incremental(spark, t, cur, auto_commit=False)
+    assert df.count() == 3
+    # restart: the same range is re-delivered (at-least-once)
+    df2, v2 = read_delta_incremental(spark, t, cur, auto_commit=False)
+    assert v2 == v and df2.count() == 3
+    commit_cursor(cur, "default", v2)
+    df3, _ = read_delta_incremental(spark, t, cur, auto_commit=False)
+    assert df3 is None  # now durably consumed

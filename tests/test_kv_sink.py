@@ -198,3 +198,32 @@ def test_estimate_write_plan_accounts_batches_and_wcu(spark):
     assert plan["total_wcu"] == 70
     assert plan["n_oversize_items"] == 0
     assert plan["est_seconds_at_provisioned"] == 70 / spec.throughput
+
+
+def test_put_rejects_duplicate_keys_in_one_export(spark, tmp_path):
+    import pytest
+
+    with pytest.raises(ValueError, match="duplicate primary keys"):
+        export_to_kv(
+            _mk(spark, [("A", "24h", 1.0), ("A", "24h", 2.0)]),
+            _spec(),
+            str(tmp_path),
+        )
+
+
+def test_put_swap_recovers_from_crash_window(spark, tmp_path):
+    import shutil
+
+    from zeta_etl_spark.sinks.kv_sink import KVReader
+
+    t = str(tmp_path)
+    export_to_kv(_mk(spark, [("A", "24h", 1.0)]), _spec(), t)
+    path = os.path.join(t, "metrics")
+    # simulate a crash between the two swap renames: live dir moved
+    # aside, replacement never landed
+    shutil.move(path, path + "__old")
+    export_to_kv(_mk(spark, [("B", "24h", 2.0)]), _spec(), t)
+    r = KVReader(spark, t, "metrics")
+    # the pre-crash table was recovered and merged into, not discarded
+    assert r.get_item("A", "24h")["volume"] == 1.0
+    assert r.get_item("B", "24h")["volume"] == 2.0

@@ -436,7 +436,6 @@ def write_delta(
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     partition_by = list(partition_by)
     schema_string = df.schema.json()
-    evolved_meta: dict | None = None
 
     existing = _list_versions(table)
     if existing:
@@ -488,20 +487,9 @@ def write_delta(
                     ]
                 )
                 schema_string = df.schema.json()
-                if new_cols:
-                    evolved_meta = {
-                        **meta,
-                        "schemaString": schema_string,
-                    }
             else:
                 df = df.select(*[f.name for f in tbl_schema])
                 schema_string = meta["schemaString"]
-        elif schema_string != meta["schemaString"]:
-            # overwrite replaces the data AND the schema (Delta's
-            # overwriteSchema outcome): without a fresh metaData action
-            # the table would advertise a schema its live files no
-            # longer have
-            evolved_meta = {**meta, "schemaString": schema_string}
 
     adds = _stage_data_files(df, table, partition_by)
     commit_info = {
@@ -544,8 +532,47 @@ def write_delta(
                     }
                 }
             )
-        elif evolved_meta is not None:
-            actions.append({"metaData": evolved_meta})
+        else:
+            # metaData recomputed against the CURRENT snapshot EVERY
+            # attempt: a retry after a lost race must not commit a
+            # schema built from a stale read — a concurrent writer may
+            # have evolved the table, and clobbering its metaData would
+            # silently orphan its columns (the frame's data files are
+            # unaffected: absent columns read as NULL)
+            _, meta_now, _, _ = _replay(table)
+            now_schema = StructType.fromJson(
+                json.loads(meta_now["schemaString"])
+            )
+            now_types = {f.name: f.dataType for f in now_schema}
+            conflicts = sorted(
+                f.name for f in df.schema
+                if f.name in now_types and now_types[f.name] != f.dataType
+            )
+            if conflicts:
+                raise DeltaUnsupported(
+                    f"write conflicts with the table's current column "
+                    f"types {conflicts} (evolved concurrently?)"
+                )
+            if mode == "overwrite":
+                target_schema = df.schema.json()
+            else:
+                union = StructType(
+                    list(now_schema)
+                    + [f for f in df.schema if f.name not in now_types]
+                )
+                target_schema = union.json()
+                if (
+                    target_schema != meta_now["schemaString"]
+                    and not merge_schema
+                ):
+                    raise DeltaUnsupported(
+                        "table schema evolved concurrently and this "
+                        "append did not pass merge_schema=True"
+                    )
+            if target_schema != meta_now["schemaString"]:
+                actions.append(
+                    {"metaData": {**meta_now, "schemaString": target_schema}}
+                )
         if version != 0 and mode == "overwrite":
             # remove-set computed against the CURRENT snapshot each retry
             # (a lost race means someone else's files are now live)
@@ -632,7 +659,19 @@ def _coerce_for_compare(raw, literal):
             )
             return v, literal
         if isinstance(literal, (int, float)):
-            return float(raw), float(literal)
+            # keep native numeric types: Python compares int vs float
+            # EXACTLY (no precision loss above 2^53 — coercing a bigint
+            # stat through float() would let a strict < / > wrongly
+            # prune a file whose boundary row actually matches)
+            if isinstance(raw, bool):
+                return None
+            if isinstance(raw, (int, float)):
+                return raw, literal
+            s = str(raw)
+            try:
+                return int(s), literal
+            except ValueError:
+                return float(s), literal
         if isinstance(literal, str):
             return str(raw), literal
     except (ValueError, TypeError):
@@ -769,12 +808,26 @@ def _zvalue_expr(df: DataFrame, zorder_by: Sequence[str]):
     bucket 0."""
     from zeta_etl_spark.operators.reshape import morton_code_sql_n
 
+    types = {f.name: f.dataType.simpleString() for f in df.schema}
+
+    def _numeric(col: str) -> str:
+        # DATE / TIMESTAMP_NTZ reject a direct double cast; epoch-scale
+        # conversions are monotone, which is all clustering needs
+        t = types.get(col, "")
+        if t == "date":
+            return f"cast(unix_date(`{col}`) as double)"
+        if t in ("timestamp", "timestamp_ntz"):
+            return f"cast(unix_micros(cast(`{col}` as timestamp)) as double)"
+        return f"cast(`{col}` as double)"
+
     k = len(zorder_by)
     bits = min(16, 62 // k)
     aggs = []
     for c in zorder_by:
-        aggs += [F.min(F.col(c).cast("double")),
-                 F.max(F.col(c).cast("double"))]
+        aggs += [
+            F.expr(f"min({_numeric(c)})"),
+            F.expr(f"max({_numeric(c)})"),
+        ]
     row = df.agg(*aggs).first()
     top = float((1 << bits) - 1)
 
@@ -782,7 +835,7 @@ def _zvalue_expr(df: DataFrame, zorder_by: Sequence[str]):
         if lo is None or hi is None or hi == lo:
             return "0"
         return (
-            f"coalesce(least(greatest(cast(floor((cast({col} as double) "
+            f"coalesce(least(greatest(cast(floor(({_numeric(col)} "
             f"- {lo!r}) / {hi - lo!r} * {top!r}) as bigint), 0), "
             f"{int(top)}), 0)"
         )
@@ -795,6 +848,17 @@ def _zvalue_expr(df: DataFrame, zorder_by: Sequence[str]):
         bits,
     )
     return F.expr(code)
+
+
+def _discard_staged(table: str, adds: list[dict]) -> None:
+    """Unlink staged-but-uncommitted data files (they are unreferenced;
+    VACUUM would also collect them by age)."""
+    for a in adds:
+        staged = os.path.join(
+            table, urllib.parse.unquote(a["add"]["path"])
+        )
+        if os.path.exists(staged):
+            os.unlink(staged)
 
 
 def optimize(
@@ -855,11 +919,25 @@ def optimize(
                     f"OPTIMIZE where= takes partition columns only; "
                     f"{bad_keys} are not in partitionColumns {pcols}"
                 )
+            # values must be the hive-encoded STRINGS the log stores (or
+            # None for the null partition): coercing with str() would
+            # silently mismatch e.g. booleans ('True' vs 'true') and
+            # make the whole OPTIMIZE a no-op
+            bad_vals = sorted(
+                k for k, v in where.items()
+                if v is not None and not isinstance(v, str)
+            )
+            if bad_vals:
+                raise DeltaUnsupported(
+                    f"OPTIMIZE where= values must be the hive-encoded "
+                    f"partition strings (or None); got non-strings for "
+                    f"{bad_vals}"
+                )
             live = {
                 p: a
                 for p, a in live.items()
                 if all(
-                    (a.get("partitionValues") or {}).get(k) == str(v)
+                    (a.get("partitionValues") or {}).get(k) == v
                     for k, v in where.items()
                 )
             }
@@ -909,19 +987,13 @@ def optimize(
                 p: a
                 for p, a in live_now.items()
                 if all(
-                    (a.get("partitionValues") or {}).get(k) == str(v)
+                    (a.get("partitionValues") or {}).get(k) == v
                     for k, v in where.items()
                 )
             }
         if sorted(live_now) != snapshot_paths:
-            # someone committed mid-rewrite: discard the staged files
-            # (they are unreferenced; VACUUM would also collect them)
-            for a in adds:
-                staged = os.path.join(
-                    table, urllib.parse.unquote(a["add"]["path"])
-                )
-                if os.path.exists(staged):
-                    os.unlink(staged)
+            # someone committed mid-rewrite: the rewrite is stale
+            _discard_staged(table, adds)
             continue
         ts = int(time.time() * 1000)
         actions: list[dict] = [
@@ -951,12 +1023,7 @@ def optimize(
         actions.extend(adds)
         if _write_commit_atomic(table, base_version + 1, actions):
             return base_version + 1
-        for a in adds:
-            staged = os.path.join(
-                table, urllib.parse.unquote(a["add"]["path"])
-            )
-            if os.path.exists(staged):
-                os.unlink(staged)
+        _discard_staged(table, adds)
     raise DeltaConcurrentModification(
         f"OPTIMIZE lost the rewrite race {max_retries} times: {table}"
     )
@@ -1118,29 +1185,51 @@ def restore_table(table: str, version: int) -> int:
     return new_version
 
 
+def commit_cursor(cursor_path: str, consumer_id: str, version: int) -> None:
+    """Atomically record that ``consumer_id`` has durably processed
+    everything up to ``version`` (tmp-write + rename; one JSON file can
+    carry many consumers)."""
+    state: dict[str, int] = {}
+    if os.path.exists(cursor_path):
+        with open(cursor_path) as fh:
+            state = json.load(fh)
+    state[consumer_id] = version
+    tmp = cursor_path + f".tmp-{uuid.uuid4().hex}"
+    os.makedirs(os.path.dirname(cursor_path) or ".", exist_ok=True)
+    with open(tmp, "w") as fh:
+        json.dump(state, fh)
+    os.replace(tmp, cursor_path)
+
+
 def read_delta_incremental(
     spark: SparkSession,
     table: str,
     cursor_path: str,
     consumer_id: str = "default",
+    auto_commit: bool = True,
 ) -> tuple[DataFrame | None, int]:
     """Delta-as-a-streaming-source at batch granularity: each call
     returns (new_rows, latest_version) where ``new_rows`` holds the rows
     INSERTED by commits after the consumer's cursor (None when caught
-    up), then advances the durable cursor at ``cursor_path``.  This is
-    the availableNow contract of Delta's streaming source: a NEW consumer
-    gets the INITIAL SNAPSHOT (the full current table — also the only
-    correct start on a log-cleaned table, where CDF cannot reconstruct
-    early commits); afterwards appends are consumed exactly once per
+    up).  This is the availableNow contract of Delta's streaming source:
+    a NEW consumer gets the INITIAL SNAPSHOT (the full current table —
+    also the only correct start on a log-cleaned table, where CDF cannot
+    reconstruct early commits); afterwards appends are consumed once per
     consumer, and a commit carrying deletes inside the consumed range
     (overwrite, row-level change) is a loud error — same as Delta's
     streaming source without ``skipChangeCommits``.
 
-    The cursor is a tiny JSON (per ``consumer_id``), written atomically
-    AFTER the caller's read plan is constructed; a crash before the
-    caller persists its output re-delivers the same range on the next
-    call — at-least-once for the caller, exactly-once when the caller's
-    sink is idempotent (e.g. ``write_delta(txn=...)``)."""
+    Delivery semantics are the caller's choice:
+
+    - ``auto_commit=True`` (default) advances the durable cursor inside
+      this call — AT-MOST-ONCE if the caller can crash between this call
+      and persisting its output (the returned DataFrame is lazy; a lost
+      range is NOT re-delivered).  Fine for best-effort consumers.
+    - ``auto_commit=False`` leaves the cursor untouched; the caller
+      persists its output FIRST and then calls :func:`commit_cursor`
+      with the returned version — at-least-once delivery, exactly-once
+      when the caller's sink is idempotent (e.g.
+      ``write_delta(txn=...)``)."""
     latest = latest_version(table)
     state: dict[str, int] = {}
     if os.path.exists(cursor_path):
@@ -1157,30 +1246,20 @@ def read_delta_incremental(
         out = read_delta(spark, table, version=latest).withColumn(
             "_commit_version", F.lit(latest).cast("bigint")
         )
-        state[consumer_id] = latest
-        tmp = cursor_path + f".tmp-{uuid.uuid4().hex}"
-        os.makedirs(os.path.dirname(cursor_path) or ".", exist_ok=True)
-        with open(tmp, "w") as fh:
-            json.dump(state, fh)
-        os.replace(tmp, cursor_path)
-        return out, latest
-    changes = table_changes(spark, table, since + 1, latest)
-    # a delete inside the consumed range means the table was not
-    # append-only — refuse rather than silently emit inserts
-    deletes = changes.filter(F.col("_change_type") == "delete")
-    if deletes.limit(1).count() > 0:
-        raise DeltaUnsupported(
-            f"commits {since + 1}..{latest} of {table} contain deletes; "
-            "the incremental reader consumes append-only tables "
-            "(overwrites/row changes need a full re-read)"
-        )
-    out = changes.drop("_change_type", "_commit_timestamp")
-    state[consumer_id] = latest
-    tmp = cursor_path + f".tmp-{uuid.uuid4().hex}"
-    os.makedirs(os.path.dirname(cursor_path) or ".", exist_ok=True)
-    with open(tmp, "w") as fh:
-        json.dump(state, fh)
-    os.replace(tmp, cursor_path)
+    else:
+        changes = table_changes(spark, table, since + 1, latest)
+        # a delete inside the consumed range means the table was not
+        # append-only — refuse rather than silently emit inserts
+        deletes = changes.filter(F.col("_change_type") == "delete")
+        if deletes.limit(1).count() > 0:
+            raise DeltaUnsupported(
+                f"commits {since + 1}..{latest} of {table} contain "
+                "deletes; the incremental reader consumes append-only "
+                "tables (overwrites/row changes need a full re-read)"
+            )
+        out = changes.drop("_change_type", "_commit_timestamp")
+    if auto_commit:
+        commit_cursor(cursor_path, consumer_id, latest)
     return out, latest
 
 

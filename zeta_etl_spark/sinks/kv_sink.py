@@ -111,7 +111,29 @@ class ParquetKVSink(KeyValueSink):
         if mode not in ("put", "recreate"):
             raise ValueError(f"mode must be put|recreate, got {mode!r}")
         path = os.path.join(target, spec.table_name)
+        # crash recovery: a kill between the two swap renames below
+        # leaves the table only at __old — restore it BEFORE reading,
+        # or the merge base would silently vanish
+        _old = path + "__old"
+        if not os.path.exists(path) and os.path.exists(_old):
+            os.rename(_old, path)
         keys = ["pk"] + (["sk"] if spec.sort_key else [])
+        # duplicate keys INSIDE one export are rejected, exactly as
+        # DynamoDB's BatchWriteItem rejects duplicate keys in one call —
+        # silently keeping "one of them" would be nondeterministic
+        dup = (
+            export_df.groupBy(*keys)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"export contains duplicate primary keys (e.g. "
+                f"{tuple(dup[0][k] for k in keys)}); de-duplicate per "
+                "key before exporting — BatchWriteItem semantics"
+            )
         out = export_df
         if mode == "put" and os.path.exists(
             os.path.join(path, "_kv_table_spec.json")
@@ -134,9 +156,16 @@ class ParquetKVSink(KeyValueSink):
         )
         import shutil
 
+        # two-rename swap (not rmtree-then-replace): every crash point
+        # leaves either the old table or the verified rewrite on disk;
+        # the residual __old dir is cleaned up by the next write
+        old = path + "__old"
+        if os.path.exists(old):
+            shutil.rmtree(old)
         if os.path.exists(path):
-            shutil.rmtree(path)
-        os.replace(tmp, path)
+            os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old, ignore_errors=True)
         meta = {
             "table_name": spec.table_name,
             "partition_key": list(spec.partition_key),
