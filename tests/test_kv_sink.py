@@ -227,3 +227,54 @@ def test_put_swap_recovers_from_crash_window(spark, tmp_path):
     # the pre-crash table was recovered and merged into, not discarded
     assert r.get_item("A", "24h")["volume"] == 1.0
     assert r.get_item("B", "24h")["volume"] == 2.0
+
+
+def test_put_merges_even_when_sidecar_is_missing(spark, tmp_path):
+    """r11 advisor: a crash in an older writer could leave a live table
+    without its sidecar; the merge gate is now the TABLE's existence, so
+    a sidecar-less table still merges instead of silently truncating
+    (and the sidecar now travels inside the staged dir, closing the
+    crash window for good)."""
+    import shutil
+
+    spec = KVTableSpec(table_name="t", partition_key=["asset"])
+    df1 = spark.createDataFrame([Row(asset="SOL", v=1)])
+    export_to_kv(df1, spec, str(tmp_path))
+    table = os.path.join(str(tmp_path), "t")
+    os.unlink(os.path.join(table, "_kv_table_spec.json"))  # simulated crash
+    df2 = spark.createDataFrame([Row(asset="BTC", v=2)])
+    export_to_kv(df2, spec, str(tmp_path))
+    got = {r["pk"]: r["v"] for r in spark.read.parquet(table).collect()}
+    assert got == {"SOL": 1, "BTC": 2}  # merged, not truncated
+    # sidecar restored atomically with the data
+    assert os.path.exists(os.path.join(table, "_kv_table_spec.json"))
+    shutil.rmtree(table)
+
+
+def test_batch_get_items_separator_in_key_does_not_alias(spark, tmp_path):
+    """r11 advisor: composite keys are matched as (pk, sk) TUPLES — a key
+    value containing any would-be separator character must not alias a
+    different pair."""
+    from zeta_etl_spark.sinks.kv_sink import KVReader
+
+    spec = KVTableSpec(
+        table_name="alias", partition_key=["a"], sort_key=["b"]
+    )
+    sep = chr(1)
+    df = spark.createDataFrame(
+        [
+            Row(a="x" + sep + "y", b="z", v=1),   # pk embeds the separator
+            Row(a="x", b="y" + sep + "z", v=2),   # sk embeds it
+            Row(a="x", b="q", v=3),
+        ]
+    )
+    export_to_kv(df, spec, str(tmp_path), mode="recreate")
+    reader = KVReader(spark, str(tmp_path), "alias")
+    # asking for ("x", "y\x01z") must return ONLY row 2, never row 1
+    got = reader.batch_get_items([("x", "y" + sep + "z")])
+    assert [(r["pk"], r["sk"], r["v"]) for r in got] == [
+        ("x", "y" + sep + "z", 2)
+    ]
+    # and the embedded-separator pk row is addressable as itself
+    got2 = reader.batch_get_items([("x" + sep + "y", "z")])
+    assert [r["v"] for r in got2] == [1]

@@ -642,15 +642,22 @@ def _coerce_for_compare(raw, literal):
         if isinstance(literal, bool):
             return raw if isinstance(raw, bool) else str(raw) == "true"
         if isinstance(literal, datetime.datetime):
+            # prune only when BOTH sides carry an explicit zone: Spark
+            # interprets a NAIVE timestamp literal in the SESSION time
+            # zone, and a naive footer stat (isAdjustedToUTC=false) has no
+            # instant semantics at all — assuming UTC for either side can
+            # prune a file whose rows Spark's filter would keep when the
+            # session tz is not UTC.  Unprunable beats wrong.
+            if literal.tzinfo is None:
+                return None
             v = (
                 datetime.datetime.fromisoformat(str(raw).replace(" ", "T"))
                 if not isinstance(raw, datetime.datetime)
                 else raw
             )
-            utc = datetime.timezone.utc
-            lit = literal if literal.tzinfo else literal.replace(tzinfo=utc)
-            v = v if v.tzinfo else v.replace(tzinfo=utc)
-            return v, lit
+            if v.tzinfo is None:
+                return None
+            return v, literal
         if isinstance(literal, datetime.date):
             v = (
                 datetime.date.fromisoformat(str(raw)[:10])
@@ -680,10 +687,22 @@ def _coerce_for_compare(raw, literal):
 
 
 def _file_may_match(add: dict, partition_cols: set[str],
-                    predicate: Sequence[tuple]) -> bool:
+                    predicate: Sequence[tuple],
+                    float_cols: frozenset[str] = frozenset()) -> bool:
     """True unless the file's partitionValues/stats PROVE no row can
     satisfy every conjunct.  Absent or uncoercible stats keep the file —
-    pruning is an I/O optimization, never a correctness dependency."""
+    pruning is an I/O optimization, never a correctness dependency.
+
+    ``float_cols`` — the table's float/double columns.  Spark orders NaN
+    LARGER than every value, but footer min/max from NaN-ignoring parquet
+    writers (parquet-cpp/pyarrow, reachable via CONVERT) silently exclude
+    NaN — so for these columns the ops NaN can satisfy from above the
+    recorded max ('>' and '>=') are never pruned, and a NaN literal (which
+    Spark's ``=`` matches against NaN rows) is never pruned on.  '<', '<='
+    and '=' with a non-NaN literal stay prunable: no NaN row satisfies
+    them, so the NaN-blind min/max bound exactly the rows that could."""
+    import math
+
     stats = json.loads(add.get("stats") or "{}") if add.get("stats") else {}
     mins = stats.get("minValues") or {}
     maxs = stats.get("maxValues") or {}
@@ -691,6 +710,11 @@ def _file_may_match(add: dict, partition_cols: set[str],
     nrec = stats.get("numRecords")
 
     for col, op, literal in predicate:
+        if col in float_cols and (
+            op in (">", ">=")
+            or (isinstance(literal, float) and math.isnan(literal))
+        ):
+            continue  # NaN-as-largest can satisfy; stats cannot refute
         if col in partition_cols:
             raw = (add.get("partitionValues") or {}).get(col)
             if raw is None:
@@ -777,10 +801,15 @@ def read_delta(
 
     if predicate:
         pcols = set(meta["partitionColumns"])
+        fcols = frozenset(
+            f.name
+            for f in schema.fields
+            if f.dataType.simpleString() in ("float", "double")
+        )
         live = {
             p: a
             for p, a in live.items()
-            if _file_may_match(a, pcols, predicate)
+            if _file_may_match(a, pcols, predicate, fcols)
         }
     if not live:
         return _with_filters(spark.createDataFrame([], schema))

@@ -135,9 +135,11 @@ class ParquetKVSink(KeyValueSink):
                 "key before exporting — BatchWriteItem semantics"
             )
         out = export_df
-        if mode == "put" and os.path.exists(
-            os.path.join(path, "_kv_table_spec.json")
-        ):
+        # merge gate is the TABLE's existence, not the sidecar's: a crash
+        # in an older writer between the swap and the (then post-swap)
+        # sidecar write left a live table without its sidecar, and gating
+        # on the sidecar silently TRUNCATED that table on the next put
+        if mode == "put" and os.path.exists(path):
             spark = export_df.sparkSession
             existing = spark.read.parquet(path)
             survivors = existing.join(
@@ -154,6 +156,21 @@ class ParquetKVSink(KeyValueSink):
             .write.mode("overwrite")
             .parquet(tmp)
         )
+        # the sidecar travels WITH the data — written into the staging dir
+        # before the swap, so no crash point can leave a live table missing
+        # it (Spark's parquet reader ignores underscore-prefixed files)
+        meta = {
+            "table_name": spec.table_name,
+            "partition_key": list(spec.partition_key),
+            "sort_key": list(spec.sort_key),
+            "lsi": {k: list(v) for k, v in spec.local_secondary_indexes.items()},
+            "gsi": {k: list(v) for k, v in spec.global_secondary_indexes.items()},
+            "ttl": spec.ttl,
+            "write_batch_size": spec.write_batch_size,
+            "throughput": spec.throughput,
+        }
+        with open(os.path.join(tmp, "_kv_table_spec.json"), "w") as f:
+            json.dump(meta, f, indent=2)
         import shutil
 
         # two-rename swap (not rmtree-then-replace): every crash point
@@ -166,18 +183,6 @@ class ParquetKVSink(KeyValueSink):
             os.rename(path, old)
         os.rename(tmp, path)
         shutil.rmtree(old, ignore_errors=True)
-        meta = {
-            "table_name": spec.table_name,
-            "partition_key": list(spec.partition_key),
-            "sort_key": list(spec.sort_key),
-            "lsi": {k: list(v) for k, v in spec.local_secondary_indexes.items()},
-            "gsi": {k: list(v) for k, v in spec.global_secondary_indexes.items()},
-            "ttl": spec.ttl,
-            "write_batch_size": spec.write_batch_size,
-            "throughput": spec.throughput,
-        }
-        with open(os.path.join(path, "_kv_table_spec.json"), "w") as f:
-            json.dump(meta, f, indent=2)
 
 
 def estimate_write_plan(export_df: DataFrame, spec: KVTableSpec) -> dict:
@@ -356,9 +361,8 @@ class KVReader:
         values, or of ``(pk, sk)`` pairs when the table has a sort key.
         DynamoDB caps a BatchGetItem call at 100 keys — same hard error
         here, so callers chunk exactly as they would against the real
-        API.  One scan with an IN predicate over the composite keys (the
-        predicate pushes down to the pk-partitioned parquet), never one
-        job per key."""
+        API.  One scan with an IN/OR predicate over the keys (it pushes
+        down to the pk-partitioned parquet), never one job per key."""
         if len(keys) > 100:
             raise ValueError(
                 f"BatchGetItem takes at most 100 keys, got {len(keys)} — "
@@ -366,14 +370,22 @@ class KVReader:
             )
         has_sk = bool(self.spec.get("sort_key"))
         if has_sk:
+            # exact (pk, sk) tuple match — never a separator-joined string
+            # compare: DynamoDB string keys may contain ANY character, so a
+            # key embedding the separator could alias a different pair
+            from functools import reduce
+
             pairs = [
                 (self._composite(pk), self._composite(sk)) for pk, sk in keys
             ]
-            df = self._df().where(
-                F.concat_ws(chr(1), F.col("pk"), F.col("sk")).isin(
-                    [p + chr(1) + s for p, s in pairs]
-                )
+            pred = reduce(
+                lambda a, b: a | b,
+                [
+                    (F.col("pk") == F.lit(p)) & (F.col("sk") == F.lit(s))
+                    for p, s in pairs
+                ],
             )
+            df = self._df().where(pred)
         else:
             df = self._df().where(
                 F.col("pk").isin([self._composite(k) for k in keys])
