@@ -650,6 +650,11 @@ class Pipeline:
 
         from pyspark.sql import functions as F
 
+        from zeta_etl_spark.operators.merge_kernel import (
+            build_merge_plan,
+            reject_duplicate_source_keys,
+        )
+
         node = self.nodes[name]
         if node.kind not in ("table", "cdc") or node.extra.get("incremental"):
             raise ValueError(f"merge_into({name!r}): not a batch table node")
@@ -677,16 +682,7 @@ class Pipeline:
 
         # Delta's multiple-source-rows-match guard: one aggregate job over
         # the source (usually the small side of a merge).
-        if not (
-            source.groupBy(*on)
-            .agg(F.count(F.lit(1)).alias("__n"))
-            .where(F.col("__n") > 1)
-            .isEmpty()
-        ):
-            raise ValueError(
-                "merge_into: multiple source rows match the same target key "
-                f"(duplicate {on} in source) — result would be nondeterministic"
-            )
+        reject_duplicate_source_keys(source, on)
 
         # schema evolution (Delta autoMerge stand-in): source-only columns
         # extend the target schema; pre-existing rows read NULL.  Only the
@@ -735,90 +731,24 @@ class Pipeline:
             )
             target = target.where(pred)  # partition-pruned scan
 
-        tj = target.select(F.struct(*[F.col(c) for c in tcols]).alias("t"))
-        sj = source.select(
-            F.struct(*[F.col(c) for c in source.columns]).alias("s")
+        # the clause matrix (join, gates, output projection) is shared with
+        # the native Delta format layer — see operators/merge_kernel.py
+        plan = build_merge_plan(
+            target,
+            source,
+            on,
+            when_matched_update=when_matched_update,
+            update_condition=update_condition,
+            when_matched_delete=when_matched_delete,
+            delete_condition=delete_condition,
+            when_not_matched_insert=when_not_matched_insert,
+            insert_condition=insert_condition,
+            null_safe_on=null_safe_on,
+            new_cols=new_cols,
+            tfields=tfields,
         )
-        joined = tj.join(
-            sj,
-            reduce(
-                lambda a, b: a & b,
-                [
-                    tj["t"][k].eqNullSafe(sj["s"][k])
-                    if null_safe_on
-                    else (tj["t"][k] == sj["s"][k])
-                    for k in on
-                ],
-            ),
-            "full_outer",
-        )
-        matched = F.col("t").isNotNull() & F.col("s").isNotNull()
-        upd_gate = (
-            matched & F.expr(update_condition or "true")
-            if when_matched_update is not None
-            else F.lit(False)
-        )
-        del_gate = (
-            matched & F.expr(delete_condition or "true")
-            if when_matched_delete
-            else F.lit(False)
-        )
-        # clause order: delete first, then update on the remainder
-        upd_gate = upd_gate & ~del_gate
-        ins_gate = (
-            F.col("t").isNull() & F.expr(insert_condition or "true")
-            if when_not_matched_insert is not None
-            else F.lit(False)
-        )
-
-        metrics: dict = {}
-        if collect_metrics:
-            row = joined.agg(
-                F.sum(del_gate.cast("bigint")).alias("deleted"),
-                F.sum(upd_gate.cast("bigint")).alias("updated"),
-                F.sum(ins_gate.cast("bigint")).alias("inserted"),
-                F.sum(
-                    (matched & ~del_gate & ~upd_gate).cast("bigint")
-                ).alias("matched_copied"),
-            ).first()
-            metrics = {
-                "rows_deleted": row["deleted"] or 0,
-                "rows_updated": row["updated"] or 0,
-                "rows_inserted": row["inserted"] or 0,
-                "rows_matched_copied": row["matched_copied"] or 0,
-            }
-
-        out_cols = []
-        for c in tcols:
-            if when_matched_update is not None:
-                if when_matched_update == "*":
-                    upd = F.expr(f"s.{c}")
-                else:
-                    sql = when_matched_update.get(c)
-                    upd = F.expr(sql) if sql is not None else F.expr(f"t.{c}")
-                col = F.when(upd_gate, upd)
-                col = col.when(F.col("t").isNotNull(), F.expr(f"t.{c}"))
-            else:
-                col = F.when(F.col("t").isNotNull(), F.expr(f"t.{c}"))
-            if when_not_matched_insert is not None:
-                if when_not_matched_insert == "*":
-                    ins = F.expr(f"s.{c}")
-                else:
-                    sql = when_not_matched_insert.get(c)
-                    ins = F.expr(sql) if sql is not None else F.lit(None)
-                col = col.otherwise(ins)
-            out_cols.append(col.cast(tfields[c]).alias(c))
-        for c in new_cols:  # appended after the existing schema
-            col = F.when(upd_gate, F.expr(f"s.{c}"))
-            col = col.when(F.col("t").isNotNull(), F.lit(None))
-            if when_not_matched_insert is not None:
-                col = col.otherwise(F.expr(f"s.{c}"))
-            out_cols.append(col.cast(tfields[c]).alias(c))
-
-        survives = (matched & ~del_gate) | (
-            F.col("t").isNotNull() & F.col("s").isNull()
-        ) | ins_gate
-        merged = joined.where(survives).select(*out_cols)
+        metrics: dict = plan.metrics() if collect_metrics else {}
+        merged = plan.merged()
         if node.sort_within_partitions:
             merged = merged.sortWithinPartitions(*node.sort_within_partitions)
 

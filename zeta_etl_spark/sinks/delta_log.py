@@ -343,18 +343,28 @@ def _stage_data_files(
     table: str,
     partition_by: Sequence[str],
     data_change: bool = True,
+    action: str = "add",
+    subdir: str | None = None,
+    drop_empty: bool = False,
 ) -> list[dict]:
     """Write ``df`` as parquet into the table directory (hive layout when
-    partitioned) via a staging dir, returning one add action per file.
+    partitioned) via a staging dir, returning one action per file.
     File names keep Spark's task-unique part names, so concurrent writers
-    never collide on data files — only on the log commit."""
+    never collide on data files — only on the log commit.
+
+    ``action='cdc'`` + ``subdir='_change_data'`` produces the spec's
+    Change Data files: same hive layout, paths relative to the TABLE
+    root, ``dataChange: false`` (CDF rows are derived, not table data),
+    no stats.  ``drop_empty`` unlinks zero-row part files and omits their
+    actions (Delta never commits empty adds)."""
+    dest_root = os.path.join(table, subdir) if subdir else table
     stage = os.path.join(table, f".stage-{uuid.uuid4().hex}")
     writer = df.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(stage)
 
-    adds: list[dict] = []
+    actions: list[dict] = []
     now_ms = int(time.time() * 1000)
     for root, _dirs, files in os.walk(stage):
         for f in files:
@@ -362,7 +372,11 @@ def _stage_data_files(
                 continue  # _SUCCESS, .crc
             src = os.path.join(root, f)
             rel = os.path.relpath(src, stage)
-            dst = os.path.join(table, rel)
+            stats = _stats_json(src)
+            if drop_empty and json.loads(stats)["numRecords"] == 0:
+                os.unlink(src)
+                continue
+            dst = os.path.join(dest_root, rel)
             os.makedirs(os.path.dirname(dst), exist_ok=True)
             os.replace(src, dst)
             # partitionValues from the hive path segments (Spark already
@@ -377,19 +391,18 @@ def _stage_data_files(
                         if raw == "__HIVE_DEFAULT_PARTITION__"
                         else urllib.parse.unquote(raw)
                     )
-            adds.append(
-                {
-                    "add": {
-                        # spec: relative path, URL-encoded
-                        "path": urllib.parse.quote(rel, safe="/="),
-                        "partitionValues": pvals,
-                        "size": os.path.getsize(dst),
-                        "modificationTime": now_ms,
-                        "dataChange": data_change,
-                        "stats": _stats_json(dst),
-                    }
-                }
-            )
+            rel_to_table = os.path.join(subdir, rel) if subdir else rel
+            body = {
+                # spec: relative path, URL-encoded
+                "path": urllib.parse.quote(rel_to_table, safe="/="),
+                "partitionValues": pvals,
+                "size": os.path.getsize(dst),
+                "dataChange": data_change,
+            }
+            if action == "add":
+                body["modificationTime"] = now_ms
+                body["stats"] = stats
+            actions.append({action: body})
     # empty staging tree (os.replace moved the files out)
     for root, dirs, files in os.walk(stage, topdown=False):
         for f in files:
@@ -397,7 +410,7 @@ def _stage_data_files(
         for d in dirs:
             os.rmdir(os.path.join(root, d))
     os.rmdir(stage)
-    return adds
+    return actions
 
 
 def write_delta(
@@ -879,13 +892,14 @@ def _zvalue_expr(df: DataFrame, zorder_by: Sequence[str]):
     return F.expr(code)
 
 
-def _discard_staged(table: str, adds: list[dict]) -> None:
-    """Unlink staged-but-uncommitted data files (they are unreferenced;
-    VACUUM would also collect them by age)."""
-    for a in adds:
-        staged = os.path.join(
-            table, urllib.parse.unquote(a["add"]["path"])
-        )
+def _discard_staged(table: str, actions: list[dict]) -> None:
+    """Unlink staged-but-uncommitted files (add or cdc actions — they are
+    unreferenced; VACUUM would also collect them by age)."""
+    for a in actions:
+        body = a.get("add") or a.get("cdc")
+        if body is None:
+            continue
+        staged = os.path.join(table, urllib.parse.unquote(body["path"]))
         if os.path.exists(staged):
             os.unlink(staged)
 
@@ -1058,6 +1072,296 @@ def optimize(
     )
 
 
+_CHANGE_DATA_DIR = "_change_data"
+
+
+def merge_delta(
+    spark: SparkSession,
+    table: str,
+    source: DataFrame,
+    on: Sequence[str],
+    when_matched_update: str | dict[str, str] | None = None,
+    update_condition: str | None = None,
+    when_matched_delete: bool = False,
+    delete_condition: str | None = None,
+    when_not_matched_insert: str | dict[str, str] | None = None,
+    insert_condition: str | None = None,
+    schema_evolution: bool = False,
+    write_cdf: bool = True,
+    collect_metrics: bool = True,
+    txn: tuple[str, int] | None = None,
+    max_retries: int = 5,
+) -> dict:
+    """``MERGE INTO`` on a native-format Delta table — the missing half of
+    the reference's CDC topology (apply_changes maintains DELTA targets,
+    zetaflex-pipeline.py:146-151, zetadex-referrals-pipeline.py:147-152):
+    upserts land as spec-true ``remove``+``add`` commits with
+    ``dataChange: true``, so any conforming reader sees them, time travel
+    and RESTORE keep working, and concurrent writers are serialized by the
+    same put-if-absent OCC as every other commit.
+
+    Clause semantics live in :mod:`zeta_etl_spark.operators.merge_kernel`
+    (shared with the generation store's ``Pipeline.merge_into``): delete
+    first, then update, matched-but-unclaimed rows copy through, unmatched
+    source rows insert when a clause asks.  Duplicate source keys are
+    rejected up front.  ``schema_evolution=True`` widens the table with
+    source-only columns ('*' clauses only) via a ``metaData`` action in
+    the same commit.
+
+    Scale design — merge cost is proportional to TOUCHED data, not table
+    size: the source's per-key min/max (one small agg) and, when every
+    partition column is a join key, its distinct partition tuples prune
+    the live file set through the SAME conservative stats machinery as
+    read_delta's data skipping (missing/uncoercible stats keep a file;
+    float keys respect NaN ordering).  Untouched files stay live — no
+    remove, no rewrite, no I/O.  Soundness: a pruned file provably holds
+    no matching key, so its rows could only ever be copied verbatim.
+
+    Change Data Feed (``write_cdf=True``): the merge also stages the
+    spec's Change Data files under ``_change_data/`` (table layout,
+    ``_change_type`` column: delete / update_preimage / update_postimage /
+    insert) and commits ``cdc`` actions.  Per spec, a commit carrying cdc
+    actions is read by CDF consumers FROM those files only — copied rows
+    produce no change rows, unlike the add/remove derivation.
+
+    OCC: read-modify-write with CAS on the snapshot version the merge
+    read; a concurrent commit discards the staged files and re-runs the
+    merge against the new snapshot (never lost updates).  ``txn=(appId,
+    version)`` rides the commit for exactly-once streaming upserts —
+    an already-committed version returns without re-merging.
+
+    Returns {version, rows_deleted/updated/inserted/matched_copied,
+    files_removed, files_added, files_pruned}."""
+    from zeta_etl_spark.operators.merge_kernel import (
+        build_merge_plan,
+        reject_duplicate_source_keys,
+    )
+
+    on = list(on)
+    reject_duplicate_source_keys(source, on)
+
+    for _ in range(max_retries):
+        base_version = latest_version(table)
+        _, meta, live, txns = _replay(table, base_version)
+        if txn is not None:
+            seen = txns.get(txn[0])
+            if seen is not None and txn[1] <= seen:
+                return {"version": base_version, "skipped_replay": True}
+
+        schema = StructType.fromJson(json.loads(meta["schemaString"]))
+        tbl_types = {f.name: f.dataType for f in schema.fields}
+        pcols = list(meta["partitionColumns"])
+        bad_keys = [
+            k for k in on if k not in tbl_types or k not in source.columns
+        ]
+        if bad_keys:
+            raise ValueError(
+                f"merge_delta: key columns {bad_keys} must exist in both "
+                f"the table ({sorted(tbl_types)}) and the source "
+                f"({source.columns})"
+            )
+        conflicts = sorted(
+            f.name
+            for f in source.schema.fields
+            if f.name in tbl_types and tbl_types[f.name] != f.dataType
+        )
+        if conflicts:
+            raise DeltaUnsupported(
+                f"merge_delta: source changes column types {conflicts} — "
+                "type changes are outside the implemented subset"
+            )
+        src_only = [
+            f for f in source.schema.fields if f.name not in tbl_types
+        ]
+        star = when_matched_update == "*" or when_not_matched_insert == "*"
+        if src_only and schema_evolution:
+            if when_matched_update not in (None, "*") or (
+                when_not_matched_insert not in (None, "*")
+            ):
+                raise ValueError(
+                    "merge_delta: schema_evolution supports only '*' "
+                    "update/insert clauses (dict clauses make the evolved "
+                    "columns' values ambiguous)"
+                )
+            evolved_fields = list(src_only)
+        elif src_only:
+            if star:
+                raise DeltaUnsupported(
+                    "merge_delta: source has columns the table lacks "
+                    f"({sorted(f.name for f in src_only)}); with '*' "
+                    "clauses pass schema_evolution=True to widen the "
+                    "table — with explicit dict clauses the extra "
+                    "columns are expression inputs only (Delta's rule)"
+                )
+            evolved_fields = []  # dict clauses: inputs only, no widening
+        else:
+            evolved_fields = []
+        new_cols = [f.name for f in evolved_fields]
+        tfields = dict(tbl_types)
+        tfields.update({f.name: f.dataType for f in evolved_fields})
+
+        # ---- file pruning: which live files can hold a matching key? ----
+        fcols = frozenset(
+            n
+            for n, t in tbl_types.items()
+            if t.simpleString() in ("float", "double")
+        )
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        for k in on:
+            aggs += [F.min(k).alias(f"__min_{k}"), F.max(k).alias(f"__max_{k}")]
+        bounds = source.agg(*aggs).first()
+        range_pred: list[tuple] = []
+        matchable = bounds["__n"] > 0
+        for k in on:
+            lo, hi = bounds[f"__min_{k}"], bounds[f"__max_{k}"]
+            if lo is None or hi is None:
+                # every source row has this key NULL: NULL never
+                # equi-matches, so NO target row can match at all
+                matchable = False
+                break
+            range_pred += [(k, ">=", lo), (k, "<=", hi)]
+
+        tuples: list[tuple] | None = None
+        if matchable and pcols and set(pcols) <= set(on):
+            # driver-side list bounded by TOUCHED partition count, not rows
+            # (same contract as the generation store's merge pruning)
+            tuples = [
+                tuple(r[c] for c in pcols)
+                for r in source.select(*pcols).distinct().collect()
+            ]
+            tuples = [t for t in tuples if all(v is not None for v in t)]
+
+        def _touchable(add: dict) -> bool:
+            if not matchable:
+                return False
+            if not _file_may_match(add, set(pcols), range_pred, fcols):
+                return False
+            if tuples is not None:
+                return any(
+                    _file_may_match(
+                        add,
+                        set(pcols),
+                        [(c, "=", v) for c, v in zip(pcols, tup)],
+                        fcols,
+                    )
+                    for tup in tuples
+                )
+            return True
+
+        touched = {p: a for p, a in live.items() if _touchable(a)}
+
+        if touched:
+            files = [
+                os.path.join(table, urllib.parse.unquote(p))
+                for p in sorted(touched)
+            ]
+            reader = spark.read.schema(schema)
+            if pcols:
+                reader = reader.option("basePath", table)
+            target_df = reader.parquet(*files).select(
+                *[f.name for f in schema.fields]
+            )
+        else:
+            target_df = spark.createDataFrame([], schema)
+
+        plan = build_merge_plan(
+            target_df,
+            source,
+            on,
+            when_matched_update=when_matched_update,
+            update_condition=update_condition,
+            when_matched_delete=when_matched_delete,
+            delete_condition=delete_condition,
+            when_not_matched_insert=when_not_matched_insert,
+            insert_condition=insert_condition,
+            new_cols=new_cols,
+            tfields=tfields,
+        )
+        metrics: dict = plan.metrics() if collect_metrics else {}
+
+        adds = _stage_data_files(
+            plan.merged(), table, pcols, data_change=True, drop_empty=True
+        )
+        cdc_actions: list[dict] = []
+        if write_cdf:
+            cdc_actions = _stage_data_files(
+                plan.changes(),
+                table,
+                pcols,
+                data_change=False,
+                action="cdc",
+                subdir=_CHANGE_DATA_DIR,
+                drop_empty=True,
+            )
+        if not adds and not touched and not cdc_actions:
+            # nothing matched, nothing inserted: no empty commits
+            return {
+                "version": base_version,
+                "files_removed": 0,
+                "files_added": 0,
+                "files_pruned": len(live),
+                **metrics,
+            }
+
+        ts = int(time.time() * 1000)
+        actions: list[dict] = [
+            {
+                "commitInfo": {
+                    "timestamp": ts,
+                    "operation": "MERGE",
+                    "operationParameters": {
+                        "predicate": json.dumps(on),
+                        "matchedUpdate": when_matched_update is not None,
+                        "matchedDelete": when_matched_delete,
+                        "notMatchedInsert": when_not_matched_insert
+                        is not None,
+                    },
+                    "engineInfo": "zeta-etl-spark delta_log",
+                }
+            }
+        ]
+        if txn is not None:
+            actions.append(
+                {
+                    "txn": {
+                        "appId": txn[0],
+                        "version": txn[1],
+                        "lastUpdated": ts,
+                    }
+                }
+            )
+        if new_cols:
+            evolved = StructType(list(schema) + evolved_fields)
+            actions.append(
+                {"metaData": {**meta, "schemaString": evolved.json()}}
+            )
+        actions.extend(
+            {
+                "remove": {
+                    "path": p,
+                    "deletionTimestamp": ts,
+                    "dataChange": True,
+                    "partitionValues": touched[p].get("partitionValues"),
+                }
+            }
+            for p in sorted(touched)
+        )
+        actions.extend(adds)
+        actions.extend(cdc_actions)
+        if _write_commit_atomic(table, base_version + 1, actions):
+            return {
+                "version": base_version + 1,
+                "files_removed": len(touched),
+                "files_added": len(adds),
+                "files_pruned": len(live) - len(touched),
+                **metrics,
+            }
+        _discard_staged(table, adds + cdc_actions)
+    raise DeltaConcurrentModification(
+        f"MERGE lost the commit race {max_retries} times: {table}"
+    )
+
+
 def table_changes(
     spark: SparkSession,
     table: str,
@@ -1074,12 +1378,16 @@ def table_changes(
     (``dataChange: false``) produce NO changes — that is exactly what
     the spec's flag exists for.
 
-    File-granularity writers (this module's append/overwrite) make this
-    derivation exact; row-level rewrites inside a file would need the
-    spec's ``_change_data`` sidecar files, which are outside the
-    implemented subset.  A removed file already deleted by VACUUM is a
-    loud error — CDF consumers must read within the retention window,
-    same as Delta.
+    Commits carrying the spec's ``cdc`` actions (:func:`merge_delta`
+    writes them) are read FROM their ``_change_data`` files instead —
+    per spec, when a commit has cdc actions they are the commit's ONLY
+    change representation, so MERGE's copied-through rows produce no
+    change rows and updates surface as update_preimage/update_postimage
+    pairs.  File-granularity commits without cdc actions (append,
+    overwrite, RESTORE) keep the add/remove derivation, which is exact
+    for them.  A required file already deleted by VACUUM is a loud
+    error — CDF consumers must read within the retention window, same
+    as Delta.
 
     One distributed scan per (commit, change-type) group — bounded by
     the version range a consumer asks for, never per-file unions."""
@@ -1112,6 +1420,7 @@ def table_changes(
     for v in versions:
         ts = None
         groups: dict[str, list[str]] = {"insert": [], "delete": []}
+        cdc_rels: list[str] = []
         with open(_log_path(table, v)) as fh:
             for line in fh:
                 if not line.strip():
@@ -1119,12 +1428,44 @@ def table_changes(
                 action = json.loads(line)
                 if "commitInfo" in action:
                     ts = action["commitInfo"].get("timestamp")
+                elif "cdc" in action:
+                    cdc_rels.append(action["cdc"]["path"])
                 elif "add" in action and action["add"].get("dataChange"):
                     groups["insert"].append(action["add"]["path"])
                 elif "remove" in action and action["remove"].get(
                     "dataChange"
                 ):
                     groups["delete"].append(action["remove"]["path"])
+        if cdc_rels:
+            # spec: cdc actions are the commit's ONLY change representation
+            files = []
+            for rel in sorted(cdc_rels):
+                full = os.path.join(table, urllib.parse.unquote(rel))
+                if not os.path.exists(full):
+                    raise FileNotFoundError(
+                        f"CDF needs change file {rel!r} (version {v}) but "
+                        "it was vacuumed — read changes within the "
+                        "retention window"
+                    )
+                files.append(full)
+            from pyspark.sql.types import StringType, StructField
+
+            cdc_schema = StructType(
+                list(schema.fields)
+                + [StructField("_change_type", StringType())]
+            )
+            reader = spark.read.schema(cdc_schema)
+            if meta["partitionColumns"]:
+                reader = reader.option(
+                    "basePath", os.path.join(table, _CHANGE_DATA_DIR)
+                )
+            pieces.append(
+                reader.parquet(*files)
+                .select(*[f.name for f in cdc_schema.fields])
+                .withColumn("_commit_version", F.lit(v).cast("bigint"))
+                .withColumn("_commit_timestamp", F.lit(ts).cast("bigint"))
+            )
+            continue
         for change_type, rels in groups.items():
             if not rels:
                 continue
@@ -1236,6 +1577,7 @@ def read_delta_incremental(
     cursor_path: str,
     consumer_id: str = "default",
     auto_commit: bool = True,
+    mode: str = "appends",
 ) -> tuple[DataFrame | None, int]:
     """Delta-as-a-streaming-source at batch granularity: each call
     returns (new_rows, latest_version) where ``new_rows`` holds the rows
@@ -1248,6 +1590,13 @@ def read_delta_incremental(
     (overwrite, row-level change) is a loud error — same as Delta's
     streaming source without ``skipChangeCommits``.
 
+    ``mode='cdf'`` is the opt-in for consumers that WANT row-level
+    changes (Delta's ``readChangeFeed``): the returned frame keeps the
+    ``_change_type`` column (insert / delete / update_preimage /
+    update_postimage — MERGE commits surface through their cdc files),
+    and update/delete commits are delivered instead of rejected.  The
+    initial snapshot arrives as ``_change_type='insert'``.
+
     Delivery semantics are the caller's choice:
 
     - ``auto_commit=True`` (default) advances the durable cursor inside
@@ -1259,6 +1608,8 @@ def read_delta_incremental(
       with the returned version — at-least-once delivery, exactly-once
       when the caller's sink is idempotent (e.g.
       ``write_delta(txn=...)``)."""
+    if mode not in ("appends", "cdf"):
+        raise ValueError(f"mode must be appends|cdf, got {mode!r}")
     latest = latest_version(table)
     state: dict[str, int] = {}
     if os.path.exists(cursor_path):
@@ -1275,18 +1626,25 @@ def read_delta_incremental(
         out = read_delta(spark, table, version=latest).withColumn(
             "_commit_version", F.lit(latest).cast("bigint")
         )
+        if mode == "cdf":
+            out = out.withColumn("_change_type", F.lit("insert"))
     else:
         changes = table_changes(spark, table, since + 1, latest)
-        # a delete inside the consumed range means the table was not
-        # append-only — refuse rather than silently emit inserts
-        deletes = changes.filter(F.col("_change_type") == "delete")
-        if deletes.limit(1).count() > 0:
-            raise DeltaUnsupported(
-                f"commits {since + 1}..{latest} of {table} contain "
-                "deletes; the incremental reader consumes append-only "
-                "tables (overwrites/row changes need a full re-read)"
-            )
-        out = changes.drop("_change_type", "_commit_timestamp")
+        if mode == "cdf":
+            out = changes.drop("_commit_timestamp")
+        else:
+            # a delete/update inside the consumed range means the table
+            # was not append-only — refuse rather than silently emit
+            # inserts (pass mode='cdf' to consume row-level changes)
+            non_insert = changes.filter(F.col("_change_type") != "insert")
+            if non_insert.limit(1).count() > 0:
+                raise DeltaUnsupported(
+                    f"commits {since + 1}..{latest} of {table} contain "
+                    "deletes/updates; the appends-mode incremental reader "
+                    "consumes append-only tables — pass mode='cdf' to "
+                    "consume row-level changes"
+                )
+            out = changes.drop("_change_type", "_commit_timestamp")
     if auto_commit:
         commit_cursor(cursor_path, consumer_id, latest)
     return out, latest
@@ -1499,6 +1857,110 @@ def foreach_batch_delta_append(
 
     (
         stream.writeStream.foreachBatch(_append)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def foreach_batch_delta_upsert(
+    stream: DataFrame,
+    table: str,
+    checkpoint: str,
+    app_id: str,
+    keys: Sequence[str],
+    sequence_by: Sequence[str],
+    apply_as_deletes: str | None = None,
+    partition_by: Sequence[str] = (),
+    checkpoint_interval: int | None = 10,
+) -> None:
+    """Streaming CDC upsert into a NATIVE-format Delta table — the full
+    reference topology (``dlt.apply_changes`` maintaining a shared Delta
+    target, zetaflex-pipeline.py:146-151) on the public format: each
+    microbatch collapses to the latest row per key (``sequence_by``
+    ordering, unique tie-break last) and lands as a :func:`merge_delta`
+    commit — update matched, insert unmatched, and, when
+    ``apply_as_deletes`` (a SQL predicate over the source row, e.g.
+    ``"op = 'delete'"``) marks the winner, DELETE matched (an unmatched
+    tombstone inserts nothing).
+
+    Exactly-once: the merge commit carries ``txn(app_id, batch_id)``; a
+    crash-replayed microbatch is detected from the table's own log and
+    skipped, identical to :func:`foreach_batch_delta_append`.  The first
+    ever batch bootstraps the table (an append commit of the deduped,
+    tombstone-filtered batch).
+
+    Downstream, CDF consumers replay the upserts row-level via
+    :func:`table_changes` / :func:`read_delta_incremental(mode='cdf')` —
+    the merge commits carry cdc files, so updates arrive as
+    preimage/postimage pairs, not as whole-file rewrites."""
+    from zeta_etl_spark.operators.cdc import latest_by_keys
+
+    keys = list(keys)
+
+    def _upsert(batch_df: DataFrame, batch_id: int) -> None:
+        exists = bool(_list_versions(table) or _list_checkpoints(table))
+        seen = last_txn_version(table, app_id) if exists else None
+        if seen is not None and batch_id <= seen:
+            return  # crash-replayed microbatch: already committed
+        latest = latest_by_keys(batch_df, keys, sequence_by)
+        # DLT delete semantics: NULL predicate means NOT deleted
+        is_del = (
+            F.coalesce(F.expr(apply_as_deletes), F.lit(False))
+            if apply_as_deletes is not None
+            else F.lit(False)
+        )
+        if not exists:
+            write_delta(
+                latest.filter(~is_del),
+                table,
+                mode="append",
+                partition_by=partition_by,
+                txn=(app_id, batch_id),
+                checkpoint_interval=checkpoint_interval,
+            )
+            return
+        if apply_as_deletes is None:
+            merge_delta(
+                batch_df.sparkSession,
+                table,
+                latest,
+                on=keys,
+                when_matched_update="*",
+                when_not_matched_insert="*",
+                txn=(app_id, batch_id),
+            )
+        else:
+            # the tombstone verdict rides the source as a computed
+            # column (never part of the table schema), and the clauses
+            # are explicit dicts — Delta's rule that extra source
+            # columns need explicit SET clauses, honored by merge_delta
+            _, meta, _, _ = _replay(table)
+            tcols = [
+                f["name"]
+                for f in json.loads(meta["schemaString"])["fields"]
+            ]
+            merge_delta(
+                batch_df.sparkSession,
+                table,
+                latest.withColumn("__del", is_del),
+                on=keys,
+                when_matched_update={c: f"s.{c}" for c in tcols},
+                update_condition="not s.__del",
+                when_matched_delete=True,
+                delete_condition="s.__del",
+                when_not_matched_insert={c: f"s.{c}" for c in tcols},
+                insert_condition="not s.__del",
+                txn=(app_id, batch_id),
+            )
+        if checkpoint_interval:
+            v = latest_version(table)
+            if v > 0 and v % checkpoint_interval == 0:
+                write_checkpoint(table, v)
+
+    (
+        stream.writeStream.foreachBatch(_upsert)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
