@@ -1,0 +1,434 @@
+"""Delta Transaction Log Protocol conformance (sinks/delta_log.py).
+
+delta-spark and DuckDB's delta extension are not installable in this
+environment (re-confirmed r10), so the format layer would otherwise only
+ever be read by the code that wrote it.  These tests close that loop from
+both directions WITHOUT the module's own code on the other side:
+
+- a GOLDEN ``_delta_log`` directory hand-authored in this file from the
+  public protocol spec's action shapes (delta.io PROTOCOL.md) — JSON
+  strings written literally, data files built with bare pyarrow — that
+  :func:`read_delta` must reconstruct exactly (multi-commit, partitioned,
+  escaped partition values, remove, time travel);
+- an INDEPENDENT minimal reader, implemented here from the spec (own
+  replay loop, pyarrow scan — no delta_log.py imports beyond the writer
+  under test), that must agree with what :func:`write_delta` /
+  :func:`merge_delta` produce;
+- byte-level assertions on the writer's output: 20-digit names, per-action
+  required field sets, schemaString as a STRING, partitionValues logical
+  values + URL-escaped paths, stats JSON, checkpoint layout,
+  ``_last_checkpoint`` fields.
+
+If the writer drifts from the spec while staying self-consistent, these
+fail."""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import urllib.parse
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from zeta_etl_spark.sinks.delta_log import (
+    merge_delta,
+    read_delta,
+    write_checkpoint,
+    write_delta,
+)
+
+# ------------------------------------------------------- golden reader side
+
+# schemaString exactly as the spec prescribes: the JSON form of a Spark
+# StructType (PROTOCOL.md "Schema Serialization Format")
+_GOLDEN_SCHEMA = json.dumps(
+    {
+        "type": "struct",
+        "fields": [
+            {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "part", "type": "string", "nullable": True,
+             "metadata": {}},
+        ],
+    }
+)
+
+
+def _write_golden(table: str) -> None:
+    """A two-commit partitioned table authored by hand: v0 adds two files
+    (one in an escaped partition, one in the null partition), v1 removes
+    the null-partition file and adds a third.  Data files are bare
+    pyarrow parquet with the partition column STRIPPED, as the spec
+    requires for hive-layout tables."""
+    os.makedirs(os.path.join(table, "_delta_log"))
+    # partition value "a b": hive leaves the SPACE unescaped in the
+    # directory name; the add.path field is URL-encoded, so it carries
+    # %20 and must unquote back to the on-disk name
+    d1 = os.path.join(table, "part=a b")
+    d2 = os.path.join(table, "part=__HIVE_DEFAULT_PARTITION__")
+    d3 = os.path.join(table, "part=plain")
+    for d in (d1, d2, d3):
+        os.makedirs(d)
+    pq.write_table(pa.table({"id": [1, 2]}), os.path.join(d1, "f1.parquet"))
+    pq.write_table(pa.table({"id": [3]}), os.path.join(d2, "f2.parquet"))
+    pq.write_table(pa.table({"id": [4, 5]}), os.path.join(d3, "f3.parquet"))
+
+    def _add(path, pval, n):
+        return json.dumps(
+            {
+                "add": {
+                    "path": path,
+                    "partitionValues": {"part": pval},
+                    "size": 1,
+                    "modificationTime": 1700000000000,
+                    "dataChange": True,
+                    "stats": json.dumps(
+                        {"numRecords": n, "minValues": {}, "maxValues": {},
+                         "nullCount": {}}
+                    ),
+                }
+            }
+        )
+
+    v0 = "\n".join(
+        [
+            json.dumps(
+                {"commitInfo": {"timestamp": 1700000000000,
+                                "operation": "WRITE"}}
+            ),
+            json.dumps(
+                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+            ),
+            json.dumps(
+                {
+                    "metaData": {
+                        "id": "00000000-0000-0000-0000-000000000000",
+                        "format": {"provider": "parquet", "options": {}},
+                        "schemaString": _GOLDEN_SCHEMA,
+                        "partitionColumns": ["part"],
+                        "configuration": {},
+                        "createdTime": 1700000000000,
+                    }
+                }
+            ),
+            _add("part=a%20b/f1.parquet", "a b", 2),
+            _add("part=__HIVE_DEFAULT_PARTITION__/f2.parquet", None, 1),
+        ]
+    )
+    v1 = "\n".join(
+        [
+            json.dumps(
+                {"commitInfo": {"timestamp": 1700000001000,
+                                "operation": "WRITE"}}
+            ),
+            json.dumps(
+                {
+                    "remove": {
+                        "path": "part=__HIVE_DEFAULT_PARTITION__/f2.parquet",
+                        "deletionTimestamp": 1700000001000,
+                        "dataChange": True,
+                    }
+                }
+            ),
+            _add("part=plain/f3.parquet", "plain", 2),
+        ]
+    )
+    with open(os.path.join(table, "_delta_log", f"{0:020d}.json"), "w") as fh:
+        fh.write(v0 + "\n")
+    with open(os.path.join(table, "_delta_log", f"{1:020d}.json"), "w") as fh:
+        fh.write(v1 + "\n")
+
+
+def test_reads_hand_authored_golden_log(spark, tmp_path):
+    t = str(tmp_path / "golden")
+    _write_golden(t)
+    now = read_delta(spark, t)
+    assert sorted(tuple(r) for r in now.collect()) == [
+        (1, "a b"),  # escaped directory decodes to the logical value
+        (2, "a b"),
+        (4, "plain"),
+        (5, "plain"),
+    ]
+    # time travel to v0 resurrects the null partition
+    v0 = read_delta(spark, t, version=0)
+    assert sorted(
+        (r["id"], r["part"]) for r in v0.collect()
+    ) == [(1, "a b"), (2, "a b"), (3, None)]
+    # typed schema comes from schemaString, not inference
+    assert dict(now.dtypes) == {"id": "bigint", "part": "string"}
+
+
+def test_reads_hand_authored_checkpoint(spark, tmp_path):
+    """A checkpoint parquet authored from the spec's classic-checkpoint
+    column layout (top-level protocol/metaData/add struct columns, one
+    non-null per row) + _last_checkpoint, with the covered JSON deleted —
+    the reader must reconstruct purely from the checkpoint."""
+    t = str(tmp_path / "ckgold")
+    _write_golden(t)
+    str_map = pa.map_(pa.string(), pa.string())
+    schema = pa.schema(
+        [
+            pa.field("protocol", pa.struct(
+                [("minReaderVersion", pa.int32()),
+                 ("minWriterVersion", pa.int32())])),
+            pa.field("metaData", pa.struct(
+                [("id", pa.string()),
+                 ("format", pa.struct(
+                     [("provider", pa.string()), ("options", str_map)])),
+                 ("schemaString", pa.string()),
+                 ("partitionColumns", pa.list_(pa.string())),
+                 ("configuration", str_map),
+                 ("createdTime", pa.int64())])),
+            pa.field("add", pa.struct(
+                [("path", pa.string()), ("partitionValues", str_map),
+                 ("size", pa.int64()), ("modificationTime", pa.int64()),
+                 ("dataChange", pa.bool_()), ("stats", pa.string())])),
+        ]
+    )
+    rows = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {
+            "id": "00000000-0000-0000-0000-000000000000",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": _GOLDEN_SCHEMA,
+            "partitionColumns": ["part"],
+            "configuration": {},
+            "createdTime": 1700000000000,
+        }},
+        {"add": {"path": "part=a%20b/f1.parquet",
+                 "partitionValues": {"part": "a b"}, "size": 1,
+                 "modificationTime": 1700000000000, "dataChange": True,
+                 "stats": None}},
+        {"add": {"path": "part=plain/f3.parquet",
+                 "partitionValues": {"part": "plain"}, "size": 1,
+                 "modificationTime": 1700000001000, "dataChange": True,
+                 "stats": None}},
+    ]
+    log = os.path.join(t, "_delta_log")
+    pq.write_table(
+        pa.Table.from_pylist(rows, schema=schema),
+        os.path.join(log, f"{1:020d}.checkpoint.parquet"),
+    )
+    with open(os.path.join(log, "_last_checkpoint"), "w") as fh:
+        json.dump({"version": 1, "size": len(rows)}, fh)
+    os.unlink(os.path.join(log, f"{0:020d}.json"))  # covered by checkpoint
+    got = read_delta(spark, t)
+    assert sorted((r["id"], r["part"]) for r in got.collect()) == [
+        (1, "a b"), (2, "a b"), (4, "plain"), (5, "plain"),
+    ]
+
+
+def test_rejects_reader_version_above_subset(spark, tmp_path):
+    """protocol.minReaderVersion=3 (deletion vectors / column mapping era)
+    must be a loud refusal, never a silent misread."""
+    from zeta_etl_spark.sinks.delta_log import DeltaUnsupported
+
+    t = str(tmp_path / "v3")
+    _write_golden(t)
+    with open(
+        os.path.join(t, "_delta_log", f"{2:020d}.json"), "w"
+    ) as fh:
+        fh.write(
+            json.dumps(
+                {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7}}
+            )
+            + "\n"
+        )
+    with pytest.raises(DeltaUnsupported, match="reader version"):
+        read_delta(spark, t)
+
+
+# ---------------------------------------------- independent reader vs writer
+
+def _independent_snapshot(table: str):
+    """A second Delta reader implemented HERE from the spec: replay every
+    JSON commit in name order, last metaData wins, add/remove reconcile by
+    path; scan live files with bare pyarrow; partition columns come from
+    partitionValues (logical values), not from re-parsing directories."""
+    log = os.path.join(table, "_delta_log")
+    meta, live = None, {}
+    for name in sorted(os.listdir(log)):
+        if not re.fullmatch(r"\d{20}\.json", name):
+            continue
+        for line in open(os.path.join(log, name)):
+            if not line.strip():
+                continue
+            a = json.loads(line)
+            if "metaData" in a:
+                meta = a["metaData"]
+            elif "add" in a:
+                live[a["add"]["path"]] = a["add"]
+            elif "remove" in a:
+                live.pop(a["remove"]["path"], None)
+    fields = json.loads(meta["schemaString"])["fields"]
+    names = [f["name"] for f in fields]
+    rows = []
+    for rel, add in live.items():
+        tbl = pq.read_table(
+            os.path.join(table, urllib.parse.unquote(rel))
+        ).to_pylist()
+        for r in tbl:
+            full = dict(r)
+            for k, v in (add.get("partitionValues") or {}).items():
+                full[k] = v
+            rows.append(tuple(full[n] for n in names))
+    return names, sorted(rows, key=lambda x: str(x))
+
+
+def test_independent_reader_agrees_with_writer(spark, tmp_path):
+    t = str(tmp_path / "x")
+    df = spark.createDataFrame(
+        [(i, f"c{i % 3}", float(i)) for i in range(30)],
+        "k bigint, cat string, v double",
+    )
+    write_delta(df, t, partition_by=("cat",))
+    write_delta(
+        spark.createDataFrame([(100, "c9", 1.5)], "k bigint, cat string, v double"),
+        t,
+        mode="append",
+        partition_by=("cat",),
+    )
+    merge_delta(
+        spark,
+        t,
+        spark.createDataFrame(
+            [(100, "c9", 9.9), (200, "c9", 2.0)],
+            "k bigint, cat string, v double",
+        ),
+        on=["k"],
+        when_matched_update="*",
+        when_not_matched_insert="*",
+    )
+    names, rows = _independent_snapshot(t)
+    ours = sorted(
+        (tuple(r[n] for n in names) for r in read_delta(spark, t).collect()),
+        key=lambda x: str(x),
+    )
+    # partition values round-trip as STRINGS through the independent
+    # reader (the spec stores them stringly); compare stringified rows
+    assert [tuple(str(v) for v in r) for r in ours] == [
+        tuple(str(v) for v in r) for r in rows
+    ]
+
+
+# -------------------------------------------------- writer byte-level shape
+
+_ADD_REQUIRED = {"path", "partitionValues", "size", "modificationTime",
+                 "dataChange"}
+_REMOVE_REQUIRED = {"path", "deletionTimestamp", "dataChange"}
+_META_REQUIRED = {"id", "format", "schemaString", "partitionColumns",
+                  "configuration"}
+
+
+def test_writer_action_shapes_and_names(spark, tmp_path):
+    t = str(tmp_path / "w")
+    df = spark.createDataFrame(
+        [(1, "a b/c%d", 1.0), (2, None, 2.0)],
+        "k bigint, cat string, v double",
+    )
+    write_delta(df, t, partition_by=("cat",))
+    write_delta(
+        spark.createDataFrame([(3, "plain", 3.0)],
+                              "k bigint, cat string, v double"),
+        t, mode="overwrite", partition_by=("cat",),
+    )
+    log = os.path.join(t, "_delta_log")
+    names = sorted(os.listdir(log))
+    assert names == [f"{0:020d}.json", f"{1:020d}.json"]
+    assert all(re.fullmatch(r"\d{20}\.json", n) for n in names)
+
+    v0 = [json.loads(l) for l in open(os.path.join(log, names[0]))]
+    kinds = [next(iter(a)) for a in v0]
+    assert kinds[0] == "commitInfo"
+    assert {"protocol", "metaData"} <= set(kinds)
+    proto = next(a["protocol"] for a in v0 if "protocol" in a)
+    assert proto == {"minReaderVersion": 1, "minWriterVersion": 2}
+    meta = next(a["metaData"] for a in v0 if "metaData" in a)
+    assert _META_REQUIRED <= set(meta)
+    # schemaString is a JSON STRING (spec), and round-trips
+    assert isinstance(meta["schemaString"], str)
+    from pyspark.sql.types import StructType
+
+    rt = StructType.fromJson(json.loads(meta["schemaString"]))
+    assert [f.name for f in rt] == ["k", "cat", "v"]
+    assert meta["format"] == {"provider": "parquet", "options": {}}
+    assert meta["partitionColumns"] == ["cat"]
+
+    adds = [a["add"] for a in v0 if "add" in a]
+    assert adds
+    for add in adds:
+        assert _ADD_REQUIRED <= set(add)
+        assert not add["path"].startswith("/")  # relative
+        stats = json.loads(add["stats"])
+        assert {"numRecords", "minValues", "maxValues", "nullCount"} <= set(
+            stats
+        )
+    # special characters: logical value in partitionValues; the PATH is
+    # double-encoded exactly like delta-spark's — hive escapes '/' and
+    # '%' in the directory name (space stays raw on disk), then the URL
+    # encoding of add.path escapes those '%' again and the space once
+    by_pv = {add["partitionValues"]["cat"]: add["path"] for add in adds}
+    assert "a b/c%d" in by_pv
+    assert "cat=a%20b%252Fc%2525d/" in by_pv["a b/c%d"]
+    # and the encoded path unquotes to the real on-disk file
+    assert os.path.exists(
+        os.path.join(t, urllib.parse.unquote(by_pv["a b/c%d"]))
+    )
+    assert None in by_pv
+    assert "__HIVE_DEFAULT_PARTITION__" in by_pv[None]
+
+    v1 = [json.loads(l) for l in open(os.path.join(log, names[1]))]
+    removes = [a["remove"] for a in v1 if "remove" in a]
+    assert len(removes) == len(adds)
+    for rm in removes:
+        assert _REMOVE_REQUIRED <= set(rm)
+        assert rm["dataChange"] is True
+
+
+def test_writer_checkpoint_shape(spark, tmp_path):
+    t = str(tmp_path / "ck")
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(6)], "k bigint, v double"
+    )
+    write_delta(df, t, txn=("app", 7))
+    write_delta(df, t, mode="append")
+    v = write_checkpoint(t)
+    log = os.path.join(t, "_delta_log")
+    assert os.path.exists(os.path.join(log, f"{v:020d}.checkpoint.parquet"))
+    lc = json.load(open(os.path.join(log, "_last_checkpoint")))
+    assert set(lc) >= {"version", "size"} and lc["version"] == v
+    ck = pq.read_table(os.path.join(log, f"{v:020d}.checkpoint.parquet"))
+    # spec: top-level struct columns, exactly one non-null per row
+    assert {"protocol", "metaData", "add", "txn"} <= set(ck.schema.names)
+    for row in ck.to_pylist():
+        non_null = [k for k, val in row.items() if val is not None]
+        assert len(non_null) == 1, row
+    # the txn action survives checkpointing (appId reconciliation)
+    txns = [r["txn"] for r in ck.to_pylist() if r["txn"] is not None]
+    assert txns and txns[0]["appId"] == "app" and txns[0]["version"] == 7
+
+
+def test_writer_cdc_action_shape(spark, tmp_path):
+    t = str(tmp_path / "cdc")
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, 2.0)], "k bigint, v double"
+    )
+    write_delta(df, t)
+    m = merge_delta(
+        spark, t,
+        spark.createDataFrame([(2, 20.0)], "k bigint, v double"),
+        on=["k"], when_matched_update="*",
+    )
+    log = os.path.join(t, "_delta_log", f"{m['version']:020d}.json")
+    cdc = [json.loads(l)["cdc"] for l in open(log) if '"cdc"' in l]
+    assert cdc
+    for c in cdc:
+        assert {"path", "partitionValues", "size", "dataChange"} <= set(c)
+        assert c["dataChange"] is False
+        assert c["path"].startswith("_change_data/")
+        assert os.path.exists(
+            os.path.join(t, urllib.parse.unquote(c["path"]))
+        )
