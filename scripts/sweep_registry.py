@@ -265,6 +265,10 @@ def main() -> None:
         rec: dict = {
             "oracle_md5": oracle_md5(spec),
             "fn_src_md5": fn_src_md5(spec),
+            # declared comparison-mode entitlement (QuerySpec.decimal_faithful):
+            # False = output carries raw float arithmetic, quantized checksum
+            # is the EXPECTED large-result mode; True = bit-exact columns only
+            "decimal_faithful": spec.decimal_faithful,
         }
         t0 = time.perf_counter()
         cs = None
@@ -373,6 +377,12 @@ def main() -> None:
                     rec["oracle_rows"] = drow[0]
                     if cs[2]:
                         rec["checksum_mode"] = "quantized_1e6"
+                        if spec.decimal_faithful:
+                            # audit flag: a query DECLARED bit-exact fell
+                            # back to the tolerance rendering — either the
+                            # declaration or the schema drifted; visible in
+                            # the artifact, not silently absorbed
+                            rec["checksum_mode_undeclared"] = True
                     ok_rows = drow[0] == rec["spark_rows"]
                     ok_cs = (
                         srow_cs is not None

@@ -433,3 +433,34 @@ def test_round8_frontier6_plan_shapes(spark, sf_dir):
     # agg key, none carries vec_id
     plan = _plan(spark, sf_dir, "kmeans_update_step")
     assert "Exchange hashpartitioning(vec_id" not in plan, plan
+
+
+def test_retrieval_fusion_plan_pins(spark, sf_dir):
+    """r10 verdict #7: prf_rocchio_top10 is the registry's heaviest plan —
+    pin its exchange budget so expansion refactors can't silently double
+    it.  hybrid_rrf_top10 rides along.  Also pins the r11 lane fix: every
+    global top-K pre-thins via TakeOrderedAndProject (a per-partition
+    heap), so no stage sorts the full scored corpus on one partition —
+    the only allowed single-partition sorts are over already-thinned
+    <= top-K frames."""
+    pins = {
+        # (max data exchanges excl. broadcast, min TakeOrderedAndProject)
+        "prf_rocchio_top10": (24, 3),
+        "hybrid_rrf_top10": (8, 3),
+    }
+    from zeta_etl_spark.queries import REGISTRY
+
+    for name, (max_ex, min_toap) in pins.items():
+        df = REGISTRY[name].fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        n = sum(
+            1
+            for ln in plan.splitlines()
+            if "Exchange " in ln
+            and "Reused" not in ln
+            and "BroadcastExchange" not in ln
+        )
+        assert n <= max_ex, f"{name}: {n} data exchanges (pin {max_ex})"
+        assert plan.count("TakeOrderedAndProject") >= min_toap, name
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name

@@ -148,6 +148,7 @@ FROM events e JOIN s USING (user_id)
     "pandas_minmax_norm",
     oracle=_NORM_ORACLE,
     tags=("udf", "applyInPandas", "python"),
+    decimal_faithful=False,
 )
 def pandas_minmax_norm(spark, sf_dir):
     import pandas as pd
@@ -301,6 +302,7 @@ def kmeans_lloyd_assign(spark, sf_dir):
     "minmax_norm_sql",
     oracle=_NORM_ORACLE,
     tags=("window", "norm", "codegen-twin"),
+    decimal_faithful=False,
 )
 def minmax_norm_sql(spark, sf_dir):
     ev = T(spark, sf_dir, "events").select("event_id", "user_id", "value")

@@ -71,7 +71,7 @@ FROM ranked
 """
 
 
-@query("pnl_leaderboard", oracle=_PNL_ORACLE, tags=("window", "W1", "W2", "W4", "W5", "W6", "heavy"))
+@query("pnl_leaderboard", oracle=_PNL_ORACLE, tags=("window", "W1", "W2", "W4", "W5", "W6", "heavy"), decimal_faithful=False)
 def pnl_leaderboard(spark, sf_dir):
     ev = T(spark, sf_dir, "events")
     signed = F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(
@@ -294,6 +294,7 @@ FROM roi
     "pnl_roi_leaderboard",
     oracle=_ROI_ORACLE,
     tags=("window", "W1", "W2", "W3", "W4", "W5", "W11", "heavy"),
+    decimal_faithful=False,
 )
 def pnl_roi_leaderboard(spark, sf_dir):
     ev = T(spark, sf_dir, "events")

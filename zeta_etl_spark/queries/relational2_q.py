@@ -326,7 +326,7 @@ GROUP BY 1, 2, 3, 4
 """
 
 
-@query("large_orders", oracle=_Q18_ORACLE, tags=("join", "agg", "tpch", "having"))
+@query("large_orders", oracle=_Q18_ORACLE, tags=("join", "agg", "tpch", "having"), decimal_faithful=False)
 def large_orders(spark, sf_dir):
     l = T(spark, sf_dir, "lineitem")
     o = T(spark, sf_dir, "orders")

@@ -187,7 +187,7 @@ FROM p ASOF LEFT JOIN c
 """
 
 
-@query("asof_prior_click", oracle=_ASOF_ORACLE, tags=("join", "J6", "asof"))
+@query("asof_prior_click", oracle=_ASOF_ORACLE, tags=("join", "J6", "asof"), decimal_faithful=False)
 def asof_prior_click(spark, sf_dir):
     ev = T(spark, sf_dir, "events")
     purchases = ev.filter(F.col("event_type") == "purchase").select(
@@ -234,7 +234,7 @@ GROUP BY s.session_id, s.user_id, s.session_start
 """
 
 
-@query("session_range_join", oracle=_SESSION_ORACLE, tags=("join", "J7", "J8"))
+@query("session_range_join", oracle=_SESSION_ORACLE, tags=("join", "J7", "J8"), decimal_faithful=False)
 def session_range_join(spark, sf_dir):
     ev = T(spark, sf_dir, "events")
     sessions = ev.filter(F.col("event_type") == "signup").select(
@@ -307,7 +307,7 @@ FROM s GROUP BY user_id, session_idx
 """
 
 
-@query("user_sessions", oracle=_SESSIONS_ORACLE, tags=("window", "T10", "W8"))
+@query("user_sessions", oracle=_SESSIONS_ORACLE, tags=("window", "T10", "W8"), decimal_faithful=False)
 def user_sessions(spark, sf_dir):
     from pyspark.sql.window import Window
 
@@ -370,7 +370,7 @@ LEFT JOIN first_connect f ON ev.user_id = f.user_id
 """
 
 
-@query("connect_attribution", oracle=_ATTRIB_ORACLE, tags=("join", "J7", "W8", "T10"))
+@query("connect_attribution", oracle=_ATTRIB_ORACLE, tags=("join", "J7", "W8", "T10"), decimal_faithful=False)
 def connect_attribution(spark, sf_dir):
     from pyspark.sql.window import Window
 
@@ -457,6 +457,7 @@ FROM islands GROUP BY user_id, sid
     "session_window_native",
     oracle=_NATIVE_SESSION_ORACLE,
     tags=("window", "session", "T10"),
+    decimal_faithful=False,
 )
 def session_window_native(spark, sf_dir):
     ev = T(spark, sf_dir, "events")

@@ -216,7 +216,7 @@ FROM hourly
 """
 
 
-@query("exclusive_window_sums", oracle=_EXCLUSIVE_ORACLE, tags=("window", "W3"))
+@query("exclusive_window_sums", oracle=_EXCLUSIVE_ORACLE, tags=("window", "W3"), decimal_faithful=False)
 def exclusive_window_sums(spark, sf_dir):
     ev = T(spark, sf_dir, "events")
     hourly = ev.groupBy(

@@ -34,7 +34,7 @@ FROM events
 """
 
 
-@query("user_cumulative_value", oracle=_CUMSUM_ORACLE, tags=("window", "W1"))
+@query("user_cumulative_value", oracle=_CUMSUM_ORACLE, tags=("window", "W1"), decimal_faithful=False)
 def user_cumulative_value(spark, sf_dir):
     ev = T(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
     out = cumsum(
@@ -143,7 +143,7 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
-@query("event_gaps", oracle=_GAPS_ORACLE, tags=("window", "W8"))
+@query("event_gaps", oracle=_GAPS_ORACLE, tags=("window", "W8"), decimal_faithful=False)
 def event_gaps(spark, sf_dir):
     ev = T(spark, sf_dir, "events").select("event_id", "user_id", "ts", "event_type")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -260,7 +260,7 @@ FROM ranked
 """
 
 
-@query("rank_change_24h", oracle=_RANKCHANGE_ORACLE, tags=("window", "W6", "W5"))
+@query("rank_change_24h", oracle=_RANKCHANGE_ORACLE, tags=("window", "W6", "W5"), decimal_faithful=False)
 def rank_change_24h(spark, sf_dir):
     ev = T(spark, sf_dir, "events")
     daily = ev.groupBy(
