@@ -221,9 +221,10 @@ def test_reads_hand_authored_checkpoint(spark, tmp_path):
     ]
 
 
-def test_rejects_reader_version_above_subset(spark, tmp_path):
-    """protocol.minReaderVersion=3 (deletion vectors / column mapping era)
-    must be a loud refusal, never a silent misread."""
+def test_rejects_reader_features_above_subset(spark, tmp_path):
+    """Reader versions/features outside the implemented subset must be a
+    loud refusal, never a silent misread: v2 (column mapping era) always;
+    v3 when any reader feature beyond deletionVectors is required."""
     from zeta_etl_spark.sinks.delta_log import DeltaUnsupported
 
     t = str(tmp_path / "v3")
@@ -233,12 +234,31 @@ def test_rejects_reader_version_above_subset(spark, tmp_path):
     ) as fh:
         fh.write(
             json.dumps(
-                {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7}}
+                {
+                    "protocol": {
+                        "minReaderVersion": 3,
+                        "minWriterVersion": 7,
+                        "readerFeatures": ["v2Checkpoint"],
+                    }
+                }
+            )
+            + "\n"
+        )
+    with pytest.raises(DeltaUnsupported, match="v2Checkpoint"):
+        read_delta(spark, t)
+    t2 = str(tmp_path / "v2")
+    _write_golden(t2)
+    with open(
+        os.path.join(t2, "_delta_log", f"{2:020d}.json"), "w"
+    ) as fh:
+        fh.write(
+            json.dumps(
+                {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}
             )
             + "\n"
         )
     with pytest.raises(DeltaUnsupported, match="reader version"):
-        read_delta(spark, t)
+        read_delta(spark, t2)
 
 
 # ---------------------------------------------- independent reader vs writer

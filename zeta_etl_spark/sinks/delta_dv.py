@@ -1,0 +1,235 @@
+"""Delta deletion vectors — READ path (decode + row filtering inputs).
+
+Modern engines (delta-spark 2.4+, Databricks DBR 14+) enable deletion
+vectors by default: a row-level DELETE/UPDATE/MERGE no longer rewrites the
+data file, it commits the same ``add`` again with a ``deletionVector``
+descriptor naming the INVALIDATED row indexes.  A reader that ignores DVs
+resurrects deleted rows, so until now the interop layer refused such
+tables loudly.  This module implements the decode half of the feature so
+:func:`~zeta_etl_spark.sinks.delta_log.read_delta` can consume DV tables;
+WRITING deletion vectors stays out of scope (r10 verdict ask #8: read
+path only).
+
+Everything here is built from public specifications:
+
+- descriptor + file layout: Delta Transaction Log Protocol (delta.io
+  PROTOCOL.md, "Deletion Vectors" + "Deletion Vector Format"):
+  ``storageType`` 'i' (inline, Z85 in the action), 'u' (relative file
+  named ``deletion_vector_<uuid>.bin`` with an optional random prefix,
+  the UUID Z85-encoded in ``pathOrInlineDv``), 'p' (absolute path).
+  On-disk DV files start with a 1-byte format version (= 1); each DV is
+  ``<int32 BE dataSize> <data> <int32 BE CRC-32 of data>`` at the
+  descriptor's ``offset``.
+- the data: a 64-bit "RoaringBitmapArray" in delta's *portable* format —
+  ``<int32 LE magic = 1681511377> <int64 LE number of 32-bit bitmaps>``
+  then per bitmap ``<int32 LE key>`` + a standard 32-bit RoaringBitmap
+  in the official roaring *portable* serialization (array / bitmap / run
+  containers; roaringbitmap.org spec).
+- Z85: ZeroMQ RFC 32 (4 bytes -> 5 chars over an 85-symbol alphabet).
+
+Scale shape of the consumer (in delta_log.read_delta): DV'd files are
+scanned WITH ``_metadata.row_index`` and anti-joined against a positions
+frame built from the decoded bitmaps — work proportional to deleted rows
+(the DV cardinality the log already declares), never a per-row Python
+filter."""
+
+from __future__ import annotations
+
+import os
+import struct
+import urllib.parse
+import uuid as _uuid
+import zlib
+
+DV_MAGIC = 1681511377
+
+_Z85_CHARS = (
+    "0123456789abcdefghijklmnopqrstuvwxyz"
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#"
+)
+_Z85_INDEX = {c: i for i, c in enumerate(_Z85_CHARS)}
+
+
+def z85_decode(text: str) -> bytes:
+    """ZeroMQ RFC 32 Z85 decode: every 5 chars -> 4 bytes (big-endian
+    base-85 value)."""
+    if len(text) % 5:
+        raise ValueError(f"Z85 length must be a multiple of 5: {len(text)}")
+    out = bytearray()
+    for i in range(0, len(text), 5):
+        value = 0
+        for ch in text[i : i + 5]:
+            try:
+                value = value * 85 + _Z85_INDEX[ch]
+            except KeyError:
+                raise ValueError(f"invalid Z85 character {ch!r}") from None
+        out += value.to_bytes(4, "big")
+    return bytes(out)
+
+
+def z85_encode(data: bytes) -> str:
+    """Inverse of :func:`z85_decode` (used by tests/fixtures only)."""
+    if len(data) % 4:
+        raise ValueError(f"Z85 input must be a multiple of 4: {len(data)}")
+    out = []
+    for i in range(0, len(data), 4):
+        value = int.from_bytes(data[i : i + 4], "big")
+        chunk = []
+        for _ in range(5):
+            value, rem = divmod(value, 85)
+            chunk.append(_Z85_CHARS[rem])
+        out.extend(reversed(chunk))
+    return "".join(out)
+
+
+_SERIAL_COOKIE_NO_RUN = 12346
+_SERIAL_COOKIE = 12347
+_NO_OFFSET_THRESHOLD = 4
+
+
+def _read_roaring32(buf: bytes, pos: int) -> tuple[list[int], int]:
+    """One 32-bit RoaringBitmap in the official portable format; returns
+    (values, next position)."""
+    (cookie,) = struct.unpack_from("<i", buf, pos)
+    low = cookie & 0xFFFF
+    if low == _SERIAL_COOKIE:
+        n_containers = (cookie >> 16) + 1
+        pos += 4
+        n_run_bytes = (n_containers + 7) // 8
+        run_flags = buf[pos : pos + n_run_bytes]
+        pos += n_run_bytes
+        has_offsets = n_containers >= _NO_OFFSET_THRESHOLD
+    elif low == _SERIAL_COOKIE_NO_RUN:
+        (n_containers,) = struct.unpack_from("<i", buf, pos + 4)
+        pos += 8
+        run_flags = b""
+        has_offsets = True
+    else:
+        raise ValueError(f"not a portable RoaringBitmap (cookie {cookie})")
+
+    keys_cards = []
+    for _ in range(n_containers):
+        key, card_m1 = struct.unpack_from("<HH", buf, pos)
+        keys_cards.append((key, card_m1 + 1))
+        pos += 4
+    if has_offsets:
+        pos += 4 * n_containers  # offsets are a seek aid; we read serially
+
+    values: list[int] = []
+    for idx, (key, card) in enumerate(keys_cards):
+        base = key << 16
+        is_run = bool(run_flags and (run_flags[idx // 8] >> (idx % 8)) & 1)
+        if is_run:
+            (n_runs,) = struct.unpack_from("<H", buf, pos)
+            pos += 2
+            for _ in range(n_runs):
+                start, length = struct.unpack_from("<HH", buf, pos)
+                pos += 4
+                values.extend(range(base + start, base + start + length + 1))
+        elif card <= 4096:
+            vals = struct.unpack_from(f"<{card}H", buf, pos)
+            pos += 2 * card
+            values.extend(base + v for v in vals)
+        else:
+            words = struct.unpack_from("<1024Q", buf, pos)
+            pos += 8192
+            for wi, word in enumerate(words):
+                while word:
+                    bit = (word & -word).bit_length() - 1
+                    values.append(base + (wi << 6) + bit)
+                    word &= word - 1
+    return values, pos
+
+
+def deserialize_dv_bitmap(data: bytes) -> list[int]:
+    """Decode delta's portable RoaringBitmapArray: the sorted list of
+    64-bit row indexes the deletion vector invalidates."""
+    (magic,) = struct.unpack_from("<i", data, 0)
+    if magic != DV_MAGIC:
+        raise ValueError(
+            f"deletion vector magic {magic} != {DV_MAGIC} — not a portable "
+            "RoaringBitmapArray"
+        )
+    (n_bitmaps,) = struct.unpack_from("<q", data, 4)
+    pos = 12
+    out: list[int] = []
+    for _ in range(n_bitmaps):
+        (key,) = struct.unpack_from("<i", data, pos)
+        pos += 4
+        vals, pos = _read_roaring32(data, pos)
+        high = key << 32
+        out.extend(high | v for v in vals)
+    return out
+
+
+def dv_file_path(descriptor: dict, table: str) -> str:
+    """Resolve a 'u' or 'p' descriptor to the on-disk DV file.  For 'u',
+    ``pathOrInlineDv`` is ``[<random prefix>]<Z85 uuid (20 chars)>`` and
+    the file is ``<prefix>/deletion_vector_<uuid>.bin`` under the table
+    root (PROTOCOL.md "Derived Fields")."""
+    storage = descriptor["storageType"]
+    path_or = descriptor["pathOrInlineDv"]
+    if storage == "p":
+        return path_or
+    if storage != "u":
+        raise ValueError(f"no file behind storageType {storage!r}")
+    prefix, z85_uuid = path_or[:-20], path_or[-20:]
+    uid = _uuid.UUID(bytes=z85_decode(z85_uuid))
+    name = f"deletion_vector_{uid}.bin"
+    return os.path.join(table, prefix, name) if prefix else os.path.join(
+        table, name
+    )
+
+
+def read_dv_rows(descriptor: dict, table: str) -> list[int]:
+    """Deleted row indexes for one ``deletionVector`` descriptor.
+
+    Inline ('i'): the Z85 payload IS the serialized bitmap.  File-backed
+    ('u'/'p'): seek to ``offset``, read ``<int32 BE size><data><int32 BE
+    crc>``, verify size against the descriptor and the CRC-32 against the
+    data — a truncated or corrupt DV must fail loudly, silently keeping
+    deleted rows alive is data corruption."""
+    storage = descriptor["storageType"]
+    if storage == "i":
+        data = z85_decode(descriptor["pathOrInlineDv"])
+    else:
+        path = dv_file_path(descriptor, table)
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"deletion vector file missing: {path} "
+                "(vacuumed past its retention?)"
+            )
+        with open(path, "rb") as fh:
+            fh.seek(descriptor.get("offset") or 0)
+            (size,) = struct.unpack(">i", fh.read(4))
+            data = fh.read(size)
+            (crc,) = struct.unpack(">i", fh.read(4))
+        if zlib.crc32(data) & 0xFFFFFFFF != crc & 0xFFFFFFFF:
+            raise ValueError(f"deletion vector CRC mismatch: {path}")
+    if descriptor.get("sizeInBytes") not in (None, len(data)):
+        raise ValueError(
+            f"deletion vector size {len(data)} != declared "
+            f"{descriptor['sizeInBytes']}"
+        )
+    rows = deserialize_dv_bitmap(data)
+    card = descriptor.get("cardinality")
+    if card is not None and card != len(rows):
+        raise ValueError(
+            f"deletion vector cardinality {len(rows)} != declared {card}"
+        )
+    return rows
+
+
+def dv_positions(live: dict, table: str) -> list[tuple[str, int]]:
+    """(relative unquoted file path, deleted row index) pairs for every
+    live add carrying a deletionVector — the driver-side input of the
+    anti-join in read_delta.  Size = total deleted rows, which the log
+    declares up front via cardinality."""
+    out: list[tuple[str, int]] = []
+    for rel, add in live.items():
+        desc = add.get("deletionVector")
+        if not desc:
+            continue
+        path = urllib.parse.unquote(rel)
+        out.extend((path, r) for r in read_dv_rows(desc, table))
+    return out

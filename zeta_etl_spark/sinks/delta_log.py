@@ -60,9 +60,21 @@ Implemented subset (spec-true where implemented, strict where not):
   widens the table schema with the frame's new columns (a new
   ``metaData`` action in the same commit); reads use an explicit read
   schema so pre-evolution files surface the new columns as NULL.
+- MERGE INTO: :func:`merge_delta` — remove+add ``dataChange`` commits
+  proportional to touched files (key-range + partition-tuple pruning),
+  spec ``cdc`` actions with ``_change_data`` files for row-level CDF,
+  OCC read-modify-write, txn idempotence for streaming upserts
+  (:func:`foreach_batch_delta_upsert`).
+- deletion vectors, READ path only (:mod:`.delta_dv`): protocol v3
+  tables whose readerFeatures are exactly {deletionVectors} are
+  readable — inline/'u'/'p' descriptors decode through the portable
+  RoaringBitmapArray format and the DV'd files' deleted row indexes are
+  dropped via one ``_metadata.row_index`` anti-join.  Operations that
+  would rewrite or re-commit DV'd files (OPTIMIZE, MERGE, checkpoint,
+  CDF over DV commits) refuse loudly.
 - NOT implemented (rejected loudly, never silently misread): column
-  mapping, deletion vectors, v2/multi-part checkpoints, generated
-  columns.
+  mapping, v2/multi-part checkpoints, generated columns, writing
+  deletion vectors.
 
 At 100 TB: the log is O(commits) JSON lines bounded by checkpointing +
 cleanup, and the reader materializes only the live-file LIST driver-side
@@ -153,10 +165,23 @@ def _checkpoint_path(table: str, version: int) -> str:
 
 
 def _apply_protocol(action_protocol: dict) -> dict:
-    if action_protocol.get("minReaderVersion", 1) > 1:
+    mrv = action_protocol.get("minReaderVersion", 1)
+    if mrv == 3:
+        # table-features era: readable iff every reader feature is in the
+        # implemented subset (deletion vectors have a READ path here;
+        # column mapping / v2 checkpoints do not)
+        feats = set(action_protocol.get("readerFeatures") or [])
+        unsupported = sorted(feats - {"deletionVectors"})
+        if unsupported:
+            raise DeltaUnsupported(
+                f"reader features {unsupported} are outside the "
+                "implemented subset"
+            )
+        return action_protocol
+    if mrv > 1:
         raise DeltaUnsupported(
             f"reader version {action_protocol} needs features "
-            "(column mapping / deletion vectors) outside the "
+            "(column mapping / v2 checkpoints) outside the "
             "implemented subset"
         )
     return action_protocol
@@ -245,6 +270,8 @@ def _replay(table: str, version: int | None = None):
         )
 
     for v in tail:
+        adds_v: dict[str, dict] = {}
+        removes_v: list[str] = []
         with open(_log_path(table, v)) as fh:
             for line in fh:
                 if not line.strip():
@@ -255,11 +282,19 @@ def _replay(table: str, version: int | None = None):
                 elif "metaData" in action:
                     meta = action["metaData"]
                 elif "add" in action:
-                    live[action["add"]["path"]] = action["add"]
+                    adds_v[action["add"]["path"]] = action["add"]
                 elif "remove" in action:
-                    live.pop(action["remove"]["path"], None)
+                    removes_v.append(action["remove"]["path"])
                 elif "txn" in action:
                     txns[action["txn"]["appId"]] = action["txn"]["version"]
+        # per-commit reconciliation, order-independent WITHIN the commit:
+        # a DV update re-adds the SAME path it removes (remove(old DV) +
+        # add(new DV) in one commit, PROTOCOL.md) — the remove targets the
+        # old incarnation and must never cancel the same-commit re-add
+        for p in removes_v:
+            if p not in adds_v:
+                live.pop(p, None)
+        live.update(adds_v)
     if meta is None:
         raise DeltaUnsupported(f"log has no metaData action: {table}")
     return protocol, meta, live, txns
@@ -567,24 +602,30 @@ def write_delta(
                     f"types {conflicts} (evolved concurrently?)"
                 )
             if mode == "overwrite":
-                target_schema = df.schema.json()
+                target_struct = df.schema
             else:
-                union = StructType(
+                target_struct = StructType(
                     list(now_schema)
                     + [f for f in df.schema if f.name not in now_types]
                 )
-                target_schema = union.json()
-                if (
-                    target_schema != meta_now["schemaString"]
-                    and not merge_schema
-                ):
+                if target_struct != now_schema and not merge_schema:
                     raise DeltaUnsupported(
                         "table schema evolved concurrently and this "
                         "append did not pass merge_schema=True"
                     )
-            if target_schema != meta_now["schemaString"]:
+            # STRUCTURAL comparison, never schemaString text: a foreign
+            # writer's JSON formatting (spacing, key order) differs from
+            # PySpark's serialization for the same schema, and a string
+            # compare would demand merge_schema / commit a redundant
+            # metaData action on every append to an interop table
+            if target_struct != now_schema:
                 actions.append(
-                    {"metaData": {**meta_now, "schemaString": target_schema}}
+                    {
+                        "metaData": {
+                            **meta_now,
+                            "schemaString": target_struct.json(),
+                        }
+                    }
                 )
         if version != 0 and mode == "overwrite":
             # remove-set computed against the CURRENT snapshot each retry
@@ -768,6 +809,18 @@ def _file_may_match(add: dict, partition_cols: set[str],
     return True
 
 
+def _reject_dv(live: dict, op: str) -> None:
+    """Operations that READ live files and re-commit them (OPTIMIZE,
+    MERGE, checkpointing) would resurrect DV-deleted rows or drop the
+    descriptors — refuse loudly; DV support is read-only (r10 ask #8)."""
+    dv = sorted(p for p, a in live.items() if a.get("deletionVector"))
+    if dv:
+        raise DeltaUnsupported(
+            f"{op} on a table with live deletion vectors is outside the "
+            f"implemented subset (DV support is read-only): {dv[:3]}"
+        )
+
+
 def read_delta(
     spark: SparkSession,
     table: str,
@@ -826,13 +879,56 @@ def read_delta(
         }
     if not live:
         return _with_filters(spark.createDataFrame([], schema))
-    files = [
-        os.path.join(table, urllib.parse.unquote(p)) for p in sorted(live)
-    ]
-    reader = spark.read.schema(schema)
-    if meta["partitionColumns"]:
-        reader = reader.option("basePath", table)
-    df = reader.parquet(*files).select(*[f.name for f in schema.fields])
+
+    def _scan(adds: dict[str, dict], with_meta: bool) -> DataFrame:
+        files = [
+            os.path.join(table, urllib.parse.unquote(p))
+            for p in sorted(adds)
+        ]
+        reader = spark.read.schema(schema)
+        if meta["partitionColumns"]:
+            reader = reader.option("basePath", table)
+        cols = [F.col(f.name) for f in schema.fields]
+        if with_meta:
+            cols += [
+                F.col("_metadata.file_path").alias("__fp"),
+                F.col("_metadata.row_index").alias("__ri"),
+            ]
+        return reader.parquet(*files).select(*cols)
+
+    dv_live = {
+        p: a for p, a in live.items() if a.get("deletionVector")
+    }
+    plain_live = {p: a for p, a in live.items() if p not in dv_live}
+    pieces: list[DataFrame] = []
+    if plain_live:
+        pieces.append(_scan(plain_live, with_meta=False))
+    if dv_live:
+        # deletion vectors (read path): the DV'd files scan WITH the
+        # parquet row index, and one anti-join against the decoded
+        # deleted-position frame drops the invalidated rows — work is
+        # proportional to DELETED rows (the cardinality the log already
+        # declares), and the scan stays one distributed parquet read
+        from zeta_etl_spark.sinks.delta_dv import dv_positions
+
+        positions = dv_positions(dv_live, table)
+        pos_df = spark.createDataFrame(
+            [
+                ("file:" + os.path.abspath(os.path.join(table, p)), r)
+                for p, r in positions
+            ],
+            "__fp string, __ri bigint",
+        )
+        if len(positions) <= 1_000_000:
+            pos_df = F.broadcast(pos_df)
+        pieces.append(
+            _scan(dv_live, with_meta=True)
+            .join(pos_df, ["__fp", "__ri"], "left_anti")
+            .drop("__fp", "__ri")
+        )
+    df = pieces[0]
+    for p in pieces[1:]:
+        df = df.unionByName(p)
     return _with_filters(df)
 
 
@@ -937,6 +1033,7 @@ def optimize(
     zorder_by = list(zorder_by)
     for _ in range(max_retries):
         _, meta, live, _ = _replay(table)
+        _reject_dv(live, "OPTIMIZE")
         base_version = latest_version(table)
         if not live:
             return base_version
@@ -1143,6 +1240,7 @@ def merge_delta(
     for _ in range(max_retries):
         base_version = latest_version(table)
         _, meta, live, txns = _replay(table, base_version)
+        _reject_dv(live, "MERGE")
         if txn is not None:
             seen = txns.get(txn[0])
             if seen is not None and txn[1] <= seen:
@@ -1430,6 +1528,14 @@ def table_changes(
                     ts = action["commitInfo"].get("timestamp")
                 elif "cdc" in action:
                     cdc_rels.append(action["cdc"]["path"])
+                elif "add" in action and action["add"].get(
+                    "deletionVector"
+                ):
+                    raise DeltaUnsupported(
+                        f"version {v} of {table} changes rows via a "
+                        "deletion vector — CDF over DV commits is outside "
+                        "the implemented subset (read the snapshot)"
+                    )
                 elif "add" in action and action["add"].get("dataChange"):
                     groups["insert"].append(action["add"]["path"])
                 elif "remove" in action and action["remove"].get(
@@ -1695,6 +1801,7 @@ def write_checkpoint(table: str, version: int | None = None) -> int:
     if version is None:
         version = latest_version(table)
     protocol, meta, live, txns = _replay(table, version)
+    _reject_dv(live, "checkpointing")
 
     str_map = pa.map_(pa.string(), pa.string())
     schema = pa.schema(
