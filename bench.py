@@ -60,7 +60,8 @@ OPTIONAL = [
     "doc_quality",
     "doc_language_id",
     # r10 additions (delta_roundtrip_rollup intentionally absent: it is a
-    # write-path e2e job, not a query; its wall is recorded in the sweep)
+    # write-path e2e job, not a query; its wall is recorded in the sweep —
+    # the r11 delta_merge_* queries stay out for the same reason)
     "pii_scrub_audit",
     "langid_confusion_prf",
     "langid_cohens_kappa",
