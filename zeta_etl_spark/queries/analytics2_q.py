@@ -89,7 +89,6 @@ WINDOW w AS (PARTITION BY user_id ORDER BY cents
     "value_range_window",
     oracle=_VRW_ORACLE,
     tags=("window", "range-frame", "W2"),
-    decimal_faithful=False,
 )
 def value_range_window(spark, sf_dir):
     e = T(spark, sf_dir, "events").select(

@@ -291,7 +291,7 @@ SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 6
 """
 
 
-@query("simhash_near_pairs", oracle=_SIMHASH_PAIRS_ORACLE, tags=("dedup", "simhash"), decimal_faithful=False)
+@query("simhash_near_pairs", oracle=_SIMHASH_PAIRS_ORACLE, tags=("dedup", "simhash"))
 def simhash_near_pairs(spark, sf_dir):
     base = simhash(T(spark, sf_dir, "documents"))
     a = base.alias("a")

@@ -450,7 +450,6 @@ SELECT part_a, part_b, c AS co_count, cosine_ppm FROM (
     "item_item_cf_topk",
     oracle=_CF_ORACLE,
     tags=("recsys", "similarity", "top-k"),
-    decimal_faithful=False,
 )
 def item_item_cf_topk(spark, sf_dir):
     o = T(spark, sf_dir, "orders")

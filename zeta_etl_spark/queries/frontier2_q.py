@@ -192,7 +192,6 @@ FROM w WHERE is_p = 1
     "asof_nearest_event",
     oracle=_ASOF_NEAREST_ORACLE,
     tags=("join", "asof", "temporal"),
-    decimal_faithful=False,
 )
 def asof_nearest_event(spark, sf_dir):
     ev = T(spark, sf_dir, "events")

@@ -63,7 +63,6 @@ FROM w WHERE event_type = 'purchase'
     "point_in_time_features",
     oracle=_PIT_ORACLE,
     tags=("ml-infra", "feature-store", "asof"),
-    decimal_faithful=False,
 )
 def point_in_time_features(spark, sf_dir):
     ev = T(spark, sf_dir, "events")
@@ -163,7 +162,6 @@ FROM ranked WHERE rk <= {_NEG_K}
     "negative_sampling_recs",
     oracle=_neg_oracle(),
     tags=("ml-infra", "sampling", "join"),
-    decimal_faithful=False,
 )
 def negative_sampling_recs(spark, sf_dir):
     from zeta_etl_spark.operators.scalar_frame import scalar_frame_crossjoin

@@ -118,7 +118,6 @@ FROM events
     "forward_fill_values",
     oracle=_FF_ORACLE,
     tags=("window", "gap-fill", "W8"),
-    decimal_faithful=False,
 )
 def forward_fill_values(spark, sf_dir):
     e = T(spark, sf_dir, "events")
@@ -230,7 +229,6 @@ WHERE event_type = 'purchase'
     "variant_payload_access",
     oracle=_VARIANT_ORACLE,
     tags=("scalar", "variant", "json"),
-    decimal_faithful=False,
 )
 def variant_payload_access(spark, sf_dir):
     e = T(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")

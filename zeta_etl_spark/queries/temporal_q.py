@@ -370,7 +370,7 @@ LEFT JOIN first_connect f ON ev.user_id = f.user_id
 """
 
 
-@query("connect_attribution", oracle=_ATTRIB_ORACLE, tags=("join", "J7", "W8", "T10"), decimal_faithful=False)
+@query("connect_attribution", oracle=_ATTRIB_ORACLE, tags=("join", "J7", "W8", "T10"))
 def connect_attribution(spark, sf_dir):
     from pyspark.sql.window import Window
 

@@ -301,7 +301,6 @@ FROM collapsed
     "scd2_event_history",
     oracle=_SCD2_ORACLE,
     tags=("cdc", "scd2", "window", "history"),
-    decimal_faithful=False,
 )
 def scd2_event_history(spark, sf_dir):
     e = T(spark, sf_dir, "events").select(

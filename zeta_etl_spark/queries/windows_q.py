@@ -143,7 +143,7 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
-@query("event_gaps", oracle=_GAPS_ORACLE, tags=("window", "W8"), decimal_faithful=False)
+@query("event_gaps", oracle=_GAPS_ORACLE, tags=("window", "W8"))
 def event_gaps(spark, sf_dir):
     ev = T(spark, sf_dir, "events").select("event_id", "user_id", "ts", "event_type")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
