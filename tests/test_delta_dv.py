@@ -369,3 +369,26 @@ def test_reader_features_outside_subset_still_refuse(spark, tmp_path):
         )
     with pytest.raises(DeltaUnsupported, match="columnMapping"):
         read_delta(spark, t)
+
+
+def test_dv_table_under_uri_escaped_path(spark, tmp_path):
+    """r11 review finding #1: Spark URI-escapes _metadata.file_path
+    (space -> %20), so the anti-join key must come from Spark's own
+    rendering — a table path containing a space must still filter the
+    deleted rows (the broken version silently resurrected ALL of them)."""
+    t = str(tmp_path / "dv dir with spaces" / "t")
+    os.makedirs(os.path.dirname(t))
+    deleted = [1, 3]
+    data = _serialize_dv(deleted)
+    pad = (-len(data)) % 4
+    desc = {
+        "storageType": "i",
+        "pathOrInlineDv": z85_encode(data + b"\x00" * pad),
+        "sizeInBytes": len(data) + pad,
+        "cardinality": 2,
+    }
+    _dv_table(t, desc)
+    got = read_delta(spark, t)
+    assert sorted(r["id"] for r in got.collect()) == [
+        0, 2, 4, 5, 6, 7, 8, 9, 100, 101,
+    ]

@@ -435,3 +435,40 @@ def test_streaming_upsert_tombstones_crash_replay_e2e(spark, tmp_path):
     assert _rows(read_delta(spark, t).select("k", "v", "seq", "op")) == _rows(
         _twin()
     )
+
+
+def test_zero_change_merge_commits_nothing(spark, tmp_path):
+    """r11 review finding #2: a merge whose conditions claim no row must
+    not commit a rewrite — a dataChange:true remove+add with no cdc
+    actions would make table_changes fabricate delete+insert rows for
+    every copied row of the touched files."""
+    t = str(tmp_path / "t")
+    _base(spark, t, n=6, partitioned=False)
+    v0 = latest_version(t)
+    src = _df(spark, [(2, "a", -1.0)])  # matches, but the condition loses
+    m = merge_delta(
+        spark, t, src, on=["k"],
+        when_matched_update="*",
+        update_condition="s.v > t.v",  # -1.0 > 2.0 is false
+    )
+    assert latest_version(t) == v0  # no commit at all
+    assert m["rows_updated"] == 0 and m["files_added"] == 0
+    # and the CDF over the whole history contains only the v0 inserts
+    feed = table_changes(spark, t, 0, v0)
+    assert feed.filter(F.col("_change_type") != "insert").count() == 0
+
+
+def test_incremental_cdf_column_order_consistent(spark, tmp_path):
+    """r11 review finding #5: the initial-snapshot batch and later change
+    batches must share one column order, so positional consumers never
+    swap _change_type/_commit_version."""
+    t = str(tmp_path / "t")
+    cur = str(tmp_path / "cursor.json")
+    _base(spark, t, n=3, partitioned=False)
+    first, _ = read_delta_incremental(spark, t, cur, mode="cdf")
+    merge_delta(
+        spark, t, _df(spark, [(0, "a", 99.0)]), on=["k"],
+        when_matched_update="*",
+    )
+    second, _ = read_delta_incremental(spark, t, cur, mode="cdf")
+    assert first.columns == second.columns

@@ -17,15 +17,19 @@ class QuerySpec:
     rows-only check).  Column names/types must match the Spark result —
     the driver sorts columns by name before value-hashing.
 
-    ``decimal_faithful`` records the comparison mode the query EARNS:
-    True (default) = every output column is cross-engine bit-exact (ints,
-    strings, dec_sum-style decimal-routed doubles, identical-IEEE
-    expression trees), so full value-hash comparison applies at any scale.
-    False = the output carries raw float arithmetic whose partitioning-
-    order sums can differ between engines, so large-scale sweeps use the
-    order-independent quantized_1e6 checksum instead.  The flag makes the
-    checksum fallback auditable per query (r9/r10 verdict ask) — the sweep
-    harness consults it instead of inferring from the result schema."""
+    ``decimal_faithful`` is an AUDIT DECLARATION of the comparison mode
+    the query earns: True (default) = every output column is
+    cross-engine bit-exact (ints, strings, dec_sum-style decimal-routed
+    doubles, identical-IEEE expression trees); False = the output
+    carries raw float arithmetic whose partitioning-order sums can
+    differ between engines, so large-result sweeps legitimately compare
+    it under the quantized_1e6 tolerance.  The sweep harness still
+    derives the actual rendering from the result schema (doubles can
+    only be compared quantized cross-engine regardless of faithfulness —
+    engine double→string formats differ); the flag's job is the audit:
+    it is recorded on every sweep row, and a query that falls back to
+    quantized WITHOUT declaring False is flagged
+    ``checksum_mode_undeclared`` in the artifact."""
 
     fn: Callable[[SparkSession, str], DataFrame]
     oracle: str | None

@@ -651,7 +651,14 @@ def write_delta(
             if checkpoint_interval and version > 0 and (
                 version % checkpoint_interval == 0
             ):
-                write_checkpoint(table, version)
+                # the COMMIT above already succeeded: a checkpoint that
+                # cannot be written (live deletion vectors — the classic
+                # layout would drop the descriptors) is skipped, never
+                # surfaced as a failure of the append itself
+                try:
+                    write_checkpoint(table, version)
+                except DeltaUnsupported:
+                    pass
             return version
     raise DeltaConcurrentModification(
         f"lost the commit race {max_retries} times: {table}"
@@ -911,19 +918,53 @@ def read_delta(
         # declares), and the scan stays one distributed parquet read
         from zeta_etl_spark.sinks.delta_dv import dv_positions
 
+        dv_scan = _scan(dv_live, with_meta=True)
+        # the join key is Spark's OWN _metadata.file_path rendering —
+        # collected from a metadata-only pass over the DV'd files (the
+        # small subset), never rebuilt in Python: Hadoop URI-escapes
+        # paths (space -> %20, '%' -> %25, ...), and a hand-built
+        # "file:" + abspath key silently matches NOTHING for such paths,
+        # resurrecting every deleted row (r11 review finding #1).  A
+        # scanned file that does not decode back to an expected path is
+        # a loud error, never a silent pass-through.
+        expected = {
+            os.path.normpath(
+                os.path.abspath(
+                    os.path.join(table, urllib.parse.unquote(p))
+                )
+            ): urllib.parse.unquote(p)  # dv_positions keys are unquoted
+            for p in dv_live
+        }
+        uri_by_rel: dict[str, str] = {}
+        for row in dv_scan.select("__fp").distinct().collect():
+            uri = row["__fp"]
+            fs = urllib.parse.unquote(
+                uri[len("file:"):] if uri.startswith("file:") else uri
+            )
+            rel = expected.get(os.path.normpath(fs))
+            if rel is None:
+                raise ValueError(
+                    f"deletion-vector scan surfaced unexpected file "
+                    f"{uri!r} — cannot anchor deleted positions"
+                )
+            uri_by_rel[rel] = uri
+        missing = sorted(
+            {urllib.parse.unquote(p) for p in dv_live} - set(uri_by_rel)
+        )
+        if missing:
+            raise ValueError(
+                f"deletion-vector files never surfaced in the scan: "
+                f"{missing[:3]} — row-index anchoring would be unsound"
+            )
         positions = dv_positions(dv_live, table)
         pos_df = spark.createDataFrame(
-            [
-                ("file:" + os.path.abspath(os.path.join(table, p)), r)
-                for p, r in positions
-            ],
+            [(uri_by_rel[p], r) for p, r in positions],
             "__fp string, __ri bigint",
         )
         if len(positions) <= 1_000_000:
             pos_df = F.broadcast(pos_df)
         pieces.append(
-            _scan(dv_live, with_meta=True)
-            .join(pos_df, ["__fp", "__ri"], "left_anti")
+            dv_scan.join(pos_df, ["__fp", "__ri"], "left_anti")
             .drop("__fp", "__ri")
         )
     df = pieces[0]
@@ -1229,12 +1270,57 @@ def merge_delta(
 
     Returns {version, rows_deleted/updated/inserted/matched_copied,
     files_removed, files_added, files_pruned}."""
+    on = list(on)
+    # the source plan is evaluated several times per merge (duplicate-key
+    # guard, key-bounds agg, partition tuples, metrics, merged write, cdc
+    # write) and again per OCC retry — pin it once; in the streaming
+    # upsert path the source is a windowed dedup of the microbatch, so
+    # without this every merge pays that shuffle ~6x (r11 review #4)
+    source = source.persist()
+    try:
+        return _merge_delta_pinned(
+            spark,
+            table,
+            source,
+            on,
+            when_matched_update,
+            update_condition,
+            when_matched_delete,
+            delete_condition,
+            when_not_matched_insert,
+            insert_condition,
+            schema_evolution,
+            write_cdf,
+            collect_metrics,
+            txn,
+            max_retries,
+        )
+    finally:
+        source.unpersist()
+
+
+def _merge_delta_pinned(
+    spark,
+    table,
+    source,
+    on,
+    when_matched_update,
+    update_condition,
+    when_matched_delete,
+    delete_condition,
+    when_not_matched_insert,
+    insert_condition,
+    schema_evolution,
+    write_cdf,
+    collect_metrics,
+    txn,
+    max_retries,
+) -> dict:
     from zeta_etl_spark.operators.merge_kernel import (
         build_merge_plan,
         reject_duplicate_source_keys,
     )
 
-    on = list(on)
     reject_duplicate_source_keys(source, on)
 
     for _ in range(max_retries):
@@ -1391,8 +1477,17 @@ def merge_delta(
                 subdir=_CHANGE_DATA_DIR,
                 drop_empty=True,
             )
-        if not adds and not touched and not cdc_actions:
-            # nothing matched, nothing inserted: no empty commits
+        if (not adds and not touched and not cdc_actions) or (
+            write_cdf and not cdc_actions
+        ):
+            # No row-level change happened.  The second arm matters even
+            # when files WERE touched (conditions claimed nothing): a
+            # dataChange:true remove+add commit with no cdc actions would
+            # make table_changes fall back to the add/remove derivation
+            # and fabricate delete+insert rows for every COPIED row of
+            # the rewritten files (r11 review finding #2) — so a
+            # zero-change merge commits nothing at all.
+            _discard_staged(table, adds)
             return {
                 "version": base_version,
                 "files_removed": 0,
@@ -1729,11 +1824,18 @@ def read_delta_incremental(
         # bootstrap) — the full current table, then incremental.  This is
         # also the only correct start on a log-cleaned table, where CDF
         # cannot reconstruct the early commits.
-        out = read_delta(spark, table, version=latest).withColumn(
-            "_commit_version", F.lit(latest).cast("bigint")
-        )
+        out = read_delta(spark, table, version=latest)
         if mode == "cdf":
-            out = out.withColumn("_change_type", F.lit("insert"))
+            # column order matches the changes branch exactly
+            # ([cols..., _change_type, _commit_version]) so consumers
+            # that union batches positionally never swap fields
+            out = out.withColumn(
+                "_change_type", F.lit("insert")
+            ).withColumn("_commit_version", F.lit(latest).cast("bigint"))
+        else:
+            out = out.withColumn(
+                "_commit_version", F.lit(latest).cast("bigint")
+            )
     else:
         changes = table_changes(spark, table, since + 1, latest)
         if mode == "cdf":
@@ -2064,7 +2166,10 @@ def foreach_batch_delta_upsert(
         if checkpoint_interval:
             v = latest_version(table)
             if v > 0 and v % checkpoint_interval == 0:
-                write_checkpoint(table, v)
+                try:
+                    write_checkpoint(table, v)
+                except DeltaUnsupported:
+                    pass  # e.g. live DVs: the upsert itself succeeded
 
     (
         stream.writeStream.foreachBatch(_upsert)
