@@ -246,6 +246,8 @@ def test_rejects_reader_features_above_subset(spark, tmp_path):
         )
     with pytest.raises(DeltaUnsupported, match="v2Checkpoint"):
         read_delta(spark, t)
+    # reader version 2 (legacy column mapping gate) is READABLE since the
+    # column-mapping read path landed; a hypothetical future version is not
     t2 = str(tmp_path / "v2")
     _write_golden(t2)
     with open(
@@ -254,6 +256,16 @@ def test_rejects_reader_features_above_subset(spark, tmp_path):
         fh.write(
             json.dumps(
                 {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}
+            )
+            + "\n"
+        )
+    assert read_delta(spark, t2).count() == 4
+    with open(
+        os.path.join(t2, "_delta_log", f"{3:020d}.json"), "w"
+    ) as fh:
+        fh.write(
+            json.dumps(
+                {"protocol": {"minReaderVersion": 9, "minWriterVersion": 9}}
             )
             + "\n"
         )
@@ -452,3 +464,176 @@ def test_writer_cdc_action_shape(spark, tmp_path):
         assert os.path.exists(
             os.path.join(t, urllib.parse.unquote(c["path"]))
         )
+
+
+# ------------------------------------------------- column mapping (read)
+
+_MAPPED_SCHEMA = json.dumps(
+    {
+        "type": "struct",
+        "fields": [
+            {
+                "name": "id",
+                "type": "long",
+                "nullable": True,
+                "metadata": {
+                    "delta.columnMapping.id": 1,
+                    "delta.columnMapping.physicalName": "col-aaa111",
+                },
+            },
+            {
+                "name": "payload",
+                "type": {
+                    "type": "struct",
+                    "fields": [
+                        {
+                            "name": "score",
+                            "type": "double",
+                            "nullable": True,
+                            "metadata": {
+                                "delta.columnMapping.id": 3,
+                                "delta.columnMapping.physicalName":
+                                    "col-ccc333",
+                            },
+                        }
+                    ],
+                },
+                "nullable": True,
+                "metadata": {
+                    "delta.columnMapping.id": 2,
+                    "delta.columnMapping.physicalName": "col-bbb222",
+                },
+            },
+            {
+                "name": "part",
+                "type": "string",
+                "nullable": True,
+                "metadata": {
+                    "delta.columnMapping.id": 4,
+                    "delta.columnMapping.physicalName": "col-ddd444",
+                },
+            },
+        ],
+    }
+)
+
+
+def _write_mapped_golden(table: str) -> None:
+    """Hand-authored NAME-mode column-mapped table: data files and
+    partition directories carry PHYSICAL names (col-…), the log's
+    partitionValues/stats keys are physical, partitionColumns and
+    schemaString names are logical — exactly what delta-spark writes
+    after ALTER TABLE ... RENAME COLUMN."""
+    os.makedirs(os.path.join(table, "_delta_log"))
+    for pval, ids, scores in (
+        ("x", [1, 2], [0.5, 1.5]),
+        ("y", [3], [9.0]),
+    ):
+        d = os.path.join(table, f"col-ddd444={pval}")
+        os.makedirs(d)
+        pq.write_table(
+            pa.table(
+                {
+                    "col-aaa111": pa.array(ids, pa.int64()),
+                    "col-bbb222": pa.array(
+                        [{"col-ccc333": s} for s in scores],
+                        pa.struct([("col-ccc333", pa.float64())]),
+                    ),
+                }
+            ),
+            os.path.join(d, "f.parquet"),
+        )
+    actions = [
+        json.dumps({"commitInfo": {"timestamp": 1, "operation": "WRITE"}}),
+        json.dumps(
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}
+        ),
+        json.dumps(
+            {
+                "metaData": {
+                    "id": "33333333-3333-3333-3333-333333333333",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": _MAPPED_SCHEMA,
+                    "partitionColumns": ["part"],
+                    "configuration": {
+                        "delta.columnMapping.mode": "name",
+                        "delta.columnMapping.maxColumnId": "4",
+                    },
+                    "createdTime": 1700000000000,
+                }
+            }
+        ),
+    ]
+    for pval, n, lo, hi in (("x", 2, 1, 2), ("y", 1, 3, 3)):
+        actions.append(
+            json.dumps(
+                {
+                    "add": {
+                        "path": f"col-ddd444={pval}/f.parquet",
+                        "partitionValues": {"col-ddd444": pval},
+                        "size": 1,
+                        "modificationTime": 1,
+                        "dataChange": True,
+                        "stats": json.dumps(
+                            {
+                                "numRecords": n,
+                                "minValues": {"col-aaa111": lo},
+                                "maxValues": {"col-aaa111": hi},
+                                "nullCount": {"col-aaa111": 0},
+                            }
+                        ),
+                    }
+                }
+            )
+        )
+    with open(
+        os.path.join(table, "_delta_log", f"{0:020d}.json"), "w"
+    ) as fh:
+        fh.write("\n".join(actions) + "\n")
+
+
+def test_reads_column_mapped_table(spark, tmp_path):
+    t = str(tmp_path / "mapped")
+    _write_mapped_golden(t)
+    got = read_delta(spark, t)
+    # logical names at every level, physical names nowhere
+    assert got.columns == ["id", "payload", "part"]
+    assert got.schema["payload"].dataType.fieldNames() == ["score"]
+    rows = sorted(
+        (r["id"], r["payload"]["score"], r["part"]) for r in got.collect()
+    )
+    assert rows == [(1, 0.5, "x"), (2, 1.5, "x"), (3, 9.0, "y")]
+
+
+def test_column_mapped_predicates_prune_on_physical_stats(spark, tmp_path):
+    t = str(tmp_path / "mappedp")
+    _write_mapped_golden(t)
+    # stats keys are physical (col-aaa111): a LOGICAL predicate must
+    # still prune to the one matching file and filter exactly
+    got = read_delta(spark, t, predicate=[("id", ">=", 3)])
+    assert len(got.inputFiles()) == 1
+    assert [r["id"] for r in got.collect()] == [3]
+    # partition pruning through the physical partitionValues key
+    gp = read_delta(spark, t, predicate=[("part", "=", "x")])
+    assert len(gp.inputFiles()) == 1 and gp.count() == 2
+
+
+def test_column_mapped_tables_are_read_only(spark, tmp_path):
+    from zeta_etl_spark.sinks.delta_log import (
+        DeltaUnsupported,
+        merge_delta,
+        optimize,
+        table_changes,
+    )
+
+    t = str(tmp_path / "mappedw")
+    _write_mapped_golden(t)
+    df = read_delta(spark, t).limit(1)
+    with pytest.raises(DeltaUnsupported, match="read-only"):
+        write_delta(df, t, mode="append", partition_by=("part",))
+    with pytest.raises(DeltaUnsupported, match="read-only"):
+        optimize(spark, t)
+    with pytest.raises(DeltaUnsupported, match="read-only"):
+        merge_delta(spark, t, df, on=["id"], when_matched_update="*")
+    with pytest.raises(DeltaUnsupported, match="column-mapped"):
+        table_changes(spark, t, 0, 0)

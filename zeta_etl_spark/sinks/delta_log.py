@@ -72,9 +72,16 @@ Implemented subset (spec-true where implemented, strict where not):
   dropped via one ``_metadata.row_index`` anti-join.  Operations that
   would rewrite or re-commit DV'd files (OPTIMIZE, MERGE, checkpoint,
   CDF over DV commits) refuse loudly.
-- NOT implemented (rejected loudly, never silently misread): column
-  mapping, v2/multi-part checkpoints, generated columns, writing
-  deletion vectors.
+- column mapping, READ path only: reader-version-2 and
+  table-features tables with ``delta.columnMapping.mode`` name/id read
+  through the PHYSICAL schema (the names in the files and partition
+  directories, rebuilt recursively from the schemaString's
+  ``delta.columnMapping.physicalName`` metadata) and rename/cast back to
+  logical names; predicates/pruning translate to physical stats keys.
+  Writes/OPTIMIZE/MERGE/CDF on mapped tables refuse loudly.
+- NOT implemented (rejected loudly, never silently misread):
+  v2/multi-part checkpoints, generated columns, writing deletion
+  vectors, writing to column-mapped tables.
 
 At 100 TB: the log is O(commits) JSON lines bounded by checkpointing +
 cleanup, and the reader materializes only the live-file LIST driver-side
@@ -168,23 +175,83 @@ def _apply_protocol(action_protocol: dict) -> dict:
     mrv = action_protocol.get("minReaderVersion", 1)
     if mrv == 3:
         # table-features era: readable iff every reader feature is in the
-        # implemented subset (deletion vectors have a READ path here;
-        # column mapping / v2 checkpoints do not)
+        # implemented subset (deletion vectors and column mapping have
+        # READ paths here; v2 checkpoints etc. do not)
         feats = set(action_protocol.get("readerFeatures") or [])
-        unsupported = sorted(feats - {"deletionVectors"})
+        unsupported = sorted(
+            feats - {"deletionVectors", "columnMapping", "timestampNtz"}
+        )
         if unsupported:
             raise DeltaUnsupported(
                 f"reader features {unsupported} are outside the "
                 "implemented subset"
             )
         return action_protocol
+    if mrv == 2:
+        # reader version 2 = legacy column mapping gate; the read path
+        # handles it (physical-name scan + logical rename)
+        return action_protocol
     if mrv > 1:
         raise DeltaUnsupported(
             f"reader version {action_protocol} needs features "
-            "(column mapping / v2 checkpoints) outside the "
-            "implemented subset"
+            "outside the implemented subset"
         )
     return action_protocol
+
+
+def _mapping_mode(meta: dict) -> str:
+    return (meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none"
+    )
+
+
+def _physical_type(t):
+    """Recursively rewrite a schemaString type JSON to PHYSICAL names
+    (delta.columnMapping.physicalName metadata at every nesting level)."""
+    if isinstance(t, dict):
+        if t.get("type") == "struct":
+            return {
+                "type": "struct",
+                "fields": [
+                    {
+                        "name": (f.get("metadata") or {}).get(
+                            "delta.columnMapping.physicalName", f["name"]
+                        ),
+                        "type": _physical_type(f["type"]),
+                        "nullable": f.get("nullable", True),
+                        "metadata": {},
+                    }
+                    for f in t["fields"]
+                ],
+            }
+        if t.get("type") == "array":
+            return {**t, "elementType": _physical_type(t["elementType"])}
+        if t.get("type") == "map":
+            return {
+                **t,
+                "keyType": _physical_type(t["keyType"]),
+                "valueType": _physical_type(t["valueType"]),
+            }
+    return t
+
+
+def _column_mapping(meta: dict):
+    """None when the table has no column mapping; otherwise
+    (physical_schema, logical_schema, top-level physical->logical name
+    map).  Both 'name' and 'id' modes read name-based: Delta writes
+    physical names into the data files under either mode."""
+    if _mapping_mode(meta) not in ("name", "id"):
+        return None
+    schema_json = json.loads(meta["schemaString"])
+    phys = StructType.fromJson(_physical_type(schema_json))
+    logical = StructType.fromJson(schema_json)
+    top = {
+        (f.get("metadata") or {}).get(
+            "delta.columnMapping.physicalName", f["name"]
+        ): f["name"]
+        for f in schema_json["fields"]
+    }
+    return phys, logical, top
 
 
 def _load_checkpoint(table: str, version: int):
@@ -488,6 +555,12 @@ def write_delta(
     existing = _list_versions(table)
     if existing:
         _, meta, _, _ = _replay(table)
+        if _mapping_mode(meta) != "none":
+            raise DeltaUnsupported(
+                "writing to a column-mapped table is outside the "
+                "implemented subset (physical-name writing; column "
+                "mapping support is read-only)"
+            )
         if meta["partitionColumns"] != partition_by:
             raise DeltaUnsupported(
                 f"partitioning mismatch: table has "
@@ -855,6 +928,21 @@ def read_delta(
         version = version_at_timestamp(table, timestamp_ms)
     _, meta, live, _ = _replay(table, version)
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    # column mapping (read path): scan under PHYSICAL names — the names
+    # actually inside the data files and partition directories — then
+    # rename/cast back to the logical schema.  partitionValues and stats
+    # keys in the log are physical too, so pruning translates first.
+    mapping = _column_mapping(meta)
+    if mapping:
+        read_schema, _, phys_to_logical = mapping
+        logical_to_phys = {v: k for k, v in phys_to_logical.items()}
+        scan_pcols = [
+            logical_to_phys.get(c, c) for c in meta["partitionColumns"]
+        ]
+    else:
+        read_schema = schema
+        logical_to_phys = {}
+        scan_pcols = list(meta["partitionColumns"])
 
     def _with_filters(df: DataFrame) -> DataFrame:
         for col, op, lit in predicate or ():
@@ -873,16 +961,19 @@ def read_delta(
         return df
 
     if predicate:
-        pcols = set(meta["partitionColumns"])
+        pcols = set(scan_pcols)
         fcols = frozenset(
-            f.name
+            logical_to_phys.get(f.name, f.name)
             for f in schema.fields
             if f.dataType.simpleString() in ("float", "double")
         )
+        phys_pred = [
+            (logical_to_phys.get(c, c), op, lit) for c, op, lit in predicate
+        ]
         live = {
             p: a
             for p, a in live.items()
-            if _file_may_match(a, pcols, predicate, fcols)
+            if _file_may_match(a, pcols, phys_pred, fcols)
         }
     if not live:
         return _with_filters(spark.createDataFrame([], schema))
@@ -892,10 +983,17 @@ def read_delta(
             os.path.join(table, urllib.parse.unquote(p))
             for p in sorted(adds)
         ]
-        reader = spark.read.schema(schema)
-        if meta["partitionColumns"]:
+        reader = spark.read.schema(read_schema)
+        if scan_pcols:
             reader = reader.option("basePath", table)
-        cols = [F.col(f.name) for f in schema.fields]
+        cols = []
+        for f in schema.fields:
+            c = F.col(logical_to_phys.get(f.name, f.name))
+            if mapping:
+                # cast renames NESTED struct fields positionally back to
+                # their logical names; top level via the alias
+                c = c.cast(f.dataType)
+            cols.append(c.alias(f.name))
         if with_meta:
             cols += [
                 F.col("_metadata.file_path").alias("__fp"),
@@ -1075,6 +1173,11 @@ def optimize(
     for _ in range(max_retries):
         _, meta, live, _ = _replay(table)
         _reject_dv(live, "OPTIMIZE")
+        if _mapping_mode(meta) != "none":
+            raise DeltaUnsupported(
+                "OPTIMIZE on a column-mapped table is outside the "
+                "implemented subset (column mapping is read-only)"
+            )
         base_version = latest_version(table)
         if not live:
             return base_version
@@ -1327,6 +1430,11 @@ def _merge_delta_pinned(
         base_version = latest_version(table)
         _, meta, live, txns = _replay(table, base_version)
         _reject_dv(live, "MERGE")
+        if _mapping_mode(meta) != "none":
+            raise DeltaUnsupported(
+                "MERGE on a column-mapped table is outside the "
+                "implemented subset (column mapping is read-only)"
+            )
         if txn is not None:
             seen = txns.get(txn[0])
             if seen is not None and txn[1] <= seen:
@@ -1607,6 +1715,11 @@ def table_changes(
             "them; take a full snapshot read instead"
         )
     _, meta, _, _ = _replay(table)
+    if _mapping_mode(meta) != "none":
+        raise DeltaUnsupported(
+            "CDF over a column-mapped table is outside the implemented "
+            "subset — read snapshots instead"
+        )
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
 
     pieces: list[DataFrame] = []
