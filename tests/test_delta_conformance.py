@@ -637,3 +637,178 @@ def test_column_mapped_tables_are_read_only(spark, tmp_path):
         merge_delta(spark, t, df, on=["id"], when_matched_update="*")
     with pytest.raises(DeltaUnsupported, match="column-mapped"):
         table_changes(spark, t, 0, 0)
+
+
+def test_flat_layout_partition_values_come_from_log(spark, tmp_path):
+    """r11 review: delta-spark under column mapping writes FLAT files (no
+    hive dirs) — partition values must come from add.partitionValues per
+    PROTOCOL.md, not from the path (which would silently NULL them)."""
+    t = str(tmp_path / "flat")
+    os.makedirs(os.path.join(t, "_delta_log"))
+    # flat random-prefixed files, partition col NOT in the file
+    pq.write_table(
+        pa.table({"col-aaa111": pa.array([1, 2], pa.int64()),
+                  "col-bbb222": pa.array(
+                      [{"col-ccc333": 0.5}, {"col-ccc333": 1.5}],
+                      pa.struct([("col-ccc333", pa.float64())]))}),
+        os.path.join(t, "Xq-f1.parquet"),
+    )
+    pq.write_table(
+        pa.table({"col-aaa111": pa.array([3], pa.int64()),
+                  "col-bbb222": pa.array(
+                      [{"col-ccc333": 9.0}],
+                      pa.struct([("col-ccc333", pa.float64())]))}),
+        os.path.join(t, "Zr-f2.parquet"),
+    )
+    actions = [
+        json.dumps({"commitInfo": {"timestamp": 1, "operation": "WRITE"}}),
+        json.dumps(
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}
+        ),
+        json.dumps(
+            {
+                "metaData": {
+                    "id": "44444444-4444-4444-4444-444444444444",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": _MAPPED_SCHEMA,
+                    "partitionColumns": ["part"],
+                    "configuration": {"delta.columnMapping.mode": "name"},
+                    "createdTime": 1,
+                }
+            }
+        ),
+        json.dumps(
+            {
+                "add": {
+                    "path": "Xq-f1.parquet",
+                    "partitionValues": {"col-ddd444": "x"},
+                    "size": 1, "modificationTime": 1, "dataChange": True,
+                }
+            }
+        ),
+        json.dumps(
+            {
+                "add": {
+                    "path": "Zr-f2.parquet",
+                    "partitionValues": {"col-ddd444": None},
+                    "size": 1, "modificationTime": 1, "dataChange": True,
+                }
+            }
+        ),
+    ]
+    with open(os.path.join(t, "_delta_log", f"{0:020d}.json"), "w") as fh:
+        fh.write("\n".join(actions) + "\n")
+    got = read_delta(spark, t)
+    rows = sorted(
+        (r["id"], r["payload"]["score"], r["part"]) for r in got.collect()
+    )
+    assert rows == [(1, 0.5, "x"), (2, 1.5, "x"), (3, 9.0, None)]
+    # logical predicate on the partition column still filters exactly
+    assert read_delta(
+        spark, t, predicate=[("part", "=", "x")]
+    ).count() == 2
+
+
+def test_id_mode_matches_by_field_id(spark, tmp_path):
+    """r11 review: id-mode tables resolve parquet columns BY FIELD ID —
+    an old file whose column NAME predates the current physicalName must
+    still read correctly (by-name matching would silently NULL it)."""
+    t = str(tmp_path / "idmode")
+    os.makedirs(os.path.join(t, "_delta_log"))
+    # the file's column is named 'old_name' but carries field id 1,
+    # which the schemaString maps to physicalName col-aaa111
+    pq.write_table(
+        pa.Table.from_arrays(
+            [pa.array([7, 8], pa.int64())],
+            schema=pa.schema(
+                [
+                    pa.field(
+                        "old_name",
+                        pa.int64(),
+                        metadata={b"PARQUET:field_id": b"1"},
+                    )
+                ]
+            ),
+        ),
+        os.path.join(t, "f.parquet"),
+    )
+    schema_json = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {
+                    "name": "id",
+                    "type": "long",
+                    "nullable": True,
+                    "metadata": {
+                        "delta.columnMapping.id": 1,
+                        "delta.columnMapping.physicalName": "col-aaa111",
+                    },
+                }
+            ],
+        }
+    )
+    actions = [
+        json.dumps({"commitInfo": {"timestamp": 1, "operation": "WRITE"}}),
+        json.dumps(
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}
+        ),
+        json.dumps(
+            {
+                "metaData": {
+                    "id": "55555555-5555-5555-5555-555555555555",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": schema_json,
+                    "partitionColumns": [],
+                    "configuration": {"delta.columnMapping.mode": "id"},
+                    "createdTime": 1,
+                }
+            }
+        ),
+        json.dumps(
+            {
+                "add": {
+                    "path": "f.parquet",
+                    "partitionValues": {},
+                    "size": 1, "modificationTime": 1, "dataChange": True,
+                }
+            }
+        ),
+    ]
+    with open(os.path.join(t, "_delta_log", f"{0:020d}.json"), "w") as fh:
+        fh.write("\n".join(actions) + "\n")
+    got = read_delta(spark, t)
+    assert sorted(r["id"] for r in got.collect()) == [7, 8]
+
+
+def test_checkpoint_preserves_table_features(spark, tmp_path):
+    """r11 review: a table-features protocol checkpointed and log-cleaned
+    must keep readerFeatures/writerFeatures — reader version 3 REQUIRES
+    them, and dropping them loses the declarations forever."""
+    from zeta_etl_spark.sinks.delta_log import _replay, cleanup_log
+
+    t = str(tmp_path / "feat")
+    _write_golden(t)
+    # upgrade the protocol to table features (columnMapping declared but
+    # mode stays none, so reads/writes keep working)
+    with open(os.path.join(t, "_delta_log", f"{2:020d}.json"), "w") as fh:
+        fh.write(
+            json.dumps(
+                {
+                    "protocol": {
+                        "minReaderVersion": 3,
+                        "minWriterVersion": 7,
+                        "readerFeatures": ["columnMapping"],
+                        "writerFeatures": ["columnMapping"],
+                    }
+                }
+            )
+            + "\n"
+        )
+    v = write_checkpoint(t)
+    cleanup_log(t)
+    protocol, _meta, _live, _ = _replay(t)
+    assert protocol["minReaderVersion"] == 3
+    assert protocol["readerFeatures"] == ["columnMapping"]
+    assert protocol["writerFeatures"] == ["columnMapping"]
+    assert read_delta(spark, t, version=v).count() == 4

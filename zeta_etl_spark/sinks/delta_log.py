@@ -179,7 +179,7 @@ def _apply_protocol(action_protocol: dict) -> dict:
         # READ paths here; v2 checkpoints etc. do not)
         feats = set(action_protocol.get("readerFeatures") or [])
         unsupported = sorted(
-            feats - {"deletionVectors", "columnMapping", "timestampNtz"}
+            feats - {"deletionVectors", "columnMapping"}
         )
         if unsupported:
             raise DeltaUnsupported(
@@ -205,53 +205,71 @@ def _mapping_mode(meta: dict) -> str:
     )
 
 
-def _physical_type(t):
+def _physical_type(t, with_field_ids: bool = False):
     """Recursively rewrite a schemaString type JSON to PHYSICAL names
-    (delta.columnMapping.physicalName metadata at every nesting level)."""
+    (delta.columnMapping.physicalName metadata at every nesting level).
+    ``with_field_ids`` additionally carries ``delta.columnMapping.id``
+    through as ``parquet.field.id`` metadata, which makes Spark's parquet
+    reader match columns BY FIELD ID (the spec's required resolution for
+    id-mode tables, where old files' column names may predate the
+    current physicalName)."""
     if isinstance(t, dict):
         if t.get("type") == "struct":
-            return {
-                "type": "struct",
-                "fields": [
+            fields = []
+            for f in t["fields"]:
+                md = f.get("metadata") or {}
+                out_md = {}
+                if with_field_ids and "delta.columnMapping.id" in md:
+                    out_md["parquet.field.id"] = md[
+                        "delta.columnMapping.id"
+                    ]
+                fields.append(
                     {
-                        "name": (f.get("metadata") or {}).get(
+                        "name": md.get(
                             "delta.columnMapping.physicalName", f["name"]
                         ),
-                        "type": _physical_type(f["type"]),
+                        "type": _physical_type(f["type"], with_field_ids),
                         "nullable": f.get("nullable", True),
-                        "metadata": {},
+                        "metadata": out_md,
                     }
-                    for f in t["fields"]
-                ],
-            }
+                )
+            return {"type": "struct", "fields": fields}
         if t.get("type") == "array":
-            return {**t, "elementType": _physical_type(t["elementType"])}
+            return {
+                **t,
+                "elementType": _physical_type(t["elementType"],
+                                              with_field_ids),
+            }
         if t.get("type") == "map":
             return {
                 **t,
-                "keyType": _physical_type(t["keyType"]),
-                "valueType": _physical_type(t["valueType"]),
+                "keyType": _physical_type(t["keyType"], with_field_ids),
+                "valueType": _physical_type(t["valueType"], with_field_ids),
             }
     return t
 
 
 def _column_mapping(meta: dict):
     """None when the table has no column mapping; otherwise
-    (physical_schema, logical_schema, top-level physical->logical name
-    map).  Both 'name' and 'id' modes read name-based: Delta writes
-    physical names into the data files under either mode."""
-    if _mapping_mode(meta) not in ("name", "id"):
+    (physical_schema, top-level logical->physical name map).  Name mode
+    reads by physical NAME (the names delta writes into its files); id
+    mode reads by parquet FIELD ID (the spec's resolution — old files in
+    an id-mode lineage may carry column names that predate the current
+    physicalName, and by-name matching would silently NULL them)."""
+    mode = _mapping_mode(meta)
+    if mode not in ("name", "id"):
         return None
     schema_json = json.loads(meta["schemaString"])
-    phys = StructType.fromJson(_physical_type(schema_json))
-    logical = StructType.fromJson(schema_json)
-    top = {
-        (f.get("metadata") or {}).get(
+    phys = StructType.fromJson(
+        _physical_type(schema_json, with_field_ids=(mode == "id"))
+    )
+    logical_to_phys = {
+        f["name"]: (f.get("metadata") or {}).get(
             "delta.columnMapping.physicalName", f["name"]
-        ): f["name"]
+        )
         for f in schema_json["fields"]
     }
-    return phys, logical, top
+    return phys, logical_to_phys
 
 
 def _load_checkpoint(table: str, version: int):
@@ -273,7 +291,23 @@ def _load_checkpoint(table: str, version: int):
     txns: dict[str, int] = {}
     for row in pq.read_table(_checkpoint_path(table, version)).to_pylist():
         if row.get("protocol") is not None:
-            protocol = _apply_protocol(dict(row["protocol"]))
+            p = {
+                k: v
+                for k, v in dict(row["protocol"]).items()
+                if v is not None  # absent feature lists, not empty ones
+            }
+            p["readerFeatures"] = (
+                list(p["readerFeatures"])
+                if "readerFeatures" in p
+                else None
+            )
+            p["writerFeatures"] = (
+                list(p["writerFeatures"])
+                if "writerFeatures" in p
+                else None
+            )
+            p = {k: v for k, v in p.items() if v is not None}
+            protocol = _apply_protocol(p)
         elif row.get("metaData") is not None:
             m = dict(row["metaData"])
             m["configuration"] = _as_map(m.get("configuration"))
@@ -889,6 +923,64 @@ def _file_may_match(add: dict, partition_cols: set[str],
     return True
 
 
+def _hive_consistent(adds: dict, pcols: Sequence[str]) -> bool:
+    """True iff every live file's path encodes exactly its
+    partitionValues as hive ``col=val`` segments — the layout where
+    Spark's basePath reconstitution returns the log's values.  Foreign
+    tables may use flat layouts (delta-spark with column mapping writes
+    random prefixes, no hive dirs); for those, partition values must come
+    from add.partitionValues per PROTOCOL.md — path-derived values would
+    be silently NULL."""
+    for rel, a in adds.items():
+        pv = a.get("partitionValues") or {}
+        segs: dict[str, str | None] = {}
+        for seg in os.path.dirname(urllib.parse.unquote(rel)).split(os.sep):
+            if "=" in seg:
+                k, _, raw = seg.partition("=")
+                segs[k] = (
+                    None
+                    if raw == "__HIVE_DEFAULT_PARTITION__"
+                    else urllib.parse.unquote(raw)
+                )
+        for c in pcols:
+            if c not in segs or segs[c] != pv.get(c):
+                return False
+    return True
+
+
+def _uri_by_rel(fp_values, table: str, rels) -> dict[str, str]:
+    """Map each unquoted relative path in ``rels`` to Spark's OWN
+    ``_metadata.file_path`` URI rendering (collected by the caller from a
+    distinct pass).  Hadoop URI-escapes paths (space -> %20, '%' ->
+    %25, ...), so hand-building the URI would silently mismatch; an
+    unexpected or missing file is a loud error, never a silent skip."""
+    expected = {
+        os.path.normpath(
+            os.path.abspath(os.path.join(table, urllib.parse.unquote(p)))
+        ): urllib.parse.unquote(p)
+        for p in rels
+    }
+    out: dict[str, str] = {}
+    for uri in fp_values:
+        fs = urllib.parse.unquote(
+            uri[len("file:"):] if uri.startswith("file:") else uri
+        )
+        rel = expected.get(os.path.normpath(fs))
+        if rel is None:
+            raise ValueError(
+                f"scan surfaced unexpected file {uri!r} — cannot anchor "
+                "per-file state (deleted positions / partition values)"
+            )
+        out[rel] = uri
+    missing = sorted(set(expected.values()) - set(out))
+    if missing:
+        raise ValueError(
+            f"files never surfaced in the scan: {missing[:3]} — per-file "
+            "anchoring would be unsound"
+        )
+    return out
+
+
 def _reject_dv(live: dict, op: str) -> None:
     """Operations that READ live files and re-commit them (OPTIMIZE,
     MERGE, checkpointing) would resurrect DV-deleted rows or drop the
@@ -934,11 +1026,16 @@ def read_delta(
     # keys in the log are physical too, so pruning translates first.
     mapping = _column_mapping(meta)
     if mapping:
-        read_schema, _, phys_to_logical = mapping
-        logical_to_phys = {v: k for k, v in phys_to_logical.items()}
+        read_schema, logical_to_phys = mapping
         scan_pcols = [
             logical_to_phys.get(c, c) for c in meta["partitionColumns"]
         ]
+        if _mapping_mode(meta) == "id":
+            # the spec's id-mode resolution: match parquet columns by
+            # FIELD ID (read_schema carries parquet.field.id metadata);
+            # by-name matching would silently NULL columns in old files
+            # whose names predate the current physicalName
+            spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     else:
         read_schema = schema
         logical_to_phys = {}
@@ -978,14 +1075,68 @@ def read_delta(
     if not live:
         return _with_filters(spark.createDataFrame([], schema))
 
+    # partition values: Spark's basePath reconstitution is only correct
+    # when the directory layout actually encodes the log's
+    # partitionValues (our writer's layout and classic hive tables).
+    # Foreign layouts — delta-spark under column mapping writes flat
+    # random-prefixed files — carry partition values ONLY in the log, so
+    # the scan attaches them per file via a broadcast join on Spark's own
+    # file_path (PROTOCOL.md: readers must use add.partitionValues).
+    hive_ok = not scan_pcols or _hive_consistent(live, scan_pcols)
+
     def _scan(adds: dict[str, dict], with_meta: bool) -> DataFrame:
         files = [
             os.path.join(table, urllib.parse.unquote(p))
             for p in sorted(adds)
         ]
-        reader = spark.read.schema(read_schema)
-        if scan_pcols:
-            reader = reader.option("basePath", table)
+        meta_cols = [
+            F.col("_metadata.file_path").alias("__fp"),
+            F.col("_metadata.row_index").alias("__ri"),
+        ]
+        if hive_ok:
+            reader = spark.read.schema(read_schema)
+            if scan_pcols:
+                reader = reader.option("basePath", table)
+            df = reader.parquet(*files)
+            if with_meta:
+                df = df.select("*", *meta_cols)
+        else:
+            pset = set(scan_pcols)
+            data_schema = StructType(
+                [f for f in read_schema.fields if f.name not in pset]
+            )
+            df = spark.read.schema(data_schema).parquet(*files).select(
+                "*", *meta_cols
+            )
+            fp_values = [
+                r["__fp"] for r in df.select("__fp").distinct().collect()
+            ]
+            uri_map = _uri_by_rel(fp_values, table, adds)
+            prows = [
+                tuple(
+                    [uri_map[urllib.parse.unquote(rel)]]
+                    + [
+                        (a.get("partitionValues") or {}).get(c)
+                        for c in scan_pcols
+                    ]
+                )
+                for rel, a in adds.items()
+            ]
+            pschema = ", ".join(
+                ["__fp string"] + [f"`{c}` string" for c in scan_pcols]
+            )
+            df = df.join(
+                F.broadcast(spark.createDataFrame(prows, pschema)), "__fp"
+            )
+            # cast the stringly partition values to the physical types so
+            # the logical projection below treats them like scanned cols
+            for f in read_schema.fields:
+                if f.name in pset:
+                    df = df.withColumn(
+                        f.name, F.col(f.name).cast(f.dataType)
+                    )
+            if not with_meta:
+                df = df.drop("__fp", "__ri")
         cols = []
         for f in schema.fields:
             c = F.col(logical_to_phys.get(f.name, f.name))
@@ -995,11 +1146,8 @@ def read_delta(
                 c = c.cast(f.dataType)
             cols.append(c.alias(f.name))
         if with_meta:
-            cols += [
-                F.col("_metadata.file_path").alias("__fp"),
-                F.col("_metadata.row_index").alias("__ri"),
-            ]
-        return reader.parquet(*files).select(*cols)
+            cols += [F.col("__fp"), F.col("__ri")]
+        return df.select(*cols)
 
     dv_live = {
         p: a for p, a in live.items() if a.get("deletionVector")
@@ -2027,6 +2175,12 @@ def write_checkpoint(table: str, version: int | None = None) -> int:
                     [
                         ("minReaderVersion", pa.int32()),
                         ("minWriterVersion", pa.int32()),
+                        # table-features protocols REQUIRE the feature
+                        # lists; dropping them would write a spec-invalid
+                        # checkpoint and lose the declarations once
+                        # cleanup_log deletes the JSON commits
+                        ("readerFeatures", pa.list_(pa.string())),
+                        ("writerFeatures", pa.list_(pa.string())),
                     ]
                 ),
             ),
@@ -2077,7 +2231,14 @@ def write_checkpoint(table: str, version: int | None = None) -> int:
         ]
     )
     rows: list[dict] = [
-        {"protocol": protocol},
+        {
+            "protocol": {
+                "minReaderVersion": protocol.get("minReaderVersion", 1),
+                "minWriterVersion": protocol.get("minWriterVersion", 2),
+                "readerFeatures": protocol.get("readerFeatures"),
+                "writerFeatures": protocol.get("writerFeatures"),
+            }
+        },
         {"metaData": {k: meta.get(k) for k in (
             "id", "format", "schemaString", "partitionColumns",
             "configuration", "createdTime")}},
