@@ -238,13 +238,13 @@ def test_rejects_reader_features_above_subset(spark, tmp_path):
                     "protocol": {
                         "minReaderVersion": 3,
                         "minWriterVersion": 7,
-                        "readerFeatures": ["v2Checkpoint"],
+                        "readerFeatures": ["typeWidening"],
                     }
                 }
             )
             + "\n"
         )
-    with pytest.raises(DeltaUnsupported, match="v2Checkpoint"):
+    with pytest.raises(DeltaUnsupported, match="typeWidening"):
         read_delta(spark, t)
     # reader version 2 (legacy column mapping gate) is READABLE since the
     # column-mapping read path landed; a hypothetical future version is not
@@ -812,3 +812,122 @@ def test_checkpoint_preserves_table_features(spark, tmp_path):
     assert protocol["readerFeatures"] == ["columnMapping"]
     assert protocol["writerFeatures"] == ["columnMapping"]
     assert read_delta(spark, t, version=v).count() == 4
+
+
+def test_reads_hand_authored_v2_checkpoint(spark, tmp_path):
+    """V2 checkpoint (UUID-named top file + sidecar parquet under
+    _delta_log/_sidecars/) authored from the spec: protocol/metaData and
+    a checkpointMetadata row live in the top file, add actions live in
+    TWO sidecars, an expired remove tombstone rides along and must NOT
+    resurrect or delete anything.  The covered JSON is deleted, so the
+    read must reconstruct purely through the v2 path."""
+    t = str(tmp_path / "v2ck")
+    _write_golden(t)
+    log = os.path.join(t, "_delta_log")
+    side_dir = os.path.join(log, "_sidecars")
+    os.makedirs(side_dir)
+
+    str_map = pa.map_(pa.string(), pa.string())
+    add_struct = pa.struct(
+        [("path", pa.string()), ("partitionValues", str_map),
+         ("size", pa.int64()), ("modificationTime", pa.int64()),
+         ("dataChange", pa.bool_()), ("stats", pa.string())]
+    )
+    remove_struct = pa.struct(
+        [("path", pa.string()), ("deletionTimestamp", pa.int64()),
+         ("dataChange", pa.bool_())]
+    )
+    side_schema = pa.schema(
+        [pa.field("add", add_struct), pa.field("remove", remove_struct)]
+    )
+
+    def _sidecar(name, rows):
+        pq.write_table(
+            pa.Table.from_pylist(rows, schema=side_schema),
+            os.path.join(side_dir, name),
+        )
+
+    _sidecar(
+        "s1.parquet",
+        [
+            {"add": {"path": "part=a%20b/f1.parquet",
+                     "partitionValues": {"part": "a b"}, "size": 1,
+                     "modificationTime": 1, "dataChange": True,
+                     "stats": None}},
+            # expired tombstone: bookkeeping only, not part of the live set
+            {"remove": {"path": "part=__HIVE_DEFAULT_PARTITION__/f2.parquet",
+                        "deletionTimestamp": 1, "dataChange": True}},
+        ],
+    )
+    _sidecar(
+        "s2.parquet",
+        [
+            {"add": {"path": "part=plain/f3.parquet",
+                     "partitionValues": {"part": "plain"}, "size": 1,
+                     "modificationTime": 1, "dataChange": True,
+                     "stats": None}},
+        ],
+    )
+
+    top_schema = pa.schema(
+        [
+            pa.field("checkpointMetadata", pa.struct(
+                [("version", pa.int64()), ("tags", str_map)])),
+            pa.field("protocol", pa.struct(
+                [("minReaderVersion", pa.int32()),
+                 ("minWriterVersion", pa.int32()),
+                 ("readerFeatures", pa.list_(pa.string())),
+                 ("writerFeatures", pa.list_(pa.string()))])),
+            pa.field("metaData", pa.struct(
+                [("id", pa.string()),
+                 ("format", pa.struct(
+                     [("provider", pa.string()), ("options", str_map)])),
+                 ("schemaString", pa.string()),
+                 ("partitionColumns", pa.list_(pa.string())),
+                 ("configuration", str_map),
+                 ("createdTime", pa.int64())])),
+            pa.field("sidecar", pa.struct(
+                [("path", pa.string()), ("sizeInBytes", pa.int64()),
+                 ("modificationTime", pa.int64())])),
+        ]
+    )
+    top_rows = [
+        {"checkpointMetadata": {"version": 1, "tags": {}}},
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["v2Checkpoint"],
+                      "writerFeatures": ["v2Checkpoint"]}},
+        {"metaData": {
+            "id": "00000000-0000-0000-0000-000000000000",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": _GOLDEN_SCHEMA,
+            "partitionColumns": ["part"],
+            "configuration": {},
+            "createdTime": 1,
+        }},
+        {"sidecar": {"path": "s1.parquet", "sizeInBytes": 1,
+                     "modificationTime": 1}},
+        {"sidecar": {"path": "s2.parquet", "sizeInBytes": 1,
+                     "modificationTime": 1}},
+    ]
+    pq.write_table(
+        pa.Table.from_pylist(top_rows, schema=top_schema),
+        os.path.join(
+            log,
+            f"{1:020d}.checkpoint.80a083e8-7026-4e79-81be-64bd76c43a11"
+            ".parquet",
+        ),
+    )
+    with open(os.path.join(log, "_last_checkpoint"), "w") as fh:
+        json.dump({"version": 1, "size": len(top_rows)}, fh)
+    os.unlink(os.path.join(log, f"{0:020d}.json"))
+    os.unlink(os.path.join(log, f"{1:020d}.json"))
+    got = read_delta(spark, t)
+    assert sorted((r["id"], r["part"]) for r in got.collect()) == [
+        (1, "a b"), (2, "a b"), (4, "plain"), (5, "plain"),
+    ]
+    # a missing sidecar is a loud error, never a partial snapshot
+    os.unlink(os.path.join(side_dir, "s2.parquet"))
+    from zeta_etl_spark.sinks.delta_log import DeltaUnsupported
+
+    with pytest.raises(DeltaUnsupported, match="sidecar"):
+        read_delta(spark, t)

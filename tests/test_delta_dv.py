@@ -359,7 +359,7 @@ def test_reader_features_outside_subset_still_refuse(spark, tmp_path):
                         "minReaderVersion": 3,
                         "minWriterVersion": 7,
                         "readerFeatures": ["deletionVectors",
-                                           "v2Checkpoint"],
+                                           "typeWidening"],
                     }
                 }
             )
@@ -367,7 +367,7 @@ def test_reader_features_outside_subset_still_refuse(spark, tmp_path):
             + _meta_action()
             + "\n"
         )
-    with pytest.raises(DeltaUnsupported, match="v2Checkpoint"):
+    with pytest.raises(DeltaUnsupported, match="typeWidening"):
         read_delta(spark, t)
 
 

@@ -79,9 +79,15 @@ Implemented subset (spec-true where implemented, strict where not):
   ``delta.columnMapping.physicalName`` metadata) and rename/cast back to
   logical names; predicates/pruning translate to physical stats keys.
   Writes/OPTIMIZE/MERGE/CDF on mapped tables refuse loudly.
+- v2 checkpoints, READ path: UUID-named top files
+  (``<v>.checkpoint.<uuid>.parquet``) with ``sidecar`` actions resolve
+  through ``_delta_log/_sidecars/`` (missing sidecars are loud errors);
+  checkpoint ``remove`` rows are treated as the expired-tombstone
+  bookkeeping they are, never as live-set edits.  Checkpoints WRITTEN
+  here remain classic single-file.
 - NOT implemented (rejected loudly, never silently misread):
-  v2/multi-part checkpoints, generated columns, writing deletion
-  vectors, writing to column-mapped tables.
+  multi-part classic checkpoints, generated columns, type widening,
+  writing deletion vectors, writing to column-mapped tables.
 
 At 100 TB: the log is O(commits) JSON lines bounded by checkpointing +
 cleanup, and the reader materializes only the live-file LIST driver-side
@@ -107,6 +113,9 @@ from pyspark.sql.types import StructType
 _LOG_DIR = "_delta_log"
 _VERSION_RE = re.compile(r"^(\d{20})\.json$")
 _CHECKPOINT_RE = re.compile(r"^(\d{20})\.checkpoint\.parquet$")
+_CHECKPOINT_V2_RE = re.compile(
+    r"^(\d{20})\.checkpoint\.[0-9a-zA-Z-]+\.parquet$"
+)
 _PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
 
 
@@ -154,32 +163,47 @@ def _write_commit_atomic(table: str, version: int, actions: list[dict]) -> bool:
         os.unlink(tmp)
 
 
-def _list_checkpoints(table: str) -> list[int]:
+def _checkpoint_files(table: str) -> dict[int, str]:
+    """version -> one checkpoint file name.  Classic single-file
+    (``<v>.checkpoint.parquet``) and UUID-named V2
+    (``<v>.checkpoint.<uuid>.parquet``) are both recognized; per spec,
+    multiple UUID checkpoints of the same version are equivalent, so any
+    one works (classic preferred when both exist)."""
     log = os.path.join(table, _LOG_DIR)
     if not os.path.isdir(log):
-        return []
-    return sorted(
-        int(m.group(1))
-        for f in os.listdir(log)
-        if (m := _CHECKPOINT_RE.match(f))
-    )
+        return {}
+    out: dict[int, str] = {}
+    for f in sorted(os.listdir(log)):
+        m = _CHECKPOINT_V2_RE.match(f)
+        if m and int(m.group(1)) not in out:
+            out[int(m.group(1))] = f
+    for f in os.listdir(log):
+        m = _CHECKPOINT_RE.match(f)
+        if m:
+            out[int(m.group(1))] = f  # classic wins
+    return out
+
+
+def _list_checkpoints(table: str) -> list[int]:
+    return sorted(_checkpoint_files(table))
 
 
 def _checkpoint_path(table: str, version: int) -> str:
-    return os.path.join(
-        table, _LOG_DIR, f"{version:020d}.checkpoint.parquet"
+    name = _checkpoint_files(table).get(
+        version, f"{version:020d}.checkpoint.parquet"
     )
+    return os.path.join(table, _LOG_DIR, name)
 
 
 def _apply_protocol(action_protocol: dict) -> dict:
     mrv = action_protocol.get("minReaderVersion", 1)
     if mrv == 3:
         # table-features era: readable iff every reader feature is in the
-        # implemented subset (deletion vectors and column mapping have
-        # READ paths here; v2 checkpoints etc. do not)
+        # implemented subset (deletion vectors, column mapping and v2
+        # checkpoints have READ paths here)
         feats = set(action_protocol.get("readerFeatures") or [])
         unsupported = sorted(
-            feats - {"deletionVectors", "columnMapping"}
+            feats - {"deletionVectors", "columnMapping", "v2Checkpoint"}
         )
         if unsupported:
             raise DeltaUnsupported(
@@ -288,8 +312,29 @@ def _load_checkpoint(table: str, version: int):
 
     protocol, meta = None, None
     live: dict[str, dict] = {}
+    removed: set[str] = set()
     txns: dict[str, int] = {}
-    for row in pq.read_table(_checkpoint_path(table, version)).to_pylist():
+    rows = pq.read_table(_checkpoint_path(table, version)).to_pylist()
+    # V2 checkpoints (UUID-named top file): add/remove actions live in
+    # SIDECAR parquet files under _delta_log/_sidecars/, referenced by
+    # `sidecar` actions in the top file.  The top file still carries
+    # protocol/metaData (and checkpointMetadata, which is informational).
+    # Remove tombstones in a checkpoint exist for vacuum bookkeeping
+    # only; a path that appears both removed and re-added stays LIVE.
+    sidecar_rows: list[dict] = []
+    for row in rows:
+        sc = row.get("sidecar")
+        if sc is not None:
+            side = os.path.join(
+                table, _LOG_DIR, "_sidecars", dict(sc)["path"]
+            )
+            if not os.path.exists(side):
+                raise DeltaUnsupported(
+                    f"v2 checkpoint {version} references missing sidecar "
+                    f"{dict(sc)['path']!r}: {table}"
+                )
+            sidecar_rows.extend(pq.read_table(side).to_pylist())
+    for row in rows + sidecar_rows:
         if row.get("protocol") is not None:
             p = {
                 k: v
@@ -319,7 +364,16 @@ def _load_checkpoint(table: str, version: int):
         elif row.get("add") is not None:
             a = dict(row["add"])
             a["partitionValues"] = _as_map(a.get("partitionValues"))
+            dv = a.get("deletionVector")
+            if dv is not None:
+                a["deletionVector"] = dict(dv)
+            else:
+                a.pop("deletionVector", None)
             live[a["path"]] = a
+        elif row.get("remove") is not None:
+            # checkpoint remove rows are expired-tombstone bookkeeping for
+            # vacuum, never part of the live set — the reconciled adds are
+            removed.add(dict(row["remove"])["path"])
         elif row.get("txn") is not None:
             t = row["txn"]
             txns[t["appId"]] = t["version"]
