@@ -618,25 +618,190 @@ def test_column_mapped_predicates_prune_on_physical_stats(spark, tmp_path):
     assert len(gp.inputFiles()) == 1 and gp.count() == 2
 
 
-def test_column_mapped_tables_are_read_only(spark, tmp_path):
-    from zeta_etl_spark.sinks.delta_log import (
-        DeltaUnsupported,
-        merge_delta,
-        optimize,
-        table_changes,
-    )
-
+def test_column_mapped_append_writes_physical_layout(spark, tmp_path):
+    """r12: the column-mapping WRITE path (r11 verdict #3).  An append to
+    a foreign name-mode table must land files and partition directories
+    under PHYSICAL names with physical stats/partitionValues keys, while
+    readers keep seeing logical names."""
     t = str(tmp_path / "mappedw")
     _write_mapped_golden(t)
-    df = read_delta(spark, t).limit(1)
-    with pytest.raises(DeltaUnsupported, match="read-only"):
-        write_delta(df, t, mode="append", partition_by=("part",))
-    with pytest.raises(DeltaUnsupported, match="read-only"):
-        optimize(spark, t)
-    with pytest.raises(DeltaUnsupported, match="read-only"):
-        merge_delta(spark, t, df, on=["id"], when_matched_update="*")
-    with pytest.raises(DeltaUnsupported, match="column-mapped"):
-        table_changes(spark, t, 0, 0)
+    add = spark.createDataFrame(
+        [(10, (3.5,), "z")],
+        "id bigint, payload struct<score:double>, part string",
+    )
+    v = write_delta(add, t, mode="append", partition_by=["part"])
+    assert v == 1
+    # physical partition directory, logical nowhere on disk
+    assert os.path.isdir(os.path.join(t, "col-ddd444=z"))
+    assert not os.path.isdir(os.path.join(t, "part=z"))
+    log = os.path.join(t, "_delta_log", f"{v:020d}.json")
+    adds = [json.loads(l)["add"] for l in open(log) if '"add"' in l]
+    assert adds
+    for a in adds:
+        assert set(a["partitionValues"]) == {"col-ddd444"}
+        stats = json.loads(a["stats"])
+        assert "col-aaa111" in stats["minValues"]
+        assert "id" not in stats["minValues"]
+    # the parquet file itself carries physical column names
+    rel = urllib.parse.unquote(adds[0]["path"])
+    cols = {f.name for f in pq.read_schema(os.path.join(t, rel))}
+    assert cols == {"col-aaa111", "col-bbb222"}
+    # and the read path surfaces logical names end-to-end
+    got = read_delta(spark, t)
+    assert got.columns == ["id", "payload", "part"]
+    rows = sorted(
+        (r["id"], r["payload"]["score"], r["part"]) for r in got.collect()
+    )
+    assert rows == [
+        (1, 0.5, "x"), (2, 1.5, "x"), (3, 9.0, "y"), (10, 3.5, "z"),
+    ]
+
+
+def test_column_mapped_merge_and_cdf(spark, tmp_path):
+    from zeta_etl_spark.sinks.delta_log import merge_delta, table_changes
+
+    t = str(tmp_path / "mappedm")
+    _write_mapped_golden(t)
+    src = spark.createDataFrame(
+        [(1, (99.0,), "x"), (50, (1.0,), "y")],
+        "id bigint, payload struct<score:double>, part string",
+    )
+    m = merge_delta(
+        spark, t, src, on=["id"],
+        when_matched_update="*", when_not_matched_insert="*",
+    )
+    assert m["rows_updated"] == 1 and m["rows_inserted"] == 1
+    # file pruning worked through the PHYSICAL stats keys: the y-file
+    # (ids 3..3) cannot hold id 1 and id 50 only inserts — but the
+    # key-range [1, 50] spans it, so at minimum the x-file is touched
+    rows = {
+        r["id"]: (r["payload"]["score"], r["part"])
+        for r in read_delta(spark, t).collect()
+    }
+    assert rows[1] == (99.0, "x") and rows[50] == (1.0, "y")
+    assert sorted(rows) == [1, 2, 3, 50]
+    # CDF reads the merge's cdc files and surfaces LOGICAL names
+    ch = table_changes(spark, t, m["version"], m["version"])
+    kinds = {(r["id"], r["_change_type"]) for r in ch.collect()}
+    assert kinds == {
+        (1, "update_preimage"), (1, "update_postimage"), (50, "insert"),
+    }
+    assert ch.schema["payload"].dataType.fieldNames() == ["score"]
+
+
+def test_column_mapped_merge_schema_evolution_allocates_ids(
+    spark, tmp_path
+):
+    t = str(tmp_path / "mappede")
+    _write_mapped_golden(t)
+    add = spark.createDataFrame(
+        [(10, (3.5,), "z", "extra")],
+        "id bigint, payload struct<score:double>, part string, note string",
+    )
+    v = write_delta(
+        add, t, mode="append", partition_by=["part"], merge_schema=True
+    )
+    _, meta, _, _ = _replay_meta(t)
+    fields = json.loads(meta["schemaString"])["fields"]
+    note = next(f for f in fields if f["name"] == "note")
+    md = note["metadata"]
+    assert md["delta.columnMapping.id"] == 5  # past maxColumnId=4
+    assert md["delta.columnMapping.physicalName"].startswith("col-")
+    cfg = meta["configuration"]
+    assert cfg["delta.columnMapping.maxColumnId"] == "5"
+    got = read_delta(spark, t)
+    by_id = {r["id"]: r["note"] for r in got.collect()}
+    assert by_id[10] == "extra"
+    assert by_id[1] is None  # pre-evolution files surface NULL
+    assert v == 1
+
+
+def _replay_meta(t):
+    from zeta_etl_spark.sinks.delta_log import _replay
+
+    return _replay(t)
+
+
+def test_column_mapped_optimize_compacts_physical(spark, tmp_path):
+    from zeta_etl_spark.sinks.delta_log import optimize
+
+    t = str(tmp_path / "mappedo")
+    _write_mapped_golden(t)
+    before = sorted(
+        (r["id"], r["payload"]["score"], r["part"])
+        for r in read_delta(spark, t).collect()
+    )
+    v = optimize(spark, t)
+    assert v == 1
+    after = sorted(
+        (r["id"], r["payload"]["score"], r["part"])
+        for r in read_delta(spark, t).collect()
+    )
+    assert after == before
+    # rewritten files still carry PHYSICAL names
+    log = os.path.join(t, "_delta_log", f"{v:020d}.json")
+    adds = [json.loads(l)["add"] for l in open(log) if '"add"' in l]
+    assert adds and all(
+        set(a["partitionValues"]) == {"col-ddd444"} for a in adds
+    )
+
+
+def test_create_column_mapped_table_round_trips(spark, tmp_path):
+    """Creating a mapped table from scratch: annotated schemaString,
+    maxColumnId config, reader 2 / writer 5 protocol, physical files."""
+    from zeta_etl_spark.sinks.delta_log import merge_delta
+
+    for mode in ("name", "id"):
+        t = str(tmp_path / f"fresh_{mode}")
+        df = spark.createDataFrame(
+            [(1, "a", 0.5), (2, "b", 1.5)],
+            "k bigint, cat string, v double",
+        )
+        write_delta(
+            df, t, partition_by=["cat"], column_mapping=mode
+        )
+        with open(os.path.join(t, "_delta_log", f"{0:020d}.json")) as fh:
+            actions = [json.loads(l) for l in fh if l.strip()]
+        proto = next(a["protocol"] for a in actions if "protocol" in a)
+        assert proto == {"minReaderVersion": 2, "minWriterVersion": 5}
+        meta = next(a["metaData"] for a in actions if "metaData" in a)
+        cfg = meta["configuration"]
+        assert cfg["delta.columnMapping.mode"] == mode
+        assert cfg["delta.columnMapping.maxColumnId"] == "3"
+        fields = json.loads(meta["schemaString"])["fields"]
+        assert [f["metadata"]["delta.columnMapping.id"] for f in fields] \
+            == [1, 2, 3]
+        phys = {
+            f["name"]: f["metadata"]["delta.columnMapping.physicalName"]
+            for f in fields
+        }
+        assert all(p.startswith("col-") for p in phys.values())
+        # the independent reader contract: logical names come back
+        got = read_delta(spark, t)
+        assert sorted(got.columns) == ["cat", "k", "v"]
+        assert sorted((r["k"], r["cat"], r["v"]) for r in got.collect()) \
+            == [(1, "a", 0.5), (2, "b", 1.5)]
+        # and a merge keeps working on the fresh mapped table
+        merge_delta(
+            spark, t,
+            spark.createDataFrame([(2, "b", 9.9)],
+                                  "k bigint, cat string, v double"),
+            on=["k"], when_matched_update="*",
+        )
+        assert {
+            (r["k"], r["v"]) for r in read_delta(spark, t).collect()
+        } == {(1, 0.5), (2, 9.9)}
+        if mode == "id":
+            # id-mode files must carry parquet field ids (the spec's
+            # required resolution for id-mode tables)
+            _, _, live, _ = _replay_meta(t)
+            rel = sorted(live)[0]
+            sch = str(
+                pq.ParquetFile(
+                    os.path.join(t, urllib.parse.unquote(rel))
+                ).schema
+            )
+            assert "field_id=1" in sch and "field_id=3" in sch, sch
 
 
 def test_flat_layout_partition_values_come_from_log(spark, tmp_path):

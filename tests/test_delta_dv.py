@@ -305,40 +305,103 @@ def test_file_backed_dv_u_storage(spark, tmp_path):
     assert sorted(r["id"] for r in got.collect()) == [
         1, 2, 3, 4, 5, 6, 7, 8, 100, 101,
     ]
-    # corrupt CRC must fail loudly, never resurrect/keep silently
+    # corrupt CRC must fail loudly, never resurrect/keep silently (the
+    # decode runs EXECUTOR-side, so the failure surfaces as a Spark job
+    # error wrapping the ValueError)
     with open(os.path.join(t, f"deletion_vector_{uid}.bin"), "r+b") as fh:
         fh.seek(5)
         fh.write(b"\xff")
-    with pytest.raises(ValueError, match="CRC|magic"):
+    with pytest.raises(Exception, match="CRC|magic"):
         read_delta(spark, t).collect()
 
 
-def test_dv_tables_refuse_rewrite_ops(spark, tmp_path):
-    from zeta_etl_spark.sinks.delta_log import merge_delta, optimize
-
-    t = str(tmp_path / "dvg")
-    deleted = [2]
+def _inline_desc(deleted):
     data = _serialize_dv(deleted)
     pad = (-len(data)) % 4
-    desc = {
+    return {
         "storageType": "i",
         "pathOrInlineDv": z85_encode(data + b"\x00" * pad),
         "sizeInBytes": len(data) + pad,
-        "cardinality": 1,
+        "cardinality": len(deleted),
     }
-    _dv_table(t, desc)
-    with pytest.raises(DeltaUnsupported, match="read-only"):
-        optimize(spark, t)
-    with pytest.raises(DeltaUnsupported, match="read-only"):
-        merge_delta(
-            spark, t,
-            spark.createDataFrame([(1, 9.0)], "id bigint, v double"),
-            on=["id"], when_matched_update="*",
-        )
-    with pytest.raises(DeltaUnsupported, match="read-only"):
-        write_checkpoint(t)
+
+
+def test_dv_aware_optimize_materializes_minus_dv(spark, tmp_path):
+    """r11 verdict #4: OPTIMIZE on a DV table rewrites rows-minus-DV and
+    drops the descriptor — rows unchanged (dataChange stays False),
+    deleted rows stay deleted, history intact."""
+    from zeta_etl_spark.sinks.delta_log import _replay, optimize
+
+    t = str(tmp_path / "dvo")
+    _dv_table(t, _inline_desc([2]))
+    expected = [0, 1, 3, 4, 5, 6, 7, 8, 9, 100, 101]
+    v = optimize(spark, t)
+    assert v == 2
+    _, _, live, _ = _replay(t)
+    assert live and not any(
+        a.get("deletionVector") for a in live.values()
+    ), "rewrite must drop the deletion vectors"
+    assert sorted(r["id"] for r in read_delta(spark, t).collect()) == expected
+    # the OPTIMIZE commit is dataChange:false throughout
+    log = os.path.join(t, "_delta_log", f"{v:020d}.json")
+    for line in open(log):
+        a = json.loads(line)
+        body = a.get("add") or a.get("remove")
+        if body:
+            assert body["dataChange"] is False
+    # time travel to the pre-rewrite version still applies the DV
+    assert (
+        sorted(r["id"] for r in read_delta(spark, t, version=1).collect())
+        == expected
+    )
+    # checkpointing now works (no live descriptors left to drop)
+    write_checkpoint(t)
+
+
+def test_dv_aware_merge_rewrites_clean_files(spark, tmp_path):
+    """MERGE on a DV table: deleted rows never match (they are gone),
+    touched DV'd files are rewritten clean, untouched deletions stay
+    deleted."""
+    from zeta_etl_spark.sinks.delta_log import _replay, merge_delta
+
+    t = str(tmp_path / "dvm")
+    _dv_table(t, _inline_desc([2]))
+    m = merge_delta(
+        spark, t,
+        spark.createDataFrame(
+            [(1, 9.0), (2, 4.0)], "id bigint, v double"
+        ),
+        on=["id"], when_matched_update="*", when_not_matched_insert="*",
+    )
+    # id=2 was DV-deleted, so it does NOT match: it INSERTS as a new row
+    assert m["rows_updated"] == 1 and m["rows_inserted"] == 1
+    rows = {r["id"]: r["v"] for r in read_delta(spark, t).collect()}
+    assert rows[1] == 9.0 and rows[2] == 4.0
+    assert sorted(rows) == [0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 100, 101]
+    _, _, live, _ = _replay(t)
+    assert not any(a.get("deletionVector") for a in live.values())
+    # CDF over the MERGE commit reads its cdc files (no fabricated
+    # delete+insert for the copied rows of the rewritten DV'd file)
+    ch = table_changes(spark, t, m["version"], m["version"])
+    kinds = {
+        (r["id"], r["_change_type"]) for r in ch.collect()
+    }
+    assert kinds == {
+        (1, "update_preimage"), (1, "update_postimage"), (2, "insert")
+    }
+    # CDF over the DV commit itself still refuses (row-level change via
+    # descriptor — outside the derivation)
     with pytest.raises(DeltaUnsupported, match="deletion vector"):
         table_changes(spark, t, 1, 1)
+
+
+def test_dv_table_checkpoint_still_refuses(spark, tmp_path):
+    """The classic checkpoint written here has no deletionVector column —
+    checkpointing LIVE descriptors would drop them; still a loud error."""
+    t = str(tmp_path / "dvc")
+    _dv_table(t, _inline_desc([2]))
+    with pytest.raises(DeltaUnsupported, match="deletion vectors"):
+        write_checkpoint(t)
     # plain appends remain fine (no live file is rewritten)
     write_delta(
         spark.createDataFrame([(500, 5.0)], "id bigint, v double"),

@@ -220,6 +220,49 @@ def read_dv_rows(descriptor: dict, table: str) -> list[int]:
     return rows
 
 
+def dv_positions_df(spark, live: dict, table: str, uri_by_rel: dict):
+    """Deleted (file uri, row index) pairs as a DISTRIBUTED frame: one
+    input row per DV descriptor, bitmaps decoded EXECUTOR-side in a
+    flatMap — the driver holds O(DV'd files), never the positions list
+    (r11 verdict #5: a heavily-deleted table at 100× would otherwise be
+    a driver-memory cliff).  Returns (frame with ``__fp``/``__ri``,
+    total DECLARED cardinality — the broadcast-sizing input, known from
+    the log without decoding anything).
+
+    ``uri_by_rel`` maps unquoted relative paths to Spark's own
+    ``_metadata.file_path`` rendering (the anti-join key); rels absent
+    from it (footer-proven empty files) are skipped — their DVs are
+    vacuous."""
+    import json as _json
+
+    rows: list[tuple[str, str]] = []
+    declared = 0
+    for rel, add in live.items():
+        desc = add.get("deletionVector")
+        if not desc:
+            continue
+        uri = uri_by_rel.get(urllib.parse.unquote(rel))
+        if uri is None:
+            continue
+        rows.append((uri, _json.dumps(desc)))
+        card = desc.get("cardinality")
+        # an undeclared cardinality cannot justify a broadcast
+        declared += card if card is not None else 10**12
+
+    def _decode(row):
+        uri, desc_json = row
+        for ri in read_dv_rows(_json.loads(desc_json), table):
+            yield (uri, ri)
+
+    rdd = spark.sparkContext.parallelize(
+        rows, max(1, min(len(rows), 64))
+    ).flatMap(_decode)
+    return (
+        spark.createDataFrame(rdd, "__fp string, __ri bigint"),
+        declared,
+    )
+
+
 def dv_positions(live: dict, table: str) -> list[tuple[str, int]]:
     """(relative unquoted file path, deleted row index) pairs for every
     live add carrying a deletionVector — the driver-side input of the

@@ -65,29 +65,43 @@ Implemented subset (spec-true where implemented, strict where not):
   spec ``cdc`` actions with ``_change_data`` files for row-level CDF,
   OCC read-modify-write, txn idempotence for streaming upserts
   (:func:`foreach_batch_delta_upsert`).
-- deletion vectors, READ path only (:mod:`.delta_dv`): protocol v3
-  tables whose readerFeatures are exactly {deletionVectors} are
-  readable — inline/'u'/'p' descriptors decode through the portable
-  RoaringBitmapArray format and the DV'd files' deleted row indexes are
-  dropped via one ``_metadata.row_index`` anti-join.  Operations that
-  would rewrite or re-commit DV'd files (OPTIMIZE, MERGE, checkpoint,
-  CDF over DV commits) refuse loudly.
-- column mapping, READ path only: reader-version-2 and
-  table-features tables with ``delta.columnMapping.mode`` name/id read
-  through the PHYSICAL schema (the names in the files and partition
-  directories, rebuilt recursively from the schemaString's
-  ``delta.columnMapping.physicalName`` metadata) and rename/cast back to
-  logical names; predicates/pruning translate to physical stats keys.
-  Writes/OPTIMIZE/MERGE/CDF on mapped tables refuse loudly.
+- deletion vectors (:mod:`.delta_dv`): protocol v3 tables whose
+  readerFeatures are in the implemented subset are readable —
+  inline/'u'/'p' descriptors decode through the portable
+  RoaringBitmapArray format EXECUTOR-side (the driver holds O(files))
+  and the DV'd files' deleted row indexes are dropped via one
+  ``_metadata.row_index`` anti-join.  Rewrites (MERGE, OPTIMIZE)
+  materialize rows-minus-DV and drop the descriptor with the rewritten
+  file — deleted rows stay deleted, new files are DV-free.  Writing NEW
+  deletion vectors, checkpointing live descriptors, and CDF over DV
+  commits refuse loudly.
+- column mapping, read AND write: reader-version-2 and table-features
+  tables with ``delta.columnMapping.mode`` name/id read through the
+  PHYSICAL schema (rebuilt recursively from the schemaString's
+  ``delta.columnMapping.physicalName`` metadata) and rename/cast back
+  to logical names; predicates/pruning translate to physical stats
+  keys.  Writes (append/overwrite/MERGE/OPTIMIZE/CDF) stage files and
+  partition directories under PHYSICAL names with physical
+  stats/partitionValues keys; ``merge_schema`` evolution allocates
+  fresh ids past ``delta.columnMapping.maxColumnId`` and bumps it;
+  ``write_delta(column_mapping='name'|'id')`` CREATES mapped tables
+  (reader 2 / writer 5).  id-mode files carry parquet field ids
+  (top-level; nested id-mode writes refuse loudly).
+- writer-protocol validation: before ANY commit to an existing table,
+  the declared minWriterVersion / writerFeatures must be inside the
+  implemented subset (``_check_writer_protocol``); ``delta.appendOnly``
+  gates data-removing operations, and declared invariants / CHECK
+  constraints / generated-column expressions — which this engine does
+  not evaluate — refuse loudly instead of committing violating rows.
 - v2 checkpoints, READ path: UUID-named top files
   (``<v>.checkpoint.<uuid>.parquet``) with ``sidecar`` actions resolve
-  through ``_delta_log/_sidecars/`` (missing sidecars are loud errors);
-  checkpoint ``remove`` rows are treated as the expired-tombstone
-  bookkeeping they are, never as live-set edits.  Checkpoints WRITTEN
-  here remain classic single-file.
+  through ``_delta_log/_sidecars/`` (URI-decoded; missing sidecars are
+  loud errors); checkpoint ``remove`` rows are treated as the
+  expired-tombstone bookkeeping they are, never as live-set edits.
+  Checkpoints WRITTEN here remain classic single-file.
 - NOT implemented (rejected loudly, never silently misread):
   multi-part classic checkpoints, generated columns, type widening,
-  writing deletion vectors, writing to column-mapped tables.
+  identity columns, writing NEW deletion vectors.
 
 At 100 TB: the log is O(commits) JSON lines bounded by checkpointing +
 cleanup, and the reader materializes only the live-file LIST driver-side
@@ -229,6 +243,110 @@ def _mapping_mode(meta: dict) -> str:
     )
 
 
+# Writer features whose obligations this engine actually meets.  Several
+# are accepted only VACUOUSLY — the feature is honored by validating that
+# the table declares none of the artifacts the feature governs (an
+# invariants table with no invariants needs no validation); a table that
+# DOES declare them is rejected by _check_writer_protocol below.
+_WRITER_FEATURES_OK = {
+    "appendOnly",        # honored: delta.appendOnly gates removes
+    "invariants",        # vacuous: rejected if any delta.invariants
+    "checkConstraints",  # vacuous: rejected if any delta.constraints.*
+    "changeDataFeed",    # honored: MERGE writes cdc; file-granularity
+                         # commits use the spec's add/remove derivation
+    "columnMapping",     # honored: physical-name writes (name/id modes)
+    "deletionVectors",   # honored: rewrites materialize-minus-DV and
+                         # drop the descriptor; appends don't touch files
+    "v2Checkpoint",      # honored: checkpoints written here stay classic
+                         # single-file, which the feature keeps valid
+                         # (v2 is an ADDITIONAL format, not a replacement)
+}
+
+
+def _check_writer_protocol(
+    protocol: dict | None, meta: dict, op: str, removes_data: bool = False
+) -> None:
+    """Writer-side analogue of :func:`_apply_protocol` (ADVICE r11 #2):
+    before ANY commit to an existing table, verify the table's declared
+    writer protocol is inside the implemented subset — otherwise this
+    engine could commit spec-violating actions to a foreign table (e.g.
+    removes on an appendOnly table, adds without rowTracking fields).
+
+    Legacy minWriterVersion ladder: 2 = appendOnly+invariants,
+    3 = +checkConstraints, 4 = +changeDataFeed+generatedColumns,
+    5 = +columnMapping, 6 = +identityColumns, 7 = table features.
+    Versions <= 5 and feature-era tables whose writerFeatures are all in
+    :data:`_WRITER_FEATURES_OK` are accepted; the vacuously-accepted
+    features then gate on the ARTIFACTS (invariants / constraints /
+    generation expressions) actually declared, and ``delta.appendOnly``
+    is honored for operations that remove data."""
+    p = protocol or {}
+    mwv = p.get("minWriterVersion", 2)
+    if mwv == 7:
+        feats = set(p.get("writerFeatures") or [])
+        unsupported = sorted(feats - _WRITER_FEATURES_OK)
+        if unsupported:
+            raise DeltaUnsupported(
+                f"{op}: table declares writer features {unsupported} "
+                "outside the implemented subset — writing could commit "
+                "spec-violating actions"
+            )
+    elif mwv == 6:
+        raise DeltaUnsupported(
+            f"{op}: minWriterVersion 6 (identity columns) is outside "
+            "the implemented subset"
+        )
+    elif mwv > 7:
+        raise DeltaUnsupported(
+            f"{op}: minWriterVersion {mwv} is outside the implemented "
+            "subset"
+        )
+    cfg = meta.get("configuration") or {}
+    if removes_data and cfg.get("delta.appendOnly") == "true":
+        raise DeltaUnsupported(
+            f"{op} removes data but the table declares "
+            "delta.appendOnly=true"
+        )
+    constraints = sorted(
+        k for k in cfg if k.startswith("delta.constraints.")
+    )
+    if constraints:
+        raise DeltaUnsupported(
+            f"{op}: table declares CHECK constraints {constraints} this "
+            "engine does not validate — writing could commit violating "
+            "rows"
+        )
+    # invariants / generated columns live in field metadata
+    flagged: list[str] = []
+
+    def _walk(t) -> None:
+        if isinstance(t, dict):
+            if t.get("type") == "struct":
+                for f in t["fields"]:
+                    md = f.get("metadata") or {}
+                    if "delta.invariants" in md:
+                        flagged.append(f"invariant on {f['name']!r}")
+                    if "delta.generationExpression" in md:
+                        flagged.append(
+                            f"generated column {f['name']!r}"
+                        )
+                    if "delta.identity.start" in md:
+                        flagged.append(f"identity column {f['name']!r}")
+                    _walk(f["type"])
+            elif t.get("type") == "array":
+                _walk(t["elementType"])
+            elif t.get("type") == "map":
+                _walk(t["keyType"])
+                _walk(t["valueType"])
+
+    _walk(json.loads(meta["schemaString"]))
+    if flagged:
+        raise DeltaUnsupported(
+            f"{op}: table declares {flagged} this engine does not "
+            "enforce — writing could commit violating rows"
+        )
+
+
 def _physical_type(t, with_field_ids: bool = False):
     """Recursively rewrite a schemaString type JSON to PHYSICAL names
     (delta.columnMapping.physicalName metadata at every nesting level).
@@ -312,7 +430,6 @@ def _load_checkpoint(table: str, version: int):
 
     protocol, meta = None, None
     live: dict[str, dict] = {}
-    removed: set[str] = set()
     txns: dict[str, int] = {}
     rows = pq.read_table(_checkpoint_path(table, version)).to_pylist()
     # V2 checkpoints (UUID-named top file): add/remove actions live in
@@ -325,8 +442,10 @@ def _load_checkpoint(table: str, version: int):
     for row in rows:
         sc = row.get("sidecar")
         if sc is not None:
+            # spec: sidecar paths are URI-encoded relative names
             side = os.path.join(
-                table, _LOG_DIR, "_sidecars", dict(sc)["path"]
+                table, _LOG_DIR, "_sidecars",
+                urllib.parse.unquote(dict(sc)["path"]),
             )
             if not os.path.exists(side):
                 raise DeltaUnsupported(
@@ -373,7 +492,7 @@ def _load_checkpoint(table: str, version: int):
         elif row.get("remove") is not None:
             # checkpoint remove rows are expired-tombstone bookkeeping for
             # vacuum, never part of the live set — the reconciled adds are
-            removed.add(dict(row["remove"])["path"])
+            pass
         elif row.get("txn") is not None:
             t = row["txn"]
             txns[t["appId"]] = t["version"]
@@ -612,6 +731,7 @@ def write_delta(
     txn: tuple[str, int] | None = None,
     merge_schema: bool = False,
     checkpoint_interval: int | None = None,
+    column_mapping: str | None = None,
 ) -> int:
     """Write ``df`` to ``table`` in Delta format; returns the committed
     version.  ``mode``: 'append' or 'overwrite' (replaces the live file
@@ -622,6 +742,20 @@ def write_delta(
     files surface the new columns as NULL via the explicit read schema).
     A same-name column with a DIFFERENT type is always a hard error —
     type changes are not evolution, they are corruption.
+
+    Column mapping: ``column_mapping='name'|'id'`` CREATES the table
+    mapped (every field annotated with ``delta.columnMapping.id`` /
+    ``physicalName``, ``maxColumnId`` tracked in the table config,
+    protocol reader 2 / writer 5 — what delta-spark declares for mapped
+    tables).  Writes to an EXISTING mapped table are detected from its
+    metaData automatically: data files and partition directories are
+    written under PHYSICAL names, stats/partitionValues keys land
+    physical, and ``merge_schema`` evolution allocates fresh ids past
+    ``maxColumnId``.  id-mode files carry parquet field ids (top-level
+    columns; nested id-mode writes are rejected loudly).  Overwrite on a
+    mapped table requires the exact table schema — changing the schema
+    of a mapped table on overwrite would need a re-mapping policy and is
+    outside the implemented subset.
 
     ``checkpoint_interval=N`` applies the spec's periodic-checkpoint
     policy: after committing a version divisible by N, a classic
@@ -637,36 +771,49 @@ def write_delta(
     is not atomic across rogue concurrent same-appId writers."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    if column_mapping not in (None, "none", "name", "id"):
+        raise ValueError(
+            f"column_mapping must be name|id, got {column_mapping!r}"
+        )
     partition_by = list(partition_by)
     schema_string = df.schema.json()
 
     existing = _list_versions(table)
+    mapped_meta = None   # the mapped table's CURRENT metaData (pinned)
+    staging_meta = None  # metaData whose physical layout we stage under
     if existing:
-        _, meta, _, _ = _replay(table)
-        if _mapping_mode(meta) != "none":
+        protocol, meta, _, _ = _replay(table)
+        _check_writer_protocol(
+            protocol, meta, "write_delta",
+            removes_data=(mode == "overwrite"),
+        )
+        tbl_map_mode = _mapping_mode(meta)
+        if column_mapping not in (None, tbl_map_mode) and not (
+            column_mapping == "none" and tbl_map_mode == "none"
+        ):
             raise DeltaUnsupported(
-                "writing to a column-mapped table is outside the "
-                "implemented subset (physical-name writing; column "
-                "mapping support is read-only)"
+                f"column_mapping={column_mapping!r} conflicts with the "
+                f"table's mode {tbl_map_mode!r} (mapping mode is fixed "
+                "at creation)"
             )
         if meta["partitionColumns"] != partition_by:
             raise DeltaUnsupported(
                 f"partitioning mismatch: table has "
                 f"{meta['partitionColumns']}, write asked {partition_by}"
             )
+        tbl_schema = StructType.fromJson(json.loads(meta["schemaString"]))
+        evolved_new_fields: list = []
         if mode == "append":
             # match by (name, type) — column ORDER and nullability are
             # not identity (a CONVERTed table's inferred schema lists
             # partition columns last); the frame is reordered to the
             # table schema so data files stay layout-uniform.
-            tbl_schema = StructType.fromJson(
-                json.loads(meta["schemaString"])
-            )
             tbl_types = {f.name: f.dataType for f in tbl_schema}
             df_types = {f.name: f.dataType for f in df.schema}
             conflicts = sorted(
                 n for n, t in df_types.items()
-                if n in tbl_types and tbl_types[n] != t
+                if n in tbl_types
+                and _type_key(tbl_types[n]) != _type_key(t)
             )
             if conflicts:
                 raise DeltaUnsupported(
@@ -696,11 +843,60 @@ def write_delta(
                     ]
                 )
                 schema_string = df.schema.json()
+                evolved_new_fields = new_cols
             else:
                 df = df.select(*[f.name for f in tbl_schema])
                 schema_string = meta["schemaString"]
+        elif tbl_map_mode != "none":
+            # overwrite on a mapped table: exact schema only (a schema
+            # change would need a re-mapping policy)
+            if {f.name: _type_key(f.dataType) for f in df.schema} != {
+                f.name: _type_key(f.dataType) for f in tbl_schema
+            }:
+                raise DeltaUnsupported(
+                    "overwrite with a changed schema on a column-mapped "
+                    "table is outside the implemented subset"
+                )
+            df = df.select(*[f.name for f in tbl_schema])
+        if tbl_map_mode != "none":
+            mapped_meta = meta
+            staging_meta = (
+                _evolve_mapped_meta(meta, evolved_new_fields)
+                if evolved_new_fields
+                else meta
+            )
+    elif column_mapping in ("name", "id"):
+        # new MAPPED table: annotate every field (depth-first ids, the
+        # order delta assigns) and pin maxColumnId in the table config
+        annotated, next_id = _annotate_mapping(
+            json.loads(df.schema.json()), 1
+        )
+        staging_meta = {
+            "id": uuid.uuid4().hex,
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(annotated),
+            "partitionColumns": partition_by,
+            "configuration": {
+                "delta.columnMapping.mode": column_mapping,
+                "delta.columnMapping.maxColumnId": str(next_id - 1),
+            },
+            "createdTime": int(time.time() * 1000),
+        }
 
-    adds = _stage_data_files(df, table, partition_by)
+    if staging_meta is not None:
+        m = _column_mapping(staging_meta)
+        l2p = m[1] if m else {}
+        stage_df = _to_physical(df, staging_meta)
+        stage_pcols = [l2p.get(c, c) for c in partition_by]
+    else:
+        stage_df = df
+        stage_pcols = partition_by
+
+    # drop_empty: a small frame spread over many shuffle slices stages
+    # zero-row part files; committing them as adds (numRecords 0, empty
+    # min/max) leaves stats-less-looking files no pruner can ever skip
+    # and every future MERGE would "touch" and rewrite (r11 verdict #2)
+    adds = _stage_data_files(stage_df, table, stage_pcols, drop_empty=True)
     commit_info = {
         "commitInfo": {
             "timestamp": int(time.time() * 1000),
@@ -728,19 +924,52 @@ def write_delta(
                 }
             )
         if version == 0:
-            actions.append({"protocol": dict(_PROTOCOL)})
-            actions.append(
-                {
-                    "metaData": {
-                        "id": uuid.uuid4().hex,
-                        "format": {"provider": "parquet", "options": {}},
-                        "schemaString": schema_string,
-                        "partitionColumns": partition_by,
-                        "configuration": {},
-                        "createdTime": int(time.time() * 1000),
+            if staging_meta is not None:
+                # mapped creation: reader 2 / writer 5, the legacy
+                # column-mapping protocol delta-spark declares
+                actions.append(
+                    {
+                        "protocol": {
+                            "minReaderVersion": 2,
+                            "minWriterVersion": 5,
+                        }
                     }
-                }
-            )
+                )
+                actions.append({"metaData": staging_meta})
+            else:
+                actions.append({"protocol": dict(_PROTOCOL)})
+                actions.append(
+                    {
+                        "metaData": {
+                            "id": uuid.uuid4().hex,
+                            "format": {
+                                "provider": "parquet",
+                                "options": {},
+                            },
+                            "schemaString": schema_string,
+                            "partitionColumns": partition_by,
+                            "configuration": {},
+                            "createdTime": int(time.time() * 1000),
+                        }
+                    }
+                )
+        elif mapped_meta is not None:
+            # mapped tables: the staged files' physical layout is pinned
+            # to the metaData read above — a concurrent schema/config
+            # change would silently misalign physical names, so it is a
+            # loud retry-the-write error, never a silent merge
+            _, meta_now, _, _ = _replay(table)
+            if meta_now["schemaString"] != mapped_meta["schemaString"] or (
+                (meta_now.get("configuration") or {})
+                != (mapped_meta.get("configuration") or {})
+            ):
+                raise DeltaUnsupported(
+                    "column-mapped table changed concurrently — the "
+                    "staged physical layout no longer matches; retry "
+                    f"the write: {table}"
+                )
+            if staging_meta is not mapped_meta:  # evolution this write
+                actions.append({"metaData": staging_meta})
         else:
             # metaData recomputed against the CURRENT snapshot EVERY
             # attempt: a retry after a lost race must not commit a
@@ -755,7 +984,8 @@ def write_delta(
             now_types = {f.name: f.dataType for f in now_schema}
             conflicts = sorted(
                 f.name for f in df.schema
-                if f.name in now_types and now_types[f.name] != f.dataType
+                if f.name in now_types
+                and _type_key(now_types[f.name]) != _type_key(f.dataType)
             )
             if conflicts:
                 raise DeltaUnsupported(
@@ -930,6 +1160,11 @@ def _file_may_match(add: dict, partition_cols: set[str],
     maxs = stats.get("maxValues") or {}
     nulls = stats.get("nullCount") or {}
     nrec = stats.get("numRecords")
+    if nrec == 0:
+        # a declared-empty file satisfies nothing — prunable regardless of
+        # the predicate (legacy zero-row adds would otherwise be
+        # stats-less and un-prunable forever, r11 verdict #2)
+        return False
 
     for col, op, literal in predicate:
         if col in float_cols and (
@@ -1007,7 +1242,10 @@ def _uri_by_rel(fp_values, table: str, rels) -> dict[str, str]:
     ``_metadata.file_path`` URI rendering (collected by the caller from a
     distinct pass).  Hadoop URI-escapes paths (space -> %20, '%' ->
     %25, ...), so hand-building the URI would silently mismatch; an
-    unexpected or missing file is a loud error, never a silent skip."""
+    unexpected or missing file is a loud error, never a silent skip —
+    EXCEPT a file whose parquet footer proves it holds zero rows, which
+    legitimately surfaces nothing (foreign writers may commit empty adds,
+    ADVICE r11 #5) and is simply absent from the returned map."""
     expected = {
         os.path.normpath(
             os.path.abspath(os.path.join(table, urllib.parse.unquote(p)))
@@ -1028,22 +1266,380 @@ def _uri_by_rel(fp_values, table: str, rels) -> dict[str, str]:
         out[rel] = uri
     missing = sorted(set(expected.values()) - set(out))
     if missing:
-        raise ValueError(
-            f"files never surfaced in the scan: {missing[:3]} — per-file "
-            "anchoring would be unsound"
-        )
+        import pyarrow.parquet as pq
+
+        truly_missing = []
+        for rel in missing:
+            try:
+                n = pq.ParquetFile(
+                    os.path.join(table, rel)
+                ).metadata.num_rows
+            except Exception:
+                n = None
+            if n != 0:
+                truly_missing.append(rel)
+        if truly_missing:
+            raise ValueError(
+                f"files never surfaced in the scan: {truly_missing[:3]} "
+                "— per-file anchoring would be unsound"
+            )
     return out
 
 
+def _provably_empty(add: dict) -> bool:
+    """True when the add's OWN stats declare zero rows — such a file
+    contributes nothing to any scan and is dropped up front (foreign
+    writers may commit them; this engine never does)."""
+    st = add.get("stats")
+    if not st:
+        return False
+    try:
+        return json.loads(st).get("numRecords") == 0
+    except (ValueError, TypeError):
+        return False
+
+
+def _scan_live(
+    spark: SparkSession,
+    table: str,
+    meta: dict,
+    adds: dict[str, dict],
+    with_meta: bool = False,
+    extra_fields: Sequence = (),
+) -> DataFrame:
+    """ONE distributed parquet scan over the given add-shaped actions
+    (data files or cdc files), projected to the table's LOGICAL schema
+    (plus ``extra_fields`` passed through verbatim — e.g. cdc's
+    ``_change_type`` — and ``__fp``/``__ri`` metadata columns when
+    ``with_meta``).  This is the single layout-handling seam shared by
+    read_delta, MERGE, OPTIMIZE and CDF, so every consumer gets the same
+    guarantees:
+
+    - hive layouts reconstitute partition columns via basePath;
+    - non-hive (flat foreign) layouts attach partition values FROM THE
+      LOG per PROTOCOL.md via a broadcast join on Spark's own file_path
+      (ADVICE r11 #1: a basePath read here would silently NULL them);
+    - column-mapped tables scan under PHYSICAL names (id mode by parquet
+      field id) and rename/cast back to logical;
+    - adds whose stats declare numRecords == 0 are dropped up front."""
+    from pyspark.sql.types import LongType, StringType, StructField
+
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    extra_fields = list(extra_fields)
+    mapping = _column_mapping(meta)
+    if mapping:
+        phys_schema, logical_to_phys = mapping
+        scan_pcols = [
+            logical_to_phys.get(c, c) for c in meta["partitionColumns"]
+        ]
+        if _mapping_mode(meta) == "id":
+            # Session-wide by necessity: the flag must still be set when
+            # the LAZY scan executes, so it cannot be saved/restored
+            # around plan construction.  Scope of the leak (ADVICE r11
+            # #3, documented): field-id resolution only changes for
+            # parquet scans whose READ SCHEMA carries parquet.field.id
+            # metadata — every non-mapped read in the session uses
+            # schemas without it and is unaffected.
+            spark.conf.set(
+                "spark.sql.parquet.fieldId.read.enabled", "true"
+            )
+        read_schema = StructType(list(phys_schema) + extra_fields)
+    else:
+        logical_to_phys = {}
+        scan_pcols = list(meta["partitionColumns"])
+        read_schema = StructType(list(schema) + extra_fields)
+
+    adds = {p: a for p, a in adds.items() if not _provably_empty(a)}
+    meta_fields = [
+        StructField("__fp", StringType()),
+        StructField("__ri", LongType()),
+    ]
+    if not adds:
+        empty = StructType(
+            list(schema)
+            + extra_fields
+            + (meta_fields if with_meta else [])
+        )
+        return spark.createDataFrame([], empty)
+
+    hive_ok = not scan_pcols or _hive_consistent(adds, scan_pcols)
+    files = [
+        os.path.join(table, urllib.parse.unquote(p)) for p in sorted(adds)
+    ]
+    meta_cols = [
+        F.col("_metadata.file_path").alias("__fp"),
+        F.col("_metadata.row_index").alias("__ri"),
+    ]
+    if hive_ok:
+        reader = spark.read.schema(read_schema)
+        if scan_pcols:
+            reader = reader.option("basePath", table)
+        df = reader.parquet(*files)
+        if with_meta:
+            df = df.select("*", *meta_cols)
+    else:
+        pset = set(scan_pcols)
+        data_schema = StructType(
+            [f for f in read_schema.fields if f.name not in pset]
+        )
+        df = spark.read.schema(data_schema).parquet(*files).select(
+            "*", *meta_cols
+        )
+        fp_values = [
+            r["__fp"] for r in df.select("__fp").distinct().collect()
+        ]
+        uri_map = _uri_by_rel(fp_values, table, adds)
+        # footer-proven-empty files never surfaced: drop their adds
+        adds = {
+            p: a
+            for p, a in adds.items()
+            if urllib.parse.unquote(p) in uri_map
+        }
+        prows = [
+            tuple(
+                [uri_map[urllib.parse.unquote(rel)]]
+                + [
+                    (a.get("partitionValues") or {}).get(c)
+                    for c in scan_pcols
+                ]
+            )
+            for rel, a in adds.items()
+        ]
+        pschema = ", ".join(
+            ["__fp string"] + [f"`{c}` string" for c in scan_pcols]
+        )
+        df = df.join(
+            F.broadcast(spark.createDataFrame(prows, pschema)), "__fp"
+        )
+        # cast the stringly partition values to the physical types so
+        # the logical projection below treats them like scanned cols
+        for f in read_schema.fields:
+            if f.name in pset:
+                df = df.withColumn(f.name, F.col(f.name).cast(f.dataType))
+        if not with_meta:
+            df = df.drop("__fp", "__ri")
+    cols = []
+    for f in schema.fields:
+        c = F.col(logical_to_phys.get(f.name, f.name))
+        if mapping:
+            # cast renames NESTED struct fields positionally back to
+            # their logical names; top level via the alias
+            c = c.cast(f.dataType)
+        cols.append(c.alias(f.name))
+    cols += [F.col(f.name) for f in extra_fields]
+    if with_meta:
+        cols += [F.col("__fp"), F.col("__ri")]
+    return df.select(*cols)
+
+
+def _read_live(
+    spark: SparkSession, table: str, meta: dict, live: dict[str, dict]
+) -> DataFrame:
+    """The table's LOGICAL rows for a live file set: plain files in one
+    scan; deletion-vector'd files in a second scan WITH the parquet row
+    index, anti-joined against the distributed decoded deleted-position
+    frame (work ∝ deleted rows, decode executor-side — the driver holds
+    O(files), r11 verdict #5).  Shared by read_delta and every rewrite
+    path (MERGE, OPTIMIZE), so a rewrite of a DV'd file always
+    materializes rows-minus-DV and never resurrects deleted rows."""
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    dv_live = {p: a for p, a in live.items() if a.get("deletionVector")}
+    plain_live = {p: a for p, a in live.items() if p not in dv_live}
+    pieces: list[DataFrame] = []
+    if plain_live:
+        pieces.append(_scan_live(spark, table, meta, plain_live))
+    if dv_live:
+        from zeta_etl_spark.sinks.delta_dv import dv_positions_df
+
+        dv_scan = _scan_live(spark, table, meta, dv_live, with_meta=True)
+        # the join key is Spark's OWN _metadata.file_path rendering —
+        # collected from a metadata-only pass over the DV'd files (the
+        # small subset), never rebuilt in Python: Hadoop URI-escapes
+        # paths (space -> %20, '%' -> %25, ...), and a hand-built
+        # "file:" + abspath key silently matches NOTHING for such paths,
+        # resurrecting every deleted row (r11 review finding #1).
+        uri_by_rel = _uri_by_rel(
+            [r["__fp"] for r in dv_scan.select("__fp").distinct().collect()],
+            table,
+            dv_live,
+        )
+        pos_df, declared = dv_positions_df(spark, dv_live, table, uri_by_rel)
+        if declared <= 1_000_000:
+            pos_df = F.broadcast(pos_df)
+        pieces.append(
+            dv_scan.join(pos_df, ["__fp", "__ri"], "left_anti").drop(
+                "__fp", "__ri"
+            )
+        )
+    if not pieces:
+        return spark.createDataFrame([], schema)
+    df = pieces[0]
+    for p in pieces[1:]:
+        df = df.unionByName(p)
+    return df
+
+
+def _to_physical(
+    df: DataFrame, meta: dict, passthrough: Sequence[str] = ()
+) -> DataFrame:
+    """Project a LOGICAL frame to the table's PHYSICAL layout for
+    staging: top-level columns renamed to physicalName (in id mode the
+    alias carries ``parquet.field.id`` metadata so written files resolve
+    by field id, as the spec requires), nested struct fields renamed
+    positionally via cast.  ``passthrough`` columns (cdc's
+    ``_change_type``) keep their name — the spec stores that column
+    literally, unmapped.  No-op on unmapped tables."""
+    mapping = _column_mapping(meta)
+    if not mapping:
+        return df
+    mode = _mapping_mode(meta)
+    schema_json = json.loads(meta["schemaString"])
+    cols = []
+    for f in schema_json["fields"]:
+        md = f.get("metadata") or {}
+        phys = md.get("delta.columnMapping.physicalName", f["name"])
+        ptype = StructType.fromJson(
+            {
+                "type": "struct",
+                "fields": [
+                    {
+                        "name": phys,
+                        "type": _physical_type(f["type"]),
+                        "nullable": f.get("nullable", True),
+                        "metadata": {},
+                    }
+                ],
+            }
+        ).fields[0].dataType
+        c = F.col(f["name"]).cast(ptype)
+        if mode == "id":
+            if isinstance(f["type"], dict):
+                raise DeltaUnsupported(
+                    f"writing nested column {f['name']!r} to an id-mode "
+                    "column-mapped table is outside the implemented "
+                    "subset (parquet field ids can only be attached to "
+                    "top-level columns here)"
+                )
+            c = c.alias(
+                phys,
+                metadata={
+                    "parquet.field.id": md["delta.columnMapping.id"]
+                },
+            )
+        else:
+            c = c.alias(phys)
+        cols.append(c)
+    cols += [F.col(n) for n in passthrough]
+    return df.select(*cols)
+
+
+def _type_key(dt) -> str:
+    """Type identity modulo field METADATA and nullability at every
+    nesting level: a mapped table's schemaString carries
+    delta.columnMapping.* metadata on nested struct fields, which must
+    never make struct<score:double> \\"conflict\\" with itself."""
+
+    def _norm(j):
+        if isinstance(j, dict):
+            if j.get("type") == "struct":
+                return {
+                    "type": "struct",
+                    "fields": [
+                        {"name": f["name"], "type": _norm(f["type"])}
+                        for f in j["fields"]
+                    ],
+                }
+            if j.get("type") == "array":
+                return {
+                    "type": "array",
+                    "elementType": _norm(j["elementType"]),
+                }
+            if j.get("type") == "map":
+                return {
+                    "type": "map",
+                    "keyType": _norm(j["keyType"]),
+                    "valueType": _norm(j["valueType"]),
+                }
+        return j
+    return json.dumps(_norm(json.loads(dt.json())), sort_keys=True)
+
+
+def _annotate_mapping(t, next_id: int):
+    """Recursively annotate a schemaString type JSON with fresh
+    ``delta.columnMapping.id`` / ``physicalName`` metadata (depth-first
+    field numbering, the order delta assigns on table creation); returns
+    (annotated type JSON, next unused id)."""
+    if isinstance(t, dict):
+        if t.get("type") == "struct":
+            fields = []
+            for f in t["fields"]:
+                fid = next_id
+                next_id += 1
+                sub, next_id = _annotate_mapping(f["type"], next_id)
+                fields.append(
+                    {
+                        **f,
+                        "type": sub,
+                        "metadata": {
+                            **(f.get("metadata") or {}),
+                            "delta.columnMapping.id": fid,
+                            "delta.columnMapping.physicalName": (
+                                f"col-{uuid.uuid4().hex[:12]}"
+                            ),
+                        },
+                    }
+                )
+            return {"type": "struct", "fields": fields}, next_id
+        if t.get("type") == "array":
+            sub, next_id = _annotate_mapping(t["elementType"], next_id)
+            return {**t, "elementType": sub}, next_id
+        if t.get("type") == "map":
+            kt, next_id = _annotate_mapping(t["keyType"], next_id)
+            vt, next_id = _annotate_mapping(t["valueType"], next_id)
+            return {**t, "keyType": kt, "valueType": vt}, next_id
+    return t, next_id
+
+
+def _evolve_mapped_meta(meta: dict, new_fields) -> dict:
+    """Evolved metaData for a column-mapped table: the NEW fields (Spark
+    StructField list) get fresh ids/physicalNames starting past the
+    table's ``delta.columnMapping.maxColumnId``, which is bumped in the
+    same action (the spec's bookkeeping for id allocation)."""
+    cfg = dict(meta.get("configuration") or {})
+    next_id = int(cfg.get("delta.columnMapping.maxColumnId", "0")) + 1
+    schema_json = json.loads(meta["schemaString"])
+    annotated = []
+    for f in new_fields:
+        fj, next_id = _annotate_mapping(
+            {"type": "struct", "fields": [json.loads(f.json())]}, next_id
+        )
+        annotated.append(fj["fields"][0])
+    cfg["delta.columnMapping.maxColumnId"] = str(next_id - 1)
+    return {
+        **meta,
+        "schemaString": json.dumps(
+            {
+                "type": "struct",
+                "fields": schema_json["fields"] + annotated,
+            }
+        ),
+        "configuration": cfg,
+    }
+
+
 def _reject_dv(live: dict, op: str) -> None:
-    """Operations that READ live files and re-commit them (OPTIMIZE,
-    MERGE, checkpointing) would resurrect DV-deleted rows or drop the
-    descriptors — refuse loudly; DV support is read-only (r10 ask #8)."""
+    """Checkpointing a snapshot with live deletion vectors would DROP the
+    descriptors (the classic checkpoint schema written here carries no
+    deletionVector struct) and silently resurrect deleted rows once the
+    JSON tail is cleaned — refuse loudly.  Rewrites (MERGE, OPTIMIZE) no
+    longer need this guard: they read through :func:`_read_live`, which
+    materializes rows-minus-DV, and their commits drop the rewritten
+    files' descriptors with the files (r11 verdict #4)."""
     dv = sorted(p for p, a in live.items() if a.get("deletionVector"))
     if dv:
         raise DeltaUnsupported(
             f"{op} on a table with live deletion vectors is outside the "
-            f"implemented subset (DV support is read-only): {dv[:3]}"
+            f"implemented subset: {dv[:3]}"
         )
 
 
@@ -1067,33 +1663,22 @@ def read_delta(
     is applied as a real filter, so the result is exactly
     ``read().filter(...)`` with less I/O.  At 100 TB this is the
     difference between scanning a table and scanning the handful of
-    files a selective query touches."""
+    files a selective query touches.
+
+    Layout/feature handling (column mapping, non-hive foreign layouts,
+    deletion vectors) lives in :func:`_scan_live` / :func:`_read_live`,
+    shared with MERGE and OPTIMIZE."""
     if version is not None and timestamp_ms is not None:
         raise ValueError("pass version OR timestamp_ms, not both")
     if timestamp_ms is not None:
         version = version_at_timestamp(table, timestamp_ms)
     _, meta, live, _ = _replay(table, version)
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
-    # column mapping (read path): scan under PHYSICAL names — the names
-    # actually inside the data files and partition directories — then
-    # rename/cast back to the logical schema.  partitionValues and stats
-    # keys in the log are physical too, so pruning translates first.
     mapping = _column_mapping(meta)
-    if mapping:
-        read_schema, logical_to_phys = mapping
-        scan_pcols = [
-            logical_to_phys.get(c, c) for c in meta["partitionColumns"]
-        ]
-        if _mapping_mode(meta) == "id":
-            # the spec's id-mode resolution: match parquet columns by
-            # FIELD ID (read_schema carries parquet.field.id metadata);
-            # by-name matching would silently NULL columns in old files
-            # whose names predate the current physicalName
-            spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-    else:
-        read_schema = schema
-        logical_to_phys = {}
-        scan_pcols = list(meta["partitionColumns"])
+    logical_to_phys = mapping[1] if mapping else {}
+    scan_pcols = [
+        logical_to_phys.get(c, c) for c in meta["partitionColumns"]
+    ]
 
     def _with_filters(df: DataFrame) -> DataFrame:
         for col, op, lit in predicate or ():
@@ -1128,150 +1713,7 @@ def read_delta(
         }
     if not live:
         return _with_filters(spark.createDataFrame([], schema))
-
-    # partition values: Spark's basePath reconstitution is only correct
-    # when the directory layout actually encodes the log's
-    # partitionValues (our writer's layout and classic hive tables).
-    # Foreign layouts — delta-spark under column mapping writes flat
-    # random-prefixed files — carry partition values ONLY in the log, so
-    # the scan attaches them per file via a broadcast join on Spark's own
-    # file_path (PROTOCOL.md: readers must use add.partitionValues).
-    hive_ok = not scan_pcols or _hive_consistent(live, scan_pcols)
-
-    def _scan(adds: dict[str, dict], with_meta: bool) -> DataFrame:
-        files = [
-            os.path.join(table, urllib.parse.unquote(p))
-            for p in sorted(adds)
-        ]
-        meta_cols = [
-            F.col("_metadata.file_path").alias("__fp"),
-            F.col("_metadata.row_index").alias("__ri"),
-        ]
-        if hive_ok:
-            reader = spark.read.schema(read_schema)
-            if scan_pcols:
-                reader = reader.option("basePath", table)
-            df = reader.parquet(*files)
-            if with_meta:
-                df = df.select("*", *meta_cols)
-        else:
-            pset = set(scan_pcols)
-            data_schema = StructType(
-                [f for f in read_schema.fields if f.name not in pset]
-            )
-            df = spark.read.schema(data_schema).parquet(*files).select(
-                "*", *meta_cols
-            )
-            fp_values = [
-                r["__fp"] for r in df.select("__fp").distinct().collect()
-            ]
-            uri_map = _uri_by_rel(fp_values, table, adds)
-            prows = [
-                tuple(
-                    [uri_map[urllib.parse.unquote(rel)]]
-                    + [
-                        (a.get("partitionValues") or {}).get(c)
-                        for c in scan_pcols
-                    ]
-                )
-                for rel, a in adds.items()
-            ]
-            pschema = ", ".join(
-                ["__fp string"] + [f"`{c}` string" for c in scan_pcols]
-            )
-            df = df.join(
-                F.broadcast(spark.createDataFrame(prows, pschema)), "__fp"
-            )
-            # cast the stringly partition values to the physical types so
-            # the logical projection below treats them like scanned cols
-            for f in read_schema.fields:
-                if f.name in pset:
-                    df = df.withColumn(
-                        f.name, F.col(f.name).cast(f.dataType)
-                    )
-            if not with_meta:
-                df = df.drop("__fp", "__ri")
-        cols = []
-        for f in schema.fields:
-            c = F.col(logical_to_phys.get(f.name, f.name))
-            if mapping:
-                # cast renames NESTED struct fields positionally back to
-                # their logical names; top level via the alias
-                c = c.cast(f.dataType)
-            cols.append(c.alias(f.name))
-        if with_meta:
-            cols += [F.col("__fp"), F.col("__ri")]
-        return df.select(*cols)
-
-    dv_live = {
-        p: a for p, a in live.items() if a.get("deletionVector")
-    }
-    plain_live = {p: a for p, a in live.items() if p not in dv_live}
-    pieces: list[DataFrame] = []
-    if plain_live:
-        pieces.append(_scan(plain_live, with_meta=False))
-    if dv_live:
-        # deletion vectors (read path): the DV'd files scan WITH the
-        # parquet row index, and one anti-join against the decoded
-        # deleted-position frame drops the invalidated rows — work is
-        # proportional to DELETED rows (the cardinality the log already
-        # declares), and the scan stays one distributed parquet read
-        from zeta_etl_spark.sinks.delta_dv import dv_positions
-
-        dv_scan = _scan(dv_live, with_meta=True)
-        # the join key is Spark's OWN _metadata.file_path rendering —
-        # collected from a metadata-only pass over the DV'd files (the
-        # small subset), never rebuilt in Python: Hadoop URI-escapes
-        # paths (space -> %20, '%' -> %25, ...), and a hand-built
-        # "file:" + abspath key silently matches NOTHING for such paths,
-        # resurrecting every deleted row (r11 review finding #1).  A
-        # scanned file that does not decode back to an expected path is
-        # a loud error, never a silent pass-through.
-        expected = {
-            os.path.normpath(
-                os.path.abspath(
-                    os.path.join(table, urllib.parse.unquote(p))
-                )
-            ): urllib.parse.unquote(p)  # dv_positions keys are unquoted
-            for p in dv_live
-        }
-        uri_by_rel: dict[str, str] = {}
-        for row in dv_scan.select("__fp").distinct().collect():
-            uri = row["__fp"]
-            fs = urllib.parse.unquote(
-                uri[len("file:"):] if uri.startswith("file:") else uri
-            )
-            rel = expected.get(os.path.normpath(fs))
-            if rel is None:
-                raise ValueError(
-                    f"deletion-vector scan surfaced unexpected file "
-                    f"{uri!r} — cannot anchor deleted positions"
-                )
-            uri_by_rel[rel] = uri
-        missing = sorted(
-            {urllib.parse.unquote(p) for p in dv_live} - set(uri_by_rel)
-        )
-        if missing:
-            raise ValueError(
-                f"deletion-vector files never surfaced in the scan: "
-                f"{missing[:3]} — row-index anchoring would be unsound"
-            )
-        positions = dv_positions(dv_live, table)
-        pos_df = spark.createDataFrame(
-            [(uri_by_rel[p], r) for p, r in positions],
-            "__fp string, __ri bigint",
-        )
-        if len(positions) <= 1_000_000:
-            pos_df = F.broadcast(pos_df)
-        pieces.append(
-            dv_scan.join(pos_df, ["__fp", "__ri"], "left_anti")
-            .drop("__fp", "__ri")
-        )
-    df = pieces[0]
-    for p in pieces[1:]:
-        df = df.unionByName(p)
-    return _with_filters(df)
-
+    return _with_filters(_read_live(spark, table, meta, live))
 
 _Z_TYPES = {"int", "bigint", "smallint", "tinyint", "float", "double",
             "date", "timestamp", "timestamp_ntz"}
@@ -1373,13 +1815,11 @@ def optimize(
     it actually read).  Returns the committed version."""
     zorder_by = list(zorder_by)
     for _ in range(max_retries):
-        _, meta, live, _ = _replay(table)
-        _reject_dv(live, "OPTIMIZE")
-        if _mapping_mode(meta) != "none":
-            raise DeltaUnsupported(
-                "OPTIMIZE on a column-mapped table is outside the "
-                "implemented subset (column mapping is read-only)"
-            )
+        protocol, meta, live, _ = _replay(table)
+        # dataChange:false removes are compaction, legal on appendOnly
+        _check_writer_protocol(protocol, meta, "OPTIMIZE")
+        mapping = _column_mapping(meta)
+        l2p = mapping[1] if mapping else {}
         base_version = latest_version(table)
         if not live:
             return base_version
@@ -1419,31 +1859,32 @@ def optimize(
                     f"partition strings (or None); got non-strings for "
                     f"{bad_vals}"
                 )
+            # the log's partitionValues keys are PHYSICAL on mapped tables
+            where_phys = {l2p.get(k, k): v for k, v in where.items()}
             live = {
                 p: a
                 for p, a in live.items()
                 if all(
                     (a.get("partitionValues") or {}).get(k) == v
-                    for k, v in where.items()
+                    for k, v in where_phys.items()
                 )
             }
             if not live:
                 return base_version
         snapshot_paths = sorted(live)
-        files = [
-            os.path.join(table, urllib.parse.unquote(p))
-            for p in snapshot_paths
-        ]
-        reader = spark.read.schema(schema)
-        if pcols:
-            reader = reader.option("basePath", table)
-        df = reader.parquet(*files).select(*[f.name for f in schema.fields])
+        # logical rows; a DV'd file scans MINUS its deleted rows, so the
+        # rewrite is materialize-minus-DV and the descriptor dies with
+        # the removed file — rows are unchanged, dataChange stays False
+        # (exactly Delta's PURGE semantics, r11 verdict #4)
+        df = _read_live(spark, table, meta, live)
 
         total = 0
         for p in snapshot_paths:
             st = live[p].get("stats")
             total += (json.loads(st).get("numRecords") or 0) if st else 0
-        n_files = max(1, -(-total // target_file_rows)) if total else 1
+            dv = live[p].get("deletionVector") or {}
+            total -= dv.get("cardinality") or 0
+        n_files = max(1, -(-total // target_file_rows)) if total > 0 else 1
 
         if zorder_by:
             # one column needs no interleave: a plain range sort IS the
@@ -1466,7 +1907,13 @@ def optimize(
         else:
             out = df.repartition(n_files)
 
-        adds = _stage_data_files(out, table, pcols, data_change=False)
+        adds = _stage_data_files(
+            _to_physical(out, meta),
+            table,
+            [l2p.get(c, c) for c in pcols],
+            data_change=False,
+            drop_empty=True,
+        )
         _, _, live_now, _ = _replay(table)
         if where:
             live_now = {
@@ -1474,7 +1921,7 @@ def optimize(
                 for p, a in live_now.items()
                 if all(
                     (a.get("partitionValues") or {}).get(k) == v
-                    for k, v in where.items()
+                    for k, v in where_phys.items()
                 )
             }
         if sorted(live_now) != snapshot_paths:
@@ -1630,13 +2077,8 @@ def _merge_delta_pinned(
 
     for _ in range(max_retries):
         base_version = latest_version(table)
-        _, meta, live, txns = _replay(table, base_version)
-        _reject_dv(live, "MERGE")
-        if _mapping_mode(meta) != "none":
-            raise DeltaUnsupported(
-                "MERGE on a column-mapped table is outside the "
-                "implemented subset (column mapping is read-only)"
-            )
+        protocol, meta, live, txns = _replay(table, base_version)
+        _check_writer_protocol(protocol, meta, "MERGE", removes_data=True)
         if txn is not None:
             seen = txns.get(txn[0])
             if seen is not None and txn[1] <= seen:
@@ -1657,7 +2099,8 @@ def _merge_delta_pinned(
         conflicts = sorted(
             f.name
             for f in source.schema.fields
-            if f.name in tbl_types and tbl_types[f.name] != f.dataType
+            if f.name in tbl_types
+            and _type_key(tbl_types[f.name]) != _type_key(f.dataType)
         )
         if conflicts:
             raise DeltaUnsupported(
@@ -1695,8 +2138,14 @@ def _merge_delta_pinned(
         tfields.update({f.name: f.dataType for f in evolved_fields})
 
         # ---- file pruning: which live files can hold a matching key? ----
+        # stats/partitionValues keys in the log are PHYSICAL names on a
+        # column-mapped table; predicates built from logical key columns
+        # translate before they reach _file_may_match
+        mapping = _column_mapping(meta)
+        l2p = mapping[1] if mapping else {}
+        phys_pcols = [l2p.get(c, c) for c in pcols]
         fcols = frozenset(
-            n
+            l2p.get(n, n)
             for n, t in tbl_types.items()
             if t.simpleString() in ("float", "double")
         )
@@ -1713,7 +2162,7 @@ def _merge_delta_pinned(
                 # equi-matches, so NO target row can match at all
                 matchable = False
                 break
-            range_pred += [(k, ">=", lo), (k, "<=", hi)]
+            range_pred += [(l2p.get(k, k), ">=", lo), (l2p.get(k, k), "<=", hi)]
 
         tuples: list[tuple] | None = None
         if matchable and pcols and set(pcols) <= set(on):
@@ -1728,14 +2177,14 @@ def _merge_delta_pinned(
         def _touchable(add: dict) -> bool:
             if not matchable:
                 return False
-            if not _file_may_match(add, set(pcols), range_pred, fcols):
+            if not _file_may_match(add, set(phys_pcols), range_pred, fcols):
                 return False
             if tuples is not None:
                 return any(
                     _file_may_match(
                         add,
-                        set(pcols),
-                        [(c, "=", v) for c, v in zip(pcols, tup)],
+                        set(phys_pcols),
+                        [(c, "=", v) for c, v in zip(phys_pcols, tup)],
                         fcols,
                     )
                     for tup in tuples
@@ -1744,17 +2193,12 @@ def _merge_delta_pinned(
 
         touched = {p: a for p, a in live.items() if _touchable(a)}
 
+        # logical rows of the touched slice; a touched file carrying a
+        # deletion vector scans MINUS its deleted rows, and the rewrite
+        # below commits a clean (DV-free) add — exactly what any engine
+        # does when it rewrites a DV'd file (r11 verdict #4)
         if touched:
-            files = [
-                os.path.join(table, urllib.parse.unquote(p))
-                for p in sorted(touched)
-            ]
-            reader = spark.read.schema(schema)
-            if pcols:
-                reader = reader.option("basePath", table)
-            target_df = reader.parquet(*files).select(
-                *[f.name for f in schema.fields]
-            )
+            target_df = _read_live(spark, table, meta, touched)
         else:
             target_df = spark.createDataFrame([], schema)
 
@@ -1773,31 +2217,59 @@ def _merge_delta_pinned(
         )
         metrics: dict = plan.metrics() if collect_metrics else {}
 
+        # staging uses the POST-evolution metaData so evolved columns get
+        # mapping ids/physicalNames before any file is written
+        if new_cols:
+            if mapping:
+                staging_meta = _evolve_mapped_meta(meta, evolved_fields)
+            else:
+                evolved = StructType(list(schema) + evolved_fields)
+                staging_meta = {**meta, "schemaString": evolved.json()}
+        else:
+            staging_meta = meta
+
         adds = _stage_data_files(
-            plan.merged(), table, pcols, data_change=True, drop_empty=True
+            _to_physical(plan.merged(), staging_meta),
+            table,
+            phys_pcols,
+            data_change=True,
+            drop_empty=True,
         )
         cdc_actions: list[dict] = []
         if write_cdf:
             cdc_actions = _stage_data_files(
-                plan.changes(),
+                _to_physical(
+                    plan.changes(), staging_meta,
+                    passthrough=("_change_type",),
+                ),
                 table,
-                pcols,
+                phys_pcols,
                 data_change=False,
                 action="cdc",
                 subdir=_CHANGE_DATA_DIR,
                 drop_empty=True,
             )
-        if (not adds and not touched and not cdc_actions) or (
-            write_cdf and not cdc_actions
-        ):
-            # No row-level change happened.  The second arm matters even
-            # when files WERE touched (conditions claimed nothing): a
-            # dataChange:true remove+add commit with no cdc actions would
-            # make table_changes fall back to the add/remove derivation
-            # and fabricate delete+insert rows for every COPIED row of
-            # the rewritten files (r11 review finding #2) — so a
-            # zero-change merge commits nothing at all.
-            _discard_staged(table, adds)
+        # Zero-change gate, computed UNCONDITIONALLY (r11 verdict #1): a
+        # merge whose clauses claimed no row must commit NOTHING — a
+        # dataChange:true remove+add commit would make table_changes
+        # fabricate delete+insert rows for every COPIED row of the
+        # rewritten files.  write_cdf=True: the staged cdc files are the
+        # authoritative signal (their rows ARE the changes).  Otherwise
+        # the signal comes from the plan itself — never from the cdc
+        # staging side effect (the r11 bug: write_cdf=False committed
+        # spurious rewrites).
+        if write_cdf:
+            changed = bool(cdc_actions)
+        elif collect_metrics:
+            changed = (
+                metrics["rows_deleted"]
+                + metrics["rows_updated"]
+                + metrics["rows_inserted"]
+            ) > 0
+        else:
+            changed = not plan.changes().isEmpty()
+        if not changed:
+            _discard_staged(table, adds + cdc_actions)
             return {
                 "version": base_version,
                 "files_removed": 0,
@@ -1834,10 +2306,7 @@ def _merge_delta_pinned(
                 }
             )
         if new_cols:
-            evolved = StructType(list(schema) + evolved_fields)
-            actions.append(
-                {"metaData": {**meta, "schemaString": evolved.json()}}
-            )
+            actions.append({"metaData": staging_meta})
         actions.extend(
             {
                 "remove": {
@@ -1892,8 +2361,16 @@ def table_changes(
     error — CDF consumers must read within the retention window, same
     as Delta.
 
+    Layout handling rides :func:`_scan_live`: column-mapped tables read
+    under physical names and surface logical ones, and non-hive foreign
+    layouts take partition values from the LOG — removes resolve them
+    from the running pre-commit snapshot (their own add actions), never
+    from the path.
+
     One distributed scan per (commit, change-type) group — bounded by
     the version range a consumer asks for, never per-file unions."""
+    from pyspark.sql.types import StringType, StructField
+
     all_versions = _list_versions(table)
     versions = [
         v for v in all_versions
@@ -1917,18 +2394,49 @@ def table_changes(
             "them; take a full snapshot read instead"
         )
     _, meta, _, _ = _replay(table)
-    if _mapping_mode(meta) != "none":
-        raise DeltaUnsupported(
-            "CDF over a column-mapped table is outside the implemented "
-            "subset — read snapshots instead"
-        )
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    ct_field = StructField("_change_type", StringType())
+
+    # removes carry no stats/partitionValues of their own (MERGE's do,
+    # appends' don't): resolve each removed path's ORIGINAL add action
+    # from a running pre-commit snapshot so non-hive layouts and stats
+    # survive the derivation
+    prev_live: dict[str, dict] | None = None
+    if versions[0] > 0:
+        try:
+            _, _, prev_live, _ = _replay(table, versions[0] - 1)
+        except (ValueError, DeltaUnsupported):
+            prev_live = None  # pre-range history cleaned up: fall back
+    else:
+        prev_live = {}
+
+    def _synthetic_add(rel: str, action_body: dict) -> dict:
+        if prev_live is not None and rel in prev_live:
+            return prev_live[rel]
+        if action_body.get("partitionValues") is not None:
+            return action_body
+        # last resort: hive path segments (exactly what a basePath read
+        # would reconstruct; correct for every layout this engine writes)
+        pvals = {}
+        for seg in os.path.dirname(
+            urllib.parse.unquote(rel)
+        ).split(os.sep):
+            if "=" in seg:
+                k, _, raw = seg.partition("=")
+                pvals[k] = (
+                    None
+                    if raw == "__HIVE_DEFAULT_PARTITION__"
+                    else urllib.parse.unquote(raw)
+                )
+        return {**action_body, "path": rel, "partitionValues": pvals}
 
     pieces: list[DataFrame] = []
     for v in versions:
         ts = None
-        groups: dict[str, list[str]] = {"insert": [], "delete": []}
-        cdc_rels: list[str] = []
+        adds_v: dict[str, dict] = {}
+        removes_v: list[str] = []
+        groups: dict[str, dict[str, dict]] = {"insert": {}, "delete": {}}
+        cdc_adds: dict[str, dict] = {}
         with open(_log_path(table, v)) as fh:
             for line in fh:
                 if not line.strip():
@@ -1937,25 +2445,29 @@ def table_changes(
                 if "commitInfo" in action:
                     ts = action["commitInfo"].get("timestamp")
                 elif "cdc" in action:
-                    cdc_rels.append(action["cdc"]["path"])
-                elif "add" in action and action["add"].get(
-                    "deletionVector"
-                ):
-                    raise DeltaUnsupported(
-                        f"version {v} of {table} changes rows via a "
-                        "deletion vector — CDF over DV commits is outside "
-                        "the implemented subset (read the snapshot)"
-                    )
-                elif "add" in action and action["add"].get("dataChange"):
-                    groups["insert"].append(action["add"]["path"])
-                elif "remove" in action and action["remove"].get(
-                    "dataChange"
-                ):
-                    groups["delete"].append(action["remove"]["path"])
-        if cdc_rels:
+                    cdc_adds[action["cdc"]["path"]] = action["cdc"]
+                elif "add" in action:
+                    a = action["add"]
+                    if a.get("deletionVector"):
+                        raise DeltaUnsupported(
+                            f"version {v} of {table} changes rows via a "
+                            "deletion vector — CDF over DV commits is "
+                            "outside the implemented subset (read the "
+                            "snapshot)"
+                        )
+                    adds_v[a["path"]] = a
+                    if a.get("dataChange"):
+                        groups["insert"][a["path"]] = a
+                elif "remove" in action:
+                    r = action["remove"]
+                    removes_v.append(r["path"])
+                    if r.get("dataChange"):
+                        groups["delete"][r["path"]] = _synthetic_add(
+                            r["path"], r
+                        )
+        if cdc_adds:
             # spec: cdc actions are the commit's ONLY change representation
-            files = []
-            for rel in sorted(cdc_rels):
+            for rel in cdc_adds:
                 full = os.path.join(table, urllib.parse.unquote(rel))
                 if not os.path.exists(full):
                     raise FileNotFoundError(
@@ -1963,54 +2475,47 @@ def table_changes(
                         "it was vacuumed — read changes within the "
                         "retention window"
                     )
-                files.append(full)
-            from pyspark.sql.types import StringType, StructField
-
-            cdc_schema = StructType(
-                list(schema.fields)
-                + [StructField("_change_type", StringType())]
-            )
-            reader = spark.read.schema(cdc_schema)
-            if meta["partitionColumns"]:
-                reader = reader.option(
-                    "basePath", os.path.join(table, _CHANGE_DATA_DIR)
-                )
             pieces.append(
-                reader.parquet(*files)
-                .select(*[f.name for f in cdc_schema.fields])
+                _scan_live(
+                    spark, table, meta, cdc_adds,
+                    extra_fields=[ct_field],
+                )
                 .withColumn("_commit_version", F.lit(v).cast("bigint"))
                 .withColumn("_commit_timestamp", F.lit(ts).cast("bigint"))
             )
-            continue
-        for change_type, rels in groups.items():
-            if not rels:
-                continue
-            files = []
-            for rel in sorted(rels):
-                full = os.path.join(table, urllib.parse.unquote(rel))
-                if not os.path.exists(full):
-                    raise FileNotFoundError(
-                        f"CDF needs {rel!r} (removed at version {v}) but "
-                        "it was vacuumed — read changes within the "
-                        "retention window"
+        else:
+            for change_type, type_adds in groups.items():
+                if not type_adds:
+                    continue
+                for rel in type_adds:
+                    full = os.path.join(
+                        table, urllib.parse.unquote(rel)
                     )
-                files.append(full)
-            reader = spark.read.schema(schema)
-            if meta["partitionColumns"]:
-                reader = reader.option("basePath", table)
-            pieces.append(
-                reader.parquet(*files)
-                .select(*[f.name for f in schema.fields])
-                .withColumn("_change_type", F.lit(change_type))
-                .withColumn("_commit_version", F.lit(v).cast("bigint"))
-                .withColumn(
-                    "_commit_timestamp",
-                    F.lit(ts).cast("bigint"),
+                    if not os.path.exists(full):
+                        raise FileNotFoundError(
+                            f"CDF needs {rel!r} (changed at version {v}) "
+                            "but it was vacuumed — read changes within "
+                            "the retention window"
+                        )
+                pieces.append(
+                    _scan_live(spark, table, meta, type_adds)
+                    .withColumn("_change_type", F.lit(change_type))
+                    .withColumn("_commit_version", F.lit(v).cast("bigint"))
+                    .withColumn(
+                        "_commit_timestamp", F.lit(ts).cast("bigint")
+                    )
                 )
-            )
+        # advance the running pre-commit snapshot — ALL removes, incl.
+        # dataChange:false (OPTIMIZE) — with the same same-commit
+        # re-add reconciliation as _replay
+        if prev_live is not None:
+            for p in removes_v:
+                if p not in adds_v:
+                    prev_live.pop(p, None)
+            for p, a in adds_v.items():
+                prev_live[p] = a
     if not pieces:
-        empty = StructType.fromJson(json.loads(meta["schemaString"]))
-        df = spark.createDataFrame([], empty)
+        df = spark.createDataFrame([], schema)
         return (
             df.withColumn("_change_type", F.lit(None).cast("string"))
             .withColumn("_commit_version", F.lit(None).cast("bigint"))
@@ -2031,7 +2536,8 @@ def restore_table(table: str, version: int) -> int:
     data moves; restored files must still exist on disk (VACUUM past
     them makes the restore a loud error, exactly as in Delta).  History
     is preserved: the restore is a NEW version on top."""
-    _, meta_now, live_now, _ = _replay(table)
+    protocol, meta_now, live_now, _ = _replay(table)
+    _check_writer_protocol(protocol, meta_now, "RESTORE", removes_data=True)
     _, meta_then, live_then, _ = _replay(table, version)
     ts = int(time.time() * 1000)
     actions: list[dict] = [
