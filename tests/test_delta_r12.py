@@ -447,3 +447,169 @@ def test_merge_on_flat_foreign_layout_keeps_partition_values(
     got = {(r["k"], r["v"], r["p"]) for r in read_delta(spark, t).collect()}
     # the COPIED row k=1 keeps p='x' — never NULL-corrupted
     assert got == {(1, 1.0, "x"), (2, 9.0, "x")}
+
+
+# ------------------------------------------ 6. delete_delta (r12 new op)
+
+
+def test_delete_rewrite_mode(spark, tmp_path):
+    from zeta_etl_spark.sinks.delta_log import delete_delta
+
+    t = str(tmp_path / "delr")
+    write_delta(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(10)], "k bigint, v double"
+        ),
+        t,
+    )
+    d = delete_delta(spark, t, [("k", ">=", 7)])
+    assert d["mode"] == "rewrite" and d["rows_deleted"] == 3
+    assert sorted(r["k"] for r in read_delta(spark, t).collect()) \
+        == list(range(7))
+    # protocol untouched — any reader can still consume the table
+    with open(os.path.join(t, "_delta_log", f"{0:020d}.json")) as fh:
+        proto = next(
+            json.loads(l)["protocol"] for l in fh if '"protocol"' in l
+        )
+    assert proto == {"minReaderVersion": 1, "minWriterVersion": 2}
+    # CDF: the delete commit carries cdc files with the deleted rows only
+    ch = table_changes(spark, t, d["version"], d["version"])
+    assert sorted(
+        (r["k"], r["_change_type"]) for r in ch.collect()
+    ) == [(7, "delete"), (8, "delete"), (9, "delete")]
+    # time travel still shows everything pre-delete
+    assert read_delta(spark, t, version=0).count() == 10
+    # no-match delete commits NOTHING
+    d2 = delete_delta(spark, t, [("k", ">=", 100)])
+    assert d2["rows_deleted"] == 0 and d2["version"] == d["version"]
+
+
+def test_delete_dv_mode_writes_spec_true_descriptor(spark, tmp_path):
+    import struct
+    import zlib
+
+    from zeta_etl_spark.sinks.delta_dv import (
+        deserialize_dv_bitmap,
+        dv_file_path,
+    )
+    from zeta_etl_spark.sinks.delta_log import _replay, delete_delta
+
+    t = str(tmp_path / "deld")
+    write_delta(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(10)],
+            "k bigint, v double",
+        ).repartition(1),
+        t,
+    )
+    d = delete_delta(spark, t, [("k", ">=", 6)], mode="dv")
+    assert d["mode"] == "dv" and d["rows_deleted"] == 4
+    assert sorted(r["k"] for r in read_delta(spark, t).collect()) \
+        == list(range(6))
+    _, _, live, _ = _replay(t)
+    (rel, add), = live.items()
+    desc = add["deletionVector"]
+    assert desc["storageType"] == "u" and desc["cardinality"] == 4
+    # the data file was NOT rewritten (DV is the whole point)
+    assert read_delta(spark, t, version=0).count() == 10
+    # independently parse the DV file bytes: version byte, BE size/data/
+    # crc framing at the declared offset, portable bitmap inside
+    path = dv_file_path(desc, t)
+    with open(path, "rb") as fh:
+        raw = fh.read()
+    assert raw[0:1] == b"\x01"
+    off = desc["offset"]
+    (size,) = struct.unpack(">i", raw[off:off + 4])
+    assert size == desc["sizeInBytes"]
+    data = raw[off + 4:off + 4 + size]
+    (crc,) = struct.unpack(">i", raw[off + 4 + size:off + 8 + size])
+    assert zlib.crc32(data) & 0xFFFFFFFF == crc & 0xFFFFFFFF
+    # row indexes: single sorted file, so k=i sits at row index i
+    assert deserialize_dv_bitmap(data) == [6, 7, 8, 9]
+    # protocol upgraded to table features with the implied legacy set
+    with open(
+        os.path.join(t, "_delta_log", f"{d['version']:020d}.json")
+    ) as fh:
+        proto = next(
+            json.loads(l)["protocol"] for l in fh if '"protocol"' in l
+        )
+    assert proto["minReaderVersion"] == 3
+    assert "deletionVectors" in proto["readerFeatures"]
+    assert {"appendOnly", "invariants"} <= set(proto["writerFeatures"])
+
+
+def test_delete_dv_mode_unions_with_existing_dv(spark, tmp_path):
+    from zeta_etl_spark.sinks.delta_dv import read_dv_rows
+    from zeta_etl_spark.sinks.delta_log import _replay, delete_delta
+
+    t = str(tmp_path / "deldu")
+    write_delta(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(10)],
+            "k bigint, v double",
+        ).repartition(1),
+        t,
+    )
+    delete_delta(spark, t, [("k", ">=", 8)], mode="dv")
+    d2 = delete_delta(spark, t, [("k", "<", 2)], mode="dv")
+    assert d2["rows_deleted"] == 2
+    assert sorted(r["k"] for r in read_delta(spark, t).collect()) \
+        == [2, 3, 4, 5, 6, 7]
+    _, _, live, _ = _replay(t)
+    (rel, add), = live.items()
+    assert add["deletionVector"]["cardinality"] == 4  # union, not replace
+    assert read_dv_rows(add["deletionVector"], t) == [0, 1, 8, 9]
+    # a second delete of already-DV'd rows is a no-op commit-wise
+    d3 = delete_delta(spark, t, [("k", "<", 2)], mode="dv")
+    assert d3["rows_deleted"] == 0 and d3["version"] == d2["version"]
+
+
+def test_delete_dv_then_optimize_purges(spark, tmp_path):
+    from zeta_etl_spark.sinks.delta_log import (
+        _replay,
+        delete_delta,
+        optimize,
+        vacuum,
+    )
+
+    t = str(tmp_path / "deldp")
+    write_delta(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(10)],
+            "k bigint, v double",
+        ).repartition(1),
+        t,
+    )
+    delete_delta(spark, t, [("k", "=", 3)], mode="dv")
+    # vacuum must NOT collect the referenced DV file, even at 0 retention
+    gone = vacuum(t, retention_ms=0)
+    assert not any(g.endswith(".bin") for g in gone)
+    assert sorted(r["k"] for r in read_delta(spark, t).collect()) \
+        == [0, 1, 2, 4, 5, 6, 7, 8, 9]
+    optimize(spark, t)
+    _, _, live, _ = _replay(t)
+    assert not any(a.get("deletionVector") for a in live.values())
+    assert sorted(r["k"] for r in read_delta(spark, t).collect()) \
+        == [0, 1, 2, 4, 5, 6, 7, 8, 9]
+    # now the DV file is unreferenced: vacuum collects it
+    gone = vacuum(t, retention_ms=0)
+    assert any(g.endswith(".bin") for g in gone)
+
+
+def test_delete_rewrite_on_partitioned_prunes(spark, tmp_path):
+    from zeta_etl_spark.sinks.delta_log import delete_delta
+
+    t = str(tmp_path / "delp")
+    write_delta(
+        spark.createDataFrame(
+            [(1, "a", 1.0), (2, "a", 2.0), (3, "b", 3.0), (4, "b", 4.0)],
+            "k bigint, p string, v double",
+        ),
+        t,
+        partition_by=["p"],
+    )
+    d = delete_delta(spark, t, [("p", "=", "a"), ("k", "=", 1)])
+    assert d["rows_deleted"] == 1
+    assert d["files_pruned"] >= 1  # the p=b file never read
+    assert sorted(r["k"] for r in read_delta(spark, t).collect()) \
+        == [2, 3, 4]

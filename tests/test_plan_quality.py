@@ -464,3 +464,21 @@ def test_retrieval_fusion_plan_pins(spark, sf_dir):
         assert plan.count("TakeOrderedAndProject") >= min_toap, name
         assert "CartesianProduct" not in plan, name
         assert "BatchEvalPython" not in plan, name
+
+
+def test_dedup_clusters_incremental_exchange_budget(spark, sf_dir):
+    """r11 verdict #6: the registry's deepest plan (bounded star-contraction
+    fixpoint, 116 Exchange nodes at pin time) is exactly the shape where
+    contended-host variance hurts most — pin its exchange budget so the
+    unrolled iteration count can never silently deepen."""
+    plan = _plan(spark, sf_dir, "dedup_clusters_incremental")
+    total_exchanges = sum(
+        1 for ln in plan.splitlines() if "Exchange" in ln
+    )
+    hash_exchanges = sum(
+        1
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln
+    )
+    assert total_exchanges <= 120, total_exchanges
+    assert hash_exchanges <= 85, hash_exchanges

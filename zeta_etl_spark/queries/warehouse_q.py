@@ -1274,3 +1274,82 @@ def delta_dv_rewrite_audit(spark, sf_dir):
         F.countDistinct("user_id").cast("bigint").alias("n_users"),
         dec_sum("value", "sum_value"),
     )
+
+
+# --- delta_dv_delete_audit: row-level DELETE writing deletion vectors --------
+# r12 closes the format layer's last write gap: delete_delta is the
+# engine's row-level DELETE.  This query exercises BOTH physical
+# strategies in sequence on the graded surface: (1) a dv-mode delete
+# serializes the matching row indexes into a spec-true
+# deletion_vector_<uuid>.bin and re-commits the touched add with a
+# descriptor (file NOT rewritten, protocol upgraded to table-features
+# {deletionVectors}); (2) a rewrite-mode delete then runs THROUGH that
+# live DV — _read_live materializes rows-minus-DV, the rewrite drops the
+# descriptor, and the cdc files carry exactly the newly deleted rows.
+# The final rollup hash-matches an oracle that only knows the two
+# predicates; a resurrected DV'd row, a descriptor surviving the
+# rewrite, or an unsound predicate pruning all break the hash.
+# Scale shape: dv-mode I/O ∝ deleted rows (driver holds this call's
+# deletions only); rewrite-mode data never visits the driver.
+
+_DELTA_DV_DELETE_ORACLE = f"""
+SELECT event_type,
+  COUNT(*) AS n_events,
+  COUNT(DISTINCT user_id) AS n_users,
+  {dec_sum_expr("value")} AS sum_value
+FROM events
+WHERE user_id < 6 AND value < 100
+GROUP BY event_type
+"""
+
+
+@query(
+    "delta_dv_delete_audit",
+    oracle=_DELTA_DV_DELETE_ORACLE,
+    tags=("delta", "sink", "S6", "format", "deletion-vectors",
+          "delete"),
+)
+def delta_dv_delete_audit(spark, sf_dir):
+    import hashlib
+    import os
+    import tempfile
+
+    from zeta_etl_spark.sinks.delta_log import (
+        _replay,
+        delete_delta,
+        read_delta,
+        write_delta,
+    )
+
+    ev = T(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    dest = os.path.join(
+        tempfile.gettempdir(),
+        "zeta_delta_del_"
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}_{os.getpid()}",
+    )
+    write_delta(ev.filter(F.col("user_id") < 8), dest, mode="overwrite")
+
+    # (1) small delete -> deletion vector; the data files stay put
+    d1 = delete_delta(spark, dest, [("user_id", ">=", 6)], mode="dv")
+    _, _, live, _ = _replay(dest)
+    if d1["rows_deleted"] > 0 and not any(
+        a.get("deletionVector") for a in live.values()
+    ):
+        raise AssertionError("dv-mode delete committed no descriptor")
+
+    # (2) large delete -> rewrite, straight through the live DV
+    delete_delta(
+        spark, dest, [("value", ">=", 100.0)], mode="rewrite"
+    )
+    _, _, live, _ = _replay(dest)
+    if any(a.get("deletionVector") for a in live.values()):
+        raise AssertionError("rewrite left a live deletion vector")
+
+    back = read_delta(spark, dest)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        dec_sum("value", "sum_value"),
+    )

@@ -72,9 +72,13 @@ Implemented subset (spec-true where implemented, strict where not):
   and the DV'd files' deleted row indexes are dropped via one
   ``_metadata.row_index`` anti-join.  Rewrites (MERGE, OPTIMIZE)
   materialize rows-minus-DV and drop the descriptor with the rewritten
-  file — deleted rows stay deleted, new files are DV-free.  Writing NEW
-  deletion vectors, checkpointing live descriptors, and CDF over DV
-  commits refuse loudly.
+  file — deleted rows stay deleted, new files are DV-free.
+  :func:`delete_delta` WRITES deletion vectors too (``mode='dv'``): a
+  row-level DELETE serializes the matching parquet row indexes into a
+  spec-true ``deletion_vector_<uuid>.bin`` and re-commits the touched
+  adds with descriptors — I/O ∝ deleted rows; ``mode='rewrite'`` is the
+  large-delete path (remove+add, cdc delete files for CDF).
+  Checkpointing live descriptors and CDF over DV commits refuse loudly.
 - column mapping, read AND write: reader-version-2 and table-features
   tables with ``delta.columnMapping.mode`` name/id read through the
   PHYSICAL schema (rebuilt recursively from the schemaString's
@@ -101,7 +105,7 @@ Implemented subset (spec-true where implemented, strict where not):
   Checkpoints WRITTEN here remain classic single-file.
 - NOT implemented (rejected loudly, never silently misread):
   multi-part classic checkpoints, generated columns, type widening,
-  identity columns, writing NEW deletion vectors.
+  identity columns.
 
 At 100 TB: the log is O(commits) JSON lines bounded by checkpointing +
 cleanup, and the reader materializes only the live-file LIST driver-side
@@ -2527,6 +2531,346 @@ def table_changes(
     return out
 
 
+def _prune_by_predicate(meta: dict, live: dict, predicate) -> dict:
+    """The candidate files a conjunctive predicate can touch, through the
+    same conservative stats machinery as read_delta's skipping (keys
+    translated to physical names on mapped tables)."""
+    if not predicate:
+        return dict(live)
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    mapping = _column_mapping(meta)
+    l2p = mapping[1] if mapping else {}
+    pcols = {l2p.get(c, c) for c in meta["partitionColumns"]}
+    fcols = frozenset(
+        l2p.get(f.name, f.name)
+        for f in schema.fields
+        if f.dataType.simpleString() in ("float", "double")
+    )
+    phys_pred = [(l2p.get(c, c), op, lit) for c, op, lit in predicate]
+    return {
+        p: a
+        for p, a in live.items()
+        if _file_may_match(a, pcols, phys_pred, fcols)
+    }
+
+
+def _predicate_column(predicate) -> "F.Column":
+    cond = F.lit(True)
+    for col, op, lit in predicate:
+        if op not in _PRED_OPS:
+            raise ValueError(f"op must be one of {_PRED_OPS}: {op!r}")
+        c = F.col(col)
+        cond = cond & {
+            "=": c == F.lit(lit),
+            "<": c < F.lit(lit),
+            "<=": c <= F.lit(lit),
+            ">": c > F.lit(lit),
+            ">=": c >= F.lit(lit),
+        }[op]
+    return cond
+
+
+def delete_delta(
+    spark: SparkSession,
+    table: str,
+    predicate: Sequence[tuple],
+    mode: str = "rewrite",
+    write_cdf: bool = True,
+    max_retries: int = 5,
+) -> dict:
+    """Row-level ``DELETE FROM table WHERE ...`` on a native-format Delta
+    table.  ``predicate`` is the same conjunction of ``(column, op,
+    literal)`` as :func:`read_delta`; files it provably cannot touch are
+    pruned through the stats machinery and never read.
+
+    Two physical strategies, exactly the trade every modern engine makes:
+
+    - ``mode='rewrite'`` (default): touched files are rewritten without
+      the matching rows — a spec-true ``remove``+``add`` dataChange
+      commit readable by ANY Delta reader (protocol untouched).  With
+      ``write_cdf=True`` the deleted rows also land as ``cdc`` change
+      files, so CDF consumers see row-level deletes instead of the
+      whole-file derivation.
+    - ``mode='dv'``: touched files are NOT rewritten; the matching rows'
+      parquet indexes are serialized into a deletion vector (the
+      portable RoaringBitmapArray, delta.io PROTOCOL.md) written as a
+      spec-true ``deletion_vector_<uuid>.bin`` ('u' storage, Z85 uuid,
+      ``<version byte><int32 BE size><data><int32 BE crc>`` framing) and
+      each file is re-committed with its descriptor — I/O proportional
+      to DELETED rows, not touched bytes.  A file that already carries a
+      DV gets the UNION of old and new positions.  The commit upgrades
+      the protocol to table-features {deletionVectors} when needed;
+      legacy protocols above minWriterVersion 2 would need their implied
+      feature set spelled out and are refused loudly — use rewrite mode.
+
+    Scale notes: the dv path collects the matching (file, row-index)
+    pairs driver-side to build the bitmaps — bounded by the rows being
+    deleted this call (the cardinality the caller chose dv mode FOR);
+    large deletes belong to rewrite mode, whose data never visits the
+    driver.  Reads stay distributed either way.
+
+    Returns {version, rows_deleted, files_touched, files_pruned,
+    mode} (version = the pre-delete version when nothing matched —
+    nothing is committed)."""
+    if mode not in ("rewrite", "dv"):
+        raise ValueError(f"mode must be rewrite|dv, got {mode!r}")
+    predicate = list(predicate)
+    if not predicate:
+        raise ValueError(
+            "delete_delta needs a non-empty predicate; to drop every "
+            "row, overwrite with an empty frame"
+        )
+    for _ in range(max_retries):
+        base_version = latest_version(table)
+        protocol, meta, live, _ = _replay(table, base_version)
+        _check_writer_protocol(protocol, meta, "DELETE", removes_data=True)
+        schema = StructType.fromJson(json.loads(meta["schemaString"]))
+        mapping = _column_mapping(meta)
+        l2p = mapping[1] if mapping else {}
+        pcols = list(meta["partitionColumns"])
+        candidates = _prune_by_predicate(meta, live, predicate)
+        pruned = len(live) - len(candidates)
+        cond = _predicate_column(predicate)
+        ts = int(time.time() * 1000)
+        commit_info = {
+            "commitInfo": {
+                "timestamp": ts,
+                "operation": "DELETE",
+                "operationParameters": {
+                    "predicate": json.dumps(
+                        [[c, op, str(lit)] for c, op, lit in predicate]
+                    ),
+                    "mode": mode,
+                },
+                "engineInfo": "zeta-etl-spark delta_log",
+            }
+        }
+
+        if mode == "rewrite":
+            if not candidates:
+                return {
+                    "version": base_version,
+                    "rows_deleted": 0,
+                    "files_touched": 0,
+                    "files_pruned": pruned,
+                    "mode": mode,
+                }
+            scan = _read_live(spark, table, meta, candidates).persist()
+            try:
+                n_del = scan.filter(cond).count()
+                if n_del == 0:
+                    return {
+                        "version": base_version,
+                        "rows_deleted": 0,
+                        "files_touched": 0,
+                        "files_pruned": pruned,
+                        "mode": mode,
+                    }
+                adds = _stage_data_files(
+                    _to_physical(scan.filter(~cond), meta),
+                    table,
+                    [l2p.get(c, c) for c in pcols],
+                    data_change=True,
+                    drop_empty=True,
+                )
+                cdc_actions: list[dict] = []
+                if write_cdf:
+                    cdc_actions = _stage_data_files(
+                        _to_physical(
+                            scan.filter(cond).withColumn(
+                                "_change_type", F.lit("delete")
+                            ),
+                            meta,
+                            passthrough=("_change_type",),
+                        ),
+                        table,
+                        [l2p.get(c, c) for c in pcols],
+                        data_change=False,
+                        action="cdc",
+                        subdir=_CHANGE_DATA_DIR,
+                        drop_empty=True,
+                    )
+            finally:
+                scan.unpersist()
+            actions = [commit_info]
+            actions.extend(
+                {
+                    "remove": {
+                        "path": p,
+                        "deletionTimestamp": ts,
+                        "dataChange": True,
+                        "partitionValues": candidates[p].get(
+                            "partitionValues"
+                        ),
+                    }
+                }
+                for p in sorted(candidates)
+            )
+            actions.extend(adds)
+            actions.extend(cdc_actions)
+            if _write_commit_atomic(table, base_version + 1, actions):
+                return {
+                    "version": base_version + 1,
+                    "rows_deleted": n_del,
+                    "files_touched": len(candidates),
+                    "files_pruned": pruned,
+                    "mode": mode,
+                }
+            _discard_staged(table, adds + cdc_actions)
+            continue
+
+        # ---- mode == 'dv' ----
+        from zeta_etl_spark.sinks.delta_dv import (
+            read_dv_rows,
+            serialize_dv_bitmap,
+            z85_encode,
+        )
+
+        mwv = (protocol or {}).get("minWriterVersion", 2)
+        feats = set((protocol or {}).get("writerFeatures") or [])
+        if mwv > 2 and not (mwv == 7 and "deletionVectors" in feats):
+            raise DeltaUnsupported(
+                "dv-mode DELETE would need to enumerate the legacy "
+                f"features implied by minWriterVersion {mwv} when "
+                "upgrading the protocol — use mode='rewrite'"
+            )
+        if not candidates:
+            return {
+                "version": base_version,
+                "rows_deleted": 0,
+                "files_touched": 0,
+                "files_pruned": pruned,
+                "mode": mode,
+            }
+        # matching (file, row-index) pairs; rows ALREADY deleted by an
+        # existing DV are excluded by scanning through the same
+        # _scan_live + anti-join shape as _read_live, WITH the metadata
+        dv_candidates = {
+            p: a for p, a in candidates.items() if a.get("deletionVector")
+        }
+        scan = _scan_live(spark, table, meta, candidates, with_meta=True)
+        uri_by_rel = _uri_by_rel(
+            [r["__fp"] for r in scan.select("__fp").distinct().collect()],
+            table,
+            candidates,
+        )
+        if dv_candidates:
+            from zeta_etl_spark.sinks.delta_dv import dv_positions_df
+
+            pos_df, declared = dv_positions_df(
+                spark, dv_candidates, table, uri_by_rel
+            )
+            if declared <= 1_000_000:
+                pos_df = F.broadcast(pos_df)
+            scan = scan.join(pos_df, ["__fp", "__ri"], "left_anti")
+        hit_rows = (
+            scan.filter(cond)
+            .groupBy("__fp")
+            .agg(F.collect_list("__ri").alias("__ris"))
+            .collect()
+        )
+        if not hit_rows:
+            return {
+                "version": base_version,
+                "rows_deleted": 0,
+                "files_touched": 0,
+                "files_pruned": pruned,
+                "mode": mode,
+            }
+        rel_by_uri = {
+            uri: rel for rel, uri in uri_by_rel.items()
+        }
+        new_positions: dict[str, list[int]] = {
+            rel_by_uri[r["__fp"]]: sorted(r["__ris"]) for r in hit_rows
+        }
+        n_del = sum(len(v) for v in new_positions.values())
+
+        # one DV file carries every touched file's bitmap at an offset
+        dv_uuid = uuid.uuid4()
+        dv_name = f"deletion_vector_{dv_uuid}.bin"
+        import struct as _struct
+        import zlib as _zlib
+
+        blob = bytearray(b"\x01")  # format version byte
+        descriptors: dict[str, dict] = {}
+        for rel_unq, rows in sorted(new_positions.items()):
+            # union with the file's existing DV, if any
+            quoted = urllib.parse.quote(rel_unq, safe="/=")
+            add = candidates.get(quoted) or candidates.get(rel_unq)
+            old_desc = (add or {}).get("deletionVector")
+            if old_desc:
+                rows = sorted(set(rows) | set(read_dv_rows(old_desc, table)))
+            data = serialize_dv_bitmap(rows)
+            offset = len(blob)
+            blob += _struct.pack(">i", len(data))
+            blob += data
+            # same BYTES as the reader's signed ">i" + mask round-trip
+            blob += _struct.pack(">I", _zlib.crc32(data) & 0xFFFFFFFF)
+            descriptors[rel_unq] = {
+                "storageType": "u",
+                "pathOrInlineDv": z85_encode(dv_uuid.bytes),
+                "offset": offset,
+                "sizeInBytes": len(data),
+                "cardinality": len(rows),
+            }
+        dv_path = os.path.join(table, dv_name)
+        with open(dv_path, "wb") as fh:
+            fh.write(blob)
+
+        actions = [commit_info]
+        if not (mwv == 7 and "deletionVectors" in feats):
+            # upgrade legacy reader1/writer2 to table features; the
+            # implied legacy writer features ride along per spec
+            actions.append(
+                {
+                    "protocol": {
+                        "minReaderVersion": 3,
+                        "minWriterVersion": 7,
+                        "readerFeatures": ["deletionVectors"],
+                        "writerFeatures": [
+                            "appendOnly",
+                            "invariants",
+                            "deletionVectors",
+                        ],
+                    }
+                }
+            )
+        for rel_unq, desc in sorted(descriptors.items()):
+            quoted = urllib.parse.quote(rel_unq, safe="/=")
+            add = candidates.get(quoted) or candidates[rel_unq]
+            actions.append(
+                {
+                    "remove": {
+                        "path": add["path"],
+                        "deletionTimestamp": ts,
+                        "dataChange": True,
+                        "partitionValues": add.get("partitionValues"),
+                    }
+                }
+            )
+            actions.append(
+                {
+                    "add": {
+                        **add,
+                        "dataChange": True,
+                        "deletionVector": desc,
+                    }
+                }
+            )
+        if _write_commit_atomic(table, base_version + 1, actions):
+            return {
+                "version": base_version + 1,
+                "rows_deleted": n_del,
+                "files_touched": len(descriptors),
+                "files_pruned": pruned,
+                "mode": mode,
+            }
+        os.unlink(dv_path)
+    raise DeltaConcurrentModification(
+        f"DELETE lost the commit race {max_retries} times: {table}"
+    )
+
+
 def restore_table(table: str, version: int) -> int:
     """Delta ``RESTORE TABLE ... TO VERSION AS OF v``: a metadata-only
     commit that makes the CURRENT snapshot equal the snapshot at
@@ -3041,14 +3385,28 @@ def vacuum(
     pinned at an older version, are both protected only by their age —
     callers set retention longer than any reader/writer in flight (Delta
     defaults to 7 days).  Returns the deleted (or would-delete) paths."""
+    from zeta_etl_spark.sinks.delta_dv import dv_file_path
+
     _, _, live, _ = _replay(table)
     keep = {os.path.normpath(urllib.parse.unquote(p)) for p in live}
+    # deletion-vector files referenced by live descriptors are data too
+    for a in live.values():
+        desc = a.get("deletionVector")
+        if desc and desc.get("storageType") in ("u", "p"):
+            keep.add(
+                os.path.normpath(
+                    os.path.relpath(dv_file_path(desc, table), table)
+                )
+            )
     cutoff = time.time() - retention_ms / 1000.0
     victims: list[str] = []
     for root, dirs, files in os.walk(table):
         dirs[:] = [d for d in dirs if d != _LOG_DIR]
         for f in files:
-            if not f.endswith(".parquet"):
+            if not (
+                f.endswith(".parquet")
+                or (f.startswith("deletion_vector_") and f.endswith(".bin"))
+            ):
                 continue
             full = os.path.join(root, f)
             rel = os.path.normpath(os.path.relpath(full, table))
