@@ -613,3 +613,71 @@ def test_delete_rewrite_on_partitioned_prunes(spark, tmp_path):
     assert d["files_pruned"] >= 1  # the p=b file never read
     assert sorted(r["k"] for r in read_delta(spark, t).collect()) \
         == [2, 3, 4]
+
+
+# ------------------------------------------ 7. update_delta (r12 new op)
+
+
+def test_update_rewrite_with_cdf(spark, tmp_path):
+    from zeta_etl_spark.sinks.delta_log import update_delta
+
+    t = str(tmp_path / "upd")
+    write_delta(
+        spark.createDataFrame(
+            [(i, "a" if i < 5 else "b", float(i)) for i in range(10)],
+            "k bigint, p string, v double",
+        ),
+        t,
+        partition_by=["p"],
+    )
+    u = update_delta(
+        spark, t, {"v": "v * 10"}, [("p", "=", "b"), ("k", ">=", 7)]
+    )
+    assert u["rows_updated"] == 3
+    assert u["files_pruned"] >= 1  # the p=a file never read
+    got = {r["k"]: r["v"] for r in read_delta(spark, t).collect()}
+    assert got == {
+        0: 0.0, 1: 1.0, 2: 2.0, 3: 3.0, 4: 4.0,
+        5: 5.0, 6: 6.0, 7: 70.0, 8: 80.0, 9: 90.0,
+    }
+    ch = table_changes(spark, t, u["version"], u["version"])
+    kinds = sorted(
+        (r["k"], r["_change_type"], r["v"]) for r in ch.collect()
+    )
+    assert kinds == [
+        (7, "update_postimage", 70.0), (7, "update_preimage", 7.0),
+        (8, "update_postimage", 80.0), (8, "update_preimage", 8.0),
+        (9, "update_postimage", 90.0), (9, "update_preimage", 9.0),
+    ]
+    # no-match update commits NOTHING
+    u2 = update_delta(spark, t, {"v": "v + 1"}, [("k", ">=", 100)])
+    assert u2["rows_updated"] == 0 and u2["version"] == u["version"]
+    # partition-column SET refuses loudly
+    with pytest.raises(DeltaUnsupported, match="partition"):
+        update_delta(spark, t, {"p": "'c'"}, [("k", "=", 1)])
+
+
+def test_update_through_deletion_vector(spark, tmp_path):
+    from zeta_etl_spark.sinks.delta_log import (
+        _replay,
+        delete_delta,
+        update_delta,
+    )
+
+    t = str(tmp_path / "upddv")
+    write_delta(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(10)],
+            "k bigint, v double",
+        ).repartition(1),
+        t,
+    )
+    delete_delta(spark, t, [("k", "=", 4)], mode="dv")
+    u = update_delta(spark, t, {"v": "v + 100"}, [("k", ">=", 3)])
+    # k=4 is deleted: 3,5..9 update (6 rows), the rewrite drops the DV
+    assert u["rows_updated"] == 6
+    _, _, live, _ = _replay(t)
+    assert not any(a.get("deletionVector") for a in live.values())
+    got = {r["k"]: r["v"] for r in read_delta(spark, t).collect()}
+    assert 4 not in got
+    assert got[3] == 103.0 and got[9] == 109.0 and got[2] == 2.0

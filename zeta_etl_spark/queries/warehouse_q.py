@@ -1353,3 +1353,63 @@ def delta_dv_delete_audit(spark, sf_dir):
         F.countDistinct("user_id").cast("bigint").alias("n_users"),
         dec_sum("value", "sum_value"),
     )
+
+
+# --- delta_update_cdf_audit: row-level UPDATE with CDF on the gate -----------
+# r12: update_delta completes the DML triad (MERGE/DELETE/UPDATE) on the
+# format layer.  The audit reads the UPDATE commit back through its cdc
+# files: preimages must carry the ORIGINAL values and postimages the
+# updated ones, and copied rows of the rewritten files must appear
+# NOWHERE — a feed derived naively from the remove+add pair would
+# inflate both sides and break the hash.  File pruning runs through the
+# same stats machinery as read_delta (the user_id range thins the
+# candidate set), so update cost tracks the touched slice.
+
+_DELTA_UPDATE_CDF_ORACLE = f"""
+SELECT 'update_preimage' AS change_type, COUNT(*) AS n_events,
+  COUNT(DISTINCT user_id) AS n_users,
+  {dec_sum_expr("value")} AS sum_value
+FROM events WHERE user_id >= 5 AND user_id < 8
+UNION ALL
+SELECT 'update_postimage', COUNT(*), COUNT(DISTINCT user_id),
+  {dec_sum_expr("value * 2")}
+FROM events WHERE user_id >= 5 AND user_id < 8
+"""
+
+
+@query(
+    "delta_update_cdf_audit",
+    oracle=_DELTA_UPDATE_CDF_ORACLE,
+    tags=("delta", "sink", "S6", "format", "update", "cdf"),
+)
+def delta_update_cdf_audit(spark, sf_dir):
+    import hashlib
+    import os
+    import tempfile
+
+    from zeta_etl_spark.sinks.delta_log import (
+        table_changes,
+        update_delta,
+        write_delta,
+    )
+
+    ev = T(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    dest = os.path.join(
+        tempfile.gettempdir(),
+        "zeta_delta_upd_"
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}_{os.getpid()}",
+    )
+    write_delta(ev.filter(F.col("user_id") < 8), dest, mode="overwrite")
+    u = update_delta(
+        spark, dest, {"value": "value * 2"}, [("user_id", ">=", 5)]
+    )
+    feed = table_changes(spark, dest, u["version"], u["version"])
+    return feed.groupBy(
+        F.col("_change_type").alias("change_type")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        dec_sum("value", "sum_value"),
+    )

@@ -2871,6 +2871,163 @@ def delete_delta(
     )
 
 
+def update_delta(
+    spark: SparkSession,
+    table: str,
+    set_exprs: dict[str, str],
+    predicate: Sequence[tuple],
+    write_cdf: bool = True,
+    max_retries: int = 5,
+) -> dict:
+    """Row-level ``UPDATE table SET col = expr, ... WHERE ...`` on a
+    native-format Delta table — the third of the DML triad (MERGE,
+    DELETE, UPDATE) on the same seams: ``predicate`` (the read_delta
+    conjunction form) prunes untouched files through the stats
+    machinery, touched files scan through :func:`_read_live` (deletion
+    vectors honored, rewrite drops them), matching rows re-project
+    through ``set_exprs`` (SQL over the row's LOGICAL columns, cast back
+    to the column's table type), and the commit is spec-true
+    ``remove``+``add`` dataChange with cdc ``update_preimage`` /
+    ``update_postimage`` files when ``write_cdf`` (so CDF consumers see
+    row-level updates, and copied rows of rewritten files appear
+    nowhere).  A predicate that matches nothing commits NOTHING.
+
+    Returns {version, rows_updated, files_touched, files_pruned}."""
+    predicate = list(predicate)
+    if not predicate:
+        raise ValueError(
+            "update_delta needs a non-empty predicate; unconditional "
+            "updates should state ('col', '>=', <domain min>) explicitly"
+        )
+    if not set_exprs:
+        raise ValueError("update_delta needs at least one SET expression")
+    for _ in range(max_retries):
+        base_version = latest_version(table)
+        protocol, meta, live, _ = _replay(table, base_version)
+        _check_writer_protocol(protocol, meta, "UPDATE", removes_data=True)
+        schema = StructType.fromJson(json.loads(meta["schemaString"]))
+        tbl_types = {f.name: f.dataType for f in schema.fields}
+        bad = sorted(set(set_exprs) - set(tbl_types))
+        if bad:
+            raise ValueError(
+                f"update_delta: SET columns {bad} not in the table "
+                f"schema {sorted(tbl_types)}"
+            )
+        pset = set(meta["partitionColumns"]) & set(set_exprs)
+        if pset:
+            # moving rows between partitions is a rewrite-with-
+            # repartition policy this layer does not take silently
+            raise DeltaUnsupported(
+                f"update_delta: SET on partition columns {sorted(pset)} "
+                "would move rows across partitions — overwrite or MERGE "
+                "instead"
+            )
+        mapping = _column_mapping(meta)
+        l2p = mapping[1] if mapping else {}
+        pcols = list(meta["partitionColumns"])
+        candidates = _prune_by_predicate(meta, live, predicate)
+        pruned = len(live) - len(candidates)
+        if not candidates:
+            return {
+                "version": base_version,
+                "rows_updated": 0,
+                "files_touched": 0,
+                "files_pruned": pruned,
+            }
+        cond = _predicate_column(predicate)
+        scan = _read_live(spark, table, meta, candidates).persist()
+        try:
+            n_upd = scan.filter(cond).count()
+            if n_upd == 0:
+                return {
+                    "version": base_version,
+                    "rows_updated": 0,
+                    "files_touched": 0,
+                    "files_pruned": pruned,
+                }
+            updated_cols = [
+                (
+                    F.expr(set_exprs[f.name]).cast(f.dataType)
+                    if f.name in set_exprs
+                    else F.col(f.name)
+                ).alias(f.name)
+                for f in schema.fields
+            ]
+            post = scan.filter(cond).select(*updated_cols)
+            merged = scan.filter(~cond).unionByName(post)
+            adds = _stage_data_files(
+                _to_physical(merged, meta),
+                table,
+                [l2p.get(c, c) for c in pcols],
+                data_change=True,
+                drop_empty=True,
+            )
+            cdc_actions: list[dict] = []
+            if write_cdf:
+                changes = (
+                    scan.filter(cond)
+                    .withColumn("_change_type", F.lit("update_preimage"))
+                    .unionByName(
+                        post.withColumn(
+                            "_change_type", F.lit("update_postimage")
+                        )
+                    )
+                )
+                cdc_actions = _stage_data_files(
+                    _to_physical(
+                        changes, meta, passthrough=("_change_type",)
+                    ),
+                    table,
+                    [l2p.get(c, c) for c in pcols],
+                    data_change=False,
+                    action="cdc",
+                    subdir=_CHANGE_DATA_DIR,
+                    drop_empty=True,
+                )
+        finally:
+            scan.unpersist()
+        ts = int(time.time() * 1000)
+        actions: list[dict] = [
+            {
+                "commitInfo": {
+                    "timestamp": ts,
+                    "operation": "UPDATE",
+                    "operationParameters": {
+                        "predicate": json.dumps(
+                            [[c, op, str(lit)] for c, op, lit in predicate]
+                        ),
+                        "set": json.dumps(sorted(set_exprs)),
+                    },
+                    "engineInfo": "zeta-etl-spark delta_log",
+                }
+            }
+        ]
+        actions.extend(
+            {
+                "remove": {
+                    "path": p,
+                    "deletionTimestamp": ts,
+                    "dataChange": True,
+                    "partitionValues": candidates[p].get("partitionValues"),
+                }
+            }
+            for p in sorted(candidates)
+        )
+        actions.extend(adds)
+        actions.extend(cdc_actions)
+        if _write_commit_atomic(table, base_version + 1, actions):
+            return {
+                "version": base_version + 1,
+                "rows_updated": n_upd,
+                "files_touched": len(candidates),
+                "files_pruned": pruned,
+            }
+        _discard_staged(table, adds + cdc_actions)
+    raise DeltaConcurrentModification(
+        f"UPDATE lost the commit race {max_retries} times: {table}"
+    )
+
+
 def restore_table(table: str, version: int) -> int:
     """Delta ``RESTORE TABLE ... TO VERSION AS OF v``: a metadata-only
     commit that makes the CURRENT snapshot equal the snapshot at
