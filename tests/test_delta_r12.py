@@ -681,3 +681,90 @@ def test_update_through_deletion_vector(spark, tmp_path):
     got = {r["k"]: r["v"] for r in read_delta(spark, t).collect()}
     assert 4 not in got
     assert got[3] == 103.0 and got[9] == 109.0 and got[2] == 2.0
+
+
+# ------------------------------- 8. generated columns (r12 enforced)
+
+
+def _gen_col_table(spark, t):
+    """Foreign table declaring a generated column: total = k * 2."""
+    write_delta(
+        spark.createDataFrame(
+            [(1, 2.0), (2, 4.0)], "k bigint, total double"
+        ),
+        t,
+    )
+    gen_schema = json.dumps({"type": "struct", "fields": [
+        {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+        {"name": "total", "type": "double", "nullable": True,
+         "metadata": {"delta.generationExpression": "k * 2"}},
+    ]})
+    _retag_protocol(
+        t,
+        protocol={"minReaderVersion": 1, "minWriterVersion": 4},
+        schema=gen_schema,
+    )
+
+
+def test_generated_columns_validated_on_append(spark, tmp_path):
+    t = str(tmp_path / "gen")
+    _gen_col_table(spark, t)
+    # a provided value violating the expression is a loud error
+    with pytest.raises(ValueError, match="generated-column violation"):
+        write_delta(
+            spark.createDataFrame([(5, 99.0)], "k bigint, total double"),
+            t, mode="append",
+        )
+    # a satisfying append commits
+    write_delta(
+        spark.createDataFrame([(5, 10.0)], "k bigint, total double"),
+        t, mode="append",
+    )
+    # an ABSENT generated column is computed
+    write_delta(
+        spark.createDataFrame([(7,)], "k bigint"),
+        t, mode="append",
+    )
+    got = {r["k"]: r["total"] for r in read_delta(spark, t).collect()}
+    assert got[5] == 10.0 and got[7] == 14.0
+
+
+def test_generated_columns_recomputed_on_merge_and_update(
+    spark, tmp_path
+):
+    from zeta_etl_spark.sinks.delta_log import update_delta
+
+    t = str(tmp_path / "genm")
+    _gen_col_table(spark, t)
+    # MERGE '*' with a WRONG source total: the output recomputes it
+    merge_delta(
+        spark, t,
+        spark.createDataFrame(
+            [(2, 123.0), (9, 456.0)], "k bigint, total double"
+        ),
+        on=["k"], when_matched_update="*", when_not_matched_insert="*",
+    )
+    got = {r["k"]: r["total"] for r in read_delta(spark, t).collect()}
+    assert got == {1: 2.0, 2: 4.0, 9: 18.0}
+    # UPDATE of the source column: the generated column follows
+    update_delta(spark, t, {"k": "k + 10"}, [("k", "=", 1)])
+    got = {r["k"]: r["total"] for r in read_delta(spark, t).collect()}
+    assert got == {11: 22.0, 2: 4.0, 9: 18.0}
+
+
+def test_nested_generation_expression_still_refuses(spark, tmp_path):
+    t = str(tmp_path / "genn")
+    _seed(spark, t)
+    nested = json.dumps({"type": "struct", "fields": [
+        {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+        {"name": "v", "type": {"type": "struct", "fields": [
+            {"name": "inner", "type": "double", "nullable": True,
+             "metadata": {"delta.generationExpression": "1"}}]},
+         "nullable": True, "metadata": {}},
+    ]})
+    _retag_protocol(t, schema=nested)
+    with pytest.raises(DeltaUnsupported, match="nested generated"):
+        write_delta(
+            spark.createDataFrame([(3, 3.0)], "k bigint, v double"),
+            t, mode="append",
+        )

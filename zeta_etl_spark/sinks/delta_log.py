@@ -103,9 +103,13 @@ Implemented subset (spec-true where implemented, strict where not):
   loud errors); checkpoint ``remove`` rows are treated as the
   expired-tombstone bookkeeping they are, never as live-set edits.
   Checkpoints WRITTEN here remain classic single-file.
+- generated columns, ENFORCED: appends compute absent generated
+  columns and validate provided ones row-by-row (loud error on the
+  first violation); MERGE/UPDATE outputs recompute the expressions, so
+  the ``col = expression`` invariant holds by construction.
 - NOT implemented (rejected loudly, never silently misread):
-  multi-part classic checkpoints, generated columns, type widening,
-  identity columns.
+  multi-part classic checkpoints, type widening, identity columns,
+  nested generation expressions.
 
 At 100 TB: the log is O(commits) JSON lines bounded by checkpointing +
 cleanup, and the reader materializes only the live-file LIST driver-side
@@ -264,6 +268,9 @@ _WRITER_FEATURES_OK = {
     "v2Checkpoint",      # honored: checkpoints written here stay classic
                          # single-file, which the feature keeps valid
                          # (v2 is an ADDITIONAL format, not a replacement)
+    "generatedColumns",  # honored: _enforce_generated computes absent /
+                         # validates provided values on append and
+                         # recomputes on MERGE/UPDATE outputs
 }
 
 
@@ -320,35 +327,92 @@ def _check_writer_protocol(
             "engine does not validate — writing could commit violating "
             "rows"
         )
-    # invariants / generated columns live in field metadata
+    # invariants / identity columns live in field metadata.  TOP-LEVEL
+    # generated columns are ENFORCED by the write paths
+    # (:func:`_enforce_generated`: appends validate-or-compute,
+    # MERGE/UPDATE recompute) and are not flagged; a generation
+    # expression on a NESTED field is outside Delta's own surface and
+    # refuses like any other unenforceable declaration.
     flagged: list[str] = []
 
-    def _walk(t) -> None:
+    def _walk(t, depth: int) -> None:
         if isinstance(t, dict):
             if t.get("type") == "struct":
                 for f in t["fields"]:
                     md = f.get("metadata") or {}
                     if "delta.invariants" in md:
                         flagged.append(f"invariant on {f['name']!r}")
-                    if "delta.generationExpression" in md:
+                    if depth > 0 and "delta.generationExpression" in md:
                         flagged.append(
-                            f"generated column {f['name']!r}"
+                            f"nested generated column {f['name']!r}"
                         )
                     if "delta.identity.start" in md:
                         flagged.append(f"identity column {f['name']!r}")
-                    _walk(f["type"])
+                    _walk(f["type"], depth + 1)
             elif t.get("type") == "array":
-                _walk(t["elementType"])
+                _walk(t["elementType"], depth + 1)
             elif t.get("type") == "map":
-                _walk(t["keyType"])
-                _walk(t["valueType"])
+                _walk(t["keyType"], depth + 1)
+                _walk(t["valueType"], depth + 1)
 
-    _walk(json.loads(meta["schemaString"]))
+    _walk(json.loads(meta["schemaString"]), 0)
     if flagged:
         raise DeltaUnsupported(
             f"{op}: table declares {flagged} this engine does not "
             "enforce — writing could commit violating rows"
         )
+
+
+def _generated_exprs(meta: dict) -> dict[str, tuple[str, object]]:
+    """{column: (generation SQL, Spark DataType)} for the table's
+    top-level generated columns (``delta.generationExpression`` field
+    metadata, the legacy writer-v4 / ``generatedColumns`` feature)."""
+    out: dict[str, tuple[str, object]] = {}
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    for f in json.loads(meta["schemaString"])["fields"]:
+        md = f.get("metadata") or {}
+        if "delta.generationExpression" in md:
+            out[f["name"]] = (
+                md["delta.generationExpression"],
+                schema[f["name"]].dataType,
+            )
+    return out
+
+
+def _enforce_generated(
+    df: DataFrame, meta: dict, recompute: bool
+) -> DataFrame:
+    """The spec's writer obligation for generated columns: every
+    committed row must satisfy ``col = expression``.
+
+    ``recompute=False`` (appends): a generated column ABSENT from the
+    frame is computed; a PROVIDED one is VALIDATED row-by-row with a
+    loud error on the first mismatch — silently rewriting caller-
+    provided values would mask caller bugs (Delta validates too).
+    ``recompute=True`` (MERGE/UPDATE outputs): the expressions are
+    recomputed over the post-clause rows, which enforces the invariant
+    by construction.  Expressions are row-local deterministic SQL (the
+    only thing Delta admits), so recomputation is exact."""
+    gens = _generated_exprs(meta)
+    if not gens:
+        return df
+    mismatch = None
+    for col, (sql, dtype) in gens.items():
+        expr = F.expr(sql).cast(dtype)
+        if recompute or col not in df.columns:
+            df = df.withColumn(col, expr)
+        else:
+            bad = ~F.col(col).eqNullSafe(expr)
+            mismatch = bad if mismatch is None else (mismatch | bad)
+    if mismatch is not None:
+        offending = df.filter(mismatch).limit(1).collect()
+        if offending:
+            raise ValueError(
+                "generated-column violation: provided values do not "
+                f"satisfy the generation expression(s) {sorted(gens)}; "
+                f"first offending row: {offending[0].asDict()}"
+            )
+    return df
 
 
 def _physical_type(t, with_field_ids: bool = False):
@@ -806,6 +870,8 @@ def write_delta(
                 f"{meta['partitionColumns']}, write asked {partition_by}"
             )
         tbl_schema = StructType.fromJson(json.loads(meta["schemaString"]))
+        # generated columns: compute absent, validate provided (loud)
+        df = _enforce_generated(df, meta, recompute=False)
         evolved_new_fields: list = []
         if mode == "append":
             # match by (name, type) — column ORDER and nullability are
@@ -2233,7 +2299,12 @@ def _merge_delta_pinned(
             staging_meta = meta
 
         adds = _stage_data_files(
-            _to_physical(plan.merged(), staging_meta),
+            _to_physical(
+                _enforce_generated(
+                    plan.merged(), staging_meta, recompute=True
+                ),
+                staging_meta,
+            ),
             table,
             phys_pcols,
             data_change=True,
@@ -2243,7 +2314,10 @@ def _merge_delta_pinned(
         if write_cdf:
             cdc_actions = _stage_data_files(
                 _to_physical(
-                    plan.changes(), staging_meta,
+                    _enforce_generated(
+                        plan.changes(), staging_meta, recompute=True
+                    ),
+                    staging_meta,
                     passthrough=("_change_type",),
                 ),
                 table,
@@ -2953,7 +3027,11 @@ def update_delta(
                 ).alias(f.name)
                 for f in schema.fields
             ]
-            post = scan.filter(cond).select(*updated_cols)
+            post = _enforce_generated(
+                scan.filter(cond).select(*updated_cols),
+                meta,
+                recompute=True,
+            )
             merged = scan.filter(~cond).unionByName(post)
             adds = _stage_data_files(
                 _to_physical(merged, meta),
