@@ -768,3 +768,98 @@ def test_nested_generation_expression_still_refuses(spark, tmp_path):
             spark.createDataFrame([(3, 3.0)], "k bigint, v double"),
             t, mode="append",
         )
+
+
+# ------------------------- 9. multi-part classic checkpoints (read)
+
+
+def test_multipart_classic_checkpoint_reads(spark, tmp_path):
+    """Foreign big-table layout: one classic checkpoint split over N
+    parts (``<v>.checkpoint.<k>.<n>.parquet``).  All parts reconstitute
+    together; an INCOMPLETE part set is ignored per spec."""
+    from zeta_etl_spark.sinks.delta_log import cleanup_log
+
+    t = str(tmp_path / "mp")
+    log = os.path.join(t, "_delta_log")
+    os.makedirs(log)
+    schema = json.dumps({"type": "struct", "fields": [
+        {"name": "k", "type": "long", "nullable": True, "metadata": {}}]})
+    for name, ks in (("f1.parquet", [1, 2]), ("f2.parquet", [3])):
+        pq.write_table(
+            pa.table({"k": pa.array(ks, pa.int64())}),
+            os.path.join(t, name),
+        )
+    # v0 (will be cleaned), v1 checkpointed across 2 parts
+    for v, adds in ((0, ["f1.parquet"]), (1, ["f2.parquet"])):
+        lines = [json.dumps(
+            {"commitInfo": {"timestamp": v, "operation": "WRITE"}})]
+        if v == 0:
+            lines += [
+                json.dumps({"protocol": {"minReaderVersion": 1,
+                                         "minWriterVersion": 2}}),
+                json.dumps({"metaData": {
+                    "id": "dddddddd-0000-0000-0000-000000000000",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": schema, "partitionColumns": [],
+                    "configuration": {}, "createdTime": 1}}),
+            ]
+        lines += [json.dumps({"add": {
+            "path": p, "partitionValues": {}, "size": 1,
+            "modificationTime": 1, "dataChange": True}}) for p in adds]
+        with open(os.path.join(log, f"{v:020d}.json"), "w") as fh:
+            fh.write("\n".join(lines) + "\n")
+    # part 1: protocol+metaData+f1; part 2: f2
+    part_schema = {
+        "protocol": pa.struct([("minReaderVersion", pa.int32()),
+                               ("minWriterVersion", pa.int32())]),
+        "metaData": pa.struct([
+            ("id", pa.string()), ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+            ("createdTime", pa.int64())]),
+        "add": pa.struct([
+            ("path", pa.string()),
+            ("partitionValues", pa.map_(pa.string(), pa.string())),
+            ("size", pa.int64()), ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_()), ("stats", pa.string())]),
+    }
+
+    def _part(rows, name):
+        cols = {}
+        for key, typ in part_schema.items():
+            cols[key] = pa.array(
+                [r.get(key) for r in rows], typ
+            )
+        pq.write_table(pa.table(cols), os.path.join(log, name))
+
+    _part(
+        [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {"metaData": {"id": "x", "schemaString": schema,
+                          "partitionColumns": [], "createdTime": 1}},
+            {"add": {"path": "f1.parquet", "partitionValues": [],
+                     "size": 1, "modificationTime": 1,
+                     "dataChange": True, "stats": None}},
+        ],
+        f"{1:020d}.checkpoint.{1:010d}.{2:010d}.parquet",
+    )
+    _part(
+        [
+            {"add": {"path": "f2.parquet", "partitionValues": [],
+                     "size": 1, "modificationTime": 1,
+                     "dataChange": True, "stats": None}},
+        ],
+        f"{1:020d}.checkpoint.{2:010d}.{2:010d}.parquet",
+    )
+    # cleanup deletes v0's JSON below the checkpoint; replay must come
+    # back from the two parts alone
+    gone = cleanup_log(t)
+    assert gone == [0]
+    assert sorted(r["k"] for r in read_delta(spark, t).collect()) \
+        == [1, 2, 3]
+    # an INCOMPLETE part set must be ignored: drop part 2 -> replay has
+    # neither checkpoint nor v0 JSON, so it fails LOUDLY (no partial)
+    os.unlink(os.path.join(
+        log, f"{1:020d}.checkpoint.{2:010d}.{2:010d}.parquet"
+    ))
+    with pytest.raises(ValueError, match="cannot reconstruct"):
+        read_delta(spark, t)

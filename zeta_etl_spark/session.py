@@ -55,6 +55,15 @@ def get_spark(
         # rejected outright by Spark unless this session-wide flag is on
         .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # field-id resolution for id-mode column-mapped Delta tables
+        # (sinks/delta_log.py).  Set at session setup BY DESIGN (ADVICE
+        # r11 #3): the flag must be live when the lazy mapped scan
+        # executes, and it only changes resolution for scans whose read
+        # schema carries parquet.field.id metadata — every other read is
+        # unaffected.  _scan_live still sets it defensively for foreign
+        # sessions not built here.
+        .config("spark.sql.parquet.fieldId.read.enabled", "true")
+        .config("spark.sql.parquet.fieldId.write.enabled", "true")
         # local-mode single JVM: the driver IS the executor, so give it real
         # headroom (host has 128 GiB); harmless for already-running sessions
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))

@@ -107,9 +107,11 @@ Implemented subset (spec-true where implemented, strict where not):
   columns and validate provided ones row-by-row (loud error on the
   first violation); MERGE/UPDATE outputs recompute the expressions, so
   the ``col = expression`` invariant holds by construction.
+- multi-part classic checkpoints, READ path: ``<v>.checkpoint.<k of
+  n>.<n>.parquet`` part sets reconstitute together; an incomplete part
+  set is ignored per spec (never a partial snapshot).
 - NOT implemented (rejected loudly, never silently misread):
-  multi-part classic checkpoints, type widening, identity columns,
-  nested generation expressions.
+  type widening, identity columns, nested generation expressions.
 
 At 100 TB: the log is O(commits) JSON lines bounded by checkpointing +
 cleanup, and the reader materializes only the live-file LIST driver-side
@@ -137,6 +139,9 @@ _VERSION_RE = re.compile(r"^(\d{20})\.json$")
 _CHECKPOINT_RE = re.compile(r"^(\d{20})\.checkpoint\.parquet$")
 _CHECKPOINT_V2_RE = re.compile(
     r"^(\d{20})\.checkpoint\.[0-9a-zA-Z-]+\.parquet$"
+)
+_CHECKPOINT_MP_RE = re.compile(
+    r"^(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet$"
 )
 _PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
 
@@ -185,24 +190,41 @@ def _write_commit_atomic(table: str, version: int, actions: list[dict]) -> bool:
         os.unlink(tmp)
 
 
-def _checkpoint_files(table: str) -> dict[int, str]:
-    """version -> one checkpoint file name.  Classic single-file
-    (``<v>.checkpoint.parquet``) and UUID-named V2
-    (``<v>.checkpoint.<uuid>.parquet``) are both recognized; per spec,
-    multiple UUID checkpoints of the same version are equivalent, so any
-    one works (classic preferred when both exist)."""
+def _checkpoint_files(table: str) -> dict[int, list[str]]:
+    """version -> the checkpoint file name(s) that reconstitute it.
+    Three spec layouts are recognized:
+
+    - classic single-file ``<v>.checkpoint.parquet`` -> [name]
+    - multi-part classic ``<v>.checkpoint.<k of n>.<n>.parquet`` -> the n
+      part names in order; an INCOMPLETE part set is skipped (per spec a
+      reader must ignore a checkpoint whose parts are not all present)
+    - UUID-named V2 ``<v>.checkpoint.<uuid>.parquet`` -> [name]; per
+      spec multiple UUID checkpoints of one version are equivalent, any
+      one works.
+
+    Preference within a version: classic single > complete multi-part >
+    v2 (cheapest to read first; all reconstitute the same snapshot)."""
     log = os.path.join(table, _LOG_DIR)
     if not os.path.isdir(log):
         return {}
-    out: dict[int, str] = {}
+    out: dict[int, list[str]] = {}
+    multi: dict[tuple[int, int], dict[int, str]] = {}
     for f in sorted(os.listdir(log)):
+        mp = _CHECKPOINT_MP_RE.match(f)
+        if mp:
+            v, part, n = (int(mp.group(i)) for i in (1, 2, 3))
+            multi.setdefault((v, n), {})[part] = f
+            continue
         m = _CHECKPOINT_V2_RE.match(f)
         if m and int(m.group(1)) not in out:
-            out[int(m.group(1))] = f
+            out[int(m.group(1))] = [f]
+    for (v, n), parts in multi.items():
+        if len(parts) == n and set(parts) == set(range(1, n + 1)):
+            out[v] = [parts[i] for i in range(1, n + 1)]
     for f in os.listdir(log):
         m = _CHECKPOINT_RE.match(f)
         if m:
-            out[int(m.group(1))] = f  # classic wins
+            out[int(m.group(1))] = [f]  # classic single wins
     return out
 
 
@@ -210,11 +232,18 @@ def _list_checkpoints(table: str) -> list[int]:
     return sorted(_checkpoint_files(table))
 
 
-def _checkpoint_path(table: str, version: int) -> str:
-    name = _checkpoint_files(table).get(
-        version, f"{version:020d}.checkpoint.parquet"
+def _checkpoint_paths(table: str, version: int) -> list[str]:
+    names = _checkpoint_files(table).get(
+        version, [f"{version:020d}.checkpoint.parquet"]
     )
-    return os.path.join(table, _LOG_DIR, name)
+    return [os.path.join(table, _LOG_DIR, n) for n in names]
+
+
+def _checkpoint_path(table: str, version: int) -> str:
+    """The single-file path for WRITING a classic checkpoint."""
+    return os.path.join(
+        table, _LOG_DIR, f"{version:020d}.checkpoint.parquet"
+    )
 
 
 def _apply_protocol(action_protocol: dict) -> dict:
@@ -499,7 +528,9 @@ def _load_checkpoint(table: str, version: int):
     protocol, meta = None, None
     live: dict[str, dict] = {}
     txns: dict[str, int] = {}
-    rows = pq.read_table(_checkpoint_path(table, version)).to_pylist()
+    rows: list[dict] = []
+    for part in _checkpoint_paths(table, version):
+        rows.extend(pq.read_table(part).to_pylist())
     # V2 checkpoints (UUID-named top file): add/remove actions live in
     # SIDECAR parquet files under _delta_log/_sidecars/, referenced by
     # `sidecar` actions in the top file.  The top file still carries
