@@ -863,3 +863,66 @@ def test_multipart_classic_checkpoint_reads(spark, tmp_path):
     ))
     with pytest.raises(ValueError, match="cannot reconstruct"):
         read_delta(spark, t)
+
+
+# --------------------- 10. DML on column-mapped tables (cross paths)
+
+
+def test_update_and_delete_on_mapped_table(spark, tmp_path):
+    from zeta_etl_spark.sinks.delta_log import delete_delta, update_delta
+
+    t = str(tmp_path / "mapdml")
+    write_delta(
+        spark.createDataFrame(
+            [(i, "a" if i < 5 else "b", float(i)) for i in range(10)],
+            "k bigint, p string, v double",
+        ),
+        t,
+        partition_by=["p"],
+        column_mapping="name",
+    )
+    u = update_delta(spark, t, {"v": "v * 10"}, [("k", ">=", 8)])
+    assert u["rows_updated"] == 2
+    d = delete_delta(spark, t, [("k", "=", 0)])
+    assert d["rows_deleted"] == 1
+    got = {r["k"]: (r["p"], r["v"]) for r in read_delta(spark, t).collect()}
+    assert 0 not in got
+    assert got[8] == ("b", 80.0) and got[9] == ("b", 90.0)
+    assert got[1] == ("a", 1.0)
+    # everything staged under PHYSICAL names
+    for root, dirs, _f in os.walk(t):
+        for dname in dirs:
+            assert not dname.startswith("p="), dname
+    # CDF of the update surfaces logical names
+    ch = table_changes(spark, t, u["version"], u["version"])
+    assert set(ch.columns) >= {"k", "p", "v", "_change_type"}
+    assert ch.count() == 4  # 2 pre + 2 post
+
+
+def test_merge_schema_evolution_on_mapped_table(spark, tmp_path):
+    t = str(tmp_path / "mapevo")
+    write_delta(
+        spark.createDataFrame([(1, 1.0), (2, 2.0)], "k bigint, v double"),
+        t,
+        column_mapping="name",
+    )
+    merge_delta(
+        spark, t,
+        spark.createDataFrame(
+            [(2, 20.0, "x"), (3, 30.0, "y")],
+            "k bigint, v double, note string",
+        ),
+        on=["k"],
+        when_matched_update="*",
+        when_not_matched_insert="*",
+        schema_evolution=True,
+    )
+    from zeta_etl_spark.sinks.delta_log import _replay
+
+    _, meta, _, _ = _replay(t)
+    fields = json.loads(meta["schemaString"])["fields"]
+    note = next(f for f in fields if f["name"] == "note")
+    assert note["metadata"]["delta.columnMapping.id"] == 3
+    assert meta["configuration"]["delta.columnMapping.maxColumnId"] == "3"
+    got = {r["k"]: (r["v"], r["note"]) for r in read_delta(spark, t).collect()}
+    assert got == {1: (1.0, None), 2: (20.0, "x"), 3: (30.0, "y")}
