@@ -389,26 +389,38 @@ def test_dv_aware_merge_rewrites_clean_files(spark, tmp_path):
     assert kinds == {
         (1, "update_preimage"), (1, "update_postimage"), (2, "insert")
     }
-    # CDF over the DV commit itself still refuses (row-level change via
-    # descriptor — outside the derivation)
-    with pytest.raises(DeltaUnsupported, match="deletion vector"):
-        table_changes(spark, t, 1, 1)
+    # CDF over the DV commit derives the row-level delete from the
+    # descriptor delta (r12): exactly id=2, nothing fabricated
+    dv_ch = table_changes(spark, t, 1, 1)
+    assert [(r["id"], r["_change_type"]) for r in dv_ch.collect()] \
+        == [(2, "delete")]
 
 
-def test_dv_table_checkpoint_still_refuses(spark, tmp_path):
-    """The classic checkpoint written here has no deletionVector column —
-    checkpointing LIVE descriptors would drop them; still a loud error."""
+def test_dv_table_checkpoint_carries_descriptors(spark, tmp_path):
+    """r12: the classic checkpoint written here carries live
+    deletionVector descriptors, so cleanup past the checkpoint can never
+    resurrect deleted rows."""
+    from zeta_etl_spark.sinks.delta_log import cleanup_log
+
     t = str(tmp_path / "dvc")
     _dv_table(t, _inline_desc([2]))
-    with pytest.raises(DeltaUnsupported, match="deletion vectors"):
-        write_checkpoint(t)
     # plain appends remain fine (no live file is rewritten)
     write_delta(
         spark.createDataFrame([(500, 5.0)], "id bigint, v double"),
         t,
         mode="append",
     )
-    assert 500 in {r["id"] for r in read_delta(spark, t).collect()}
+    v = write_checkpoint(t)
+    assert cleanup_log(t) == list(range(v))
+    got = sorted(r["id"] for r in read_delta(spark, t).collect())
+    assert got == [0, 1, 3, 4, 5, 6, 7, 8, 9, 100, 101, 500]
+    # the checkpointed descriptor round-trips byte-identically
+    from zeta_etl_spark.sinks.delta_log import _replay
+
+    _, _, live, _ = _replay(t)
+    descs = [a["deletionVector"] for a in live.values()
+             if a.get("deletionVector")]
+    assert len(descs) == 1 and descs[0]["cardinality"] == 1
 
 
 def test_reader_features_outside_subset_still_refuse(spark, tmp_path):

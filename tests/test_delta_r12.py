@@ -926,3 +926,46 @@ def test_merge_schema_evolution_on_mapped_table(spark, tmp_path):
     assert meta["configuration"]["delta.columnMapping.maxColumnId"] == "3"
     got = {r["k"]: (r["v"], r["note"]) for r in read_delta(spark, t).collect()}
     assert got == {1: (1.0, None), 2: (20.0, "x"), 3: (30.0, "y")}
+
+
+# ------------------- 11. CDF over deletion-vector commits (r12 lift)
+
+
+def test_cdf_derives_deletes_from_dv_delta(spark, tmp_path):
+    from zeta_etl_spark.sinks.delta_log import (
+        delete_delta,
+        read_delta_incremental,
+    )
+
+    t = str(tmp_path / "dvcdf")
+    write_delta(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(10)],
+            "k bigint, v double",
+        ).repartition(1),
+        t,
+    )
+    d1 = delete_delta(spark, t, [("k", ">=", 8)], mode="dv")
+    d2 = delete_delta(spark, t, [("k", "=", 0)], mode="dv")
+    # commit 1: deletes exactly k=8,9; commit 2: exactly k=0 — the DV
+    # UNION never re-reports the old positions
+    ch1 = table_changes(spark, t, d1["version"], d1["version"])
+    assert sorted((r["k"], r["_change_type"]) for r in ch1.collect()) \
+        == [(8, "delete"), (9, "delete")]
+    ch2 = table_changes(spark, t, d2["version"], d2["version"])
+    assert [(r["k"], r["_change_type"]) for r in ch2.collect()] \
+        == [(0, "delete")]
+    # the incremental consumer in cdf mode sees insert + the 3 deletes
+    cur = str(tmp_path / "cur.json")
+    out, v = read_delta_incremental(
+        spark, t, cur, consumer_id="c", mode="cdf"
+    )
+    assert v == d2["version"]
+    kinds = {r["_change_type"] for r in out.collect()}
+    assert kinds == {"insert"}  # initial snapshot bootstrap
+    delete_delta(spark, t, [("k", "=", 5)], mode="dv")
+    out2, _ = read_delta_incremental(
+        spark, t, cur, consumer_id="c", mode="cdf"
+    )
+    assert [(r["k"], r["_change_type"]) for r in out2.collect()] \
+        == [(5, "delete")]

@@ -1293,12 +1293,18 @@ def delta_dv_rewrite_audit(spark, sf_dir):
 # deletions only); rewrite-mode data never visits the driver.
 
 _DELTA_DV_DELETE_ORACLE = f"""
-SELECT event_type,
+SELECT 'snapshot' AS section, event_type,
   COUNT(*) AS n_events,
   COUNT(DISTINCT user_id) AS n_users,
   {dec_sum_expr("value")} AS sum_value
 FROM events
 WHERE user_id < 6 AND value < 100
+GROUP BY event_type
+UNION ALL
+SELECT 'dv_cdf', event_type, COUNT(*), COUNT(DISTINCT user_id),
+  {dec_sum_expr("value")}
+FROM events
+WHERE user_id >= 6 AND user_id < 8
 GROUP BY event_type
 """
 
@@ -1338,6 +1344,21 @@ def delta_dv_delete_audit(spark, sf_dir):
         a.get("deletionVector") for a in live.values()
     ):
         raise AssertionError("dv-mode delete committed no descriptor")
+    # CDF over the DV commit derives the row-level deletes from the
+    # descriptor delta (r12): exactly the dv-deleted band, per type
+    from zeta_etl_spark.sinks.delta_log import table_changes
+
+    dv_cdf = (
+        table_changes(spark, dest, d1["version"], d1["version"])
+        .filter(F.col("_change_type") == "delete")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            dec_sum("value", "sum_value"),
+        )
+        .select(F.lit("dv_cdf").alias("section"), "*")
+    )
 
     # (2) large delete -> rewrite, straight through the live DV
     delete_delta(
@@ -1348,11 +1369,16 @@ def delta_dv_delete_audit(spark, sf_dir):
         raise AssertionError("rewrite left a live deletion vector")
 
     back = read_delta(spark, dest)
-    return back.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_events"),
-        F.countDistinct("user_id").cast("bigint").alias("n_users"),
-        dec_sum("value", "sum_value"),
+    snapshot = (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            dec_sum("value", "sum_value"),
+        )
+        .select(F.lit("snapshot").alias("section"), "*")
     )
+    return snapshot.unionByName(dv_cdf)
 
 
 # --- delta_update_cdf_audit: row-level UPDATE with CDF on the gate -----------
