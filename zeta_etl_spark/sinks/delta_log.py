@@ -2786,11 +2786,12 @@ def delete_delta(
       legacy protocols above minWriterVersion 2 would need their implied
       feature set spelled out and are refused loudly — use rewrite mode.
 
-    Scale notes: the dv path collects the matching (file, row-index)
-    pairs driver-side to build the bitmaps — bounded by the rows being
-    deleted this call (the cardinality the caller chose dv mode FOR);
-    large deletes belong to rewrite mode, whose data never visits the
-    driver.  Reads stay distributed either way.
+    Scale notes: the dv path serializes per-file roaring bitmaps
+    EXECUTOR-side (Arrow batch, one row per touched file) — the driver
+    receives compressed bitmap BYTES, never the positions list; only a
+    file that already carries a DV unions positions driver-side, bounded
+    by that one file's total deletions.  Very large deletes still belong
+    to rewrite mode.  Reads stay distributed either way.
 
     Returns {version, rows_deleted, files_touched, files_pruned,
     mode} (version = the pre-delete version when nothing matched —
@@ -2946,10 +2947,27 @@ def delete_delta(
             if declared <= 1_000_000:
                 pos_df = F.broadcast(pos_df)
             scan = scan.join(pos_df, ["__fp", "__ri"], "left_anti")
+        # per-file bitmaps serialize EXECUTOR-side (Arrow batch over one
+        # row per touched file): the driver receives COMPRESSED roaring
+        # bytes, never the raw positions list — at 10M deleted rows that
+        # is ~MBs of bitmap instead of an 80 MB+ int64 list
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("binary")
+        def _ser_bitmap(ris):  # pd.Series of int64 lists
+            return ris.map(
+                lambda v: serialize_dv_bitmap(sorted(int(x) for x in v))
+            )
+
         hit_rows = (
             scan.filter(cond)
             .groupBy("__fp")
             .agg(F.collect_list("__ri").alias("__ris"))
+            .select(
+                "__fp",
+                _ser_bitmap("__ris").alias("__bm"),
+                F.size("__ris").cast("bigint").alias("__n"),
+            )
             .collect()
         )
         if not hit_rows:
@@ -2963,10 +2981,10 @@ def delete_delta(
         rel_by_uri = {
             uri: rel for rel, uri in uri_by_rel.items()
         }
-        new_positions: dict[str, list[int]] = {
-            rel_by_uri[r["__fp"]]: sorted(r["__ris"]) for r in hit_rows
+        new_bitmaps: dict[str, tuple[bytes, int]] = {
+            rel_by_uri[r["__fp"]]: (r["__bm"], r["__n"]) for r in hit_rows
         }
-        n_del = sum(len(v) for v in new_positions.values())
+        n_del = sum(n for _, n in new_bitmaps.values())
 
         # one DV file carries every touched file's bitmap at an offset
         dv_uuid = uuid.uuid4()
@@ -2974,16 +2992,25 @@ def delete_delta(
         import struct as _struct
         import zlib as _zlib
 
+        from zeta_etl_spark.sinks.delta_dv import deserialize_dv_bitmap
+
         blob = bytearray(b"\x01")  # format version byte
         descriptors: dict[str, dict] = {}
-        for rel_unq, rows in sorted(new_positions.items()):
-            # union with the file's existing DV, if any
+        for rel_unq, (data, n_new) in sorted(new_bitmaps.items()):
+            # union with the file's existing DV, if any — the only path
+            # that materializes positions driver-side, bounded by THAT
+            # FILE's total deletions
             quoted = urllib.parse.quote(rel_unq, safe="/=")
             add = candidates.get(quoted) or candidates.get(rel_unq)
             old_desc = (add or {}).get("deletionVector")
             if old_desc:
-                rows = sorted(set(rows) | set(read_dv_rows(old_desc, table)))
-            data = serialize_dv_bitmap(rows)
+                rows = sorted(
+                    set(deserialize_dv_bitmap(data))
+                    | set(read_dv_rows(old_desc, table))
+                )
+                data = serialize_dv_bitmap(rows)
+            else:
+                rows = None  # fresh DV: executor bytes used as-is
             offset = len(blob)
             blob += _struct.pack(">i", len(data))
             blob += data
@@ -2994,7 +3021,7 @@ def delete_delta(
                 "pathOrInlineDv": z85_encode(dv_uuid.bytes),
                 "offset": offset,
                 "sizeInBytes": len(data),
-                "cardinality": len(rows),
+                "cardinality": len(rows) if rows is not None else n_new,
             }
         dv_path = os.path.join(table, dv_name)
         with open(dv_path, "wb") as fh:
