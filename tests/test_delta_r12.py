@@ -969,3 +969,68 @@ def test_cdf_derives_deletes_from_dv_delta(spark, tmp_path):
     )
     assert [(r["k"], r["_change_type"]) for r in out2.collect()] \
         == [(5, "delete")]
+
+
+# ---------------- 12. timestampNtz + vacuumProtocolCheck features
+
+
+def test_timestamp_ntz_feature_table_round_trips(spark, tmp_path):
+    """Modern delta-spark declares timestampNtz for TIMESTAMP_NTZ
+    columns and vacuumProtocolCheck unconditionally — both are inside
+    the implemented subset now."""
+    import datetime
+
+    t = str(tmp_path / "ntz")
+    os.makedirs(os.path.join(t, "_delta_log"))
+    pq.write_table(
+        pa.table({
+            "k": pa.array([1, 2], pa.int64()),
+            # isAdjustedToUTC=false == TIMESTAMP_NTZ
+            "ts": pa.array(
+                [datetime.datetime(2024, 5, 1, 12, 0),
+                 datetime.datetime(2024, 5, 2, 13, 30)],
+                pa.timestamp("us"),
+            ),
+        }),
+        os.path.join(t, "f1.parquet"),
+    )
+    schema = json.dumps({"type": "struct", "fields": [
+        {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+        {"name": "ts", "type": "timestamp_ntz", "nullable": True,
+         "metadata": {}},
+    ]})
+    lines = [
+        json.dumps({"commitInfo": {"timestamp": 1, "operation": "WRITE"}}),
+        json.dumps({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["timestampNtz", "vacuumProtocolCheck"],
+            "writerFeatures": ["timestampNtz", "vacuumProtocolCheck",
+                               "appendOnly"],
+        }}),
+        json.dumps({"metaData": {
+            "id": "eeeeeeee-0000-0000-0000-000000000000",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema, "partitionColumns": [],
+            "configuration": {}, "createdTime": 1}}),
+        json.dumps({"add": {
+            "path": "f1.parquet", "partitionValues": {}, "size": 1,
+            "modificationTime": 1, "dataChange": True}}),
+    ]
+    with open(os.path.join(t, "_delta_log", f"{0:020d}.json"), "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    got = read_delta(spark, t)
+    assert got.schema["ts"].dataType.simpleString() == "timestamp_ntz"
+    rows = sorted((r["k"], r["ts"].isoformat()) for r in got.collect())
+    assert rows == [(1, "2024-05-01T12:00:00"), (2, "2024-05-02T13:30:00")]
+    # writes are inside the feature subset too (append-only table)
+    import datetime as dt
+
+    write_delta(
+        spark.createDataFrame(
+            [(3, dt.datetime(2024, 5, 3, 9, 0))],
+            "k bigint, ts timestamp_ntz",
+        ),
+        t,
+        mode="append",
+    )
+    assert read_delta(spark, t).count() == 3

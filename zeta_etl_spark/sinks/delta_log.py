@@ -258,7 +258,20 @@ def _apply_protocol(action_protocol: dict) -> dict:
         # checkpoints have READ paths here)
         feats = set(action_protocol.get("readerFeatures") or [])
         unsupported = sorted(
-            feats - {"deletionVectors", "columnMapping", "v2Checkpoint"}
+            feats
+            - {
+                "deletionVectors",
+                "columnMapping",
+                "v2Checkpoint",
+                # TIMESTAMP_NTZ is a native Spark type; schemaString
+                # "timestamp_ntz" parses and parquet isAdjustedToUTC=false
+                # round-trips through the explicit read schema
+                "timestampNtz",
+                # vacuum here replays the snapshot (and so validates the
+                # protocol) before touching any file — exactly the check
+                # this feature exists to require
+                "vacuumProtocolCheck",
+            }
         )
         if unsupported:
             raise DeltaUnsupported(
@@ -304,6 +317,9 @@ _WRITER_FEATURES_OK = {
     "generatedColumns",  # honored: _enforce_generated computes absent /
                          # validates provided values on append and
                          # recomputes on MERGE/UPDATE outputs
+    "timestampNtz",      # honored: native Spark type, round-trips
+    "vacuumProtocolCheck",  # honored: vacuum replays (and so validates
+                            # the protocol) before deleting anything
 }
 
 
