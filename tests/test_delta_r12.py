@@ -1034,3 +1034,62 @@ def test_timestamp_ntz_feature_table_round_trips(spark, tmp_path):
         mode="append",
     )
     assert read_delta(spark, t).count() == 3
+
+
+def test_cdf_of_overwrite_over_dv_table_excludes_deleted_rows(
+    spark, tmp_path
+):
+    """A whole-file remove of a DV'd file (overwrite) must derive delete
+    changes for the LIVE rows only — never resurrect DV-deleted rows
+    into the change feed."""
+    from zeta_etl_spark.sinks.delta_log import delete_delta
+
+    t = str(tmp_path / "dvow")
+    write_delta(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(6)], "k bigint, v double"
+        ).repartition(1),
+        t,
+    )
+    delete_delta(spark, t, [("k", ">=", 4)], mode="dv")
+    v = write_delta(
+        spark.createDataFrame([(100, 1.0)], "k bigint, v double"),
+        t,
+        mode="overwrite",
+    )
+    ch = table_changes(spark, t, v, v)
+    got = sorted((r["k"], r["_change_type"]) for r in ch.collect())
+    # deletes: only the 4 live rows; k=4,5 were already DV-deleted
+    assert got == [
+        (0, "delete"), (1, "delete"), (2, "delete"), (3, "delete"),
+        (100, "insert"),
+    ]
+
+
+def test_cdf_of_restore_to_dv_snapshot(spark, tmp_path):
+    """RESTORE back to a DV snapshot re-adds the DV'd file: CDF derives
+    the returning file's LIVE rows as inserts (minus the descriptor) and
+    the overwrite file's rows as deletes."""
+    from zeta_etl_spark.sinks.delta_log import delete_delta
+
+    t = str(tmp_path / "dvres")
+    write_delta(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(4)], "k bigint, v double"
+        ).repartition(1),
+        t,
+    )
+    d = delete_delta(spark, t, [("k", "=", 3)], mode="dv")
+    write_delta(
+        spark.createDataFrame([(100, 1.0)], "k bigint, v double"),
+        t,
+        mode="overwrite",
+    )
+    rv = restore_table(t, d["version"])
+    assert sorted(r["k"] for r in read_delta(spark, t).collect()) \
+        == [0, 1, 2]
+    ch = table_changes(spark, t, rv, rv)
+    got = sorted((r["k"], r["_change_type"]) for r in ch.collect())
+    assert got == [
+        (0, "insert"), (1, "insert"), (2, "insert"), (100, "delete"),
+    ]

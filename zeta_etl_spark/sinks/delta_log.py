@@ -2635,7 +2635,10 @@ def table_changes(
                         )
                 if type_adds:
                     pieces.append(
-                        _scan_live(spark, table, meta, type_adds)
+                        # _read_live, not _scan_live: a removed file may carry a
+                    # deletion vector (overwrite over a DV table) —
+                    # its already-deleted rows are NOT changes
+                    _read_live(spark, table, meta, type_adds)
                         .withColumn("_change_type", F.lit(change_type))
                         .withColumn(
                             "_commit_version", F.lit(v).cast("bigint")
@@ -2647,11 +2650,20 @@ def table_changes(
             for p, a in sorted(dv_readds.items()):
                 old_add = prev_live.get(p)
                 if old_add is None:
-                    raise DeltaUnsupported(
-                        f"version {v} of {table} adds {p!r} BORN with a "
-                        "deletion vector — no prior incarnation to "
-                        "derive the change rows from"
+                    # a DV'd file RETURNING to the live set (RESTORE to a
+                    # DV snapshot, or a foreign add born with a DV): its
+                    # LIVE rows (minus the DV) are plain inserts
+                    pieces.append(
+                        _read_live(spark, table, meta, {p: a})
+                        .withColumn("_change_type", F.lit("insert"))
+                        .withColumn(
+                            "_commit_version", F.lit(v).cast("bigint")
+                        )
+                        .withColumn(
+                            "_commit_timestamp", F.lit(ts).cast("bigint")
+                        )
                     )
+                    continue
                 old_rows = (
                     set(read_dv_rows(old_add["deletionVector"], table))
                     if old_add.get("deletionVector")
@@ -2701,7 +2713,10 @@ def table_changes(
                             "the retention window"
                         )
                 pieces.append(
-                    _scan_live(spark, table, meta, type_adds)
+                    # _read_live, not _scan_live: a removed file may carry a
+                    # deletion vector (overwrite over a DV table) —
+                    # its already-deleted rows are NOT changes
+                    _read_live(spark, table, meta, type_adds)
                     .withColumn("_change_type", F.lit(change_type))
                     .withColumn("_commit_version", F.lit(v).cast("bigint"))
                     .withColumn(
