@@ -1,11 +1,14 @@
-"""Deletion-vector READ path (sinks/delta_dv.py + read_delta integration).
+"""Deletion vectors: decode, read-path integration, DV-aware rewrites.
 
-No DV-writing engine exists in this environment, so every fixture is
-hand-built from the public specs: the roaring SERIALIZER lives in this
-test (written from the roaringbitmap.org portable format doc, independent
-of the module's deserializer), DV files follow PROTOCOL.md's
-``<version byte> <int32 BE size> <data> <int32 BE crc>`` layout, and the
-log actions are authored as literal JSON."""
+No FOREIGN DV-writing engine exists in this environment (delta-spark is
+uninstallable), so every fixture here is hand-built from the public
+specs: the roaring SERIALIZER lives in this test (written from the
+roaringbitmap.org portable format doc, independent of the module's
+de/serializers — since r12 the module has its OWN writer for
+``delete_delta(mode='dv')``, which this test-side serializer keeps
+honest), DV files follow PROTOCOL.md's ``<version byte> <int32 BE size>
+<data> <int32 BE crc>`` layout, and the log actions are authored as
+literal JSON."""
 
 from __future__ import annotations
 
