@@ -1096,3 +1096,102 @@ def test_reads_hand_authored_v2_checkpoint(spark, tmp_path):
 
     with pytest.raises(DeltaUnsupported, match="sidecar"):
         read_delta(spark, t)
+
+
+# ------------- independent reader vs the r12 write shapes (mapped + DV)
+
+
+def _independent_snapshot_mapped_dv(table: str):
+    """The independent replay extended for the r12 write surface: column
+    mapping (physical->logical via the schemaString's physicalName
+    metadata) and deletion vectors (positions dropped by parquet row
+    order).  Replay reconciles PER COMMIT (a remove of a path re-added
+    in the same commit targets the old incarnation).  The replay /
+    mapping / row-filter logic is implemented here from the spec; only
+    the roaring bitmap codec is borrowed from the module
+    (read_dv_rows) — that codec is itself cross-checked against
+    test_delta_dv's independent serializer."""
+    from zeta_etl_spark.sinks.delta_dv import read_dv_rows
+
+    log = os.path.join(table, "_delta_log")
+    meta, live = None, {}
+    for name in sorted(os.listdir(log)):
+        if not re.fullmatch(r"\d{20}\.json", name):
+            continue
+        adds_c, removes_c = {}, []
+        for line in open(os.path.join(log, name)):
+            if not line.strip():
+                continue
+            a = json.loads(line)
+            if "metaData" in a:
+                meta = a["metaData"]
+            elif "add" in a:
+                adds_c[a["add"]["path"]] = a["add"]
+            elif "remove" in a:
+                removes_c.append(a["remove"]["path"])
+        for p in removes_c:
+            if p not in adds_c:
+                live.pop(p, None)
+        live.update(adds_c)
+    fields = json.loads(meta["schemaString"])["fields"]
+    names = [f["name"] for f in fields]
+    p2l = {
+        (f.get("metadata") or {}).get(
+            "delta.columnMapping.physicalName", f["name"]
+        ): f["name"]
+        for f in fields
+    }
+    rows = []
+    for rel, add in live.items():
+        tbl = pq.read_table(
+            os.path.join(table, urllib.parse.unquote(rel))
+        ).to_pylist()
+        dv = add.get("deletionVector")
+        deleted = set(read_dv_rows(dv, table)) if dv else set()
+        for idx, r in enumerate(tbl):
+            if idx in deleted:
+                continue
+            full = {p2l.get(k, k): v for k, v in r.items()}
+            for k, v in (add.get("partitionValues") or {}).items():
+                full[p2l.get(k, k)] = v
+            rows.append(tuple(full[n] for n in names))
+    return names, sorted(rows, key=lambda x: str(x))
+
+
+def test_independent_reader_agrees_on_mapped_dv_writes(spark, tmp_path):
+    """Round-trip the FULL r12 write surface (mapped creation, MERGE,
+    UPDATE, dv-mode DELETE) through an independent spec-derived reader:
+    the physical names, stats keys, descriptors and row indexes this
+    engine writes must reconstruct the same logical rows without any of
+    the engine's own read machinery."""
+    from zeta_etl_spark.sinks.delta_log import delete_delta, update_delta
+
+    t = str(tmp_path / "r12x")
+    df = spark.createDataFrame(
+        [(i, f"c{i % 3}", float(i)) for i in range(30)],
+        "k bigint, cat string, v double",
+    )
+    write_delta(df, t, partition_by=("cat",), column_mapping="name")
+    merge_delta(
+        spark, t,
+        spark.createDataFrame(
+            [(7, "c1", 700.0), (100, "c9", 1.0)],
+            "k bigint, cat string, v double",
+        ),
+        on=["k"], when_matched_update="*", when_not_matched_insert="*",
+    )
+    update_delta(spark, t, {"v": "v + 0.5"}, [("k", ">=", 28)])
+    d = delete_delta(spark, t, [("k", "=", 3)], mode="dv")
+    assert d["mode"] == "dv" and d["rows_deleted"] == 1
+    names, rows = _independent_snapshot_mapped_dv(t)
+    ours = sorted(
+        (
+            tuple(r[n] for n in names)
+            for r in read_delta(spark, t).collect()
+        ),
+        key=lambda x: str(x),
+    )
+    assert len(ours) == 30  # 30 - 1 deleted + 1 inserted
+    assert [tuple(str(v) for v in r) for r in ours] == [
+        tuple(str(v) for v in r) for r in rows
+    ]

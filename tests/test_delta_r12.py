@@ -1093,3 +1093,42 @@ def test_cdf_of_restore_to_dv_snapshot(spark, tmp_path):
     assert got == [
         (0, "insert"), (1, "insert"), (2, "insert"), (100, "delete"),
     ]
+
+
+def test_dv_delete_upgrades_legacy_protocol_with_implied_features(
+    spark, tmp_path
+):
+    """dv-mode DELETE on a legacy writer-5 (column-mapped) table must
+    enumerate every feature the legacy versions implied when upgrading
+    to table features — dropping one would let an engine that cannot
+    honor it write the table."""
+    from zeta_etl_spark.sinks.delta_log import delete_delta
+
+    t = str(tmp_path / "legup")
+    write_delta(
+        spark.createDataFrame(
+            [(1, 1.0), (2, 2.0), (3, 3.0)], "k bigint, v double"
+        ).repartition(1),
+        t,
+        column_mapping="name",
+    )
+    d = delete_delta(spark, t, [("k", "=", 2)], mode="dv")
+    assert d["rows_deleted"] == 1
+    with open(
+        os.path.join(t, "_delta_log", f"{d['version']:020d}.json")
+    ) as fh:
+        proto = next(
+            json.loads(l)["protocol"] for l in fh if '"protocol"' in l
+        )
+    assert proto["minReaderVersion"] == 3
+    assert proto["minWriterVersion"] == 7
+    assert set(proto["readerFeatures"]) == {
+        "columnMapping", "deletionVectors"
+    }
+    assert set(proto["writerFeatures"]) >= {
+        "appendOnly", "invariants", "checkConstraints",
+        "changeDataFeed", "generatedColumns", "columnMapping",
+        "deletionVectors",
+    }
+    assert sorted(r["k"] for r in read_delta(spark, t).collect()) \
+        == [1, 3]

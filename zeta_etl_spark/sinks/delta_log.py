@@ -2813,9 +2813,11 @@ def delete_delta(
       each file is re-committed with its descriptor — I/O proportional
       to DELETED rows, not touched bytes.  A file that already carries a
       DV gets the UNION of old and new positions.  The commit upgrades
-      the protocol to table-features {deletionVectors} when needed;
-      legacy protocols above minWriterVersion 2 would need their implied
-      feature set spelled out and are refused loudly — use rewrite mode.
+      the protocol to table features when needed, enumerating the
+      features the previous legacy version implied (appendOnly /
+      invariants / checkConstraints / changeDataFeed / generatedColumns
+      / columnMapping by version) so no capability requirement is
+      dropped; identity-column tables (v6) refuse — use rewrite mode.
 
     Scale notes: the dv path serializes per-file roaring bitmaps
     EXECUTOR-side (Arrow batch, one row per touched file) — the driver
@@ -2942,12 +2944,14 @@ def delete_delta(
         )
 
         mwv = (protocol or {}).get("minWriterVersion", 2)
+        mrv = (protocol or {}).get("minReaderVersion", 1)
         feats = set((protocol or {}).get("writerFeatures") or [])
-        if mwv > 2 and not (mwv == 7 and "deletionVectors" in feats):
+        rfeats = set((protocol or {}).get("readerFeatures") or [])
+        if mwv == 6:
             raise DeltaUnsupported(
-                "dv-mode DELETE would need to enumerate the legacy "
-                f"features implied by minWriterVersion {mwv} when "
-                "upgrading the protocol — use mode='rewrite'"
+                "dv-mode DELETE on a minWriterVersion-6 (identity "
+                "columns) table is outside the implemented subset — "
+                "use mode='rewrite'"
             )
         if not candidates:
             return {
@@ -3059,20 +3063,36 @@ def delete_delta(
             fh.write(blob)
 
         actions = [commit_info]
-        if not (mwv == 7 and "deletionVectors" in feats):
-            # upgrade legacy reader1/writer2 to table features; the
-            # implied legacy writer features ride along per spec
+        if not (
+            mwv == 7 and "deletionVectors" in feats
+            and mrv == 3 and "deletionVectors" in rfeats
+        ):
+            # upgrade to table features; per spec the features IMPLIED
+            # by the previous legacy versions must be enumerated so no
+            # prior capability requirement is silently dropped
+            legacy_w = ["appendOnly", "invariants"]
+            if mwv >= 3:
+                legacy_w.append("checkConstraints")
+            if mwv >= 4:
+                legacy_w += ["changeDataFeed", "generatedColumns"]
+            if mwv >= 5:
+                legacy_w.append("columnMapping")
+            if mwv == 7:
+                legacy_w = sorted(feats)
+            legacy_r = sorted(rfeats) if mrv == 3 else (
+                ["columnMapping"] if mrv == 2 else []
+            )
             actions.append(
                 {
                     "protocol": {
                         "minReaderVersion": 3,
                         "minWriterVersion": 7,
-                        "readerFeatures": ["deletionVectors"],
-                        "writerFeatures": [
-                            "appendOnly",
-                            "invariants",
-                            "deletionVectors",
-                        ],
+                        "readerFeatures": sorted(
+                            set(legacy_r) | {"deletionVectors"}
+                        ),
+                        "writerFeatures": sorted(
+                            set(legacy_w) | {"deletionVectors"}
+                        ),
                     }
                 }
             )
