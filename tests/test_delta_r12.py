@@ -1132,3 +1132,149 @@ def test_dv_delete_upgrades_legacy_protocol_with_implied_features(
     }
     assert sorted(r["k"] for r in read_delta(spark, t).collect()) \
         == [1, 3]
+
+
+# ---------------- 13. review-pass regressions (NULL predicates & gates)
+
+
+def test_delete_null_predicate_rows_survive(spark, tmp_path):
+    """SQL semantics: DELETE WHERE v >= 5 must keep rows where v IS NULL
+    (the predicate is not TRUE).  The review found filter(~cond) silently
+    dropped them from the rewritten file."""
+    from zeta_etl_spark.sinks.delta_log import delete_delta
+
+    t = str(tmp_path / "nulld")
+    write_delta(
+        spark.createDataFrame(
+            [(1, 1.0), (2, 5.0), (3, None)], "k bigint, v double"
+        ).repartition(1),
+        t,
+    )
+    d = delete_delta(spark, t, [("v", ">=", 5.0)])
+    assert d["rows_deleted"] == 1
+    got = {r["k"]: r["v"] for r in read_delta(spark, t).collect()}
+    assert got == {1: 1.0, 3: None}  # the NULL row SURVIVES
+    # and dv mode agrees
+    t2 = str(tmp_path / "nulldv")
+    write_delta(
+        spark.createDataFrame(
+            [(1, 1.0), (2, 5.0), (3, None)], "k bigint, v double"
+        ).repartition(1),
+        t2,
+    )
+    d2 = delete_delta(spark, t2, [("v", ">=", 5.0)], mode="dv")
+    assert d2["rows_deleted"] == 1
+    got2 = {r["k"]: r["v"] for r in read_delta(spark, t2).collect()}
+    assert got2 == {1: 1.0, 3: None}
+
+
+def test_update_null_predicate_rows_copied(spark, tmp_path):
+    from zeta_etl_spark.sinks.delta_log import update_delta
+
+    t = str(tmp_path / "nullu")
+    write_delta(
+        spark.createDataFrame(
+            [(1, 1.0), (2, 5.0), (3, None)], "k bigint, v double"
+        ).repartition(1),
+        t,
+    )
+    u = update_delta(spark, t, {"v": "v * 10"}, [("v", ">=", 5.0)])
+    assert u["rows_updated"] == 1
+    got = {r["k"]: r["v"] for r in read_delta(spark, t).collect()}
+    assert got == {1: 1.0, 2: 50.0, 3: None}  # NULL row copied unchanged
+
+
+def test_dml_only_rewrites_files_with_actual_hits(spark, tmp_path):
+    """Stats overlap is not a hit: a candidate file whose rows all miss
+    must keep its identity (no remove, no rewrite)."""
+    from zeta_etl_spark.sinks.delta_log import (
+        _replay,
+        delete_delta,
+        update_delta,
+    )
+
+    t = str(tmp_path / "hits")
+    # two files with overlapping k-ranges; only one holds k=5
+    write_delta(
+        spark.createDataFrame([(1, 1.0), (9, 9.0)], "k bigint, v double")
+        .repartition(1),
+        t,
+    )
+    write_delta(
+        spark.createDataFrame([(2, 2.0), (5, 5.0)], "k bigint, v double")
+        .repartition(1),
+        t,
+        mode="append",
+    )
+    _, _, live_before, _ = _replay(t)
+    d = delete_delta(spark, t, [("k", "=", 5)])
+    assert d["files_touched"] == 1
+    _, _, live_after, _ = _replay(t)
+    # the miss file survives BY IDENTITY
+    assert len(set(live_before) & set(live_after)) == 1
+    u = update_delta(spark, t, {"v": "v + 1"}, [("k", "=", 9)])
+    assert u["files_touched"] == 1
+
+
+def test_checkpoint_and_vacuum_gate_unknown_writer_features(
+    spark, tmp_path
+):
+    """The fixed checkpoint schema would DROP an unknown feature's
+    per-file fields (rowTracking baseRowId); vacuum could delete files
+    an unknown feature still references — both must refuse."""
+    from zeta_etl_spark.sinks.delta_log import vacuum, write_checkpoint
+
+    t = str(tmp_path / "rowtrk")
+    _seed(spark, t)
+    _retag_protocol(t, protocol={
+        "minReaderVersion": 1, "minWriterVersion": 7,
+        "writerFeatures": ["rowTracking"],
+    })
+    with pytest.raises(DeltaUnsupported, match="rowTracking"):
+        write_checkpoint(t)
+    with pytest.raises(DeltaUnsupported, match="rowTracking"):
+        vacuum(t, retention_ms=0)
+    # reading stays fine (reader protocol is v1)
+    assert read_delta(spark, t).count() == 2
+
+
+def test_nullability_relaxation_refused(spark, tmp_path):
+    t = str(tmp_path / "nonnull")
+    _seed(spark, t)
+    strict = json.dumps({"type": "struct", "fields": [
+        {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+        {"name": "v", "type": "double", "nullable": False,
+         "metadata": {}},
+    ]})
+    _retag_protocol(t, schema=strict)
+    nullable_frame = spark.createDataFrame(
+        [(7, 7.0)], "k bigint, v double"
+    )  # v nullable by default
+    with pytest.raises(DeltaUnsupported, match="nullability"):
+        write_delta(nullable_frame, t, mode="append")
+    with pytest.raises(DeltaUnsupported, match="nullability"):
+        merge_delta(
+            spark, t, nullable_frame, on=["k"], when_matched_update="*"
+        )
+
+
+def test_dv_delete_on_cdf_enabled_table_writes_cdc(spark, tmp_path):
+    """Spec writer obligation: delta.enableChangeDataFeed=true means DV
+    commits must carry cdc files — foreign consumers cannot derive
+    changes from a descriptor delta."""
+    from zeta_etl_spark.sinks.delta_log import delete_delta
+
+    t = str(tmp_path / "dvcdc")
+    _seed(spark, t, rows=((1, 1.0), (2, 2.0), (3, 3.0)))
+    _retag_protocol(
+        t, configuration={"delta.enableChangeDataFeed": "true"}
+    )
+    d = delete_delta(spark, t, [("k", ">=", 2)], mode="dv")
+    log = os.path.join(t, "_delta_log", f"{d['version']:020d}.json")
+    cdc = [json.loads(l)["cdc"] for l in open(log) if '"cdc"' in l]
+    assert cdc, "CDF-enabled table: the DV commit must stage cdc files"
+    # and the commit stays readable both ways
+    ch = table_changes(spark, t, d["version"], d["version"])
+    assert sorted((r["k"], r["_change_type"]) for r in ch.collect()) \
+        == [(2, "delete"), (3, "delete")]
+    assert sorted(r["k"] for r in read_delta(spark, t).collect()) == [1]

@@ -323,6 +323,24 @@ _WRITER_FEATURES_OK = {
 }
 
 
+def _check_log_writer_features(protocol: dict | None, op: str) -> None:
+    """Log-maintenance gate (checkpoint, vacuum): an UNKNOWN writer
+    feature may impose per-file obligations this engine cannot
+    reproduce (rowTracking base ids in checkpoint adds) or reference
+    files it would consider unreferenced (exactly what deletion vectors
+    were before r11) — refuse before rewriting or deleting anything.
+    Unlike :func:`_check_writer_protocol`, declared invariants /
+    constraints do NOT gate here: log maintenance writes no rows."""
+    feats = set((protocol or {}).get("writerFeatures") or [])
+    unknown = sorted(feats - _WRITER_FEATURES_OK)
+    if unknown:
+        raise DeltaUnsupported(
+            f"{op} on a table with writer features {unknown} could "
+            "violate their file-level obligations — outside the "
+            "implemented subset"
+        )
+
+
 def _check_writer_protocol(
     protocol: dict | None, meta: dict, op: str, removes_data: bool = False
 ) -> None:
@@ -602,6 +620,10 @@ def _load_checkpoint(table: str, version: int):
         elif row.get("add") is not None:
             a = dict(row["add"])
             a["partitionValues"] = _as_map(a.get("partitionValues"))
+            if a.get("tags") is not None:
+                a["tags"] = _as_map(a["tags"])
+            else:
+                a.pop("tags", None)
             dv = a.get("deletionVector")
             if dv is not None:
                 a["deletionVector"] = dict(dv)
@@ -941,6 +963,16 @@ def write_delta(
                     f"append changes column types {conflicts} — type "
                     "changes are outside the implemented subset"
                 )
+            relaxed = _null_relaxed(
+                json.loads(meta["schemaString"]),
+                json.loads(df.schema.json()),
+            )
+            if relaxed:
+                raise DeltaUnsupported(
+                    f"append relaxes nullability at {relaxed} — the "
+                    "table declares these non-nullable and this engine "
+                    "does not validate rows against the declaration"
+                )
             new_cols = [f for f in df.schema if f.name not in tbl_types]
             missing = [f for f in tbl_schema if f.name not in df_types]
             if (new_cols or missing) and not merge_schema:
@@ -1074,6 +1106,17 @@ def write_delta(
                         }
                     }
                 )
+        elif staging_meta is not None and mapped_meta is None:
+            # mapped CREATION lost the version-0 race: the staged files'
+            # physicalNames exist only in OUR never-committed metaData —
+            # committing them under the winner's metaData would make
+            # every column read NULL (name-mode resolution is by
+            # physical name).  Loud error, staged files discarded.
+            _discard_staged(table, adds)
+            raise DeltaConcurrentModification(
+                "lost the mapped-table creation race — the staged "
+                f"physical layout was never committed; retry: {table}"
+            )
         elif mapped_meta is not None:
             # mapped tables: the staged files' physical layout is pinned
             # to the metaData read above — a concurrent schema/config
@@ -1358,7 +1401,9 @@ def _hive_consistent(adds: dict, pcols: Sequence[str]) -> bool:
     return True
 
 
-def _uri_by_rel(fp_values, table: str, rels) -> dict[str, str]:
+def _uri_by_rel(
+    fp_values, table: str, rels, require_all: bool = True
+) -> dict[str, str]:
     """Map each unquoted relative path in ``rels`` to Spark's OWN
     ``_metadata.file_path`` URI rendering (collected by the caller from a
     distinct pass).  Hadoop URI-escapes paths (space -> %20, '%' ->
@@ -1386,7 +1431,7 @@ def _uri_by_rel(fp_values, table: str, rels) -> dict[str, str]:
             )
         out[rel] = uri
     missing = sorted(set(expected.values()) - set(out))
-    if missing:
+    if missing and require_all:
         import pyarrow.parquet as pq
 
         truly_missing = []
@@ -1554,7 +1599,11 @@ def _scan_live(
 
 
 def _read_live(
-    spark: SparkSession, table: str, meta: dict, live: dict[str, dict]
+    spark: SparkSession,
+    table: str,
+    meta: dict,
+    live: dict[str, dict],
+    keep_meta: bool = False,
 ) -> DataFrame:
     """The table's LOGICAL rows for a live file set: plain files in one
     scan; deletion-vector'd files in a second scan WITH the parquet row
@@ -1568,7 +1617,9 @@ def _read_live(
     plain_live = {p: a for p, a in live.items() if p not in dv_live}
     pieces: list[DataFrame] = []
     if plain_live:
-        pieces.append(_scan_live(spark, table, meta, plain_live))
+        pieces.append(
+            _scan_live(spark, table, meta, plain_live, with_meta=keep_meta)
+        )
     if dv_live:
         from zeta_etl_spark.sinks.delta_dv import dv_positions_df
 
@@ -1587,13 +1638,25 @@ def _read_live(
         pos_df, declared = dv_positions_df(spark, dv_live, table, uri_by_rel)
         if declared <= 1_000_000:
             pos_df = F.broadcast(pos_df)
+        filtered = dv_scan.join(pos_df, ["__fp", "__ri"], "left_anti")
         pieces.append(
-            dv_scan.join(pos_df, ["__fp", "__ri"], "left_anti").drop(
-                "__fp", "__ri"
-            )
+            filtered if keep_meta else filtered.drop("__fp", "__ri")
         )
     if not pieces:
-        return spark.createDataFrame([], schema)
+        from pyspark.sql.types import LongType, StringType, StructField
+
+        empty = StructType(
+            list(schema)
+            + (
+                [
+                    StructField("__fp", StringType()),
+                    StructField("__ri", LongType()),
+                ]
+                if keep_meta
+                else []
+            )
+        )
+        return spark.createDataFrame([], empty)
     df = pieces[0]
     for p in pieces[1:]:
         df = df.unionByName(p)
@@ -1683,6 +1746,46 @@ def _type_key(dt) -> str:
                 }
         return j
     return json.dumps(_norm(json.loads(dt.json())), sort_keys=True)
+
+
+def _null_relaxed(table_type, frame_type) -> list[str]:
+    """Field paths where the FRAME permits NULL but the TABLE's declared
+    schema forbids it.  _type_key deliberately ignores nullability (a
+    mapped table's metadata must not make types conflict with
+    themselves), so this check restores the safety it dropped: writing a
+    nullable frame into a non-nullable declaration could commit NULLs a
+    foreign reader is entitled to assume away."""
+    out: list[str] = []
+
+    def _walk(tj, fj, path):
+        if not (isinstance(tj, dict) and isinstance(fj, dict)):
+            return
+        if tj.get("type") == "struct" and fj.get("type") == "struct":
+            ff = {f["name"]: f for f in fj["fields"]}
+            for tf in tj["fields"]:
+                sf = ff.get(tf["name"])
+                if sf is None:
+                    continue
+                if not tf.get("nullable", True) and sf.get(
+                    "nullable", True
+                ):
+                    out.append(path + tf["name"])
+                _walk(tf["type"], sf["type"], path + tf["name"] + ".")
+        elif tj.get("type") == "array" and fj.get("type") == "array":
+            if not tj.get("containsNull", True) and fj.get(
+                "containsNull", True
+            ):
+                out.append(path + "<element>")
+            _walk(tj["elementType"], fj["elementType"], path + "[].")
+        elif tj.get("type") == "map" and fj.get("type") == "map":
+            if not tj.get("valueContainsNull", True) and fj.get(
+                "valueContainsNull", True
+            ):
+                out.append(path + "<value>")
+            _walk(tj["valueType"], fj["valueType"], path + "{}.")
+
+    _walk(table_type, frame_type, "")
+    return out
 
 
 def _annotate_mapping(t, next_id: int):
@@ -1779,43 +1882,14 @@ def read_delta(
         version = version_at_timestamp(table, timestamp_ms)
     _, meta, live, _ = _replay(table, version)
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
-    mapping = _column_mapping(meta)
-    logical_to_phys = mapping[1] if mapping else {}
-    scan_pcols = [
-        logical_to_phys.get(c, c) for c in meta["partitionColumns"]
-    ]
 
     def _with_filters(df: DataFrame) -> DataFrame:
-        for col, op, lit in predicate or ():
-            if op not in _PRED_OPS:
-                raise ValueError(f"op must be one of {_PRED_OPS}: {op!r}")
-            c = F.col(col)
-            df = df.filter(
-                {
-                    "=": c == F.lit(lit),
-                    "<": c < F.lit(lit),
-                    "<=": c <= F.lit(lit),
-                    ">": c > F.lit(lit),
-                    ">=": c >= F.lit(lit),
-                }[op]
-            )
-        return df
+        # the predicate is ALSO applied as a real filter, so skipping is
+        # purely an I/O optimization and never a correctness dependency
+        return df.filter(_predicate_column(predicate)) if predicate else df
 
     if predicate:
-        pcols = set(scan_pcols)
-        fcols = frozenset(
-            logical_to_phys.get(f.name, f.name)
-            for f in schema.fields
-            if f.dataType.simpleString() in ("float", "double")
-        )
-        phys_pred = [
-            (logical_to_phys.get(c, c), op, lit) for c, op, lit in predicate
-        ]
-        live = {
-            p: a
-            for p, a in live.items()
-            if _file_may_match(a, pcols, phys_pred, fcols)
-        }
+        live = _prune_by_predicate(meta, live, predicate)
     if not live:
         return _with_filters(spark.createDataFrame([], schema))
     return _with_filters(_read_live(spark, table, meta, live))
@@ -2211,6 +2285,16 @@ def _merge_delta_pinned(
             raise DeltaUnsupported(
                 f"merge_delta: source changes column types {conflicts} — "
                 "type changes are outside the implemented subset"
+            )
+        relaxed = _null_relaxed(
+            json.loads(meta["schemaString"]),
+            json.loads(source.schema.json()),
+        )
+        if relaxed:
+            raise DeltaUnsupported(
+                f"merge_delta: source relaxes nullability at {relaxed} — "
+                "the table declares these non-nullable and this engine "
+                "does not validate rows against the declaration"
             )
         src_only = [
             f for f in source.schema.fields if f.name not in tbl_types
@@ -2608,7 +2692,7 @@ def table_changes(
             # EXACTLY the positions the new descriptor invalidates
             # beyond the old one.  The same-commit remove of the old
             # incarnation is bookkeeping, not a whole-file delete.
-            from zeta_etl_spark.sinks.delta_dv import read_dv_rows
+            from zeta_etl_spark.sinks.delta_dv import dv_positions_df
 
             if prev_live is None:
                 raise DeltaUnsupported(
@@ -2664,33 +2748,42 @@ def table_changes(
                         )
                     )
                     continue
-                old_rows = (
-                    set(read_dv_rows(old_add["deletionVector"], table))
-                    if old_add.get("deletionVector")
-                    else set()
+                # both descriptors decode EXECUTOR-side (the driver
+                # never holds a positions list — mirror of the read
+                # path); the delta is an anti-join of the two frames
+                rel_key = {urllib.parse.unquote(p): "f"}
+                new_pos, new_card = dv_positions_df(
+                    spark, {p: a}, table, rel_key
                 )
-                new_rows = set(read_dv_rows(a["deletionVector"], table))
-                undeleted = old_rows - new_rows
-                if undeleted:
-                    raise DeltaUnsupported(
-                        f"version {v} of {table} SHRANK the deletion "
-                        f"vector of {p!r} (un-delete) — outside the "
-                        "derivable subset"
+                new_pos = new_pos.select("__ri")
+                if old_add.get("deletionVector"):
+                    old_pos, _ = dv_positions_df(
+                        spark, {p: old_add}, table, rel_key
                     )
-                delta = sorted(new_rows - old_rows)
-                if not delta:
+                    old_pos = old_pos.select("__ri")
+                    if not old_pos.join(
+                        new_pos, "__ri", "left_anti"
+                    ).isEmpty():
+                        raise DeltaUnsupported(
+                            f"version {v} of {table} SHRANK the deletion "
+                            f"vector of {p!r} (un-delete) — outside the "
+                            "derivable subset"
+                        )
+                    delta_pos = new_pos.join(
+                        old_pos, "__ri", "left_anti"
+                    )
+                else:
+                    delta_pos = new_pos
+                if delta_pos.isEmpty():
                     continue
                 clean = {k: x for k, x in a.items() if k != "deletionVector"}
                 scan = _scan_live(
                     spark, table, meta, {p: clean}, with_meta=True
                 )
-                # positions list bounded by THIS commit's new deletions
-                # (the cardinality dv-mode deletes are chosen for)
-                pos = spark.createDataFrame(
-                    [(r,) for r in delta], "__ri bigint"
-                )
+                if new_card <= 1_000_000:
+                    delta_pos = F.broadcast(delta_pos)
                 pieces.append(
-                    scan.join(F.broadcast(pos), "__ri")
+                    scan.join(delta_pos, "__ri")
                     .drop("__fp", "__ri")
                     .withColumn("_change_type", F.lit("delete"))
                     .withColumn("_commit_version", F.lit(v).cast("bigint"))
@@ -2795,7 +2888,11 @@ def delete_delta(
     """Row-level ``DELETE FROM table WHERE ...`` on a native-format Delta
     table.  ``predicate`` is the same conjunction of ``(column, op,
     literal)`` as :func:`read_delta`; files it provably cannot touch are
-    pruned through the stats machinery and never read.
+    pruned through the stats machinery, and of the remaining candidates
+    only files that actually CONTAIN a matching row are touched — a file
+    whose stats overlap but whose rows all miss is never removed or
+    rewritten.  SQL semantics: a row is deleted iff the predicate is
+    TRUE — rows where it evaluates to NULL survive untouched.
 
     Two physical strategies, exactly the trade every modern engine makes:
 
@@ -2818,6 +2915,9 @@ def delete_delta(
       invariants / checkConstraints / changeDataFeed / generatedColumns
       / columnMapping by version) so no capability requirement is
       dropped; identity-column tables (v6) refuse — use rewrite mode.
+      On a table with ``delta.enableChangeDataFeed=true`` the commit
+      ALSO stages cdc delete files (the spec's writer obligation —
+      foreign CDF consumers cannot derive changes from a descriptor).
 
     Scale notes: the dv path serializes per-file roaring bitmaps
     EXECUTOR-side (Arrow batch, one row per touched file) — the driver
@@ -2841,13 +2941,14 @@ def delete_delta(
         base_version = latest_version(table)
         protocol, meta, live, _ = _replay(table, base_version)
         _check_writer_protocol(protocol, meta, "DELETE", removes_data=True)
-        schema = StructType.fromJson(json.loads(meta["schemaString"]))
         mapping = _column_mapping(meta)
         l2p = mapping[1] if mapping else {}
         pcols = list(meta["partitionColumns"])
+        phys_pcols = [l2p.get(c, c) for c in pcols]
         candidates = _prune_by_predicate(meta, live, predicate)
         pruned = len(live) - len(candidates)
         cond = _predicate_column(predicate)
+        is_hit = F.coalesce(cond, F.lit(False))  # NULL never deletes
         ts = int(time.time() * 1000)
         commit_info = {
             "commitInfo": {
@@ -2863,30 +2964,60 @@ def delete_delta(
             }
         }
 
-        if mode == "rewrite":
-            if not candidates:
-                return {
-                    "version": base_version,
-                    "rows_deleted": 0,
-                    "files_touched": 0,
-                    "files_pruned": pruned,
-                    "mode": mode,
-                }
-            scan = _read_live(spark, table, meta, candidates).persist()
-            try:
-                n_del = scan.filter(cond).count()
-                if n_del == 0:
-                    return {
-                        "version": base_version,
-                        "rows_deleted": 0,
-                        "files_touched": 0,
-                        "files_pruned": pruned,
-                        "mode": mode,
-                    }
+        def _no_op():
+            return {
+                "version": base_version,
+                "rows_deleted": 0,
+                "files_touched": 0,
+                "files_pruned": pruned,
+                "mode": mode,
+            }
+
+        if not candidates:
+            return _no_op()
+        # candidate rows with file identity; rows an existing DV already
+        # deleted are dropped (they can never match again)
+        scan = _read_live(
+            spark, table, meta, candidates, keep_meta=True
+        ).persist()
+        try:
+            hit_fps = [
+                r["__fp"]
+                for r in scan.filter(is_hit)
+                .select("__fp")
+                .distinct()
+                .collect()
+            ]
+            if not hit_fps:
+                return _no_op()
+            hit_rels = set(
+                _uri_by_rel(
+                    hit_fps, table, candidates, require_all=False
+                )
+            )
+            touched = {
+                p: a
+                for p, a in candidates.items()
+                if urllib.parse.unquote(p) in hit_rels
+            }
+            fps_df = F.broadcast(
+                spark.createDataFrame(
+                    [(u,) for u in hit_fps], "__fp string"
+                )
+            )
+            base = scan.join(fps_df, "__fp")
+            schema = StructType.fromJson(json.loads(meta["schemaString"]))
+            data_cols = [f.name for f in schema.fields]
+            deleted_rows = base.filter(is_hit).select(*data_cols)
+
+            if mode == "rewrite":
+                n_del = deleted_rows.count()
                 adds = _stage_data_files(
-                    _to_physical(scan.filter(~cond), meta),
+                    _to_physical(
+                        base.filter(~is_hit).select(*data_cols), meta
+                    ),
                     table,
-                    [l2p.get(c, c) for c in pcols],
+                    phys_pcols,
                     data_change=True,
                     drop_empty=True,
                 )
@@ -2894,239 +3025,236 @@ def delete_delta(
                 if write_cdf:
                     cdc_actions = _stage_data_files(
                         _to_physical(
-                            scan.filter(cond).withColumn(
+                            deleted_rows.withColumn(
                                 "_change_type", F.lit("delete")
                             ),
                             meta,
                             passthrough=("_change_type",),
                         ),
                         table,
-                        [l2p.get(c, c) for c in pcols],
+                        phys_pcols,
                         data_change=False,
                         action="cdc",
                         subdir=_CHANGE_DATA_DIR,
                         drop_empty=True,
                     )
-            finally:
-                scan.unpersist()
-            actions = [commit_info]
-            actions.extend(
-                {
-                    "remove": {
-                        "path": p,
-                        "deletionTimestamp": ts,
-                        "dataChange": True,
-                        "partitionValues": candidates[p].get(
-                            "partitionValues"
-                        ),
+                actions = [commit_info]
+                actions.extend(
+                    {
+                        "remove": {
+                            "path": p,
+                            "deletionTimestamp": ts,
+                            "dataChange": True,
+                            "partitionValues": touched[p].get(
+                                "partitionValues"
+                            ),
+                        }
                     }
-                }
-                for p in sorted(candidates)
+                    for p in sorted(touched)
+                )
+                actions.extend(adds)
+                actions.extend(cdc_actions)
+                if _write_commit_atomic(table, base_version + 1, actions):
+                    return {
+                        "version": base_version + 1,
+                        "rows_deleted": n_del,
+                        "files_touched": len(touched),
+                        "files_pruned": pruned,
+                        "mode": mode,
+                    }
+                _discard_staged(table, adds + cdc_actions)
+                continue
+
+            # ---- mode == 'dv' ----
+            from zeta_etl_spark.sinks.delta_dv import (
+                read_dv_rows,
+                serialize_dv_bitmap,
+                z85_encode,
             )
-            actions.extend(adds)
+
+            mwv = (protocol or {}).get("minWriterVersion", 2)
+            mrv = (protocol or {}).get("minReaderVersion", 1)
+            feats = set((protocol or {}).get("writerFeatures") or [])
+            rfeats = set((protocol or {}).get("readerFeatures") or [])
+            if mwv == 6:
+                raise DeltaUnsupported(
+                    "dv-mode DELETE on a minWriterVersion-6 (identity "
+                    "columns) table is outside the implemented subset — "
+                    "use mode='rewrite'"
+                )
+            # per-file bitmaps serialize EXECUTOR-side (Arrow batch over
+            # one row per touched file): the driver receives COMPRESSED
+            # roaring bytes, never the positions list
+            from pyspark.sql.functions import pandas_udf
+
+            @pandas_udf("binary")
+            def _ser_bitmap(ris):  # pd.Series of int64 lists
+                return ris.map(
+                    lambda v: serialize_dv_bitmap(
+                        sorted(int(x) for x in v)
+                    )
+                )
+
+            hit_rows = (
+                base.filter(is_hit)
+                .groupBy("__fp")
+                .agg(F.collect_list("__ri").alias("__ris"))
+                .select(
+                    "__fp",
+                    _ser_bitmap("__ris").alias("__bm"),
+                    F.size("__ris").cast("bigint").alias("__n"),
+                )
+                .collect()
+            )
+            uri_by_rel = _uri_by_rel(
+                hit_fps, table, candidates, require_all=False
+            )
+            rel_by_uri = {uri: rel for rel, uri in uri_by_rel.items()}
+            new_bitmaps: dict[str, tuple[bytes, int]] = {
+                rel_by_uri[r["__fp"]]: (r["__bm"], r["__n"])
+                for r in hit_rows
+            }
+            n_del = sum(n for _, n in new_bitmaps.values())
+
+            # spec writer obligation: a CDF-enabled table gets cdc files
+            # too — foreign consumers cannot derive changes from a
+            # descriptor delta
+            cdf_on = (meta.get("configuration") or {}).get(
+                "delta.enableChangeDataFeed"
+            ) == "true"
+            cdc_actions = []
+            if write_cdf and cdf_on:
+                cdc_actions = _stage_data_files(
+                    _to_physical(
+                        deleted_rows.withColumn(
+                            "_change_type", F.lit("delete")
+                        ),
+                        meta,
+                        passthrough=("_change_type",),
+                    ),
+                    table,
+                    phys_pcols,
+                    data_change=False,
+                    action="cdc",
+                    subdir=_CHANGE_DATA_DIR,
+                    drop_empty=True,
+                )
+
+            # one DV file carries every touched file's bitmap at an offset
+            dv_uuid = uuid.uuid4()
+            dv_name = f"deletion_vector_{dv_uuid}.bin"
+            import struct as _struct
+            import zlib as _zlib
+
+            from zeta_etl_spark.sinks.delta_dv import (
+                deserialize_dv_bitmap,
+            )
+
+            blob = bytearray(b"\x01")  # format version byte
+            descriptors: dict[str, dict] = {}
+            for rel_unq, (data, n_new) in sorted(new_bitmaps.items()):
+                # union with the file's existing DV, if any — the only
+                # path that materializes positions driver-side, bounded
+                # by THAT FILE's total deletions
+                quoted = urllib.parse.quote(rel_unq, safe="/=")
+                add = candidates.get(quoted) or candidates.get(rel_unq)
+                old_desc = (add or {}).get("deletionVector")
+                if old_desc:
+                    rows = sorted(
+                        set(deserialize_dv_bitmap(data))
+                        | set(read_dv_rows(old_desc, table))
+                    )
+                    data = serialize_dv_bitmap(rows)
+                else:
+                    rows = None  # fresh DV: executor bytes used as-is
+                offset = len(blob)
+                blob += _struct.pack(">i", len(data))
+                blob += data
+                # same BYTES as the reader's signed ">i" + mask round-trip
+                blob += _struct.pack(">I", _zlib.crc32(data) & 0xFFFFFFFF)
+                descriptors[rel_unq] = {
+                    "storageType": "u",
+                    "pathOrInlineDv": z85_encode(dv_uuid.bytes),
+                    "offset": offset,
+                    "sizeInBytes": len(data),
+                    "cardinality": (
+                        len(rows) if rows is not None else n_new
+                    ),
+                }
+            dv_path = os.path.join(table, dv_name)
+            with open(dv_path, "wb") as fh:
+                fh.write(blob)
+
+            actions = [commit_info]
+            if not (
+                mwv == 7 and "deletionVectors" in feats
+                and mrv == 3 and "deletionVectors" in rfeats
+            ):
+                # upgrade to table features; per spec the features
+                # IMPLIED by the previous legacy versions must be
+                # enumerated so no prior capability requirement is
+                # silently dropped
+                legacy_w = ["appendOnly", "invariants"]
+                if mwv >= 3:
+                    legacy_w.append("checkConstraints")
+                if mwv >= 4:
+                    legacy_w += ["changeDataFeed", "generatedColumns"]
+                if mwv >= 5:
+                    legacy_w.append("columnMapping")
+                if mwv == 7:
+                    legacy_w = sorted(feats)
+                legacy_r = sorted(rfeats) if mrv == 3 else (
+                    ["columnMapping"] if mrv == 2 else []
+                )
+                actions.append(
+                    {
+                        "protocol": {
+                            "minReaderVersion": 3,
+                            "minWriterVersion": 7,
+                            "readerFeatures": sorted(
+                                set(legacy_r) | {"deletionVectors"}
+                            ),
+                            "writerFeatures": sorted(
+                                set(legacy_w) | {"deletionVectors"}
+                            ),
+                        }
+                    }
+                )
+            for rel_unq, desc in sorted(descriptors.items()):
+                quoted = urllib.parse.quote(rel_unq, safe="/=")
+                add = candidates.get(quoted) or candidates[rel_unq]
+                actions.append(
+                    {
+                        "remove": {
+                            "path": add["path"],
+                            "deletionTimestamp": ts,
+                            "dataChange": True,
+                            "partitionValues": add.get("partitionValues"),
+                        }
+                    }
+                )
+                actions.append(
+                    {
+                        "add": {
+                            **add,
+                            "dataChange": True,
+                            "deletionVector": desc,
+                        }
+                    }
+                )
             actions.extend(cdc_actions)
             if _write_commit_atomic(table, base_version + 1, actions):
                 return {
                     "version": base_version + 1,
                     "rows_deleted": n_del,
-                    "files_touched": len(candidates),
+                    "files_touched": len(descriptors),
                     "files_pruned": pruned,
                     "mode": mode,
                 }
-            _discard_staged(table, adds + cdc_actions)
-            continue
-
-        # ---- mode == 'dv' ----
-        from zeta_etl_spark.sinks.delta_dv import (
-            read_dv_rows,
-            serialize_dv_bitmap,
-            z85_encode,
-        )
-
-        mwv = (protocol or {}).get("minWriterVersion", 2)
-        mrv = (protocol or {}).get("minReaderVersion", 1)
-        feats = set((protocol or {}).get("writerFeatures") or [])
-        rfeats = set((protocol or {}).get("readerFeatures") or [])
-        if mwv == 6:
-            raise DeltaUnsupported(
-                "dv-mode DELETE on a minWriterVersion-6 (identity "
-                "columns) table is outside the implemented subset — "
-                "use mode='rewrite'"
-            )
-        if not candidates:
-            return {
-                "version": base_version,
-                "rows_deleted": 0,
-                "files_touched": 0,
-                "files_pruned": pruned,
-                "mode": mode,
-            }
-        # matching (file, row-index) pairs; rows ALREADY deleted by an
-        # existing DV are excluded by scanning through the same
-        # _scan_live + anti-join shape as _read_live, WITH the metadata
-        dv_candidates = {
-            p: a for p, a in candidates.items() if a.get("deletionVector")
-        }
-        scan = _scan_live(spark, table, meta, candidates, with_meta=True)
-        uri_by_rel = _uri_by_rel(
-            [r["__fp"] for r in scan.select("__fp").distinct().collect()],
-            table,
-            candidates,
-        )
-        if dv_candidates:
-            from zeta_etl_spark.sinks.delta_dv import dv_positions_df
-
-            pos_df, declared = dv_positions_df(
-                spark, dv_candidates, table, uri_by_rel
-            )
-            if declared <= 1_000_000:
-                pos_df = F.broadcast(pos_df)
-            scan = scan.join(pos_df, ["__fp", "__ri"], "left_anti")
-        # per-file bitmaps serialize EXECUTOR-side (Arrow batch over one
-        # row per touched file): the driver receives COMPRESSED roaring
-        # bytes, never the raw positions list — at 10M deleted rows that
-        # is ~MBs of bitmap instead of an 80 MB+ int64 list
-        from pyspark.sql.functions import pandas_udf
-
-        @pandas_udf("binary")
-        def _ser_bitmap(ris):  # pd.Series of int64 lists
-            return ris.map(
-                lambda v: serialize_dv_bitmap(sorted(int(x) for x in v))
-            )
-
-        hit_rows = (
-            scan.filter(cond)
-            .groupBy("__fp")
-            .agg(F.collect_list("__ri").alias("__ris"))
-            .select(
-                "__fp",
-                _ser_bitmap("__ris").alias("__bm"),
-                F.size("__ris").cast("bigint").alias("__n"),
-            )
-            .collect()
-        )
-        if not hit_rows:
-            return {
-                "version": base_version,
-                "rows_deleted": 0,
-                "files_touched": 0,
-                "files_pruned": pruned,
-                "mode": mode,
-            }
-        rel_by_uri = {
-            uri: rel for rel, uri in uri_by_rel.items()
-        }
-        new_bitmaps: dict[str, tuple[bytes, int]] = {
-            rel_by_uri[r["__fp"]]: (r["__bm"], r["__n"]) for r in hit_rows
-        }
-        n_del = sum(n for _, n in new_bitmaps.values())
-
-        # one DV file carries every touched file's bitmap at an offset
-        dv_uuid = uuid.uuid4()
-        dv_name = f"deletion_vector_{dv_uuid}.bin"
-        import struct as _struct
-        import zlib as _zlib
-
-        from zeta_etl_spark.sinks.delta_dv import deserialize_dv_bitmap
-
-        blob = bytearray(b"\x01")  # format version byte
-        descriptors: dict[str, dict] = {}
-        for rel_unq, (data, n_new) in sorted(new_bitmaps.items()):
-            # union with the file's existing DV, if any — the only path
-            # that materializes positions driver-side, bounded by THAT
-            # FILE's total deletions
-            quoted = urllib.parse.quote(rel_unq, safe="/=")
-            add = candidates.get(quoted) or candidates.get(rel_unq)
-            old_desc = (add or {}).get("deletionVector")
-            if old_desc:
-                rows = sorted(
-                    set(deserialize_dv_bitmap(data))
-                    | set(read_dv_rows(old_desc, table))
-                )
-                data = serialize_dv_bitmap(rows)
-            else:
-                rows = None  # fresh DV: executor bytes used as-is
-            offset = len(blob)
-            blob += _struct.pack(">i", len(data))
-            blob += data
-            # same BYTES as the reader's signed ">i" + mask round-trip
-            blob += _struct.pack(">I", _zlib.crc32(data) & 0xFFFFFFFF)
-            descriptors[rel_unq] = {
-                "storageType": "u",
-                "pathOrInlineDv": z85_encode(dv_uuid.bytes),
-                "offset": offset,
-                "sizeInBytes": len(data),
-                "cardinality": len(rows) if rows is not None else n_new,
-            }
-        dv_path = os.path.join(table, dv_name)
-        with open(dv_path, "wb") as fh:
-            fh.write(blob)
-
-        actions = [commit_info]
-        if not (
-            mwv == 7 and "deletionVectors" in feats
-            and mrv == 3 and "deletionVectors" in rfeats
-        ):
-            # upgrade to table features; per spec the features IMPLIED
-            # by the previous legacy versions must be enumerated so no
-            # prior capability requirement is silently dropped
-            legacy_w = ["appendOnly", "invariants"]
-            if mwv >= 3:
-                legacy_w.append("checkConstraints")
-            if mwv >= 4:
-                legacy_w += ["changeDataFeed", "generatedColumns"]
-            if mwv >= 5:
-                legacy_w.append("columnMapping")
-            if mwv == 7:
-                legacy_w = sorted(feats)
-            legacy_r = sorted(rfeats) if mrv == 3 else (
-                ["columnMapping"] if mrv == 2 else []
-            )
-            actions.append(
-                {
-                    "protocol": {
-                        "minReaderVersion": 3,
-                        "minWriterVersion": 7,
-                        "readerFeatures": sorted(
-                            set(legacy_r) | {"deletionVectors"}
-                        ),
-                        "writerFeatures": sorted(
-                            set(legacy_w) | {"deletionVectors"}
-                        ),
-                    }
-                }
-            )
-        for rel_unq, desc in sorted(descriptors.items()):
-            quoted = urllib.parse.quote(rel_unq, safe="/=")
-            add = candidates.get(quoted) or candidates[rel_unq]
-            actions.append(
-                {
-                    "remove": {
-                        "path": add["path"],
-                        "deletionTimestamp": ts,
-                        "dataChange": True,
-                        "partitionValues": add.get("partitionValues"),
-                    }
-                }
-            )
-            actions.append(
-                {
-                    "add": {
-                        **add,
-                        "dataChange": True,
-                        "deletionVector": desc,
-                    }
-                }
-            )
-        if _write_commit_atomic(table, base_version + 1, actions):
-            return {
-                "version": base_version + 1,
-                "rows_deleted": n_del,
-                "files_touched": len(descriptors),
-                "files_pruned": pruned,
-                "mode": mode,
-            }
-        os.unlink(dv_path)
+            os.unlink(dv_path)
+            _discard_staged(table, cdc_actions)
+        finally:
+            scan.unpersist()
     raise DeltaConcurrentModification(
         f"DELETE lost the commit race {max_retries} times: {table}"
     )
@@ -3144,14 +3272,16 @@ def update_delta(
     native-format Delta table — the third of the DML triad (MERGE,
     DELETE, UPDATE) on the same seams: ``predicate`` (the read_delta
     conjunction form) prunes untouched files through the stats
-    machinery, touched files scan through :func:`_read_live` (deletion
-    vectors honored, rewrite drops them), matching rows re-project
-    through ``set_exprs`` (SQL over the row's LOGICAL columns, cast back
-    to the column's table type), and the commit is spec-true
-    ``remove``+``add`` dataChange with cdc ``update_preimage`` /
-    ``update_postimage`` files when ``write_cdf`` (so CDF consumers see
-    row-level updates, and copied rows of rewritten files appear
-    nowhere).  A predicate that matches nothing commits NOTHING.
+    machinery, and of the remaining candidates only files that actually
+    CONTAIN a matching row are rewritten.  SQL semantics: a row updates
+    iff the predicate is TRUE — rows where it evaluates to NULL are
+    copied unchanged.  Touched files scan through :func:`_read_live`
+    (deletion vectors honored, the rewrite drops them), matching rows
+    re-project through ``set_exprs`` (SQL over the row's LOGICAL
+    columns, cast back to the column's table type), and the commit is
+    spec-true ``remove``+``add`` dataChange with cdc
+    ``update_preimage`` / ``update_postimage`` files when ``write_cdf``.
+    A predicate that matches nothing commits NOTHING.
 
     Returns {version, rows_updated, files_touched, files_pruned}."""
     predicate = list(predicate)
@@ -3186,6 +3316,7 @@ def update_delta(
         mapping = _column_mapping(meta)
         l2p = mapping[1] if mapping else {}
         pcols = list(meta["partitionColumns"])
+        phys_pcols = [l2p.get(c, c) for c in pcols]
         candidates = _prune_by_predicate(meta, live, predicate)
         pruned = len(live) - len(candidates)
         if not candidates:
@@ -3196,16 +3327,41 @@ def update_delta(
                 "files_pruned": pruned,
             }
         cond = _predicate_column(predicate)
-        scan = _read_live(spark, table, meta, candidates).persist()
+        is_hit = F.coalesce(cond, F.lit(False))  # NULL never updates
+        scan = _read_live(
+            spark, table, meta, candidates, keep_meta=True
+        ).persist()
         try:
-            n_upd = scan.filter(cond).count()
-            if n_upd == 0:
+            hit_fps = [
+                r["__fp"]
+                for r in scan.filter(is_hit)
+                .select("__fp")
+                .distinct()
+                .collect()
+            ]
+            if not hit_fps:
                 return {
                     "version": base_version,
                     "rows_updated": 0,
                     "files_touched": 0,
                     "files_pruned": pruned,
                 }
+            hit_rels = set(
+                _uri_by_rel(hit_fps, table, candidates, require_all=False)
+            )
+            touched = {
+                p: a
+                for p, a in candidates.items()
+                if urllib.parse.unquote(p) in hit_rels
+            }
+            fps_df = F.broadcast(
+                spark.createDataFrame(
+                    [(u,) for u in hit_fps], "__fp string"
+                )
+            )
+            base = scan.join(fps_df, "__fp")
+            data_cols = [f.name for f in schema.fields]
+            n_upd = base.filter(is_hit).count()
             updated_cols = [
                 (
                     F.expr(set_exprs[f.name]).cast(f.dataType)
@@ -3214,28 +3370,29 @@ def update_delta(
                 ).alias(f.name)
                 for f in schema.fields
             ]
+            pre = base.filter(is_hit).select(*data_cols)
             post = _enforce_generated(
-                scan.filter(cond).select(*updated_cols),
+                base.filter(is_hit).select(*updated_cols),
                 meta,
                 recompute=True,
             )
-            merged = scan.filter(~cond).unionByName(post)
+            merged = base.filter(~is_hit).select(*data_cols).unionByName(
+                post
+            )
             adds = _stage_data_files(
                 _to_physical(merged, meta),
                 table,
-                [l2p.get(c, c) for c in pcols],
+                phys_pcols,
                 data_change=True,
                 drop_empty=True,
             )
             cdc_actions: list[dict] = []
             if write_cdf:
-                changes = (
-                    scan.filter(cond)
-                    .withColumn("_change_type", F.lit("update_preimage"))
-                    .unionByName(
-                        post.withColumn(
-                            "_change_type", F.lit("update_postimage")
-                        )
+                changes = pre.withColumn(
+                    "_change_type", F.lit("update_preimage")
+                ).unionByName(
+                    post.withColumn(
+                        "_change_type", F.lit("update_postimage")
                     )
                 )
                 cdc_actions = _stage_data_files(
@@ -3243,7 +3400,7 @@ def update_delta(
                         changes, meta, passthrough=("_change_type",)
                     ),
                     table,
-                    [l2p.get(c, c) for c in pcols],
+                    phys_pcols,
                     data_change=False,
                     action="cdc",
                     subdir=_CHANGE_DATA_DIR,
@@ -3273,10 +3430,10 @@ def update_delta(
                     "path": p,
                     "deletionTimestamp": ts,
                     "dataChange": True,
-                    "partitionValues": candidates[p].get("partitionValues"),
+                    "partitionValues": touched[p].get("partitionValues"),
                 }
             }
-            for p in sorted(candidates)
+            for p in sorted(touched)
         )
         actions.extend(adds)
         actions.extend(cdc_actions)
@@ -3284,7 +3441,7 @@ def update_delta(
             return {
                 "version": base_version + 1,
                 "rows_updated": n_upd,
-                "files_touched": len(candidates),
+                "files_touched": len(touched),
                 "files_pruned": pruned,
             }
         _discard_staged(table, adds + cdc_actions)
@@ -3490,6 +3647,10 @@ def write_checkpoint(table: str, version: int | None = None) -> int:
     if version is None:
         version = latest_version(table)
     protocol, meta, live, txns = _replay(table, version)
+    # an unknown writer feature's per-file fields (rowTracking baseRowId,
+    # ...) would be silently DROPPED by the fixed checkpoint schema below
+    # and lost forever once cleanup_log deletes the JSON tail
+    _check_log_writer_features(protocol, "checkpointing")
 
     str_map = pa.map_(pa.string(), pa.string())
     schema = pa.schema(
@@ -3540,6 +3701,9 @@ def write_checkpoint(table: str, version: int | None = None) -> int:
                         ("modificationTime", pa.int64()),
                         ("dataChange", pa.bool_()),
                         ("stats", pa.string()),
+                        # optional user/engine metadata on foreign adds
+                        # (e.g. OPTIMIZE ZCUBE tags) survives too
+                        ("tags", str_map),
                         # live deletion-vector descriptors survive the
                         # checkpoint (the spec's DeletionVectorDescriptor
                         # struct) — without this column, cleanup past the
@@ -3591,7 +3755,7 @@ def write_checkpoint(table: str, version: int | None = None) -> int:
     rows.extend(
         {"add": {k: a.get(k) for k in (
             "path", "partitionValues", "size", "modificationTime",
-            "dataChange", "stats", "deletionVector")}}
+            "dataChange", "stats", "tags", "deletionVector")}}
         for _, a in sorted(live.items())
     )
     target = _checkpoint_path(table, version)
@@ -3824,7 +3988,11 @@ def vacuum(
     defaults to 7 days).  Returns the deleted (or would-delete) paths."""
     from zeta_etl_spark.sinks.delta_dv import dv_file_path
 
-    _, _, live, _ = _replay(table)
+    protocol, _, live, _ = _replay(table)
+    # the vacuumProtocolCheck obligation: validate the FULL protocol —
+    # reader features via _replay/_apply_protocol, writer features here —
+    # before deleting anything an unknown feature might still reference
+    _check_log_writer_features(protocol, "VACUUM")
     keep = {os.path.normpath(urllib.parse.unquote(p)) for p in live}
     # deletion-vector files referenced by live descriptors are data too
     for a in live.values():
