@@ -419,3 +419,108 @@ def median_of_means_value(spark, sf_dir):
             .alias("deviation_cents"),
         )
     )
+
+
+# --- l_diversity_audit ---------------------------------------------------------
+# The complement of k_anonymity_audit (Machanavajjhala et al.):
+# k-anonymity alone leaks when every row of a released group shares the
+# SENSITIVE value — a group is l-diverse only if its sensitive attribute
+# takes at least l distinct values.  Release = events projected to the
+# quasi-identifiers (event type, hour-of-day, value band); sensitive
+# attribute = user_id; k = 5 (groups below k are suppressed by the
+# k-anonymity pass and excluded here).  For l in {2, 3, 5}: how many
+# RELEASABLE groups are not l-diverse and how many rows they leak.
+# Hour-of-day via pure epoch-integer arithmetic (both engines bucket
+# identically); one groupBy on the QI grain feeds all three thresholds
+# through the explode pattern shared with k_anonymity_audit.
+
+_LDIV_ORACLE = """
+WITH rel AS (
+  SELECT event_type,
+    (date_diff('second', TIMESTAMP '1970-01-01', CAST(ts AS TIMESTAMP))
+     // 3600) % 24 AS hod,
+    CAST(floor(value / 50) AS BIGINT) AS vband,
+    user_id
+  FROM events
+), q AS (
+  SELECT event_type, hod, vband,
+    CAST(COUNT(*) AS BIGINT) AS grp_rows,
+    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_sensitive
+  FROM rel GROUP BY 1, 2, 3
+), released AS (
+  SELECT * FROM q WHERE grp_rows >= 5
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+    CAST(COALESCE(SUM(grp_rows), 0) AS BIGINT) AS n_rows
+  FROM released
+), ls AS (
+  SELECT l FROM UNNEST([2, 3, 5]) AS t(l)
+)
+SELECT CAST(ls.l AS BIGINT) AS l,
+  tot.n_groups AS released_groups,
+  CAST(SUM(CASE WHEN n_sensitive < ls.l THEN 1 ELSE 0 END) AS BIGINT)
+    AS weak_groups,
+  CAST(SUM(CASE WHEN n_sensitive < ls.l THEN grp_rows ELSE 0 END)
+    AS BIGINT) AS leaky_rows,
+  CAST(SUM(CASE WHEN n_sensitive < ls.l THEN grp_rows ELSE 0 END)
+    * 1000000 // tot.n_rows AS BIGINT) AS leaky_ppm
+FROM released CROSS JOIN ls CROSS JOIN tot
+GROUP BY 1, tot.n_groups, tot.n_rows
+"""
+
+
+@query(
+    "l_diversity_audit",
+    oracle=_LDIV_ORACLE,
+    tags=("privacy", "audit", "governance", "l-diversity"),
+)
+def l_diversity_audit(spark, sf_dir):
+    rel = T(spark, sf_dir, "events").select(
+        "event_type",
+        (
+            (
+                F.unix_timestamp(F.col("ts").cast("timestamp"))
+                .cast("bigint")
+                / F.lit(3600)
+            ).cast("bigint")
+            % 24
+        ).alias("hod"),
+        F.floor(F.col("value") / 50).cast("bigint").alias("vband"),
+        "user_id",
+    )
+    q = rel.groupBy("event_type", "hod", "vband").agg(
+        F.count(F.lit(1)).cast("bigint").alias("grp_rows"),
+        F.countDistinct("user_id").cast("bigint").alias("n_sensitive"),
+    )
+    released = q.filter(F.col("grp_rows") >= 5)
+    released = released.localCheckpoint()  # feeds totals + 3 thresholds
+    tot = released.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.coalesce(F.sum("grp_rows"), F.lit(0))
+        .cast("bigint")
+        .alias("n_rows"),
+    )
+    weak = F.col("n_sensitive") < F.col("l")
+    return (
+        released.transform(with_scalar_frame(tot))
+        .withColumn("l", F.explode(F.expr("array(2, 3, 5)")))
+        .groupBy(
+            F.col("l").cast("bigint").alias("l"), "n_groups", "n_rows"
+        )
+        .agg(
+            F.sum(F.when(weak, 1).otherwise(0))
+            .cast("bigint")
+            .alias("weak_groups"),
+            F.sum(F.when(weak, F.col("grp_rows")).otherwise(0))
+            .cast("bigint")
+            .alias("leaky_rows"),
+        )
+        .select(
+            "l",
+            F.col("n_groups").alias("released_groups"),
+            "weak_groups",
+            "leaky_rows",
+            F.expr("cast(leaky_rows * 1000000 div n_rows as bigint)")
+            .alias("leaky_ppm"),
+        )
+    )
