@@ -1439,3 +1439,89 @@ def delta_update_cdf_audit(spark, sf_dir):
         F.countDistinct("user_id").cast("bigint").alias("n_users"),
         dec_sum("value", "sum_value"),
     )
+
+
+# --- delta_checkpoint_v2_rollup: the V2 checkpoint layout on the graded
+# surface.  Three appends land 3+ files, a dv-mode DELETE removes the
+# user_id<5 band via a deletion-vector descriptor (no file rewrite), the
+# protocol is upgraded to the v2Checkpoint feature, a V2 checkpoint is
+# written (UUID-named top file, add actions sharded across MULTIPLE
+# sidecar parquets under _delta_log/_sidecars/) and the JSON commits it
+# covers are cleaned up — so the final predicate read MUST reconstruct
+# the snapshot purely through the v2 top-file + sidecar path, including
+# the DV descriptor that keeps the deleted band dead.  The rollup must
+# hash-match an oracle that knows only the surviving user_id band: a
+# sidecar that lost an add, a descriptor dropped by the sidecar schema,
+# or tail-replay anchored at the wrong version all break the hash.
+# Scale shape: same bounded slice as delta_zorder_pruned_rollup; sidecar
+# sharding is exactly what makes the checkpoint parallelizable at 100 TB
+# (a million-file live set splits into independently read/written
+# shards instead of one giant parquet).
+
+_DELTA_V2CK_ORACLE = f"""
+SELECT event_type,
+  COUNT(*) AS n_events,
+  COUNT(DISTINCT user_id) AS n_users,
+  {dec_sum_expr("value")} AS sum_value,
+  min(user_id) AS min_user,
+  max(user_id) AS max_user
+FROM events WHERE user_id >= 5 AND user_id < 90
+GROUP BY event_type
+"""
+
+
+@query(
+    "delta_checkpoint_v2_rollup",
+    oracle=_DELTA_V2CK_ORACLE,
+    tags=("delta", "sink", "S6", "format", "checkpoint", "dv"),
+)
+def delta_checkpoint_v2_rollup(spark, sf_dir):
+    import hashlib
+    import os
+    import tempfile
+
+    from zeta_etl_spark.sinks.delta_log import (
+        cleanup_log,
+        delete_delta,
+        enable_v2_checkpoints,
+        read_delta,
+        write_checkpoint,
+        write_delta,
+    )
+
+    ev = T(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", "ts"
+    )
+    dest = os.path.join(
+        tempfile.gettempdir(),
+        "zeta_delta_v2ck_"
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}_{os.getpid()}",
+    )
+    # overwrite resets the live set so repeated calls in one process
+    # stay idempotent (the read below is version-pinned anyway)
+    write_delta(
+        ev.filter(F.col("user_id") < 40), dest, mode="overwrite"
+    )
+    for lo, hi in ((40, 80), (80, 120)):
+        write_delta(
+            ev.filter((F.col("user_id") >= lo) & (F.col("user_id") < hi)),
+            dest,
+            mode="append",
+        )
+    delete_delta(spark, dest, [("user_id", "<", 5)], mode="dv")
+    enable_v2_checkpoints(dest)
+    v = write_checkpoint(dest, format="v2", max_actions_per_sidecar=2)
+    cleanup_log(dest)
+    back = read_delta(
+        spark,
+        dest,
+        version=v,
+        predicate=[("user_id", "<", 90)],
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        dec_sum("value", "sum_value"),
+        F.min("user_id").alias("min_user"),
+        F.max("user_id").alias("max_user"),
+    )

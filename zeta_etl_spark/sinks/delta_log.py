@@ -311,9 +311,9 @@ _WRITER_FEATURES_OK = {
     "columnMapping",     # honored: physical-name writes (name/id modes)
     "deletionVectors",   # honored: rewrites materialize-minus-DV and
                          # drop the descriptor; appends don't touch files
-    "v2Checkpoint",      # honored: checkpoints written here stay classic
-                         # single-file, which the feature keeps valid
-                         # (v2 is an ADDITIONAL format, not a replacement)
+    "v2Checkpoint",      # honored: write_checkpoint(format='v2') emits
+                         # the UUID top file + sidecars; classic stays
+                         # valid too (v2 is ADDITIONAL, not a replacement)
     "generatedColumns",  # honored: _enforce_generated computes absent /
                          # validates provided values on append and
                          # recomputes on MERGE/UPDATE outputs
@@ -339,6 +339,48 @@ def _check_log_writer_features(protocol: dict | None, op: str) -> None:
             "violate their file-level obligations — outside the "
             "implemented subset"
         )
+
+
+def _feature_era_protocol(
+    protocol: dict | None,
+    add_reader: Sequence[str] = (),
+    add_writer: Sequence[str] = (),
+) -> dict:
+    """The table-features-era (reader 3 / writer 7) protocol action that
+    upgrades ``protocol`` while adding the given features.  Per spec the
+    features IMPLIED by the previous legacy versions must be enumerated
+    so no prior capability requirement is silently dropped, and a
+    readerWriter feature (everything in ``add_reader``) appears in BOTH
+    lists (delta.io PROTOCOL.md "Table Features")."""
+    p = protocol or {}
+    mwv = p.get("minWriterVersion", 2)
+    mrv = p.get("minReaderVersion", 1)
+    feats = set(p.get("writerFeatures") or [])
+    rfeats = set(p.get("readerFeatures") or [])
+    legacy_w = ["appendOnly", "invariants"]
+    if mwv >= 3:
+        legacy_w.append("checkConstraints")
+    if mwv >= 4:
+        legacy_w += ["changeDataFeed", "generatedColumns"]
+    if mwv >= 5:
+        legacy_w.append("columnMapping")
+    if mwv >= 6:
+        legacy_w.append("identityColumns")
+    if mwv == 7:
+        legacy_w = sorted(feats)
+    legacy_r = sorted(rfeats) if mrv == 3 else (
+        ["columnMapping"] if mrv == 2 else []
+    )
+    return {
+        "minReaderVersion": 3,
+        "minWriterVersion": 7,
+        "readerFeatures": sorted(
+            set(legacy_r) | set(add_reader)
+        ),
+        "writerFeatures": sorted(
+            set(legacy_w) | set(add_writer) | set(add_reader)
+        ),
+    }
 
 
 def _check_writer_protocol(
@@ -3066,11 +3108,7 @@ def delete_delta(
                 continue
 
             # ---- mode == 'dv' ----
-            from zeta_etl_spark.sinks.delta_dv import (
-                read_dv_rows,
-                serialize_dv_bitmap,
-                z85_encode,
-            )
+            from zeta_etl_spark.sinks.delta_dv import z85_encode
 
             mwv = (protocol or {}).get("minWriterVersion", 2)
             mrv = (protocol or {}).get("minReaderVersion", 1)
@@ -3084,37 +3122,92 @@ def delete_delta(
                 )
             # per-file bitmaps serialize EXECUTOR-side (Arrow batch over
             # one row per touched file): the driver receives COMPRESSED
-            # roaring bytes, never the positions list
+            # roaring bytes, never the positions list.  A file that
+            # already carries a DV unions positions executor-side too —
+            # its old descriptor rides the frame as JSON and the worker
+            # decodes the old DV from shared storage (the scan already
+            # proved it readable), so driver memory stays O(touched
+            # files) regardless of per-file deletion cardinality.
+            import pandas as pd
             from pyspark.sql.functions import pandas_udf
 
-            @pandas_udf("binary")
-            def _ser_bitmap(ris):  # pd.Series of int64 lists
-                return ris.map(
-                    lambda v: serialize_dv_bitmap(
-                        sorted(int(x) for x in v)
-                    )
-                )
-
-            hit_rows = (
-                base.filter(is_hit)
-                .groupBy("__fp")
-                .agg(F.collect_list("__ri").alias("__ris"))
-                .select(
-                    "__fp",
-                    _ser_bitmap("__ris").alias("__bm"),
-                    F.size("__ris").cast("bigint").alias("__n"),
-                )
-                .collect()
-            )
             uri_by_rel = _uri_by_rel(
                 hit_fps, table, candidates, require_all=False
             )
             rel_by_uri = {uri: rel for rel, uri in uri_by_rel.items()}
-            new_bitmaps: dict[str, tuple[bytes, int]] = {
-                rel_by_uri[r["__fp"]]: (r["__bm"], r["__n"])
+            old_desc_rows = [
+                (uri, json.dumps(candidates[rel_by_uri[uri]]
+                                 .get("deletionVector")))
+                for uri in hit_fps
+                if candidates.get(rel_by_uri[uri], {}).get(
+                    "deletionVector"
+                )
+            ]
+            _tbl = table
+
+            def _ser_union_fn(ris, old_json):
+                from zeta_etl_spark.sinks.delta_dv import (
+                    read_dv_rows,
+                    serialize_dv_bitmap,
+                )
+
+                bms, cards = [], []
+                for v, oj in zip(ris, old_json):
+                    rows = {int(x) for x in v}
+                    if oj is not None:
+                        rows |= set(
+                            read_dv_rows(json.loads(oj), _tbl)
+                        )
+                    srt = sorted(rows)
+                    bms.append(serialize_dv_bitmap(srt))
+                    cards.append(len(srt))
+                return pd.DataFrame({"bm": bms, "card": cards})
+
+            # real class objects, not `from __future__` string
+            # annotations — pandas is imported locally, so string hints
+            # would not resolve in this module's globals
+            _ser_union_fn.__annotations__ = {
+                "ris": pd.Series,
+                "old_json": pd.Series,
+                "return": pd.DataFrame,
+            }
+            _ser_union = pandas_udf(
+                _ser_union_fn, "bm binary, card bigint"
+            )
+
+            grouped = (
+                base.filter(is_hit)
+                .groupBy("__fp")
+                .agg(F.collect_list("__ri").alias("__ris"))
+            )
+            if old_desc_rows:
+                grouped = grouped.join(
+                    F.broadcast(
+                        spark.createDataFrame(
+                            old_desc_rows, "__fp string, __old string"
+                        )
+                    ),
+                    "__fp",
+                    "left",
+                )
+            else:
+                grouped = grouped.withColumn(
+                    "__old", F.lit(None).cast("string")
+                )
+            hit_rows = (
+                grouped.select(
+                    "__fp",
+                    F.size("__ris").cast("bigint").alias("__n"),
+                    _ser_union("__ris", "__old").alias("__s"),
+                )
+                .select("__fp", "__n", "__s.bm", "__s.card")
+                .collect()
+            )
+            new_bitmaps: dict[str, tuple[bytes, int, int]] = {
+                rel_by_uri[r["__fp"]]: (r["bm"], r["card"], r["__n"])
                 for r in hit_rows
             }
-            n_del = sum(n for _, n in new_bitmaps.values())
+            n_del = sum(n for _, _, n in new_bitmaps.values())
 
             # spec writer obligation: a CDF-enabled table gets cdc files
             # too — foreign consumers cannot derive changes from a
@@ -3146,27 +3239,11 @@ def delete_delta(
             import struct as _struct
             import zlib as _zlib
 
-            from zeta_etl_spark.sinks.delta_dv import (
-                deserialize_dv_bitmap,
-            )
-
             blob = bytearray(b"\x01")  # format version byte
             descriptors: dict[str, dict] = {}
-            for rel_unq, (data, n_new) in sorted(new_bitmaps.items()):
-                # union with the file's existing DV, if any — the only
-                # path that materializes positions driver-side, bounded
-                # by THAT FILE's total deletions
-                quoted = urllib.parse.quote(rel_unq, safe="/=")
-                add = candidates.get(quoted) or candidates.get(rel_unq)
-                old_desc = (add or {}).get("deletionVector")
-                if old_desc:
-                    rows = sorted(
-                        set(deserialize_dv_bitmap(data))
-                        | set(read_dv_rows(old_desc, table))
-                    )
-                    data = serialize_dv_bitmap(rows)
-                else:
-                    rows = None  # fresh DV: executor bytes used as-is
+            for rel_unq, (data, card, _n_new) in sorted(
+                new_bitmaps.items()
+            ):
                 offset = len(blob)
                 blob += _struct.pack(">i", len(data))
                 blob += data
@@ -3177,9 +3254,7 @@ def delete_delta(
                     "pathOrInlineDv": z85_encode(dv_uuid.bytes),
                     "offset": offset,
                     "sizeInBytes": len(data),
-                    "cardinality": (
-                        len(rows) if rows is not None else n_new
-                    ),
+                    "cardinality": card,
                 }
             dv_path = os.path.join(table, dv_name)
             with open(dv_path, "wb") as fh:
@@ -3190,34 +3265,13 @@ def delete_delta(
                 mwv == 7 and "deletionVectors" in feats
                 and mrv == 3 and "deletionVectors" in rfeats
             ):
-                # upgrade to table features; per spec the features
-                # IMPLIED by the previous legacy versions must be
-                # enumerated so no prior capability requirement is
-                # silently dropped
-                legacy_w = ["appendOnly", "invariants"]
-                if mwv >= 3:
-                    legacy_w.append("checkConstraints")
-                if mwv >= 4:
-                    legacy_w += ["changeDataFeed", "generatedColumns"]
-                if mwv >= 5:
-                    legacy_w.append("columnMapping")
-                if mwv == 7:
-                    legacy_w = sorted(feats)
-                legacy_r = sorted(rfeats) if mrv == 3 else (
-                    ["columnMapping"] if mrv == 2 else []
-                )
+                # upgrade to table features, enumerating the implied
+                # legacy features (see _feature_era_protocol)
                 actions.append(
                     {
-                        "protocol": {
-                            "minReaderVersion": 3,
-                            "minWriterVersion": 7,
-                            "readerFeatures": sorted(
-                                set(legacy_r) | {"deletionVectors"}
-                            ),
-                            "writerFeatures": sorted(
-                                set(legacy_w) | {"deletionVectors"}
-                            ),
-                        }
+                        "protocol": _feature_era_protocol(
+                            protocol, add_reader=("deletionVectors",)
+                        )
                     }
                 )
             for rel_unq, desc in sorted(descriptors.items()):
@@ -3628,15 +3682,195 @@ def latest_version(table: str) -> int:
                checkpoints[-1] if checkpoints else -1)
 
 
-def write_checkpoint(table: str, version: int | None = None) -> int:
-    """Write a classic single-file checkpoint
-    (``_delta_log/<v>.checkpoint.parquet``) summarizing the snapshot at
-    ``version`` (default latest), plus the ``_last_checkpoint`` pointer.
-    One parquet row per action with the spec's top-level ``protocol`` /
-    ``metaData`` / ``add`` / ``txn`` struct columns.  ``remove``
-    tombstones are not carried: this module's VACUUM discovers dead files
-    by directory walk, not tombstone replay, so a checkpoint here is
-    purely the reconciled live state.  Returns the checkpointed version.
+def _checkpoint_arrow_fields():
+    """The spec action structs shared by classic checkpoints, v2 top
+    files and v2 sidecars, as pyarrow fields keyed by action name."""
+    import pyarrow as pa
+
+    str_map = pa.map_(pa.string(), pa.string())
+    return {
+        "protocol": pa.field(
+            "protocol",
+            pa.struct(
+                [
+                    ("minReaderVersion", pa.int32()),
+                    ("minWriterVersion", pa.int32()),
+                    # table-features protocols REQUIRE the feature
+                    # lists; dropping them would write a spec-invalid
+                    # checkpoint and lose the declarations once
+                    # cleanup_log deletes the JSON commits
+                    ("readerFeatures", pa.list_(pa.string())),
+                    ("writerFeatures", pa.list_(pa.string())),
+                ]
+            ),
+        ),
+        "metaData": pa.field(
+            "metaData",
+            pa.struct(
+                [
+                    ("id", pa.string()),
+                    (
+                        "format",
+                        pa.struct(
+                            [
+                                ("provider", pa.string()),
+                                ("options", str_map),
+                            ]
+                        ),
+                    ),
+                    ("schemaString", pa.string()),
+                    ("partitionColumns", pa.list_(pa.string())),
+                    ("configuration", str_map),
+                    ("createdTime", pa.int64()),
+                ]
+            ),
+        ),
+        "add": pa.field(
+            "add",
+            pa.struct(
+                [
+                    ("path", pa.string()),
+                    ("partitionValues", str_map),
+                    ("size", pa.int64()),
+                    ("modificationTime", pa.int64()),
+                    ("dataChange", pa.bool_()),
+                    ("stats", pa.string()),
+                    # optional user/engine metadata on foreign adds
+                    # (e.g. OPTIMIZE ZCUBE tags) survives too
+                    ("tags", str_map),
+                    # live deletion-vector descriptors survive the
+                    # checkpoint (the spec's DeletionVectorDescriptor
+                    # struct) — without this column, cleanup past the
+                    # checkpoint would silently resurrect deleted rows
+                    (
+                        "deletionVector",
+                        pa.struct(
+                            [
+                                ("storageType", pa.string()),
+                                ("pathOrInlineDv", pa.string()),
+                                ("offset", pa.int32()),
+                                ("sizeInBytes", pa.int32()),
+                                ("cardinality", pa.int64()),
+                            ]
+                        ),
+                    ),
+                ]
+            ),
+        ),
+        # remove tombstones are vacuum bookkeeping a reader must ignore;
+        # this engine's VACUUM discovers dead files by directory walk,
+        # so the column is carried (spec sidecar schema) but all-null
+        "remove": pa.field(
+            "remove",
+            pa.struct(
+                [
+                    ("path", pa.string()),
+                    ("deletionTimestamp", pa.int64()),
+                    ("dataChange", pa.bool_()),
+                    ("partitionValues", str_map),
+                ]
+            ),
+        ),
+        "txn": pa.field(
+            "txn",
+            pa.struct(
+                [
+                    ("appId", pa.string()),
+                    ("version", pa.int64()),
+                    ("lastUpdated", pa.int64()),
+                ]
+            ),
+        ),
+        # v2 only: the top file's self-description...
+        "checkpointMetadata": pa.field(
+            "checkpointMetadata",
+            pa.struct([("version", pa.int64()), ("tags", str_map)]),
+        ),
+        # ...and its pointers to the file-action sidecars
+        "sidecar": pa.field(
+            "sidecar",
+            pa.struct(
+                [
+                    ("path", pa.string()),
+                    ("sizeInBytes", pa.int64()),
+                    ("modificationTime", pa.int64()),
+                    ("tags", str_map),
+                ]
+            ),
+        ),
+    }
+
+
+def enable_v2_checkpoints(table: str, max_retries: int = 20) -> int:
+    """Commit the protocol upgrade that adds the ``v2Checkpoint``
+    readerWriter feature (reader 3 / writer 7, implied legacy features
+    enumerated — delta.io PROTOCOL.md "V2 Spec Checkpoints": a writer
+    may only write v2 checkpoints to a table whose protocol declares the
+    feature).  No-op returning the current version when already
+    enabled."""
+    for _ in range(max_retries):
+        v = latest_version(table)
+        protocol, meta, _, _ = _replay(table, v)
+        if (
+            protocol.get("minReaderVersion") == 3
+            and "v2Checkpoint" in (protocol.get("readerFeatures") or [])
+        ):
+            return v
+        _check_writer_protocol(protocol, meta, "enable_v2_checkpoints")
+        actions = [
+            {
+                "commitInfo": {
+                    "timestamp": int(time.time() * 1000),
+                    "operation": "UPGRADE PROTOCOL",
+                    "operationParameters": {"feature": "v2Checkpoint"},
+                    "engineInfo": "zeta-etl-spark delta_log",
+                }
+            },
+            {
+                "protocol": _feature_era_protocol(
+                    protocol, add_reader=("v2Checkpoint",)
+                )
+            },
+        ]
+        if _write_commit_atomic(table, v + 1, actions):
+            return v + 1
+    raise DeltaConcurrentModification(
+        f"enable_v2_checkpoints lost the commit race {max_retries} "
+        f"times: {table}"
+    )
+
+
+def write_checkpoint(
+    table: str,
+    version: int | None = None,
+    format: str = "classic",
+    max_actions_per_sidecar: int = 50_000,
+) -> int:
+    """Write a checkpoint summarizing the snapshot at ``version``
+    (default latest), plus the ``_last_checkpoint`` pointer.  Returns
+    the checkpointed version.
+
+    ``format='classic'`` (default): the single-file layout every Delta
+    reader understands — ``_delta_log/<v>.checkpoint.parquet``, one
+    parquet row per action with the spec's top-level ``protocol`` /
+    ``metaData`` / ``add`` / ``txn`` struct columns.
+
+    ``format='v2'``: the spec's V2 layout — a UUID-named top file
+    ``<v>.checkpoint.<uuid>.parquet`` carrying ``checkpointMetadata`` /
+    ``protocol`` / ``metaData`` / ``txn`` plus ``sidecar`` pointers, and
+    the file actions in sidecar parquet files under
+    ``_delta_log/_sidecars/`` (at most ``max_actions_per_sidecar`` adds
+    each).  Requires the table protocol to declare the ``v2Checkpoint``
+    readerWriter feature (:func:`enable_v2_checkpoints`) — writing v2 to
+    a table without it would strand pre-features readers, so it refuses.
+    Sidecar files are what make checkpointing parallelizable at 100 TB:
+    a million-file table's live set splits into independently-written
+    (and independently-readable) shards instead of one giant parquet.
+
+    ``remove`` tombstones are not carried in either layout: this
+    module's VACUUM discovers dead files by directory walk, not
+    tombstone replay, so a checkpoint here is purely the reconciled
+    live state.
 
     At 100 TB this is the feature that keeps the log readable: replay
     cost is O(live files + commits since last checkpoint) instead of
@@ -3644,6 +3878,8 @@ def write_checkpoint(table: str, version: int | None = None) -> int:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    if format not in ("classic", "v2"):
+        raise ValueError(f"format must be classic|v2, got {format!r}")
     if version is None:
         version = latest_version(table)
     protocol, meta, live, txns = _replay(table, version)
@@ -3652,90 +3888,8 @@ def write_checkpoint(table: str, version: int | None = None) -> int:
     # and lost forever once cleanup_log deletes the JSON tail
     _check_log_writer_features(protocol, "checkpointing")
 
-    str_map = pa.map_(pa.string(), pa.string())
-    schema = pa.schema(
-        [
-            pa.field(
-                "protocol",
-                pa.struct(
-                    [
-                        ("minReaderVersion", pa.int32()),
-                        ("minWriterVersion", pa.int32()),
-                        # table-features protocols REQUIRE the feature
-                        # lists; dropping them would write a spec-invalid
-                        # checkpoint and lose the declarations once
-                        # cleanup_log deletes the JSON commits
-                        ("readerFeatures", pa.list_(pa.string())),
-                        ("writerFeatures", pa.list_(pa.string())),
-                    ]
-                ),
-            ),
-            pa.field(
-                "metaData",
-                pa.struct(
-                    [
-                        ("id", pa.string()),
-                        (
-                            "format",
-                            pa.struct(
-                                [
-                                    ("provider", pa.string()),
-                                    ("options", str_map),
-                                ]
-                            ),
-                        ),
-                        ("schemaString", pa.string()),
-                        ("partitionColumns", pa.list_(pa.string())),
-                        ("configuration", str_map),
-                        ("createdTime", pa.int64()),
-                    ]
-                ),
-            ),
-            pa.field(
-                "add",
-                pa.struct(
-                    [
-                        ("path", pa.string()),
-                        ("partitionValues", str_map),
-                        ("size", pa.int64()),
-                        ("modificationTime", pa.int64()),
-                        ("dataChange", pa.bool_()),
-                        ("stats", pa.string()),
-                        # optional user/engine metadata on foreign adds
-                        # (e.g. OPTIMIZE ZCUBE tags) survives too
-                        ("tags", str_map),
-                        # live deletion-vector descriptors survive the
-                        # checkpoint (the spec's DeletionVectorDescriptor
-                        # struct) — without this column, cleanup past the
-                        # checkpoint would silently resurrect deleted rows
-                        (
-                            "deletionVector",
-                            pa.struct(
-                                [
-                                    ("storageType", pa.string()),
-                                    ("pathOrInlineDv", pa.string()),
-                                    ("offset", pa.int32()),
-                                    ("sizeInBytes", pa.int32()),
-                                    ("cardinality", pa.int64()),
-                                ]
-                            ),
-                        ),
-                    ]
-                ),
-            ),
-            pa.field(
-                "txn",
-                pa.struct(
-                    [
-                        ("appId", pa.string()),
-                        ("version", pa.int64()),
-                        ("lastUpdated", pa.int64()),
-                    ]
-                ),
-            ),
-        ]
-    )
-    rows: list[dict] = [
+    fields = _checkpoint_arrow_fields()
+    meta_rows: list[dict] = [
         {
             "protocol": {
                 "minReaderVersion": protocol.get("minReaderVersion", 1),
@@ -3748,25 +3902,96 @@ def write_checkpoint(table: str, version: int | None = None) -> int:
             "id", "format", "schemaString", "partitionColumns",
             "configuration", "createdTime")}},
     ]
-    rows.extend(
+    meta_rows.extend(
         {"txn": {"appId": app, "version": v, "lastUpdated": None}}
         for app, v in sorted(txns.items())
     )
-    rows.extend(
+    add_rows: list[dict] = [
         {"add": {k: a.get(k) for k in (
             "path", "partitionValues", "size", "modificationTime",
             "dataChange", "stats", "tags", "deletionVector")}}
         for _, a in sorted(live.items())
-    )
-    target = _checkpoint_path(table, version)
-    tmp = target + f".tmp-{uuid.uuid4().hex}"
-    pq.write_table(pa.Table.from_pylist(rows, schema=schema), tmp)
-    os.replace(tmp, target)
+    ]
+
+    log_dir = os.path.join(table, _LOG_DIR)
+    if format == "classic":
+        schema = pa.schema(
+            [fields[k] for k in ("protocol", "metaData", "add", "txn")]
+        )
+        rows = meta_rows + add_rows
+        target = _checkpoint_path(table, version)
+        tmp = target + f".tmp-{uuid.uuid4().hex}"
+        pq.write_table(pa.Table.from_pylist(rows, schema=schema), tmp)
+        os.replace(tmp, target)
+        size = len(rows)
+    else:
+        if not (
+            protocol.get("minReaderVersion") == 3
+            and "v2Checkpoint" in (protocol.get("readerFeatures") or [])
+        ):
+            raise DeltaUnsupported(
+                "format='v2' needs the v2Checkpoint readerWriter "
+                "feature in the table protocol (a pre-features reader "
+                "could not discover the sidecars) — call "
+                f"enable_v2_checkpoints first: {table}"
+            )
+        side_dir = os.path.join(log_dir, "_sidecars")
+        os.makedirs(side_dir, exist_ok=True)
+        side_schema = pa.schema([fields["add"], fields["remove"]])
+        sidecar_rows: list[dict] = []
+        for i in range(
+            0, max(len(add_rows), 1), max_actions_per_sidecar
+        ):
+            chunk = add_rows[i : i + max_actions_per_sidecar]
+            name = f"{uuid.uuid4()}.parquet"
+            side_path = os.path.join(side_dir, name)
+            tmp = side_path + f".tmp-{uuid.uuid4().hex}"
+            pq.write_table(
+                pa.Table.from_pylist(chunk, schema=side_schema), tmp
+            )
+            os.replace(tmp, side_path)
+            st = os.stat(side_path)
+            sidecar_rows.append(
+                {
+                    "sidecar": {
+                        "path": urllib.parse.quote(name),
+                        "sizeInBytes": st.st_size,
+                        "modificationTime": int(st.st_mtime * 1000),
+                        "tags": None,
+                    }
+                }
+            )
+        top_schema = pa.schema(
+            [
+                fields[k]
+                for k in (
+                    "checkpointMetadata",
+                    "protocol",
+                    "metaData",
+                    "txn",
+                    "sidecar",
+                )
+            ]
+        )
+        top_rows = (
+            [{"checkpointMetadata": {"version": version, "tags": None}}]
+            + meta_rows
+            + sidecar_rows
+        )
+        target = os.path.join(
+            log_dir, f"{version:020d}.checkpoint.{uuid.uuid4()}.parquet"
+        )
+        tmp = target + f".tmp-{uuid.uuid4().hex}"
+        pq.write_table(
+            pa.Table.from_pylist(top_rows, schema=top_schema), tmp
+        )
+        os.replace(tmp, target)
+        size = len(top_rows) + len(add_rows)
     # _last_checkpoint is overwritten in place per spec (atomic rename)
-    lc = os.path.join(table, _LOG_DIR, "_last_checkpoint")
+    lc = os.path.join(log_dir, "_last_checkpoint")
     lc_tmp = lc + f".tmp-{uuid.uuid4().hex}"
     with open(lc_tmp, "w") as fh:
-        json.dump({"version": version, "size": len(rows)}, fh)
+        json.dump({"version": version, "size": size}, fh)
     os.replace(lc_tmp, lc)
     return version
 
