@@ -319,15 +319,27 @@ def test_check_constraints_and_invariants_refuse(spark, tmp_path):
     assert read_delta(spark, t2).count() == 2
 
 
-def test_legacy_writer_version_6_refuses(spark, tmp_path):
+def test_legacy_writer_version_6_accepted_8_refused(spark, tmp_path):
+    # r13: writer v6 (identity columns) is inside the implemented
+    # subset — a v6 table WITHOUT identity metadata appends plainly
+    # (tests/test_delta_identity.py covers generation/HWM); versions
+    # past the table-features era still refuse loudly
     t = str(tmp_path / "w6")
     _seed(spark, t)
     _retag_protocol(
         t, protocol={"minReaderVersion": 1, "minWriterVersion": 6}
     )
-    with pytest.raises(DeltaUnsupported, match="identity"):
+    write_delta(
+        spark.createDataFrame([(3, 3.0)], "k bigint, v double"),
+        t, mode="append",
+    )
+    assert read_delta(spark, t).count() == 3
+    _retag_protocol(
+        t, protocol={"minReaderVersion": 1, "minWriterVersion": 8}
+    )
+    with pytest.raises(DeltaUnsupported, match="minWriterVersion 8"):
         write_delta(
-            spark.createDataFrame([(3, 3.0)], "k bigint, v double"),
+            spark.createDataFrame([(4, 4.0)], "k bigint, v double"),
             t, mode="append",
         )
 

@@ -1525,3 +1525,176 @@ def delta_checkpoint_v2_rollup(spark, sf_dir):
         F.min("user_id").alias("min_user"),
         F.max("user_id").alias("max_user"),
     )
+
+
+# --- delta_identity_append_audit: identity columns (legacy writer v6)
+# on the graded surface.  A GENERATED-ALWAYS identity table (start=1000,
+# step=2) is created from one ordered events band, a second band appends
+# — the engine must assign unique aligned values, continue past the
+# persisted high-water mark, and commit the updated mark with each
+# write.  The audit rolls the assigned ids up by event_type and must
+# hash-match an oracle that reconstructs the same values with
+# row_number() arithmetic — a skipped value, a stale mark, or a second
+# band restarting at `start` all break the hash.
+# Determinism note: identity ASSIGNMENT is order-free by spec (any
+# unique aligned values beyond the mark are valid); this query pins the
+# frame to one sorted partition purely so the DuckDB oracle can
+# reproduce the exact values.  Distributed multi-partition generation
+# (offsets from per-partition counts, no data shuffle) is exercised by
+# tests/test_delta_identity.py.
+
+_DELTA_IDENT_ORACLE = """
+WITH a AS (
+  SELECT event_type, row_number() OVER (ORDER BY event_id) AS rn
+  FROM events WHERE user_id < 20
+), b AS (
+  SELECT event_type,
+    (SELECT COUNT(*) FROM events WHERE user_id < 20)
+      + row_number() OVER (ORDER BY event_id) AS rn
+  FROM events WHERE user_id >= 20 AND user_id < 30
+), u AS (
+  SELECT event_type, 998 + 2 * rn AS id FROM a
+  UNION ALL
+  SELECT event_type, 998 + 2 * rn FROM b
+)
+SELECT event_type,
+  COUNT(*) AS n_rows,
+  MIN(id) AS min_id,
+  MAX(id) AS max_id,
+  CAST(SUM(id) AS BIGINT) AS sum_id
+FROM u GROUP BY event_type
+"""
+
+
+@query(
+    "delta_identity_append_audit",
+    oracle=_DELTA_IDENT_ORACLE,
+    tags=("delta", "sink", "S6", "format", "identity"),
+)
+def delta_identity_append_audit(spark, sf_dir):
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from zeta_etl_spark.sinks.delta_log import read_delta, write_delta
+
+    dest = os.path.join(
+        tempfile.gettempdir(),
+        "zeta_delta_ident_"
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}_{os.getpid()}",
+    )
+    # the high-water mark persists in metaData across overwrites (by
+    # design); a fresh table per call keeps repeated in-process runs
+    # (bench reps) deterministic
+    if os.path.exists(dest):
+        shutil.rmtree(dest)
+
+    def _band(lo, hi, with_decl):
+        cols = [F.col("event_id"), F.col("event_type")]
+        if with_decl:
+            # the identity DECLARATION rides the creation frame as
+            # field metadata on an all-NULL column -> generated
+            cols.insert(
+                0,
+                F.lit(None).cast("long").alias(
+                    "id",
+                    metadata={
+                        "delta.identity.start": 1000,
+                        "delta.identity.step": 2,
+                    },
+                ),
+            )
+        return (
+            T(spark, sf_dir, "events")
+            .filter((F.col("user_id") >= lo) & (F.col("user_id") < hi))
+            .select(*cols)
+            .repartition(1)
+            .sortWithinPartitions("event_id")
+        )
+
+    write_delta(_band(0, 20, True), dest)
+    write_delta(_band(20, 30, False), dest, mode="append")
+    back = read_delta(spark, dest)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.min("id").alias("min_id"),
+        F.max("id").alias("max_id"),
+        F.sum("id").cast("bigint").alias("sum_id"),
+    )
+
+
+# --- delta_stream_ingest_rollup: the native-Delta streaming source on
+# the graded surface.  A source table lands two commits; a consumer
+# drains it through run_delta_stream (initial snapshot) into a native
+# Delta dest; the source gets one more commit and a SECOND drain ships
+# only the tail (rate-limited to one file per trigger) with txn-based
+# exactly-once.  The dest rollup must hash-match an oracle over the
+# plain source slice: a re-delivered batch (duplicate rows), a skipped
+# commit, or a cursor that advanced past an unsunk batch all break the
+# hash.  Scale shape: each micro-batch is one distributed scan of that
+# batch's files; driver state is the commit JSON action lists — exactly
+# what any Delta streaming source holds.
+
+_DELTA_STREAM_ORACLE = f"""
+SELECT event_type,
+  COUNT(*) AS n_events,
+  COUNT(DISTINCT user_id) AS n_users,
+  {dec_sum_expr("value")} AS sum_value
+FROM events WHERE user_id < 25
+GROUP BY event_type
+"""
+
+
+@query(
+    "delta_stream_ingest_rollup",
+    oracle=_DELTA_STREAM_ORACLE,
+    tags=("delta", "streaming", "S6", "T7", "format", "source"),
+)
+def delta_stream_ingest_rollup(spark, sf_dir):
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from zeta_etl_spark.sinks.delta_log import write_delta
+    from zeta_etl_spark.sinks.delta_log import read_delta
+    from zeta_etl_spark.streaming.runner import run_delta_stream
+
+    ev = T(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "zeta_delta_stream_"
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}_{os.getpid()}",
+    )
+    if os.path.exists(root):
+        shutil.rmtree(root)  # cursors/txn are durable: fresh per call
+    src = os.path.join(root, "src")
+    dest = os.path.join(root, "dest")
+    cursor = os.path.join(root, "cursor.json")
+
+    def _band(lo, hi):
+        return ev.filter(
+            (F.col("user_id") >= lo) & (F.col("user_id") < hi)
+        )
+
+    write_delta(_band(0, 10), src, mode="overwrite")
+    write_delta(_band(10, 15), src, mode="append")
+    run_delta_stream(
+        spark, src, dest, app_id="ingest", cursor_path=cursor,
+        transform=lambda df: df.drop("_commit_version"),
+    )
+    write_delta(_band(15, 25), src, mode="append")
+    run_delta_stream(
+        spark, src, dest, app_id="ingest", cursor_path=cursor,
+        max_files_per_trigger=1,
+        transform=lambda df: df.drop("_commit_version"),
+    )
+    back = read_delta(spark, dest)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        dec_sum("value", "sum_value"),
+    )

@@ -317,6 +317,11 @@ _WRITER_FEATURES_OK = {
     "generatedColumns",  # honored: _enforce_generated computes absent /
                          # validates provided values on append and
                          # recomputes on MERGE/UPDATE outputs
+    "identityColumns",   # honored: _apply_identity generates values
+                         # for absent columns, gates explicit ones on
+                         # allowExplicitInsert, and commits the updated
+                         # high-water mark with every value-consuming
+                         # write (append/overwrite/MERGE)
     "timestampNtz",      # honored: native Spark type, round-trips
     "vacuumProtocolCheck",  # honored: vacuum replays (and so validates
                             # the protocol) before deleting anything
@@ -395,7 +400,7 @@ def _check_writer_protocol(
     Legacy minWriterVersion ladder: 2 = appendOnly+invariants,
     3 = +checkConstraints, 4 = +changeDataFeed+generatedColumns,
     5 = +columnMapping, 6 = +identityColumns, 7 = table features.
-    Versions <= 5 and feature-era tables whose writerFeatures are all in
+    Versions <= 6 and feature-era tables whose writerFeatures are all in
     :data:`_WRITER_FEATURES_OK` are accepted; the vacuously-accepted
     features then gate on the ARTIFACTS (invariants / constraints /
     generation expressions) actually declared, and ``delta.appendOnly``
@@ -411,11 +416,6 @@ def _check_writer_protocol(
                 "outside the implemented subset — writing could commit "
                 "spec-violating actions"
             )
-    elif mwv == 6:
-        raise DeltaUnsupported(
-            f"{op}: minWriterVersion 6 (identity columns) is outside "
-            "the implemented subset"
-        )
     elif mwv > 7:
         raise DeltaUnsupported(
             f"{op}: minWriterVersion {mwv} is outside the implemented "
@@ -455,8 +455,14 @@ def _check_writer_protocol(
                         flagged.append(
                             f"nested generated column {f['name']!r}"
                         )
-                    if "delta.identity.start" in md:
-                        flagged.append(f"identity column {f['name']!r}")
+                    # TOP-LEVEL identity columns are ENFORCED by the
+                    # write paths (_apply_identity: generate absent /
+                    # sync explicit, HWM rides the commit); a nested
+                    # one is outside Delta's own surface
+                    if depth > 0 and "delta.identity.start" in md:
+                        flagged.append(
+                            f"nested identity column {f['name']!r}"
+                        )
                     _walk(f["type"], depth + 1)
             elif t.get("type") == "array":
                 _walk(t["elementType"], depth + 1)
@@ -522,6 +528,202 @@ def _enforce_generated(
                 f"first offending row: {offending[0].asDict()}"
             )
     return df
+
+
+def _identity_cols(schema_string: str) -> dict[str, dict]:
+    """{column: {start, step, hwm, allow_explicit}} for the table's
+    top-level identity columns (``delta.identity.*`` field metadata —
+    the legacy writer-v6 / ``identityColumns`` feature).  Identity
+    columns must be of type ``long`` per spec; a zero step is
+    spec-invalid.  ``hwm`` is None until the first value is tracked."""
+    out: dict[str, dict] = {}
+    for f in json.loads(schema_string)["fields"]:
+        md = f.get("metadata") or {}
+        if not any(k.startswith("delta.identity.") for k in md):
+            continue
+        if f["type"] != "long":
+            raise DeltaUnsupported(
+                f"identity column {f['name']!r} must be of type long, "
+                f"got {f['type']!r}"
+            )
+        step = int(md.get("delta.identity.step", 1))
+        if step == 0:
+            raise DeltaUnsupported(
+                f"identity column {f['name']!r} declares step 0"
+            )
+        allow = md.get("delta.identity.allowExplicitInsert", False)
+        out[f["name"]] = {
+            "start": int(md.get("delta.identity.start", 1)),
+            "step": step,
+            "hwm": (
+                int(md["delta.identity.highWaterMark"])
+                if "delta.identity.highWaterMark" in md
+                else None
+            ),
+            "allow_explicit": str(allow).lower() == "true",
+            # the raw field metadata, re-attached to GENERATED columns
+            # (withColumn strips it; losing it would silently undeclare
+            # the identity column on overwrite commits)
+            "metadata": md,
+        }
+    return out
+
+
+def _patch_identity_hwm(meta: dict, hwms: dict[str, int]) -> dict:
+    """``meta`` with each identity column's
+    ``delta.identity.highWaterMark`` field metadata set to the new
+    value (the spec's writer obligation: the high-water mark rides the
+    commit that consumed the values, as a fresh metaData action)."""
+    sj = json.loads(meta["schemaString"])
+    for f in sj["fields"]:
+        if f["name"] in hwms:
+            md = dict(f.get("metadata") or {})
+            md["delta.identity.highWaterMark"] = hwms[f["name"]]
+            f["metadata"] = md
+    return {**meta, "schemaString": json.dumps(sj)}
+
+
+def _identity_sync_hwm(spec: dict, extreme: int) -> int | None:
+    """The new high-water mark after EXPLICIT values were inserted, or
+    None if the current mark already covers them: the smallest value of
+    form ``start + n*step`` at-or-beyond ``extreme`` in step direction,
+    so future GENERATED values stay unique and aligned (what Delta's
+    SYNC IDENTITY computes)."""
+    start, step, hwm = spec["start"], spec["step"], spec["hwm"]
+    base = hwm if hwm is not None else start - step
+    beyond = extreme > base if step > 0 else extreme < base
+    if not beyond:
+        return None
+    # ceil((extreme-start)/step) valid for either step sign in Python
+    k = max(0, -((-(extreme - start)) // step))
+    return start + k * step
+
+
+def _apply_identity(
+    df: DataFrame,
+    ident: dict[str, dict],
+    op: str,
+    materialize: str = "persist",
+) -> tuple[DataFrame, dict[str, int], list[DataFrame]]:
+    """Enforce the spec's identity-column writer obligations on rows
+    about to be committed: a column ABSENT from the frame (or present
+    but entirely NULL) gets GENERATED values — gap-free
+    ``hwm + i*step`` — and a PROVIDED one requires
+    ``allowExplicitInsert`` and syncs the high-water mark past the
+    provided extreme.  Returns (frame, {col: new hwm}, frames to
+    unpersist after staging).
+
+    Generation is distributed without shuffling the data:
+    ``monotonically_increasing_id`` decomposes into (partition id,
+    local row index); per-partition counts (bounded by partition COUNT,
+    never rows) become exclusive offsets broadcast back, so the global
+    index is offset + local index.  The stamped frame is persisted so
+    the count job and the staging job see identical ids."""
+    hwms: dict[str, int] = {}
+    persisted: list[DataFrame] = []
+    for col, spec in ident.items():
+        start, step, hwm = spec["start"], spec["step"], spec["hwm"]
+        explicit = col in df.columns
+        if explicit:
+            agg = df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count(col).alias("nn"),
+                F.max(col).alias("mx"),
+                F.min(col).alias("mn"),
+            ).first()
+            if agg["n"] == 0:
+                continue
+            if agg["nn"] == 0:
+                # declared but never valued: generate instead
+                df = df.drop(col)
+                explicit = False
+            elif agg["nn"] != agg["n"]:
+                raise ValueError(
+                    f"{op}: explicit identity column {col!r} mixes "
+                    "values and NULLs — identity values are never NULL"
+                )
+        if explicit:
+            if not spec["allow_explicit"]:
+                raise DeltaUnsupported(
+                    f"{op}: identity column {col!r} is GENERATED "
+                    "ALWAYS (allowExplicitInsert is not true) — drop "
+                    "it from the frame and let the engine assign "
+                    "values"
+                )
+            new_hwm = _identity_sync_hwm(
+                spec, agg["mx"] if step > 0 else agg["mn"]
+            )
+            if new_hwm is not None:
+                hwms[col] = new_hwm
+            continue
+        # ---- generate ----
+        # the stamped frame is pinned so every job sees identical ids:
+        # 'persist' (caller unpersists after staging) or 'checkpoint'
+        # (localCheckpoint; lineage-truncated, freed by the context
+        # cleaner — for callers with many exit paths, e.g. MERGE)
+        stamped = df.withColumn(
+            "_idm", F.monotonically_increasing_id()
+        )
+        if materialize == "checkpoint":
+            stamped = stamped.localCheckpoint(eager=True)
+        else:
+            stamped = stamped.persist()
+            persisted.append(stamped)
+        counts = sorted(
+            (r["_idp"], r["_c"])
+            for r in stamped.groupBy(
+                F.shiftright("_idm", 33).alias("_idp")
+            ).agg(F.count(F.lit(1)).alias("_c")).collect()
+        )
+        n_total = sum(c for _, c in counts)
+        base = hwm if hwm is not None else start - step
+        if n_total == 0:
+            df = stamped.drop("_idm").withColumn(
+                col, F.lit(None).cast("long")
+            )
+            df = df.select(
+                *[
+                    F.col(c).alias(c, metadata=spec["metadata"])
+                    if c == col
+                    else F.col(c)
+                    for c in df.columns
+                ]
+            )
+            continue
+        off_rows, acc = [], 0
+        for pid, c in counts:
+            off_rows.append((pid, acc))
+            acc += c
+        off_df = df.sparkSession.createDataFrame(
+            off_rows, "_idp bigint, _off bigint"
+        )
+        df = (
+            stamped.withColumn("_idp", F.shiftright("_idm", 33))
+            .join(F.broadcast(off_df), "_idp")
+            .withColumn(
+                col,
+                (
+                    F.lit(base)
+                    + F.lit(step)
+                    * (
+                        F.col("_off")
+                        + (F.col("_idm") % F.lit(1 << 33))
+                        + F.lit(1)
+                    )
+                ).cast("long"),
+            )
+            .drop("_idm", "_idp", "_off")
+        )
+        df = df.select(
+            *[
+                F.col(c).alias(c, metadata=spec["metadata"])
+                if c == col
+                else F.col(c)
+                for c in df.columns
+            ]
+        )
+        hwms[col] = base + step * n_total
+    return df, hwms, persisted
 
 
 def _physical_type(t, with_field_ids: bool = False):
@@ -964,6 +1166,9 @@ def write_delta(
     existing = _list_versions(table)
     mapped_meta = None   # the mapped table's CURRENT metaData (pinned)
     staging_meta = None  # metaData whose physical layout we stage under
+    ident: dict[str, dict] = {}
+    identity_hwms: dict[str, int] = {}
+    ident_persisted: list[DataFrame] = []
     if existing:
         protocol, meta, _, _ = _replay(table)
         _check_writer_protocol(
@@ -987,6 +1192,13 @@ def write_delta(
         tbl_schema = StructType.fromJson(json.loads(meta["schemaString"]))
         # generated columns: compute absent, validate provided (loud)
         df = _enforce_generated(df, meta, recompute=False)
+        # identity columns: generate absent, sync explicit; the new
+        # high-water mark joins the commit below
+        ident = _identity_cols(meta["schemaString"])
+        if ident:
+            df, identity_hwms, ident_persisted = _apply_identity(
+                df, ident, "write_delta"
+            )
         evolved_new_fields: list = []
         if mode == "append":
             # match by (name, type) — column ORDER and nullability are
@@ -1078,6 +1290,22 @@ def write_delta(
             "createdTime": int(time.time() * 1000),
         }
 
+    if not existing:
+        # creation: identity columns are declared via delta.identity.*
+        # field metadata on the frame's schema (or the mapped staging
+        # schema); explicit initial values gate on allowExplicitInsert,
+        # an all-NULL declared column gets generated values, and the
+        # initial high-water mark rides the creation commit
+        ident = _identity_cols(
+            (staging_meta or {}).get("schemaString", schema_string)
+        )
+        if ident:
+            df, identity_hwms, ident_persisted = _apply_identity(
+                df, ident, "write_delta"
+            )
+            if staging_meta is None:
+                schema_string = df.schema.json()
+
     if staging_meta is not None:
         m = _column_mapping(staging_meta)
         l2p = m[1] if m else {}
@@ -1092,6 +1320,8 @@ def write_delta(
     # min/max) leaves stats-less-looking files no pruner can ever skip
     # and every future MERGE would "touch" and rewrite (r11 verdict #2)
     adds = _stage_data_files(stage_df, table, stage_pcols, drop_empty=True)
+    for _p in ident_persisted:  # staged: the assigned ids are on disk
+        _p.unpersist()
     commit_info = {
         "commitInfo": {
             "timestamp": int(time.time() * 1000),
@@ -1121,18 +1351,31 @@ def write_delta(
         if version == 0:
             if staging_meta is not None:
                 # mapped creation: reader 2 / writer 5, the legacy
-                # column-mapping protocol delta-spark declares
+                # column-mapping protocol delta-spark declares;
+                # identity columns raise the writer to 6 (the legacy
+                # ladder is cumulative, 6 ⊇ 5's columnMapping)
                 actions.append(
                     {
                         "protocol": {
                             "minReaderVersion": 2,
-                            "minWriterVersion": 5,
+                            "minWriterVersion": 6 if ident else 5,
                         }
                     }
                 )
                 actions.append({"metaData": staging_meta})
             else:
-                actions.append({"protocol": dict(_PROTOCOL)})
+                # identity creation: legacy writer 6 declares the
+                # obligation every future writer must meet
+                actions.append(
+                    {
+                        "protocol": {
+                            "minReaderVersion": 1,
+                            "minWriterVersion": 6,
+                        }
+                    }
+                    if ident
+                    else {"protocol": dict(_PROTOCOL)}
+                )
                 actions.append(
                     {
                         "metaData": {
@@ -1222,6 +1465,45 @@ def write_delta(
                             **meta_now,
                             "schemaString": target_struct.json(),
                         }
+                    }
+                )
+        if identity_hwms:
+            # the consumed identity range must land as an updated
+            # high-water mark in THIS commit's metaData.  Values were
+            # generated from the snapshot read at entry: if another
+            # writer advanced the mark since, our values may collide —
+            # loud error (the caller re-runs and re-generates), never a
+            # silent duplicate-id commit.
+            if version != 0:
+                _, meta_cur, _, _ = _replay(table)
+                cur = _identity_cols(meta_cur["schemaString"])
+                moved = sorted(
+                    c
+                    for c in identity_hwms
+                    if (cur.get(c) or {}).get("hwm") != ident[c]["hwm"]
+                )
+                if moved:
+                    _discard_staged(table, adds)
+                    raise DeltaConcurrentModification(
+                        f"identity high-water mark of {moved} moved "
+                        "concurrently — generated values could collide; "
+                        f"retry the write: {table}"
+                    )
+            else:
+                meta_cur = None
+            patched = False
+            for a in actions:
+                if "metaData" in a:
+                    a["metaData"] = _patch_identity_hwm(
+                        a["metaData"], identity_hwms
+                    )
+                    patched = True
+            if not patched:
+                actions.append(
+                    {
+                        "metaData": _patch_identity_hwm(
+                            meta_cur, identity_hwms
+                        )
                     }
                 )
         if version != 0 and mode == "overwrite":
@@ -2368,6 +2650,79 @@ def _merge_delta_pinned(
         tfields = dict(tbl_types)
         tfields.update({f.name: f.dataType for f in evolved_fields})
 
+        # ---- identity columns (writer v6 / identityColumns) ----
+        # UPDATE clauses must never touch an identity value; inserts
+        # either provide values explicitly (allowExplicitInsert, HWM
+        # synced past the provided extreme) or get GENERATED values
+        # pre-assigned on the source frame — every source row gets one,
+        # matched rows simply never consume theirs (gaps are spec-legal,
+        # exactly how Delta's per-partition allocation behaves).
+        ident = _identity_cols(meta["schemaString"])
+        identity_hwms: dict[str, int] = {}
+        src_eff, wmu, wnmi = (
+            source, when_matched_update, when_not_matched_insert
+        )
+        if ident:
+            for col in ident:
+                if (wmu == "*" and col in source.columns) or (
+                    isinstance(wmu, dict) and col in wmu
+                ):
+                    raise DeltaUnsupported(
+                        f"MERGE: updating identity column {col!r} is "
+                        "outside the implemented subset — identity "
+                        "values are assigned once"
+                    )
+            gen_cols = []
+            for col, spec in ident.items():
+                if wnmi is None:
+                    continue
+                covered = (
+                    wnmi == "*" and col in source.columns
+                ) or (isinstance(wnmi, dict) and col in wnmi)
+                if not covered:
+                    gen_cols.append(col)
+                    continue
+                if not spec["allow_explicit"]:
+                    raise DeltaUnsupported(
+                        f"MERGE: identity column {col!r} is GENERATED "
+                        "ALWAYS (allowExplicitInsert is not true) — "
+                        "omit it from the insert clause"
+                    )
+                val = (
+                    F.col(col) if wnmi == "*" else F.expr(wnmi[col])
+                )
+                agg = source.alias("s").agg(
+                    F.max(val).alias("mx"), F.min(val).alias("mn")
+                ).first()
+                extreme = agg["mx"] if spec["step"] > 0 else agg["mn"]
+                if extreme is not None:
+                    new_hwm = _identity_sync_hwm(spec, extreme)
+                    if new_hwm is not None:
+                        identity_hwms[col] = new_hwm
+            if gen_cols:
+                if wmu == "*":
+                    # '*' update would need s.<identity col>, which the
+                    # source lacks; the equivalent explicit clause over
+                    # the source's own target columns preserves intent
+                    # (identity excluded by construction)
+                    wmu = {
+                        c: f"s.{c}"
+                        for c in source.columns
+                        if c in tbl_types
+                    }
+                src_eff, gen_hwms, _ = _apply_identity(
+                    src_eff,
+                    {c: ident[c] for c in gen_cols},
+                    "merge_delta",
+                    materialize="checkpoint",
+                )
+                identity_hwms.update(gen_hwms)
+                if isinstance(wnmi, dict):
+                    wnmi = {
+                        **wnmi,
+                        **{c: f"s.{c}" for c in gen_cols},
+                    }
+
         # ---- file pruning: which live files can hold a matching key? ----
         # stats/partitionValues keys in the log are PHYSICAL names on a
         # column-mapped table; predicates built from logical key columns
@@ -2435,13 +2790,13 @@ def _merge_delta_pinned(
 
         plan = build_merge_plan(
             target_df,
-            source,
+            src_eff,
             on,
-            when_matched_update=when_matched_update,
+            when_matched_update=wmu,
             update_condition=update_condition,
             when_matched_delete=when_matched_delete,
             delete_condition=delete_condition,
-            when_not_matched_insert=when_not_matched_insert,
+            when_not_matched_insert=wnmi,
             insert_condition=insert_condition,
             new_cols=new_cols,
             tfields=tfields,
@@ -2544,7 +2899,19 @@ def _merge_delta_pinned(
                     }
                 }
             )
-        if new_cols:
+        if identity_hwms:
+            # the consumed/synced identity range rides THIS commit as an
+            # updated high-water mark; values were generated from this
+            # attempt's snapshot, so a lost commit race simply retries
+            # the whole attempt with a fresh mark
+            actions.append(
+                {
+                    "metaData": _patch_identity_hwm(
+                        staging_meta, identity_hwms
+                    )
+                }
+            )
+        elif new_cols:
             actions.append({"metaData": staging_meta})
         actions.extend(
             {
@@ -3114,12 +3481,6 @@ def delete_delta(
             mrv = (protocol or {}).get("minReaderVersion", 1)
             feats = set((protocol or {}).get("writerFeatures") or [])
             rfeats = set((protocol or {}).get("readerFeatures") or [])
-            if mwv == 6:
-                raise DeltaUnsupported(
-                    "dv-mode DELETE on a minWriterVersion-6 (identity "
-                    "columns) table is outside the implemented subset — "
-                    "use mode='rewrite'"
-                )
             # per-file bitmaps serialize EXECUTOR-side (Arrow batch over
             # one row per touched file): the driver receives COMPRESSED
             # roaring bytes, never the positions list.  A file that
@@ -3366,6 +3727,14 @@ def update_delta(
                 f"update_delta: SET on partition columns {sorted(pset)} "
                 "would move rows across partitions — overwrite or MERGE "
                 "instead"
+            )
+        iset = set(_identity_cols(meta["schemaString"])) & set(set_exprs)
+        if iset:
+            # identity values are assigned once; rewriting them breaks
+            # the uniqueness/alignment contract (Delta refuses too)
+            raise DeltaUnsupported(
+                f"update_delta: SET on identity columns {sorted(iset)} "
+                "is outside the implemented subset"
             )
         mapping = _column_mapping(meta)
         l2p = mapping[1] if mapping else {}
@@ -3654,6 +4023,142 @@ def read_delta_incremental(
     if auto_commit:
         commit_cursor(cursor_path, consumer_id, latest)
     return out, latest
+
+
+def delta_stream_batches(
+    spark: SparkSession,
+    table: str,
+    cursor_path: str,
+    consumer_id: str = "default",
+    max_files_per_trigger: int | None = None,
+    mode: str = "appends",
+):
+    """The native-format twin of Delta's ``readStream`` source at
+    micro-batch granularity: a generator of
+    ``(batch_df, txn_version, cursor_version)`` covering everything
+    after ``consumer_id``'s durable cursor, rate-limited
+    maxFilesPerTrigger-style.
+
+    - A NEW consumer gets the INITIAL SNAPSHOT (Delta's streaming
+      bootstrap), split into ≤``max_files_per_trigger``-file batches in
+      stable (sorted path) order.
+    - Afterwards, commits group greedily so each batch's ADD-file count
+      stays ≤ the limit (a single oversized commit still ships whole —
+      commits are the atomicity grain).
+    - ``mode='appends'`` refuses delete/update commits loudly (Delta's
+      source without skipChangeCommits); ``mode='cdf'`` delivers
+      row-level changes with ``_change_type``.
+
+    Delivery contract (what makes crash replay exactly-once):
+    ``txn_version`` is a strictly increasing long unique per batch
+    (``commit_version * 2**20 + chunk``) — sinks pass it as
+    ``write_delta(txn=(app_id, txn_version))`` and skip batches at or
+    below :func:`last_txn_version`.  ``cursor_version`` is non-None only
+    on the LAST batch of a source version — the caller advances the
+    durable cursor (:func:`commit_cursor`) exactly then, so a crash
+    mid-version re-delivers the whole version and the txn check drops
+    the already-committed chunks.  The generator itself never writes.
+
+    Scale: per-batch work is one distributed scan of the batch's files;
+    driver state is the commit JSONs' action lists (bounded by the
+    version range), exactly what any Delta streaming source holds."""
+    if mode not in ("appends", "cdf"):
+        raise ValueError(f"mode must be appends|cdf, got {mode!r}")
+    _CHUNK = 1 << 20  # txn_version = commit_version * _CHUNK + chunk
+    latest = latest_version(table)
+    state: dict[str, int] = {}
+    if os.path.exists(cursor_path):
+        with open(cursor_path) as fh:
+            state = json.load(fh)
+    since = state.get(consumer_id, -1)
+    if latest <= since:
+        return
+    if since < 0:
+        # ---- initial snapshot, chunked by live-file count ----
+        _, meta, live, _ = _replay(table, latest)
+        rels = sorted(live)
+        step = max_files_per_trigger or max(len(rels), 1)
+        chunks = [
+            {p: live[p] for p in rels[i : i + step]}
+            for i in range(0, len(rels), step)
+        ] or [{}]
+        if len(chunks) >= _CHUNK:
+            raise ValueError(
+                f"snapshot of {table} needs {len(chunks)} batches at "
+                f"max_files_per_trigger={max_files_per_trigger} — "
+                "raise the limit (txn encoding holds 2**20 chunks per "
+                "version)"
+            )
+        for ci, chunk in enumerate(chunks):
+            if chunk:
+                df = _read_live(spark, table, meta, chunk)
+            else:
+                df = spark.createDataFrame(
+                    [],
+                    StructType.fromJson(
+                        json.loads(meta["schemaString"])
+                    ),
+                )
+            df = df.withColumn(
+                "_commit_version", F.lit(latest).cast("bigint")
+            )
+            if mode == "cdf":
+                df = df.withColumn("_change_type", F.lit("insert"))
+            yield (
+                df,
+                latest * _CHUNK + ci,
+                latest if ci == len(chunks) - 1 else None,
+            )
+        return
+    # ---- incremental tail, versions grouped by add-file count ----
+    pending = [
+        v for v in _list_versions(table) if since < v <= latest
+    ]
+    if pending and pending[0] != since + 1:
+        raise ValueError(
+            f"commits {since + 1}..{pending[0] - 1} of {table} were "
+            "cleaned up past a checkpoint — the stream cannot resume; "
+            "restart the consumer for a fresh snapshot"
+        )
+    n_adds: dict[int, int] = {}
+    for v in pending:
+        with open(_log_path(table, v)) as fh:
+            n_adds[v] = sum(
+                1
+                for line in fh
+                if line.strip() and "\"add\"" in line
+                and json.loads(line).get("add") is not None
+            )
+    groups: list[list[int]] = []
+    cur: list[int] = []
+    cur_files = 0
+    for v in pending:
+        if cur and max_files_per_trigger and (
+            cur_files + n_adds[v] > max_files_per_trigger
+        ):
+            groups.append(cur)
+            cur, cur_files = [], 0
+        cur.append(v)
+        cur_files += n_adds[v]
+    if cur:
+        groups.append(cur)
+    for grp in groups:
+        changes = table_changes(spark, table, grp[0], grp[-1])
+        if mode == "cdf":
+            df = changes.drop("_commit_timestamp")
+        else:
+            non_insert = changes.filter(
+                F.col("_change_type") != "insert"
+            )
+            if non_insert.limit(1).count() > 0:
+                raise DeltaUnsupported(
+                    f"commits {grp[0]}..{grp[-1]} of {table} contain "
+                    "deletes/updates; the appends-mode stream consumes "
+                    "append-only tables — pass mode='cdf' to consume "
+                    "row-level changes"
+                )
+            df = changes.drop("_change_type", "_commit_timestamp")
+        yield (df, grp[-1] * _CHUNK, grp[-1])
 
 
 def delta_history(table: str) -> list[dict]:

@@ -762,3 +762,74 @@ def read_merge_upsert_table(
             ~F.coalesce(F.expr(delete_predicate), F.lit(False))
         )
     return df
+
+
+def run_delta_stream(
+    spark: SparkSession,
+    src_table: str,
+    dest_table: str,
+    app_id: str,
+    cursor_path: str,
+    consumer_id: str = "default",
+    transform=None,
+    max_files_per_trigger: int | None = None,
+    mode: str = "appends",
+) -> dict:
+    """availableNow drain of a NATIVE-format Delta source into a
+    native-format Delta sink — the ``dlt.read_stream``-from-Delta
+    topology (reference: zetadex-transactions-helius-pipeline.py:351)
+    without delta-spark: micro-batches come from
+    :func:`~zeta_etl_spark.sinks.delta_log.delta_stream_batches`
+    (initial snapshot, then per-commit tail, both rate-limited
+    maxFilesPerTrigger-style) and land via ``write_delta(txn=...)``.
+
+    Exactly-once across crash replay, from two durable markers and one
+    ordering rule (sink first, cursor second):
+
+    - every batch carries a unique increasing ``txn_version``; the sink
+      records it with the spec's ``txn`` action, and a replayed batch is
+      SKIPPED when ``last_txn_version(dest, app_id)`` already covers it;
+    - the source cursor only advances after the last batch of a source
+      version is durably sunk, so a crash between sink and cursor
+      re-delivers a batch exactly once into the txn skip.
+
+    ``transform`` (optional) maps each batch DataFrame before the sink —
+    batches carry ``_commit_version`` (and ``_change_type`` in
+    ``mode='cdf'``) for lineage-aware transforms.  Returns
+    {batches_delivered, batches_skipped, last_version}."""
+    from zeta_etl_spark.sinks.delta_log import (
+        commit_cursor,
+        delta_stream_batches,
+        last_txn_version,
+        write_delta,
+    )
+
+    delivered = skipped = 0
+    last_v = None
+    for df, txn_v, cursor_v in delta_stream_batches(
+        spark,
+        src_table,
+        cursor_path,
+        consumer_id=consumer_id,
+        max_files_per_trigger=max_files_per_trigger,
+        mode=mode,
+    ):
+        seen = last_txn_version(dest_table, app_id)
+        if seen is not None and txn_v <= seen:
+            skipped += 1  # crash replay: already durably committed
+        else:
+            out = transform(df) if transform is not None else df
+            write_delta(
+                out, dest_table, mode="append", txn=(app_id, txn_v)
+            )
+            delivered += 1
+            _fault_injection("delta_stream_post_sink")
+        if cursor_v is not None:
+            commit_cursor(cursor_path, consumer_id, cursor_v)
+            last_v = cursor_v
+            _fault_injection("delta_stream_post_cursor")
+    return {
+        "batches_delivered": delivered,
+        "batches_skipped": skipped,
+        "last_version": last_v,
+    }
