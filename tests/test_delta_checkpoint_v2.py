@@ -223,3 +223,63 @@ def test_v2_empty_table_checkpoint(spark, tmp_path):
     v = write_checkpoint(t, format="v2")
     cleanup_log(t)
     assert read_delta(spark, t, version=v).count() == 0
+
+
+def test_cleanup_collects_superseded_checkpoints_and_sidecars(
+    spark, tmp_path
+):
+    t = str(tmp_path / "gc")
+    write_delta(_df(spark, 0, 10), t)
+    enable_v2_checkpoints(t)
+    write_delta(_df(spark, 10, 20), t, mode="append")
+    write_checkpoint(t, format="v2", max_actions_per_sidecar=1)  # v2
+    log = os.path.join(t, "_delta_log")
+    side = os.path.join(log, "_sidecars")
+    old_sidecars = set(os.listdir(side))
+    assert len(old_sidecars) >= 2
+    old_top = _v2_top_files(t)
+    write_delta(_df(spark, 20, 30), t, mode="append")
+    v = write_checkpoint(t, format="v2", max_actions_per_sidecar=1)
+    cleanup_log(t)
+    # superseded top file AND its sidecars are gone; the newest
+    # checkpoint's sidecars survive and replay still reconstructs
+    assert _v2_top_files(t) == [
+        f for f in _v2_top_files(t) if f.startswith(f"{v:020d}.")
+    ]
+    assert not (set(os.listdir(side)) & old_sidecars) or (
+        # a sidecar may be re-referenced only if the new top names it
+        set(os.listdir(side)) & old_sidecars
+        == old_sidecars & set(os.listdir(side))
+    )
+    for gone_top in old_top:
+        assert not os.path.exists(os.path.join(log, gone_top))
+    back = read_delta(spark, t)
+    assert back.count() == 30
+    # survivors are exactly the files the newest top references
+    import pyarrow.parquet as pq
+    import urllib.parse as up
+
+    top = pq.read_table(os.path.join(log, _v2_top_files(t)[0]))
+    referenced = {
+        up.unquote(dict(sc)["path"])
+        for sc in top.column("sidecar").to_pylist()
+        if sc is not None
+    }
+    assert set(os.listdir(side)) == referenced
+
+
+def test_cleanup_collects_superseded_classic_checkpoints(spark, tmp_path):
+    t = str(tmp_path / "gcc")
+    write_delta(_df(spark, 0, 10), t)
+    write_checkpoint(t)  # classic @0
+    write_delta(_df(spark, 10, 20), t, mode="append")
+    write_checkpoint(t)  # classic @1
+    log = os.path.join(t, "_delta_log")
+    cleanup_log(t)
+    assert not os.path.exists(
+        os.path.join(log, f"{0:020d}.checkpoint.parquet")
+    )
+    assert os.path.exists(
+        os.path.join(log, f"{1:020d}.checkpoint.parquet")
+    )
+    assert read_delta(spark, t).count() == 20

@@ -173,10 +173,72 @@ def _list_versions(table: str) -> list[int]:
     )
 
 
+def _stamp_in_commit_timestamp(
+    table: str, version: int, actions: list[dict]
+) -> list[dict]:
+    """The ``inCommitTimestamp`` writer obligation (PROTOCOL.md
+    "In-Commit Timestamps"): when the feature is ACTIVE — declared by
+    this commit's own metaData (``delta.enableInCommitTimestamps``) or
+    inherited from the previous commit's stamp — ``commitInfo`` must be
+    the commit's FIRST action and carry a monotonically increasing
+    ``inCommitTimestamp`` (>= previous commit's + 1).  Time-travel then
+    resolves against these stamps instead of file mtimes, which clock
+    skew and log copies corrupt.
+
+    Activation detection is O(1): this commit's metaData wins; else the
+    previous commit's first line (cleanup_log always keeps the newest
+    checkpoint version's JSON, so the previous commit of any NEW commit
+    exists on disk); else — prev JSON missing, a checkpoint-only foreign
+    table — one replay of the prior snapshot's config."""
+    enabled = None
+    for a in actions:
+        md = a.get("metaData")
+        if md is not None:
+            flag = (md.get("configuration") or {}).get(
+                "delta.enableInCommitTimestamps"
+            )
+            if flag is not None:
+                enabled = flag == "true"
+    prev_ict = None
+    if enabled is not False and version > 0:
+        prev = _log_path(table, version - 1)
+        if os.path.exists(prev):
+            with open(prev) as fh:
+                for line in fh:
+                    if line.strip():
+                        prev_ict = json.loads(line).get(
+                            "commitInfo", {}
+                        ).get("inCommitTimestamp")
+                        break
+            if enabled is None:
+                enabled = prev_ict is not None
+        elif enabled is None:
+            try:
+                _, meta_prev, _, _ = _replay(table, version - 1)
+                enabled = (
+                    meta_prev.get("configuration") or {}
+                ).get("delta.enableInCommitTimestamps") == "true"
+            except (ValueError, DeltaUnsupported, FileNotFoundError):
+                enabled = False
+    if not enabled:
+        return actions
+    ci = next((a for a in actions if "commitInfo" in a), None)
+    if ci is None:
+        ci = {"commitInfo": {"timestamp": int(time.time() * 1000)}}
+    actions = [ci] + [a for a in actions if a is not ci]
+    if "inCommitTimestamp" not in ci["commitInfo"]:
+        ict = int(time.time() * 1000)
+        if prev_ict is not None:
+            ict = max(ict, prev_ict + 1)
+        ci["commitInfo"]["inCommitTimestamp"] = ict
+    return actions
+
+
 def _write_commit_atomic(table: str, version: int, actions: list[dict]) -> bool:
     """Put-if-absent commit: returns False when version already exists
     (lost the race).  The temp file is fully written + fsynced before the
     atomic link, so no reader ever sees a partial commit."""
+    actions = _stamp_in_commit_timestamp(table, version, actions)
     target = _log_path(table, version)
     os.makedirs(os.path.dirname(target), exist_ok=True)
     tmp = target + f".tmp-{uuid.uuid4().hex}"
@@ -322,6 +384,10 @@ _WRITER_FEATURES_OK = {
                          # allowExplicitInsert, and commits the updated
                          # high-water mark with every value-consuming
                          # write (append/overwrite/MERGE)
+    "inCommitTimestamp",  # honored: _write_commit_atomic stamps a
+                          # monotonic inCommitTimestamp on every commit
+                          # (commitInfo first) when the table config
+                          # enables it; time travel resolves against it
     "timestampNtz",      # honored: native Spark type, round-trips
     "vacuumProtocolCheck",  # honored: vacuum replays (and so validates
                             # the protocol) before deleting anything
@@ -376,16 +442,20 @@ def _feature_era_protocol(
     legacy_r = sorted(rfeats) if mrv == 3 else (
         ["columnMapping"] if mrv == 2 else []
     )
-    return {
-        "minReaderVersion": 3,
+    # a WRITER-ONLY upgrade (no add_reader) keeps the reader version:
+    # per spec, writer features need only minWriterVersion 7 and the
+    # readerFeatures list exists only at minReaderVersion 3
+    new_mrv = 3 if (add_reader or mrv == 3) else mrv
+    out = {
+        "minReaderVersion": new_mrv,
         "minWriterVersion": 7,
-        "readerFeatures": sorted(
-            set(legacy_r) | set(add_reader)
-        ),
         "writerFeatures": sorted(
             set(legacy_w) | set(add_writer) | set(add_reader)
         ),
     }
+    if new_mrv == 3:
+        out["readerFeatures"] = sorted(set(legacy_r) | set(add_reader))
+    return out
 
 
 def _check_writer_protocol(
@@ -1546,8 +1616,11 @@ def write_delta(
 
 def version_at_timestamp(table: str, timestamp_ms: int) -> int:
     """Delta ``timestampAsOf`` resolution: the latest version whose commit
-    timestamp is <= the given epoch-millis (per spec, from commitInfo;
-    falls back to the log file's mtime when a commit carries none)."""
+    timestamp is <= the given epoch-millis.  A commit stamped with the
+    spec's ``inCommitTimestamp`` resolves against THAT (the feature's
+    whole point: file mtimes are corrupted by clock skew and log
+    copies); otherwise commitInfo.timestamp, else the log file's
+    mtime."""
     best = None
     for v in _list_versions(table):
         ts = None
@@ -1556,7 +1629,10 @@ def version_at_timestamp(table: str, timestamp_ms: int) -> int:
                 if line.strip():
                     action = json.loads(line)
                     if "commitInfo" in action:
-                        ts = action["commitInfo"].get("timestamp")
+                        ci = action["commitInfo"]
+                        ts = ci.get("inCommitTimestamp") or ci.get(
+                            "timestamp"
+                        )
                         break
         if ts is None:
             ts = int(os.path.getmtime(_log_path(table, v)) * 1000)
@@ -4345,6 +4421,66 @@ def enable_v2_checkpoints(table: str, max_retries: int = 20) -> int:
     )
 
 
+def enable_in_commit_timestamps(table: str, max_retries: int = 20) -> int:
+    """Commit the config + protocol upgrade that turns on the spec's
+    In-Commit Timestamps: ``delta.enableInCommitTimestamps=true``, the
+    two enablement-provenance keys (version + the enablement commit's
+    own inCommitTimestamp), and the ``inCommitTimestamp`` WRITER feature
+    (writer-only: minWriterVersion 7, reader version untouched).  From
+    this commit on, every commit carries a monotonic stamp
+    (:func:`_stamp_in_commit_timestamp`) and timestamp time travel
+    resolves against it.  No-op returning the current version when
+    already enabled."""
+    for _ in range(max_retries):
+        v = latest_version(table)
+        protocol, meta, _, _ = _replay(table, v)
+        cfg = dict(meta.get("configuration") or {})
+        if cfg.get("delta.enableInCommitTimestamps") == "true":
+            return v
+        _check_writer_protocol(
+            protocol, meta, "enable_in_commit_timestamps"
+        )
+        ict = int(time.time() * 1000)
+        new_meta = {
+            **meta,
+            "configuration": {
+                **cfg,
+                "delta.enableInCommitTimestamps": "true",
+                # spec provenance: WHERE the feature turned on — readers
+                # fall back to mtimes strictly below this version
+                "delta.inCommitTimestampEnablementVersion": str(v + 1),
+                "delta.inCommitTimestampEnablementTimestamp": str(ict),
+            },
+        }
+        actions = [
+            {
+                "commitInfo": {
+                    "timestamp": ict,
+                    # pre-stamped so the enablement commit's stamp
+                    # EQUALS the provenance config, per spec
+                    "inCommitTimestamp": ict,
+                    "operation": "UPGRADE PROTOCOL",
+                    "operationParameters": {
+                        "feature": "inCommitTimestamp"
+                    },
+                    "engineInfo": "zeta-etl-spark delta_log",
+                }
+            },
+            {
+                "protocol": _feature_era_protocol(
+                    protocol, add_writer=("inCommitTimestamp",)
+                )
+            },
+            {"metaData": new_meta},
+        ]
+        if _write_commit_atomic(table, v + 1, actions):
+            return v + 1
+    raise DeltaConcurrentModification(
+        f"enable_in_commit_timestamps lost the commit race "
+        f"{max_retries} times: {table}"
+    )
+
+
 def write_checkpoint(
     table: str,
     version: int | None = None,
@@ -4508,7 +4644,15 @@ def cleanup_log(table: str) -> list[int]:
     next-version computation never consults the checkpoint list.  Time
     travel below the oldest surviving checkpoint becomes a loud
     ``ValueError`` in ``_replay`` — matching Delta, where history is
-    bounded by log retention.  Returns the deleted versions."""
+    bounded by log retention.  Returns the deleted versions.
+
+    Superseded CHECKPOINT files (every layout: classic single,
+    multi-part, v2 UUID top files) below the newest checkpoint are
+    collected too, and so are v2 SIDECAR parquets no longer referenced
+    by any surviving top file — without this, a long-lived v2-
+    checkpointed table leaks one sidecar set per checkpoint forever.
+    Reference discovery reads only the surviving top files (bounded by
+    checkpoint count, not data)."""
     checkpoints = _list_checkpoints(table)
     if not checkpoints:
         return []
@@ -4518,6 +4662,47 @@ def cleanup_log(table: str) -> list[int]:
         if v < cutoff:
             os.unlink(_log_path(table, v))
             gone.append(v)
+    log = os.path.join(table, _LOG_DIR)
+    by_version = _checkpoint_files(table)
+    survivors: list[str] = []
+    for v, names in sorted(by_version.items()):
+        # _checkpoint_files returns one PREFERRED set per version; a
+        # version may still hold several layouts on disk — match by
+        # version prefix so every superseded file goes
+        if v < cutoff:
+            continue
+        survivors.extend(names)
+    prefix_gone = tuple(
+        f"{v:020d}.checkpoint." for v in by_version if v < cutoff
+    )
+    for f in sorted(os.listdir(log)):
+        if f.startswith(prefix_gone) and f not in survivors:
+            os.unlink(os.path.join(log, f))
+    # sidecars referenced by ANY surviving v2 top file stay; the rest go
+    side_dir = os.path.join(log, "_sidecars")
+    if os.path.isdir(side_dir):
+        import pyarrow.parquet as pq
+
+        referenced: set[str] = set()
+        # scan EVERY surviving v2 top file on disk (not just the
+        # per-version preferred layout): a version holding both a
+        # classic and a v2 checkpoint must keep the v2's sidecars alive
+        # for readers that pick the v2 path
+        for name in sorted(os.listdir(log)):
+            m = _CHECKPOINT_V2_RE.match(name)
+            if not m or int(m.group(1)) < cutoff:
+                continue
+            top = pq.read_table(os.path.join(log, name))
+            if "sidecar" not in top.schema.names:
+                continue  # foreign v2 top carrying inline file actions
+            for sc in top.column("sidecar").to_pylist():
+                if sc is not None:
+                    referenced.add(
+                        urllib.parse.unquote(dict(sc)["path"])
+                    )
+        for f in sorted(os.listdir(side_dir)):
+            if f.endswith(".parquet") and f not in referenced:
+                os.unlink(os.path.join(side_dir, f))
     return gone
 
 
