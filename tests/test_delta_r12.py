@@ -408,7 +408,7 @@ def test_sidecar_path_is_uri_decoded(tmp_path):
             ".parquet",
         ),
     )
-    _protocol, _meta, live, _txns = _load_checkpoint(t, 0)
+    _protocol, _meta, live, _txns, _domains = _load_checkpoint(t, 0)
     assert sorted(live) == ["f1.parquet"]
 
 

@@ -384,6 +384,11 @@ _WRITER_FEATURES_OK = {
                          # allowExplicitInsert, and commits the updated
                          # high-water mark with every value-consuming
                          # write (append/overwrite/MERGE)
+    "domainMetadata",    # honored: domain actions reconcile through
+                         # replay (last writer per domain, removed
+                         # tombstones drop) and survive BOTH checkpoint
+                         # layouts; commits here never touch foreign
+                         # domains
     "inCommitTimestamp",  # honored: _write_commit_atomic stamps a
                           # monotonic inCommitTimestamp on every commit
                           # (commitInfo first) when the table config
@@ -880,6 +885,7 @@ def _load_checkpoint(table: str, version: int):
     protocol, meta = None, None
     live: dict[str, dict] = {}
     txns: dict[str, int] = {}
+    domains: dict[str, dict] = {}
     rows: list[dict] = []
     for part in _checkpoint_paths(table, version):
         rows.extend(pq.read_table(part).to_pylist())
@@ -951,19 +957,33 @@ def _load_checkpoint(table: str, version: int):
         elif row.get("txn") is not None:
             t = row["txn"]
             txns[t["appId"]] = t["version"]
+        elif row.get("domainMetadata") is not None:
+            dm = dict(row["domainMetadata"])
+            # checkpoints carry only LIVE domains; a removed=true row is
+            # foreign-writer bookkeeping and must not surface
+            if not dm.get("removed"):
+                domains[dm["domain"]] = {
+                    k: dm.get(k) for k in ("domain", "configuration")
+                } | {"removed": False}
     if meta is None or protocol is None:
         raise DeltaUnsupported(
             f"checkpoint {version} lacks protocol/metaData: {table}"
         )
-    return protocol, meta, live, txns
+    return protocol, meta, live, txns, domains
 
 
-def _replay(table: str, version: int | None = None):
+def _replay(
+    table: str, version: int | None = None, with_domains: bool = False
+):
     """Reconstitute the snapshot at ``version`` (default: latest);
     returns (protocol, metaData, live, txns) where ``live`` maps relative
     file path -> its add action and ``txns`` maps appId -> latest
     streaming transaction version (the spec's ``txn`` action
-    reconciliation: last writer per appId wins).
+    reconciliation: last writer per appId wins).  With
+    ``with_domains=True`` a fifth element is returned: {domain ->
+    domainMetadata action} (last writer per domain wins, ``removed``
+    tombstones drop the domain) — the spec's table-features
+    domainMetadata reconciliation.
 
     Replay starts from the newest checkpoint <= target when one exists
     (O(checkpoint + JSON tail)); otherwise from version 0.  A JSON gap —
@@ -983,12 +1003,14 @@ def _replay(table: str, version: int | None = None):
 
     base = max((c for c in checkpoints if c <= target), default=None)
     if base is not None:
-        protocol, meta, live, txns = _load_checkpoint(table, base)
+        protocol, meta, live, txns, domains = _load_checkpoint(
+            table, base
+        )
         tail = [v for v in versions if base < v <= target]
         expect = range(base + 1, target + 1)
     else:
         protocol, meta = None, None
-        live, txns = {}, {}
+        live, txns, domains = {}, {}, {}
         tail = [v for v in versions if v <= target]
         expect = range(0, target + 1)
     if list(expect) != tail:
@@ -1016,6 +1038,12 @@ def _replay(table: str, version: int | None = None):
                     removes_v.append(action["remove"]["path"])
                 elif "txn" in action:
                     txns[action["txn"]["appId"]] = action["txn"]["version"]
+                elif "domainMetadata" in action:
+                    dm = action["domainMetadata"]
+                    if dm.get("removed"):
+                        domains.pop(dm["domain"], None)
+                    else:
+                        domains[dm["domain"]] = dm
         # per-commit reconciliation, order-independent WITHIN the commit:
         # a DV update re-adds the SAME path it removes (remove(old DV) +
         # add(new DV) in one commit, PROTOCOL.md) — the remove targets the
@@ -1026,6 +1054,8 @@ def _replay(table: str, version: int | None = None):
         live.update(adds_v)
     if meta is None:
         raise DeltaUnsupported(f"log has no metaData action: {table}")
+    if with_domains:
+        return protocol, meta, live, txns, domains
     return protocol, meta, live, txns
 
 
@@ -4362,6 +4392,18 @@ def _checkpoint_arrow_fields():
                 ]
             ),
         ),
+        # table-features domainMetadata: configuration is an opaque
+        # JSON STRING owned by the writing engine (e.g. delta.clustering)
+        "domainMetadata": pa.field(
+            "domainMetadata",
+            pa.struct(
+                [
+                    ("domain", pa.string()),
+                    ("configuration", pa.string()),
+                    ("removed", pa.bool_()),
+                ]
+            ),
+        ),
         # v2 only: the top file's self-description...
         "checkpointMetadata": pa.field(
             "checkpointMetadata",
@@ -4523,7 +4565,9 @@ def write_checkpoint(
         raise ValueError(f"format must be classic|v2, got {format!r}")
     if version is None:
         version = latest_version(table)
-    protocol, meta, live, txns = _replay(table, version)
+    protocol, meta, live, txns, domains = _replay(
+        table, version, with_domains=True
+    )
     # an unknown writer feature's per-file fields (rowTracking baseRowId,
     # ...) would be silently DROPPED by the fixed checkpoint schema below
     # and lost forever once cleanup_log deletes the JSON tail
@@ -4547,6 +4591,16 @@ def write_checkpoint(
         {"txn": {"appId": app, "version": v, "lastUpdated": None}}
         for app, v in sorted(txns.items())
     )
+    meta_rows.extend(
+        {
+            "domainMetadata": {
+                "domain": d,
+                "configuration": dm.get("configuration"),
+                "removed": False,
+            }
+        }
+        for d, dm in sorted(domains.items())
+    )
     add_rows: list[dict] = [
         {"add": {k: a.get(k) for k in (
             "path", "partitionValues", "size", "modificationTime",
@@ -4557,7 +4611,13 @@ def write_checkpoint(
     log_dir = os.path.join(table, _LOG_DIR)
     if format == "classic":
         schema = pa.schema(
-            [fields[k] for k in ("protocol", "metaData", "add", "txn")]
+            [
+                fields[k]
+                for k in (
+                    "protocol", "metaData", "add", "txn",
+                    "domainMetadata",
+                )
+            ]
         )
         rows = meta_rows + add_rows
         target = _checkpoint_path(table, version)
@@ -4610,6 +4670,7 @@ def write_checkpoint(
                     "protocol",
                     "metaData",
                     "txn",
+                    "domainMetadata",
                     "sidecar",
                 )
             ]
@@ -4704,6 +4765,18 @@ def cleanup_log(table: str) -> list[int]:
             if f.endswith(".parquet") and f not in referenced:
                 os.unlink(os.path.join(side_dir, f))
     return gone
+
+
+def domain_metadata(table: str, version: int | None = None) -> dict:
+    """{domain -> configuration JSON string} of the snapshot's LIVE
+    domainMetadata actions (the spec's engine-owned table metadata, e.g.
+    ``delta.clustering``) — last writer per domain wins, removed
+    tombstones drop the domain, and the set survives checkpoint + log
+    cleanup."""
+    _, _, _, _, domains = _replay(table, version, with_domains=True)
+    return {
+        d: dm.get("configuration") for d, dm in sorted(domains.items())
+    }
 
 
 def last_txn_version(table: str, app_id: str) -> int | None:
