@@ -103,3 +103,66 @@ def test_domains_survive_v2_checkpoint(spark, tmp_path):
     cleanup_log(t)
     assert domain_metadata(t) == EXPECT
     assert read_delta(spark, t).count() == 1
+
+
+def test_clustered_table_optimize_uses_declared_columns(spark, tmp_path):
+    """A clusteredTable (Liquid) foreign table: appends accepted, and
+    OPTIMIZE without explicit columns clusters on the delta.clustering
+    domain's declared columns — per-file k-ranges tighten so skipping
+    prunes, which only happens if the clustering actually applied."""
+    import json as _json
+
+    from zeta_etl_spark.sinks.delta_log import _replay, optimize
+
+    t = str(tmp_path / "liquid")
+    log = os.path.join(t, "_delta_log")
+    os.makedirs(log)
+    schema = json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "long", "nullable": True,
+             "metadata": {}},
+            {"name": "s", "type": "string", "nullable": True,
+             "metadata": {}},
+        ],
+    })
+    actions = [
+        {"commitInfo": {"timestamp": 1700000000000,
+                        "operation": "CREATE"}},
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 7,
+                      "writerFeatures": ["domainMetadata",
+                                         "clusteredTable"]}},
+        {"metaData": {
+            "id": "44444444-4444-4444-4444-444444444444",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema, "partitionColumns": [],
+            "configuration": {}, "createdTime": 1700000000000,
+        }},
+        # string column declared too: skipped for z-order, not refused
+        {"domainMetadata": {"domain": "delta.clustering",
+                            "configuration": _json.dumps(
+                                {"clusteringColumns": [["k"], ["s"]]}),
+                            "removed": False}},
+    ]
+    with open(os.path.join(log, f"{0:020d}.json"), "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in actions))
+    # interleaved appends: every file spans nearly the full k range
+    for i in range(3):
+        write_delta(
+            spark.createDataFrame(
+                [(k, f"s{k}") for k in range(i, 3000, 3)],
+                "k bigint, s string",
+            ).coalesce(1),
+            t, mode="append",
+        )
+    v = optimize(spark, t, target_file_rows=1000)
+    _, _, live, _ = _replay(t)
+    spans = []
+    for add in live.values():
+        st = json.loads(add["stats"])
+        spans.append(st["maxValues"]["k"] - st["minValues"]["k"])
+    # clustered output: tight disjoint ranges (pre-optimize spans ~3000)
+    assert len(spans) >= 2
+    assert max(spans) < 1500
+    assert domain_metadata(t) != {}
+    assert read_delta(spark, t, version=v).count() == 3000

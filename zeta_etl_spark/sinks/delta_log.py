@@ -384,6 +384,11 @@ _WRITER_FEATURES_OK = {
                          # allowExplicitInsert, and commits the updated
                          # high-water mark with every value-consuming
                          # write (append/overwrite/MERGE)
+    "clusteredTable",    # honored: the delta.clustering domain is
+                         # preserved (domainMetadata) and OPTIMIZE
+                         # without explicit columns clusters on the
+                         # declared clusteringColumns; appends need not
+                         # cluster, per spec
     "domainMetadata",    # honored: domain actions reconcile through
                          # replay (last writer per domain, removed
                          # tombstones drop) and survive BOTH checkpoint
@@ -2424,11 +2429,39 @@ def optimize(
     it actually read).  Returns the committed version."""
     zorder_by = list(zorder_by)
     for _ in range(max_retries):
-        protocol, meta, live, _ = _replay(table)
+        protocol, meta, live, _, domains = _replay(
+            table, with_domains=True
+        )
         # dataChange:false removes are compaction, legal on appendOnly
         _check_writer_protocol(protocol, meta, "OPTIMIZE")
         mapping = _column_mapping(meta)
         l2p = mapping[1] if mapping else {}
+        if not zorder_by and "delta.clustering" in domains:
+            # clusteredTable (Liquid-clustered) tables declare their
+            # clustering columns in the delta.clustering domain —
+            # OPTIMIZE without explicit columns clusters on THOSE, the
+            # feature's writer obligation.  The domain stores PHYSICAL
+            # name paths on mapped tables; translate back to logical.
+            cfg = json.loads(
+                domains["delta.clustering"].get("configuration") or "{}"
+            )
+            p2l = {p: l for l, p in l2p.items()}
+            declared = [
+                p2l.get(path[0] if isinstance(path, list) else path,
+                        path[0] if isinstance(path, list) else path)
+                for path in cfg.get("clusteringColumns", [])
+            ]
+            # clustering is a layout OPTIMIZATION, not a correctness
+            # contract: columns outside the z-orderable types (strings)
+            # are skipped rather than refused — rows are identical
+            # either way, only skipping selectivity differs
+            sch = StructType.fromJson(json.loads(meta["schemaString"]))
+            ztypes = {f.name: f.dataType.simpleString() for f in sch}
+            zorder_by = [
+                c for c in declared
+                if ztypes.get(c) in _Z_TYPES
+                or (ztypes.get(c) or "").startswith("decimal(")
+            ]
         base_version = latest_version(table)
         if not live:
             return base_version
