@@ -166,3 +166,34 @@ def test_clustered_table_optimize_uses_declared_columns(spark, tmp_path):
     assert max(spans) < 1500
     assert domain_metadata(t) != {}
     assert read_delta(spark, t, version=v).count() == 3000
+
+
+def test_set_domain_metadata_api(spark, tmp_path):
+    import pytest as _pytest
+
+    from zeta_etl_spark.sinks.delta_log import (
+        DeltaUnsupported,
+        _replay,
+        set_domain_metadata,
+    )
+
+    t = str(tmp_path / "setdm")
+    write_delta(spark.createDataFrame([(1,)], "k bigint"), t)
+    set_domain_metadata(t, "myapp.cursor", '{"pos": 5}')
+    assert domain_metadata(t) == {"myapp.cursor": '{"pos": 5}'}
+    protocol, _, _, _ = _replay(t)
+    assert "domainMetadata" in protocol["writerFeatures"]
+    # last writer wins; tombstone drops
+    set_domain_metadata(t, "myapp.cursor", '{"pos": 9}')
+    assert domain_metadata(t) == {"myapp.cursor": '{"pos": 9}'}
+    set_domain_metadata(t, "myapp.cursor", removed=True)
+    assert domain_metadata(t) == {}
+    # delta.clustering accepted (declares clusteredTable too)...
+    set_domain_metadata(
+        t, "delta.clustering", '{"clusteringColumns": [["k"]]}'
+    )
+    protocol, _, _, _ = _replay(t)
+    assert "clusteredTable" in protocol["writerFeatures"]
+    # ...but other spec-reserved domains refuse
+    with _pytest.raises(DeltaUnsupported, match="reserved"):
+        set_domain_metadata(t, "delta.rowTracking", "{}")

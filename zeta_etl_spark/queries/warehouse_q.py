@@ -1698,3 +1698,83 @@ def delta_stream_ingest_rollup(spark, sf_dir):
         F.countDistinct("user_id").cast("bigint").alias("n_users"),
         dec_sum("value", "sum_value"),
     )
+
+
+# --- delta_liquid_cluster_rollup: Liquid clustering (clusteredTable +
+# delta.clustering domainMetadata) on the graded surface.  Three
+# arrival-order appends land wide-k files, set_domain_metadata declares
+# clustering on (user_id, value) — committing the domainMetadata action
+# and the clusteredTable/domainMetadata feature upgrade — and OPTIMIZE
+# with NO explicit columns must pick the clustering up from the DOMAIN,
+# rewrite dataChange:false, and leave per-file stats that prune the
+# final predicate read.  The rollup must hash-match an oracle over the
+# plain source band: a domain dropped by replay, an OPTIMIZE that
+# ignored it, or a lost row in the clustered rewrite all break the
+# hash.  Scale shape: one bounded-slice rewrite; the domain is O(1)
+# metadata riding the log.
+
+_DELTA_LIQ_ORACLE = f"""
+SELECT event_type,
+  COUNT(*) AS n_events,
+  COUNT(DISTINCT user_id) AS n_users,
+  {dec_sum_expr("value")} AS sum_value,
+  min(user_id) AS min_user,
+  max(user_id) AS max_user
+FROM events WHERE user_id >= 10 AND user_id < 70
+GROUP BY event_type
+"""
+
+
+@query(
+    "delta_liquid_cluster_rollup",
+    oracle=_DELTA_LIQ_ORACLE,
+    tags=("delta", "sink", "S6", "format", "clustering", "domain"),
+)
+def delta_liquid_cluster_rollup(spark, sf_dir):
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from zeta_etl_spark.sinks.delta_log import (
+        optimize,
+        read_delta,
+        set_domain_metadata,
+        write_delta,
+    )
+
+    ev = T(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", "ts"
+    )
+    dest = os.path.join(
+        tempfile.gettempdir(),
+        "zeta_delta_liq_"
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}_{os.getpid()}",
+    )
+    if os.path.exists(dest):
+        shutil.rmtree(dest)  # fresh log per call (bench reps)
+    for i, (lo, hi) in enumerate(((0, 40), (40, 80), (80, 120))):
+        write_delta(
+            ev.filter((F.col("user_id") >= lo) & (F.col("user_id") < hi)),
+            dest,
+            mode="append" if i else "overwrite",
+        )
+    set_domain_metadata(
+        dest,
+        "delta.clustering",
+        '{"clusteringColumns": [["user_id"], ["value"]]}',
+    )
+    v = optimize(spark, dest, target_file_rows=2000)
+    back = read_delta(
+        spark,
+        dest,
+        version=v,
+        predicate=[("user_id", ">=", 10), ("user_id", "<", 70)],
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        dec_sum("value", "sum_value"),
+        F.min("user_id").alias("min_user"),
+        F.max("user_id").alias("max_user"),
+    )

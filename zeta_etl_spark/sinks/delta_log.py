@@ -4812,6 +4812,73 @@ def domain_metadata(table: str, version: int | None = None) -> dict:
     }
 
 
+def set_domain_metadata(
+    table: str,
+    domain: str,
+    configuration: str | None = None,
+    removed: bool = False,
+    max_retries: int = 20,
+) -> int:
+    """Commit a ``domainMetadata`` action for ``domain`` (configuration
+    is an opaque JSON string owned by the caller; ``removed=True``
+    tombstones the domain).  ``delta.*`` domains are reserved for
+    engine-recognized meanings — ``delta.clustering`` is accepted (it
+    declares Liquid clustering columns and upgrades the protocol with
+    ``clusteredTable`` too), other ``delta.``-prefixed domains refuse
+    rather than impersonate a foreign engine's semantics.  Upgrades the
+    protocol with the ``domainMetadata`` writer feature when the table
+    does not declare it yet.  Returns the committed version."""
+    if domain.startswith("delta.") and domain != "delta.clustering":
+        raise DeltaUnsupported(
+            f"domain {domain!r} is spec-reserved with semantics this "
+            "engine does not implement — user domains must not start "
+            "with 'delta.'"
+        )
+    for _ in range(max_retries):
+        v = latest_version(table)
+        protocol, meta, _, _ = _replay(table, v)
+        _check_writer_protocol(protocol, meta, "set_domain_metadata")
+        feats = set(protocol.get("writerFeatures") or [])
+        need = {"domainMetadata"}
+        if domain == "delta.clustering":
+            need.add("clusteredTable")
+        actions: list[dict] = [
+            {
+                "commitInfo": {
+                    "timestamp": int(time.time() * 1000),
+                    "operation": "SET DOMAIN METADATA",
+                    "operationParameters": {"domain": domain},
+                    "engineInfo": "zeta-etl-spark delta_log",
+                }
+            }
+        ]
+        if not (
+            protocol.get("minWriterVersion") == 7 and need <= feats
+        ):
+            actions.append(
+                {
+                    "protocol": _feature_era_protocol(
+                        protocol, add_writer=sorted(need)
+                    )
+                }
+            )
+        actions.append(
+            {
+                "domainMetadata": {
+                    "domain": domain,
+                    "configuration": configuration,
+                    "removed": bool(removed),
+                }
+            }
+        )
+        if _write_commit_atomic(table, v + 1, actions):
+            return v + 1
+    raise DeltaConcurrentModification(
+        f"set_domain_metadata lost the commit race {max_retries} "
+        f"times: {table}"
+    )
+
+
 def last_txn_version(table: str, app_id: str) -> int | None:
     """Latest streaming-transaction version committed for ``app_id``
     (the spec's txn-action reconciliation), or None if never seen."""
