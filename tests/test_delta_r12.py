@@ -272,14 +272,16 @@ def test_append_only_table_gates_removes(spark, tmp_path):
 def test_unknown_writer_features_refuse_before_commit(spark, tmp_path):
     t = str(tmp_path / "wf")
     _seed(spark, t)
+    # typeWidening: the designated genuinely-unsupported fixture
+    # (rowTracking moved into the honored subset in r13)
     _retag_protocol(t, protocol={
         "minReaderVersion": 1, "minWriterVersion": 7,
-        "writerFeatures": ["appendOnly", "rowTracking"],
+        "writerFeatures": ["appendOnly", "typeWidening"],
     })
     df = spark.createDataFrame([(3, 3.0)], "k bigint, v double")
-    with pytest.raises(DeltaUnsupported, match="rowTracking"):
+    with pytest.raises(DeltaUnsupported, match="typeWidening"):
         write_delta(df, t, mode="append")
-    with pytest.raises(DeltaUnsupported, match="rowTracking"):
+    with pytest.raises(DeltaUnsupported, match="typeWidening"):
         merge_delta(spark, t, df, on=["k"], when_matched_update="*")
     # no commit happened
     assert not os.path.exists(
@@ -1232,19 +1234,22 @@ def test_checkpoint_and_vacuum_gate_unknown_writer_features(
     spark, tmp_path
 ):
     """The fixed checkpoint schema would DROP an unknown feature's
-    per-file fields (rowTracking baseRowId); vacuum could delete files
-    an unknown feature still references — both must refuse."""
+    per-file fields; vacuum could delete files an unknown feature still
+    references — both must refuse.  (rowTracking, the r12 example,
+    moved into the honored subset in r13 — its baseRowId fields now
+    ride the checkpoint schema; typeWidening is the designated
+    genuinely-unsupported fixture.)"""
     from zeta_etl_spark.sinks.delta_log import vacuum, write_checkpoint
 
-    t = str(tmp_path / "rowtrk")
+    t = str(tmp_path / "widen")
     _seed(spark, t)
     _retag_protocol(t, protocol={
         "minReaderVersion": 1, "minWriterVersion": 7,
-        "writerFeatures": ["rowTracking"],
+        "writerFeatures": ["typeWidening"],
     })
-    with pytest.raises(DeltaUnsupported, match="rowTracking"):
+    with pytest.raises(DeltaUnsupported, match="typeWidening"):
         write_checkpoint(t)
-    with pytest.raises(DeltaUnsupported, match="rowTracking"):
+    with pytest.raises(DeltaUnsupported, match="typeWidening"):
         vacuum(t, retention_ms=0)
     # reading stays fine (reader protocol is v1)
     assert read_delta(spark, t).count() == 2

@@ -1778,3 +1778,122 @@ def delta_liquid_cluster_rollup(spark, sf_dir):
         F.min("user_id").alias("min_user"),
         F.max("user_id").alias("max_user"),
     )
+
+
+# --- delta_row_tracking_audit: row tracking (writer feature) on the
+# graded surface.  A hand-authored rowTracking table (the foreign-table
+# scenario: feature declared by another engine, empty live set) takes
+# two single-file appends — the engine must allocate DISJOINT gap-free
+# baseRowId ranges from the delta.rowTracking domain's high-water mark
+# and stamp defaultRowCommitVersion — then a dv-mode DELETE re-adds the
+# first file, which must KEEP its baseRowId while carrying the exact
+# deletion cardinality, and a checkpoint + log cleanup must preserve the
+# per-file fields (the checkpoint schema carries them).  The audit emits
+# one row per live file from the LOG metadata joined with live counts,
+# hash-matched against an oracle that recomputes every number from the
+# source bands: a wrong allocation base, a dropped field, or a stale
+# high-water mark all break the hash.
+
+_DELTA_RT_AUDIT_ORACLE = """
+SELECT CAST(0 AS BIGINT) AS base_row_id,
+  CAST(1 AS BIGINT) AS commit_version,
+  CAST((SELECT COUNT(*) FROM events WHERE user_id < 5) AS BIGINT)
+    AS dv_cardinality,
+  CAST((SELECT COUNT(*) FROM events WHERE user_id >= 5 AND user_id < 15)
+    AS BIGINT) AS n_live
+UNION ALL
+SELECT CAST((SELECT COUNT(*) FROM events WHERE user_id < 15) AS BIGINT),
+  CAST(2 AS BIGINT),
+  CAST(0 AS BIGINT),
+  CAST((SELECT COUNT(*) FROM events WHERE user_id >= 15 AND user_id < 30)
+    AS BIGINT)
+"""
+
+
+@query(
+    "delta_row_tracking_audit",
+    oracle=_DELTA_RT_AUDIT_ORACLE,
+    tags=("delta", "sink", "S6", "format", "rowtracking"),
+)
+def delta_row_tracking_audit(spark, sf_dir):
+    import hashlib
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from zeta_etl_spark.sinks.delta_log import (
+        _replay,
+        cleanup_log,
+        delete_delta,
+        read_delta,
+        write_checkpoint,
+        write_delta,
+    )
+
+    ev = T(spark, sf_dir, "events")
+    dest = os.path.join(
+        tempfile.gettempdir(),
+        "zeta_delta_rt_audit_"
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}_{os.getpid()}",
+    )
+    if os.path.exists(dest):
+        shutil.rmtree(dest)  # fresh log per call (bench reps)
+    # foreign creation: rowTracking declared, no data yet
+    log = os.path.join(dest, "_delta_log")
+    os.makedirs(log)
+    schema_json = spark.createDataFrame(
+        [], "event_id bigint, user_id bigint, event_type string"
+    ).schema.json()
+    actions = [
+        {"commitInfo": {"timestamp": 1700000000000,
+                        "operation": "CREATE TABLE"}},
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 7,
+                      "writerFeatures": ["rowTracking",
+                                         "domainMetadata"]}},
+        {"metaData": {
+            "id": "66666666-6666-6666-6666-666666666666",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema_json, "partitionColumns": [],
+            "configuration": {}, "createdTime": 1700000000000,
+        }},
+    ]
+    with open(os.path.join(log, f"{0:020d}.json"), "w") as fh:
+        fh.write("\n".join(_json.dumps(a) for a in actions))
+
+    def _band(lo, hi):
+        return (
+            ev.filter((F.col("user_id") >= lo) & (F.col("user_id") < hi))
+            .select("event_id", "user_id", "event_type")
+            .coalesce(1)
+        )
+
+    write_delta(_band(0, 15), dest, mode="append")
+    write_delta(_band(15, 30), dest, mode="append")
+    delete_delta(spark, dest, [("user_id", "<", 5)], mode="dv")
+    write_checkpoint(dest)
+    cleanup_log(dest)
+    _, _, live, _ = _replay(dest)
+    back = read_delta(spark, dest)
+    n_by_band = {
+        r["b"]: r["n"]
+        for r in back.groupBy(
+            (F.col("user_id") < 15).alias("b")
+        ).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    rows = []
+    for add in live.values():
+        dcv = add["defaultRowCommitVersion"]
+        rows.append(
+            (
+                add["baseRowId"],
+                dcv,
+                (add.get("deletionVector") or {}).get("cardinality", 0),
+                n_by_band[dcv == 1],
+            )
+        )
+    return spark.createDataFrame(
+        sorted(rows),
+        "base_row_id bigint, commit_version bigint, "
+        "dv_cardinality bigint, n_live bigint",
+    )

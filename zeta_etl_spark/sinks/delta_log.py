@@ -149,6 +149,12 @@ _CHECKPOINT_MP_RE = re.compile(
 )
 _PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
 
+# latest-snapshot protocol per table, refreshed by every full _replay of
+# the newest version (which every write path performs in its attempt
+# loop right before committing) — lets the commit choke point apply
+# feature obligations (rowTracking id assignment) without re-replaying
+_SNAPSHOT_PROTOCOL: dict[str, dict] = {}
+
 
 class DeltaConcurrentModification(RuntimeError):
     """Raised when the OCC retry budget is exhausted."""
@@ -231,7 +237,90 @@ def _stamp_in_commit_timestamp(
         if prev_ict is not None:
             ict = max(ict, prev_ict + 1)
         ci["commitInfo"]["inCommitTimestamp"] = ict
+    elif (
+        prev_ict is not None
+        and ci["commitInfo"]["inCommitTimestamp"] <= prev_ict
+    ):
+        # OCC retry: a stamp set on an earlier attempt can be BEHIND
+        # the race winner's — monotonicity must hold against the commit
+        # that actually precedes us, not the one we first saw
+        ci["commitInfo"]["inCommitTimestamp"] = prev_ict + 1
     return actions
+
+
+def _assign_row_ids(
+    table: str, version: int, actions: list[dict]
+) -> list[dict]:
+    """The ``rowTracking`` writer obligation (PROTOCOL.md "Row
+    Tracking"): on a table declaring the feature, every NEW add action
+    gets a fresh ``baseRowId`` range (allocated from the
+    ``delta.rowTracking`` domain's rowIdHighWaterMark, one id per row
+    via the add's numRecords) and ``defaultRowCommitVersion`` = this
+    commit's version; the bumped high-water mark rides the commit as a
+    domainMetadata action.  Re-committed adds that already carry a
+    baseRowId (a DV re-add, OPTIMIZE of foreign files) keep it — that
+    is exactly how row ids stay stable across DV commits.
+
+    Activation detection: this commit's own protocol action when
+    present, else the latest-snapshot protocol every write path's
+    attempt-loop replay already cached (_SNAPSHOT_PROTOCOL) — no extra
+    replay on the hot path.  Returns NEW action dicts — the caller's
+    list is never mutated, so an OCC retry re-allocates from the fresh
+    mark instead of re-using ids a race winner may have consumed."""
+    fresh = [
+        i for i, a in enumerate(actions)
+        if "add" in a and a["add"].get("baseRowId") is None
+    ]
+    if not fresh:
+        return actions
+    feats: set[str] | None = None
+    for a in actions:
+        if "protocol" in a:
+            feats = set(a["protocol"].get("writerFeatures") or [])
+    if feats is None:
+        feats = set(
+            (_SNAPSHOT_PROTOCOL.get(table) or {}).get(
+                "writerFeatures"
+            ) or []
+        )
+    if "rowTracking" not in feats:
+        return actions
+    try:
+        _, _, _, _, domains = _replay(
+            table, version - 1 if version > 0 else None,
+            with_domains=True,
+        )
+    except FileNotFoundError:
+        domains = {}
+    hwm = json.loads(
+        (domains.get("delta.rowTracking") or {}).get("configuration")
+        or '{"rowIdHighWaterMark": -1}'
+    ).get("rowIdHighWaterMark", -1)
+    out = list(actions)
+    for i in fresh:
+        add = dict(out[i]["add"])
+        n = json.loads(add.get("stats") or "{}").get("numRecords")
+        if n is None:
+            raise DeltaUnsupported(
+                "rowTracking needs numRecords stats on every new add "
+                f"to allocate base row ids: {add.get('path')!r}"
+            )
+        add["baseRowId"] = hwm + 1
+        add["defaultRowCommitVersion"] = version
+        hwm += int(n)
+        out[i] = {**out[i], "add": add}
+    out.append(
+        {
+            "domainMetadata": {
+                "domain": "delta.rowTracking",
+                "configuration": json.dumps(
+                    {"rowIdHighWaterMark": hwm}
+                ),
+                "removed": False,
+            }
+        }
+    )
+    return out
 
 
 def _write_commit_atomic(table: str, version: int, actions: list[dict]) -> bool:
@@ -239,6 +328,7 @@ def _write_commit_atomic(table: str, version: int, actions: list[dict]) -> bool:
     (lost the race).  The temp file is fully written + fsynced before the
     atomic link, so no reader ever sees a partial commit."""
     actions = _stamp_in_commit_timestamp(table, version, actions)
+    actions = _assign_row_ids(table, version, actions)
     target = _log_path(table, version)
     os.makedirs(os.path.dirname(target), exist_ok=True)
     tmp = target + f".tmp-{uuid.uuid4().hex}"
@@ -398,6 +488,12 @@ _WRITER_FEATURES_OK = {
                           # monotonic inCommitTimestamp on every commit
                           # (commitInfo first) when the table config
                           # enables it; time travel resolves against it
+    "rowTracking",       # honored: fresh adds get baseRowId ranges +
+                         # defaultRowCommitVersion at the commit choke
+                         # point (hwm via the delta.rowTracking domain);
+                         # re-adds keep theirs; row-MOVING ops refuse
+                         # when delta.enableRowTracking=true (stable-id
+                         # guarantee needs materialized columns)
     "timestampNtz",      # honored: native Spark type, round-trips
     "vacuumProtocolCheck",  # honored: vacuum replays (and so validates
                             # the protocol) before deleting anything
@@ -469,7 +565,11 @@ def _feature_era_protocol(
 
 
 def _check_writer_protocol(
-    protocol: dict | None, meta: dict, op: str, removes_data: bool = False
+    protocol: dict | None,
+    meta: dict,
+    op: str,
+    removes_data: bool = False,
+    moves_rows: bool = False,
 ) -> None:
     """Writer-side analogue of :func:`_apply_protocol` (ADVICE r11 #2):
     before ANY commit to an existing table, verify the table's declared
@@ -502,6 +602,19 @@ def _check_writer_protocol(
             "subset"
         )
     cfg = meta.get("configuration") or {}
+    if moves_rows and cfg.get("delta.enableRowTracking") == "true":
+        # STABLE row ids: rewriting a row into a different file must
+        # carry its id via materialized row-id columns — outside the
+        # implemented subset.  Appends, overwrites (rows replaced, not
+        # moved) and dv-mode DELETE (files untouched, descriptors
+        # preserved on the re-add) remain fully available.
+        raise DeltaUnsupported(
+            f"{op} rewrites rows on a table with stable row ids "
+            "(delta.enableRowTracking=true) — id preservation needs "
+            "materialized row-id columns, outside the implemented "
+            "subset; use dv-mode DELETE / appends, or disable the "
+            "stability guarantee"
+        )
     if removes_data and cfg.get("delta.appendOnly") == "true":
         raise DeltaUnsupported(
             f"{op} removes data but the table declares "
@@ -954,6 +1067,9 @@ def _load_checkpoint(table: str, version: int):
                 a["deletionVector"] = dict(dv)
             else:
                 a.pop("deletionVector", None)
+            for opt in ("baseRowId", "defaultRowCommitVersion"):
+                if a.get(opt) is None:
+                    a.pop(opt, None)
             live[a["path"]] = a
         elif row.get("remove") is not None:
             # checkpoint remove rows are expired-tombstone bookkeeping for
@@ -1059,6 +1175,8 @@ def _replay(
         live.update(adds_v)
     if meta is None:
         raise DeltaUnsupported(f"log has no metaData action: {table}")
+    if target == newest and protocol is not None:
+        _SNAPSHOT_PROTOCOL[table] = protocol
     if with_domains:
         return protocol, meta, live, txns, domains
     return protocol, meta, live, txns
@@ -2433,7 +2551,9 @@ def optimize(
             table, with_domains=True
         )
         # dataChange:false removes are compaction, legal on appendOnly
-        _check_writer_protocol(protocol, meta, "OPTIMIZE")
+        _check_writer_protocol(
+            protocol, meta, "OPTIMIZE", moves_rows=True
+        )
         mapping = _column_mapping(meta)
         l2p = mapping[1] if mapping else {}
         if not zorder_by and "delta.clustering" in domains:
@@ -2720,7 +2840,10 @@ def _merge_delta_pinned(
     for _ in range(max_retries):
         base_version = latest_version(table)
         protocol, meta, live, txns = _replay(table, base_version)
-        _check_writer_protocol(protocol, meta, "MERGE", removes_data=True)
+        _check_writer_protocol(
+            protocol, meta, "MERGE", removes_data=True,
+            moves_rows=True,
+        )
         if txn is not None:
             seen = txns.get(txn[0])
             if seen is not None and txn[1] <= seen:
@@ -3488,7 +3611,10 @@ def delete_delta(
     for _ in range(max_retries):
         base_version = latest_version(table)
         protocol, meta, live, _ = _replay(table, base_version)
-        _check_writer_protocol(protocol, meta, "DELETE", removes_data=True)
+        _check_writer_protocol(
+            protocol, meta, "DELETE", removes_data=True,
+            moves_rows=(mode == "rewrite"),
+        )
         mapping = _column_mapping(meta)
         l2p = mapping[1] if mapping else {}
         pcols = list(meta["partitionColumns"])
@@ -3849,7 +3975,10 @@ def update_delta(
     for _ in range(max_retries):
         base_version = latest_version(table)
         protocol, meta, live, _ = _replay(table, base_version)
-        _check_writer_protocol(protocol, meta, "UPDATE", removes_data=True)
+        _check_writer_protocol(
+            protocol, meta, "UPDATE", removes_data=True,
+            moves_rows=True,
+        )
         schema = StructType.fromJson(json.loads(meta["schemaString"]))
         tbl_types = {f.name: f.dataType for f in schema.fields}
         bad = sorted(set(set_exprs) - set(tbl_types))
@@ -4398,6 +4527,11 @@ def _checkpoint_arrow_fields():
                             ]
                         ),
                     ),
+                    # rowTracking per-file fields: dropping them in a
+                    # checkpoint would orphan every row id once
+                    # cleanup_log deletes the JSON tail
+                    ("baseRowId", pa.int64()),
+                    ("defaultRowCommitVersion", pa.int64()),
                 ]
             ),
         ),
@@ -4637,7 +4771,8 @@ def write_checkpoint(
     add_rows: list[dict] = [
         {"add": {k: a.get(k) for k in (
             "path", "partitionValues", "size", "modificationTime",
-            "dataChange", "stats", "tags", "deletionVector")}}
+            "dataChange", "stats", "tags", "deletionVector",
+            "baseRowId", "defaultRowCommitVersion")}}
         for _, a in sorted(live.items())
     ]
 
