@@ -35,7 +35,7 @@ one extra aggregate over the same join.
 from __future__ import annotations
 
 from collections.abc import Sequence
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from functools import reduce
 
 from pyspark.sql import Column, DataFrame
@@ -76,10 +76,15 @@ class MergePlan:
     survives: Column
     out_cols: list  # Column list: merged output, target order + new_cols
     pre_cols: list  # Column list: target-side preimage, same names/types
+    rt_cols: list = field(default_factory=list)
+    # Column list: materialized row-tracking carry-through (data files
+    # only — never part of the change feed)
 
     def merged(self) -> DataFrame:
         """Rows of the post-merge table slice (survivors, clause-applied)."""
-        return self.joined.where(self.survives).select(*self.out_cols)
+        return self.joined.where(self.survives).select(
+            *self.out_cols, *self.rt_cols
+        )
 
     def changes(self) -> DataFrame:
         """Row-level change feed of this merge, Delta CDF shape: the
@@ -140,12 +145,19 @@ def build_merge_plan(
     null_safe_on: bool = False,
     new_cols: Sequence[str] = (),
     tfields: dict | None = None,
+    row_tracking: Sequence[str] = (),
 ) -> MergePlan:
     """Compose the merge join and clause matrix over ``target`` ×
     ``source``.  ``tfields`` maps output column name -> Spark DataType
     (defaults to the target's own types); ``new_cols`` lists source-only
     columns appended after the target schema (their types must be in
-    ``tfields``)."""
+    ``tfields``).  ``row_tracking=(row_id_col, row_commit_version_col)``
+    marks target-side MATERIALIZED row-tracking columns: excluded from
+    the clause matrix and the change feed, they ride ``merged()`` with
+    Delta's preservation rule — any surviving target row keeps its row
+    id; copied rows keep their commit version while updated rows take
+    NULL (the committing version, via the new file's default); inserted
+    rows take NULL for both (fresh allocation)."""
     if (
         when_matched_update is None
         and not when_matched_delete
@@ -154,11 +166,16 @@ def build_merge_plan(
         raise ValueError("merge: no WHEN clause given")
     on = list(on)
     new_cols = list(new_cols)
-    tcols = target.columns
+    row_tracking = list(row_tracking)
+    tcols = [c for c in target.columns if c not in set(row_tracking)]
     if tfields is None:
         tfields = {f.name: f.dataType for f in target.schema.fields}
 
-    tj = target.select(F.struct(*[F.col(c) for c in tcols]).alias("t"))
+    tj = target.select(
+        F.struct(
+            *[F.col(f"`{c}`") for c in tcols + row_tracking]
+        ).alias("t")
+    )
     sj = source.select(
         F.struct(*[F.col(c) for c in source.columns]).alias("s")
     )
@@ -225,6 +242,21 @@ def build_merge_plan(
         F.expr(f"t.{c}").cast(tfields[c]).alias(c) for c in tcols
     ] + [F.lit(None).cast(tfields[c]).alias(c) for c in new_cols]
 
+    rt_cols = []
+    if row_tracking:
+        rid, rcv = row_tracking
+        rt_cols = [
+            # any surviving target row keeps its id; inserts get NULL
+            F.when(F.col("t").isNotNull(), F.expr(f"t.`{rid}`"))
+            .cast("long").alias(rid),
+            # copied rows keep their commit version; updated rows take
+            # NULL (resolved to the committing version by the new add's
+            # defaultRowCommitVersion); inserts NULL
+            F.when(
+                F.col("t").isNotNull() & ~upd_gate, F.expr(f"t.`{rcv}`")
+            ).cast("long").alias(rcv),
+        ]
+
     survives = (
         (matched & ~del_gate)
         | (F.col("t").isNotNull() & F.col("s").isNull())
@@ -239,4 +271,5 @@ def build_merge_plan(
         survives=survives,
         out_cols=out_cols,
         pre_cols=pre_cols,
+        rt_cols=rt_cols,
     )

@@ -1797,15 +1797,15 @@ def delta_liquid_cluster_rollup(spark, sf_dir):
 _DELTA_RT_AUDIT_ORACLE = """
 SELECT CAST(0 AS BIGINT) AS base_row_id,
   CAST(1 AS BIGINT) AS commit_version,
-  CAST((SELECT COUNT(*) FROM events WHERE user_id < 5) AS BIGINT)
+  CAST((SELECT COUNT(*) FROM events WHERE user_id < 2) AS BIGINT)
     AS dv_cardinality,
-  CAST((SELECT COUNT(*) FROM events WHERE user_id >= 5 AND user_id < 15)
+  CAST((SELECT COUNT(*) FROM events WHERE user_id >= 2 AND user_id < 5)
     AS BIGINT) AS n_live
 UNION ALL
-SELECT CAST((SELECT COUNT(*) FROM events WHERE user_id < 15) AS BIGINT),
+SELECT CAST((SELECT COUNT(*) FROM events WHERE user_id < 5) AS BIGINT),
   CAST(2 AS BIGINT),
   CAST(0 AS BIGINT),
-  CAST((SELECT COUNT(*) FROM events WHERE user_id >= 15 AND user_id < 30)
+  CAST((SELECT COUNT(*) FROM events WHERE user_id >= 5 AND user_id < 15)
     AS BIGINT)
 """
 
@@ -1868,9 +1868,12 @@ def delta_row_tracking_audit(spark, sf_dir):
             .coalesce(1)
         )
 
-    write_delta(_band(0, 15), dest, mode="append")
-    write_delta(_band(15, 30), dest, mode="append")
-    delete_delta(spark, dest, [("user_id", "<", 5)], mode="dv")
+    # band edges chosen non-empty at EVERY test scale (sf0.001 has
+    # user_ids 0..14 only — a band that can be empty would commit no
+    # add and silently halve the audit)
+    write_delta(_band(0, 5), dest, mode="append")
+    write_delta(_band(5, 15), dest, mode="append")
+    delete_delta(spark, dest, [("user_id", "<", 2)], mode="dv")
     write_checkpoint(dest)
     cleanup_log(dest)
     _, _, live, _ = _replay(dest)
@@ -1878,7 +1881,7 @@ def delta_row_tracking_audit(spark, sf_dir):
     n_by_band = {
         r["b"]: r["n"]
         for r in back.groupBy(
-            (F.col("user_id") < 15).alias("b")
+            (F.col("user_id") < 5).alias("b")
         ).agg(F.count(F.lit(1)).alias("n")).collect()
     }
     rows = []

@@ -136,7 +136,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import LongType, StructField, StructType
 
 _LOG_DIR = "_delta_log"
 _VERSION_RE = re.compile(r"^(\d{20})\.json$")
@@ -321,6 +321,93 @@ def _assign_row_ids(
         }
     )
     return out
+
+
+def _rt_materialized(meta: dict) -> tuple[str, str] | None:
+    """The table's materialized row-tracking column names, when STABLE
+    row ids are in force (PROTOCOL.md "Row Tracking": with
+    ``delta.enableRowTracking=true`` the table config names one
+    physical column per file that stores a moved row's preserved row id
+    / row commit version; rows the columns hold NULL for fall back to
+    ``baseRowId + position`` / ``defaultRowCommitVersion``).  Returns
+    ``(row_id_col, row_commit_version_col)`` or None when ids are not
+    stable or the names are undeclared (the row-moving gate then
+    refuses — a table that promises stability without naming the
+    columns cannot be rewritten without breaking the promise)."""
+    cfg = meta.get("configuration") or {}
+    if cfg.get("delta.enableRowTracking") != "true":
+        return None
+    rid = cfg.get("delta.rowTracking.materializedRowIdColumnName")
+    rcv = cfg.get(
+        "delta.rowTracking.materializedRowCommitVersionColumnName"
+    )
+    if not rid or not rcv:
+        return None
+    logical = {
+        f["name"] for f in json.loads(meta["schemaString"])["fields"]
+    }
+    if rid in logical or rcv in logical:
+        raise DeltaUnsupported(
+            f"materialized row-tracking columns {rid!r}/{rcv!r} collide "
+            "with the table's logical schema — spec-invalid table state"
+        )
+    return rid, rcv
+
+
+def _rt_fields(rt: tuple[str, str]) -> list:
+    """StructFields for scanning the materialized columns alongside the
+    data (files written before row tracking simply surface NULL)."""
+    from pyspark.sql.types import LongType, StructField
+
+    return [StructField(rt[0], LongType()), StructField(rt[1], LongType())]
+
+
+def _attach_row_ids(
+    spark: SparkSession,
+    scan: DataFrame,
+    table: str,
+    adds: dict[str, dict],
+    rt: tuple[str, str],
+) -> DataFrame:
+    """Resolve each scanned row's CURRENT row id / row commit version
+    into the materialized columns, so a rewrite that carries those
+    columns preserves both across the move: ``coalesce(materialized,
+    baseRowId + position)`` / ``coalesce(materialized,
+    defaultRowCommitVersion)`` — the spec's exact read-side rule.
+    ``scan`` must carry ``__fp``/``__ri`` and the (possibly-NULL)
+    materialized columns; the per-file base values ride a broadcast
+    frame bounded by the touched file count.  A foreign add missing its
+    baseRowId (pre-backfill) leaves NULL — the commit choke point then
+    assigns that row a fresh id, the only sound fallback."""
+    rid, rcv = rt
+    fps = [r["__fp"] for r in scan.select("__fp").distinct().collect()]
+    uri_by_rel = _uri_by_rel(fps, table, adds, require_all=False)
+    rows = []
+    for p, a in adds.items():
+        uri = uri_by_rel.get(urllib.parse.unquote(p))
+        if uri is not None:
+            rows.append(
+                (uri, a.get("baseRowId"), a.get("defaultRowCommitVersion"))
+            )
+    base_df = F.broadcast(
+        spark.createDataFrame(
+            rows, "__fp string, __rt_base bigint, __rt_dcv bigint"
+        )
+    )
+    return (
+        scan.join(base_df, "__fp", "left")
+        .withColumn(
+            rid,
+            F.coalesce(
+                F.col(f"`{rid}`"), F.col("__rt_base") + F.col("__ri")
+            ).cast("long"),
+        )
+        .withColumn(
+            rcv,
+            F.coalesce(F.col(f"`{rcv}`"), F.col("__rt_dcv")).cast("long"),
+        )
+        .drop("__rt_base", "__rt_dcv")
+    )
 
 
 def _write_commit_atomic(table: str, version: int, actions: list[dict]) -> bool:
@@ -602,18 +689,27 @@ def _check_writer_protocol(
             "subset"
         )
     cfg = meta.get("configuration") or {}
-    if moves_rows and cfg.get("delta.enableRowTracking") == "true":
+    if (
+        moves_rows
+        and cfg.get("delta.enableRowTracking") == "true"
+        and _rt_materialized(meta) is None
+    ):
         # STABLE row ids: rewriting a row into a different file must
-        # carry its id via materialized row-id columns — outside the
-        # implemented subset.  Appends, overwrites (rows replaced, not
+        # carry its id via the MATERIALIZED row-tracking columns — the
+        # rewrite paths do exactly that when the table declares their
+        # names (delta.rowTracking.materializedRowIdColumnName /
+        # ...RowCommitVersionColumnName).  A table that promises
+        # stability WITHOUT naming them cannot be rewritten without
+        # breaking the promise; appends, overwrites (rows replaced, not
         # moved) and dv-mode DELETE (files untouched, descriptors
         # preserved on the re-add) remain fully available.
         raise DeltaUnsupported(
             f"{op} rewrites rows on a table with stable row ids "
-            "(delta.enableRowTracking=true) — id preservation needs "
-            "materialized row-id columns, outside the implemented "
-            "subset; use dv-mode DELETE / appends, or disable the "
-            "stability guarantee"
+            "(delta.enableRowTracking=true) but no materialized "
+            "row-id columns are declared — id preservation is "
+            "impossible; use dv-mode DELETE / appends, declare the "
+            "materialized column names, or disable the stability "
+            "guarantee"
         )
     if removes_data and cfg.get("delta.appendOnly") == "true":
         raise DeltaUnsupported(
@@ -1182,14 +1278,16 @@ def _replay(
     return protocol, meta, live, txns
 
 
-def _stats_json(parquet_path: str) -> str:
+def _stats_json(parquet_path: str, exclude: Sequence[str] = ()) -> str:
     """Per-file stats for the ``add`` action: numRecords plus
     minValues / maxValues / nullCount for top-level leaf columns, read
     from the parquet footer the write already produced (no data scan).
     Spec-conforming conservatisms: a column whose row-group stats are
     missing (or whose doubles may hide NaN ordering issues) is simply
     omitted from min/max — readers must treat absent stats as
-    unprunable, so omission is always safe."""
+    unprunable, so omission is always safe.  ``exclude`` drops columns
+    that are physical-only (materialized row-tracking columns) — stats
+    describe the LOGICAL schema."""
     import datetime
     import math
 
@@ -1197,7 +1295,7 @@ def _stats_json(parquet_path: str) -> str:
 
     md = pq.ParquetFile(parquet_path).metadata
     arrow_schema = pq.read_schema(parquet_path)
-    top_level = {f.name for f in arrow_schema}
+    top_level = {f.name for f in arrow_schema} - set(exclude)
 
     def _render(v):
         if isinstance(v, bytes):
@@ -1263,6 +1361,7 @@ def _stage_data_files(
     action: str = "add",
     subdir: str | None = None,
     drop_empty: bool = False,
+    stats_exclude: Sequence[str] = (),
 ) -> list[dict]:
     """Write ``df`` as parquet into the table directory (hive layout when
     partitioned) via a staging dir, returning one action per file.
@@ -1289,7 +1388,7 @@ def _stage_data_files(
                 continue  # _SUCCESS, .crc
             src = os.path.join(root, f)
             rel = os.path.relpath(src, stage)
-            stats = _stats_json(src)
+            stats = _stats_json(src, exclude=stats_exclude)
             if drop_empty and json.loads(stats)["numRecords"] == 0:
                 os.unlink(src)
                 continue
@@ -2157,6 +2256,7 @@ def _read_live(
     meta: dict,
     live: dict[str, dict],
     keep_meta: bool = False,
+    extra_fields: Sequence = (),
 ) -> DataFrame:
     """The table's LOGICAL rows for a live file set: plain files in one
     scan; deletion-vector'd files in a second scan WITH the parquet row
@@ -2171,12 +2271,18 @@ def _read_live(
     pieces: list[DataFrame] = []
     if plain_live:
         pieces.append(
-            _scan_live(spark, table, meta, plain_live, with_meta=keep_meta)
+            _scan_live(
+                spark, table, meta, plain_live,
+                with_meta=keep_meta, extra_fields=extra_fields,
+            )
         )
     if dv_live:
         from zeta_etl_spark.sinks.delta_dv import dv_positions_df
 
-        dv_scan = _scan_live(spark, table, meta, dv_live, with_meta=True)
+        dv_scan = _scan_live(
+            spark, table, meta, dv_live,
+            with_meta=True, extra_fields=extra_fields,
+        )
         # the join key is Spark's OWN _metadata.file_path rendering —
         # collected from a metadata-only pass over the DV'd files (the
         # small subset), never rebuilt in Python: Hadoop URI-escapes
@@ -2200,6 +2306,7 @@ def _read_live(
 
         empty = StructType(
             list(schema)
+            + list(extra_fields)
             + (
                 [
                     StructField("__fp", StringType()),
@@ -2447,6 +2554,61 @@ def read_delta(
         return _with_filters(spark.createDataFrame([], schema))
     return _with_filters(_read_live(spark, table, meta, live))
 
+
+def read_delta_row_ids(
+    spark: SparkSession,
+    table: str,
+    version: int | None = None,
+) -> DataFrame:
+    """Snapshot read surfacing the spec's row-tracking metadata as two
+    extra columns, ``row_id`` and ``row_commit_version`` (what
+    delta-spark exposes via ``_metadata.row_id`` /
+    ``_metadata.row_commit_version``): per PROTOCOL.md "Row Tracking",
+    ``coalesce(materialized value, baseRowId + position)`` and
+    ``coalesce(materialized value, defaultRowCommitVersion)``.  Requires
+    the ``rowTracking`` writer feature; DV'd files surface their LIVE
+    rows with their original positions (deleted positions are gone, ids
+    keep their gaps — exactly the stability contract)."""
+    protocol, meta, live, _ = _replay(table, version)
+    feats = set((protocol or {}).get("writerFeatures") or [])
+    if "rowTracking" not in feats:
+        raise DeltaUnsupported(
+            f"read_delta_row_ids: table {table!r} does not declare the "
+            "rowTracking writer feature — rows have no ids"
+        )
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    # honor DECLARED materialized columns even when stability is
+    # currently off — a once-stable table's moved rows carry their ids
+    # there, and base+position would silently re-derive different ones
+    cfg = meta.get("configuration") or {}
+    rid_c = (
+        cfg.get("delta.rowTracking.materializedRowIdColumnName")
+        or "__rt_mat_rid"
+    )
+    rcv_c = (
+        cfg.get("delta.rowTracking.materializedRowCommitVersionColumnName")
+        or "__rt_mat_rcv"
+    )
+    out_schema = StructType(
+        list(schema)
+        + [
+            StructField("row_id", LongType()),
+            StructField("row_commit_version", LongType()),
+        ]
+    )
+    if not live:
+        return spark.createDataFrame([], out_schema)
+    scan = _read_live(
+        spark, table, meta, live,
+        keep_meta=True, extra_fields=_rt_fields((rid_c, rcv_c)),
+    )
+    return (
+        _attach_row_ids(spark, scan, table, live, (rid_c, rcv_c))
+        .withColumnRenamed(rid_c, "row_id")
+        .withColumnRenamed(rcv_c, "row_commit_version")
+        .select(*[f.name for f in out_schema.fields])
+    )
+
 _Z_TYPES = {"int", "bigint", "smallint", "tinyint", "float", "double",
             "date", "timestamp", "timestamp_ntz"}
 
@@ -2638,7 +2800,21 @@ def optimize(
         # rewrite is materialize-minus-DV and the descriptor dies with
         # the removed file — rows are unchanged, dataChange stays False
         # (exactly Delta's PURGE semantics, r11 verdict #4)
-        df = _read_live(spark, table, meta, live)
+        rt = _rt_materialized(meta)
+        if rt:
+            # stable row ids: every moved row carries its current id AND
+            # its current commit version in the materialized columns —
+            # OPTIMIZE changes neither (dataChange: false)
+            df = _attach_row_ids(
+                spark,
+                _read_live(
+                    spark, table, meta, live,
+                    keep_meta=True, extra_fields=_rt_fields(rt),
+                ),
+                table, live, rt,
+            ).drop("__fp", "__ri")
+        else:
+            df = _read_live(spark, table, meta, live)
 
         total = 0
         for p in snapshot_paths:
@@ -2670,11 +2846,12 @@ def optimize(
             out = df.repartition(n_files)
 
         adds = _stage_data_files(
-            _to_physical(out, meta),
+            _to_physical(out, meta, passthrough=rt or ()),
             table,
             [l2p.get(c, c) for c in pcols],
             data_change=False,
             drop_empty=True,
+            stats_exclude=rt or (),
         )
         _, _, live_now, _ = _replay(table)
         if where:
@@ -3045,8 +3222,26 @@ def _merge_delta_pinned(
         # deletion vector scans MINUS its deleted rows, and the rewrite
         # below commits a clean (DV-free) add — exactly what any engine
         # does when it rewrites a DV'd file (r11 verdict #4)
+        rt = _rt_materialized(meta)
         if touched:
-            target_df = _read_live(spark, table, meta, touched)
+            if rt:
+                # stable row ids ride the clause matrix: the kernel
+                # preserves them per Delta's rule (copied keep both,
+                # updated keep id only, inserts allocate fresh)
+                target_df = _attach_row_ids(
+                    spark,
+                    _read_live(
+                        spark, table, meta, touched,
+                        keep_meta=True, extra_fields=_rt_fields(rt),
+                    ),
+                    table, touched, rt,
+                ).drop("__fp", "__ri")
+            else:
+                target_df = _read_live(spark, table, meta, touched)
+        elif rt:
+            target_df = spark.createDataFrame(
+                [], StructType(list(schema) + _rt_fields(rt))
+            )
         else:
             target_df = spark.createDataFrame([], schema)
 
@@ -3062,6 +3257,7 @@ def _merge_delta_pinned(
             insert_condition=insert_condition,
             new_cols=new_cols,
             tfields=tfields,
+            row_tracking=rt or (),
         )
         metrics: dict = plan.metrics() if collect_metrics else {}
 
@@ -3082,11 +3278,13 @@ def _merge_delta_pinned(
                     plan.merged(), staging_meta, recompute=True
                 ),
                 staging_meta,
+                passthrough=rt or (),
             ),
             table,
             phys_pcols,
             data_change=True,
             drop_empty=True,
+            stats_exclude=rt or (),
         )
         cdc_actions: list[dict] = []
         if write_cdf:
@@ -3651,8 +3849,10 @@ def delete_delta(
             return _no_op()
         # candidate rows with file identity; rows an existing DV already
         # deleted are dropped (they can never match again)
+        rt = _rt_materialized(meta) if mode == "rewrite" else None
         scan = _read_live(
-            spark, table, meta, candidates, keep_meta=True
+            spark, table, meta, candidates, keep_meta=True,
+            extra_fields=_rt_fields(rt) if rt else (),
         ).persist()
         try:
             hit_fps = [
@@ -3686,14 +3886,25 @@ def delete_delta(
 
             if mode == "rewrite":
                 n_del = deleted_rows.count()
+                if rt:
+                    # survivors are COPIED rows: both the row id and the
+                    # row commit version are preserved across the move
+                    survivors = _attach_row_ids(
+                        spark, base, table, touched, rt
+                    ).filter(~is_hit).select(
+                        *data_cols, *[F.col(f"`{c}`") for c in rt]
+                    )
+                else:
+                    survivors = base.filter(~is_hit).select(*data_cols)
                 adds = _stage_data_files(
                     _to_physical(
-                        base.filter(~is_hit).select(*data_cols), meta
+                        survivors, meta, passthrough=rt or ()
                     ),
                     table,
                     phys_pcols,
                     data_change=True,
                     drop_empty=True,
+                    stats_exclude=rt or (),
                 )
                 cdc_actions: list[dict] = []
                 if write_cdf:
@@ -4019,8 +4230,10 @@ def update_delta(
             }
         cond = _predicate_column(predicate)
         is_hit = F.coalesce(cond, F.lit(False))  # NULL never updates
+        rt = _rt_materialized(meta)
         scan = _read_live(
-            spark, table, meta, candidates, keep_meta=True
+            spark, table, meta, candidates, keep_meta=True,
+            extra_fields=_rt_fields(rt) if rt else (),
         ).persist()
         try:
             hit_fps = [
@@ -4051,6 +4264,8 @@ def update_delta(
                 )
             )
             base = scan.join(fps_df, "__fp")
+            if rt:
+                base = _attach_row_ids(spark, base, table, touched, rt)
             data_cols = [f.name for f in schema.fields]
             n_upd = base.filter(is_hit).count()
             updated_cols = [
@@ -4061,28 +4276,43 @@ def update_delta(
                 ).alias(f.name)
                 for f in schema.fields
             ]
+            if rt:
+                # UPDATED rows keep their row id but take THIS commit's
+                # version: NULL materialized rcv falls back to the new
+                # add's defaultRowCommitVersion, assigned at the commit
+                # choke point (the version is unknown pre-OCC).  COPIED
+                # rows preserve both.
+                rid_c, rcv_c = rt
+                upd_rt = [
+                    F.col(f"`{rid_c}`"),
+                    F.lit(None).cast("long").alias(rcv_c),
+                ]
+                copy_rt = [F.col(f"`{c}`") for c in rt]
+            else:
+                upd_rt = copy_rt = []
             pre = base.filter(is_hit).select(*data_cols)
             post = _enforce_generated(
-                base.filter(is_hit).select(*updated_cols),
+                base.filter(is_hit).select(*updated_cols, *upd_rt),
                 meta,
                 recompute=True,
             )
-            merged = base.filter(~is_hit).select(*data_cols).unionByName(
-                post
-            )
+            merged = base.filter(~is_hit).select(
+                *data_cols, *copy_rt
+            ).unionByName(post)
             adds = _stage_data_files(
-                _to_physical(merged, meta),
+                _to_physical(merged, meta, passthrough=rt or ()),
                 table,
                 phys_pcols,
                 data_change=True,
                 drop_empty=True,
+                stats_exclude=rt or (),
             )
             cdc_actions: list[dict] = []
             if write_cdf:
                 changes = pre.withColumn(
                     "_change_type", F.lit("update_preimage")
                 ).unionByName(
-                    post.withColumn(
+                    post.select(*data_cols).withColumn(
                         "_change_type", F.lit("update_postimage")
                     )
                 )
