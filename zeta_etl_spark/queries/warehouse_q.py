@@ -1900,3 +1900,117 @@ def delta_row_tracking_audit(spark, sf_dir):
         "base_row_id bigint, commit_version bigint, "
         "dv_cardinality bigint, n_live bigint",
     )
+
+
+# --- delta_row_id_stability_audit: stable row ids THROUGH rewrites
+# (PROTOCOL.md "Row Tracking", materialized columns) on the graded
+# surface.  An engine-written two-file table takes the full enablement
+# flow — enable_row_tracking (protocol upgrade + generated materialized
+# names + one-commit backfill), a row-level UPDATE, then OPTIMIZE —
+# and the audit verifies, per band, that EVERY row kept its id across
+# both rewrites while the row commit version advanced exactly for the
+# updated band (to the UPDATE's version) and stayed at the enablement
+# version for the copied band.  The before-image is a driver-side
+# snapshot bounded by the band width (user_id < 15 is ~1k rows at every
+# test scale — the band is sf-invariant by construction) broadcast back
+# for the comparison join; the oracle recomputes every count from the
+# source bands, so a single migrated/dropped/re-minted id breaks the
+# hash.
+
+_DELTA_RID_STABILITY_ORACLE = """
+SELECT 'copied' AS band,
+  CAST((SELECT COUNT(*) FROM events WHERE user_id >= 2 AND user_id < 15)
+    AS BIGINT) AS n_rows,
+  CAST((SELECT COUNT(*) FROM events WHERE user_id >= 2 AND user_id < 15)
+    AS BIGINT) AS n_id_stable,
+  CAST(0 AS BIGINT) AS n_at_update_version,
+  CAST((SELECT COUNT(*) FROM events WHERE user_id >= 2 AND user_id < 15)
+    AS BIGINT) AS n_at_enable_version
+UNION ALL
+SELECT 'updated',
+  CAST((SELECT COUNT(*) FROM events WHERE user_id < 2) AS BIGINT),
+  CAST((SELECT COUNT(*) FROM events WHERE user_id < 2) AS BIGINT),
+  CAST((SELECT COUNT(*) FROM events WHERE user_id < 2) AS BIGINT),
+  CAST(0 AS BIGINT)
+"""
+
+
+@query(
+    "delta_row_id_stability_audit",
+    oracle=_DELTA_RID_STABILITY_ORACLE,
+    tags=("delta", "sink", "S6", "format", "rowtracking"),
+)
+def delta_row_id_stability_audit(spark, sf_dir):
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from zeta_etl_spark.sinks.delta_log import (
+        enable_row_tracking,
+        optimize,
+        read_delta_row_ids,
+        update_delta,
+        write_delta,
+    )
+
+    ev = T(spark, sf_dir, "events")
+    dest = os.path.join(
+        tempfile.gettempdir(),
+        "zeta_delta_rid_stab_"
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}_{os.getpid()}",
+    )
+    if os.path.exists(dest):
+        shutil.rmtree(dest)  # fresh table per call (bench reps)
+
+    def _band(lo, hi):
+        return (
+            ev.filter((F.col("user_id") >= lo) & (F.col("user_id") < hi))
+            .select("event_id", "user_id", "event_type")
+            .coalesce(1)
+        )
+
+    write_delta(_band(0, 2), dest, mode="append")
+    write_delta(_band(2, 15), dest, mode="append")
+    v_enable = enable_row_tracking(dest)
+    before = {
+        r["event_id"]: (r["row_id"], r["row_commit_version"])
+        for r in read_delta_row_ids(spark, dest)
+        .select("event_id", "row_id", "row_commit_version")
+        .collect()
+    }
+    v_update = update_delta(
+        spark, dest, {"event_type": "'promoted'"}, [("user_id", "<", 2)]
+    )["version"]
+    optimize(spark, dest, target_file_rows=4_000_000)
+    before_df = F.broadcast(
+        spark.createDataFrame(
+            [(k, rid, rcv) for k, (rid, rcv) in before.items()],
+            "event_id bigint, rid0 bigint, rcv0 bigint",
+        )
+    )
+    after = read_delta_row_ids(spark, dest)
+    return (
+        after.join(before_df, "event_id")
+        .groupBy(
+            F.when(F.col("user_id") < 2, F.lit("updated"))
+            .otherwise(F.lit("copied"))
+            .alias("band")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                (F.col("row_id") == F.col("rid0")).cast("bigint")
+            ).alias("n_id_stable"),
+            F.sum(
+                (F.col("row_commit_version") == F.lit(v_update))
+                .cast("bigint")
+            ).alias("n_at_update_version"),
+            F.sum(
+                (
+                    (F.col("row_commit_version") == F.lit(v_enable))
+                    & (F.col("rcv0") == F.lit(v_enable))
+                ).cast("bigint")
+            ).alias("n_at_enable_version"),
+        )
+    )

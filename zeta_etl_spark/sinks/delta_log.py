@@ -4920,6 +4920,101 @@ def enable_in_commit_timestamps(table: str, max_retries: int = 20) -> int:
     )
 
 
+def enable_row_tracking(
+    table: str, stable: bool = True, max_retries: int = 20
+) -> int:
+    """Commit the protocol + config upgrade + BACKFILL that turns on
+    Row Tracking (delta.io PROTOCOL.md "Row Tracking") on an existing
+    table, in one commit:
+
+    - the ``rowTracking`` + ``domainMetadata`` writer features
+      (writer-only: minWriterVersion 7, reader untouched);
+    - generated materialized column names
+      (``delta.rowTracking.materializedRowIdColumnName`` /
+      ``...RowCommitVersionColumnName``) so rewrites can preserve ids
+      from day one (kept if already declared);
+    - ``delta.enableRowTracking=true`` when ``stable`` — the stability
+      PROMISE, legal in the same commit because the backfill below
+      leaves no file without ids;
+    - a backfill: every live add lacking a ``baseRowId`` is
+      re-committed unchanged (``dataChange: false``, DV descriptors and
+      stats preserved) and the commit choke point
+      (:func:`_assign_row_ids`) allocates its range — backfilled rows'
+      row commit version is this commit's, the only version at which
+      they verifiably exist with ids.
+
+    No-op returning the current version when the feature, the names and
+    (if asked) the flag are all already in place."""
+    for _ in range(max_retries):
+        v = latest_version(table)
+        protocol, meta, live, _ = _replay(table, v)
+        cfg = dict(meta.get("configuration") or {})
+        have_feat = "rowTracking" in (
+            (protocol or {}).get("writerFeatures") or []
+        )
+        have_names = cfg.get(
+            "delta.rowTracking.materializedRowIdColumnName"
+        ) and cfg.get(
+            "delta.rowTracking.materializedRowCommitVersionColumnName"
+        )
+        have_flag = cfg.get("delta.enableRowTracking") == "true"
+        backfill = {
+            p: a for p, a in live.items() if a.get("baseRowId") is None
+        }
+        if (
+            have_feat
+            and have_names
+            and (have_flag or not stable)
+            and not backfill
+        ):
+            return v
+        _check_writer_protocol(protocol, meta, "enable_row_tracking")
+        suffix = uuid.uuid4().hex[:12]
+        cfg.setdefault(
+            "delta.rowTracking.materializedRowIdColumnName",
+            f"_row-id-col-{suffix}",
+        )
+        cfg.setdefault(
+            "delta.rowTracking.materializedRowCommitVersionColumnName",
+            f"_row-commit-version-col-{suffix}",
+        )
+        if stable:
+            cfg["delta.enableRowTracking"] = "true"
+        actions: list[dict] = [
+            {
+                "commitInfo": {
+                    "timestamp": int(time.time() * 1000),
+                    "operation": "UPGRADE PROTOCOL",
+                    "operationParameters": {
+                        "feature": "rowTracking",
+                        "backfillFiles": len(backfill),
+                    },
+                    "engineInfo": "zeta-etl-spark delta_log",
+                }
+            },
+            {
+                "protocol": _feature_era_protocol(
+                    protocol,
+                    add_writer=("rowTracking", "domainMetadata"),
+                )
+            },
+            {"metaData": {**meta, "configuration": cfg}},
+        ]
+        # the re-add carries the add dict VERBATIM (stats, descriptor,
+        # partitionValues) — only the missing ids are filled at the
+        # commit choke point
+        actions.extend(
+            {"add": {**a, "dataChange": False}}
+            for _, a in sorted(backfill.items())
+        )
+        if _write_commit_atomic(table, v + 1, actions):
+            return v + 1
+    raise DeltaConcurrentModification(
+        f"enable_row_tracking lost the commit race {max_retries} "
+        f"times: {table}"
+    )
+
+
 def write_checkpoint(
     table: str,
     version: int | None = None,
