@@ -238,13 +238,13 @@ def test_rejects_reader_features_above_subset(spark, tmp_path):
                     "protocol": {
                         "minReaderVersion": 3,
                         "minWriterVersion": 7,
-                        "readerFeatures": ["typeWidening"],
+                        "readerFeatures": ["collations"],
                     }
                 }
             )
             + "\n"
         )
-    with pytest.raises(DeltaUnsupported, match="typeWidening"):
+    with pytest.raises(DeltaUnsupported, match="collations"):
         read_delta(spark, t)
     # reader version 2 (legacy column mapping gate) is READABLE since the
     # column-mapping read path landed; a hypothetical future version is not

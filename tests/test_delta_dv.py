@@ -437,7 +437,7 @@ def test_reader_features_outside_subset_still_refuse(spark, tmp_path):
                         "minReaderVersion": 3,
                         "minWriterVersion": 7,
                         "readerFeatures": ["deletionVectors",
-                                           "typeWidening"],
+                                           "collations"],
                     }
                 }
             )
@@ -445,7 +445,7 @@ def test_reader_features_outside_subset_still_refuse(spark, tmp_path):
             + _meta_action()
             + "\n"
         )
-    with pytest.raises(DeltaUnsupported, match="typeWidening"):
+    with pytest.raises(DeltaUnsupported, match="collations"):
         read_delta(spark, t)
 
 

@@ -272,16 +272,17 @@ def test_append_only_table_gates_removes(spark, tmp_path):
 def test_unknown_writer_features_refuse_before_commit(spark, tmp_path):
     t = str(tmp_path / "wf")
     _seed(spark, t)
-    # typeWidening: the designated genuinely-unsupported fixture
-    # (rowTracking moved into the honored subset in r13)
+    # collations: the designated genuinely-unsupported fixture
+    # (rowTracking moved into the honored subset in r13; typeWidening
+    # followed later the same round)
     _retag_protocol(t, protocol={
         "minReaderVersion": 1, "minWriterVersion": 7,
-        "writerFeatures": ["appendOnly", "typeWidening"],
+        "writerFeatures": ["appendOnly", "collations"],
     })
     df = spark.createDataFrame([(3, 3.0)], "k bigint, v double")
-    with pytest.raises(DeltaUnsupported, match="typeWidening"):
+    with pytest.raises(DeltaUnsupported, match="collations"):
         write_delta(df, t, mode="append")
-    with pytest.raises(DeltaUnsupported, match="typeWidening"):
+    with pytest.raises(DeltaUnsupported, match="collations"):
         merge_delta(spark, t, df, on=["k"], when_matched_update="*")
     # no commit happened
     assert not os.path.exists(
@@ -1237,7 +1238,7 @@ def test_checkpoint_and_vacuum_gate_unknown_writer_features(
     per-file fields; vacuum could delete files an unknown feature still
     references — both must refuse.  (rowTracking, the r12 example,
     moved into the honored subset in r13 — its baseRowId fields now
-    ride the checkpoint schema; typeWidening is the designated
+    ride the checkpoint schema; collations is the designated
     genuinely-unsupported fixture.)"""
     from zeta_etl_spark.sinks.delta_log import vacuum, write_checkpoint
 
@@ -1245,11 +1246,11 @@ def test_checkpoint_and_vacuum_gate_unknown_writer_features(
     _seed(spark, t)
     _retag_protocol(t, protocol={
         "minReaderVersion": 1, "minWriterVersion": 7,
-        "writerFeatures": ["typeWidening"],
+        "writerFeatures": ["collations"],
     })
-    with pytest.raises(DeltaUnsupported, match="typeWidening"):
+    with pytest.raises(DeltaUnsupported, match="collations"):
         write_checkpoint(t)
-    with pytest.raises(DeltaUnsupported, match="typeWidening"):
+    with pytest.raises(DeltaUnsupported, match="collations"):
         vacuum(t, retention_ms=0)
     # reading stays fine (reader protocol is v1)
     assert read_delta(spark, t).count() == 2

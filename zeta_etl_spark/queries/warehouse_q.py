@@ -2014,3 +2014,102 @@ def delta_row_id_stability_audit(spark, sf_dir):
             ).alias("n_at_enable_version"),
         )
     )
+
+
+# --- delta_type_widening_audit: Type Widening (PROTOCOL.md) on the
+# graded surface.  A table created with an int column takes the
+# metadata-only widen_column_type commit (lattice-checked, typeChanges
+# recorded, typeWidening readerWriter feature added), then a WIDE
+# append; the read upcasts the pre-widening file through the explicit
+# current schema while new files land wide, and a predicate on the
+# widened column stays exact with its stats skipping disabled.  The
+# audit emits per-generation counts/sums plus the recorded typeChanges
+# tableVersion; the oracle recomputes everything from the source bands.
+
+_DELTA_WIDEN_ORACLE = """
+SELECT 'narrow' AS band,
+  CAST((SELECT COUNT(*) FROM events WHERE user_id < 5) AS BIGINT)
+    AS n_rows,
+  CAST((SELECT SUM(user_id) FROM events WHERE user_id < 5) AS BIGINT)
+    AS sum_uid,
+  CAST(1 AS BIGINT) AS widen_version
+UNION ALL
+SELECT 'wide',
+  CAST((SELECT COUNT(*) FROM events WHERE user_id >= 5 AND user_id < 15)
+    AS BIGINT),
+  CAST((SELECT SUM(user_id + 1000000000000) FROM events
+        WHERE user_id >= 5 AND user_id < 15) AS BIGINT),
+  CAST(1 AS BIGINT)
+"""
+
+
+@query(
+    "delta_type_widening_audit",
+    oracle=_DELTA_WIDEN_ORACLE,
+    tags=("delta", "sink", "S6", "format", "typewidening"),
+)
+def delta_type_widening_audit(spark, sf_dir):
+    import hashlib
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from zeta_etl_spark.sinks.delta_log import (
+        _replay,
+        read_delta,
+        widen_column_type,
+        write_delta,
+    )
+
+    ev = T(spark, sf_dir, "events")
+    dest = os.path.join(
+        tempfile.gettempdir(),
+        "zeta_delta_widen_"
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}_{os.getpid()}",
+    )
+    if os.path.exists(dest):
+        shutil.rmtree(dest)  # fresh table per call (bench reps)
+
+    narrow = (
+        ev.filter(F.col("user_id") < 5)
+        .select(
+            F.col("event_id"),
+            F.col("user_id").cast("int").alias("uid"),
+        )
+        .coalesce(1)
+    )
+    write_delta(narrow, dest, mode="append")
+    widen_column_type(dest, "uid", "bigint")
+    # post-widening rows land WIDE — values beyond int range prove the
+    # pre-widening file and the wide file read under ONE schema
+    wide = (
+        ev.filter((F.col("user_id") >= 5) & (F.col("user_id") < 15))
+        .select(
+            F.col("event_id"),
+            (F.col("user_id") + F.lit(1_000_000_000_000))
+            .cast("bigint").alias("uid"),
+        )
+        .coalesce(1)
+    )
+    write_delta(wide, dest, mode="append")
+    _, meta, _, _ = _replay(dest)
+    widen_version = next(
+        f for f in _json.loads(meta["schemaString"])["fields"]
+        if f["name"] == "uid"
+    )["metadata"]["delta.typeChanges"][0]["tableVersion"]
+    # predicate on the widened column: skipping is disabled for it, the
+    # real filter keeps the result exact
+    back = read_delta(spark, dest, predicate=[("uid", ">=", 0)])
+    return (
+        back.groupBy(
+            F.when(F.col("uid") < 1_000_000_000_000, F.lit("narrow"))
+            .otherwise(F.lit("wide"))
+            .alias("band")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("uid").cast("bigint").alias("sum_uid"),
+        )
+        .withColumn("widen_version", F.lit(widen_version).cast("bigint"))
+    )

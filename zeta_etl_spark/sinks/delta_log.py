@@ -114,8 +114,12 @@ Implemented subset (spec-true where implemented, strict where not):
 - multi-part classic checkpoints, READ path: ``<v>.checkpoint.<k of
   n>.<n>.parquet`` part sets reconstitute together; an incomplete part
   set is ignored per spec (never a partial snapshot).
+- type widening: reads upcast old (narrow) files through the explicit
+  current schema; :func:`widen_column_type` commits the lattice-checked
+  metadata change + ``delta.typeChanges`` records; stats skipping on
+  widened columns is disabled.
 - NOT implemented (rejected loudly, never silently misread):
-  type widening, identity columns, nested generation expressions.
+  collations, nested generation expressions, nested identity columns.
 
 At 100 TB: the log is O(commits) JSON lines bounded by checkpointing +
 cleanup, and the reader materializes only the live-file LIST driver-side
@@ -510,6 +514,13 @@ def _apply_protocol(action_protocol: dict) -> dict:
                 # protocol) before touching any file — exactly the check
                 # this feature exists to require
                 "vacuumProtocolCheck",
+                # files written before a widening read under the CURRENT
+                # (wider) schema — Spark's parquet reader upcasts every
+                # conversion in the spec's lattice (verified for the
+                # full matrix in tests/test_delta_type_widening.py);
+                # stats skipping on widened columns is disabled
+                "typeWidening",
+                "typeWidening-preview",
             }
         )
         if unsupported:
@@ -573,6 +584,13 @@ _WRITER_FEATURES_OK = {
                          # domains
     "inCommitTimestamp",  # honored: _write_commit_atomic stamps a
                           # monotonic inCommitTimestamp on every commit
+    "typeWidening",      # honored: writes use the CURRENT (wide)
+                         # schema; widen_column_type commits the spec's
+                         # delta.typeChanges records; stats skipping on
+                         # widened columns is disabled (old files carry
+                         # pre-widening stats renderings)
+    "typeWidening-preview",  # the preview-era feature name, same
+                             # semantics
                           # (commitInfo first) when the table config
                           # enables it; time travel resolves against it
     "rowTracking",       # honored: fresh adds get baseRowId ranges +
@@ -1332,7 +1350,14 @@ def _stats_json(parquet_path: str, exclude: Sequence[str] = ()) -> str:
             if not st.has_min_max:
                 droppable.add(name)
                 continue
-            lo, hi = _render(st.min), _render(st.max)
+            try:
+                lo, hi = _render(st.min), _render(st.max)
+            except Exception:
+                # pyarrow cannot cast min/max for every physical type
+                # (e.g. some decimal encodings) — omission is the
+                # spec-safe fallback, same as absent footer stats
+                droppable.add(name)
+                continue
             if lo is None or hi is None:
                 droppable.add(name)
                 continue
@@ -3189,6 +3214,12 @@ def _merge_delta_pinned(
                 break
             range_pred += [(l2p.get(k, k), ">=", lo), (l2p.get(k, k), "<=", hi)]
 
+        # conjuncts on type-widened key columns never prune (old-file
+        # stats are in the pre-widening rendering)
+        merge_widened = _widened_cols(meta)
+        range_pred = [
+            t for t in range_pred if t[0] not in merge_widened
+        ]
         tuples: list[tuple] | None = None
         if matchable and pcols and set(pcols) <= set(on):
             # driver-side list bounded by TOUCHED partition count, not rows
@@ -3707,10 +3738,30 @@ def table_changes(
     return out
 
 
+def _widened_cols(meta: dict) -> frozenset[str]:
+    """PHYSICAL names of top-level columns that have been type-widened
+    (``delta.typeChanges`` field metadata, PROTOCOL.md "Type Widening").
+    Files written before a widening carry stats in the OLD type's
+    rendering (an int where the schema now says decimal, a date string
+    where it says timestamp_ntz), so stats-based skipping on these
+    columns is conservatively disabled — absent stats are always safe,
+    and the real filter still applies."""
+    out = set()
+    for f in json.loads(meta["schemaString"])["fields"]:
+        md = f.get("metadata") or {}
+        if md.get("delta.typeChanges"):
+            out.add(
+                md.get("delta.columnMapping.physicalName", f["name"])
+            )
+    return frozenset(out)
+
+
 def _prune_by_predicate(meta: dict, live: dict, predicate) -> dict:
     """The candidate files a conjunctive predicate can touch, through the
     same conservative stats machinery as read_delta's skipping (keys
-    translated to physical names on mapped tables)."""
+    translated to physical names on mapped tables).  Conjuncts on
+    type-widened columns never prune (their old-file stats are in the
+    pre-widening rendering)."""
     if not predicate:
         return dict(live)
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
@@ -3722,7 +3773,14 @@ def _prune_by_predicate(meta: dict, live: dict, predicate) -> dict:
         for f in schema.fields
         if f.dataType.simpleString() in ("float", "double")
     )
-    phys_pred = [(l2p.get(c, c), op, lit) for c, op, lit in predicate]
+    widened = _widened_cols(meta)
+    phys_pred = [
+        (l2p.get(c, c), op, lit)
+        for c, op, lit in predicate
+        if l2p.get(c, c) not in widened
+    ]
+    if not phys_pred:
+        return dict(live)
     return {
         p: a
         for p, a in live.items()
@@ -5012,6 +5070,167 @@ def enable_row_tracking(
     raise DeltaConcurrentModification(
         f"enable_row_tracking lost the commit race {max_retries} "
         f"times: {table}"
+    )
+
+
+# Type Widening (PROTOCOL.md): the lattice of allowed conversions, keyed
+# on schema-JSON type names.  Integer -> decimal needs enough integral
+# digits for the source's full range; decimal -> decimal may grow scale
+# only when the integral part grows at least as much.
+_WIDEN_CHAINS = {
+    "byte": {"short", "integer", "long", "double"},
+    "short": {"integer", "long", "double"},
+    "integer": {"long", "double"},
+    "float": {"double"},
+    "date": {"timestamp_ntz"},
+}
+_WIDEN_INT_DIGITS = {"byte": 3, "short": 5, "integer": 10, "long": 20}
+# user-facing aliases (Spark simpleString) -> schema-JSON names
+_TYPE_JSON_NAMES = {
+    "tinyint": "byte", "smallint": "short", "int": "integer",
+    "bigint": "long",
+}
+
+
+def _widening_ok(frm: str, to: str) -> bool:
+    if to in _WIDEN_CHAINS.get(frm, ()):
+        return True
+    mdec = re.fullmatch(r"decimal\((\d+),(\d+)\)", to)
+    if mdec:
+        p2, s2 = int(mdec.group(1)), int(mdec.group(2))
+        mfrm = re.fullmatch(r"decimal\((\d+),(\d+)\)", frm)
+        if mfrm:
+            p1, s1 = int(mfrm.group(1)), int(mfrm.group(2))
+            return (
+                s2 >= s1 and p2 - s2 >= p1 - s1 and (p2, s2) != (p1, s1)
+            )
+        if frm in _WIDEN_INT_DIGITS:
+            return p2 - s2 >= _WIDEN_INT_DIGITS[frm]
+    return False
+
+
+def widen_column_type(
+    table: str, column: str, new_type: str, max_retries: int = 20
+) -> int:
+    """``ALTER TABLE ... ALTER COLUMN ... TYPE <wider>`` — Type Widening
+    per delta.io PROTOCOL.md: a METADATA-ONLY commit that replaces the
+    column's type with a wider one from the spec's lattice, records the
+    change in the field's ``delta.typeChanges`` metadata, and upgrades
+    the protocol with the ``typeWidening`` readerWriter feature.  No
+    file is rewritten — old files keep the narrow physical type and
+    every reader upcasts through the explicit (current) read schema;
+    stats skipping on the column is disabled from here on (old stats
+    are in the pre-widening rendering).
+
+    Refused loudly: nested fields, partition columns (their values cast
+    from hive path strings), identity columns (long by spec), generated
+    columns and columns a generation expression references (widening
+    changes the expression's arithmetic), and any conversion outside
+    the lattice.  Returns the committed version."""
+    new_type = _TYPE_JSON_NAMES.get(new_type, new_type)
+    for _ in range(max_retries):
+        v = latest_version(table)
+        protocol, meta, _, _ = _replay(table, v)
+        _check_writer_protocol(protocol, meta, "widen_column_type")
+        if column in meta["partitionColumns"]:
+            raise DeltaUnsupported(
+                f"widen_column_type: {column!r} is a partition column — "
+                "partition values are hive path strings cast to the "
+                "column type; widening them is outside the implemented "
+                "subset"
+            )
+        gens = _generated_exprs(meta)
+        if column in gens:
+            raise DeltaUnsupported(
+                f"widen_column_type: {column!r} is a generated column"
+            )
+        referencing = sorted(
+            g for g, (sql, _) in gens.items()
+            if re.search(rf"\b{re.escape(column)}\b", sql)
+        )
+        if referencing:
+            raise DeltaUnsupported(
+                f"widen_column_type: generation expression(s) of "
+                f"{referencing} reference {column!r} — widening would "
+                "change their arithmetic"
+            )
+        schema_json = json.loads(meta["schemaString"])
+        fields = [dict(f) for f in schema_json["fields"]]
+        hit = None
+        for f in fields:
+            if f["name"] == column:
+                hit = f
+        if hit is None:
+            raise ValueError(
+                f"widen_column_type: no top-level column {column!r} in "
+                f"{[f['name'] for f in fields]} (nested fields are "
+                "outside the implemented subset)"
+            )
+        if not isinstance(hit["type"], str):
+            raise DeltaUnsupported(
+                f"widen_column_type: {column!r} is a nested type"
+            )
+        md = dict(hit.get("metadata") or {})
+        if any(k.startswith("delta.identity.") for k in md):
+            raise DeltaUnsupported(
+                f"widen_column_type: {column!r} is an identity column "
+                "(long by spec)"
+            )
+        frm = hit["type"]
+        if frm == new_type:
+            return v  # no-op
+        if not _widening_ok(frm, new_type):
+            raise DeltaUnsupported(
+                f"widen_column_type: {frm} -> {new_type} is not in the "
+                "spec's widening lattice"
+            )
+        md["delta.typeChanges"] = list(md.get("delta.typeChanges") or []) + [
+            {
+                "fromType": frm,
+                "toType": new_type,
+                "tableVersion": v + 1,
+            }
+        ]
+        hit["type"] = new_type
+        hit["metadata"] = md
+        cfg = dict(meta.get("configuration") or {})
+        cfg["delta.enableTypeWidening"] = "true"
+        add_reader = ["typeWidening"]
+        if new_type == "timestamp_ntz":
+            add_reader.append("timestampNtz")
+        actions = [
+            {
+                "commitInfo": {
+                    "timestamp": int(time.time() * 1000),
+                    "operation": "CHANGE COLUMN",
+                    "operationParameters": {
+                        "column": column,
+                        "fromType": frm,
+                        "toType": new_type,
+                    },
+                    "engineInfo": "zeta-etl-spark delta_log",
+                }
+            },
+            {
+                "protocol": _feature_era_protocol(
+                    protocol, add_reader=tuple(add_reader)
+                )
+            },
+            {
+                "metaData": {
+                    **meta,
+                    "schemaString": json.dumps(
+                        {**schema_json, "fields": fields}
+                    ),
+                    "configuration": cfg,
+                }
+            },
+        ]
+        if _write_commit_atomic(table, v + 1, actions):
+            return v + 1
+    raise DeltaConcurrentModification(
+        f"widen_column_type lost the commit race {max_retries} times: "
+        f"{table}"
     )
 
 
