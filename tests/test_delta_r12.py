@@ -297,15 +297,26 @@ def test_unknown_writer_features_refuse_before_commit(spark, tmp_path):
     assert read_delta(spark, t).count() == 3
 
 
-def test_check_constraints_and_invariants_refuse(spark, tmp_path):
+def test_check_constraints_and_invariants_enforced(spark, tmp_path):
+    # r13 late: CHECK constraints and top-level invariants moved from
+    # vacuous refusal to ROW-LEVEL ENFORCEMENT — a violating row aborts
+    # the write loudly, a conforming one commits
     t = str(tmp_path / "ck")
     _seed(spark, t)
     _retag_protocol(
         t, configuration={"delta.constraints.positive": "v > 0"}
     )
     df = spark.createDataFrame([(3, -3.0)], "k bigint, v double")
-    with pytest.raises(DeltaUnsupported, match="constraints"):
+    with pytest.raises(ValueError, match="violates"):
         write_delta(df, t, mode="append")
+    assert not os.path.exists(
+        os.path.join(t, "_delta_log", f"{1:020d}.json")
+    )
+    write_delta(
+        spark.createDataFrame([(3, 3.0)], "k bigint, v double"),
+        t, mode="append",
+    )
+    assert read_delta(spark, t).count() == 3
 
     t2 = str(tmp_path / "inv")
     _seed(spark, t2)
@@ -316,9 +327,8 @@ def test_check_constraints_and_invariants_refuse(spark, tmp_path):
                       '{"expression":{"expression":"v > 0"}}'}},
     ]})
     _retag_protocol(t2, schema=inv_schema)
-    with pytest.raises(DeltaUnsupported, match="invariant"):
+    with pytest.raises(ValueError, match="violates"):
         write_delta(df, t2, mode="append")
-    # reading remains fine — only WRITES are gated
     assert read_delta(spark, t2).count() == 2
 
 

@@ -2113,3 +2113,84 @@ def delta_type_widening_audit(spark, sf_dir):
         )
         .withColumn("widen_version", F.lit(widen_version).cast("bigint"))
     )
+
+
+# --- delta_check_constraint_audit: CHECK constraints ENFORCED
+# (PROTOCOL.md "CHECK Constraints") on the graded surface.  A table
+# takes ADD CONSTRAINT (existing rows scanned first, protocol raised to
+# the constraint-admitting writer version), then a violating append is
+# REFUSED row-precisely while a conforming append commits; the audit
+# emits the final row count, the size of the rejected attempt and the
+# declared-constraint count, recomputed by the oracle from the source
+# bands — an unenforced write or an over-eager refusal breaks the hash.
+
+_DELTA_CONSTRAINT_ORACLE = """
+SELECT
+  CAST((SELECT COUNT(*) FROM events WHERE user_id < 15) AS BIGINT)
+    AS n_rows,
+  CAST((SELECT COUNT(*) FROM events WHERE user_id >= 5 AND user_id < 15)
+    AS BIGINT) AS rejected_rows,
+  CAST(1 AS BIGINT) AS n_constraints,
+  CAST(3 AS BIGINT) AS min_writer_version
+"""
+
+
+@query(
+    "delta_check_constraint_audit",
+    oracle=_DELTA_CONSTRAINT_ORACLE,
+    tags=("delta", "sink", "S6", "format", "constraints"),
+)
+def delta_check_constraint_audit(spark, sf_dir):
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from zeta_etl_spark.sinks.delta_log import (
+        _replay,
+        add_check_constraint,
+        read_delta,
+        write_delta,
+    )
+
+    ev = T(spark, sf_dir, "events")
+    dest = os.path.join(
+        tempfile.gettempdir(),
+        "zeta_delta_ck_"
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}_{os.getpid()}",
+    )
+    if os.path.exists(dest):
+        shutil.rmtree(dest)  # fresh table per call (bench reps)
+
+    def _band(lo, hi):
+        return (
+            ev.filter((F.col("user_id") >= lo) & (F.col("user_id") < hi))
+            .select("event_id", "user_id", "event_type")
+            .coalesce(1)
+        )
+
+    write_delta(_band(0, 5), dest, mode="append")
+    add_check_constraint(
+        spark, dest, "uid_bounded", "user_id < 1000000"
+    )
+    violating = _band(5, 15).withColumn(
+        "user_id", F.col("user_id") + F.lit(2_000_000)
+    )
+    rejected = 0
+    try:
+        write_delta(violating, dest, mode="append")
+    except ValueError:
+        rejected = violating.count()
+    write_delta(_band(5, 15), dest, mode="append")  # conforming
+    protocol, meta, _, _ = _replay(dest)
+    n_constraints = sum(
+        1 for k in meta["configuration"]
+        if k.startswith("delta.constraints.")
+    )
+    n_rows = read_delta(spark, dest).count()
+    return spark.createDataFrame(
+        [(n_rows, rejected, n_constraints,
+          protocol.get("minWriterVersion", 2))],
+        "n_rows bigint, rejected_rows bigint, n_constraints bigint, "
+        "min_writer_version bigint",
+    )

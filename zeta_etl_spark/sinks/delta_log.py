@@ -734,21 +734,14 @@ def _check_writer_protocol(
             f"{op} removes data but the table declares "
             "delta.appendOnly=true"
         )
-    constraints = sorted(
-        k for k in cfg if k.startswith("delta.constraints.")
-    )
-    if constraints:
-        raise DeltaUnsupported(
-            f"{op}: table declares CHECK constraints {constraints} this "
-            "engine does not validate — writing could commit violating "
-            "rows"
-        )
-    # invariants / identity columns live in field metadata.  TOP-LEVEL
-    # generated columns are ENFORCED by the write paths
-    # (:func:`_enforce_generated`: appends validate-or-compute,
-    # MERGE/UPDATE recompute) and are not flagged; a generation
-    # expression on a NESTED field is outside Delta's own surface and
-    # refuses like any other unenforceable declaration.
+    # CHECK constraints (delta.constraints.* config) and TOP-LEVEL
+    # invariants (delta.invariants field metadata) are ENFORCED by the
+    # write paths (:func:`_enforce_row_predicates` rejects the first
+    # violating row loudly), like generated columns
+    # (:func:`_enforce_generated`) and identity columns — none are
+    # flagged here.  A NESTED invariant / generation expression /
+    # identity declaration is outside Delta's own surface and refuses
+    # like any other unenforceable declaration.
     flagged: list[str] = []
 
     def _walk(t, depth: int) -> None:
@@ -756,8 +749,10 @@ def _check_writer_protocol(
             if t.get("type") == "struct":
                 for f in t["fields"]:
                     md = f.get("metadata") or {}
-                    if "delta.invariants" in md:
-                        flagged.append(f"invariant on {f['name']!r}")
+                    if depth > 0 and "delta.invariants" in md:
+                        flagged.append(
+                            f"nested invariant on {f['name']!r}"
+                        )
                     if depth > 0 and "delta.generationExpression" in md:
                         flagged.append(
                             f"nested generated column {f['name']!r}"
@@ -799,6 +794,73 @@ def _generated_exprs(meta: dict) -> dict[str, tuple[str, object]]:
                 schema[f["name"]].dataType,
             )
     return out
+
+
+def _row_predicates(meta: dict) -> dict[str, str]:
+    """{label: SQL} of every row-level predicate the table declares:
+    CHECK constraints (``delta.constraints.<name>`` table config, the
+    writer-v3 / ``checkConstraints`` feature) and top-level column
+    invariants (``delta.invariants`` field metadata, writer v2 — the
+    value is either plain SQL or Delta's historical JSON wrapper
+    ``{"expression": {"expression": "<sql>"}}``)."""
+    out: dict[str, str] = {}
+    cfg = meta.get("configuration") or {}
+    for k in sorted(cfg):
+        if k.startswith("delta.constraints."):
+            out[f"CHECK constraint {k[len('delta.constraints.'):]!r}"] = (
+                cfg[k]
+            )
+    for f in json.loads(meta["schemaString"])["fields"]:
+        md = f.get("metadata") or {}
+        inv = md.get("delta.invariants")
+        if inv is None:
+            continue
+        sql = inv
+        try:
+            parsed = json.loads(inv)
+            if isinstance(parsed, dict):
+                sql = parsed.get("expression", {}).get("expression", inv)
+        except (TypeError, ValueError):
+            pass
+        out[f"invariant on {f['name']!r}"] = sql
+    return out
+
+
+def _enforce_row_predicates(df: DataFrame, meta: dict, op: str) -> DataFrame:
+    """The spec's writer obligation for CHECK constraints and column
+    invariants: no committed row may make a declared predicate FALSE
+    (SQL CHECK semantics — NULL passes).  ONE extra filter job over the
+    frame, all predicates fused; the first violating row aborts loudly
+    with the predicate(s) it breaks.  Returns ``df`` unchanged."""
+    preds = _row_predicates(meta)
+    if not preds:
+        return df
+    viols = [
+        ~F.coalesce(F.expr(sql), F.lit(True))
+        for sql in preds.values()
+    ]
+    any_viol = viols[0]
+    for v in viols[1:]:
+        any_viol = any_viol | v
+    offending = (
+        df.select(
+            "*", *[v.alias(f"__viol_{i}") for i, v in enumerate(viols)]
+        )
+        .where(any_viol)
+        .limit(1)
+        .collect()
+    )
+    if offending:
+        row = offending[0].asDict()
+        broken = [
+            label
+            for i, label in enumerate(preds)
+            if row.pop(f"__viol_{i}")
+        ]
+        raise ValueError(
+            f"{op}: row violates {broken}: {row}"
+        )
+    return df
 
 
 def _enforce_generated(
@@ -1546,6 +1608,10 @@ def write_delta(
             df, identity_hwms, ident_persisted = _apply_identity(
                 df, ident, "write_delta"
             )
+        # CHECK constraints + column invariants: first violating row
+        # aborts loudly (after generated/identity fill so their columns
+        # are populated for predicates that reference them)
+        df = _enforce_row_predicates(df, meta, "write_delta")
         evolved_new_fields: list = []
         if mode == "append":
             # match by (name, type) — column ORDER and nullability are
@@ -1652,6 +1718,20 @@ def write_delta(
             )
             if staging_meta is None:
                 schema_string = df.schema.json()
+        # invariants declared on the creation frame's schema bind from
+        # the very first row
+        df = _enforce_row_predicates(
+            df,
+            {
+                "schemaString": (staging_meta or {}).get(
+                    "schemaString", schema_string
+                ),
+                "configuration": (staging_meta or {}).get(
+                    "configuration", {}
+                ),
+            },
+            "write_delta",
+        )
 
     if staging_meta is not None:
         m = _column_mapping(staging_meta)
@@ -3305,8 +3385,12 @@ def _merge_delta_pinned(
 
         adds = _stage_data_files(
             _to_physical(
-                _enforce_generated(
-                    plan.merged(), staging_meta, recompute=True
+                _enforce_row_predicates(
+                    _enforce_generated(
+                        plan.merged(), staging_meta, recompute=True
+                    ),
+                    staging_meta,
+                    "MERGE",
                 ),
                 staging_meta,
                 passthrough=rt or (),
@@ -4349,10 +4433,14 @@ def update_delta(
             else:
                 upd_rt = copy_rt = []
             pre = base.filter(is_hit).select(*data_cols)
-            post = _enforce_generated(
-                base.filter(is_hit).select(*updated_cols, *upd_rt),
+            post = _enforce_row_predicates(
+                _enforce_generated(
+                    base.filter(is_hit).select(*updated_cols, *upd_rt),
+                    meta,
+                    recompute=True,
+                ),
                 meta,
-                recompute=True,
+                "UPDATE",
             )
             merged = base.filter(~is_hit).select(
                 *data_cols, *copy_rt
@@ -5231,6 +5319,111 @@ def widen_column_type(
     raise DeltaConcurrentModification(
         f"widen_column_type lost the commit race {max_retries} times: "
         f"{table}"
+    )
+
+
+def add_check_constraint(
+    spark: SparkSession,
+    table: str,
+    name: str,
+    sql: str,
+    max_retries: int = 20,
+) -> int:
+    """``ALTER TABLE ... ADD CONSTRAINT <name> CHECK (<sql>)``: verifies
+    EVERY existing row satisfies the predicate (one distributed filter
+    job — Delta scans too; a violating table cannot take the
+    constraint), then commits the ``delta.constraints.<name>`` config
+    key with the protocol raised to writer 3 / the ``checkConstraints``
+    feature.  From this commit on every write path validates rows
+    against it (:func:`_enforce_row_predicates`)."""
+    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+        raise ValueError(
+            f"constraint name must be an identifier, got {name!r}"
+        )
+    for _ in range(max_retries):
+        v = latest_version(table)
+        protocol, meta, live, _ = _replay(table, v)
+        _check_writer_protocol(protocol, meta, "add_check_constraint")
+        key = f"delta.constraints.{name}"
+        cfg = dict(meta.get("configuration") or {})
+        if key in cfg:
+            raise ValueError(
+                f"constraint {name!r} already exists: {cfg[key]!r}"
+            )
+        if live:
+            bad = (
+                _read_live(spark, table, meta, live)
+                .where(~F.coalesce(F.expr(sql), F.lit(True)))
+                .limit(1)
+                .collect()
+            )
+            if bad:
+                raise ValueError(
+                    f"add_check_constraint: existing row violates "
+                    f"({sql}): {bad[0].asDict()}"
+                )
+        cfg[key] = sql
+        p = dict(protocol or {})
+        mwv = p.get("minWriterVersion", 2)
+        if mwv == 7:
+            new_protocol = _feature_era_protocol(
+                p, add_writer=("checkConstraints",)
+            )
+        elif mwv < 3:
+            new_protocol = {**p, "minWriterVersion": 3}
+        else:
+            new_protocol = None  # ladder already admits constraints
+        actions: list[dict] = [
+            {
+                "commitInfo": {
+                    "timestamp": int(time.time() * 1000),
+                    "operation": "ADD CONSTRAINT",
+                    "operationParameters": {"name": name, "expr": sql},
+                    "engineInfo": "zeta-etl-spark delta_log",
+                }
+            }
+        ]
+        if new_protocol is not None:
+            actions.append({"protocol": new_protocol})
+        actions.append({"metaData": {**meta, "configuration": cfg}})
+        if _write_commit_atomic(table, v + 1, actions):
+            return v + 1
+    raise DeltaConcurrentModification(
+        f"add_check_constraint lost the commit race {max_retries} "
+        f"times: {table}"
+    )
+
+
+def drop_check_constraint(
+    table: str, name: str, max_retries: int = 20
+) -> int:
+    """``ALTER TABLE ... DROP CONSTRAINT <name>`` — removes the config
+    key (loud error if absent; Delta errors too)."""
+    for _ in range(max_retries):
+        v = latest_version(table)
+        protocol, meta, _, _ = _replay(table, v)
+        _check_writer_protocol(protocol, meta, "drop_check_constraint")
+        key = f"delta.constraints.{name}"
+        cfg = dict(meta.get("configuration") or {})
+        if key not in cfg:
+            raise ValueError(f"no constraint {name!r} on {table!r}")
+        del cfg[key]
+        actions = [
+            {
+                "commitInfo": {
+                    "timestamp": int(time.time() * 1000),
+                    "operation": "DROP CONSTRAINT",
+                    "operationParameters": {"name": name},
+                    "engineInfo": "zeta-etl-spark delta_log",
+                }
+            },
+            {"metaData": {**meta, "configuration": cfg}},
+        ]
+        if _write_commit_atomic(table, v + 1, actions):
+            return v + 1
+    raise DeltaConcurrentModification(
+        f"drop_check_constraint lost the commit race {max_retries} "
+        f"times: {table}"
     )
 
 
