@@ -521,6 +521,14 @@ def _apply_protocol(action_protocol: dict) -> dict:
                 # stats skipping on widened columns is disabled
                 "typeWidening",
                 "typeWidening-preview",
+                # Spark's VariantType IS the open variant binary spec
+                # Delta stores (value/metadata binary pair); schemaString
+                # "variant" parses natively and parquet round-trips
+                # through the explicit read schema.  variantShredding
+                # stays OUTSIDE the subset (typed_value subcolumns need
+                # a reassembly step this engine does not implement).
+                "variantType",
+                "variantType-preview",
             }
         )
         if unsupported:
@@ -591,6 +599,10 @@ _WRITER_FEATURES_OK = {
                          # pre-widening stats renderings)
     "typeWidening-preview",  # the preview-era feature name, same
                              # semantics
+    "variantType",       # honored: Spark's VariantType writes/reads the
+                         # open variant binary layout; no stats on
+                         # variant columns (unprunable, always safe)
+    "variantType-preview",
                           # (commitInfo first) when the table config
                           # enables it; time travel resolves against it
     "rowTracking",       # honored: fresh adds get baseRowId ranges +
@@ -1468,6 +1480,7 @@ def _stage_data_files(
     writer.parquet(stage)
 
     actions: list[dict] = []
+    pending_counts: list[tuple[int, str]] = []  # (action idx, dst path)
     now_ms = int(time.time() * 1000)
     for root, _dirs, files in os.walk(stage):
         for f in files:
@@ -1475,8 +1488,20 @@ def _stage_data_files(
                 continue  # _SUCCESS, .crc
             src = os.path.join(root, f)
             rel = os.path.relpath(src, stage)
-            stats = _stats_json(src, exclude=stats_exclude)
-            if drop_empty and json.loads(stats)["numRecords"] == 0:
+            try:
+                stats = _stats_json(src, exclude=stats_exclude)
+            except OSError:
+                # pyarrow cannot open footers with logical types newer
+                # than it knows (VARIANT) — numRecords then comes from
+                # ONE Spark metadata-count job over all such files after
+                # the walk; min/max/nullCount are simply absent (the
+                # spec's unprunable fallback)
+                stats = None
+            if (
+                drop_empty
+                and stats is not None
+                and json.loads(stats)["numRecords"] == 0
+            ):
                 os.unlink(src)
                 continue
             dst = os.path.join(dest_root, rel)
@@ -1505,7 +1530,38 @@ def _stage_data_files(
             if action == "add":
                 body["modificationTime"] = now_ms
                 body["stats"] = stats
+                if stats is None:
+                    pending_counts.append((len(actions), dst))
             actions.append({action: body})
+    if pending_counts:
+        spark = df.sparkSession
+        counts = {
+            os.path.basename(
+                urllib.parse.unquote(r["f"].split("/")[-1])
+            ): r["n"]
+            for r in spark.read.parquet(
+                *[p for _, p in pending_counts]
+            )
+            .groupBy(F.col("_metadata.file_path").alias("f"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        drop_idx = set()
+        for i, dst in pending_counts:
+            n = counts.get(os.path.basename(dst), 0)
+            if drop_empty and n == 0:
+                os.unlink(dst)
+                drop_idx.add(i)
+                continue
+            actions[i][action]["stats"] = json.dumps(
+                {
+                    "numRecords": n,
+                    "minValues": {},
+                    "maxValues": {},
+                    "nullCount": {},
+                }
+            )
+        actions = [a for i, a in enumerate(actions) if i not in drop_idx]
     # empty staging tree (os.replace moved the files out)
     for root, dirs, files in os.walk(stage, topdown=False):
         for f in files:
