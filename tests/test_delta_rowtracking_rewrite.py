@@ -262,3 +262,15 @@ def test_row_ids_readable_without_materialized_names(spark, tmp_path):
     }
     assert sorted(rid for rid, _ in ids.values()) == list(range(7))
     assert all(rcv == 1 for _, rcv in ids.values())
+
+
+def test_zorder_optimize_preserves_ids(spark, tmp_path):
+    # the z-order branch reshuffles rows across files aggressively —
+    # exactly the move stable ids must survive
+    t = str(tmp_path / "rtz")
+    _golden_rt_mat(t)
+    _seed(spark, t, n=40, files=4)
+    before = _ids(spark, t)
+    optimize(spark, t, zorder_by=["k"], target_file_rows=10)
+    after = _ids(spark, t)
+    assert after == before
