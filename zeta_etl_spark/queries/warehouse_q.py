@@ -2269,3 +2269,88 @@ def delta_variant_ingest_audit(spark, sf_dir):
             F.sum("uid").cast("bigint").alias("sum_uid"),
         )
     )
+
+
+# --- delta_clone_audit: SHALLOW CLONE + absolute-path adds
+# (PROTOCOL.md: an action's path may be absolute — clones commit
+# file: URIs at the source's files) on the graded surface.  A
+# partitioned table is cloned zero-copy; the SOURCE then deletes a band
+# (rewrite) while the CLONE appends one — the audit reads both tables
+# after divergence, proving the clone pinned the original snapshot
+# (absolute-URI scan, log-sourced partition values) while evolving
+# independently; the oracle recomputes both sides from the source
+# bands.
+
+_DELTA_CLONE_ORACLE = """
+SELECT 'clone' AS tbl,
+  CAST((SELECT COUNT(*) FROM events WHERE user_id < 15)
+    + (SELECT COUNT(*) FROM events WHERE user_id < 2) AS BIGINT)
+    AS n_rows,
+  CAST((SELECT SUM(event_id) FROM events WHERE user_id < 15)
+    + (SELECT SUM(event_id) FROM events WHERE user_id < 2) AS BIGINT)
+    AS sum_ids
+UNION ALL
+SELECT 'source',
+  CAST((SELECT COUNT(*) FROM events
+        WHERE user_id >= 5 AND user_id < 15) AS BIGINT),
+  CAST((SELECT SUM(event_id) FROM events
+        WHERE user_id >= 5 AND user_id < 15) AS BIGINT)
+"""
+
+
+@query(
+    "delta_clone_audit",
+    oracle=_DELTA_CLONE_ORACLE,
+    tags=("delta", "sink", "S6", "format", "clone"),
+)
+def delta_clone_audit(spark, sf_dir):
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from zeta_etl_spark.sinks.delta_log import (
+        clone_delta,
+        delete_delta,
+        read_delta,
+        write_delta,
+    )
+
+    ev = T(spark, sf_dir, "events")
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "zeta_delta_clone_"
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}_{os.getpid()}",
+    )
+    if os.path.exists(root):
+        shutil.rmtree(root)  # fresh tables per call (bench reps)
+    src = os.path.join(root, "src")
+    dst = os.path.join(root, "clone")
+
+    def _band(lo, hi):
+        return (
+            ev.filter((F.col("user_id") >= lo) & (F.col("user_id") < hi))
+            .select("event_id", "user_id", "event_type")
+            .coalesce(1)
+        )
+
+    write_delta(_band(0, 15), src, mode="append",
+                partition_by=["event_type"])
+    clone_delta(src, dst)
+    # diverge: source drops a band, clone gains one
+    delete_delta(spark, src, [("user_id", "<", 5)], mode="rewrite",
+                 write_cdf=False)
+    write_delta(_band(0, 2), dst, mode="append",
+                partition_by=["event_type"])
+    return (
+        read_delta(spark, src)
+        .withColumn("tbl", F.lit("source"))
+        .unionByName(
+            read_delta(spark, dst).withColumn("tbl", F.lit("clone"))
+        )
+        .groupBy("tbl")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("event_id").cast("bigint").alias("sum_ids"),
+        )
+    )

@@ -2214,6 +2214,37 @@ def _hive_consistent(adds: dict, pcols: Sequence[str]) -> bool:
     return True
 
 
+def _add_file_path(table: str, rel_unquoted: str) -> str:
+    """Absolute filesystem path of an action's (already URL-decoded)
+    ``path``.  PROTOCOL.md: the field is a RELATIVE path within the
+    table OR an ABSOLUTE path/URI — foreign SHALLOW CLONEs and some
+    CONVERT flows commit absolute ``file:`` URIs pointing at another
+    table's files.  ``file:`` URIs resolve to their filesystem path
+    (empty/localhost authority only); any other scheme is outside the
+    implemented subset and refuses loudly; plain paths keep today's
+    join semantics (os.path.join passes an absolute second arg
+    through)."""
+    if rel_unquoted.startswith("file:"):
+        tail = rel_unquoted[len("file:"):]
+        if tail.startswith("//"):
+            tail = tail[2:]
+            slash = tail.find("/")
+            host = tail[:slash] if slash >= 0 else tail
+            if host not in ("", "localhost"):
+                raise DeltaUnsupported(
+                    f"add path {rel_unquoted!r} names remote host "
+                    f"{host!r} — only local file: URIs are readable here"
+                )
+            tail = tail[slash:] if slash >= 0 else ""
+        return tail
+    if "://" in rel_unquoted:
+        raise DeltaUnsupported(
+            f"add path {rel_unquoted!r} uses a non-file scheme — "
+            "outside the implemented subset"
+        )
+    return os.path.join(table, rel_unquoted)
+
+
 def _uri_by_rel(
     fp_values, table: str, rels, require_all: bool = True
 ) -> dict[str, str]:
@@ -2227,7 +2258,9 @@ def _uri_by_rel(
     ADVICE r11 #5) and is simply absent from the returned map."""
     expected = {
         os.path.normpath(
-            os.path.abspath(os.path.join(table, urllib.parse.unquote(p)))
+            os.path.abspath(
+                _add_file_path(table, urllib.parse.unquote(p))
+            )
         ): urllib.parse.unquote(p)
         for p in rels
     }
@@ -2251,7 +2284,7 @@ def _uri_by_rel(
         for rel in missing:
             try:
                 n = pq.ParquetFile(
-                    os.path.join(table, rel)
+                    _add_file_path(table, rel)
                 ).metadata.num_rows
             except Exception:
                 n = None
@@ -2341,9 +2374,16 @@ def _scan_live(
         )
         return spark.createDataFrame([], empty)
 
-    hive_ok = not scan_pcols or _hive_consistent(adds, scan_pcols)
+    has_absolute = any(
+        urllib.parse.unquote(p).startswith(("file:", "/"))
+        for p in adds
+    )
+    hive_ok = not scan_pcols or (
+        not has_absolute and _hive_consistent(adds, scan_pcols)
+    )
     files = [
-        os.path.join(table, urllib.parse.unquote(p)) for p in sorted(adds)
+        _add_file_path(table, urllib.parse.unquote(p))
+        for p in sorted(adds)
     ]
     meta_cols = [
         F.col("_metadata.file_path").alias("__fp"),
@@ -2833,7 +2873,9 @@ def _discard_staged(table: str, actions: list[dict]) -> None:
         body = a.get("add") or a.get("cdc")
         if body is None:
             continue
-        staged = os.path.join(table, urllib.parse.unquote(body["path"]))
+        staged = _add_file_path(
+            table, urllib.parse.unquote(body["path"])
+        )
         if os.path.exists(staged):
             os.unlink(staged)
 
@@ -3711,7 +3753,7 @@ def table_changes(
         if cdc_adds:
             # spec: cdc actions are the commit's ONLY change representation
             for rel in cdc_adds:
-                full = os.path.join(table, urllib.parse.unquote(rel))
+                full = _add_file_path(table, urllib.parse.unquote(rel))
                 if not os.path.exists(full):
                     raise FileNotFoundError(
                         f"CDF needs change file {rel!r} (version {v}) but "
@@ -4609,7 +4651,7 @@ def restore_table(table: str, version: int) -> int:
             }
         )
     for p in sorted(set(live_then) - set(live_now)):
-        full = os.path.join(table, urllib.parse.unquote(p))
+        full = _add_file_path(table, urllib.parse.unquote(p))
         if not os.path.exists(full):
             raise FileNotFoundError(
                 f"RESTORE to {version} needs {p!r} but it was vacuumed"
@@ -6009,7 +6051,14 @@ def vacuum(
     # reader features via _replay/_apply_protocol, writer features here —
     # before deleting anything an unknown feature might still reference
     _check_log_writer_features(protocol, "VACUUM")
-    keep = {os.path.normpath(urllib.parse.unquote(p)) for p in live}
+    keep = {
+        os.path.normpath(
+            os.path.relpath(
+                _add_file_path(table, urllib.parse.unquote(p)), table
+            )
+        )
+        for p in live
+    }
     # deletion-vector files referenced by live descriptors are data too
     for a in live.values():
         desc = a.get("deletionVector")
@@ -6042,6 +6091,94 @@ def vacuum(
             if root != table and not dirs and not files:
                 os.rmdir(root)
     return sorted(victims)
+
+
+def clone_delta(src: str, dst: str, version: int | None = None) -> int:
+    """SHALLOW CLONE (Delta's ``CREATE TABLE ... SHALLOW CLONE``): commit
+    ``dst`` as a new table whose adds point at the SOURCE's live files
+    via absolute ``file:`` URIs — ZERO data movement, metadata cost
+    only.  ``version`` clones a time-travel snapshot.  The clone is an
+    independent table afterwards: protocol/metaData (fresh table id) and
+    the row-tracking / clustering domains copy over, 'u'-storage
+    deletion vectors re-anchor as 'p' (absolute-path) descriptors so
+    they keep resolving from the clone, and every later write lands
+    under the CLONE's root.  VACUUM on either table never touches the
+    other's bytes: the clone's vacuum walks only its own directory, and
+    the source's vacuum still sees its own references.  Reading a clone
+    whose source was vacuumed past the cloned snapshot is the same loud
+    error as any reader pinned to a vacuumed version — Delta's shallow
+    clones share exactly this caveat."""
+    from zeta_etl_spark.sinks.delta_dv import dv_file_path
+
+    if _list_versions(dst):
+        raise DeltaUnsupported(f"already a Delta table: {dst}")
+    protocol, meta, live, _, domains = _replay(
+        src, version, with_domains=True
+    )
+    os.makedirs(os.path.join(dst, _LOG_DIR), exist_ok=True)
+    now_ms = int(time.time() * 1000)
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "CLONE",
+                "operationParameters": {
+                    "source": src,
+                    "sourceVersion": (
+                        version
+                        if version is not None
+                        else latest_version(src)
+                    ),
+                },
+                "engineInfo": "zeta-etl-spark delta_log",
+            }
+        },
+        {"protocol": protocol or {"minReaderVersion": 1,
+                                  "minWriterVersion": 2}},
+        {
+            "metaData": {
+                **meta,
+                "id": uuid.uuid4().hex,
+                "createdTime": now_ms,
+            }
+        },
+    ]
+    for p, a in sorted(live.items()):
+        add = dict(a)
+        abs_path = os.path.abspath(
+            _add_file_path(src, urllib.parse.unquote(p))
+        )
+        add["path"] = "file://" + urllib.parse.quote(abs_path, safe="/=")
+        desc = add.get("deletionVector")
+        if desc and desc.get("storageType") == "u":
+            # relative DVs resolve against the table root — re-anchor
+            # as an absolute-path descriptor so the clone keeps reading
+            # the source's DV file (offset survives; sizeInBytes and
+            # cardinality describe the bitmap, not the location)
+            add["deletionVector"] = {
+                **desc,
+                "storageType": "p",
+                "pathOrInlineDv": os.path.abspath(
+                    dv_file_path(desc, src)
+                ),
+            }
+        actions.append({"add": add})
+    for name, dom in (domains or {}).items():
+        if not dom.get("removed"):
+            actions.append(
+                {
+                    "domainMetadata": {
+                        "domain": name,
+                        "configuration": dom.get("configuration"),
+                        "removed": False,
+                    }
+                }
+            )
+    if not _write_commit_atomic(dst, 0, actions):
+        raise DeltaConcurrentModification(
+            f"clone target {dst!r} gained a commit mid-clone"
+        )
+    return 0
 
 
 def convert_parquet_to_delta(
