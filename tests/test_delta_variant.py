@@ -133,3 +133,29 @@ def test_variant_shredding_stays_refused(spark, tmp_path):
         fh.write("\n".join(out))
     with pytest.raises(DeltaUnsupported, match="variantShredding"):
         read_delta(spark, t)
+
+
+def test_partitioned_variant_counts_exact(spark, tmp_path):
+    # a partitioned write reuses one task's part-file NAME across every
+    # partition dir it writes — the Spark-counted stats fallback must
+    # key by full path, or per-file numRecords collide across partitions
+    t = str(tmp_path / "vtp")
+    df = spark.sql("""
+        SELECT CAST(id % 3 AS string) AS g,
+               parse_json(concat('{"n": ', id, '}')) AS payload
+        FROM range(9)
+    """).coalesce(1)
+    write_delta(df, t, mode="append", partition_by=["g"])
+    _, _, live, _ = _replay(t)
+    per_file = {
+        p: json.loads(a["stats"])["numRecords"] for p, a in live.items()
+    }
+    assert len(per_file) == 3
+    assert all(n == 3 for n in per_file.values()), per_file
+    got = sorted(
+        r["n"]
+        for r in read_delta(spark, t)
+        .selectExpr("variant_get(payload, '$.n', 'long') AS n")
+        .collect()
+    )
+    assert got == list(range(9))

@@ -1535,9 +1535,16 @@ def _stage_data_files(
             actions.append({action: body})
     if pending_counts:
         spark = df.sparkSession
+        # keyed by ABSOLUTE normalized path, never by basename: a
+        # partitioned write reuses one task's part-file NAME across
+        # every partition directory it writes, so basenames collide
         counts = {
-            os.path.basename(
-                urllib.parse.unquote(r["f"].split("/")[-1])
+            os.path.normpath(
+                urllib.parse.unquote(
+                    r["f"][len("file:"):]
+                    if r["f"].startswith("file:")
+                    else r["f"]
+                )
             ): r["n"]
             for r in spark.read.parquet(
                 *[p for _, p in pending_counts]
@@ -1548,7 +1555,7 @@ def _stage_data_files(
         }
         drop_idx = set()
         for i, dst in pending_counts:
-            n = counts.get(os.path.basename(dst), 0)
+            n = counts.get(os.path.normpath(os.path.abspath(dst)), 0)
             if drop_empty and n == 0:
                 os.unlink(dst)
                 drop_idx.add(i)
