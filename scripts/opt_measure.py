@@ -51,6 +51,13 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--plans-only", action="store_true")
+    ap.add_argument(
+        "--final-plans",
+        action="store_true",
+        help="execute each query once (collect) and capture the FINAL "
+        "adaptive plan (isFinalPlan=true) instead of the initial one — "
+        "AQE join-strategy rewrites (SMJ→SHJ/BHJ) only appear there",
+    )
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -74,6 +81,11 @@ def main() -> None:
 
     for name in names:
         df = REGISTRY[name].fn(spark, args.sf_dir)
+        if args.final_plans:
+            # Dataset.collect() runs the DataFrame's OWN QueryExecution, so
+            # the handle's executedPlan afterwards is the final adaptive
+            # plan — a noop write or count() would execute a clone instead.
+            df.collect()
         path = os.path.join(PLANS_DIR, f"{name}_{args.tag}.txt")
         with open(path, "w") as fh:
             fh.write(capture_plan(df))

@@ -45,6 +45,24 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Prefer shuffled-hash over sort-merge when the planner can prove the
+        # build side fits (guide §3.1/§9): the graph/pair query family
+        # (kcore, item-item CF, HITS, degree assortativity, sparse cosine)
+        # spends most of its join time in SMJ sorts of the fact side.  Both
+        # knobs are SIZE-BOUNDED, so they self-revert to sort-merge when a
+        # build side is genuinely large — the decision scales with data, not
+        # with the local core count.  The AQE threshold additionally rewrites
+        # SMJ→SHJ at runtime from OBSERVED per-partition sizes (safe under
+        # mis-estimated stats).  Parameterized for cluster tuning; the
+        # per-task build memory bound is threshold × concurrent tasks.
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"),
+        )
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            os.environ.get("SPARK_GRAFT_SHJ_LOCALMAP", "128m"),
+        )
         # keep the default 10 MB broadcast threshold: raising it makes Spark
         # broadcast fact tables at small SF, which inverts the plan at scale.
         # True dimensions are hinted with F.broadcast() at the call sites;
