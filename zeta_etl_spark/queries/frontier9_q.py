@@ -392,26 +392,38 @@ def degree_assortativity(spark, sf_dir):
         .filter(F.col("cnt") >= 2)
         .select("u", "v")
     )
-    e = e.localCheckpoint()  # edge frame feeds degree agg + two end joins
+    e = e.localCheckpoint()  # edge frame feeds degree agg + the end join
     deg = (
         e.select(F.col("u").alias("x"))
         .unionAll(e.select(F.col("v").alias("x")))
         .groupBy("x")
         .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
     )
+    # By the ends symmetry, three of the four moments are functions of the
+    # DEGREE table alone: vertex x contributes d(x) directed edge ends, each
+    # with dx = d(x), so m = Σd, sx = Σd², sxx = Σd³ — no edge join needed.
+    # Only sxy touches edges: Σ_ends dx·dy = Σ_e (du·dv + dv·du) = 2·Σ du·dv,
+    # computed in ONE pass over e⋈deg⋈deg instead of the former
+    # unionAll-of-two-identical-join-subtrees (which ran both joins twice).
+    # Every sum is the same exact-BIGINT total the unioned form produced.
+    from zeta_etl_spark.operators.scalar_frame import scalar_frame_crossjoin
+
     paired = (
         e.join(deg.select(F.col("x").alias("u"), F.col("d").alias("du")), "u")
         .join(deg.select(F.col("x").alias("v"), F.col("d").alias("dv")), "v")
         .select("du", "dv")
     )
-    ends = paired.select(
-        F.col("du").alias("dx"), F.col("dv").alias("dy")
-    ).unionAll(paired.select(F.col("dv").alias("dx"), F.col("du").alias("dy")))
-    mom = ends.agg(
-        F.count(F.lit(1)).cast("bigint").alias("m"),
-        F.sum("dx").cast("bigint").alias("sx"),
-        F.sum(F.expr("dx * dx")).cast("bigint").alias("sxx"),
-        F.sum(F.expr("dx * dy")).cast("bigint").alias("sxy"),
+    sxy_row = paired.agg(
+        (F.lit(2) * F.sum(F.expr("du * dv"))).cast("bigint").alias("sxy")
+    )
+    mom = scalar_frame_crossjoin(
+        deg.agg(
+            F.sum("d").cast("bigint").alias("m"),
+            F.sum(F.expr("d * d")).cast("bigint").alias("sx"),
+            F.sum(F.expr("d * d * d")).cast("bigint").alias("sxx"),
+        ),
+        sxy_row,
+        bound=1,
     )
     return mom.select(
         F.col("m").alias("n_edge_ends"),
