@@ -1,0 +1,55 @@
+"""Graph-construction operators.
+
+``cobasket_pairs`` replaces the classic pair-generation SELF-JOIN
+
+    SELECT a.item, b.item FROM i a JOIN i b
+    ON a.key = b.key AND a.item < b.item
+
+with a per-key ``collect_set`` + bounded array expansion: one exchange by
+``key`` (partial-aggregated map-side) instead of three (distinct +
+re-shuffle of BOTH join sides), and no join at all.  Work per key is
+|basket|², exactly the self-join's bound — use it only where the per-key
+fan-out is bounded (order baskets, capped top-k lists), never on
+unbounded keys, where the array itself would be the skew problem the
+join-based form shares anyway.
+
+The expansion sorts each set once and emits (u, v) with u < v — the same
+pair set, pair-for-pair, as the self-join with a ``<`` predicate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def basket_arrays(df: DataFrame, key: str, item: str) -> DataFrame:
+    """(key, sorted distinct-item array) — one exchange, map-side combined."""
+    return df.groupBy(key).agg(
+        F.array_sort(F.collect_set(item)).alias("items")
+    )
+
+
+def pairs_from_arrays(
+    arrays: DataFrame, out_u: str = "u", out_v: str = "v"
+) -> DataFrame:
+    """Expand sorted arrays to (u, v) pairs with u < v (multiset over keys)."""
+    pair_expr = (
+        "flatten(transform(items, (x, i) -> "
+        "transform(slice(items, i + 2, size(items)), "
+        "y -> struct(x AS u, y AS v))))"
+    )
+    return arrays.select(F.explode(F.expr(pair_expr)).alias("_p")).select(
+        F.col("_p.u").alias(out_u), F.col("_p.v").alias(out_v)
+    )
+
+
+def cobasket_pairs(
+    df: DataFrame,
+    key: str,
+    item: str,
+    out_u: str = "u",
+    out_v: str = "v",
+) -> DataFrame:
+    """All within-key unordered item pairs (u < v), one row per key that
+    contains both — the exact row multiset of the distinct-items self-join."""
+    return pairs_from_arrays(basket_arrays(df, key, item), out_u, out_v)

@@ -85,26 +85,25 @@ ORDER BY p.pair_cnt DESC, p.part_a, p.part_b
     tags=("mining", "association-rules", "join"),
 )
 def market_basket_pairs(spark, sf_dir):
+    from zeta_etl_spark.operators.graph import basket_arrays, pairs_from_arrays
+
     li = T(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    n = items.agg(
-        F.countDistinct("l_orderkey").cast("bigint").alias("n_orders")
+    # one exchange builds the basket arrays; n / ic / pc all derive from it
+    # (AQE exchange reuse shares the shuffle across the three consumers) —
+    # the former distinct + self-join needed three exchanges before the
+    # pair groupBy and shuffled the item table twice
+    baskets = basket_arrays(
+        li.select("l_orderkey", "l_partkey"), "l_orderkey", "l_partkey"
     )
-    ic = items.groupBy("l_partkey").agg(
-        F.count(F.lit(1)).cast("bigint").alias("item_cnt")
+    n = baskets.agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+    ic = (
+        baskets.select(F.explode("items").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("item_cnt"))
     )
-    a = items.alias("a")
-    b = items.alias("b")
     pc = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
-        )
+        pairs_from_arrays(baskets, "part_a", "part_b")
+        .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("pair_cnt"))
         .where(F.col("pair_cnt") >= 3)
     )

@@ -532,18 +532,17 @@ CROSS JOIN kk
 def kcore_peeling(spark, sf_dir):
     from zeta_etl_spark.operators.scalar_frame import scalar_frame_crossjoin
 
+    from zeta_etl_spark.operators.graph import cobasket_pairs
+
     li = T(spark, sf_dir, "lineitem")
-    i = li.select("l_orderkey", "l_partkey").distinct()
+    # basket pair generation without the self-join: baskets are bounded
+    # (~13 items), so per-order collect_set + array expansion emits the
+    # exact same (u < v) pair multiset with ONE exchange instead of three
     e = (
-        i.alias("a")
-        .join(
-            i.alias("b"),
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        cobasket_pairs(
+            li.select("l_orderkey", "l_partkey"), "l_orderkey", "l_partkey"
         )
-        .groupBy(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
+        .groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .filter(F.col("cnt") >= 2)
         .select("u", "v")
