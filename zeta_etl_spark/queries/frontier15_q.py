@@ -381,15 +381,27 @@ FROM picks CROSS JOIN u
 def set_cover_source_picks(spark, sf_dir):
     from pyspark.sql import Window
 
-    ss = (
-        T(spark, sf_dir, "documents")
-        .select("source", F.explode(F.expr(spark_shingles())).alias("sh"))
-        .distinct()
+    # Optimization r13 (guide §2.3/§2.4): the greedy rounds only ever need,
+    # per SHINGLE, the set of sources containing it — so contract the
+    # exploded (source, shingle) postings to a (source-set → shingle count)
+    # subset table in ONE pass (collect_set dedups inline; no distinct
+    # pre-pass) and run all three rounds against that tiny checkpointed
+    # frame.  "Covered by pick s" = array_contains(srcs, s); a picked
+    # source can never reappear as a candidate because every subset
+    # containing it is filtered with it.  The former shape re-joined the
+    # full exploded postings per round (distinct + 2 anti-joins × 3 rounds,
+    # 22 exchanges); this is 2 data-sized exchanges total.
+    ss = T(spark, sf_dir, "documents").select(
+        "source", F.explode(F.expr(spark_shingles())).alias("sh")
     )
-    ss = ss.localCheckpoint()  # (source, shingle) grain feeds all 3 rounds
-    universe = ss.agg(
-        F.countDistinct("sh").cast("bigint").alias("universe")
+    subsets = (
+        ss.groupBy("sh")
+        .agg(F.array_sort(F.collect_set("source")).alias("srcs"))
+        .groupBy("srcs")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .localCheckpoint()  # ≤ |distinct source subsets| rows — tiny
     )
+    universe = subsets.agg(F.sum("cnt").cast("bigint").alias("universe"))
 
     def argmax(counts):
         # top-1 by (gain desc, source asc) as a one-row aggregate — the
@@ -401,29 +413,35 @@ def set_cover_source_picks(spark, sf_dir):
             (-F.col("s.col1")).cast("bigint").alias("gain"),
         )
 
-    cnt1 = ss.groupBy("source").agg(
-        F.count(F.lit(1)).cast("bigint").alias("gain")
-    )
-    p1 = argmax(cnt1).localCheckpoint()
-    c1 = ss.join(p1.select("source"), "source", "left_semi").select("sh")
-    cnt2 = (
-        ss.join(p1.select("source"), "source", "left_anti")
-        .join(c1, "sh", "left_anti")
-        .groupBy("source")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("gain"))
-    )
-    p2 = argmax(cnt2).localCheckpoint()
-    c2 = c1.union(
-        ss.join(p2.select("source"), "source", "left_semi").select("sh")
-    ).distinct()
-    picked = p1.select("source").union(p2.select("source"))
-    cnt3 = (
-        ss.join(picked, "source", "left_anti")
-        .join(c2, "sh", "left_anti")
-        .groupBy("source")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("gain"))
-    )
-    p3 = argmax(cnt3)
+    def gains(remaining):
+        return (
+            remaining.select(F.explode("srcs").alias("source"), "cnt")
+            .groupBy("source")
+            .agg(F.sum("cnt").cast("bigint").alias("gain"))
+        )
+
+    def uncovered_by(remaining, pick, tag):
+        # subsets whose shingles the 1-row checkpointed pick does not cover
+        # (bound=1: argmax is a global aggregate, checkpointing just hides
+        # that from the plan-shape proof)
+        return (
+            remaining.transform(
+                with_scalar_frame(
+                    pick.select(F.col("source").alias(tag)), bound=1
+                )
+            )
+            .filter(~F.array_contains("srcs", F.col(tag)))
+            .select("srcs", "cnt")
+        )
+
+    # each pick is localCheckpointed so the round chain stays a flat plan
+    # (uncheckpointed, round 3's tree re-plans and re-executes rounds 1-2
+    # once per reference — measured as 3× the exchange count)
+    p1 = argmax(gains(subsets)).localCheckpoint()
+    rem2 = uncovered_by(subsets, p1, "_s1").localCheckpoint()
+    p2 = argmax(gains(rem2)).localCheckpoint()
+    rem3 = uncovered_by(rem2, p2, "_s2")
+    p3 = argmax(gains(rem3))
     picks = (
         p1.select(F.lit(1).alias("round"), "source", "gain")
         .union(p2.select(F.lit(2).alias("round"), "source", "gain"))

@@ -165,29 +165,37 @@ def sparse_cosine_pairs(spark, sf_dir):
         "doc_id",
         F.explode(F.expr(spark_shingles("text", 5))).alias("s"),
     )
-    keep = (
+    # Optimization r13 (guide §2.4, cobasket-pairs device): ONE exchange of
+    # the exploded postings builds the per-shingle doc-id list; the df cap
+    # (hot-dim prune) becomes a free size() filter on the list — the former
+    # shape exploded documents TWICE (keep aggregate + index join) and then
+    # self-joined the index.  Pair expansion over the sorted list emits the
+    # identical (doc_a < doc_b, one row per shared kept shingle) multiset;
+    # work per shingle stays |postings|² ≤ df_cap², the same bound the
+    # self-join had after the cap.  Similarity lives in the PRUNED shingle
+    # space: norms count kept shingles so cos is a true cosine there.
+    postings = (
         sh0.groupBy("s")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .where(F.col("df") <= _SPARSE_DF_CAP)
-        .select("s")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .where(F.size("ids") <= _SPARSE_DF_CAP)
+        .select("ids")
+        .localCheckpoint()  # feeds both the norm count and the pair expand
     )
-    # similarity lives in the PRUNED shingle space: norms over kept
-    # shingles so cos is a true cosine there (stopword-filtered cosine)
-    sh = sh0.join(keep, "s").localCheckpoint()
-    norm = sh.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("norm2")
+    norm = (
+        postings.select(F.explode("ids").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("norm2"))
     )
-    a = sh.alias("a")
-    b = sh.alias("b")
+    pair_expr = (
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), "
+        "y -> struct(x AS a, y AS b))))"
+    )
     dots = (
-        a.join(
-            b,
-            (F.col("a.s") == F.col("b.s"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        postings.select(F.explode(F.expr(pair_expr)).alias("_p"))
         .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+            F.col("_p.a").alias("doc_a"),
+            F.col("_p.b").alias("doc_b"),
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("dot"))
     )
