@@ -33,23 +33,21 @@ def spark_brand_edges(spark, sf_dir: str, limit: int) -> DataFrame:
     rows — the downstream graph algebra reuses it across joins)."""
     from zeta_etl_spark.queries.registry import T
 
+    from zeta_etl_spark.operators.graph import cobasket_pairs
+
     li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     pt = T(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    i = (
-        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
-        .select("l_orderkey", "p_brand")
-        .distinct()
+    i = li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey).select(
+        "l_orderkey", "p_brand"
     )
-    a, b = i.alias("a"), i.alias("b")
+    # Optimization r13 (guide §2.4): pair generation by per-order
+    # collect_set + array expansion — collect_set dedups inline, so the
+    # former distinct pre-pass AND the self-join (3 data-sized exchanges)
+    # collapse into ONE map-side-combined exchange; the (ba, bb) multiset
+    # is pair-for-pair identical (brand alphabet ≤ 25, baskets bounded).
     pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.p_brand") < F.col("b.p_brand")),
-        )
-        .groupBy(
-            F.col("a.p_brand").alias("ba"), F.col("b.p_brand").alias("bb")
-        )
+        cobasket_pairs(i, "l_orderkey", "p_brand", "ba", "bb")
+        .groupBy("ba", "bb")
         .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
     )
     edges = (

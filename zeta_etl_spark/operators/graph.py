@@ -53,3 +53,45 @@ def cobasket_pairs(
     """All within-key unordered item pairs (u < v), one row per key that
     contains both — the exact row multiset of the distinct-items self-join."""
     return pairs_from_arrays(basket_arrays(df, key, item), out_u, out_v)
+
+
+def ordered_pairs_from_arrays(
+    arrays: DataFrame, out_u: str = "u", out_v: str = "v"
+) -> DataFrame:
+    """Expand distinct-item arrays to DIRECTED (u, v) pairs with u != v —
+    the row multiset of the self-join with a ``<>`` predicate.  Items must
+    be distinct within each array (they are for every grouped-distinct
+    basket); work per key is |items|·(|items|−1), the self-join's bound."""
+    pair_expr = (
+        "flatten(transform(items, x -> "
+        "transform(filter(items, y -> NOT (y <=> x)), "
+        "y -> struct(x AS u, y AS v))))"
+    )
+    return arrays.select(F.explode(F.expr(pair_expr)).alias("_p")).select(
+        F.col("_p.u").alias(out_u), F.col("_p.v").alias(out_v)
+    )
+
+
+def topk_items_by_score(
+    df: DataFrame,
+    key: str,
+    item: str,
+    score: str,
+    k: int,
+) -> DataFrame:
+    """(key, items) where ``items`` holds the key's top-``k`` items by
+    (score DESC, item ASC) — exactly the rows ROW_NUMBER() OVER
+    (PARTITION BY key ORDER BY score DESC, item) <= k keeps, but computed
+    as ONE partial-aggregated groupBy + an in-array sort/slice instead of
+    a window (exchange + full sort) feeding a separate consumer.  The
+    (key, item) grain must be unique and ``score`` a non-null BIGINT (the
+    (-score, item) struct sort is then the exact mirror of the window's
+    total order).  Use only where k is a small constant: per-key state is
+    the FULL item list before the slice, same as the window's partition."""
+    arrays = df.groupBy(key).agg(
+        F.expr(
+            f"transform(slice(array_sort(collect_list("
+            f"struct(-{score} AS ns, {item} AS it))), 1, {k}), p -> p.it)"
+        ).alias("items")
+    )
+    return arrays

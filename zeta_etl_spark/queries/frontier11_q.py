@@ -542,8 +542,6 @@ LIMIT {_LINK_TOPN}
     tags=("graph", "link-prediction", "top-k"),
 )
 def link_prediction_suppliers(spark, sf_dir):
-    from pyspark.sql import Window
-
     o = T(spark, sf_dir, "orders")
     li = T(spark, sf_dir, "lineitem")
     e = (
@@ -564,24 +562,23 @@ def link_prediction_suppliers(spark, sf_dir):
     )
     e = e.localCheckpoint()  # adjacency grain feeds degree + rank cap
     deg = e.groupBy("cust").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
-    w = Window.partitionBy("supp").orderBy(
-        F.col("cents").desc(), F.col("cust")
+    # Optimization r13 (guide §2.4): the per-supp top-8 rank cap and the
+    # (cust_a < cust_b) pair self-join collapse into ONE groupBy(supp) —
+    # the in-array (cents DESC, cust) sort/slice is the window's exact
+    # ROW_NUMBER order, and pairs come from a ≤ 8·7/2 array expansion
+    # (re-sorted by cust so u < v matches the join predicate) instead of
+    # re-shuffling the capped list twice.
+    from zeta_etl_spark.operators.graph import (
+        pairs_from_arrays,
+        topk_items_by_score,
     )
-    top = (
-        e.select("cust", "supp", F.row_number().over(w).alias("rn"))
-        .filter(F.col("rn") <= _LINK_FANOUT)
-        .select("cust", "supp")
-    )
+
+    top = topk_items_by_score(
+        e, "supp", "cust", "cents", _LINK_FANOUT
+    ).select(F.array_sort("items").alias("items"))
     pairs = (
-        top.alias("a")
-        .join(
-            top.alias("b"),
-            (F.col("b.supp") == F.col("a.supp"))
-            & (F.col("a.cust") < F.col("b.cust")),
-        )
-        .groupBy(
-            F.col("a.cust").alias("cust_a"), F.col("b.cust").alias("cust_b")
-        )
+        pairs_from_arrays(top, "cust_a", "cust_b")
+        .groupBy("cust_a", "cust_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("common_suppliers"))
     )
     out = (

@@ -99,20 +99,18 @@ LIMIT {_TRI_TOPN}
 def brand_triple_support(spark, sf_dir):
     li = T(spark, sf_dir, "lineitem")
     part = T(spark, sf_dir, "part")
-    items = (
-        li.join(
-            F.broadcast(part.select("p_partkey", "p_brand")),
-            li.l_partkey == F.col("p_partkey"),
-        )
-        .select("l_orderkey", "p_brand")
-        .distinct()
-    )
-    # composition grain: one shuffle to baskets, one to distinct
+    items = li.join(
+        F.broadcast(part.select("p_partkey", "p_brand")),
+        li.l_partkey == F.col("p_partkey"),
+    ).select("l_orderkey", "p_brand")
+    # composition grain: ONE shuffle to distinct-brand baskets (collect_set
+    # dedups inline — optimization r13, guide §2.4: the former distinct
+    # pre-pass re-shuffled the fact rows a second time), one to distinct
     # compositions (≤ Σ C(25,k) rows); the |basket|³ triple enumeration
     # then explodes a FRAME BOUNDED BY THE BRAND ALPHABET, never by
-    # order count — the fact table is touched exactly twice.
+    # order count — the fact table is touched exactly once.
     bk = items.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_list("p_brand")).alias("bs")
+        F.array_sort(F.collect_set("p_brand")).alias("bs")
     )
     comp = bk.groupBy("bs").agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt")
@@ -474,22 +472,20 @@ def item_item_cf_topk(spark, sf_dir):
     deg = e.groupBy("part").agg(
         F.count(F.lit(1)).cast("bigint").alias("deg")
     )
-    w = Window.partitionBy("cust").orderBy(F.col("cents").desc(), "part")
-    top = (
-        e.select("cust", "part", F.row_number().over(w).alias("rn"))
-        .filter(F.col("rn") <= _CF_CAP)
-        .select("cust", "part")
+    # Optimization r13 (guide §2.4): the rank cap and the directed pair
+    # generation collapse into ONE groupBy(cust) — the per-cust top-12 by
+    # (cents DESC, part) is an in-array sort/slice (exactly the window's
+    # ROW_NUMBER total order), and the a<>b self-join (2 more exchanges
+    # of the capped list) becomes a bounded 12·11 array expansion.
+    from zeta_etl_spark.operators.graph import (
+        ordered_pairs_from_arrays,
+        topk_items_by_score,
     )
+
+    top = topk_items_by_score(e, "cust", "part", "cents", _CF_CAP)
     co = (
-        top.alias("a")
-        .join(
-            top.alias("b"),
-            (F.col("b.cust") == F.col("a.cust"))
-            & (F.col("a.part") != F.col("b.part")),
-        )
-        .groupBy(
-            F.col("a.part").alias("part_a"), F.col("b.part").alias("part_b")
-        )
+        ordered_pairs_from_arrays(top, "part_a", "part_b")
+        .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     )
     scored = (

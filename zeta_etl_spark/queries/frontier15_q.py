@@ -312,24 +312,54 @@ FROM ranked GROUP BY 1
     tags=("text", "statistics", "vocabulary"),
 )
 def zipf_octave_profile(spark, sf_dir):
-    from zeta_etl_spark.operators.windows import global_row_number
+    from pyspark.sql import Window
 
+    # Optimization r13 (guide §2.4/§1.1 first-principles): the octave of a
+    # token depends only on its global rank, and ranks ordered by
+    # (f DESC, token) assign each distinct-frequency GROUP a contiguous
+    # rank range — the within-group token tie-break shuffles ranks only
+    # inside the group, never across an f boundary.  So the per-token
+    # global ranking (a |vocab|-sized range exchange + local sorts +
+    # offset join) collapses to rank-interval algebra on the frequency
+    # histogram: per f-group [s+1, s+c] overlapped with octave o's rank
+    # interval [2^(o-1), 2^o - 1].  n_tokens/sum_freq are overlap sums;
+    # max/min_freq fall out because f is monotone in rank.  The histogram
+    # has |distinct f| = O(sqrt Σf) rows (≪ |vocab|), so the prefix-sum
+    # window over it is a bounded single-partition pass, never data-sized.
     tok = T(spark, sf_dir, "documents").select(
         F.explode(F.expr(spark_shingles())).alias("token")
     )
     freq = tok.groupBy("token").agg(F.count(F.lit(1)).cast("bigint").alias("f"))
-    ranked = global_row_number(
-        freq, [F.col("f").desc(), F.col("token").asc()], out_col="r"
+    fgrp = freq.groupBy("f").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    w = Window.orderBy(F.col("f").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
     )
-    return (
-        ranked.withColumn("octave", F.expr("cast(length(bin(r)) as bigint)"))
-        .groupBy("octave")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
-            F.sum("f").cast("bigint").alias("sum_freq"),
-            F.max("f").cast("bigint").alias("max_freq"),
-            F.min("f").cast("bigint").alias("min_freq"),
-        )
+    spans = fgrp.select(
+        "f",
+        "c",
+        F.coalesce(F.sum("c").over(w), F.lit(0)).cast("bigint").alias("s"),
+    )
+    per_octave = spans.select(
+        "f",
+        F.expr(
+            "explode(sequence(cast(length(bin(s + 1)) as bigint), "
+            "cast(length(bin(s + c)) as bigint)))"
+        ).alias("octave"),
+        "s",
+        "c",
+    ).select(
+        "octave",
+        "f",
+        F.expr(
+            "least(s + c, shiftleft(1L, cast(octave as int)) - 1)"
+            " - greatest(s + 1, shiftleft(1L, cast(octave as int) - 1)) + 1"
+        ).alias("n"),
+    )
+    return per_octave.groupBy("octave").agg(
+        F.sum("n").cast("bigint").alias("n_tokens"),
+        F.sum(F.col("f") * F.col("n")).cast("bigint").alias("sum_freq"),
+        F.max("f").cast("bigint").alias("max_freq"),
+        F.min("f").cast("bigint").alias("min_freq"),
     )
 
 

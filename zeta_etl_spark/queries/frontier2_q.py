@@ -680,29 +680,28 @@ def hits_hub_authority(spark, sf_dir):
         .cast("bigint")
         .alias("cents")
     )
+    # Optimization r13 (guide §2.4): "user at rank r+o" is lead(user, o)
+    # over the SAME hourly ranking window — the rank-offset equi-join
+    # (which exploded every ranked row 5× and re-shuffled both sides on
+    # (hr, rnk)) is a window function the ranking pass computes for free.
+    # lead() returns NULL past the bottom of the hour, exactly the ranks
+    # the join found no match for.
+    w_rank = Window.partitionBy("hr").orderBy(F.desc("cents"), "user_id")
     ranked = hourly.select(
-        "user_id",
-        "hr",
-        F.row_number()
-        .over(
-            Window.partitionBy("hr").orderBy(F.desc("cents"), "user_id")
-        )
-        .alias("rnk"),
-    )
-    probes = ranked.select(
         F.col("user_id").alias("src"),
-        "hr",
-        "rnk",
-        F.explode(
-            F.array(*[F.lit(i) for i in range(1, _HITS_FANOUT + 1)])
-        ).alias("o"),
-    ).select("src", "hr", (F.col("rnk") + F.col("o")).alias("rnk"))
+        *[
+            F.lead("user_id", o).over(w_rank).alias(f"_d{o}")
+            for o in range(1, _HITS_FANOUT + 1)
+        ],
+    )
     edges = (
-        probes.join(
-            ranked.select("hr", "rnk", F.col("user_id").alias("dst")),
-            ["hr", "rnk"],
+        ranked.select(
+            "src",
+            F.explode(
+                F.array(*[f"_d{o}" for o in range(1, _HITS_FANOUT + 1)])
+            ).alias("dst"),
         )
-        .where(F.col("src") != F.col("dst"))
+        .where(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
         .select("src", "dst")
         .distinct()
         .localCheckpoint()
