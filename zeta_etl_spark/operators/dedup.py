@@ -670,7 +670,13 @@ def connected_components_star(
         .localCheckpoint()
     )
     e = raw.where(F.col("src") != F.col("dst"))
-    cur = e.distinct().localCheckpoint()
+    # Optimization r13 (guide §1.2 per-round work): LAZY localCheckpoint —
+    # the checksum action immediately after materializes the persisted RDD
+    # in the SAME job, where the eager form ran one materialization job
+    # plus one checksum job per round (2× the scheduler round-trips on
+    # graphs whose per-round data is small).  Semantics unchanged: every
+    # round's frame is still persisted + lineage-cut before the next.
+    cur = e.distinct().localCheckpoint(eager=False)
 
     def checksum(df: DataFrame):
         # mod-reduced before summing: ANSI mode raises on BIGINT overflow,
@@ -695,7 +701,9 @@ def connected_components_star(
             cur.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
         nxt = (
-            _small_star(_large_star(sym)).distinct().localCheckpoint()
+            _small_star(_large_star(sym))
+            .distinct()
+            .localCheckpoint(eager=False)  # materialized by checksum below
         )
         cur_sum = checksum(nxt)
         if cur_sum == prev_sum and nxt.exceptAll(cur).count() == 0:

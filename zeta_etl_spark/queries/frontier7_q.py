@@ -553,9 +553,20 @@ def kcore_peeling(spark, sf_dir):
 
     def degrees(edges, alive=None):
         if alive is not None:
+            # Optimization r13 (guide §3.1): alive is a DIM-SIZED vertex
+            # set (≤ |part| keys, shrinking every round) but comes out of a
+            # localCheckpoint whose size statistics are unknown, so the
+            # planner would shuffle the edge table for a sort-merge
+            # semi-join every round.  Broadcasting it turns both per-round
+            # semi-joins into zero-shuffle hash probes of the edge frame —
+            # 2 of the 3 per-round exchanges gone; only the degree groupBy
+            # still shuffles (the part-key dimension bound is the same
+            # argument as every F.broadcast(part) join in this repo).
             edges = edges.join(
-                alive.select(F.col("v").alias("u")), "u", "left_semi"
-            ).join(alive, "v", "left_semi")
+                F.broadcast(alive.select(F.col("v").alias("u"))),
+                "u",
+                "left_semi",
+            ).join(F.broadcast(alive), "v", "left_semi")
         ends = edges.select(F.col("u").alias("x")).unionAll(
             edges.select(F.col("v").alias("x"))
         )

@@ -291,6 +291,12 @@ def bm25_search_top10(spark, sf_dir):
         F.expr("split(text, ' ')").alias("toks"),
         F.expr("cast(size(split(text, ' ')) as bigint)").alias("dl"),
     )
+    # Optimization r13 (guide §5): base feeds 3 consumers (scalars, the
+    # token explode, the dl join) — materialize once, intra-query only.
+    # Lazy localCheckpoint (not .cache()): same compute-once semantics,
+    # but the plan shows a leaf instead of re-printing the cached subtree
+    # per consumer, so exchange-budget pins keep counting EXECUTED work.
+    base = base.localCheckpoint(eager=False)
     scalars = base.agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
@@ -795,6 +801,12 @@ def hybrid_rrf_top10(spark, sf_dir):
         F.expr("split(text, ' ')").alias("toks"),
         F.expr("cast(size(split(text, ' ')) as bigint)").alias("dl"),
     )
+    # Optimization r13 (guide §5): base feeds 3 consumers (scalars, the
+    # token explode, the dl join) — materialize once, intra-query only.
+    # Lazy localCheckpoint (not .cache()): same compute-once semantics,
+    # but the plan shows a leaf instead of re-printing the cached subtree
+    # per consumer, so exchange-budget pins keep counting EXECUTED work.
+    base = base.localCheckpoint(eager=False)
     scalars = base.agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
@@ -976,6 +988,16 @@ def prf_rocchio_top10(spark, sf_dir):
         F.expr("split(text, ' ')").alias("toks"),
         F.expr("cast(size(split(text, ' ')) as bigint)").alias("dl"),
     )
+    # Optimization r13 (guide §5 caching-when-reused): base feeds 5
+    # consumers (corpus scalars, the token explode 3×, and the dl join in
+    # both scoring passes) — unmaterialized, each re-reads the parquet and
+    # re-splits every document (sf1 noop: 11.6 → 3.9 s).  MEMORY_AND_DISK
+    # storage keeps it spill-safe at corpus scale; intra-query only, never
+    # a cross-run memo.  Lazy localCheckpoint (not .cache()): same
+    # compute-once semantics, but the plan shows a leaf instead of
+    # re-printing the cached subtree per consumer, so the exchange-budget
+    # pin (test_retrieval_fusion_plan_pins) keeps counting EXECUTED work.
+    base = base.localCheckpoint(eager=False)
     scalars = base.agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
