@@ -81,17 +81,27 @@ def topk_items_by_score(
 ) -> DataFrame:
     """(key, items) where ``items`` holds the key's top-``k`` items by
     (score DESC, item ASC) — exactly the rows ROW_NUMBER() OVER
-    (PARTITION BY key ORDER BY score DESC, item) <= k keeps, but computed
-    as ONE partial-aggregated groupBy + an in-array sort/slice instead of
-    a window (exchange + full sort) feeding a separate consumer.  The
-    (key, item) grain must be unique and ``score`` a non-null BIGINT (the
-    (-score, item) struct sort is then the exact mirror of the window's
-    total order).  Use only where k is a small constant: per-key state is
-    the FULL item list before the slice, same as the window's partition."""
-    arrays = df.groupBy(key).agg(
+    (PARTITION BY key ORDER BY score DESC, item) <= k keeps, in rank
+    order.
+
+    Shape: the rank cap stays a WINDOW (codegen sort, spills gracefully at
+    any per-key cardinality), and the capped rows collapse to per-key
+    arrays in a groupBy that REUSES the window's hash partitioning — no
+    new exchange.  An earlier form collected the FULL per-key item list
+    and sliced in-array; that put the whole uncapped group into
+    ObjectHashAggregate state, whose sort-based fallback made it 6× slower
+    at sf1 under memory pressure — the guide §1.1 "ideal plan, slower in
+    practice" gotcha.  Per-group state here is ≤ k structs."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key).orderBy(F.col(score).desc(), F.col(item))
+    capped = (
+        df.select(key, item, F.row_number().over(w).alias("_rn"))
+        .filter(F.col("_rn") <= k)
+    )
+    return capped.groupBy(key).agg(
         F.expr(
-            f"transform(slice(array_sort(collect_list("
-            f"struct(-{score} AS ns, {item} AS it))), 1, {k}), p -> p.it)"
+            f"transform(array_sort(collect_list(struct(_rn, {item}))), "
+            f"p -> p.{item})"
         ).alias("items")
     )
-    return arrays

@@ -63,6 +63,21 @@ def get_spark(
             "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
             os.environ.get("SPARK_GRAFT_SHJ_LOCALMAP", "128m"),
         )
+        # collect_set/collect_list aggregations (the basket/posting/top-k
+        # array shapes in operators/graph.py and the dedup family) run in
+        # ObjectHashAggregate, which abandons its hash map for a SORT-BASED
+        # fallback after only 128 distinct keys per partition (the Spark
+        # default, sized for unbounded agg state).  Our per-key state is
+        # small and bounded (baskets ≤ ~25 items, rank-capped lists ≤ 12),
+        # so the fallback just re-sorts every fact row for nothing.  4096
+        # keys × a few hundred bytes ≈ 1-2 MB of map per task — safely
+        # inside executor memory at any scale; env-parameterized for
+        # cluster tuning (lower it for queries with genuinely fat agg
+        # state).
+        .config(
+            "spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+            os.environ.get("SPARK_GRAFT_OBJ_AGG_FALLBACK", "4096"),
+        )
         # keep the default 10 MB broadcast threshold: raising it makes Spark
         # broadcast fact tables at small SF, which inverts the plan at scale.
         # True dimensions are hinted with F.broadcast() at the call sites;
