@@ -32,8 +32,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from zeta_etl_spark.queries import REGISTRY  # noqa: E402
 from zeta_etl_spark.session import get_spark  # noqa: E402
 
-PLANS_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r13"
+DEFAULT_PLANS_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r14"
 )
 
 
@@ -59,9 +59,11 @@ def main() -> None:
         "AQE join-strategy rewrites (SMJ→SHJ/BHJ) only appear there",
     )
     ap.add_argument("--out", default=None)
+    ap.add_argument("--plans-dir", default=DEFAULT_PLANS_DIR)
     args = ap.parse_args()
 
-    os.makedirs(PLANS_DIR, exist_ok=True)
+    plans_dir = args.plans_dir
+    os.makedirs(plans_dir, exist_ok=True)
     spark = get_spark(app_name="opt-measure")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -86,7 +88,7 @@ def main() -> None:
             # the handle's executedPlan afterwards is the final adaptive
             # plan — a noop write or count() would execute a clone instead.
             df.collect()
-        path = os.path.join(PLANS_DIR, f"{name}_{args.tag}.txt")
+        path = os.path.join(plans_dir, f"{name}_{args.tag}.txt")
         with open(path, "w") as fh:
             fh.write(capture_plan(df))
         print(f"plan -> {path}")

@@ -17,6 +17,8 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -676,7 +678,10 @@ def connected_components_star(
     # plus one checksum job per round (2× the scheduler round-trips on
     # graphs whose per-round data is small).  Semantics unchanged: every
     # round's frame is still persisted + lineage-cut before the next.
-    cur = e.distinct().localCheckpoint(eager=False)
+    # r14: env-switchable (SPARK_GRAFT_CC_EAGER=1) so the two modes can be
+    # A/B-measured on a gated host; lazy stays the measured default.
+    eager = os.environ.get("SPARK_GRAFT_CC_EAGER", "") == "1"
+    cur = e.distinct().localCheckpoint(eager=eager)
 
     def checksum(df: DataFrame):
         # mod-reduced before summing: ANSI mode raises on BIGINT overflow,
@@ -703,7 +708,7 @@ def connected_components_star(
         nxt = (
             _small_star(_large_star(sym))
             .distinct()
-            .localCheckpoint(eager=False)  # materialized by checksum below
+            .localCheckpoint(eager=eager)  # lazy: materialized by checksum
         )
         cur_sum = checksum(nxt)
         if cur_sum == prev_sum and nxt.exceptAll(cur).count() == 0:

@@ -105,3 +105,29 @@ def topk_items_by_score(
             f"p -> p.{item})"
         ).alias("items")
     )
+
+
+def capped_postings(
+    df: DataFrame, key: str, item: str, cap: int
+) -> DataFrame:
+    """(key, ids) posting lists for keys whose row count is <= ``cap`` —
+    ``ids`` sorted ascending; keys above the cap are dropped entirely.
+
+    Bounded-state shape (guide §5, VERDICT r13 #4): the cap is enforced
+    BEFORE any array exists.  ``count(*) over (partition by key)`` rides
+    the single exchange (the groupBy below reuses the window's hash
+    partitioning), the window buffer holds plain rows and spills
+    gracefully, and only sub-cap groups reach the ``collect_list`` — so
+    no aggregation entry ever holds more than ``cap`` elements.  A
+    collect-then-filter form materializes a hot key's FULL posting array
+    in one ObjectHashAggregate entry before dropping it: at 100 TB a
+    stop-token shared by millions of rows is a single multi-GB entry.
+    """
+    from pyspark.sql import Window
+
+    kept = df.withColumn(
+        "_df", F.count(F.lit(1)).over(Window.partitionBy(key))
+    ).where(F.col("_df") <= cap)
+    return kept.groupBy(key).agg(
+        F.array_sort(F.collect_list(item)).alias("ids")
+    )

@@ -239,6 +239,28 @@ def assign_lists(
     )
 
 
+def with_assigned_lists(
+    vectors: DataFrame, packed: DataFrame, rank_limit: int
+) -> DataFrame:
+    """Every column of ``vectors`` plus ``cent_id`` — one output row per
+    assigned list (the vector's ``rank_limit`` nearest centroids).
+
+    Optimization r14 (guide §2.4): the IVF paths used to compute
+    :func:`assign_lists` from ``scaled`` and JOIN it back to ``scaled`` on
+    the id — a corpus-sized equi-join (two exchanges + sort/hash of the
+    whole vector table) whose right side was a pure per-row projection of
+    its own left side.  Computing the assignment inline keeps the corpus
+    un-shuffled: same broadcast packed-centroid row, same explode, exactly
+    the row multiset of ``vectors ⋈ assign_lists(vectors, ...)``."""
+    dists = F.expr(_DISTS_SORTED.format(sv="sv"))
+    cols = vectors.columns
+    return (
+        vectors.transform(with_scalar_frame(packed))
+        .select(*cols, F.explode(F.slice(dists, 1, rank_limit)).alias("_d"))
+        .select(*cols, F.col("_d.cent_id").alias("cent_id"))
+    )
+
+
 def ivf_topk(
     scaled: DataFrame,
     centroids: DataFrame,
@@ -261,14 +283,12 @@ def ivf_topk(
     integers → deterministic across engines.
     """
     packed = _packed_centroids(centroid_arrays(centroids, label_col))
-    corpus_lists = assign_lists(scaled, packed, "vec_id", "vec_id", 1)
-    probe_lists = assign_lists(
-        queries.withColumnRenamed("qv", "sv"), packed,
-        "query_id", "query_id", nprobe,
-    )
-
-    corpus = scaled.join(corpus_lists, "vec_id")
-    q = queries.join(probe_lists, "query_id")
+    # assignment fused into the scan (with_assigned_lists): no join-back of
+    # the corpus to its own per-row projection
+    corpus = with_assigned_lists(scaled, packed, 1)
+    q = with_assigned_lists(
+        queries.withColumnRenamed("qv", "sv"), packed, nprobe
+    ).withColumnRenamed("sv", "qv")
     dot = F.expr("aggregate(zip_with(qv, sv, (x, y) -> x * y), 0L, (a, v) -> a + v)")
     cos = dot.cast("double") / F.nullif(
         F.sqrt(F.col("qn").cast("double")) * F.sqrt(F.col("norm2").cast("double")),
@@ -484,22 +504,22 @@ def ivf_sq8_rerank_topk(
     (the identity row is excluded from results).
     """
     packed = _packed_centroids(centroid_arrays(centroids, label_col))
-    corpus_lists = assign_lists(scaled, packed, "vec_id", "vec_id", 1)
-    probe_lists = assign_lists(
-        queries.withColumnRenamed("qv", "sv"), packed,
-        "query_id", "query_id", nprobe,
-    )
 
+    # quantization AND list assignment fused into one corpus pass
+    # (with_assigned_lists — int8_quantize keeps `sv`, so the assignment
+    # rides the same projection; no corpus join-back)
     q8 = int8_quantize(scaled)
-    q8c = q8.select("vec_id", "qv").join(corpus_lists, "vec_id")
-    qq = (
+    q8c = with_assigned_lists(q8, packed, 1).select(
+        "vec_id", "qv", "cent_id"
+    )
+    qq = with_assigned_lists(
         q8.join(
             queries.select("query_id"),
             q8["vec_id"] == F.col("query_id"),
-        )
-        .select("query_id", F.col("qv").alias("qqv"))
-        .join(probe_lists, "query_id")
-    )
+        ).select("query_id", F.col("qv").alias("qqv"), "sv"),
+        packed,
+        nprobe,
+    ).drop("sv")
 
     dot_q = F.expr(
         "aggregate(zip_with(qqv, qv, (x, y) -> x * y), 0L, (a, v) -> a + v)"
@@ -576,7 +596,11 @@ def pq_codebook(
 
 
 def pq_encode(
-    scaled: DataFrame, codebook: DataFrame, dim: int = 64, m: int = PQ_M
+    scaled: DataFrame,
+    codebook: DataFrame,
+    dim: int = 64,
+    m: int = PQ_M,
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """Encode each vector as ``m`` codebook indices + the reconstruction's
     squared norm: ``(vec_id, codes array<bigint>, recon2 bigint)``.
@@ -600,6 +624,7 @@ def pq_encode(
         .withColumn("_best", F.expr(best))
         .select(
             "vec_id",
+            *keep,
             F.expr("transform(_best, b -> b.code)").alias("codes"),
             F.expr("aggregate(_best, 0L, (a, b) -> a + b.n2)").alias(
                 "recon2"
@@ -680,14 +705,17 @@ def ivf_pq_rerank_topk(
     """
     sub = dim // m
     packed = _packed_centroids(centroid_arrays(centroids, label_col))
-    corpus_lists = assign_lists(scaled, packed, "vec_id", "vec_id", 1)
-    probe_lists = assign_lists(
-        queries.withColumnRenamed("qv", "sv"), packed,
-        "query_id", "query_id", nprobe,
-    )
     cbp = pq_codebook(scaled, dim=dim, m=m)
-    enc = pq_encode(scaled, cbp, dim=dim, m=m).join(corpus_lists, "vec_id")
-    qq = queries.join(probe_lists, "query_id")
+    # PQ encoding AND list assignment fused into one corpus pass: the
+    # assignment column rides through pq_encode (keep=) instead of being
+    # joined back on vec_id (a corpus-sized self-join)
+    enc = pq_encode(
+        with_assigned_lists(scaled, packed, 1),
+        cbp, dim=dim, m=m, keep=("cent_id",),
+    )
+    qq = with_assigned_lists(
+        queries.withColumnRenamed("qv", "sv"), packed, nprobe
+    ).withColumnRenamed("sv", "qv")
     adc_dot = _adc_dot_sql(m, sub)
     cos_q = F.expr(adc_dot).cast("double") / F.nullif(
         F.sqrt(F.col("qn").cast("double"))

@@ -167,17 +167,27 @@ def sparse_cosine_pairs(spark, sf_dir):
     )
     # Optimization r13 (guide §2.4, cobasket-pairs device): ONE exchange of
     # the exploded postings builds the per-shingle doc-id list; the df cap
-    # (hot-dim prune) becomes a free size() filter on the list — the former
-    # shape exploded documents TWICE (keep aggregate + index join) and then
-    # self-joined the index.  Pair expansion over the sorted list emits the
-    # identical (doc_a < doc_b, one row per shared kept shingle) multiset;
-    # work per shingle stays |postings|² ≤ df_cap², the same bound the
-    # self-join had after the cap.  Similarity lives in the PRUNED shingle
-    # space: norms count kept shingles so cos is a true cosine there.
+    # (hot-dim prune) becomes a size filter — the former shape exploded
+    # documents TWICE (keep aggregate + index join) and then self-joined the
+    # index.  Pair expansion over the sorted list emits the identical
+    # (doc_a < doc_b, one row per shared kept shingle) multiset; work per
+    # shingle stays |postings|² ≤ df_cap², the same bound the self-join had
+    # after the cap.  Similarity lives in the PRUNED shingle space: norms
+    # count kept shingles so cos is a true cosine there.
+    #
+    # Optimization r14 (guide §5 bounded agg state, VERDICT r13 #4): the df
+    # cap is applied BEFORE the collect — `count(*) over (partition by s)`
+    # rides the same exchange (the groupBy below reuses the window's hash
+    # partitioning, so still ONE data-sized exchange) and the window buffer
+    # holds plain rows (sort-based, spills gracefully).  The r13 form
+    # collected the FULL posting array and then filtered on size(): a hot
+    # stop-shingle (df in the millions at 100 TB) materialized its whole
+    # doc-id list inside one ObjectHashAggregate entry before being dropped.
+    # Now no array ever exceeds _SPARSE_DF_CAP elements.
+    from zeta_etl_spark.operators.graph import capped_postings
+
     postings = (
-        sh0.groupBy("s")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
-        .where(F.size("ids") <= _SPARSE_DF_CAP)
+        capped_postings(sh0, "s", "doc_id", _SPARSE_DF_CAP)
         .select("ids")
         .localCheckpoint()  # feeds both the norm count and the pair expand
     )

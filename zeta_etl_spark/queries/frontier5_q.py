@@ -199,12 +199,22 @@ def negative_sampling_recs(spark, sf_dir):
         )
         .select("c", "p", "i", F.expr(f"({h} % m) + 1").alias("cand"))
     )
-    valid = draws.join(
-        pt.select(F.col("p_partkey").alias("cand")), "cand"
-    ).join(
-        pos.select(F.col("c").alias("xc"), F.col("p").alias("xp")),
-        (F.col("c") == F.col("xc")) & (F.col("cand") == F.col("xp")),
-        "left_anti",
+    # Optimization r14 (guide §2.3/§2.4): the no-false-negatives check was
+    # a LEFT ANTI join on (c, cand) — a full extra shuffle of the draws
+    # frame on a key nothing downstream uses.  The per-customer positive
+    # set is bounded (a customer's distinct purchased parts), so it
+    # collapses to one collect_set per customer and an array_contains
+    # filter on the existing join-by-c row; the window below then REUSES
+    # the hash-partitioning by c (ClusteredDistribution on (c, p) is
+    # satisfied by partitioning on c) — draws now cross one exchange
+    # instead of three.  Same survivor multiset: cand ∈ pos(c) ⟺ the anti
+    # join dropped it.
+    cpos = pos.groupBy("c").agg(F.collect_set("p").alias("_ps"))
+    valid = (
+        draws.join(pt.select(F.col("p_partkey").alias("cand")), "cand")
+        .join(cpos, "c")
+        .filter(~F.array_contains(F.col("_ps"), F.col("cand")))
+        .drop("_ps")
     )
     rk = Window.partitionBy("c", "p").orderBy("i")
     return (

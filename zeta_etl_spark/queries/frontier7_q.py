@@ -38,6 +38,7 @@ reference's own eval harness grades its index (BASELINE.json ann ops).
 from __future__ import annotations
 
 import math
+import os
 
 from pyspark.sql import functions as F
 
@@ -551,22 +552,33 @@ def kcore_peeling(spark, sf_dir):
     # basket self-join never replays
     e = e.localCheckpoint()
 
-    def degrees(edges, alive=None):
+    # Optimization r14 (guide §3.1 broadcast costs, VERDICT r13 #5): the
+    # r13 form force-broadcast `alive` UNCONDITIONALLY.  The set is
+    # dim-sized at bench scale but O(|part|) — it grows linearly with SF,
+    # so at 100 TB the unconditional hint is a multi-GB driver collect per
+    # peeling round (and the 8 GB broadcast cap).  The hint is now gated on
+    # the alive COUNT, which each round already pays one cheap job for (a
+    # scan of the round's just-checkpointed blocks); above the threshold
+    # the join falls back to the plain semi-join shuffle.  Env-tunable for
+    # cluster memory; 5M bigint keys ≈ 10² MB built relation.
+    bcast_max = int(os.environ.get("SPARK_GRAFT_KCORE_BCAST_MAX", "5000000"))
+
+    def degrees(edges, alive=None, alive_small=True):
         if alive is not None:
-            # Optimization r13 (guide §3.1): alive is a DIM-SIZED vertex
-            # set (≤ |part| keys, shrinking every round) but comes out of a
+            # Optimization r13 (guide §3.1): alive comes out of a
             # localCheckpoint whose size statistics are unknown, so the
             # planner would shuffle the edge table for a sort-merge
-            # semi-join every round.  Broadcasting it turns both per-round
-            # semi-joins into zero-shuffle hash probes of the edge frame —
-            # 2 of the 3 per-round exchanges gone; only the degree groupBy
-            # still shuffles (the part-key dimension bound is the same
-            # argument as every F.broadcast(part) join in this repo).
+            # semi-join every round.  Broadcasting it (when small — see
+            # the r14 gate above) turns both per-round semi-joins into
+            # zero-shuffle hash probes of the edge frame — 2 of the 3
+            # per-round exchanges gone; only the degree groupBy still
+            # shuffles.
+            hint = F.broadcast if alive_small else (lambda df: df)
             edges = edges.join(
-                F.broadcast(alive.select(F.col("v").alias("u"))),
+                hint(alive.select(F.col("v").alias("u"))),
                 "u",
                 "left_semi",
-            ).join(F.broadcast(alive), "v", "left_semi")
+            ).join(hint(alive), "v", "left_semi")
         ends = edges.select(F.col("u").alias("x")).unionAll(
             edges.select(F.col("v").alias("x"))
         )
@@ -583,17 +595,29 @@ def kcore_peeling(spark, sf_dir):
         .select(F.col("deg").alias("k"))
     )
     alive = d0.select(F.col("x").alias("v"))
+    # d0 is checkpointed: counting it is a cached-block scan, not a recompute
+    alive_small = d0.count() <= bcast_max
     dr = d0
     for _ in range(_KCORE_ROUNDS):
-        dr = degrees(e, alive)
+        dr = degrees(e, alive, alive_small)
         alive = (
             scalar_frame_crossjoin(dr, kk, bound=1)
             .filter(F.col("deg") >= F.col("k"))
             .select(F.col("x").alias("v"))
         )
         # bounded vertex frame per round; checkpoint keeps the 4-round plan
-        # from nesting 8 joins deep
-        alive = alive.localCheckpoint()
+        # from nesting 8 joins deep.  LAZY (r14, the CC device): the round's
+        # RDD materializes inside the next round's broadcast-build job
+        # instead of paying a dedicated per-round materialization job — at
+        # sf0.1/32 cores the peel was scheduler-bound (driver scaling block
+        # showed 32c SLOWER than 8c), so per-round jobs are the cost.
+        alive = alive.localCheckpoint(eager=False)
+        # the alive set only shrinks round-over-round, so once it counts
+        # under the gate it stays broadcastable for the rest of the peel
+        # (the count materializes the lazy checkpoint, shuffle fallback
+        # path only)
+        if not alive_small:
+            alive_small = alive.count() <= bcast_max
     surv = alive
     out = (
         surv.join(d0.withColumnRenamed("deg", "deg_initial"), surv.v == d0.x)

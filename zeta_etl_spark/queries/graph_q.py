@@ -18,6 +18,8 @@ across partitionings — integer sums are not.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from zeta_etl_spark.queries.registry import query
@@ -102,9 +104,21 @@ def pagerank_sim_graph(spark, sf_dir):
         F.col("src").alias("vec_id"),
         F.lit(_PR_SCALE).cast("bigint").alias("pr"),
     ).localCheckpoint()
+    # Optimization r14 (guide §3.1, the kcore device): ranks is a
+    # vertex-sized (vec_id, pr) frame out of a localCheckpoint — unknown
+    # stats, so the planner re-shuffled the checkpointed EDGE table on src
+    # every round for a sort-merge join.  Broadcasting ranks makes each
+    # round one map-side hash probe + the groupBy(dst) exchange.  Gated on
+    # the vertex count (deg is checkpointed; counting it is a cached-block
+    # scan) because |vertices| grows with SF — above the gate the join
+    # falls back to shuffle.
+    ranks_small = deg.count() <= int(
+        os.environ.get("SPARK_GRAFT_PR_BCAST_MAX", "5000000")
+    )
+    hint = F.broadcast if ranks_small else (lambda df: df)
     for _ in range(_PR_ITERS):
         contribs = (
-            edges.join(ranks, edges["src"] == ranks["vec_id"])
+            edges.join(hint(ranks), edges["src"] == ranks["vec_id"])
             .select("dst", F.expr("pr div deg").alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
@@ -114,10 +128,12 @@ def pagerank_sim_graph(spark, sf_dir):
             (F.lit(_PR_BASE) + F.expr("(85 * s) div 100"))
             .cast("bigint")
             .alias("pr"),
-        ).localCheckpoint()  # eager: materialize + cut lineage
+        ).localCheckpoint(eager=False)  # r14: lazy — cut lineage now,
+        # materialize inside the next round's broadcast-build job instead
+        # of a dedicated per-round job (the CC/kcore device)
         ranks.unpersist()
         ranks = new_ranks
-    out = deg.join(ranks, deg["src"] == ranks["vec_id"]).select(
+    out = deg.join(hint(ranks), deg["src"] == ranks["vec_id"]).select(
         F.col("src").alias("vec_id"), "deg", F.col("pr").alias("pagerank_scaled")
     )
     edges.unpersist()

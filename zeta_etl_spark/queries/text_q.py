@@ -161,9 +161,23 @@ def _langid_predictions(spark, sf_dir):
     tok = d.select(
         "doc_id", "lang", F.explode(F.expr(spark_tokens())).alias("token")
     )
-    profile = (
-        tok.groupBy("lang", "token")
+    # Optimization r14 (guide §2.3/§2.4): the r13 shape consumed `tok`
+    # twice — the (lang, token) profile counts and the DISTINCT
+    # (doc_id, token) presence each re-scanned + re-exploded the corpus
+    # and paid their own full-data exchange.  Both consumers derive from
+    # ONE aggregation at the (doc_id, token) grain (lang is functionally
+    # dependent on doc_id): profile counts are the per-doc counts summed
+    # (a second, much smaller exchange over distinct doc-token rows), and
+    # presence is the grain itself.  The lazy localCheckpoint makes the
+    # shared frame compute once inside the same job (the bm25 device).
+    dtc = (
+        tok.groupBy("doc_id", "lang", "token")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    profile = (
+        dtc.groupBy("lang", "token")
+        .agg(F.sum("cnt").alias("cnt"))
         .withColumn(
             "rn",
             F.row_number().over(
@@ -175,9 +189,10 @@ def _langid_predictions(spark, sf_dir):
         .filter(F.col("rn") <= 10)
         .select(F.col("lang").alias("cand_lang"), "token")
     )
-    doc_tok = tok.select("doc_id", "token").distinct()
+    # dtc rows are unique per (doc_id, token), so a plain count after the
+    # profile join IS the distinct-token match count the r13 shape computed
     scores = (
-        doc_tok.join(F.broadcast(profile), "token")
+        dtc.join(F.broadcast(profile), "token")
         .groupBy("doc_id", "cand_lang")
         .agg(F.count(F.lit(1)).cast("bigint").alias("score"))
     )
